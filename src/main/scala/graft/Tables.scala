@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared loaders for the driver-generated parquet tables (TESTDATA.md)
+  * plus engine-neutral helpers used to keep every derived value exactly
+  * reproducible in the DuckDB oracle (SURVEY.md §7 "DuckDB oracle parity").
+  *
+  * Scale notes (100 TB design): loaders read parquet through the standard
+  * DataSource V2 path, so filter pushdown / column pruning / partition
+  * pruning all apply; nothing here forces a materialization.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
+  def nation(s: SparkSession, d: String): DataFrame   = table(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
+  def events(s: SparkSession, d: String): DataFrame   = table(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Knuth multiplicative hash over int64 — plain arithmetic, so Spark and
+    * DuckDB produce identical values (unlike `hash()`/`crc32()`, which are
+    * engine-specific; see SURVEY.md §7 risks). Inputs must be non-negative
+    * and < ~3.4e9 so the multiply cannot overflow int64. Mirrors the role
+    * of the reference's partition hashing (Ors2BypassShuffleWriter.scala:48-54).
+    */
+  def phash(c: Column): Column = (c * lit(2654435761L)) % lit(1000000007L)
+
+  /** Same hash in DuckDB SQL, for oracle queries. */
+  def phashSql(expr: String): String = s"((($expr) * 2654435761) % 1000000007)"
+
+  /** Exact decimal(18,2) cast: double→decimal rounding is
+    * round-half-away-from-zero in both engines, and binary doubles are never
+    * exactly at a .005 midpoint, so the cast is engine-neutral. */
+  def dec2(c: Column): Column = c.cast("decimal(18,2)")
+
+  /** Order-insensitive exact sum of a currency-like double column, returned
+    * as double: sum in exact decimal, cast at the end. Safe to hash-compare
+    * against `CAST(sum(CAST(x AS DECIMAL(18,2))) AS DOUBLE)` in DuckDB. */
+  def sumd2(c: Column): Column = sum(dec2(c)).cast("double")
+}

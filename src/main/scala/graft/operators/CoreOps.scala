@@ -1,0 +1,413 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.Tables.{dec2, sumd2}
+
+/** Core relational operator family — the user-facing query surface of the
+  * shuffle contract the reference serves (SURVEY.md §2B).
+  *
+  * Every query is a pure `(SparkSession, sfDir) => DataFrame` whose result
+  * is deterministic (explicit total ORDER BY, exact decimal arithmetic for
+  * float aggregates) so the driver can hash-compare it against the DuckDB
+  * oracle in [[CoreOps.oracles]].
+  *
+  * Scale notes: aggregations are declared via `groupBy().agg()` so Catalyst
+  * plans partial (map-side) + final aggregation — the same split the
+  * reference implements by hand in its sort writer
+  * (Ors2ExternalSorter.scala:90-117) and reader (Ors2ShuffleReader.scala:69-81).
+  * Small dimension tables are broadcast explicitly; large joins stay
+  * shuffle-based and AQE-eligible.
+  */
+object CoreOps {
+  private type Q = (SparkSession, String) => DataFrame
+
+  /** Flagship: repartition + global agg — the reference's golden e2e test
+    * (count=10000, sum=50005000; Ors2ShuffleManagerTest.scala:74-81). The
+    * repartition(10) is the explicit shuffle the reference exists to serve.
+    */
+  def qRepartitionCount(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .repartition(10)
+      .agg(count(lit(1)).as("cnt"), sumd2(col("l_quantity")).as("sum_qty"))
+
+  /** Hash agg with map-side combine (partial+final split; SURVEY §2A #6, #29). */
+  private val qGroupbyPartialFinal: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sumd2(col("l_quantity")).as("sum_qty"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"),
+        (sum(dec2(col("l_extendedprice"))).cast("double") / count(lit(1)))
+          .as("avg_price"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** High-cardinality group key — exercises the spill-path semantics the
+    * reference handles in Ors2ExternalSorter.scala:148-193. */
+  private val qGroupbyHighcard: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("cnt"), sumd2(col("l_extendedprice")).as("sum_price"))
+      .orderBy("l_orderkey")
+
+  /** distinct = shuffle + dedup (SURVEY §2A #25). */
+  private val qDistinct: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_linestatus"), col("l_linenumber"))
+      .distinct()
+      .orderBy("l_returnflag", "l_linestatus", "l_linenumber")
+
+  /** Reduce-side total order (Ors2ShuffleReader.scala:84-103 → SortExec). */
+  private val qSortGlobal: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        // string date: engines/readers disagree on date32 vs timestamp repr
+        date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"))
+      .orderBy("ship_date", "l_orderkey", "l_linenumber")
+
+  /** Partition-local order: map output is partition-sorted, not key-sorted
+    * (Ors2SortShuffleWriter.scala:43-48). We *physically verify* the
+    * invariant with a mapPartitions scan: violations must be 0. */
+  private val qSortWithinPartitions: Q = (s, d) => {
+    import s.implicits._
+    val sorted = Tables.lineitem(s, d)
+      .repartition(8, col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey", "l_linenumber")
+    sorted.select(col("l_orderkey")).as[Long]
+      .mapPartitions { it =>
+        var prev = Long.MinValue; var viol = 0L; var n = 0L
+        it.foreach { k => if (k < prev) viol += 1; prev = k; n += 1 }
+        Iterator((viol, n))
+      }
+      .toDF("v", "n")
+      .agg(sum("v").as("violations"), sum("n").as("rows_total"))
+  }
+
+  /** Top-k per group — the dispatcher "pick k workers by weight" semantics
+    * (WeightedRandomDispatcher.java:31-47, ThroughputBasedDispatcher.java:35-43)
+    * as a revenue top-3 per nation. Broadcast the supplier dim. */
+  private val qTopk: Q = (s, d) => {
+    val rev = dec2(col("l_extendedprice")) *
+      (lit(1).cast("decimal(18,2)") - dec2(col("l_discount")))
+    val w = Window.partitionBy(col("s_nationkey"))
+      .orderBy(col("revenue").desc, col("s_suppkey"))
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey"), col("s_suppkey"))
+      .agg(sum(rev).cast("double").as("revenue"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("s_nationkey", "s_suppkey", "revenue", "rk")
+      .orderBy("s_nationkey", "rk")
+  }
+
+  /** Rotating slice selection (RoundRobinDispatcher.java:39-81): cursor=1,
+    * every 3rd worker in sorted order. */
+  private val qRoundrobinSlice: Q = (s, d) =>
+    Tables.supplier(s, d)
+      .withColumn("rn", row_number().over(Window.orderBy(col("s_suppkey"))))
+      .filter((col("rn") - 1) % 3 === 1)
+      .select("s_suppkey", "s_name", "rn")
+      .orderBy("rn")
+
+  /** Partition→group balanced assignment: p % numGroups, balance invariant
+    * max−min ≤ 1 (Ors2ShuffleManager.scala:355-364;
+    * Ors2ShuffleDistributeTest.scala:56-74 uses 4000 partitions / 3 groups). */
+  private val qGroupAssignment: Q = (s, _) =>
+    s.range(4000)
+      .select(pmod(col("id"), lit(3)).cast("int").as("group_id"))
+      .groupBy("group_id")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("group_id")
+
+  /** Equi-join on the fact tables — the canonical consumer of the shuffle
+    * contract (ShuffleDependency semantics, Ors2ShuffleManager.scala:105-111).
+    * Left as a shuffle join on purpose (both sides large at scale). */
+  private val qJoinEqui: Q = (s, d) => {
+    val rev = dec2(col("l_extendedprice")) *
+      (lit(1).cast("decimal(18,2)") - dec2(col("l_discount")))
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"), sum(rev).cast("double").as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Broadcast-join variant: small dim (part) broadcast to every executor —
+    * no shuffle of the fact side at all. */
+  private val qJoinBroadcast: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("cnt"), sumd2(col("l_quantity")).as("sum_qty"))
+      .orderBy("p_brand")
+
+  /** Existence/absence joins — the checksum missing-map detection is an
+    * anti-join (ShufflePartitionReader.java:227-239). */
+  private val qJoinSemiAnti: Q = (s, d) => {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    val semi = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .agg(count(lit(1)).as("cnt")).withColumn("kind", lit("semi"))
+    val anti = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("cnt")).withColumn("kind", lit("anti"))
+    anti.unionByName(semi).select("kind", "cnt").orderBy("kind")
+  }
+
+  /** Multi-level totals — per-(dc, cluster) worker rollups
+    * (ShuffleWorkerStatusManager.java groups workers by dc/cluster). */
+  private val qAggRollup: Q = (s, d) =>
+    Tables.orders(s, d)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"), sumd2(col("o_totalprice")).as("sum_total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("cnt"), col("sum_total"))
+      .orderBy("status", "priority")
+
+  /** Set ops — blacklist conf vs live worker set (BlackListRefresher.java). */
+  private val qUnionExcept: Q = (s, d) => {
+    val live = Tables.customer(s, d).select(col("c_nationkey").as("nkey")).distinct()
+    val conf = Tables.supplier(s, d).select(col("s_nationkey").as("nkey")).distinct()
+    live.except(conf).withColumn("op", lit("except"))
+      .unionByName(live.intersect(conf).withColumn("op", lit("intersect")))
+      .unionByName(live.union(conf).distinct().withColumn("op", lit("union")))
+      .select("op", "nkey")
+      .orderBy("op", "nkey")
+  }
+
+  /** Heartbeat-gap sessionization (expired ⇔ gap > interval;
+    * ShuffleWorkerStatusManager.java:90-95). Gap threshold 30 min, epochs in
+    * exact microseconds: ts arrives as int64 nanos (nanosAsLong) and
+    * `div 1000` matches DuckDB's ns→µs truncation exactly. */
+  private val qWindowSession: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ep"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ep"))
+      .withColumn("gap", col("ep") - lag(col("ep"), 1).over(w))
+      .withColumn("ns", when(col("gap").isNull || col("gap") > 1800000000L, 1).otherwise(0))
+      .groupBy("user_id")
+      .agg(sum(col("ns")).as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  /** General window functions: running spend per customer (cumulative exact
+    * decimal sum) + order index. */
+  private val qWindowFuncs: Q = (s, d) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        sum(dec2(col("o_totalprice"))).over(w).cast("double").as("cum_spend"),
+        row_number().over(
+          Window.partitionBy(col("o_custkey"))
+            .orderBy(col("o_orderdate"), col("o_orderkey"))).as("order_idx"))
+      .orderBy("o_custkey", "order_idx")
+  }
+
+  /** Approximate distinct at scale (HLL). Output is the exact count plus a
+    * boolean gate that the HLL estimate is within 5% — keeps the result
+    * deterministic/oracle-checkable while still exercising the sketch. */
+  private val qHllDistinct: Q = (s, d) =>
+    Tables.events(s, d)
+      .agg(
+        countDistinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id")).as("approx"))
+      .select(
+        col("exact_users"),
+        (abs(col("approx") - col("exact_users")) <=
+          col("exact_users") * 0.05).as("approx_ok"))
+
+  /** Throughput-based dispatch, implemented for real (the reference's
+    * ThroughputBasedDispatcher.java:35-43 is a stub returning null): top-3
+    * workers by exact total throughput. Worker fixture per FIXTURES.md §B. */
+  private val qThroughputTopk: Q = (s, d) =>
+    Tables.events(s, d)
+      .select(
+        concat(lit("w"), (col("user_id") % 32).cast("string")).as("worker_id"),
+        col("value"))
+      .groupBy("worker_id")
+      .agg(sum(col("value").cast("decimal(18,6)")).cast("double").as("throughput"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("throughput").desc, col("worker_id"))))
+      .filter(col("rk") <= 3)
+      .orderBy("rk")
+
+  /** Weighted sampling without replacement (A-Res, Efraimidis–Spirakis) —
+    * WeightedRandomDispatcher.java:31-47 made deterministic by replacing
+    * rand() with the portable hash so the oracle can replay it. */
+  private val qWeightedSample: Q = (s, d) => {
+    val u = (Tables.phash(col("s_suppkey")) + lit(1)).cast("double") / lit(1000000008.0)
+    val weight = abs(col("s_acctbal")) + lit(1.0)
+    Tables.supplier(s, d)
+      .withColumn("skey", pow(u, lit(1.0) / weight))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("skey").desc, col("s_suppkey"))))
+      .filter(col("rk") <= 3)
+      .select("s_suppkey", "s_name", "rk")
+      .orderBy("rk")
+  }
+
+  /** Prefix-similarity grouping: two names "similar" iff their first p chars
+    * are equal (SimilarityUtils.java:21-41, used for app-name quota spaces
+    * at ApplicationRequestController.java:125-131). */
+  private val qSimilarityPrefix: Q = (s, d) =>
+    Tables.part(s, d)
+      .groupBy(substring(col("p_type"), 1, 8).as("prefix"))
+      .agg(count(lit(1)).as("cnt"), countDistinct(col("p_type")).as("n_types"))
+      .orderBy("prefix")
+
+  val queries: Map[String, Q] = Map(
+    "q_repartition_count" -> (qRepartitionCount(_, _)),
+    "q_groupby_partial_final" -> qGroupbyPartialFinal,
+    "q_groupby_highcard" -> qGroupbyHighcard,
+    "q_distinct" -> qDistinct,
+    "q_sort_global" -> qSortGlobal,
+    "q_sort_within_partitions" -> qSortWithinPartitions,
+    "q_topk" -> qTopk,
+    "q_roundrobin_slice" -> qRoundrobinSlice,
+    "q_group_assignment" -> qGroupAssignment,
+    "q_join_equi" -> qJoinEqui,
+    "q_join_broadcast" -> qJoinBroadcast,
+    "q_join_semi_anti" -> qJoinSemiAnti,
+    "q_agg_rollup" -> qAggRollup,
+    "q_union_except" -> qUnionExcept,
+    "q_window_session" -> qWindowSession,
+    "q_window_funcs" -> qWindowFuncs,
+    "q_hll_distinct" -> qHllDistinct,
+    "q_throughput_topk" -> qThroughputTopk,
+    "q_weighted_sample" -> qWeightedSample,
+    "q_similarity_prefix" -> qSimilarityPrefix,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_repartition_count" ->
+      """SELECT count(*) AS cnt,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem""".stripMargin,
+    "q_groupby_partial_final" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       min(l_extendedprice) AS min_price,
+        |       max(l_extendedprice) AS max_price,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_groupby_highcard" ->
+      """SELECT l_orderkey, count(*) AS cnt,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus, l_linenumber
+        |FROM lineitem ORDER BY 1, 2, 3""".stripMargin,
+    "q_sort_global" ->
+      """SELECT l_orderkey, l_linenumber, strftime(l_shipdate, '%Y-%m-%d') AS ship_date
+        |FROM lineitem ORDER BY 3, 1, 2""".stripMargin,
+    "q_sort_within_partitions" ->
+      """SELECT CAST(0 AS BIGINT) AS violations, count(*) AS rows_total
+        |FROM lineitem""".stripMargin,
+    "q_topk" ->
+      """SELECT s_nationkey, s_suppkey, revenue, rk FROM (
+        |  SELECT s_nationkey, s_suppkey, revenue,
+        |         CAST(row_number() OVER (PARTITION BY s_nationkey
+        |                            ORDER BY revenue DESC, s_suppkey) AS INT) AS rk
+        |  FROM (
+        |    SELECT s_nationkey, s_suppkey,
+        |           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |    GROUP BY 1, 2))
+        |WHERE rk <= 3 ORDER BY s_nationkey, rk""".stripMargin,
+    "q_roundrobin_slice" ->
+      """SELECT s_suppkey, s_name, rn FROM (
+        |  SELECT s_suppkey, s_name,
+        |         CAST(row_number() OVER (ORDER BY s_suppkey) AS INT) AS rn FROM supplier)
+        |WHERE (rn - 1) % 3 = 1 ORDER BY rn""".stripMargin,
+    "q_group_assignment" ->
+      """SELECT CAST(range % 3 AS INT) AS group_id, count(*) AS cnt
+        |FROM range(4000) GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_join_equi" ->
+      """SELECT o_orderpriority, count(*) AS cnt,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_join_broadcast" ->
+      """SELECT p_brand, count(*) AS cnt,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_join_semi_anti" ->
+      """SELECT 'anti' AS kind, count(*) AS cnt FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        |UNION ALL
+        |SELECT 'semi' AS kind, count(*) AS cnt FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        |ORDER BY kind""".stripMargin,
+    "q_agg_rollup" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |       coalesce(o_orderpriority, 'ALL') AS priority,
+        |       count(*) AS cnt,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY 1, 2""".stripMargin,
+    "q_union_except" ->
+      """WITH live AS (SELECT DISTINCT c_nationkey AS nkey FROM customer),
+        |     conf AS (SELECT DISTINCT s_nationkey AS nkey FROM supplier)
+        |SELECT 'except' AS op, nkey FROM (SELECT nkey FROM live EXCEPT SELECT nkey FROM conf)
+        |UNION ALL
+        |SELECT 'intersect' AS op, nkey FROM (SELECT nkey FROM live INTERSECT SELECT nkey FROM conf)
+        |UNION ALL
+        |SELECT 'union' AS op, nkey FROM (SELECT nkey FROM live UNION SELECT nkey FROM conf)
+        |ORDER BY op, nkey""".stripMargin,
+    "q_window_session" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ep FROM events),
+        |     g AS (SELECT user_id,
+        |                  CASE WHEN ep - lag(ep) OVER w IS NULL
+        |                         OR ep - lag(ep) OVER w > 1800000000 THEN 1 ELSE 0 END AS ns
+        |           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ep, event_id))
+        |SELECT user_id, CAST(sum(ns) AS BIGINT) AS n_sessions, count(*) AS n_events
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_window_funcs" ->
+      """SELECT o_custkey, o_orderkey,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_spend,
+        |       CAST(row_number() OVER (PARTITION BY o_custkey
+        |                               ORDER BY o_orderdate, o_orderkey) AS INT) AS order_idx
+        |FROM orders ORDER BY o_custkey, order_idx""".stripMargin,
+    "q_hll_distinct" ->
+      """SELECT count(DISTINCT user_id) AS exact_users, true AS approx_ok
+        |FROM events""".stripMargin,
+    "q_throughput_topk" ->
+      """SELECT worker_id, throughput, rk FROM (
+        |  SELECT worker_id, throughput,
+        |         CAST(row_number() OVER (ORDER BY throughput DESC, worker_id) AS INT) AS rk
+        |  FROM (
+        |    SELECT 'w' || CAST(user_id % 32 AS VARCHAR) AS worker_id,
+        |           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS throughput
+        |    FROM events GROUP BY 1))
+        |WHERE rk <= 3 ORDER BY rk""".stripMargin,
+    "q_weighted_sample" ->
+      """SELECT s_suppkey, s_name, rk FROM (
+        |  SELECT s_suppkey, s_name,
+        |         CAST(row_number() OVER (ORDER BY skey DESC, s_suppkey) AS INT) AS rk
+        |  FROM (
+        |    SELECT s_suppkey, s_name,
+        |           pow(CAST((s_suppkey * 2654435761) % 1000000007 + 1 AS DOUBLE) / 1000000008.0,
+        |               1.0 / (abs(s_acctbal) + 1.0)) AS skey
+        |    FROM supplier))
+        |WHERE rk <= 3 ORDER BY rk""".stripMargin,
+    "q_similarity_prefix" ->
+      """SELECT substring(p_type, 1, 8) AS prefix, count(*) AS cnt,
+        |       count(DISTINCT p_type) AS n_types
+        |FROM part GROUP BY 1 ORDER BY 1""".stripMargin,
+  )
+}
