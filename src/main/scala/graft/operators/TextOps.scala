@@ -1,0 +1,185 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Text-analysis operator family for training-data pipelines (builder
+  * prompt; seeded by the reference's prefix-similarity matcher
+  * SimilarityUtils.java:21-41): tokenization + token stats, n-gram
+  * language ID, quality scoring, and content fingerprinting.
+  *
+  * Everything is engine-neutral (RE2/Java-regex-common patterns, md5,
+  * integer-derived doubles) so each query has an exact DuckDB oracle.
+  *
+  * Scale notes: all operators are single-pass projections + one hash
+  * aggregation over `documents` — they parallelize embarrassingly and
+  * whole-stage codegen keeps regex/token work in-pipeline. The only
+  * shuffle is the final groupBy (token counts / confusion matrix), which
+  * partially aggregates map-side.
+  */
+object TextOps {
+  private type Q = (SparkSession, String) => DataFrame
+
+  /** Tokenize + global token frequencies, top-100. */
+  private val qTextTokens: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(explode(split(lower(col("text")), "\\W+")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(100)
+
+  /** Stopword-lexicon language ID (n-gram heuristic): score each doc per
+    * language by stopword hits, argmax with alphabetical tie-break, 'und'
+    * when no lexicon token appears. Output = confusion matrix against the
+    * labeled `lang` column. */
+  private val qTextLangid: Q = (s, d) => {
+    import s.implicits._
+    val lex = Seq(
+      "en" -> "the", "en" -> "a", "en" -> "of", "en" -> "to", "en" -> "and",
+      "en" -> "in", "en" -> "is", "en" -> "that",
+      "de" -> "der", "de" -> "die", "de" -> "das", "de" -> "und",
+      "de" -> "ein", "de" -> "ist",
+      "es" -> "el", "es" -> "los", "es" -> "que", "es" -> "y", "es" -> "una",
+      "fr" -> "le", "fr" -> "les", "fr" -> "et", "fr" -> "des", "fr" -> "une",
+      "zh" -> "de0_zh_placeholder" // zh has no ASCII stopwords; never matches
+    ).toDF("plang", "token")
+    val docs = Tables.documents(s, d)
+    val toks = docs
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), "\\W+")).as("token"))
+      .filter(col("token") =!= "")
+    val scores = toks.join(broadcast(lex), Seq("token"))
+      .groupBy("doc_id", "plang").agg(count(lit(1)).as("hits"))
+    val best = scores
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("hits").desc, col("plang"))))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("plang"))
+    docs.select("doc_id", "lang")
+      .join(best, Seq("doc_id"), "left")
+      .select(col("lang"), coalesce(col("plang"), lit("und")).as("pred_lang"))
+      .groupBy("lang", "pred_lang")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("lang", "pred_lang")
+  }
+
+  /** Per-document quality metrics: token count, mean token length,
+    * punctuation ratio, stopword count, and a bucketed quality grade.
+    * All ratios are divisions of exact integers → bit-stable doubles. */
+  private val qTextQuality: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        expr("size(filter(split(lower(text), '\\\\W+'), x -> x != ''))")
+          .as("n_tokens"),
+        length(regexp_replace(lower(col("text")), "\\W", "")).as("word_chars"),
+        length(regexp_replace(col("text"), "[^.!?,;:]", "")).as("punct_cnt"),
+        length(col("text")).as("n_chars_txt"),
+        regexp_count(lower(col("text")), lit("\\b(the|a|of|to|and|in|is)\\b"))
+          .as("stop_cnt"))
+      .select(
+        col("doc_id"), col("n_tokens"),
+        (col("word_chars").cast("double") / col("n_tokens")).as("avg_tok_len"),
+        (col("punct_cnt").cast("double") / col("n_chars_txt")).as("punct_ratio"),
+        col("stop_cnt"),
+        when(col("n_tokens") < 20, "low")
+          .when(col("stop_cnt") > 0, "high")
+          .otherwise("mid").as("quality"))
+      .orderBy("doc_id")
+
+  /** Content fingerprint: md5 over the whitespace-normalized lowercased
+    * text — the exact-dedup key of a training-data pipeline. (The rolling
+    * per-window variant for partial-overlap detection is the shingle table
+    * DedupOps builds; this is the whole-document digest.) */
+  private val qTextFingerprint: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("fp"))
+      .orderBy("doc_id")
+
+  /** Exact document dedup via the md5 fingerprint (hash-groupBy): summary
+    * counts — at this corpus there are no exact dupes, so n_docs=n_unique. */
+  private val qDocDedupExact: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("fp"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("fp")).as("n_unique"))
+      .select(
+        col("n_docs"), col("n_unique"),
+        (col("n_docs") - col("n_unique")).as("n_dupes"))
+
+  val queries: Map[String, Q] = Map(
+    "q_text_tokens" -> qTextTokens,
+    "q_text_langid" -> qTextLangid,
+    "q_text_quality" -> qTextQuality,
+    "q_text_fingerprint" -> qTextFingerprint,
+    "q_doc_dedup_exact" -> qDocDedupExact,
+  )
+
+  private val lexSql =
+    """(VALUES ('en','the'),('en','a'),('en','of'),('en','to'),('en','and'),
+      |        ('en','in'),('en','is'),('en','that'),
+      |        ('de','der'),('de','die'),('de','das'),('de','und'),
+      |        ('de','ein'),('de','ist'),
+      |        ('es','el'),('es','los'),('es','que'),('es','y'),('es','una'),
+      |        ('fr','le'),('fr','les'),('fr','et'),('fr','des'),('fr','une'),
+      |        ('zh','de0_zh_placeholder')) lex(plang, token)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_text_tokens" ->
+      """SELECT token, count(*) AS cnt FROM (
+        |  SELECT unnest(string_split_regex(lower(text), '\W+')) AS token
+        |  FROM documents)
+        |WHERE token <> '' GROUP BY 1 ORDER BY cnt DESC, token LIMIT 100""".stripMargin,
+    "q_text_langid" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\\W+')) AS token
+        |  FROM documents),
+        |scores AS (
+        |  SELECT doc_id, plang, count(*) AS hits
+        |  FROM toks JOIN $lexSql USING (token)
+        |  WHERE token <> '' GROUP BY 1, 2),
+        |best AS (
+        |  SELECT doc_id, plang FROM (
+        |    SELECT doc_id, plang,
+        |           row_number() OVER (PARTITION BY doc_id
+        |                              ORDER BY hits DESC, plang) AS rk
+        |    FROM scores) WHERE rk = 1)
+        |SELECT lang, coalesce(plang, 'und') AS pred_lang, count(*) AS cnt
+        |FROM documents LEFT JOIN best USING (doc_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_text_quality" ->
+      """SELECT doc_id, n_tokens,
+        |       CAST(word_chars AS DOUBLE) / n_tokens AS avg_tok_len,
+        |       CAST(punct_cnt AS DOUBLE) / n_chars_txt AS punct_ratio,
+        |       stop_cnt,
+        |       CASE WHEN n_tokens < 20 THEN 'low'
+        |            WHEN stop_cnt > 0 THEN 'high'
+        |            ELSE 'mid' END AS quality
+        |FROM (
+        |  SELECT doc_id,
+        |         CAST(len(list_filter(string_split_regex(lower(text), '\W+'),
+        |                              x -> x <> '')) AS INT) AS n_tokens,
+        |         CAST(length(regexp_replace(lower(text), '\W', '', 'g')) AS INT) AS word_chars,
+        |         CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS INT) AS punct_cnt,
+        |         CAST(length(text) AS INT) AS n_chars_txt,
+        |         CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|to|and|in|is)\b')) AS INT) AS stop_cnt
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "q_text_fingerprint" ->
+      """SELECT doc_id,
+        |       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_doc_dedup_exact" ->
+      """SELECT count(*) AS n_docs, count(DISTINCT fp) AS n_unique,
+        |       count(*) - count(DISTINCT fp) AS n_dupes
+        |FROM (SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |      FROM documents)""".stripMargin,
+  )
+}

@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.GraftFunctions
+
+/** Similarity search over the embedding column (builder prompt: ANN as a
+  * first-class training-data-pipeline operator).
+  *
+  * - q_ann_brute: exact top-5 cosine neighbors for a query set — the
+  *   correctness baseline, scored by the native codegen'd
+  *   [[graft.functions.CosineSimilarity]] expression (double math,
+  *   deterministic index-order fold).
+  * - q_embed_neardup: all pairs with cosine >= 0.45 (embedding-cosine
+  *   near-dup dedup; this corpus's max off-diagonal cosine is ~0.51).
+  * - q_ann_lsh: the scale path — random-hyperplane LSH bucketing with
+  *   deterministic planes; exact re-ranking within buckets. Approximate by
+  *   design → no SQL oracle (rows-only check); recall vs brute force is
+  *   asserted in the scalatest spec instead.
+  *
+  * Scale notes (100 TB): brute force is O(Q×N). The LSH variant buckets on
+  * a 6-bit signature here (corpus is tiny); at scale the signature widens
+  * (16-32 bits) + multi-probe, queries broadcast, and each bucket scores
+  * locally — a shuffle-free broadcast-hash-join topology. An IVF variant
+  * (k-means centroids + nprobe) shares the same plan shape: assign →
+  * co-partition by cell → local scoring.
+  */
+object VectorOps {
+  private type Q = (SparkSession, String) => DataFrame
+  private val P = 1000000007L
+
+  private def cosine(a: String, b: String): Column =
+    expr(s"cosine_sim($a, $b)")
+
+  /** Exact brute-force top-5 neighbors for queries vec_id < 10. */
+  private val qAnnBrute: Q = (s, d) => {
+    GraftFunctions.register(s)
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine("qe", "embedding").as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select("query_id", "neighbor_id", "rk")
+      .orderBy("query_id", "rk")
+  }
+
+  /** Embedding-cosine near-duplicate pairs (threshold 0.45). */
+  private val qEmbedNeardup: Q = (s, d) => {
+    GraftFunctions.register(s)
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        cosine("a.embedding", "b.embedding").as("sim"))
+      .filter(col("sim") >= 0.45)
+      .select("vec_a", "vec_b")
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** Deterministic pseudo-random hyperplane j (64 dims): values in
+    * [-0.5, 0.5) derived from the portable multiplicative hash. */
+  private def plane(j: Int): Seq[Double] =
+    (0 until 64).map { k =>
+      (((j * 64L + k + 1L) * 2654435761L) % P).toDouble / P.toDouble - 0.5
+    }
+
+  /** LSH bucket signature: sign bits of 6 hyperplane projections. */
+  private def bucketCol(nPlanes: Int): Column =
+    (0 until nPlanes).map { j =>
+      val dot = aggregate(
+        zip_with(col("embedding").cast("array<double>"), typedlit(plane(j)),
+          (x, w) => x * w),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot > 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** ANN via random-hyperplane LSH: bucket, then exact top-5 within the
+    * query's bucket. Approximate (no oracle). */
+  private val qAnnLsh: Q = (s, d) => {
+    GraftFunctions.register(s)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), bucketCol(6).as("bucket"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("bucket").as("qbucket"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    e.join(broadcast(q),
+        col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine("qe", "embedding").as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select("query_id", "neighbor_id", "rk")
+      .orderBy("query_id", "rk")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_ann_brute" -> qAnnBrute,
+    "q_embed_neardup" -> qEmbedNeardup,
+    "q_ann_lsh" -> qAnnLsh,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_ann_brute" ->
+      """SELECT query_id, neighbor_id, rk FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         CAST(row_number() OVER (
+        |           PARTITION BY q.vec_id
+        |           ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                                           CAST(c.embedding AS DOUBLE[])) DESC,
+        |                    c.vec_id) AS INT) AS rk
+        |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 10)
+        |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+    "q_embed_neardup" ->
+      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                             CAST(b.embedding AS DOUBLE[])) >= 0.45
+        |ORDER BY 1, 2""".stripMargin,
+    // q_ann_lsh: intentionally no oracle — approximate operator; recall vs
+    // brute force is asserted in AnnSpec instead.
+  )
+}
