@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.CoreOps
+
+/** Plan-shape assertions (SURVEY.md §4): we rely on Catalyst for the
+  * optimizations the reference hand-rolls, so we pin the expected physical
+  * shapes — partial+final aggregation, broadcast vs shuffle join, filter
+  * pushdown and column pruning reaching the parquet scan. */
+class PlanShapeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf0001
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("groupBy plans partial + final hash aggregation") {
+    val p = plan(CoreOps.queries("q_groupby_partial_final")(spark, sf))
+    assert(p.contains("HashAggregate"))
+    assert(p.contains("partial_"), s"no partial aggregate in:\n$p")
+  }
+
+  test("broadcast join is actually broadcast") {
+    val p = plan(CoreOps.queries("q_join_broadcast")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+  }
+
+  test("filter pushdown and column pruning reach the parquet scan") {
+    val df = Tables.lineitem(spark, sf)
+      .filter(col("l_quantity") > 40)
+      .select("l_orderkey", "l_quantity")
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,40.0)]"),
+      s"filter not pushed:\n$scan")
+    assert(scan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"columns not pruned:\n$scan")
+  }
+
+  test("whole-stage codegen covers the agg pipeline") {
+    val df = CoreOps.queries("q_groupby_highcard")(spark, sf)
+    df.collect() // finalize the adaptive plan; codegen spans appear post-exec
+    val p = plan(df)
+    // whole-stage-codegen spans render as "*(n) " prefixes in plan strings
+    assert(p.contains("*(1) HashAggregate") || p.contains("WholeStageCodegen"),
+      s"no codegen span:\n$p")
+  }
+
+  test("semi/anti joins choose hash-based strategies (no cartesian)") {
+    val p = plan(CoreOps.queries("q_join_semi_anti")(spark, sf))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"))
+  }
+}
