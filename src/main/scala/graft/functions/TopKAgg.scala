@@ -1,0 +1,44 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Typed top-k aggregator: keeps the k largest (score, id) pairs per group
+  * with deterministic tie-break (higher score first, then smaller id).
+  *
+  * This is the engine's counterpart to the reference's user-supplied
+  * `Aggregator[K,V,C]` combine closures (createCombiner/mergeValue/
+  * mergeCombiners, applied at Ors2ExternalSorter.scala:94-107 and
+  * Ors2ShuffleReader.scala:69-81) — and it implements the dispatcher
+  * "pick k best workers" semantics (ThroughputBasedDispatcher.java:35-43)
+  * as a single partial-aggregable operator.
+  *
+  * Scale notes: unlike the window row_number() formulation (full
+  * shuffle + per-partition sort of ALL rows), the aggregator's partial
+  * buffers carry at most k pairs per group per map task — the reduce
+  * side merges k-sized buffers. For top-k over high-cardinality groups at
+  * 100 TB this is the difference between shuffling everything and
+  * shuffling k×groups rows.
+  */
+case class TopKBuf(scores: Array[Double], ids: Array[Long])
+
+class TopKAgg(k: Int) extends Aggregator[(Double, Long), TopKBuf, TopKBuf] {
+
+  private def trim(scores: Array[Double], ids: Array[Long]): TopKBuf = {
+    val sorted = scores.zip(ids).sortBy { case (s, id) => (-s, id) }.take(k)
+    TopKBuf(sorted.map(_._1), sorted.map(_._2))
+  }
+
+  override def zero: TopKBuf = TopKBuf(Array.empty, Array.empty)
+
+  override def reduce(b: TopKBuf, a: (Double, Long)): TopKBuf =
+    trim(b.scores :+ a._1, b.ids :+ a._2)
+
+  override def merge(x: TopKBuf, y: TopKBuf): TopKBuf =
+    trim(x.scores ++ y.scores, x.ids ++ y.ids)
+
+  override def finish(r: TopKBuf): TopKBuf = r
+
+  override def bufferEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
+  override def outputEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
+}

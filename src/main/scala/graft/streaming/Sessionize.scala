@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming analogs of the worker-health semantics the reference's master
+  * tracks over heartbeats (ShuffleWorkerStatusManager.java:75-130): gap-based
+  * sessionization with custom state (flatMapGroupsWithState) and a
+  * watermarked tumbling-window rate aggregation.
+  *
+  * The reference is batch-only (SURVEY.md §1 "Streams: none") — this module
+  * is the north-star extension, matching the batch `q_window_session`
+  * semantics so the two can be cross-checked.
+  *
+  * Scale notes: state is one small case class per user/worker key; the
+  * stateful shuffle partitions by key (RocksDB state store at real scale).
+  * Events are processed in event-time order within a batch; cross-batch
+  * out-of-order data is handled in production by the watermark delaying
+  * window finalization — the custom-state path documents that its `lastTs`
+  * monotonicity assumes per-key ordered arrival (true for heartbeats).
+  */
+object Sessionize {
+  case class Ev(userId: Long, tsUs: Long)
+  case class SessState(lastTs: Long, sessions: Long, events: Long)
+  case class UserSessions(userId: Long, nSessions: Long, nEvents: Long)
+
+  /** Heartbeat-gap session counter: gap > gapUs opens a new session —
+    * the "expired worker" predicate of ShuffleWorkerStatusManager.java:90-95. */
+  def update(gapUs: Long)(
+      userId: Long, evs: Iterator[Ev], state: GroupState[SessState]): Iterator[UserSessions] = {
+    val sorted = evs.toArray.sortBy(e => (e.tsUs, e.userId))
+    var st = state.getOption.getOrElse(SessState(Long.MinValue, 0L, 0L))
+    sorted.foreach { e =>
+      val newSess = st.lastTs == Long.MinValue || e.tsUs - st.lastTs > gapUs
+      st = SessState(e.tsUs, st.sessions + (if (newSess) 1L else 0L), st.events + 1L)
+    }
+    state.update(st)
+    Iterator(UserSessions(userId, st.sessions, st.events))
+  }
+
+  /** Works on both streaming and batch Datasets (batch = one big group). */
+  def sessionize(events: Dataset[Ev], gapUs: Long): Dataset[UserSessions] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(
+        update(gapUs))
+  }
+
+  /** Watermarked tumbling-window event rate per user: the windowed-agg
+    * path (readStream → watermark → window groupBy → writeStream). */
+  def windowedRate(spark: SparkSession, events: Dataset[Ev]): Dataset[(Long, Long, Long)] = {
+    import spark.implicits._
+    events
+      .withColumn("ts", timestamp_micros(col("tsUs")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("userId"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("userId"), unix_micros(col("window.start")).as("winStart"), col("n"))
+      .as[(Long, Long, Long)]
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+import graft.sources.StorageOps
+import graft.functions.TopKAgg
+import graft.operators.CoreOps
+
+class StorageAndAggSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("partitioned sink commits atomically with _SUCCESS and round-trips") {
+    val out = Files.createTempDirectory("graft-sink").toString + "/orders"
+    val df = Tables.orders(spark, TestSpark.sf0001)
+    StorageOps.writePartitioned(df, out, "o_orderstatus")
+    assert(StorageOps.isCommitted(spark, out))
+    val back = spark.read.parquet(out)
+    assert(back.count() == df.count())
+    // partition dirs exist per status value
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.exists(_.startsWith("o_orderstatus=")))
+  }
+
+  test("retention cleanup deletes only expired dirs (ShuffleDataDirClear analog)") {
+    val root = Files.createTempDirectory("graft-clean").toString
+    val oldDir = Paths.get(root, "app_old"); Files.createDirectory(oldDir)
+    val newDir = Paths.get(root, "app_new"); Files.createDirectory(newDir)
+    val now = 1000000000L
+    Files.setLastModifiedTime(oldDir, java.nio.file.attribute.FileTime.fromMillis(now - 900000))
+    Files.setLastModifiedTime(newDir, java.nio.file.attribute.FileTime.fromMillis(now - 100000))
+    val deleted = StorageOps.cleanExpired(spark, root, retentionMs = 500000, nowMs = now)
+    assert(deleted.map(p => p.substring(p.lastIndexOf('/') + 1)) == Seq("app_old"))
+    assert(!Files.exists(oldDir) && Files.exists(newDir))
+  }
+
+  test("TopKAgg matches the window row_number() top-k formulation") {
+    import spark.implicits._
+    // revenue per (nation, supplier), same as q_topk's input
+    val rev = Tables.lineitem(spark, TestSpark.sf0001)
+      .join(broadcast(Tables.supplier(spark, TestSpark.sf0001)),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey"), col("s_suppkey"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+        .cast("double").as("revenue"))
+    val viaAgg = rev.select(col("s_nationkey"), col("revenue"), col("s_suppkey"))
+      .as[(Int, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(new TopKAgg(3).toColumn.name("top"))
+      .flatMap { case (nation, buf) =>
+        buf.ids.zipWithIndex.map { case (id, i) => (nation, id, i + 1) }
+      }
+      .collect().toSet
+    val viaWindow = CoreOps.queries("q_topk")(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(3))).toSet
+    assert(viaAgg == viaWindow)
+  }
+
+  test("observe() exposes scan metrics (Ors2MetricsExport analog)") {
+    val obs = new org.apache.spark.sql.Observation("lineitem-scan")
+    Tables.lineitem(spark, TestSpark.sf0001)
+      .observe(obs, count(lit(1)).as("rows"), sum("l_quantity").as("qty"))
+      .write.format("noop").mode("overwrite").save()
+    val m = obs.get
+    assert(m("rows").asInstanceOf[Long] == 6000L)
+    assert(m("qty").asInstanceOf[Double] > 0)
+  }
+}

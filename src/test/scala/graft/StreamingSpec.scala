@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.Sessionize
+import graft.streaming.Sessionize.Ev
+import graft.operators.CoreOps
+
+/** Streaming sessionization must agree with the batch window query and
+  * maintain state across micro-batches. */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val gapUs = 1800000000L // 30 min, matches q_window_session
+
+  test("batch-mode sessionize matches q_window_session on sf0.001") {
+    import spark.implicits._
+    val evs = Tables.events(spark, TestSpark.sf0001)
+      .select(col("user_id").as("userId"), expr("ts div 1000").as("tsUs"))
+      .as[Ev]
+    val got = Sessionize.sessionize(evs, gapUs)
+      .collect().map(u => (u.userId, u.nSessions, u.nEvents)).toSet
+    val want = CoreOps.queries("q_window_session")(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+  }
+
+  test("state persists across micro-batches") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val source = MemoryStream[Ev]
+    val q = Sessionize.sessionize(source.toDS(), gapUs = 100L)
+      .writeStream.format("memory").queryName("sess").outputMode("update").start()
+    try {
+      // batch 1: two events 50us apart -> one session
+      source.addData(Ev(1L, 1000L), Ev(1L, 1050L))
+      q.processAllAvailable()
+      // batch 2: gap of 500us -> second session opens for the same key
+      source.addData(Ev(1L, 1550L))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM sess").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(rows.contains((1L, 1L, 2L)), s"batch-1 state wrong: ${rows.mkString(",")}")
+      assert(rows.contains((1L, 2L, 3L)), s"batch-2 state wrong: ${rows.mkString(",")}")
+    } finally q.stop()
+  }
+
+  test("watermarked windowed rate runs on a stream") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val source = MemoryStream[Ev]
+    val q = Sessionize.windowedRate(spark, source.toDS())
+      .writeStream.format("memory").queryName("rate").outputMode("update").start()
+    try {
+      source.addData(Ev(7L, 0L), Ev(7L, 1000000L), Ev(8L, 2000000L))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM rate").collect()
+        .map(r => (r.getLong(0), r.getLong(2)))
+      assert(rows.toSet == Set((7L, 2L), (8L, 1L)), rows.mkString(","))
+    } finally q.stop()
+  }
+}
