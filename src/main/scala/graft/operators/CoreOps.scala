@@ -265,7 +265,50 @@ object CoreOps {
       .agg(count(lit(1)).as("cnt"), countDistinct(col("p_type")).as("n_types"))
       .orderBy("prefix")
 
+  /** Partition scrambling (RandomSortPartition.java:34-90): tasks traverse
+    * partitions in a pseudo-random order so concurrent tasks don't hammer
+    * one worker; sort/restore must be a bijection
+    * (Ors2ShuffleDistributeTest.scala:29-54). Modeled with the portable
+    * hash as the scramble key; the query proves the bijection. */
+  private val qPartitionScramble: Q = (s, _) => {
+    val parts = s.range(1024).select(col("id").as("p"))
+      .withColumn("scramble_rank",
+        row_number().over(Window.orderBy(Tables.phash(col("p")), col("p"))))
+    parts.agg(
+      count(lit(1)).as("n_parts"),
+      countDistinct(col("scramble_rank")).as("n_positions"),
+      (min("scramble_rank") === 1 &&
+        max("scramble_rank") === count(lit(1))).as("is_bijection"))
+  }
+
+  /** Full cube — all grouping-set combinations (multi-dim health rollups). */
+  private val qAggCube: Q = (s, d) =>
+    Tables.orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"), sumd2(col("o_totalprice")).as("sum_total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("cnt"), col("sum_total"))
+      .orderBy("status", "priority")
+
+  /** lag/lead deltas — heartbeat throughput change per worker
+    * (ShuffleWorkerStatusManager.java throughput tracking). */
+  private val qWindowLag: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ep"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("value"),
+        expr("ts div 1000").as("ep"))
+      .select(col("user_id"), col("event_id"),
+        (col("value") - lag(col("value"), 1).over(w)).as("delta"),
+        lead(col("event_id"), 1).over(w).as("next_event"))
+      .orderBy("user_id", "event_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_partition_scramble" -> qPartitionScramble,
+    "q_agg_cube" -> qAggCube,
+    "q_window_lag" -> qWindowLag,
     "q_repartition_count" -> (qRepartitionCount(_, _)),
     "q_groupby_partial_final" -> qGroupbyPartialFinal,
     "q_groupby_highcard" -> qGroupbyHighcard,
@@ -289,6 +332,27 @@ object CoreOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_partition_scramble" ->
+      """SELECT count(*) AS n_parts,
+        |       count(DISTINCT scramble_rank) AS n_positions,
+        |       (min(scramble_rank) = 1 AND max(scramble_rank) = count(*)) AS is_bijection
+        |FROM (SELECT CAST(row_number() OVER (
+        |        ORDER BY (range * 2654435761) % 1000000007, range) AS INT) AS scramble_rank
+        |      FROM range(1024))""".stripMargin,
+    "q_agg_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |       coalesce(o_orderpriority, 'ALL') AS priority,
+        |       count(*) AS cnt,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY 1, 2""".stripMargin,
+    "q_window_lag" ->
+      """WITH e AS (SELECT user_id, event_id, value, epoch_us(ts) AS ep FROM events)
+        |SELECT user_id, event_id,
+        |       value - lag(value) OVER w AS delta,
+        |       lead(event_id) OVER w AS next_event
+        |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ep, event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
     "q_repartition_count" ->
       """SELECT count(*) AS cnt,
         |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
