@@ -305,7 +305,61 @@ object CoreOps {
       .orderBy("user_id", "event_id")
   }
 
+  /** As-of join (time-series point-in-time lookup — an operator Spark
+    * lacks natively; composed per the preference order from existing ops):
+    * for each event, the latest order of the same customer key with
+    * order time <= event time. Union both sides, one window pass carrying
+    * the last seen order key — O(n log n) in the shuffle sort, no
+    * range-join explosion. */
+  private val qAsofJoin: Q = (s, d) => {
+    val ord = Tables.orders(s, d).select(
+      // o_orderdate is TIMESTAMP_NTZ; session TZ is UTC so the cast is exact
+      col("o_custkey").as("k"),
+      unix_micros(col("o_orderdate").cast("timestamp")).as("t"),
+      lit(0).as("is_event"), col("o_orderkey").as("okey"),
+      lit(null).cast("bigint").as("eid"))
+    val ev = Tables.events(s, d).select(
+      col("user_id").as("k"), expr("ts div 1000").as("t"),
+      lit(1).as("is_event"), lit(null).cast("bigint").as("okey"),
+      col("event_id").as("eid"))
+    val w = Window.partitionBy("k")
+      .orderBy(col("t"), col("is_event"), col("okey"), col("eid"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ord.unionByName(ev)
+      .withColumn("asof_orderkey", last(col("okey"), ignoreNulls = true).over(w))
+      .filter(col("is_event") === 1)
+      .select(col("k").as("user_id"), col("eid").as("event_id"),
+        col("asof_orderkey"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Pivot: per-user event-type counts as columns. */
+  private val qPivot: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .select(col("user_id"),
+        coalesce(col("click"), lit(0L)).as("n_click"),
+        coalesce(col("view"), lit(0L)).as("n_view"),
+        coalesce(col("purchase"), lit(0L)).as("n_purchase"),
+        coalesce(col("signup"), lit(0L)).as("n_signup"),
+        coalesce(col("error"), lit(0L)).as("n_error"))
+      .orderBy("user_id")
+
+  /** Exact percentiles over the (heavily repeated) integer quantity domain —
+    * interpolation lands on equal neighbors, so the result is engine-exact. */
+  private val qPercentile: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .agg(
+        count(lit(1)).as("cnt"),
+        expr("percentile(l_quantity, 0.5D)").as("p50_qty"),
+        expr("percentile(l_quantity, 0.9D)").as("p90_qty"))
+
   val queries: Map[String, Q] = Map(
+    "q_asof_join" -> qAsofJoin,
+    "q_pivot" -> qPivot,
+    "q_percentile" -> qPercentile,
     "q_partition_scramble" -> qPartitionScramble,
     "q_agg_cube" -> qAggCube,
     "q_window_lag" -> qWindowLag,
@@ -332,6 +386,30 @@ object CoreOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_asof_join" ->
+      """WITH u AS (
+        |  SELECT o_custkey AS k, epoch_us(o_orderdate) AS t, 0 AS is_event,
+        |         o_orderkey AS okey, CAST(NULL AS BIGINT) AS eid FROM orders
+        |  UNION ALL
+        |  SELECT user_id, epoch_us(ts), 1, NULL, event_id FROM events)
+        |SELECT k AS user_id, eid AS event_id,
+        |       last_value(okey IGNORE NULLS) OVER (
+        |         PARTITION BY k ORDER BY t, is_event, okey, eid
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_orderkey
+        |FROM u QUALIFY is_event = 1 ORDER BY user_id, event_id""".stripMargin,
+    "q_pivot" ->
+      """SELECT user_id,
+        |       count(*) FILTER (event_type = 'click') AS n_click,
+        |       count(*) FILTER (event_type = 'view') AS n_view,
+        |       count(*) FILTER (event_type = 'purchase') AS n_purchase,
+        |       count(*) FILTER (event_type = 'signup') AS n_signup,
+        |       count(*) FILTER (event_type = 'error') AS n_error
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_percentile" ->
+      """SELECT count(*) AS cnt,
+        |       quantile_cont(l_quantity, 0.5) AS p50_qty,
+        |       quantile_cont(l_quantity, 0.9) AS p90_qty
+        |FROM lineitem""".stripMargin,
     "q_partition_scramble" ->
       """SELECT count(*) AS n_parts,
         |       count(DISTINCT scramble_rank) AS n_positions,

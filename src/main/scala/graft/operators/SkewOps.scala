@@ -1,0 +1,29 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation utilities for the 100 TB path (SURVEY.md §7 risks,
+  * SCALING.md): when one group key dominates, a single reducer receives the
+  * whole key. Two-stage salted aggregation spreads a hot key over `salts`
+  * reducers and merges the partials — the classic remedy the reference
+  * side-steps at the transport layer with worker groups
+  * (Ors2ShuffleManager.scala:330-364).
+  *
+  * AQE's skew-join handling covers joins automatically; this covers
+  * aggregation, where AQE cannot split a single group.
+  */
+object SkewOps {
+
+  /** sum/count of `value` per `key`, aggregated in two salted stages.
+    * Result is identical to `df.groupBy(key).agg(sum, count)` for any salt
+    * assignment; the salt only spreads reducer load. */
+  def saltedSumCount(df: DataFrame, key: String, value: String, salts: Int): DataFrame =
+    df
+      .withColumn("_salt", pmod(xxhash64(col(value)), lit(salts)))
+      .groupBy(col(key), col("_salt"))
+      .agg(sum(col(value)).as("_psum"), count(lit(1)).as("_pcnt"))
+      .groupBy(col(key))
+      .agg(sum(col("_psum")).as("sum_" + value),
+        sum(col("_pcnt")).as("cnt"))
+}
