@@ -356,7 +356,31 @@ object CoreOps {
         expr("percentile(l_quantity, 0.5D)").as("p50_qty"),
         expr("percentile(l_quantity, 0.9D)").as("p90_qty"))
 
+  /** Semi-structured extraction: pull a typed field out of the JSON props
+    * column and aggregate — the schema-on-read path of a training
+    * pipeline's metadata columns. */
+  private val qJsonExtract: Q = (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), sum("k").as("sum_k"),
+        min("k").as("min_k"), max("k").as("max_k"))
+      .orderBy("event_type")
+
+  /** Deterministic hash-sampling: a stable ~10% subsample via the portable
+    * hash — reproducible downsampling for eval splits (unlike TABLESAMPLE,
+    * identical across engines and runs). */
+  private val qHashSample: Q = (s, d) =>
+    Tables.events(s, d)
+      .filter(Tables.phash(col("event_id")) % 100 < 10)
+      .agg(count(lit(1)).as("cnt"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+
   val queries: Map[String, Q] = Map(
+    "q_json_extract" -> qJsonExtract,
+    "q_hash_sample" -> qHashSample,
     "q_asof_join" -> qAsofJoin,
     "q_pivot" -> qPivot,
     "q_percentile" -> qPercentile,
@@ -386,6 +410,16 @@ object CoreOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_json_extract" ->
+      """SELECT event_type, count(*) AS cnt,
+        |       CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+        |       CAST(min(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS min_k,
+        |       CAST(max(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS max_k
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_hash_sample" ->
+      """SELECT count(*) AS cnt, count(DISTINCT user_id) AS n_users,
+        |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events WHERE (event_id * 2654435761) % 1000000007 % 100 < 10""".stripMargin,
     "q_asof_join" ->
       """WITH u AS (
         |  SELECT o_custkey AS k, epoch_us(o_orderdate) AS t, 0 AS is_event,
