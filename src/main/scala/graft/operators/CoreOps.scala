@@ -197,6 +197,21 @@ object CoreOps {
       .orderBy("user_id")
   }
 
+  /** Native session windows: Spark's session_window operator over the
+    * heartbeat stream — same 30-min-gap semantics as q_window_session but
+    * emitting one row per session with its start time (the state-store
+    * backed operator Structured Streaming uses). */
+  private val qSessionWindow: Q = (s, d) =>
+    Tables.events(s, d)
+      .select(col("user_id"),
+        timestamp_micros(expr("ts div 1000")).as("tstamp"))
+      .groupBy(session_window(col("tstamp"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("sess_start"),
+        col("n_events"))
+      .orderBy("user_id", "sess_start")
+
   /** General window functions: running spend per customer (cumulative exact
     * decimal sum) + order index. */
   private val qWindowFuncs: Q = (s, d) => {
@@ -402,6 +417,7 @@ object CoreOps {
     "q_agg_rollup" -> qAggRollup,
     "q_union_except" -> qUnionExcept,
     "q_window_session" -> qWindowSession,
+    "q_session_window" -> qSessionWindow,
     "q_window_funcs" -> qWindowFuncs,
     "q_hll_distinct" -> qHllDistinct,
     "q_throughput_topk" -> qThroughputTopk,
@@ -551,6 +567,18 @@ object CoreOps {
         |           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ep, event_id))
         |SELECT user_id, CAST(sum(ns) AS BIGINT) AS n_sessions, count(*) AS n_events
         |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_session_window" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ep FROM events),
+        |     g AS (SELECT user_id, ep, event_id,
+        |                  CASE WHEN ep - lag(ep) OVER w IS NULL
+        |                         OR ep - lag(ep) OVER w > 1800000000 THEN 1 ELSE 0 END AS ns
+        |           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ep, event_id)),
+        |     sess AS (SELECT user_id, ep,
+        |                     sum(ns) OVER (PARTITION BY user_id ORDER BY ep, event_id
+        |                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |              FROM g)
+        |SELECT user_id, min(ep) AS sess_start, count(*) AS n_events
+        |FROM sess GROUP BY user_id, sid ORDER BY user_id, sess_start""".stripMargin,
     "q_window_funcs" ->
       """SELECT o_custkey, o_orderkey,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
