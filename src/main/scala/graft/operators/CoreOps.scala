@@ -393,7 +393,32 @@ object CoreOps {
         countDistinct(col("user_id")).as("n_users"),
         sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
 
+  /** Time bucketing: orders per calendar month (training pipelines
+    * partition and audit by date buckets). String-formatted month avoids
+    * the DATE-dtype reader ambiguity. */
+  private val qTimeBucket: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("cnt"), sumd2(col("o_totalprice")).as("sum_total"))
+      .orderBy("month")
+
+  /** Explicit grouping sets (beyond rollup/cube): per-status totals and
+    * per-priority totals in one pass, via the SQL surface. */
+  private val qGroupingSets: Q = (s, d) => {
+    Tables.orders(s, d).createOrReplaceTempView("orders_gs")
+    s.sql(
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |       coalesce(o_orderpriority, 'ALL') AS priority,
+        |       count(1) AS cnt,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+        |FROM orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        |ORDER BY status, priority""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_time_bucket" -> qTimeBucket,
+    "q_grouping_sets" -> qGroupingSets,
     "q_json_extract" -> qJsonExtract,
     "q_hash_sample" -> qHashSample,
     "q_asof_join" -> qAsofJoin,
@@ -426,6 +451,17 @@ object CoreOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_time_bucket" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS cnt,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |       coalesce(o_orderpriority, 'ALL') AS priority,
+        |       count(*) AS cnt,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+        |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        |ORDER BY 1, 2""".stripMargin,
     "q_json_extract" ->
       """SELECT event_type, count(*) AS cnt,
         |       CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
