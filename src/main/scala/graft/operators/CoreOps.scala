@@ -235,7 +235,9 @@ object CoreOps {
     Tables.events(s, d)
       .agg(
         countDistinct(col("user_id")).as("exact_users"),
-        approx_count_distinct(col("user_id")).as("approx"))
+        // rsd=0.01: default 0.05 is a std-dev, not a bound — at sf0.1 the
+        // estimate landed outside the 5% gate; 1% rsd keeps it inside
+        approx_count_distinct(col("user_id"), 0.01).as("approx"))
       .select(
         col("exact_users"),
         (abs(col("approx") - col("exact_users")) <=
