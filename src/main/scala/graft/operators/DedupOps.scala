@@ -110,19 +110,20 @@ object DedupOps {
   private val qTextMinhash: Q = (s, d) => {
     // persisted: feeds the signature build + both verify joins
     val docs = docHashes(s, d).persist()
+    // all 32 packed band values in ONE expression per doc row (hs is
+    // evaluated in a single projection, not duplicated across 32 exploded
+    // band rows), then posexplode just the packed (band, value) pairs:
+    // value = m_{2b} * P + m_{2b+1}, permutation j: a_j=(2j+1)*K mod P.
     val sig = docs
-      .select(col("doc_id"), col("hs"), explode(expr("sequence(0, 31)")).as("band"))
-      .withColumn("j0", col("band") * 2)
-      .withColumn("j1", col("band") * 2 + 1)
-      .withColumn("a0", (col("j0") * 2 + 1) * lit(2654435761L) % lit(P))
-      .withColumn("a1", (col("j1") * 2 + 1) * lit(2654435761L) % lit(P))
-      .withColumn("m0",
-        expr(s"array_min(transform(hs, h -> pmod(a0 * pmod(h, ${P}L) + j0 * 40503L, ${P}L)))"))
-      .withColumn("m1",
-        expr(s"array_min(transform(hs, h -> pmod(a1 * pmod(h, ${P}L) + j1 * 40503L, ${P}L)))"))
-      // exact 2-minhash concatenation packed into one int64 (m0,m1 < P)
-      .withColumn("minhash", col("m0") * lit(P) + col("m1"))
-      .select("doc_id", "band", "minhash")
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, 31), b ->
+           |  array_min(transform(hs, h ->
+           |    pmod(((4 * b + 1) * 2654435761L % ${P}L) * pmod(h, ${P}L) + (2 * b) * 40503L, ${P}L))) * ${P}L +
+           |  array_min(transform(hs, h ->
+           |    pmod(((4 * b + 3) * 2654435761L % ${P}L) * pmod(h, ${P}L) + (2 * b + 1) * 40503L, ${P}L)))
+           |)""".stripMargin)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "minhash")
     val cand = sig.as("x").join(sig.as("y"),
         col("x.band") === col("y.band") && col("x.minhash") === col("y.minhash") &&
           col("x.doc_id") < col("y.doc_id"))
