@@ -33,8 +33,16 @@ object Bench {
 
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       val t0 = System.nanoTime()
-      try run(name) catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val elapsed =
+        try { run(name); (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
+          // a failed query must not masquerade as a fast one
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          -1.0
+        }
+      // persisted subplans inside queries must not skew later timings
+      spark.catalog.clearCache()
+      name -> elapsed
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

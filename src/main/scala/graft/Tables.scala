@@ -32,14 +32,18 @@ object Tables {
 
   /** Knuth multiplicative hash over int64 — plain arithmetic, so Spark and
     * DuckDB produce identical values (unlike `hash()`/`crc32()`, which are
-    * engine-specific; see SURVEY.md §7 risks). Inputs must be non-negative
-    * and < ~3.4e9 so the multiply cannot overflow int64. Mirrors the role
-    * of the reference's partition hashing (Ors2BypassShuffleWriter.scala:48-54).
-    */
-  def phash(c: Column): Column = (c * lit(2654435761L)) % lit(1000000007L)
+    * engine-specific; see SURVEY.md §7 risks). The input is reduced mod P
+    * first so the multiply cannot overflow int64 for ANY non-negative
+    * input ((P-1)*K ≈ 2.65e18 < 2^63); for inputs < P the reduction is an
+    * identity, so values are unchanged for the fixture id domains. Mirrors
+    * the role of the reference's partition hashing
+    * (Ors2BypassShuffleWriter.scala:48-54). */
+  def phash(c: Column): Column =
+    ((c % lit(1000000007L)) * lit(2654435761L)) % lit(1000000007L)
 
   /** Same hash in DuckDB SQL, for oracle queries. */
-  def phashSql(expr: String): String = s"((($expr) * 2654435761) % 1000000007)"
+  def phashSql(expr: String): String =
+    s"(((($expr) % 1000000007) * 2654435761) % 1000000007)"
 
   /** Exact decimal(18,2) cast: double→decimal rounding is
     * round-half-away-from-zero in both engines, and binary doubles are never

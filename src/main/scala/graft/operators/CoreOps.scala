@@ -473,7 +473,7 @@ object CoreOps {
     "q_hash_sample" ->
       """SELECT count(*) AS cnt, count(DISTINCT user_id) AS n_users,
         |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
-        |FROM events WHERE (event_id * 2654435761) % 1000000007 % 100 < 10""".stripMargin,
+        |FROM events WHERE ((event_id % 1000000007) * 2654435761) % 1000000007 % 100 < 10""".stripMargin,
     "q_asof_join" ->
       """WITH u AS (
         |  SELECT o_custkey AS k, epoch_us(o_orderdate) AS t, 0 AS is_event,
@@ -503,7 +503,7 @@ object CoreOps {
         |       count(DISTINCT scramble_rank) AS n_positions,
         |       (min(scramble_rank) = 1 AND max(scramble_rank) = count(*)) AS is_bijection
         |FROM (SELECT CAST(row_number() OVER (
-        |        ORDER BY (range * 2654435761) % 1000000007, range) AS INT) AS scramble_rank
+        |        ORDER BY ((range % 1000000007) * 2654435761) % 1000000007, range) AS INT) AS scramble_rank
         |      FROM range(1024))""".stripMargin,
     "q_agg_cube" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
@@ -643,7 +643,7 @@ object CoreOps {
         |         CAST(row_number() OVER (ORDER BY skey DESC, s_suppkey) AS INT) AS rk
         |  FROM (
         |    SELECT s_suppkey, s_name,
-        |           pow(CAST((s_suppkey * 2654435761) % 1000000007 + 1 AS DOUBLE) / 1000000008.0,
+        |           pow(CAST(((s_suppkey % 1000000007) * 2654435761) % 1000000007 + 1 AS DOUBLE) / 1000000008.0,
         |               1.0 / (abs(s_acctbal) + 1.0)) AS skey
         |    FROM supplier))
         |WHERE rk <= 3 ORDER BY rk""".stripMargin,

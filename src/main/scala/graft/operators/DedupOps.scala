@@ -13,8 +13,8 @@ import graft.Tables
   * sketches differ only in HOW candidates are generated:
   *   - q_ngram_jaccard: exact blocked join on shared shingles (ground truth
   *     baseline; the join is bounded by shingle collisions).
-  *   - q_text_minhash: 64 MinHash permutations, banded r=1/b=64 → candidate
-  *     iff some permutation's min collides. P(miss | J>=0.8) <= 0.2^64.
+  *   - q_text_minhash: 64 MinHash permutations, banded r=2/b=32 → candidate
+  *     iff both minima of some band collide. P(miss | J>=0.8) <= (1-0.64)^32.
   *   - q_text_simhash: 64-bit SimHash, 16 nibble bands (pigeonhole: hamming
   *     <= 15 implies a band collides) + hamming <= 15 gate. Wide bands are
   *     needed because unweighted SimHash over small shingle sets (60-90 per

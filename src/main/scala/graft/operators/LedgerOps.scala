@@ -113,8 +113,8 @@ object LedgerOps {
   private val cte: String =
     """WITH base AS (
       |  SELECT event_id,
-      |         CAST(((user_id * 2654435761) % 1000000007) % 16 AS INT) AS partition_id,
-      |         CAST(((event_id * 2654435761) % 1000000007) % 8 AS INT) AS map_id,
+      |         CAST((((user_id % 1000000007) * 2654435761) % 1000000007) % 16 AS INT) AS partition_id,
+      |         CAST((((event_id % 1000000007) * 2654435761) % 1000000007) % 8 AS INT) AS map_id,
       |         CAST(length(props) AS INT) AS length
       |  FROM events
       |), attempts AS (

@@ -60,8 +60,8 @@ object MultiModalOps {
         |       CAST(64 + strlen(text) % 512 AS BIGINT) AS width,
         |       CAST(64 + (strlen(text) // 7) % 512 AS BIGINT) AS height,
         |       CAST(1 + strlen(text) % 16 AS BIGINT) AS n_frames,
-        |       (SELECT sum(ord(c)) FROM unnest(string_split(text, '')) u(c))
-        |         / CAST(strlen(text) AS DOUBLE) AS mean_byte
+        |       coalesce((SELECT sum(ord(c)) FROM unnest(string_split(text, '')) u(c))
+        |         / CAST(nullif(strlen(text), 0) AS DOUBLE), 0.0) AS mean_byte
         |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

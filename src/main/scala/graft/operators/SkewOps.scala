@@ -16,8 +16,11 @@ import org.apache.spark.sql.functions._
 object SkewOps {
 
   /** sum/count of `value` per `key`, aggregated in two salted stages.
-    * Result is identical to `df.groupBy(key).agg(sum, count)` for any salt
-    * assignment; the salt only spreads reducer load. */
+    * For exact domains (integral/decimal), the result is identical to
+    * `df.groupBy(key).agg(sum, count)` for any salt assignment; for
+    * floating-point values the two-stage sum reassociates additions, so
+    * low-order bits may differ (cast to decimal first if hash-comparing).
+    * The salt only spreads reducer load. */
   def saltedSumCount(df: DataFrame, key: String, value: String, salts: Int): DataFrame =
     df
       .withColumn("_salt", pmod(xxhash64(col(value)), lit(salts)))

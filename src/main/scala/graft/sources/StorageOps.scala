@@ -44,6 +44,7 @@ object StorageOps {
       rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(rootPath)) return Seq.empty
     val expired = fs.listStatus(rootPath)
+      .filter(_.isDirectory) // contract: child DIRS only (manifests survive)
       .filter(st => nowMs - st.getModificationTime > retentionMs)
     expired.foreach(st => fs.delete(st.getPath, true))
     expired.map(_.getPath.toString).toSeq
