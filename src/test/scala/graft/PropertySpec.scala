@@ -43,6 +43,22 @@ class PropertySpec extends AnyFunSuite {
     }, n = 5)
   }
 
+  test("join algebra: semi = project of inner, anti = complement of semi") {
+    import spark.implicits._
+    check("join-algebra", Prop.forAll(rowsGen, rowsGen) { (l, r) =>
+      val left = l.toDF("k", "v")
+      val right = r.map(_._1).distinct.toDF("k")
+      val semi = left.join(right, Seq("k"), "left_semi")
+        .collect().map(x => (x.getInt(0), x.getLong(1))).toSet
+      val innerProj = left.join(right, Seq("k"))
+        .select("k", "v").collect().map(x => (x.getInt(0), x.getLong(1))).toSet
+      val anti = left.join(right, Seq("k"), "left_anti")
+        .collect().map(x => (x.getInt(0), x.getLong(1))).toSet
+      val all = left.collect().map(x => (x.getInt(0), x.getLong(1))).toSet
+      semi == innerProj && (semi ++ anti) == all && semi.intersect(anti).isEmpty
+    }, n = 5)
+  }
+
   test("dropDuplicates is idempotent and equals distinct on full rows") {
     import spark.implicits._
     check("dedup-idempotence", Prop.forAll(rowsGen) { rows =>
