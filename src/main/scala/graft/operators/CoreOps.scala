@@ -418,7 +418,63 @@ object CoreOps {
         |ORDER BY status, priority""".stripMargin)
   }
 
+  /** Multiset (bag) set ops: EXCEPT ALL / INTERSECT ALL preserve
+    * multiplicity — the duplicate-aware variants of q_union_except. */
+  private val qExceptAll: Q = (s, d) => {
+    val a = Tables.lineitem(s, d).select(col("l_suppkey").as("k"))
+    val b = Tables.supplier(s, d).select(col("s_suppkey").as("k"))
+    a.exceptAll(b).groupBy().agg(count(lit(1)).as("except_all_cnt"))
+      .crossJoin(
+        a.intersectAll(b).groupBy().agg(count(lit(1)).as("intersect_all_cnt")))
+  }
+
+  /** Ordered-argument aggregates: per nation, the supplier holding the max
+    * account balance (max_by) and min (min_by) — single-pass argmax. */
+  private val qArgmax: Q = (s, d) =>
+    Tables.supplier(s, d)
+      .groupBy(col("s_nationkey"))
+      .agg(
+        // plain scalar key: acctbal is tie-free per nation in this data
+        // (verified at all SFs); composite keys would need struct support
+        // in the oracle's arg_max, which DuckDB 1.0 lacks
+        max_by(col("s_suppkey"), col("s_acctbal")).as("richest"),
+        min_by(col("s_suppkey"), col("s_acctbal")).as("poorest"),
+        count(lit(1)).as("n"))
+      .orderBy("s_nationkey")
+
+  /** Ordered string aggregation: deterministic csv of each nation's
+    * supplier keys (collect_list is unordered — sort_array restores a
+    * total order before joining). */
+  private val qStringAgg: Q = (s, d) =>
+    Tables.supplier(s, d)
+      .groupBy(col("s_nationkey"))
+      .agg(array_join(
+        sort_array(collect_list(col("s_suppkey"))), ",").as("supp_csv"))
+      .orderBy("s_nationkey")
+
+  /** Exact statistical moments: variance derived from exact power sums
+    * (Σx, Σx²) so the result is order-independent. Computed over the
+    * small-integer quantity domain: both sums stay far below 2^53, so the
+    * decimal→double casts and the final divisions are bit-exact in any
+    * engine at any scale (a currency domain's Σx² exceeds double's exact
+    * range and picks up ±1 ulp in the cast — measured at sf0.1). */
+  private val qStatsMoments: Q = (s, d) => {
+    val x = dec2(col("l_quantity"))
+    Tables.lineitem(s, d)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).cast("double").as("sum_x"),
+        sum(x * x).cast("double").as("sum_x2"))
+      .select(col("n"), col("sum_x"),
+        ((col("sum_x2") - col("sum_x") * col("sum_x") / col("n")) /
+          (col("n") - 1)).as("var_samp"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_except_all" -> qExceptAll,
+    "q_argmax" -> qArgmax,
+    "q_string_agg" -> qStringAgg,
+    "q_stats_moments" -> qStatsMoments,
     "q_time_bucket" -> qTimeBucket,
     "q_grouping_sets" -> qGroupingSets,
     "q_json_extract" -> qJsonExtract,
@@ -453,6 +509,30 @@ object CoreOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_except_all" ->
+      """SELECT (SELECT count(*) FROM
+        |          (SELECT l_suppkey AS k FROM lineitem EXCEPT ALL
+        |           SELECT s_suppkey FROM supplier)) AS except_all_cnt,
+        |       (SELECT count(*) FROM
+        |          (SELECT l_suppkey AS k FROM lineitem INTERSECT ALL
+        |           SELECT s_suppkey FROM supplier)) AS intersect_all_cnt""".stripMargin,
+    "q_argmax" ->
+      """SELECT s_nationkey,
+        |       arg_max(s_suppkey, s_acctbal) AS richest,
+        |       arg_min(s_suppkey, s_acctbal) AS poorest,
+        |       count(*) AS n
+        |FROM supplier GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_string_agg" ->
+      """SELECT s_nationkey,
+        |       string_agg(CAST(s_suppkey AS VARCHAR), ',' ORDER BY s_suppkey) AS supp_csv
+        |FROM supplier GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_stats_moments" ->
+      """SELECT n, sum_x, (sum_x2 - sum_x * sum_x / n) / (n - 1) AS var_samp
+        |FROM (SELECT count(*) AS n,
+        |             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_x,
+        |             CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) *
+        |                      CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_x2
+        |      FROM lineitem)""".stripMargin,
     "q_time_bucket" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS cnt,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
