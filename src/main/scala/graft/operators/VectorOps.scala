@@ -101,10 +101,61 @@ object VectorOps {
       .orderBy("query_id", "rk")
   }
 
+  /** IVF-style ANN: partition the corpus into cells around centroids
+    * (computed as the element-wise mean per cell seed — here the corpus is
+    * assigned to cells by nearest centroid, bootstrapped from the label
+    * column's groups as deterministic seeds), then search only the query's
+    * two nearest cells (nprobe=2). Approximate (no oracle); cell quality +
+    * recall are spec'd in AnnSpec.
+    *
+    * Scale notes: this is the same topology as a billion-vector IVF index —
+    * a tiny broadcastable centroid table, one map-side assignment pass,
+    * searches co-partitioned by cell. Raising nprobe = unioning more cells.
+    */
+  private val qAnnIvf: Q = (s, d) => {
+    GraftFunctions.register(s)
+    val e = Tables.embeddings(s, d)
+    // centroids: element-wise mean per label cell (posexplode -> avg -> re-pack)
+    val cent = e.select(col("label"), posexplode(col("embedding")))
+      .groupBy("label", "pos").agg(avg("col").as("m"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("label").as("cell"),
+        expr("transform(pm, x -> CAST(x.m AS FLOAT))").as("centroid"))
+    // assign every vector to its nearest centroid (cosine, broadcast table)
+    val assigned = e.join(broadcast(cent))
+      .select(col("vec_id"), col("embedding"), col("cell"),
+        expr("cosine_sim(embedding, centroid)").as("csim"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cell"))))
+      .filter(col("rk") === 1)
+      .select("vec_id", "embedding", "cell")
+    // nprobe=2: each query searches its two nearest cells
+    val qcells = e.filter(col("vec_id") < 10).join(broadcast(cent))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("cell").as("qcell"),
+        expr("cosine_sim(embedding, centroid)").as("csim"))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("csim").desc, col("qcell"))))
+      .filter(col("crk") <= 2)
+      .select("query_id", "qe", "qcell")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    assigned.join(broadcast(qcells),
+        col("cell") === col("qcell") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        expr("cosine_sim(qe, embedding)").as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select("query_id", "neighbor_id", "rk")
+      .orderBy("query_id", "rk")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_ann_brute" -> qAnnBrute,
     "q_embed_neardup" -> qEmbedNeardup,
     "q_ann_lsh" -> qAnnLsh,
+    "q_ann_ivf" -> qAnnIvf,
   )
 
   val oracles: Map[String, String] = Map(

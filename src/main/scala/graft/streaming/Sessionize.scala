@@ -47,6 +47,21 @@ object Sessionize {
         update(gapUs))
   }
 
+  /** Streaming exactly-once dedup: the reference reader's (mapId, seqId)
+    * duplicate guard (ShufflePartitionReader.java:378-393) in streaming
+    * form — watermarked dropDuplicates keeps state bounded: ids older than
+    * the watermark are expelled, so resends inside the horizon dedup and
+    * state stays O(window), not O(stream). */
+  def dedupStream(events: Dataset[Ev]): Dataset[Ev] = {
+    import events.sparkSession.implicits._
+    events
+      .withColumn("ts", timestamp_micros(col("tsUs")))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("userId", "tsUs")
+      .select(col("userId"), col("tsUs"))
+      .as[Ev]
+  }
+
   /** Watermarked tumbling-window event rate per user: the windowed-agg
     * path (readStream → watermark → window groupBy → writeStream). */
   def windowedRate(spark: SparkSession, events: Dataset[Ev]): Dataset[(Long, Long, Long)] = {

@@ -18,6 +18,18 @@ class AnnSpec extends AnyFunSuite {
     }
   }
 
+  test("ivf returns ranked neighbors and achieves meaningful recall@5") {
+    val brute = VectorOps.queries("q_ann_brute")(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = VectorOps.queries("q_ann_ivf")(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf.nonEmpty)
+    // label cells are true clusters: nearest neighbors should often share
+    // the query's cell, so nprobe=1 recall is well above chance
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    assert(recall > 0.2, s"ivf recall@5 = $recall")
+  }
+
   test("lsh bucket-mates are a subset of the corpus and recall is nonzero") {
     val brute = VectorOps.queries("q_ann_brute")(spark, TestSpark.sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

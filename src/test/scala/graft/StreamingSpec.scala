@@ -45,6 +45,24 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops resends within the watermark horizon") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val source = MemoryStream[Ev]
+    val q = Sessionize.dedupStream(source.toDS())
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      source.addData(Ev(1L, 1000L), Ev(1L, 1000L), Ev(1L, 2000L)) // dup in batch
+      q.processAllAvailable()
+      source.addData(Ev(1L, 1000L), Ev(2L, 1000L)) // resend across batches
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT userId, tsUs FROM dedup").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.length == rows.distinct.length, s"dups survived: ${rows.mkString(",")}")
+      assert(rows.toSet == Set((1L, 1000L), (1L, 2000L), (2L, 1000L)))
+    } finally q.stop()
+  }
+
   test("watermarked windowed rate runs on a stream") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
