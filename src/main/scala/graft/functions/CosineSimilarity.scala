@@ -75,11 +75,12 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * on any SparkSession (no spark.sql.extensions config needed, so the
   * driver's own sessions work too). */
 object GraftFunctions {
-  def register(spark: SparkSession): Unit =
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
-      .createOrReplaceTempFunction(
-        "cosine_sim",
-        exprs => CosineSimilarity(exprs.head, exprs(1)),
-        "built-in")
+    registry.createOrReplaceTempFunction(
+      "cosine_sim", exprs => CosineSimilarity(exprs.head, exprs(1)), "built-in")
+    registry.createOrReplaceTempFunction(
+      "minhash_sig", exprs => MinHashSig(exprs.head), "built-in")
+  }
 }

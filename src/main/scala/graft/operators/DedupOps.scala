@@ -110,18 +110,13 @@ object DedupOps {
   private val qTextMinhash: Q = (s, d) => {
     // persisted: feeds the signature build + both verify joins
     val docs = docHashes(s, d).persist()
-    // all 32 packed band values in ONE expression per doc row (hs is
-    // evaluated in a single projection, not duplicated across 32 exploded
-    // band rows), then posexplode just the packed (band, value) pairs:
+    // all 32 packed band values computed by the native MinHashSig
+    // expression in one tight codegen loop (no intermediate arrays), then
+    // posexplode just the packed (band, value) pairs:
     // value = m_{2b} * P + m_{2b+1}, permutation j: a_j=(2j+1)*K mod P.
+    graft.functions.GraftFunctions.register(s)
     val sig = docs
-      .select(col("doc_id"), posexplode(expr(
-        s"""transform(sequence(0, 31), b ->
-           |  array_min(transform(hs, h ->
-           |    pmod(((4 * b + 1) * 2654435761L % ${P}L) * pmod(h, ${P}L) + (2 * b) * 40503L, ${P}L))) * ${P}L +
-           |  array_min(transform(hs, h ->
-           |    pmod(((4 * b + 3) * 2654435761L % ${P}L) * pmod(h, ${P}L) + (2 * b + 1) * 40503L, ${P}L)))
-           |)""".stripMargin)))
+      .select(col("doc_id"), posexplode(expr("minhash_sig(hs)")))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "minhash")
     val cand = sig.as("x").join(sig.as("y"),
