@@ -418,6 +418,21 @@ object CoreOps {
         |ORDER BY status, priority""".stripMargin)
   }
 
+  /** Theta (non-equi) join: pairs of same-nation suppliers ranked by
+    * account balance — an equi key (nation) plus an inequality residual,
+    * so Catalyst plans a hash/merge join on the key with the residual as
+    * join condition, NOT a cartesian product. */
+  private val qJoinTheta: Q = (s, d) => {
+    val a = Tables.supplier(s, d)
+      .select(col("s_nationkey").as("nk"), col("s_acctbal").as("bal_a"))
+    val b = Tables.supplier(s, d)
+      .select(col("s_nationkey").as("nk"), col("s_acctbal").as("bal_b"))
+    a.join(b, Seq("nk")).filter(col("bal_a") < col("bal_b"))
+      .groupBy("nk")
+      .agg(count(lit(1)).as("n_ordered_pairs"))
+      .orderBy("nk")
+  }
+
   /** Multiset (bag) set ops: EXCEPT ALL / INTERSECT ALL preserve
     * multiplicity — the duplicate-aware variants of q_union_except. */
   private val qExceptAll: Q = (s, d) => {
@@ -471,6 +486,7 @@ object CoreOps {
   }
 
   val queries: Map[String, Q] = Map(
+    "q_join_theta" -> qJoinTheta,
     "q_except_all" -> qExceptAll,
     "q_argmax" -> qArgmax,
     "q_string_agg" -> qStringAgg,
@@ -509,6 +525,11 @@ object CoreOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_join_theta" ->
+      """SELECT a.s_nationkey AS nk, count(*) AS n_ordered_pairs
+        |FROM supplier a JOIN supplier b
+        |  ON a.s_nationkey = b.s_nationkey AND a.s_acctbal < b.s_acctbal
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_except_all" ->
       """SELECT (SELECT count(*) FROM
         |          (SELECT l_suppkey AS k FROM lineitem EXCEPT ALL
