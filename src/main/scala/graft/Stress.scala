@@ -30,7 +30,7 @@ object Stress {
     // synthetic records ≈ the reference's random blocks: key + 100B payload
     val df = spark.range(rows).select(
       col("id"),
-      pmod(col("id") * 2654435761L % 1000000007L, lit(parts)).as("bucket"),
+      pmod(Tables.phash(col("id")), lit(parts)).as("bucket"),
       sha2(col("id").cast("string"), 256).as("payload"))
 
     val t0 = System.nanoTime()

@@ -37,9 +37,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
     val n = math.min(x.numElements(), y.numElements())
     var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
     while (i < n) {
-      val xi = x.getFloat(i).toDouble
-      val yi = y.getFloat(i).toDouble
-      dot += xi * yi; nx += xi * xi; ny += yi * yi; i += 1
+      // schema allows null elements (parquet float arrays read as
+      // containsNull=true): skip the position on either-side null
+      if (!x.isNullAt(i) && !y.isNullAt(i)) {
+        val xi = x.getFloat(i).toDouble
+        val yi = y.getFloat(i).toDouble
+        dot += xi * yi; nx += xi * xi; ny += yi * yi
+      }
+      i += 1
     }
     if (nx == 0.0 || ny == 0.0) 0.0 else dot / (math.sqrt(nx) * math.sqrt(ny))
   }
@@ -57,9 +62,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |int $n = Math.min($x.numElements(), $y.numElements());
          |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double $xi = (double) $x.getFloat($i);
-         |  double $yi = (double) $y.getFloat($i);
-         |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+         |  if (!$x.isNullAt($i) && !$y.isNullAt($i)) {
+         |    double $xi = (double) $x.getFloat($i);
+         |    double $yi = (double) $y.getFloat($i);
+         |    $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+         |  }
          |}
          |${ev.value} = ($nx == 0.0 || $ny == 0.0)
          |  ? 0.0 : $dot / (Math.sqrt($nx) * Math.sqrt($ny));

@@ -23,6 +23,10 @@ case class MinHashSig(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
+  // empty input -> null signature (an all-identical sentinel would make
+  // every empty doc collide in every LSH band and flood the candidate join)
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
@@ -32,6 +36,7 @@ case class MinHashSig(child: Expression) extends UnaryExpression {
   override def nullSafeEval(v: Any): Any = {
     val hs = v.asInstanceOf[ArrayData]
     val n = hs.numElements()
+    if (n == 0) return null
     val out = new Array[Long](bands)
     var b = 0
     while (b < bands) {
@@ -73,6 +78,7 @@ case class MinHashSig(child: Expression) extends UnaryExpression {
       val v1 = ctx.freshName("v1")
       s"""
          |int $n = $hs.numElements();
+         |if ($n == 0) { ${ev.isNull} = true; } else {
          |long[] $out = new long[$bands];
          |for (int $b = 0; $b < $bands; $b++) {
          |  long $a0 = ((4L * $b + 1) * ${K}L) % ${P}L;
@@ -90,6 +96,7 @@ case class MinHashSig(child: Expression) extends UnaryExpression {
          |  $out[$b] = $m0 * ${P}L + $m1;
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |}
        """.stripMargin
     })
 

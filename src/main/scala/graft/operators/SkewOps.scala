@@ -23,7 +23,10 @@ object SkewOps {
     * The salt only spreads reducer load. */
   def saltedSumCount(df: DataFrame, key: String, value: String, salts: Int): DataFrame =
     df
-      .withColumn("_salt", pmod(xxhash64(col(value)), lit(salts)))
+      // row-unique salt: a value-derived salt collapses when the hot key
+      // carries one constant value (the classic skew case) — the id-based
+      // salt spreads regardless of the value distribution
+      .withColumn("_salt", pmod(monotonically_increasing_id(), lit(salts)))
       .groupBy(col(key), col("_salt"))
       .agg(sum(col(value)).as("_psum"), count(lit(1)).as("_pcnt"))
       .groupBy(col(key))

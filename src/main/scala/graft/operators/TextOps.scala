@@ -83,8 +83,12 @@ object TextOps {
           .as("stop_cnt"))
       .select(
         col("doc_id"), col("n_tokens"),
-        (col("word_chars").cast("double") / col("n_tokens")).as("avg_tok_len"),
-        (col("punct_cnt").cast("double") / col("n_chars_txt")).as("punct_ratio"),
+        // nullif guards: ANSI mode (Spark 4 default) throws on /0 while
+        // the DuckDB oracle yields NULL — nullif makes both sides NULL
+        (col("word_chars").cast("double") /
+          nullif(col("n_tokens"), lit(0))).as("avg_tok_len"),
+        (col("punct_cnt").cast("double") /
+          nullif(col("n_chars_txt"), lit(0))).as("punct_ratio"),
         col("stop_cnt"),
         when(col("n_tokens") < 20, "low")
           .when(col("stop_cnt") > 0, "high")

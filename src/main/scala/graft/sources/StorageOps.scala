@@ -46,7 +46,8 @@ object StorageOps {
     val expired = fs.listStatus(rootPath)
       .filter(_.isDirectory) // contract: child DIRS only (manifests survive)
       .filter(st => nowMs - st.getModificationTime > retentionMs)
-    expired.foreach(st => fs.delete(st.getPath, true))
-    expired.map(_.getPath.toString).toSeq
+    // report only what was actually deleted (delete can fail/race)
+    expired.filter(st => fs.delete(st.getPath, true))
+      .map(_.getPath.toString).toSeq
   }
 }

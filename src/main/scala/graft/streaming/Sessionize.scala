@@ -57,7 +57,10 @@ object Sessionize {
     events
       .withColumn("ts", timestamp_micros(col("tsUs")))
       .withWatermark("ts", "1 hour")
-      .dropDuplicates("userId", "tsUs")
+      // the event-time column MUST be a dedup key: that's what lets the
+      // state store evict entries older than the watermark (keys without
+      // the watermarked column are retained forever)
+      .dropDuplicates("userId", "ts")
       .select(col("userId"), col("tsUs"))
       .as[Ev]
   }

@@ -34,9 +34,10 @@ class MinHashSigSpec extends AnyFunSuite {
       (2L, Seq.empty[Long]),
     ).toDF("id", "hs")
     val rows = df.select(col("id"), expr("minhash_sig(hs)").as("sig")).collect()
-    assert(rows.forall(_.getSeq[Long](1).length == 32))
-    // empty input -> all minima stay at Long.MaxValue sentinel packing
-    val empty = rows.find(_.getLong(0) == 2L).get.getSeq[Long](1)
-    assert(empty.forall(_ == Long.MaxValue * P + Long.MaxValue))
+    val nonEmpty = rows.find(_.getLong(0) == 1L).get
+    assert(nonEmpty.getSeq[Long](1).length == 32)
+    // empty input -> null signature (identical sentinels would collide
+    // every empty doc in every LSH band)
+    assert(rows.find(_.getLong(0) == 2L).get.isNullAt(1))
   }
 }
