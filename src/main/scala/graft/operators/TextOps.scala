@@ -118,7 +118,21 @@ object TextOps {
         col("n_docs"), col("n_unique"),
         (col("n_docs") - col("n_unique")).as("n_dupes"))
 
+  /** Token counting two ways: whitespace runs (\S+) and a BPE-style
+    * pretokenization regex (letter runs / digit runs / punctuation runs,
+    * optionally space-prefixed — the GPT-2 pretokenizer family) — the
+    * token-budget accounting of a training-data pipeline. */
+  private val qTokenCount: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        regexp_count(col("text"), lit("\\S+")).as("n_ws_tokens"),
+        regexp_count(col("text"),
+          lit(" ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+")).as("n_bpe_tokens"))
+      .orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
+    "q_token_count" -> qTokenCount,
     "q_text_tokens" -> qTextTokens,
     "q_text_langid" -> qTextLangid,
     "q_text_quality" -> qTextQuality,
@@ -136,6 +150,12 @@ object TextOps {
       |        ('zh','de0_zh_placeholder')) lex(plang, token)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_token_count" ->
+      """SELECT doc_id,
+        |       CAST(len(regexp_extract_all(text, '\S+')) AS INT) AS n_ws_tokens,
+        |       CAST(len(regexp_extract_all(text,
+        |              ' ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+')) AS INT) AS n_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_text_tokens" ->
       """SELECT token, count(*) AS cnt FROM (
         |  SELECT unnest(string_split_regex(lower(text), '\W+')) AS token
