@@ -48,8 +48,37 @@ object MultiModalOps {
       .orderBy("doc_id")
   }
 
+  /** Frame-sampling stage: treat the payload as n_frames equal slices,
+    * keep every 4th frame, emit one row per sampled frame with its offset,
+    * length and byte-sum "feature" (the decode is the same deterministic
+    * stub; the flatMap-over-partitions plumbing — one input blob fanning
+    * out to per-frame rows — is the real shape of a video pipeline). */
+  private val qMultimodalFrames: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val n = bytes.length.toLong
+          val nFrames = 1L + n % 16L
+          val frameLen = n / nFrames
+          (0L until nFrames by 4L).map { f =>
+            val off = f * frameLen
+            var sum = 0L
+            var i = off
+            while (i < off + frameLen) { sum += (bytes(i.toInt) & 0xff); i += 1 }
+            (id, f, off, frameLen, sum)
+          }
+        }
+      }
+      .toDF("doc_id", "frame_idx", "frame_off", "frame_len", "frame_sum")
+      .orderBy("doc_id", "frame_idx")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_multimodal_meta" -> qMultimodalMeta,
+    "q_multimodal_frames" -> qMultimodalFrames,
   )
 
   val oracles: Map[String, String] = Map(
@@ -63,5 +92,21 @@ object MultiModalOps {
         |       coalesce((SELECT sum(ord(c)) FROM unnest(string_split(text, '')) u(c))
         |         / CAST(nullif(strlen(text), 0) AS DOUBLE), 0.0) AS mean_byte
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_multimodal_frames" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, strlen(text) AS n,
+        |         1 + strlen(text) % 16 AS nf
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, text, n, nf, n // nf AS flen,
+        |         unnest(range(0, nf, 4)) AS frame_idx
+        |  FROM d)
+        |SELECT doc_id, frame_idx, frame_idx * flen AS frame_off,
+        |       flen AS frame_len,
+        |       CAST(coalesce((SELECT sum(ord(c)) FROM
+        |                 unnest(string_split(substring(text,
+        |                   CAST(frame_idx * flen + 1 AS INT),
+        |                   CAST(flen AS INT)), '')) u(c)), 0) AS BIGINT) AS frame_sum
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
   )
 }
