@@ -21,6 +21,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       // events.ts is parquet TIMESTAMP(NANOS): read as int64 nanos
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // q_asof_join casts TIMESTAMP_NTZ to timestamp, which is session-TZ
+      // dependent; pin UTC so Bench measures the same data Verify checks.
+      .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -35,7 +35,20 @@ case class MinHashSig(child: Expression) extends UnaryExpression {
 
   override def nullSafeEval(v: Any): Any = {
     val hs = v.asInstanceOf[ArrayData]
-    val n = hs.numElements()
+    val total = hs.numElements()
+    // One pass to pre-mod the hashes, skipping null elements (user-facing
+    // arrays may carry containsNull=true); also avoids re-walking ArrayData
+    // 32 times in the band loop.
+    val pre = new Array[Long](total)
+    var n = 0
+    var j = 0
+    while (j < total) {
+      if (!hs.isNullAt(j)) {
+        pre(n) = ((hs.getLong(j) % P) + P) % P
+        n += 1
+      }
+      j += 1
+    }
     if (n == 0) return null
     val out = new Array[Long](bands)
     var b = 0
@@ -48,7 +61,7 @@ case class MinHashSig(child: Expression) extends UnaryExpression {
       var m1 = Long.MaxValue
       var i = 0
       while (i < n) {
-        val hp = ((hs.getLong(i) % P) + P) % P
+        val hp = pre(i)
         val v0 = (a0 * hp + c0) % P
         val v1 = (a1 * hp + c1) % P
         if (v0 < m0) m0 = v0
@@ -76,8 +89,18 @@ case class MinHashSig(child: Expression) extends UnaryExpression {
       val hp = ctx.freshName("hp")
       val v0 = ctx.freshName("v0")
       val v1 = ctx.freshName("v1")
+      val total = ctx.freshName("total")
+      val pre = ctx.freshName("pre")
+      val jj = ctx.freshName("j")
       s"""
-         |int $n = $hs.numElements();
+         |int $total = $hs.numElements();
+         |long[] $pre = new long[$total];
+         |int $n = 0;
+         |for (int $jj = 0; $jj < $total; $jj++) {
+         |  if (!$hs.isNullAt($jj)) {
+         |    $pre[$n++] = (($hs.getLong($jj) % ${P}L) + ${P}L) % ${P}L;
+         |  }
+         |}
          |if ($n == 0) { ${ev.isNull} = true; } else {
          |long[] $out = new long[$bands];
          |for (int $b = 0; $b < $bands; $b++) {
@@ -87,7 +110,7 @@ case class MinHashSig(child: Expression) extends UnaryExpression {
          |  long $c1 = (2L * $b + 1) * ${B}L;
          |  long $m0 = Long.MAX_VALUE, $m1 = Long.MAX_VALUE;
          |  for (int $i = 0; $i < $n; $i++) {
-         |    long $hp = (($hs.getLong($i) % ${P}L) + ${P}L) % ${P}L;
+         |    long $hp = $pre[$i];
          |    long $v0 = ($a0 * $hp + $c0) % ${P}L;
          |    long $v1 = ($a1 * $hp + $c1) % ${P}L;
          |    if ($v0 < $m0) $m0 = $v0;

@@ -31,13 +31,19 @@ class TopKAgg(k: Int) extends Aggregator[(Double, Long), TopKBuf, TopKBuf] {
 
   override def zero: TopKBuf = TopKBuf(Array.empty, Array.empty)
 
-  override def reduce(b: TopKBuf, a: (Double, Long)): TopKBuf =
-    trim(b.scores :+ a._1, b.ids :+ a._2)
+  // The buffer is allowed to grow unsorted up to 2k entries before a
+  // sort+trim back to k — one O(k log k) sort per k rows instead of per
+  // row. finish() re-trims, so callers always see exactly sorted top-k.
+  override def reduce(b: TopKBuf, a: (Double, Long)): TopKBuf = {
+    val scores = b.scores :+ a._1
+    val ids = b.ids :+ a._2
+    if (scores.length >= 2 * k) trim(scores, ids) else TopKBuf(scores, ids)
+  }
 
   override def merge(x: TopKBuf, y: TopKBuf): TopKBuf =
     trim(x.scores ++ y.scores, x.ids ++ y.ids)
 
-  override def finish(r: TopKBuf): TopKBuf = r
+  override def finish(r: TopKBuf): TopKBuf = trim(r.scores, r.ids)
 
   override def bufferEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
   override def outputEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]

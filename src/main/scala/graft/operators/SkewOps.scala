@@ -20,16 +20,26 @@ object SkewOps {
     * `df.groupBy(key).agg(sum, count)` for any salt assignment; for
     * floating-point values the two-stage sum reassociates additions, so
     * low-order bits may differ (cast to decimal first if hash-comparing).
-    * The salt only spreads reducer load. */
-  def saltedSumCount(df: DataFrame, key: String, value: String, salts: Int): DataFrame =
+    * The salt only spreads reducer load.
+    *
+    * Output columns are `sumCol`/`cntCol` (defaults `sum_<value>`/`cnt`);
+    * pass explicit names if the input already uses the defaults. The
+    * intermediate salt column is uniquely named per call so it can never
+    * clobber a caller column. */
+  def saltedSumCount(df: DataFrame, key: String, value: String, salts: Int,
+      sumCol: String = null, cntCol: String = null): DataFrame = {
+    val outSum = Option(sumCol).getOrElse("sum_" + value)
+    val outCnt = Option(cntCol).getOrElse("cnt")
+    val salt = s"__graft_salt_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     df
       // row-unique salt: a value-derived salt collapses when the hot key
       // carries one constant value (the classic skew case) — the id-based
       // salt spreads regardless of the value distribution
-      .withColumn("_salt", pmod(monotonically_increasing_id(), lit(salts)))
-      .groupBy(col(key), col("_salt"))
+      .withColumn(salt, pmod(monotonically_increasing_id(), lit(salts)))
+      .groupBy(col(key), col(salt))
       .agg(sum(col(value)).as("_psum"), count(lit(1)).as("_pcnt"))
       .groupBy(col(key))
-      .agg(sum(col("_psum")).as("sum_" + value),
-        sum(col("_pcnt")).as("cnt"))
+      .agg(sum(col("_psum")).as(outSum),
+        sum(col("_pcnt")).as(outCnt))
+  }
 }

@@ -40,4 +40,19 @@ class MinHashSigSpec extends AnyFunSuite {
     // every empty doc in every LSH band)
     assert(rows.find(_.getLong(0) == 2L).get.isNullAt(1))
   }
+
+  test("null elements are skipped, not read as garbage") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq[Option[Long]](Some(7L), None, Some(99L))),
+      (2L, Seq[Option[Long]](Some(7L), Some(99L))),
+      (3L, Seq[Option[Long]](None, None)),
+    ).toDF("id", "hs")
+    val rows = df.select(col("id"), expr("minhash_sig(hs)").as("sig"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getSeq[Long](1))).toMap
+    // signature over {7, null, 99} == signature over {7, 99}
+    assert(rows(1L) == rows(2L))
+    // all-null behaves like empty: null signature
+    assert(rows(3L) == null)
+  }
 }

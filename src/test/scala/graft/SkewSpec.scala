@@ -23,4 +23,14 @@ class SkewSpec extends AnyFunSuite {
       assert(salted == direct, s"salts=$salts")
     }
   }
+
+  test("pre-existing salt-like columns don't corrupt the aggregation") {
+    import spark.implicits._
+    val df = Seq(("a", 1L, 9L, 9L), ("a", 2L, 9L, 9L), ("b", 3L, 9L, 9L))
+      .toDF("k", "v", "_salt", "cnt")
+    val out = SkewOps.saltedSumCount(df, "k", "v", 4,
+        sumCol = "total", cntCol = "n")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set(("a", 3L, 2L), ("b", 3L, 1L)))
+  }
 }
