@@ -107,10 +107,13 @@ object CoreOps {
   }
 
   /** Rotating slice selection (RoundRobinDispatcher.java:39-81): cursor=1,
-    * every 3rd worker in sorted order. */
+    * every 3rd worker in sorted order. Global row number via the
+    * distributed [[RankOps.globalRowNumber]] (bucketed two-pass), not a
+    * single-partition window. */
   private val qRoundrobinSlice: Q = (s, d) =>
-    Tables.supplier(s, d)
-      .withColumn("rn", row_number().over(Window.orderBy(col("s_suppkey"))))
+    RankOps.globalRowNumber(
+        Tables.supplier(s, d).select("s_suppkey", "s_name"),
+        col("s_suppkey"), Nil, buckets = 8, out = "rn")
       .filter((col("rn") - 1) % 3 === 1)
       .select("s_suppkey", "s_name", "rn")
       .orderBy("rn")
@@ -253,9 +256,13 @@ object CoreOps {
         col("value"))
       .groupBy("worker_id")
       .agg(sum(col("value").cast("decimal(18,6)")).cast("double").as("throughput"))
+      // top-k via TakeOrderedAndProject: only k rows funnel to one
+      // partition (vs a global window funneling ALL groups); the trailing
+      // 3-row window just materializes the rank column
+      .orderBy(col("throughput").desc, col("worker_id"))
+      .limit(3)
       .withColumn("rk", row_number().over(
         Window.orderBy(col("throughput").desc, col("worker_id"))))
-      .filter(col("rk") <= 3)
       .orderBy("rk")
 
   /** Weighted sampling without replacement (A-Res, Efraimidis–Spirakis) —
@@ -266,9 +273,11 @@ object CoreOps {
     val weight = abs(col("s_acctbal")) + lit(1.0)
     Tables.supplier(s, d)
       .withColumn("skey", pow(u, lit(1.0) / weight))
+      // TakeOrderedAndProject funnels only k rows, not the population
+      .orderBy(col("skey").desc, col("s_suppkey"))
+      .limit(3)
       .withColumn("rk", row_number().over(
         Window.orderBy(col("skey").desc, col("s_suppkey"))))
-      .filter(col("rk") <= 3)
       .select("s_suppkey", "s_name", "rk")
       .orderBy("rk")
   }
@@ -288,9 +297,9 @@ object CoreOps {
     * (Ors2ShuffleDistributeTest.scala:29-54). Modeled with the portable
     * hash as the scramble key; the query proves the bijection. */
   private val qPartitionScramble: Q = (s, _) => {
-    val parts = s.range(1024).select(col("id").as("p"))
-      .withColumn("scramble_rank",
-        row_number().over(Window.orderBy(Tables.phash(col("p")), col("p"))))
+    val parts = RankOps.globalRowNumber(
+      s.range(1024).select(col("id").as("p")),
+      Tables.phash(col("p")), Seq(col("p")), buckets = 8, out = "scramble_rank")
     parts.agg(
       count(lit(1)).as("n_parts"),
       countDistinct(col("scramble_rank")).as("n_positions"),

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Distributed global row numbering.
+  *
+  * `row_number() OVER (ORDER BY key)` forces every row through ONE
+  * partition (Spark's WindowExec warns about exactly this) — a
+  * non-starter at 100 TB. This module implements the classic scalable
+  * formulation the reference gets implicitly from its partition-sorted
+  * worker files (Ors2SortShuffleWriter.scala:43-48 keeps map output
+  * partition-ordered; readers then merge in partition order):
+  *
+  *   1. one aggregation pass computes approximate key quantiles →
+  *      `buckets` range boundaries (partial-aggregable, scalable);
+  *   2. each row is assigned a bucket by counting boundaries ≤ key —
+  *      purely value-deterministic and monotone in the key, so bucket
+  *      order == key order;
+  *   3. a window partitioned BY BUCKET ranks locally (each bucket is
+  *      ~1/buckets of the data — no single-partition funnel);
+  *   4. per-bucket counts (a `buckets`-row aggregate, collected to the
+  *      driver exactly like RDD.zipWithIndex does) become additive
+  *      offsets, broadcast-joined back.
+  *
+  * The result is bit-identical to the single-partition window for any
+  * total order (key + tie-breaks), because bucketing never splits equal
+  * keys and never reorders across buckets. Quantile approximation only
+  * affects balance, never correctness.
+  *
+  * Constraints: `key` must be numeric with |key| < 2^53 (bucket bounds
+  * are computed in double space; the cast must stay order-preserving),
+  * non-null, and `key` + `tieBreaks` must be a total order for a
+  * deterministic result.
+  */
+object RankOps {
+
+  def globalRowNumber(
+      df: DataFrame,
+      key: Column,
+      tieBreaks: Seq[Column] = Nil,
+      buckets: Int = 64,
+      out: String = "rn"): DataFrame = {
+    require(buckets >= 1, "buckets must be >= 1")
+    val kCol = "__graft_rank_key"
+    val bCol = "__graft_rank_bucket"
+    val lCol = "__graft_rank_local"
+    val oCol = "__graft_rank_offset"
+    val keyed = df.withColumn(kCol, key)
+
+    val bucketed =
+      if (buckets == 1) keyed.withColumn(bCol, lit(0))
+      else {
+        val probs = (1 until buckets).map(_.toDouble / buckets)
+        val bounds = keyed.agg(
+          percentile_approx(col(kCol).cast("double"),
+            array(probs.map(lit): _*), lit(10000)).as("__bounds"))
+        keyed
+          .crossJoin(broadcast(bounds))
+          .withColumn(bCol,
+            aggregate(col("__bounds"), lit(0),
+              (acc, b) => acc + when(col(kCol).cast("double") >= b, 1).otherwise(0)))
+          .drop("__bounds")
+      }
+
+    val w = Window.partitionBy(col(bCol))
+      .orderBy(col(kCol) +: tieBreaks: _*)
+    val local = bucketed.withColumn(lCol, row_number().over(w))
+
+    // Bucket counts: at most `buckets` rows — the same driver-side step
+    // RDD.zipWithIndex performs. Offsets are cumulative counts of all
+    // lower buckets.
+    val counts = bucketed.groupBy(col(bCol)).count()
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.map { case (b, n) => val o = (b, acc); acc += n; o }
+    val offsetsDf = df.sparkSession
+      .createDataFrame(offsets.toSeq.map(t => Tuple2(t._1, t._2)))
+      .toDF(bCol + "_o", oCol)
+
+    local
+      .join(broadcast(offsetsDf), col(bCol) === col(bCol + "_o"))
+      .withColumn(out, (col(lCol) + col(oCol)).cast("int"))
+      .drop(kCol, bCol, lCol, oCol, bCol + "_o")
+  }
+}
