@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarity, MinHashSig}
+import graft.functions.{CosineSimilarity, MinHashSig, SimHash64, VectorAvg}
 
 /** Session-extension entry point: users opt in with
   * `spark.sql.extensions=graft.GraftExtensions` and get the native
@@ -22,5 +22,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
       (exprs: Seq[Expression]) => MinHashSig(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("vector_avg"),
+      new ExpressionInfo(classOf[VectorAvg].getName, "vector_avg"),
+      (exprs: Seq[Expression]) => VectorAvg(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (exprs: Seq[Expression]) => SimHash64(exprs.head)))
   }
 }

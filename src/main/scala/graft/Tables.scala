@@ -30,6 +30,18 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
+  /** Spread a DataFrame across the cluster before CPU-heavy per-row work.
+    * The test fixtures are single-row-group parquet files — one input
+    * split — so without this, an O(n) shuffle-free stage (or worse, an
+    * O(n²) nested-loop join streaming this side) runs on ONE core. The
+    * round-robin exchange costs O(n) rows; use it only where the stage it
+    * feeds does super-constant work per row (sketching, all-pairs
+    * scoring, wide HLL updates). On production layouts with splittable
+    * files the scan already yields many partitions and this exchange can
+    * be dropped — it is load-spreading, not a semantic operator. */
+  def spread(s: SparkSession, df: DataFrame): DataFrame =
+    df.repartition(s.sparkContext.defaultParallelism)
+
   /** Knuth multiplicative hash over int64 — plain arithmetic, so Spark and
     * DuckDB produce identical values (unlike `hash()`/`crc32()`, which are
     * engine-specific; see SURVEY.md §7 risks). The input is reduced mod P

@@ -89,5 +89,9 @@ object GraftFunctions {
       "cosine_sim", exprs => CosineSimilarity(exprs.head, exprs(1)), "built-in")
     registry.createOrReplaceTempFunction(
       "minhash_sig", exprs => MinHashSig(exprs.head), "built-in")
+    registry.createOrReplaceTempFunction(
+      "vector_avg", exprs => VectorAvg(exprs.head), "built-in")
+    registry.createOrReplaceTempFunction(
+      "simhash64", exprs => SimHash64(exprs.head), "built-in")
   }
 }

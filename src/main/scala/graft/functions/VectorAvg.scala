@@ -1,0 +1,78 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.DeclarativeAggregate
+import org.apache.spark.sql.types._
+
+/** Element-wise mean of an array column (embedding centroid) as a
+  * partial-aggregable declarative aggregate.
+  *
+  * The composable alternative — `posexplode` + `groupBy(key, pos)` +
+  * re-collect — multiplies the shuffled row count by the vector dimension
+  * (64× here) and needs TWO exchanges. This aggregate carries an
+  * O(dim) buffer (running element sum + count) through the standard
+  * partial/final split: one exchange, no explosion — at a billion vectors
+  * per cell the map side reduces everything to dim doubles per cell.
+  *
+  * All arithmetic is expression-composed (zip_with/transform), so the
+  * buffer update is Catalyst-evaluated — no opaque ImperativeAggregate
+  * buffer, and the optimizer sees through the whole pipeline.
+  *
+  * Null array inputs are skipped; null/NaN elements are the caller's
+  * concern (embeddings are non-null float vectors). Returns null for
+  * empty groups, array<double> otherwise.
+  */
+case class VectorAvg(child: Expression) extends DeclarativeAggregate {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: NumericType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"vector_avg expects array<numeric>, got ${t.simpleString}")
+  }
+
+  private lazy val vsum = AttributeReference(
+    "vsum", ArrayType(DoubleType, containsNull = false))()
+  private lazy val vcnt = AttributeReference("vcnt", LongType, nullable = false)()
+
+  override lazy val aggBufferAttributes: Seq[AttributeReference] = Seq(vsum, vcnt)
+
+  private def asDouble(e: Expression): Expression =
+    Cast(e, ArrayType(DoubleType, containsNull = false))
+
+  private def zipAdd(a: Expression, b: Expression): Expression = {
+    val x = NamedLambdaVariable("x", DoubleType, nullable = false)
+    val y = NamedLambdaVariable("y", DoubleType, nullable = false)
+    ZipWith(a, b, LambdaFunction(Add(x, y), Seq(x, y)))
+  }
+
+  override lazy val initialValues: Seq[Expression] = Seq(
+    Literal.create(null, ArrayType(DoubleType, containsNull = false)),
+    Literal(0L))
+
+  override lazy val updateExpressions: Seq[Expression] = Seq(
+    If(IsNull(child), vsum,
+      If(IsNull(vsum), asDouble(child), zipAdd(vsum, asDouble(child)))),
+    If(IsNull(child), vcnt, Add(vcnt, Literal(1L))))
+
+  override lazy val mergeExpressions: Seq[Expression] = Seq(
+    If(IsNull(vsum.right), vsum.left,
+      If(IsNull(vsum.left), vsum.right, zipAdd(vsum.left, vsum.right))),
+    Add(vcnt.left, vcnt.right))
+
+  override lazy val evaluateExpression: Expression = {
+    val x = NamedLambdaVariable("x", DoubleType, nullable = false)
+    If(EqualTo(vcnt, Literal(0L)),
+      Literal.create(null, dataType),
+      ArrayTransform(vsum,
+        LambdaFunction(Divide(x, Cast(vcnt, DoubleType)), Seq(x))))
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}

@@ -132,11 +132,10 @@ object DedupOps {
   private val qTextSimhash: Q = (s, d) => {
     // persisted: feeds the signature build + both verify joins
     val docs = docHashes(s, d).persist()
-    val sig = docs.withColumn("simhash", expr(
-      """aggregate(sequence(0, 63), 0L, (acc, j) ->
-        |  acc + IF(aggregate(hs, 0L, (a2, h) ->
-        |             a2 + (CAST(shiftrightunsigned(h, j) % 2 AS BIGINT) * 2 - 1)) > 0,
-        |           shiftleft(1L, j), 0L))""".stripMargin))
+    // native one-pass SimHash64 (same bit semantics as the expression
+    // formulation, which burned 64×|hs| interpreted lambda calls per doc)
+    graft.functions.GraftFunctions.register(s)
+    val sig = docs.withColumn("simhash", expr("simhash64(hs)"))
     val bands = sig
       .select(col("doc_id"), col("simhash"), explode(expr("sequence(0, 15)")).as("k"))
       .withColumn("nib", expr("shiftrightunsigned(simhash, k * 4)") % 16)

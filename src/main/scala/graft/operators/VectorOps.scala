@@ -37,7 +37,9 @@ object VectorOps {
   /** Exact brute-force top-5 neighbors for queries vec_id < 10. */
   private val qAnnBrute: Q = (s, d) => {
     GraftFunctions.register(s)
-    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    // spread: Q×N scoring parallelizes across the corpus side
+    val e = Tables.spread(s,
+      Tables.embeddings(s, d).select(col("vec_id"), col("embedding")))
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     val w = Window.partitionBy("query_id")
@@ -51,11 +53,13 @@ object VectorOps {
       .orderBy("query_id", "rk")
   }
 
-  /** Embedding-cosine near-duplicate pairs (threshold 0.45). */
+  /** Embedding-cosine near-duplicate pairs (threshold 0.45). The streamed
+    * side is spread first: the O(n²) scoring must parallelize even though
+    * the fixture is one input split. */
   private val qEmbedNeardup: Q = (s, d) => {
     GraftFunctions.register(s)
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+    Tables.spread(s, e).as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         cosine("a.embedding", "b.embedding").as("sim"))
       .filter(col("sim") >= 0.45)
@@ -84,7 +88,8 @@ object VectorOps {
     * query's bucket. Approximate (no oracle). */
   private val qAnnLsh: Q = (s, d) => {
     GraftFunctions.register(s)
-    val e = Tables.embeddings(s, d)
+    // spread BEFORE bucketCol: 6 hyperplane projections per row
+    val e = Tables.spread(s, Tables.embeddings(s, d))
       .select(col("vec_id"), col("embedding"), bucketCol(6).as("bucket"))
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
@@ -114,14 +119,18 @@ object VectorOps {
     */
   private val qAnnIvf: Q = (s, d) => {
     GraftFunctions.register(s)
-    val e = Tables.embeddings(s, d)
-    // centroids: element-wise mean per label cell (posexplode -> avg -> re-pack)
-    val cent = e.select(col("label"), posexplode(col("embedding")))
-      .groupBy("label", "pos").agg(avg("col").as("m"))
-      .groupBy("label")
-      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-      .select(col("label").as("cell"),
-        expr("transform(pm, x -> CAST(x.m AS FLOAT))").as("centroid"))
+    // spread: assignment scoring does heavy per-row work off the
+    // single-split fixture; persisted because the corpus feeds centroid
+    // build + assignment + query probes
+    val e = Tables.spread(s, Tables.embeddings(s, d)).persist()
+    // centroids via the native vector_avg aggregate: ONE exchange carrying
+    // O(dim) partial sums per cell — the posexplode formulation shuffled
+    // 64× the rows through two exchanges. Persisted: broadcast twice
+    // (assignment + query probing).
+    val cent = e.groupBy(col("label").as("cell"))
+      .agg(expr("transform(vector_avg(embedding), x -> CAST(x AS FLOAT))")
+        .as("centroid"))
+      .persist()
     // assign every vector to its nearest centroid (cosine, broadcast table)
     val assigned = e.join(broadcast(cent))
       .select(col("vec_id"), col("embedding"), col("cell"),
