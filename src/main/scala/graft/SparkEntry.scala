@@ -19,11 +19,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreOps.queries ++ LedgerOps.queries ++ TextOps.queries ++
-      DedupOps.queries ++ VectorOps.queries ++ MultiModalOps.queries
+      DedupOps.queries ++ VectorOps.queries ++ MultiModalOps.queries ++
+      PipelineOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     CoreOps.oracles ++ LedgerOps.oracles ++ TextOps.oracles ++
-      DedupOps.oracles ++ VectorOps.oracles ++ MultiModalOps.oracles
+      DedupOps.oracles ++ VectorOps.oracles ++ MultiModalOps.oracles ++
+      PipelineOps.oracles
 }

@@ -107,7 +107,9 @@ object DedupOps {
     * shingles: band-collision probability is J^2, so J~0.02 background
     * pairs produce ~0 candidates while J>=0.8 pairs miss with prob
     * (1-0.64)^32 ≈ 3e-15. (r=1 flooded the candidate join here.) */
-  private val qTextMinhash: Q = (s, d) => {
+  /** Exact-verified near-dup pairs via the MinHash+LSH path — the shared
+    * candidate generator for q_text_minhash and the clustering operator. */
+  def nearDupPairs(s: SparkSession, d: String): DataFrame = {
     // persisted: feeds the signature build + both verify joins
     val docs = docHashes(s, d).persist()
     // all 32 packed band values computed by the native MinHashSig
@@ -125,6 +127,57 @@ object DedupOps {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
     verifyPairs(cand, docs)
+  }
+
+  private val qTextMinhash: Q = (s, d) => nearDupPairs(s, d)
+
+  /** Near-dup CLUSTERS: connected components over the verified pair graph,
+    * labeling every member with the minimum doc_id of its component (the
+    * canonical representative a dedup pipeline keeps). Iterative min-label
+    * propagation, each round one shuffle join; converges in
+    * O(component diameter) rounds — near-dup clusters are shallow (dups of
+    * a common source), so the loop is short. The driver-side convergence
+    * check reads ONE count per round. At billions of edges the same loop
+    * shape holds (alternating small-star/large-star halves the rounds but
+    * shares the join topology).
+    */
+  private val qDedupCluster: Q = (s, d) => {
+    val pairs = nearDupPairs(s, d).select("doc_a", "doc_b").persist()
+    // undirected edge list, both directions
+    val edges = pairs
+      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .persist()
+    var cached = edges.groupBy(col("doc_a").as("doc_id"))
+      .agg(least(min(col("doc_b")), col("doc_a")).as("label"))
+      .persist()
+    var labels = cached
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 20) {
+      // neighbor-min pass: label' = min(label, min over neighbors' labels);
+      // the old label rides along so convergence is read off the same
+      // cached result (one job per round, not two)
+      val next = edges
+        .join(labels.withColumnRenamed("doc_id", "doc_b")
+          .withColumnRenamed("label", "nlabel"), "doc_b")
+        .groupBy(col("doc_a").as("doc_id"))
+        .agg(min(col("nlabel")).as("prop"))
+        .join(labels, "doc_id")
+        .select(col("doc_id"), least(col("label"), col("prop")).as("label"),
+          col("label").as("old"))
+        .persist()
+      val changed = next.filter(col("label") =!= col("old")).count()
+      cached.unpersist()
+      cached = next
+      labels = next.select("doc_id", "label")
+      converged = changed == 0
+      rounds += 1
+    }
+    labels
+      .groupBy(col("label").as("rep_id"))
+      .agg(count(lit(1)).as("cluster_size"),
+        sum(col("doc_id") - col("label")).as("id_span"))
+      .orderBy("rep_id")
   }
 
   /** SimHash (64-bit, unweighted shingle hashes), nibble-band blocking +
@@ -154,6 +207,7 @@ object DedupOps {
     "q_ngram_jaccard" -> qNgramJaccard,
     "q_text_minhash" -> qTextMinhash,
     "q_text_simhash" -> qTextSimhash,
+    "q_dedup_cluster" -> qDedupCluster,
   )
 
   /** Exact ground-truth pair SQL — all three sketches must converge to it
@@ -179,9 +233,43 @@ object DedupOps {
       |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Connected components over the exact pair graph via a recursive CTE
+    * (transitive closure, then min-reachable label per vertex). */
+  private val clusterSql =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'),
+      |                             x -> x <> '') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      |  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) g),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |good AS (
+      |  SELECT doc_a, doc_b FROM pairs
+      |  JOIN sizes sa ON doc_a = sa.doc_id
+      |  JOIN sizes sb ON doc_b = sb.doc_id
+      |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8),
+      |edges AS (
+      |  SELECT doc_a AS u, doc_b AS v FROM good
+      |  UNION ALL SELECT doc_b, doc_a FROM good),
+      |reach(u, r) AS (
+      |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      |  UNION
+      |  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.v),
+      |labels AS (SELECT u AS doc_id, min(r) AS label FROM reach GROUP BY 1)
+      |SELECT label AS rep_id,
+      |       CAST(count(*) AS BIGINT) AS cluster_size,
+      |       CAST(sum(doc_id - label) AS BIGINT) AS id_span
+      |FROM labels GROUP BY 1 ORDER BY 1""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_ngram_jaccard" -> exactPairsSql,
     "q_text_minhash" -> exactPairsSql,
     "q_text_simhash" -> exactPairsSql,
+    "q_dedup_cluster" -> clusterSql,
   )
 }

@@ -1,0 +1,258 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Training-data pipeline shaping operators (builder prompt: the ops a
+  * 100 TB LLM-data pipeline needs beyond the reference's own surface):
+  * boilerplate detection, deterministic sampling (stratified + per-group),
+  * token histograms, normalization, quality filtering, and interval joins.
+  *
+  * Design rules shared by the family:
+  *  - sampling is HASH-deterministic (portable multiplicative hash), never
+  *    rand(): reproducible across runs/engines, and exactly replayable in
+  *    the DuckDB oracle — the property the reference gets from seeded
+  *    scrambling (RandomSortPartition.java:34-63);
+  *  - every aggregate is partial-aggregable (groupBy/agg, no global
+  *    windows); per-group windows only partition by bounded keys (lang);
+  *  - text ops run on the tokenized form once — token arrays flow through
+  *    codegen'd array expressions, strings are never re-split per rule.
+  */
+object PipelineOps {
+  private type Q = (SparkSession, String) => DataFrame
+
+  /** Tokenized documents: (doc_id, lang, toks). */
+  private def toked(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        expr("filter(split(lower(text), '\\\\W+'), x -> x != '')").as("toks"))
+
+  /** Boilerplate share per document: the fraction of a doc's distinct
+    * shingles that are corpus-common (present in >= 5% of shingled docs).
+    * The Gopher-style "repeated passage" signal: high ratio = the doc is
+    * mostly template. Fraction threshold scales with corpus size, an
+    * absolute count would not. */
+  private val qTextBoilerplate: Q = (s, d) => {
+    val sh = DedupOps.shingles(s, d).persist()
+    val nDocs = sh.select("doc_id").distinct().count()
+    val common = sh.groupBy("shingle")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= lit(nDocs) * 0.05)
+      .select("shingle")
+    sh.join(common.hint("broadcast").withColumn("is_common", lit(1L)),
+        Seq("shingle"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("is_common"), lit(0L))).as("n_common"))
+      .withColumn("boiler_ratio",
+        col("n_common").cast("double") / col("n_shingles"))
+      .withColumn("keep", col("boiler_ratio") <= 0.3)
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic stratified sampling: per-language rates (en 5%, others
+    * 20%), keep iff phash(doc_id) % 100 < rate. The decision depends only
+    * on (doc_id, lang) — reproducible on any cluster size, no rand(). */
+  private val qStratifiedSample: Q = (s, d) => {
+    val rate = when(col("lang") === "en", 5).otherwise(20)
+    Tables.documents(s, d)
+      .withColumn("kept",
+        (Tables.phash(col("doc_id")) % 100 < rate).cast("long"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("kept")).as("n_kept"),
+        sum(col("doc_id") * col("kept")).as("kept_id_sum"))
+      .orderBy("lang")
+  }
+
+  /** Deterministic k-per-group reservoir: the 3 docs with the smallest
+    * doc_id-hash per language. The window partitions by a bounded key
+    * (5 languages), so no single-partition funnel; at scale this is the
+    * per-stratum "fixed-size sample" primitive. */
+  private val qGroupSample: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("lang"), col("doc_id"), Tables.phash(col("doc_id")).as("hk"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("lang").orderBy(col("hk"), col("doc_id"))))
+      .filter(col("rk") <= 3)
+      .select("lang", "doc_id", "rk")
+      .orderBy("lang", "rk")
+
+  /** Token-count histogram (bucket width 20): the length-distribution
+    * snapshot every corpus curation run starts with. */
+  private val qTokenHist: Q = (s, d) =>
+    toked(s, d)
+      .select(size(col("toks")).cast("long").as("n"))
+      .withColumn("bucket", expr("n div 20"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), min("n").as("min_toks"),
+        max("n").as("max_toks"))
+      .orderBy("bucket")
+
+  /** Canonical text normalization: lowercase, strip non-alphanumerics,
+    * collapse runs of spaces, trim. Emits md5 of the normalized text so
+    * the oracle verifies the exact byte-level transform, not a summary. */
+  private val qTextNormalize: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
+          " +", " ")).as("norm"))
+      .select(col("doc_id"), length(col("norm")).as("norm_len"),
+        md5(col("norm")).as("norm_md5"))
+      .orderBy("doc_id")
+
+  /** Gopher-style composite quality filter. Reasons are a bitmask so one
+    * pass yields both the keep decision and the audit trail:
+    * 1 = token count outside [10, 1000], 2 = mean token length outside
+    * [2, 12], 4 = stopword ("the") ratio > 0.2. */
+  private val qQualityFilter: Q = (s, d) =>
+    toked(s, d)
+      .withColumn("n", size(col("toks")).cast("long"))
+      .withColumn("sum_len",
+        expr("aggregate(toks, 0L, (a, t) -> a + length(t))"))
+      .withColumn("n_the",
+        expr("size(filter(toks, t -> t = 'the'))").cast("long"))
+      .withColumn("mean_len", col("sum_len").cast("double") / col("n"))
+      .withColumn("the_ratio", col("n_the").cast("double") / col("n"))
+      .withColumn("reasons",
+        when(col("n") < 10 || col("n") > 1000, 1).otherwise(0) +
+          when(col("mean_len") < 2.0 || col("mean_len") > 12.0, 2).otherwise(0) +
+          when(col("the_ratio") > 0.2, 4).otherwise(0))
+      .groupBy(col("lang"), col("reasons"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+      .orderBy("lang", "reasons")
+
+  /** Interval self-join on the event stream: for each error event, the
+    * count of purchase events by the same user within ±10 minutes. Equi
+    * key (user_id) + range predicate — Spark plans a shuffled join on the
+    * equi key with the range as a post-filter, the standard
+    * point-in-interval topology (at scale: bucket the time axis to bound
+    * the per-key fan-out). Epochs in exact microseconds (ts is int64
+    * nanos; div 1000 matches DuckDB's ns→µs truncation). */
+  private val qIntervalJoin: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("ts div 1000").as("ep"))
+    val err = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ep"))
+    val pur = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ep").as("pep"))
+    err.join(pur,
+        err("user_id") === pur("user_id") &&
+          abs(col("pep") - col("ep")) <= 600000000L,
+        "left")
+      .groupBy(col("event_id"))
+      .agg(sum(when(col("pep").isNotNull, 1L).otherwise(0L)).as("n_nearby"))
+      .orderBy("event_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_text_boilerplate" -> qTextBoilerplate,
+    "q_stratified_sample" -> qStratifiedSample,
+    "q_group_sample" -> qGroupSample,
+    "q_token_hist" -> qTokenHist,
+    "q_text_normalize" -> qTextNormalize,
+    "q_quality_filter" -> qQualityFilter,
+    "q_interval_join" -> qIntervalJoin,
+  )
+
+  private val shingleCte =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'),
+      |                             x -> x <> '') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      |  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) g)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_text_boilerplate" -> (shingleCte + """,
+      |ndocs AS (SELECT count(DISTINCT doc_id) AS nd FROM sh),
+      |common AS (
+      |  SELECT shingle FROM sh, ndocs
+      |  GROUP BY shingle, nd HAVING count(DISTINCT doc_id) >= nd * 0.05)
+      |SELECT s.doc_id,
+      |       CAST(count(*) AS BIGINT) AS n_shingles,
+      |       CAST(sum(CASE WHEN c.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_common,
+      |       CAST(sum(CASE WHEN c.shingle IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+      |         / count(*) AS boiler_ratio,
+      |       (CAST(sum(CASE WHEN c.shingle IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+      |         / count(*)) <= 0.3 AS keep
+      |FROM sh s LEFT JOIN common c ON s.shingle = c.shingle
+      |GROUP BY s.doc_id ORDER BY s.doc_id""").stripMargin,
+    "q_stratified_sample" ->
+      s"""WITH k AS (
+         |  SELECT lang, doc_id,
+         |         CASE WHEN ${graft.Tables.phashSql("doc_id")} % 100 <
+         |                   (CASE WHEN lang = 'en' THEN 5 ELSE 20 END)
+         |              THEN 1 ELSE 0 END AS kept
+         |  FROM documents)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(kept) AS BIGINT) AS n_kept,
+         |       CAST(sum(doc_id * kept) AS BIGINT) AS kept_id_sum
+         |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_group_sample" ->
+      s"""SELECT lang, doc_id, rk FROM (
+         |  SELECT lang, doc_id,
+         |         CAST(row_number() OVER (
+         |           PARTITION BY lang
+         |           ORDER BY ${graft.Tables.phashSql("doc_id")}, doc_id) AS INT) AS rk
+         |  FROM documents)
+         |WHERE rk <= 3 ORDER BY lang, rk""".stripMargin,
+    "q_token_hist" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CAST(len(list_filter(string_split_regex(lower(text), '\W+'),
+        |                              x -> x <> '')) AS BIGINT) AS n
+        |  FROM documents)
+        |SELECT n // 20 AS bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |       min(n) AS min_toks, max(n) AS max_toks
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_text_normalize" ->
+      """SELECT doc_id,
+        |       CAST(length(trim(regexp_replace(regexp_replace(lower(text),
+        |              '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS INT) AS norm_len,
+        |       md5(trim(regexp_replace(regexp_replace(lower(text),
+        |              '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_quality_filter" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |         list_filter(string_split_regex(lower(text), '\W+'),
+        |                     x -> x <> '') AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, lang,
+        |         CAST(len(toks) AS BIGINT) AS n,
+        |         CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT)
+        |           AS sum_len,
+        |         CAST(len(list_filter(toks, x -> x = 'the')) AS BIGINT) AS n_the
+        |  FROM t),
+        |r AS (
+        |  SELECT doc_id, lang,
+        |         (CASE WHEN n < 10 OR n > 1000 THEN 1 ELSE 0 END) +
+        |         (CASE WHEN CAST(sum_len AS DOUBLE) / n < 2.0
+        |                 OR CAST(sum_len AS DOUBLE) / n > 12.0 THEN 2 ELSE 0 END) +
+        |         (CASE WHEN CAST(n_the AS DOUBLE) / n > 0.2 THEN 4 ELSE 0 END)
+        |           AS reasons
+        |  FROM m)
+        |SELECT lang, reasons, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_interval_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ep
+        |  FROM events)
+        |SELECT e.event_id,
+        |       CAST(sum(CASE WHEN p.pep IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_nearby
+        |FROM (SELECT event_id, user_id, ep FROM ev WHERE event_type = 'error') e
+        |LEFT JOIN (SELECT user_id, ep AS pep FROM ev
+        |           WHERE event_type = 'purchase') p
+        |  ON e.user_id = p.user_id AND abs(p.pep - e.ep) <= 600000000
+        |GROUP BY e.event_id ORDER BY e.event_id""".stripMargin,
+  )
+}

@@ -160,11 +160,29 @@ object VectorOps {
       .orderBy("query_id", "rk")
   }
 
+  /** Per-label embedding centroids via the native vector_avg aggregate
+    * (one O(dim)-state exchange, no posexplode row blow-up). First four
+    * dimensions rounded to 4 decimals: double-sum association order
+    * differs between engines at ~1e-15, rounding makes the comparison
+    * engine-neutral while still pinning the arithmetic. */
+  private val qEmbedCentroids: Q = (s, d) => {
+    GraftFunctions.register(s)
+    Tables.spread(s, Tables.embeddings(s, d))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        expr("vector_avg(embedding)").as("c"))
+      .select(col("label"), col("n_vecs"),
+        round(expr("c[0]"), 4).as("c0"), round(expr("c[1]"), 4).as("c1"),
+        round(expr("c[2]"), 4).as("c2"), round(expr("c[3]"), 4).as("c3"))
+      .orderBy("label")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_ann_brute" -> qAnnBrute,
     "q_embed_neardup" -> qEmbedNeardup,
     "q_ann_lsh" -> qAnnLsh,
     "q_ann_ivf" -> qAnnIvf,
+    "q_embed_centroids" -> qEmbedCentroids,
   )
 
   val oracles: Map[String, String] = Map(
@@ -187,5 +205,21 @@ object VectorOps {
         |ORDER BY 1, 2""".stripMargin,
     // q_ann_lsh: intentionally no oracle — approximate operator; recall vs
     // brute force is asserted in AnnSpec instead.
+    "q_embed_centroids" ->
+      """WITH u AS (
+        |  SELECT label, generate_subscripts(embedding, 1) AS pos,
+        |         CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings),
+        |m AS (
+        |  SELECT label, pos, avg(v) AS c FROM u WHERE pos <= 4 GROUP BY 1, 2),
+        |n AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs
+        |      FROM embeddings GROUP BY 1)
+        |SELECT n.label, n.n_vecs,
+        |       round(max(CASE WHEN pos = 1 THEN c END), 4) AS c0,
+        |       round(max(CASE WHEN pos = 2 THEN c END), 4) AS c1,
+        |       round(max(CASE WHEN pos = 3 THEN c END), 4) AS c2,
+        |       round(max(CASE WHEN pos = 4 THEN c END), 4) AS c3
+        |FROM m JOIN n ON m.label = n.label
+        |GROUP BY n.label, n.n_vecs ORDER BY n.label""".stripMargin,
   )
 }

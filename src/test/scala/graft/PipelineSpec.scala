@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Invariants of the pipeline-shaping family that the hash-vs-oracle gate
+  * doesn't express directly. */
+class PipelineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf0001
+
+  test("q_dedup_cluster: members+reps cover exactly the pair graph, reps are minima") {
+    val pairs = operators.DedupOps.nearDupPairs(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = SparkEntry.queries("q_dedup_cluster")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every vertex of the pair graph is in exactly one cluster
+    val verts = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    assert(clusters.map(_._2).sum == verts.size)
+    // each rep is a member of its own cluster (label minimum): id_span is
+    // the sum of (member - rep), so 0 <= id_span and cluster_size >= 2
+    assert(clusters.forall { case (_, size, span) => size >= 2 && span > 0 })
+    // transitivity: union-find over the pairs gives identical cluster count
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) => parent(find(a)) = find(b) }
+    val want = verts.groupBy(find).map { case (_, vs) => (vs.min, vs.size) }.toSet
+    assert(clusters.map(c => (c._1, c._2.toInt)).toSet == want)
+  }
+
+  test("q_stratified_sample: kept counts follow the per-lang hash rule exactly") {
+    val out = SparkEntry.queries("q_stratified_sample")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    for ((lang, (nDocs, nKept)) <- out) {
+      val ds = docs.filter(_._2 == lang)
+      val rate = if (lang == "en") 5 else 20
+      val kept = ds.count { case (id, _) =>
+        ((id % 1000000007L) * 2654435761L) % 1000000007L % 100 < rate }
+      assert(ds.size.toLong == nDocs && kept.toLong == nKept, lang)
+    }
+  }
+
+  test("q_group_sample: exactly 3 per language, stable under re-run") {
+    val a = SparkEntry.queries("q_group_sample")(spark, sf).collect()
+    val b = SparkEntry.queries("q_group_sample")(spark, sf).collect()
+    assert(a.sameElements(b))
+    assert(a.groupBy(_.getString(0)).forall(_._2.length == 3))
+  }
+
+  test("q_quality_filter: reason bitmask partitions all docs") {
+    val total = Tables.documents(spark, sf).count()
+    val out = SparkEntry.queries("q_quality_filter")(spark, sf).collect()
+    assert(out.map(_.getLong(2)).sum == total)
+    assert(out.forall(r => r.getInt(1) >= 0 && r.getInt(1) <= 7))
+  }
+
+  test("q_interval_join: one row per error event, self-pairs impossible") {
+    val errs = Tables.events(spark, sf)
+      .filter(col("event_type") === "error").count()
+    val out = SparkEntry.queries("q_interval_join")(spark, sf)
+    assert(out.count() == errs)
+    assert(out.filter(col("n_nearby") < 0).isEmpty)
+  }
+}
