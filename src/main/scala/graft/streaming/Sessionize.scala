@@ -77,4 +77,24 @@ object Sessionize {
       .select(col("userId"), unix_micros(col("window.start")).as("winStart"), col("n"))
       .as[(Long, Long, Long)]
   }
+
+  /** Stream-static enrichment: join the event stream against a broadcast
+    * dimension (user allow/deny list, doc metadata, routing table). The
+    * static side is re-broadcast per micro-batch — no stream-side state
+    * at all, which is what makes this the scale path for "filter a 100 TB
+    * stream against a small curated table". Inner join = allowlist
+    * semantics (events without a dim row are dropped). */
+  def enrichStream(events: Dataset[Ev], dim: Dataset[(Long, String)]): Dataset[(Long, Long, String)] = {
+    import events.sparkSession.implicits._
+    events.joinWith(broadcast(dim), events("userId") === dim("_1"))
+      .map { case (e, (_, tag)) => (e.userId, e.tsUs, tag) }
+  }
+
+  /** Deterministic stream sampling: pure hash-of-key filter, identical to
+    * the batch q_stratified_sample rule — stateless, so it streams with
+    * zero state store and replays identically on retry (no rand()). */
+  def sampleStream(events: Dataset[Ev], pct: Int): Dataset[Ev] = {
+    events.filter(e =>
+      ((e.userId % 1000000007L) * 2654435761L) % 1000000007L % 100 < pct)
+  }
 }

@@ -77,4 +77,41 @@ class StreamingSpec extends AnyFunSuite {
       assert(rows.toSet == Set((7L, 2L), (8L, 1L)), rows.mkString(","))
     } finally q.stop()
   }
+
+  test("stream-static enrichment joins each micro-batch against the dim") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDS()
+    val source = MemoryStream[Ev]
+    val q = Sessionize.enrichStream(source.toDS(), dim)
+      .writeStream.format("memory").queryName("enrich").outputMode("append").start()
+    try {
+      source.addData(Ev(1L, 10L), Ev(3L, 20L)) // user 3 not in dim -> dropped
+      q.processAllAvailable()
+      source.addData(Ev(2L, 30L))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM enrich").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      assert(rows.toSet == Set((1L, 10L, "gold"), (2L, 30L, "basic")),
+        rows.mkString(","))
+    } finally q.stop()
+  }
+
+  test("deterministic stream sampling matches the batch hash rule") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val evs = (1L to 200L).map(i => Ev(i, i * 10))
+    val source = MemoryStream[Ev]
+    val q = Sessionize.sampleStream(source.toDS(), 20)
+      .writeStream.format("memory").queryName("samp").outputMode("append").start()
+    try {
+      source.addData(evs: _*)
+      q.processAllAvailable()
+      val got = spark.sql("SELECT userId FROM samp").collect().map(_.getLong(0)).toSet
+      val want = evs.map(_.userId).filter(id =>
+        ((id % 1000000007L) * 2654435761L) % 1000000007L % 100 < 20).toSet
+      assert(got == want)
+      assert(got.nonEmpty && got.size < evs.size)
+    } finally q.stop()
+  }
 }
