@@ -31,8 +31,13 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
 
-    // Warmup: JIT, codegen cache, parquet footer reads.
-    try run("q_repartition_count") catch { case _: Throwable => () }
+    // Warmup: JIT, codegen cache, parquet footer reads. One query per
+    // heavy codegen family (scan/agg, shingle+sketch, vector) so measured
+    // numbers reflect steady state rather than whichever family's first
+    // query alphabetically pays its compilation.
+    for (w <- Seq("q_repartition_count", "q_text_minhash", "q_ann_ivf"))
+      try run(w) catch { case _: Throwable => () }
+    spark.catalog.clearCache()
 
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       val t0 = System.nanoTime()

@@ -19,9 +19,11 @@ import org.apache.spark.sql.types._
   * buffer update is Catalyst-evaluated — no opaque ImperativeAggregate
   * buffer, and the optimizer sees through the whole pipeline.
   *
-  * Null array inputs are skipped; null/NaN elements are the caller's
-  * concern (embeddings are non-null float vectors). Returns null for
-  * empty groups, array<double> otherwise.
+  * Null array inputs are skipped, and so is any vector CONTAINING a null
+  * element (a partial vector cannot contribute to an element-wise mean —
+  * and without the guard the lambda variables would read undefined values
+  * for null slots). Returns null for empty groups, array<double>
+  * otherwise.
   */
 case class VectorAvg(child: Expression) extends DeclarativeAggregate {
 
@@ -50,14 +52,22 @@ case class VectorAvg(child: Expression) extends DeclarativeAggregate {
     ZipWith(a, b, LambdaFunction(Add(x, y), Seq(x, y)))
   }
 
+  /** Null iff the input is null OR carries a null element — one predicate
+    * guarding both buffer expressions. */
+  private lazy val skipRow: Expression = {
+    val elemType = child.dataType.asInstanceOf[ArrayType].elementType
+    val x = NamedLambdaVariable("x", elemType, nullable = true)
+    Or(IsNull(child), ArrayExists(child, LambdaFunction(IsNull(x), Seq(x))))
+  }
+
   override lazy val initialValues: Seq[Expression] = Seq(
     Literal.create(null, ArrayType(DoubleType, containsNull = false)),
     Literal(0L))
 
   override lazy val updateExpressions: Seq[Expression] = Seq(
-    If(IsNull(child), vsum,
+    If(skipRow, vsum,
       If(IsNull(vsum), asDouble(child), zipAdd(vsum, asDouble(child)))),
-    If(IsNull(child), vcnt, Add(vcnt, Literal(1L))))
+    If(skipRow, vcnt, Add(vcnt, Literal(1L))))
 
   override lazy val mergeExpressions: Seq[Expression] = Seq(
     If(IsNull(vsum.right), vsum.left,

@@ -173,6 +173,13 @@ object DedupOps {
       converged = changed == 0
       rounds += 1
     }
+    // an unconverged result is WRONG (a >20-diameter component would be
+    // split into several clusters) — fail, never return partial labels
+    if (!converged) throw new IllegalStateException(
+      s"q_dedup_cluster: label propagation not converged after $rounds rounds")
+    // loop inputs are done; only the final labels cache backs the result
+    edges.unpersist()
+    pairs.unpersist()
     labels
       .groupBy(col("label").as("rep_id"))
       .agg(count(lit(1)).as("cluster_size"),

@@ -114,12 +114,18 @@ object PipelineOps {
         expr("aggregate(toks, 0L, (a, t) -> a + length(t))"))
       .withColumn("n_the",
         expr("size(filter(toks, t -> t = 'the'))").cast("long"))
-      .withColumn("mean_len", col("sum_len").cast("double") / col("n"))
-      .withColumn("the_ratio", col("n_the").cast("double") / col("n"))
+      // n=0 guard: 0/0 is null here but NaN in DuckDB (and NaN > 0.2 is
+      // true there) — gate the ratio rules on n > 0 in BOTH engines so a
+      // zero-token doc carries only the token-count reason bit
+      .withColumn("mean_len",
+        when(col("n") > 0, col("sum_len").cast("double") / col("n")))
+      .withColumn("the_ratio",
+        when(col("n") > 0, col("n_the").cast("double") / col("n")))
       .withColumn("reasons",
         when(col("n") < 10 || col("n") > 1000, 1).otherwise(0) +
-          when(col("mean_len") < 2.0 || col("mean_len") > 12.0, 2).otherwise(0) +
-          when(col("the_ratio") > 0.2, 4).otherwise(0))
+          when(col("n") > 0 &&
+            (col("mean_len") < 2.0 || col("mean_len") > 12.0), 2).otherwise(0) +
+          when(col("n") > 0 && col("the_ratio") > 0.2, 4).otherwise(0))
       .groupBy(col("lang"), col("reasons"))
       .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
       .orderBy("lang", "reasons")
@@ -234,9 +240,10 @@ object PipelineOps {
         |r AS (
         |  SELECT doc_id, lang,
         |         (CASE WHEN n < 10 OR n > 1000 THEN 1 ELSE 0 END) +
-        |         (CASE WHEN CAST(sum_len AS DOUBLE) / n < 2.0
-        |                 OR CAST(sum_len AS DOUBLE) / n > 12.0 THEN 2 ELSE 0 END) +
-        |         (CASE WHEN CAST(n_the AS DOUBLE) / n > 0.2 THEN 4 ELSE 0 END)
+        |         (CASE WHEN n > 0 AND (CAST(sum_len AS DOUBLE) / n < 2.0
+        |                 OR CAST(sum_len AS DOUBLE) / n > 12.0) THEN 2 ELSE 0 END) +
+        |         (CASE WHEN n > 0 AND CAST(n_the AS DOUBLE) / n > 0.2
+        |               THEN 4 ELSE 0 END)
         |           AS reasons
         |  FROM m)
         |SELECT lang, reasons, CAST(count(*) AS BIGINT) AS n_docs,

@@ -49,6 +49,12 @@ object RankOps {
     val oCol = "__graft_rank_offset"
     val keyed = df.withColumn(kCol, key)
 
+    // Bounds are COLLECTED once and re-embedded as literals: the bucket
+    // rule must be byte-identical in the offsets job and the output job
+    // below, and a re-evaluated approximate-quantile aggregation is not
+    // guaranteed to reproduce (merge order of quantile-sketch partials
+    // follows shuffle-fetch order). One small driver array = one source
+    // of truth for both jobs, and one fewer scan of the input.
     val bucketed =
       if (buckets == 1) keyed.withColumn(bCol, lit(0))
       else {
@@ -56,12 +62,14 @@ object RankOps {
         val bounds = keyed.agg(
           percentile_approx(col(kCol).cast("double"),
             array(probs.map(lit): _*), lit(10000)).as("__bounds"))
-        keyed
-          .crossJoin(broadcast(bounds))
-          .withColumn(bCol,
-            aggregate(col("__bounds"), lit(0),
+          .collect()(0)
+        if (bounds.isNullAt(0)) keyed.withColumn(bCol, lit(0))
+        else {
+          val bArr = bounds.getSeq[Double](0)
+          keyed.withColumn(bCol,
+            aggregate(typedlit(bArr), lit(0),
               (acc, b) => acc + when(col(kCol).cast("double") >= b, 1).otherwise(0)))
-          .drop("__bounds")
+        }
       }
 
     val w = Window.partitionBy(col(bCol))
@@ -75,6 +83,10 @@ object RankOps {
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     var acc = 0L
     val offsets = counts.map { case (b, n) => val o = (b, acc); acc += n; o }
+    // row_number is IntegerType (matching Spark's own); past Int.MaxValue
+    // the contract is unrepresentable — fail loudly, never wrap
+    require(acc <= Int.MaxValue,
+      s"globalRowNumber: $acc rows exceed row_number's Int range")
     val offsetsDf = df.sparkSession
       .createDataFrame(offsets.toSeq.map(t => Tuple2(t._1, t._2)))
       .toDF(bCol + "_o", oCol)

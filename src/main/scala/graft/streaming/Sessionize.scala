@@ -90,11 +90,11 @@ object Sessionize {
       .map { case (e, (_, tag)) => (e.userId, e.tsUs, tag) }
   }
 
-  /** Deterministic stream sampling: pure hash-of-key filter, identical to
-    * the batch q_stratified_sample rule — stateless, so it streams with
-    * zero state store and replays identically on retry (no rand()). */
-  def sampleStream(events: Dataset[Ev], pct: Int): Dataset[Ev] = {
-    events.filter(e =>
-      ((e.userId % 1000000007L) * 2654435761L) % 1000000007L % 100 < pct)
-  }
+  /** Deterministic stream sampling: pure hash-of-key filter — the SAME
+    * Tables.phash the batch samplers use (one source of truth), staying
+    * in codegen as a Column filter rather than a deserializing lambda.
+    * Stateless, so it streams with zero state store and replays
+    * identically on retry (no rand()). */
+  def sampleStream(events: Dataset[Ev], pct: Int): Dataset[Ev] =
+    events.filter(graft.Tables.phash(col("userId")) % 100 < pct)
 }

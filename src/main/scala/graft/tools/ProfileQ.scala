@@ -10,6 +10,10 @@ import graft.SparkEntry
   */
 object ProfileQ {
   def main(args: Array[String]): Unit = {
+    if (args.length < 3) {
+      System.err.println("usage: ProfileQ <sfDir> <reps> <name> [<name>...]")
+      sys.exit(2)
+    }
     val sfDir = args(0)
     val reps = args(1).toInt
     val names = args.drop(2).toSeq
@@ -27,8 +31,10 @@ object ProfileQ {
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        // cache teardown stays OUTSIDE the timed region
         spark.catalog.clearCache()
-        (System.nanoTime() - t0) / 1e9
+        dt
       }
       println(f"[profile] $name: ${times.map(t => f"$t%.3f").mkString(" ")}")
     }

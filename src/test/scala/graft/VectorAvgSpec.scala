@@ -23,6 +23,24 @@ class VectorAvgSpec extends AnyFunSuite {
       assert(math.abs(v - exploded(k)) < 1e-9, s"dim $k")
   }
 
+  test("a vector containing a null element is skipped entirely") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    val schema = StructType(Seq(
+      StructField("k", IntegerType),
+      StructField("v", ArrayType(DoubleType, containsNull = true))))
+    val rows = java.util.Arrays.asList(
+      Row(1, Seq(1.0, 2.0)), Row(1, Seq(3.0, null)), Row(2, Seq(null, null)))
+    val df = spark.createDataFrame(rows, schema)
+    val out = df.groupBy("k").agg(expr("vector_avg(v)").as("m"))
+      .collect().map(r => r.getInt(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[Double](1))).toMap
+    // the partial vector must not poison the mean (and must not be read
+    // as zeros): group 1 averages only the clean vector
+    assert(out(1) == Seq(1.0, 2.0))
+    assert(out(2) == null)
+  }
+
   test("skips null arrays; all-null group yields null") {
     import spark.implicits._
     val df = Seq(
