@@ -384,6 +384,63 @@ object CoreOps {
         expr("percentile(l_quantity, 0.5D)").as("p50_qty"),
         expr("percentile(l_quantity, 0.9D)").as("p90_qty"))
 
+  /** Sketch-based quantiles with a correctness gate (same contract as
+    * q_hll_distinct): exact percentiles are the oracle-checked output,
+    * booleans assert the sketch estimate by RANK error — the guarantee
+    * approx_percentile actually makes. A value-error gate is meaningless
+    * on a discrete domain (the sketch returns a real element, exact
+    * percentile interpolates between two). Gate: the fraction of values
+    * strictly below the estimate must not exceed q+eps, and the fraction
+    * at-or-below must reach q-eps. The sketch is the scale path: exact
+    * percentile materializes the whole column, the sketch is a
+    * partial-aggregable summary. */
+  private val qApproxPercentile: Q = (s, d) => {
+    val sk = Tables.lineitem(s, d).agg(
+      expr("approx_percentile(l_quantity, 0.5D, 10000)").cast("double").as("a50"),
+      expr("approx_percentile(l_quantity, 0.9D, 10000)").cast("double").as("a90"))
+    def rankOk(a: Column, q: Double, eps: Double): Column = {
+      val n = count(lit(1)).cast("double")
+      val below = sum(when(col("l_quantity") < a, 1L).otherwise(0L)).cast("double")
+      val atOrBelow = sum(when(col("l_quantity") <= a, 1L).otherwise(0L)).cast("double")
+      (below / n <= q + eps) && (atOrBelow / n >= q - eps)
+    }
+    Tables.lineitem(s, d).select("l_quantity").crossJoin(broadcast(sk))
+      .agg(
+        expr("percentile(l_quantity, 0.5D)").as("p50"),
+        expr("percentile(l_quantity, 0.9D)").as("p90"),
+        rankOk(col("a50"), 0.5, 0.005).as("approx_ok_50"),
+        rankOk(col("a90"), 0.9, 0.005).as("approx_ok_90"))
+  }
+
+  /** Rolling-frame aggregation: per-user moving sum/avg of the last 5
+    * events (ROWS 4 PRECEDING..CURRENT) — the bounded-frame window every
+    * metering pipeline runs. Partitioned by user (no global window);
+    * decimal arithmetic keeps the 5-term sums engine-exact. */
+  private val qRollingAgg: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ep"), col("event_id"))
+      .rowsBetween(-4, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("ep"),
+        col("value").cast("decimal(18,6)").as("v"))
+      .select(col("user_id"), col("event_id"),
+        sum(col("v")).over(w).cast("double").as("roll_sum"),
+        count(lit(1)).over(w).as("roll_n"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Two-stage salted aggregation as a registered query (SkewOps is the
+    * library form): the salt spreads a hot key over 8 reducers and the
+    * merge must be invisible in the result — the oracle is the direct
+    * one-stage groupBy. */
+  private val qSaltedAgg: Q = (s, d) =>
+    SkewOps.saltedSumCount(
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_quantity").cast("long").as("qty")),
+      "l_returnflag", "qty", salts = 8, sumCol = "sum_qty", cntCol = "cnt")
+      .orderBy("l_returnflag")
+
   /** Semi-structured extraction: pull a typed field out of the JSON props
     * column and aggregate — the schema-on-read path of a training
     * pipeline's metadata columns. */
@@ -509,6 +566,9 @@ object CoreOps {
     "q_asof_join" -> qAsofJoin,
     "q_pivot" -> qPivot,
     "q_percentile" -> qPercentile,
+    "q_approx_percentile" -> qApproxPercentile,
+    "q_rolling_agg" -> qRollingAgg,
+    "q_salted_agg" -> qSaltedAgg,
     "q_partition_scramble" -> qPartitionScramble,
     "q_agg_cube" -> qAggCube,
     "q_window_lag" -> qWindowLag,
@@ -610,6 +670,29 @@ object CoreOps {
         |       quantile_cont(l_quantity, 0.5) AS p50_qty,
         |       quantile_cont(l_quantity, 0.9) AS p90_qty
         |FROM lineitem""".stripMargin,
+    // exact percentiles oracle-checked; the sketch-vs-exact gates are
+    // asserted Spark-side (DuckDB cannot replay Spark's sketch), the
+    // oracle pins them true — same contract as q_hll_distinct
+    "q_approx_percentile" ->
+      """SELECT quantile_cont(l_quantity, 0.5) AS p50,
+        |       quantile_cont(l_quantity, 0.9) AS p90,
+        |       true AS approx_ok_50, true AS approx_ok_90
+        |FROM lineitem""".stripMargin,
+    "q_rolling_agg" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ep,
+        |                  CAST(value AS DECIMAL(18,6)) AS v FROM events)
+        |SELECT user_id, event_id,
+        |       CAST(sum(v) OVER w AS DOUBLE) AS roll_sum,
+        |       CAST(count(*) OVER w AS BIGINT) AS roll_n
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ep, event_id
+        |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
+    "q_salted_agg" ->
+      """SELECT l_returnflag,
+        |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |       CAST(count(*) AS BIGINT) AS cnt
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_partition_scramble" ->
       """SELECT count(*) AS n_parts,
         |       count(DISTINCT scramble_rank) AS n_positions,
