@@ -11,6 +11,13 @@ import graft.functions.{CosineSimilarity, MinHashSig, SimHash64, VectorAvg}
   * [[graft.functions.GraftFunctions.register]] (which the queries call
   * imperatively so they also work on sessions created without the config,
   * e.g. the driver's own).
+  *
+  * No optimizer rule for the global-window-top-k antipattern is injected
+  * on purpose: Spark's own `LimitPushDownThroughWindow` +
+  * `InferWindowGroupLimit` already rewrite `filter(rn <= k)` over an
+  * unpartitioned row_number window into a pushed-down limit. The patterns
+  * Spark can NOT fix — full global numbering like `(rn - 1) % 3 == 1` —
+  * are covered by [[graft.operators.RankOps.globalRowNumber]] instead.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {

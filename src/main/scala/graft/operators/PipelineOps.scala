@@ -154,7 +154,44 @@ object PipelineOps {
       .orderBy("event_id")
   }
 
+  /** PURE range join (no equi key): shipments falling inside sampled
+    * 7-day audit windows. Without an equi key Spark plans a nested-loop
+    * join — O(|points|·|intervals|), a non-starter at scale. The classic
+    * fix, composed from existing operators: quantize the time axis into
+    * width-W buckets, explode each interval to the buckets it overlaps
+    * (≤ 2 for W = interval length), tag each point with its bucket, and
+    * equi-join on the bucket with the precise range predicate as a
+    * residual filter. Pair work drops from |P|·|I| to
+    * Σ_b |P_b|·|I_b| — bounded by local density, not corpus size.
+    * Windows are phash-sampled (deterministic, oracle-replayable). */
+  private val qRangeJoin: Q = (s, d) => {
+    val W = 7L // bucket width in days == interval length
+    val iv = Tables.orders(s, d)
+      .filter(Tables.phash(col("o_orderkey")) % 100 < 2)
+      .select(col("o_orderkey"),
+        expr("CAST(unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000 AS BIGINT)")
+          .as("start_day"))
+      .withColumn("end_day", col("start_day") + 7)
+      .withColumn("bucket",
+        explode(sequence(expr(s"start_day div $W"), expr(s"end_day div $W"))))
+    val pts = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_quantity"),
+        expr("CAST(unix_micros(CAST(l_shipdate AS TIMESTAMP)) div 86400000000 AS BIGINT)")
+          .as("ship_day"))
+      .withColumn("bucket", expr(s"ship_day div $W"))
+    pts.join(iv, Seq("bucket"))
+      .filter(col("ship_day") >= col("start_day") &&
+        col("ship_day") <= col("end_day"))
+      // a point can meet the same interval via only one bucket (its own),
+      // so no dedup is needed before aggregating
+      .groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n_shipped"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"))
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_range_join" -> qRangeJoin,
     "q_text_boilerplate" -> qTextBoilerplate,
     "q_stratified_sample" -> qStratifiedSample,
     "q_group_sample" -> qGroupSample,
@@ -174,6 +211,24 @@ object PipelineOps {
       |  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) g)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the oracle states the SEMANTICS (a plain range join — DuckDB's
+    // IEJoin handles it); the Spark side is the bucketed decomposition
+    "q_range_join" ->
+      s"""WITH iv AS (
+         |  SELECT o_orderkey,
+         |         epoch_us(o_orderdate) // 86400000000 AS start_day
+         |  FROM orders
+         |  WHERE ${graft.Tables.phashSql("o_orderkey")} % 100 < 2),
+         |p AS (
+         |  SELECT l_quantity,
+         |         epoch_us(l_shipdate) // 86400000000 AS ship_day
+         |  FROM lineitem)
+         |SELECT i.o_orderkey,
+         |       CAST(count(*) AS BIGINT) AS n_shipped,
+         |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+         |FROM iv i JOIN p
+         |  ON p.ship_day BETWEEN i.start_day AND i.start_day + 7
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_text_boilerplate" -> (shingleCte + """,
       |ndocs AS (SELECT count(DISTINCT doc_id) AS nd FROM sh),
       |common AS (
