@@ -19,6 +19,47 @@ class PropertySpec extends AnyFunSuite {
     assert(res.passed, s"$name: ${res.status}")
   }
 
+  test("SimHash64 matches a Scala reference model on random hash arrays") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    def model(hs: List[Long]): Long = {
+      var sim = 0L
+      for (j <- 0 until 64) {
+        val ones = hs.count(h => ((h >>> j) & 1L) == 1L)
+        if (2 * ones > hs.length) sim |= (1L << j)
+      }
+      sim
+    }
+    val arrGen = Gen.nonEmptyListOf(Gen.choose(Long.MinValue, Long.MaxValue))
+    check("simhash-model", Prop.forAll(Gen.listOfN(20, arrGen)) { arrays =>
+      val df = arrays.zipWithIndex.map { case (a, i) => (i.toLong, a) }
+        .toDF("id", "hs")
+      val got = df.selectExpr("id", "simhash64(hs)").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      arrays.zipWithIndex.forall { case (a, i) => got(i.toLong) == model(a) }
+    }, n = 5)
+  }
+
+  test("VectorAvg matches a Scala reference mean on random vectors") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val dim = 6
+    val vecGen = Gen.listOfN(dim, Gen.choose(-1e6, 1e6))
+    val grpGen = Gen.nonEmptyListOf(Gen.zip(Gen.choose(0, 3), vecGen))
+    check("vectoravg-model", Prop.forAll(grpGen) { rows =>
+      val df = rows.map { case (k, v) => (k, v.toArray) }.toDF("k", "v")
+      val got = df.groupBy("k").agg(expr("vector_avg(v)").as("m"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+      rows.groupBy(_._1).forall { case (k, vs) =>
+        val n = vs.size
+        (0 until dim).forall { j =>
+          val want = vs.map(_._2(j)).sum / n
+          math.abs(got(k)(j) - want) <= math.max(1e-9, math.abs(want) * 1e-9)
+        }
+      }
+    }, n = 5)
+  }
+
   test("agg is invariant to partitioning (partial+final == direct)") {
     import spark.implicits._
     check("partition-invariance", Prop.forAll(rowsGen, Gen.choose(1, 13)) {

@@ -25,13 +25,33 @@ class SourceFormatSpec extends AnyFunSuite {
     orders.write.mode("overwrite").parquet(s"$dir/pq")
     orders.write.mode("overwrite").option("header", "true").csv(s"$dir/csv")
     orders.write.mode("overwrite").json(s"$dir/json")
+    orders.write.mode("overwrite").orc(s"$dir/orc")
 
     val fromPq = agg(spark.read.parquet(s"$dir/pq"))
     val fromCsv = agg(spark.read.option("header", "true")
       .schema(orders.schema).csv(s"$dir/csv"))
     val fromJson = agg(spark.read.schema(orders.schema).json(s"$dir/json"))
+    val fromOrc = agg(spark.read.orc(s"$dir/orc"))
     assert(fromPq == fromCsv)
     assert(fromPq == fromJson)
+    assert(fromPq == fromOrc)
     assert(fromPq.nonEmpty)
+  }
+
+  test("predicate pushdown reaches both parquet and orc scans") {
+    val orders = Tables.orders(spark, TestSpark.sf0001)
+      .select("o_orderkey", "o_orderpriority")
+    val dir = Files.createTempDirectory("graft-push").toString
+    orders.write.mode("overwrite").parquet(s"$dir/pq")
+    orders.write.mode("overwrite").orc(s"$dir/orc")
+    for (fmt <- Seq("pq" -> "parquet", "orc" -> "orc")) {
+      val df = (fmt._2 match {
+        case "parquet" => spark.read.parquet(s"$dir/pq")
+        case _ => spark.read.orc(s"$dir/orc")
+      }).filter(col("o_orderkey") === 42L)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,42)]"),
+        s"${fmt._2}: $plan")
+    }
   }
 }
