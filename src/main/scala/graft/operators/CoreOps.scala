@@ -437,7 +437,10 @@ object CoreOps {
   private val qSaltedAgg: Q = (s, d) =>
     SkewOps.saltedSumCount(
       Tables.lineitem(s, d)
-        .select(col("l_returnflag"), col("l_quantity").cast("long").as("qty")),
+        // floor() on BOTH sides: Spark cast-to-long truncates but DuckDB
+        // CAST AS BIGINT rounds — explicit floor removes the latent
+        // divergence should a fixture ever carry fractional quantities
+        .select(col("l_returnflag"), floor(col("l_quantity")).cast("long").as("qty")),
       "l_returnflag", "qty", salts = 8, sumCol = "sum_qty", cntCol = "cnt")
       .orderBy("l_returnflag")
 
@@ -690,7 +693,7 @@ object CoreOps {
         |ORDER BY user_id, event_id""".stripMargin,
     "q_salted_agg" ->
       """SELECT l_returnflag,
-        |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |       CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
         |       CAST(count(*) AS BIGINT) AS cnt
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_partition_scramble" ->

@@ -164,14 +164,18 @@ object PipelineOps {
     * residual filter. Pair work drops from |P|·|I| to
     * Σ_b |P_b|·|I_b| — bounded by local density, not corpus size.
     * Windows are phash-sampled (deterministic, oracle-replayable). */
+  // bucket width in days == interval length (one constant, used by the
+  // Spark side AND the oracle SQL — they must never drift apart)
+  private val RangeJoinW = 7L
+
   private val qRangeJoin: Q = (s, d) => {
-    val W = 7L // bucket width in days == interval length
+    val W = RangeJoinW
     val iv = Tables.orders(s, d)
       .filter(Tables.phash(col("o_orderkey")) % 100 < 2)
       .select(col("o_orderkey"),
         expr("CAST(unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000 AS BIGINT)")
           .as("start_day"))
-      .withColumn("end_day", col("start_day") + 7)
+      .withColumn("end_day", col("start_day") + W)
       .withColumn("bucket",
         explode(sequence(expr(s"start_day div $W"), expr(s"end_day div $W"))))
     val pts = Tables.lineitem(s, d)
@@ -186,7 +190,8 @@ object PipelineOps {
       // so no dedup is needed before aggregating
       .groupBy(col("o_orderkey"))
       .agg(count(lit(1)).as("n_shipped"),
-        sum(col("l_quantity").cast("long")).as("sum_qty"))
+        // floor on both sides: Spark cast truncates, DuckDB CAST rounds
+        sum(floor(col("l_quantity")).cast("long")).as("sum_qty"))
       .orderBy("o_orderkey")
   }
 
@@ -225,9 +230,9 @@ object PipelineOps {
          |  FROM lineitem)
          |SELECT i.o_orderkey,
          |       CAST(count(*) AS BIGINT) AS n_shipped,
-         |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+         |       CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
          |FROM iv i JOIN p
-         |  ON p.ship_day BETWEEN i.start_day AND i.start_day + 7
+         |  ON p.ship_day BETWEEN i.start_day AND i.start_day + $RangeJoinW
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_text_boilerplate" -> (shingleCte + """,
       |ndocs AS (SELECT count(DISTINCT doc_id) AS nd FROM sh),

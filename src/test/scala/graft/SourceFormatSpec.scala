@@ -7,7 +7,8 @@ import java.nio.file.Files
 /** Source-format agnosticism — the engine's counterpart to the reference's
   * scheme-dispatched storage abstraction (FileSystem.java:30-128,
   * storage/fs/{local,dfs,cfs,alluxio}): the same declarative query yields
-  * identical results over parquet, CSV and JSON copies of a table. */
+  * identical results over parquet, CSV, JSON and ORC copies of a table,
+  * and filters push down to both columnar formats' scans. */
 class SourceFormatSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
@@ -42,16 +43,13 @@ class SourceFormatSpec extends AnyFunSuite {
     val orders = Tables.orders(spark, TestSpark.sf0001)
       .select("o_orderkey", "o_orderpriority")
     val dir = Files.createTempDirectory("graft-push").toString
-    orders.write.mode("overwrite").parquet(s"$dir/pq")
-    orders.write.mode("overwrite").orc(s"$dir/orc")
-    for (fmt <- Seq("pq" -> "parquet", "orc" -> "orc")) {
-      val df = (fmt._2 match {
-        case "parquet" => spark.read.parquet(s"$dir/pq")
-        case _ => spark.read.orc(s"$dir/orc")
-      }).filter(col("o_orderkey") === 42L)
-      val plan = df.queryExecution.executedPlan.toString
+    for (fmt <- Seq("parquet", "orc")) {
+      orders.write.mode("overwrite").format(fmt).save(s"$dir/$fmt")
+      val plan = spark.read.format(fmt).load(s"$dir/$fmt")
+        .filter(col("o_orderkey") === 42L)
+        .queryExecution.executedPlan.toString
       assert(plan.contains("PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,42)]"),
-        s"${fmt._2}: $plan")
+        s"$fmt: $plan")
     }
   }
 }
