@@ -179,7 +179,7 @@ object PipelineOps {
       .withColumn("bucket",
         explode(sequence(expr(s"start_day div $W"), expr(s"end_day div $W"))))
     val pts = Tables.lineitem(s, d)
-      .select(col("l_orderkey"), col("l_quantity"),
+      .select(col("l_quantity"),
         expr("CAST(unix_micros(CAST(l_shipdate AS TIMESTAMP)) div 86400000000 AS BIGINT)")
           .as("ship_day"))
       .withColumn("bucket", expr(s"ship_day div $W"))
