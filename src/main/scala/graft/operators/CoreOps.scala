@@ -444,6 +444,29 @@ object CoreOps {
       "l_returnflag", "qty", salts = 8, sumCol = "sum_qty", cntCol = "cnt")
       .orderBy("l_returnflag")
 
+  /** Top-k per group through the typed [[graft.functions.TopKAgg]]
+    * aggregator — the partial-aggregable formulation: each map task's
+    * buffer carries at most k pairs per group, so the shuffle moves
+    * k×groups rows instead of everything (the window/row_number plan
+    * shuffles all rows even with WindowGroupLimit's partial pass). The
+    * oracle is the window formulation — both must agree exactly. */
+  private val qTopkAgg: Q = (s, d) => {
+    import s.implicits._
+    Tables.events(s, d)
+      .select(col("event_type"), col("value"), col("event_id"))
+      .as[(String, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(new graft.functions.TopKAgg(3).toColumn.name("top"))
+      .flatMap { case (etype, buf) =>
+        buf.scores.zip(buf.ids).zipWithIndex.map {
+          case ((score, id), i) => (etype, i + 1, id, score)
+        }
+      }
+      .toDF("event_type", "rk", "event_id", "value")
+      .orderBy("event_type", "rk")
+  }
+
   /** Semi-structured extraction: pull a typed field out of the JSON props
     * column and aggregate — the schema-on-read path of a training
     * pipeline's metadata columns. */
@@ -572,6 +595,7 @@ object CoreOps {
     "q_approx_percentile" -> qApproxPercentile,
     "q_rolling_agg" -> qRollingAgg,
     "q_salted_agg" -> qSaltedAgg,
+    "q_topk_agg" -> qTopkAgg,
     "q_partition_scramble" -> qPartitionScramble,
     "q_agg_cube" -> qAggCube,
     "q_window_lag" -> qWindowLag,
@@ -691,6 +715,14 @@ object CoreOps {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ep, event_id
         |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, event_id""".stripMargin,
+    "q_topk_agg" ->
+      """SELECT event_type, rk, event_id, value FROM (
+        |  SELECT event_type, event_id, value,
+        |         CAST(row_number() OVER (
+        |           PARTITION BY event_type
+        |           ORDER BY value DESC, event_id) AS INT) AS rk
+        |  FROM events)
+        |WHERE rk <= 3 ORDER BY event_type, rk""".stripMargin,
     "q_salted_agg" ->
       """SELECT l_returnflag,
         |       CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
