@@ -195,7 +195,62 @@ object PipelineOps {
       .orderBy("o_orderkey")
   }
 
+  /** End-to-end curation pipeline in ONE DAG — the flagship integration:
+    *   normalize/tokenize → quality filter (reasons == 0) →
+    *   exact dedup (md5 fingerprint, keep min doc_id) →
+    *   near-dup drop (exact-verified MinHash pairs, drop the larger id) →
+    *   deterministic stratified sample (per-lang hash rates).
+    * Output: per-language survivor counts after each stage plus a
+    * kept-id checksum — the funnel report every corpus build emits.
+    * Every stage is the already-oracled operator re-used as a flag
+    * column, so one pass computes the whole funnel (no per-stage
+    * materialization; at 100 TB each flag is a codegen'd column and the
+    * only exchanges are the fingerprint groupBy and the pair join). */
+  private val qPipelineE2e: Q = (s, d) => {
+    val q = toked(s, d)
+      .withColumn("n", size(col("toks")).cast("long"))
+      .withColumn("sum_len",
+        expr("aggregate(toks, 0L, (a, t) -> a + length(t))"))
+      .withColumn("n_the",
+        expr("size(filter(toks, t -> t = 'the'))").cast("long"))
+      .withColumn("quality_ok",
+        col("n") >= 10 && col("n") <= 1000 &&
+          col("sum_len").cast("double") / col("n") >= 2.0 &&
+          col("sum_len").cast("double") / col("n") <= 12.0 &&
+          col("n_the").cast("double") / col("n") <= 0.2)
+      .select("doc_id", "lang", "quality_ok")
+    val fp = Tables.documents(s, d)
+      .select(col("doc_id"),
+        md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("fp"))
+    val keeper = fp.groupBy("fp").agg(min("doc_id").as("keep_id"))
+    val exact = fp.join(keeper, "fp")
+      .select(col("doc_id"), (col("doc_id") === col("keep_id")).as("exact_ok"))
+    val dropB = DedupOps.nearDupPairs(s, d)
+      .select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("is_dup", lit(true))
+    val rate = when(col("lang") === "en", 5).otherwise(20)
+    q.join(exact, "doc_id")
+      .join(dropB, Seq("doc_id"), "left")
+      .withColumn("nd_ok", col("is_dup").isNull)
+      .withColumn("samp_ok", Tables.phash(col("doc_id")) % 100 < rate)
+      .withColumn("s1", col("quality_ok").cast("long"))
+      .withColumn("s2", (col("quality_ok") && col("exact_ok")).cast("long"))
+      .withColumn("s3",
+        (col("quality_ok") && col("exact_ok") && col("nd_ok")).cast("long"))
+      .withColumn("s4", (col("quality_ok") && col("exact_ok") &&
+        col("nd_ok") && col("samp_ok")).cast("long"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_input"),
+        sum("s1").as("n_quality"),
+        sum("s2").as("n_exact"),
+        sum("s3").as("n_neardup"),
+        sum("s4").as("n_sampled"),
+        sum(col("doc_id") * col("s4")).as("kept_id_sum"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_pipeline_e2e" -> qPipelineE2e,
     "q_range_join" -> qRangeJoin,
     "q_text_boilerplate" -> qTextBoilerplate,
     "q_stratified_sample" -> qStratifiedSample,
@@ -216,6 +271,55 @@ object PipelineOps {
       |  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) g)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_pipeline_e2e" -> (shingleCte + s""",
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |good AS (
+      |  SELECT doc_a, doc_b FROM pairs
+      |  JOIN sizes sa ON doc_a = sa.doc_id
+      |  JOIN sizes sb ON doc_b = sb.doc_id
+      |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8),
+      |dropb AS (SELECT DISTINCT doc_b AS doc_id FROM good),
+      |qual AS (
+      |  SELECT d.doc_id, d.lang,
+      |         (len(t) >= 10 AND len(t) <= 1000
+      |          AND CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
+      |              / len(t) >= 2.0
+      |          AND CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
+      |              / len(t) <= 12.0
+      |          AND CAST(len(list_filter(t, x -> x = 'the')) AS DOUBLE)
+      |              / len(t) <= 0.2) AS quality_ok
+      |  FROM documents d JOIN toks ON d.doc_id = toks.doc_id),
+      |fp AS (
+      |  SELECT doc_id,
+      |         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+      |  FROM documents),
+      |keeper AS (SELECT f, min(doc_id) AS keep_id FROM fp GROUP BY 1),
+      |flags AS (
+      |  SELECT q.doc_id, q.lang, q.quality_ok,
+      |         (fp.doc_id = k.keep_id) AS exact_ok,
+      |         (d.doc_id IS NULL) AS nd_ok,
+      |         (${graft.Tables.phashSql("q.doc_id")} % 100 <
+      |           CASE WHEN q.lang = 'en' THEN 5 ELSE 20 END) AS samp_ok
+      |  FROM qual q
+      |  JOIN fp ON q.doc_id = fp.doc_id
+      |  JOIN keeper k ON fp.f = k.f
+      |  LEFT JOIN dropb d ON q.doc_id = d.doc_id)
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n_input,
+      |       CAST(sum(CASE WHEN quality_ok THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_quality,
+      |       CAST(sum(CASE WHEN quality_ok AND exact_ok THEN 1 ELSE 0 END)
+      |         AS BIGINT) AS n_exact,
+      |       CAST(sum(CASE WHEN quality_ok AND exact_ok AND nd_ok
+      |         THEN 1 ELSE 0 END) AS BIGINT) AS n_neardup,
+      |       CAST(sum(CASE WHEN quality_ok AND exact_ok AND nd_ok AND samp_ok
+      |         THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+      |       CAST(sum(CASE WHEN quality_ok AND exact_ok AND nd_ok AND samp_ok
+      |         THEN doc_id ELSE 0 END) AS BIGINT) AS kept_id_sum
+      |FROM flags GROUP BY 1 ORDER BY 1""").stripMargin,
     // the oracle states the SEMANTICS (a plain range join — DuckDB's
     // IEJoin handles it); the Spark side is the bucketed decomposition
     "q_range_join" ->
