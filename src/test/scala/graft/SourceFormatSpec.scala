@@ -52,4 +52,18 @@ class SourceFormatSpec extends AnyFunSuite {
         s"$fmt: $plan")
     }
   }
+
+  test("partitionBy layout prunes at the directory level") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select("doc_id", "lang", "n_chars")
+    val dir = Files.createTempDirectory("graft-part").toString
+    docs.write.mode("overwrite").partitionBy("lang").parquet(s"$dir/bylang")
+    val df = spark.read.parquet(s"$dir/bylang").filter(col("lang") === "en")
+    val plan = df.queryExecution.executedPlan.toString
+    // the filter must land in PartitionFilters (directory pruning), not
+    // as a data filter evaluated over every partition's rows
+    assert(plan.contains("PartitionFilters: [isnotnull(lang"), plan)
+    assert(df.count() ==
+      docs.filter(col("lang") === "en").count())
+  }
 }
