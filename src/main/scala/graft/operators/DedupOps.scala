@@ -141,51 +141,12 @@ object DedupOps {
     * shape holds (alternating small-star/large-star halves the rounds but
     * shares the join topology).
     */
-  private val qDedupCluster: Q = (s, d) => {
-    val pairs = nearDupPairs(s, d).select("doc_a", "doc_b").persist()
-    // undirected edge list, both directions
-    val edges = pairs
-      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .persist()
-    var cached = edges.groupBy(col("doc_a").as("doc_id"))
-      .agg(least(min(col("doc_b")), col("doc_a")).as("label"))
-      .persist()
-    var labels = cached
-    var converged = false
-    var rounds = 0
-    while (!converged && rounds < 20) {
-      // neighbor-min pass: label' = min(label, min over neighbors' labels);
-      // the old label rides along so convergence is read off the same
-      // cached result (one job per round, not two)
-      val next = edges
-        .join(labels.withColumnRenamed("doc_id", "doc_b")
-          .withColumnRenamed("label", "nlabel"), "doc_b")
-        .groupBy(col("doc_a").as("doc_id"))
-        .agg(min(col("nlabel")).as("prop"))
-        .join(labels, "doc_id")
-        .select(col("doc_id"), least(col("label"), col("prop")).as("label"),
-          col("label").as("old"))
-        .persist()
-      val changed = next.filter(col("label") =!= col("old")).count()
-      cached.unpersist()
-      cached = next
-      labels = next.select("doc_id", "label")
-      converged = changed == 0
-      rounds += 1
-    }
-    // an unconverged result is WRONG (a >20-diameter component would be
-    // split into several clusters) — fail, never return partial labels
-    if (!converged) throw new IllegalStateException(
-      s"q_dedup_cluster: label propagation not converged after $rounds rounds")
-    // loop inputs are done; only the final labels cache backs the result
-    edges.unpersist()
-    pairs.unpersist()
-    labels
+  private val qDedupCluster: Q = (s, d) =>
+    GraphOps.connectedComponents(s, nearDupPairs(s, d).select("doc_a", "doc_b"))
       .groupBy(col("label").as("rep_id"))
       .agg(count(lit(1)).as("cluster_size"),
-        sum(col("doc_id") - col("label")).as("id_span"))
+        sum(col("vertex_id") - col("label")).as("id_span"))
       .orderBy("rep_id")
-  }
 
   /** SimHash (64-bit, unweighted shingle hashes), nibble-band blocking +
     * hamming <= 15, then exact verification. */

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Connected components over an undirected edge list — the clustering
+  * primitive behind near-dup canonicalization (each member labeled with
+  * its component's minimum vertex id).
+  *
+  * Hybrid strategy, the shape production CC implementations use:
+  *  - ABOVE `localThreshold` edges: iterative distributed min-label
+  *    propagation — each round one shuffle join keyed by vertex plus one
+  *    cached convergence count; rounds = component diameter (alternating
+  *    small-star/large-star would halve rounds with the same topology).
+  *  - AT OR BELOW the threshold: collect the edge list and finish with a
+  *    driver-side union-find. Once the edge set fits comfortably in
+  *    driver memory, scheduling distributed rounds costs more than the
+  *    entire computation; a 1M-edge union-find is milliseconds. This is
+  *    the same "finish small frontiers locally" switch GraphFrames-style
+  *    CC makes after its first rounds.
+  *
+  * Both paths produce identical labels (spec-pinned, including chain
+  * graphs that force multiple propagation rounds). The distributed path
+  * throws if it has not converged after `maxRounds` — an unconverged
+  * result would silently split components.
+  */
+object GraphOps {
+
+  /** edges: two LongType columns (src, dst), undirected (one direction is
+    * enough). Returns (vertex_id, label) for every vertex present. */
+  def connectedComponents(
+      s: SparkSession,
+      edges: DataFrame,
+      localThreshold: Long = 1000000L,
+      maxRounds: Int = 20): DataFrame = {
+    val Seq(srcC, dstC) = edges.columns.toSeq.take(2)
+    val e = edges.select(col(srcC).as("src"), col(dstC).as("dst")).persist()
+    val n = e.count()
+
+    if (n <= localThreshold) {
+      // driver finish: union-find with path compression
+      val pairs = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+      e.unpersist()
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val labels = parent.keys.toSeq.sorted.map(v => (v, find(v)))
+      import s.implicits._
+      labels.toDF("vertex_id", "label")
+    } else {
+      val both = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+        .persist()
+      var cached = both.groupBy(col("src").as("vertex_id"))
+        .agg(least(min(col("dst")), col("src")).as("label"))
+        .persist()
+      var labels = cached
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds < maxRounds) {
+        val next = both
+          .join(labels.withColumnRenamed("vertex_id", "dst")
+            .withColumnRenamed("label", "nlabel"), "dst")
+          .groupBy(col("src").as("vertex_id"))
+          .agg(min(col("nlabel")).as("prop"))
+          .join(labels, "vertex_id")
+          .select(col("vertex_id"), least(col("label"), col("prop")).as("label"),
+            col("label").as("old"))
+          .persist()
+        val changed = next.filter(col("label") =!= col("old")).count()
+        cached.unpersist()
+        cached = next
+        labels = next.select("vertex_id", "label")
+        converged = changed == 0
+        rounds += 1
+      }
+      if (!converged) throw new IllegalStateException(
+        s"connectedComponents: not converged after $rounds rounds")
+      both.unpersist()
+      e.unpersist()
+      labels
+    }
+  }
+}
