@@ -97,6 +97,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming curation applies the exact batch quality+sample rules") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    import graft.streaming.CurationStream
+    import graft.streaming.CurationStream.Doc
+    // run the SAME docs through batch curate() and a MemoryStream —
+    // decisions must be identical row for row
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id").as("docId"), col("lang"), col("text"))
+      .as[Doc].collect().toSeq.take(100)
+    val batch = CurationStream.curate(spark.createDataset(docs))
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(3), r.getBoolean(4))).toMap
+    val source = MemoryStream[Doc]
+    val q = CurationStream.curate(source.toDS())
+      .writeStream.format("memory").queryName("curated").outputMode("append").start()
+    try {
+      source.addData(docs.take(50): _*)
+      q.processAllAvailable()
+      source.addData(docs.drop(50): _*)
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT * FROM curated").collect()
+        .map(r => r.getLong(0) -> (r.getBoolean(3), r.getBoolean(4))).toMap
+      assert(streamed == batch)
+      // the hash-sample split must be non-degenerate in both directions
+      assert(streamed.values.exists(_._2) && streamed.values.exists(!_._2))
+    } finally q.stop()
+  }
+
   test("deterministic stream sampling matches the batch hash rule") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
