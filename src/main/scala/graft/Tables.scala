@@ -30,6 +30,14 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
+  /** Canonical exact-dedup fingerprint: md5 of whitespace-normalized
+    * lowercase text — ONE definition for q_text_fingerprint,
+    * q_doc_dedup_exact and the e2e funnel's exact-dedup stage (the
+    * DuckDB mirror is `md5(trim(regexp_replace(lower(text), '\s+', ' ',
+    * 'g')))`). */
+  def fingerprint(c: Column): Column =
+    md5(trim(regexp_replace(lower(c), "\\s+", " ")))
+
   /** Spread a DataFrame across the cluster before CPU-heavy per-row work.
     * The test fixtures are single-row-group parquet files — one input
     * split — so without this, an O(n) shuffle-free stage (or worse, an

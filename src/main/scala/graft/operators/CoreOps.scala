@@ -339,27 +339,19 @@ object CoreOps {
     * order time <= event time. Union both sides, one window pass carrying
     * the last seen order key — O(n log n) in the shuffle sort, no
     * range-join explosion. */
-  private val qAsofJoin: Q = (s, d) => {
-    val ord = Tables.orders(s, d).select(
-      // o_orderdate is TIMESTAMP_NTZ; session TZ is UTC so the cast is exact
-      col("o_custkey").as("k"),
-      unix_micros(col("o_orderdate").cast("timestamp")).as("t"),
-      lit(0).as("is_event"), col("o_orderkey").as("okey"),
-      lit(null).cast("bigint").as("eid"))
-    val ev = Tables.events(s, d).select(
-      col("user_id").as("k"), expr("ts div 1000").as("t"),
-      lit(1).as("is_event"), lit(null).cast("bigint").as("okey"),
-      col("event_id").as("eid"))
-    val w = Window.partitionBy("k")
-      .orderBy(col("t"), col("is_event"), col("okey"), col("eid"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ord.unionByName(ev)
-      .withColumn("asof_orderkey", last(col("okey"), ignoreNulls = true).over(w))
-      .filter(col("is_event") === 1)
-      .select(col("k").as("user_id"), col("eid").as("event_id"),
-        col("asof_orderkey"))
+  private val qAsofJoin: Q = (s, d) =>
+    AsOfOps.asofJoin(
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ep")),
+        Tables.orders(s, d),
+        leftKey = col("user_id"), leftTime = col("ep"),
+        rightKey = col("o_custkey"),
+        // o_orderdate is TIMESTAMP_NTZ; session TZ is UTC so the cast is exact
+        rightTime = unix_micros(col("o_orderdate").cast("timestamp")),
+        rightValue = col("o_orderkey"), tieBreak = col("o_orderkey"),
+        out = "asof_orderkey")
+      .select("user_id", "event_id", "asof_orderkey")
       .orderBy("user_id", "event_id")
-  }
 
   /** Pivot: per-user event-type counts as columns. */
   private val qPivot: Q = (s, d) =>

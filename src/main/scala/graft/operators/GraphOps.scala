@@ -38,13 +38,19 @@ object GraphOps {
     val n = e.count()
 
     if (n <= localThreshold) {
-      // driver finish: union-find with path compression
+      // driver finish: union-find with ITERATIVE path compression — a
+      // recursive find would overflow the stack on a path-shaped
+      // component whose parent chain grows with the input (tens of
+      // thousands of edges, far below the threshold)
       val pairs = e.collect().map(r => (r.getLong(0), r.getLong(1)))
       e.unpersist()
       val parent = scala.collection.mutable.Map[Long, Long]()
       def find(x: Long): Long = {
-        val p = parent.getOrElseUpdate(x, x)
-        if (p == x) x else { val r = find(p); parent(x) = r; r }
+        var root = x
+        while (parent.getOrElseUpdate(root, root) != root) root = parent(root)
+        var cur = x
+        while (cur != root) { val nxt = parent(cur); parent(cur) = root; cur = nxt }
+        root
       }
       pairs.foreach { case (a, b) =>
         val (ra, rb) = (find(a), find(b))

@@ -23,11 +23,10 @@ import graft.Tables
 object PipelineOps {
   private type Q = (SparkSession, String) => DataFrame
 
-  /** Tokenized documents: (doc_id, lang, toks). */
+  /** Tokenized documents: (doc_id, lang, toks) — TextRules tokenizer. */
   private def toked(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"),
-        expr("filter(split(lower(text), '\\\\W+'), x -> x != '')").as("toks"))
+      .select(col("doc_id"), col("lang"), TextRules.tokens(col("text")).as("toks"))
 
   /** Boilerplate share per document: the fraction of a doc's distinct
     * shingles that are corpus-common (present in >= 5% of shingled docs).
@@ -56,10 +55,10 @@ object PipelineOps {
     * 20%), keep iff phash(doc_id) % 100 < rate. The decision depends only
     * on (doc_id, lang) — reproducible on any cluster size, no rand(). */
   private val qStratifiedSample: Q = (s, d) => {
-    val rate = when(col("lang") === "en", 5).otherwise(20)
     Tables.documents(s, d)
       .withColumn("kept",
-        (Tables.phash(col("doc_id")) % 100 < rate).cast("long"))
+        (Tables.phash(col("doc_id")) % 100 < TextRules.sampleRate(col("lang")))
+          .cast("long"))
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"), sum(col("kept")).as("n_kept"),
         sum(col("doc_id") * col("kept")).as("kept_id_sum"))
@@ -122,10 +121,12 @@ object PipelineOps {
       .withColumn("the_ratio",
         when(col("n") > 0, col("n_the").cast("double") / col("n")))
       .withColumn("reasons",
-        when(col("n") < 10 || col("n") > 1000, 1).otherwise(0) +
+        when(col("n") < TextRules.MinTokens ||
+          col("n") > TextRules.MaxTokens, 1).otherwise(0) +
+          when(col("n") > 0 && (col("mean_len") < TextRules.MinMeanLen ||
+            col("mean_len") > TextRules.MaxMeanLen), 2).otherwise(0) +
           when(col("n") > 0 &&
-            (col("mean_len") < 2.0 || col("mean_len") > 12.0), 2).otherwise(0) +
-          when(col("n") > 0 && col("the_ratio") > 0.2, 4).otherwise(0))
+            col("the_ratio") > TextRules.MaxStopRatio, 4).otherwise(0))
       .groupBy(col("lang"), col("reasons"))
       .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
       .orderBy("lang", "reasons")
@@ -208,31 +209,22 @@ object PipelineOps {
     * only exchanges are the fingerprint groupBy and the pair join). */
   private val qPipelineE2e: Q = (s, d) => {
     val q = toked(s, d)
-      .withColumn("n", size(col("toks")).cast("long"))
-      .withColumn("sum_len",
-        expr("aggregate(toks, 0L, (a, t) -> a + length(t))"))
-      .withColumn("n_the",
-        expr("size(filter(toks, t -> t = 'the'))").cast("long"))
       .withColumn("quality_ok",
-        col("n") >= 10 && col("n") <= 1000 &&
-          col("sum_len").cast("double") / col("n") >= 2.0 &&
-          col("sum_len").cast("double") / col("n") <= 12.0 &&
-          col("n_the").cast("double") / col("n") <= 0.2)
+        TextRules.qualityOk(col("toks"), size(col("toks")).cast("long")))
       .select("doc_id", "lang", "quality_ok")
     val fp = Tables.documents(s, d)
-      .select(col("doc_id"),
-        md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("fp"))
+      .select(col("doc_id"), Tables.fingerprint(col("text")).as("fp"))
     val keeper = fp.groupBy("fp").agg(min("doc_id").as("keep_id"))
     val exact = fp.join(keeper, "fp")
       .select(col("doc_id"), (col("doc_id") === col("keep_id")).as("exact_ok"))
     val dropB = DedupOps.nearDupPairs(s, d)
       .select(col("doc_b").as("doc_id")).distinct()
       .withColumn("is_dup", lit(true))
-    val rate = when(col("lang") === "en", 5).otherwise(20)
     q.join(exact, "doc_id")
       .join(dropB, Seq("doc_id"), "left")
       .withColumn("nd_ok", col("is_dup").isNull)
-      .withColumn("samp_ok", Tables.phash(col("doc_id")) % 100 < rate)
+      .withColumn("samp_ok",
+        Tables.phash(col("doc_id")) % 100 < TextRules.sampleRate(col("lang")))
       .withColumn("s1", col("quality_ok").cast("long"))
       .withColumn("s2", (col("quality_ok") && col("exact_ok")).cast("long"))
       .withColumn("s3",

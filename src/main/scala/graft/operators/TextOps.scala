@@ -103,14 +103,14 @@ object TextOps {
     Tables.documents(s, d)
       .select(
         col("doc_id"),
-        md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("fp"))
+        Tables.fingerprint(col("text")).as("fp"))
       .orderBy("doc_id")
 
   /** Exact document dedup via the md5 fingerprint (hash-groupBy): summary
     * counts — at this corpus there are no exact dupes, so n_docs=n_unique. */
   private val qDocDedupExact: Q = (s, d) =>
     Tables.documents(s, d)
-      .select(md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("fp"))
+      .select(Tables.fingerprint(col("text")).as("fp"))
       .agg(
         count(lit(1)).as("n_docs"),
         countDistinct(col("fp")).as("n_unique"))

@@ -26,23 +26,15 @@ object CurationStream {
   /** Apply tokenize → quality rules → per-lang hash sampling to a
     * (streaming or batch) document Dataset. Rules are IDENTICAL to
     * q_quality_filter / q_stratified_sample — spec-pinned. */
-  def curate(docs: Dataset[Doc]): DataFrame = {
-    val rate = when(col("lang") === "en", 5).otherwise(20)
+  def curate(docs: Dataset[Doc]): DataFrame =
     docs
       .select(col("docId"), col("lang"),
-        expr("filter(split(lower(text), '\\\\W+'), x -> x != '')").as("toks"))
+        graft.operators.TextRules.tokens(col("text")).as("toks"))
       .withColumn("nTokens", size(col("toks")).cast("long"))
-      .withColumn("sum_len",
-        expr("aggregate(toks, 0L, (a, t) -> a + length(t))"))
-      .withColumn("n_the",
-        expr("size(filter(toks, t -> t = 'the'))").cast("long"))
       .withColumn("qualityOk",
-        col("nTokens") >= 10 && col("nTokens") <= 1000 &&
-          col("sum_len").cast("double") / col("nTokens") >= 2.0 &&
-          col("sum_len").cast("double") / col("nTokens") <= 12.0 &&
-          col("n_the").cast("double") / col("nTokens") <= 0.2)
+        graft.operators.TextRules.qualityOk(col("toks"), col("nTokens")))
       .withColumn("sampled",
-        col("qualityOk") && Tables.phash(col("docId")) % 100 < rate)
+        col("qualityOk") && Tables.phash(col("docId")) % 100 <
+          graft.operators.TextRules.sampleRate(col("lang")))
       .select("docId", "lang", "nTokens", "qualityOk", "sampled")
-  }
 }

@@ -125,6 +125,23 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("curation quality decisions equal q_quality_filter's reasons==0 counts") {
+    import spark.implicits._
+    import graft.streaming.CurationStream
+    import graft.streaming.CurationStream.Doc
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id").as("docId"), col("lang"), col("text")).as[Doc]
+    val curated = CurationStream.curate(docs)
+      .groupBy("lang")
+      .agg(sum(col("qualityOk").cast("long")).as("n_ok"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val viaBitmask = operators.PipelineOps.queries("q_quality_filter")(
+        spark, TestSpark.sf0001)
+      .filter(col("reasons") === 0)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(curated.filter(_._2 > 0) == viaBitmask.filter(_._2 > 0))
+  }
+
   test("deterministic stream sampling matches the batch hash rule") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
