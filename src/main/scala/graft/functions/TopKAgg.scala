@@ -31,9 +31,12 @@ class TopKAgg(k: Int) extends Aggregator[(Double, Long), TopKBuf, TopKBuf] {
 
   override def zero: TopKBuf = TopKBuf(Array.empty, Array.empty)
 
-  // The buffer is allowed to grow unsorted up to 2k entries before a
-  // sort+trim back to k — one O(k log k) sort per k rows instead of per
-  // row. finish() re-trims, so callers always see exactly sorted top-k.
+  // The buffer grows unsorted up to 2k entries before a sort+trim back to
+  // k — amortizing the SORT to one O(k log k) per k rows. The `:+` append
+  // still copies the O(k) array per row, and encoder (de)serialization of
+  // the buffer per row dominates both — the win of this aggregator is the
+  // SHUFFLE shape (k rows per group per map task), not per-row CPU.
+  // finish() re-trims, so callers always see exactly sorted top-k.
   override def reduce(b: TopKBuf, a: (Double, Long)): TopKBuf = {
     val scores = b.scores :+ a._1
     val ids = b.ids :+ a._2

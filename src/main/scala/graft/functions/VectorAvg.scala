@@ -52,12 +52,19 @@ case class VectorAvg(child: Expression) extends DeclarativeAggregate {
     ZipWith(a, b, LambdaFunction(Add(x, y), Seq(x, y)))
   }
 
-  /** Null iff the input is null OR carries a null element — one predicate
-    * guarding both buffer expressions. */
+  /** Skip iff the input is null, carries a null element, OR its length
+    * differs from the running buffer's — one predicate guarding both
+    * buffer expressions. The length guard matters because ZipWith pads the
+    * shorter array with nulls, so a mismatched vector would silently plant
+    * null elements inside a containsNull=false buffer (r2 ADVICE): the
+    * aggregate's dimension is fixed by the first accepted vector and
+    * later mismatches are skipped like null-element vectors. */
   private lazy val skipRow: Expression = {
     val elemType = child.dataType.asInstanceOf[ArrayType].elementType
     val x = NamedLambdaVariable("x", elemType, nullable = true)
-    Or(IsNull(child), ArrayExists(child, LambdaFunction(IsNull(x), Seq(x))))
+    Or(
+      Or(IsNull(child), ArrayExists(child, LambdaFunction(IsNull(x), Seq(x)))),
+      And(Not(IsNull(vsum)), Not(EqualTo(Size(child), Size(vsum)))))
   }
 
   override lazy val initialValues: Seq[Expression] = Seq(
@@ -69,10 +76,21 @@ case class VectorAvg(child: Expression) extends DeclarativeAggregate {
       If(IsNull(vsum), asDouble(child), zipAdd(vsum, asDouble(child)))),
     If(skipRow, vcnt, Add(vcnt, Literal(1L))))
 
+  /** Two non-null partials can still disagree on dimension when the input
+    * mixes vector lengths across partitions (each partial's dimension is
+    * its partition's first accepted vector). That input is ill-defined for
+    * an element-wise mean; rather than corrupt the buffer via ZipWith
+    * padding, the merge keeps the left partial and drops the right —
+    * non-deterministic for ill-formed input, never corrupt. */
+  private lazy val mergeMismatch: Expression =
+    And(And(Not(IsNull(vsum.left)), Not(IsNull(vsum.right))),
+      Not(EqualTo(Size(vsum.left), Size(vsum.right))))
+
   override lazy val mergeExpressions: Seq[Expression] = Seq(
     If(IsNull(vsum.right), vsum.left,
-      If(IsNull(vsum.left), vsum.right, zipAdd(vsum.left, vsum.right))),
-    Add(vcnt.left, vcnt.right))
+      If(IsNull(vsum.left), vsum.right,
+        If(mergeMismatch, vsum.left, zipAdd(vsum.left, vsum.right)))),
+    If(mergeMismatch, vcnt.left, Add(vcnt.left, vcnt.right)))
 
   override lazy val evaluateExpression: Expression = {
     val x = NamedLambdaVariable("x", DoubleType, nullable = false)

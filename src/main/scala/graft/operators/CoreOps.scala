@@ -553,6 +553,29 @@ object CoreOps {
         sort_array(collect_list(col("s_suppkey"))), ",").as("supp_csv"))
       .orderBy("s_nationkey")
 
+  /** Deep multi-join (TPC-H Q5 shape): lineitem ⋈ orders ⋈ customer ⋈
+    * nation ⋈ region with a selective date filter — the plan-quality
+    * stressor for join ordering and runtime strategy selection. No hints
+    * on purpose: nation/region are broadcast by size estimate, customer
+    * vs the fact join is AQE's runtime call (broadcast at these SFs,
+    * shuffle join on a real corpus), and the orderdate filter must reach
+    * the orders scan as a pushed predicate so the join tree starts from
+    * the filtered side. Revenue in exact decimal (price 2dp × (1-disc)
+    * 2dp = 4dp, exact in decimal), cast to double at the end. */
+  private val qMultiJoin: Q = (s, d) => {
+    val rev = dec2(col("l_extendedprice")) *
+      (lit(1).cast("decimal(18,2)") - dec2(col("l_discount")))
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("o_orderdate").cast("date") >= lit("1995-01-01").cast("date"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_items"), sum(rev).cast("double").as("revenue"))
+      .orderBy("r_name", "n_name")
+  }
+
   /** Exact statistical moments: variance derived from exact power sums
     * (Σx, Σx²) so the result is order-independent. Computed over the
     * small-integer quantity domain: both sums stay far below 2^53, so the
@@ -573,6 +596,7 @@ object CoreOps {
 
   val queries: Map[String, Q] = Map(
     "q_join_theta" -> qJoinTheta,
+    "q_multi_join" -> qMultiJoin,
     "q_except_all" -> qExceptAll,
     "q_argmax" -> qArgmax,
     "q_string_agg" -> qStringAgg,
@@ -620,6 +644,17 @@ object CoreOps {
         |FROM supplier a JOIN supplier b
         |  ON a.s_nationkey = b.s_nationkey AND a.s_acctbal < b.s_acctbal
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_multi_join" ->
+      """SELECT r_name, n_name, count(*) AS n_items,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey  = o_orderkey
+        |JOIN customer ON o_custkey   = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE CAST(o_orderdate AS DATE) >= DATE '1995-01-01'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_except_all" ->
       """SELECT (SELECT count(*) FROM
         |          (SELECT l_suppkey AS k FROM lineitem EXCEPT ALL

@@ -80,26 +80,52 @@ object DedupOps {
       .filter(col("jaccard") >= 0.8)
       .orderBy("doc_a", "doc_b")
 
-  /** Ground truth: blocked exact n-gram Jaccard. The self-join runs on
-    * 8-byte hashes; intersection counts come straight off the join. */
+  /** Shingle document-frequency cap for pair generation (CCNet-style
+    * hot-shingle guard): a boilerplate shingle present in df documents
+    * contributes df² join rows while carrying almost no similarity signal
+    * — at 100 TB one templated footer floods the self-join. Shingles with
+    * df above max(floor, frac·nDocs) are excluded from PAIRING ONLY;
+    * Jaccard is still verified over the FULL shingle sets, so surviving
+    * pairs score exactly. A true near-dup pair (J >= 0.8) shares many
+    * shingles; losing its boilerplate ones leaves plenty of uncapped
+    * collisions, so recall at the cap is ~1 (spec-pinned on a
+    * boilerplate-flood fixture). Same constants feed the oracle SQL —
+    * the two sides must never drift. */
+  val NgramDfCapFloor = 1000L
+  val NgramDfCapFrac = 0.005
+
+  def ngramDfCap(nDocs: Long): Long =
+    math.max(NgramDfCapFloor, math.ceil(nDocs * NgramDfCapFrac).toLong)
+
+  /** Candidate (doc_a, doc_b) pairs from a (doc_id, h) shingle-hash table,
+    * pairing only on shingles with 2 <= df <= cap (df=1 cannot pair; df >
+    * cap is boilerplate). The df aggregation is one partial-aggregable
+    * pass; the self-join fan-out per shingle is bounded by cap². */
+  def cappedCandidates(sh: DataFrame, cap: Long): DataFrame = {
+    val keep = sh.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= cap)
+      .select("h")
+    val shc = sh.join(keep, "h")
+    shc.as("a").join(shc.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Ground truth: blocked exact n-gram Jaccard, with the df-cap bounding
+    * the candidate join. Candidates come from capped 8-byte-hash
+    * collisions; verification intersects the full per-doc hash sets. */
   private val qNgramJaccard: Q = (s, d) => {
-    // persisted: used by both join sides + sizes within the one action
+    // persisted: feeds the df-cap aggregation, both candidate join sides,
+    // and the per-doc set build — all within the one action
     val sh = shingles(s, d)
       .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
       .persist()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.as("a").join(sh.as("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(broadcast(sizes).as("za"), col("doc_a") === col("za.doc_id"))
-      .join(broadcast(sizes).as("zb"), col("doc_b") === col("zb.doc_id"))
-      .select(col("doc_a"), col("doc_b"),
-        (col("inter").cast("double") /
-          (col("za.n") + col("zb.n") - col("inter"))).as("jaccard"))
-      .filter(col("jaccard") >= 0.8)
-      .orderBy("doc_a", "doc_b")
+    val nDocs = sh.select("doc_id").distinct().count()
+    val cand = cappedCandidates(sh, ngramDfCap(nDocs))
+    val docs = sh.groupBy("doc_id")
+      .agg(collect_list("h").as("hs"), count(lit(1)).as("n"))
+    verifyPairs(cand, docs)
   }
 
   /** MinHash + banded LSH (r=2 rows/band, b=32 bands), then exact
@@ -234,8 +260,44 @@ object DedupOps {
       |       CAST(sum(doc_id - label) AS BIGINT) AS id_span
       |FROM labels GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** The df-capped ground truth — mirrors qNgramJaccard exactly: pairing
+    * is restricted to shingles with 2 <= df <= max(floor, frac·nDocs);
+    * Jaccard is computed over the FULL shingle sets of candidate pairs. */
+  private val cappedPairsSql =
+    s"""WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\W+'),
+      |                             x -> x <> '') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      |  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) g),
+      |ndocs AS (SELECT count(DISTINCT doc_id) AS nd FROM sh),
+      |keep AS (
+      |  SELECT shingle FROM sh, ndocs
+      |  GROUP BY shingle, nd
+      |  HAVING count(*) >= 2 AND count(*) <=
+      |         greatest($NgramDfCapFloor, CAST(ceil(nd * $NgramDfCapFrac) AS BIGINT))),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  JOIN keep k ON a.shingle = k.shingle),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |pairs AS (
+      |  SELECT c.doc_a, c.doc_b, count(*) AS inter
+      |  FROM cand c
+      |  JOIN sh a ON a.doc_id = c.doc_a
+      |  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b,
+      |       CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+      |FROM pairs
+      |JOIN sizes sa ON doc_a = sa.doc_id
+      |JOIN sizes sb ON doc_b = sb.doc_id
+      |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    "q_ngram_jaccard" -> exactPairsSql,
+    "q_ngram_jaccard" -> cappedPairsSql,
     "q_text_minhash" -> exactPairsSql,
     "q_text_simhash" -> exactPairsSql,
     "q_dedup_cluster" -> clusterSql,

@@ -65,31 +65,42 @@ object GraphOps {
       var cached = both.groupBy(col("src").as("vertex_id"))
         .agg(least(min(col("dst")), col("src")).as("label"))
         .persist()
-      var labels = cached
-      var converged = false
-      var rounds = 0
-      while (!converged && rounds < maxRounds) {
-        val next = both
-          .join(labels.withColumnRenamed("vertex_id", "dst")
-            .withColumnRenamed("label", "nlabel"), "dst")
-          .groupBy(col("src").as("vertex_id"))
-          .agg(min(col("nlabel")).as("prop"))
-          .join(labels, "vertex_id")
-          .select(col("vertex_id"), least(col("label"), col("prop")).as("label"),
-            col("label").as("old"))
-          .persist()
-        val changed = next.filter(col("label") =!= col("old")).count()
+      try {
+        var labels = cached
+        var converged = false
+        var rounds = 0
+        while (!converged && rounds < maxRounds) {
+          val next = both
+            .join(labels.withColumnRenamed("vertex_id", "dst")
+              .withColumnRenamed("label", "nlabel"), "dst")
+            .groupBy(col("src").as("vertex_id"))
+            .agg(min(col("nlabel")).as("prop"))
+            .join(labels, "vertex_id")
+            .select(col("vertex_id"), least(col("label"), col("prop")).as("label"),
+              col("label").as("old"))
+            .persist()
+          val changed = next.filter(col("label") =!= col("old")).count()
+          cached.unpersist()
+          cached = next
+          labels = next.select("vertex_id", "label")
+          converged = changed == 0
+          rounds += 1
+        }
+        if (!converged) throw new IllegalStateException(
+          s"connectedComponents: not converged after $rounds rounds")
+        // materialize the result OFF the loop caches before releasing them
+        // (labels is a view over the final round's persisted frame; without
+        // the checkpoint, unpersisting would re-run every propagation round
+        // on first consumption). localCheckpoint severs the lineage; its
+        // blocks are released by the ContextCleaner once unreferenced.
+        labels.localCheckpoint(true)
+      } finally {
+        // on success AND on non-convergence/failure: nothing stays cached
+        // for the session lifetime (r2 ADVICE leak)
         cached.unpersist()
-        cached = next
-        labels = next.select("vertex_id", "label")
-        converged = changed == 0
-        rounds += 1
+        both.unpersist()
+        e.unpersist()
       }
-      if (!converged) throw new IllegalStateException(
-        s"connectedComponents: not converged after $rounds rounds")
-      both.unpersist()
-      e.unpersist()
-      labels
     }
   }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -30,30 +30,52 @@ import graft.Tables
 object LedgerOps {
   private type Q = (SparkSession, String) => DataFrame
 
+  /** Portable 60-bit content hash: the first 15 hex chars of md5, parsed
+    * as an integer, then folded through the portable multiplicative hash
+    * so per-group SUMS of it stay far inside int64. Engine-neutral: the
+    * DuckDB mirror is `((CAST('0x' || substr(md5(x),1,15) AS BIGINT) %
+    * 1000000007) * 2654435761) % 1000000007` — this is the crc32 stand-in
+    * the ledger needs (DuckDB has no crc32; md5 both engines share). */
+  private def contentHash(c: Column): Column =
+    Tables.phash(conv(substring(md5(c), 1, 15), 16, 10).cast("long"))
+
   /** Synthetic block ledger (FIXTURES.md §B `blocks`). Engine-neutral:
-    * portable multiplicative hash, length(), row_number over unique keys. */
+    * portable multiplicative hash, length(), row_number over unique keys.
+    *
+    * `sent_h` is the sender-side content hash; `recv_h` is the
+    * receiver-observed one — a deterministic ~1% slice arrives with its
+    * bytes transposed (reverse(props): LENGTH-PRESERVING corruption, the
+    * case a sum-of-lengths ledger cannot see). The resend-duplicate slice
+    * is produced with ONE explode over a per-row flag array instead of a
+    * union of the windowed subplan — the union form computed the
+    * row_number Window twice per action (r2 verdict "What's wrong" #2). */
   def blocks(s: SparkSession, d: String): DataFrame = {
     val base = Tables.events(s, d).select(
       col("event_id"),
       (Tables.phash(col("user_id")) % 16).cast("int").as("partition_id"),
       (Tables.phash(col("event_id")) % 8).cast("int").as("map_id"),
-      length(col("props")).as("length"))
+      length(col("props")).as("length"),
+      contentHash(col("props")).as("sent_h"),
+      when(col("event_id") % 97 === 0, contentHash(reverse(col("props"))))
+        .otherwise(contentHash(col("props"))).as("recv_h"))
     val attempts = base.withColumn("attempt_id", lit(0L))
       .unionByName(
         base.filter(col("event_id") % 20 === 0).withColumn("attempt_id", lit(1L)))
-    val seqd = attempts.withColumn("seq_id",
-      row_number().over(
-        Window.partitionBy("map_id", "attempt_id").orderBy("event_id")))
-    seqd.withColumn("dup", lit(false))
-      .unionByName(
-        seqd.filter(col("event_id") % 33 === 0).withColumn("dup", lit(true)))
+    attempts
+      .withColumn("seq_id",
+        row_number().over(
+          Window.partitionBy("map_id", "attempt_id").orderBy("event_id")))
+      .withColumn("dup",
+        explode(when(col("event_id") % 33 === 0, array(lit(false), lit(true)))
+          .otherwise(array(lit(false)))))
   }
 
   /** blocks with duplicates removed — the reference reader's LongHashSet
     * guard (ShufflePartitionReader.java:378-393) as `dropDuplicates`. */
   private def dedup(s: SparkSession, d: String): DataFrame =
     blocks(s, d)
-      .select("event_id", "partition_id", "map_id", "attempt_id", "seq_id", "length")
+      .select("event_id", "partition_id", "map_id", "attempt_id", "seq_id",
+        "length", "sent_h", "recv_h")
       .dropDuplicates("map_id", "attempt_id", "seq_id")
 
   /** Exact duplicate-block dedup on (map_id, attempt_id, seq_id). */
@@ -74,25 +96,21 @@ object LedgerOps {
       .agg(count(lit(1)).as("cnt"), sum("length").cast("long").as("len_sum"))
       .orderBy("map_id")
 
-  /** Integrity-ledger verification (ShufflePartitionReader.java:217-249):
-    * recompute the per-(partition, map) aggregate and anti-compare against
-    * the expected ledger; the deterministic ~1% corrupted slice must be
-    * exactly the mismatch set. Uses sum(length) as the engine-neutral
-    * stand-in for CRC32 (FIXTURES.md §B). */
-  private val qChecksumVerify: Q = (s, d) => {
-    // persisted: the expected and computed ledgers both scan it
-    val dd = dedup(s, d).persist()
-    val expected = dd.groupBy("partition_id", "map_id")
-      .agg(sum("length").cast("long").as("expected_sum"))
-    val computed = dd
-      .withColumn("len2",
-        col("length") + when(col("event_id") % 97 === 0, 1).otherwise(0))
+  /** Integrity-ledger verification (ShufflePartitionReader.java:217-249,
+    * accumulate at Ors2BlockManager.scala:127-136): compare the sender's
+    * per-(partition, map) CONTENT-hash ledger against the receiver's
+    * recomputation; the deterministic ~1% byte-transposed slice must
+    * surface even though every block's LENGTH is unchanged. Both ledgers
+    * come off ONE scan + ONE partial+final aggregation (sent and received
+    * hashes are columns of the same row), replacing the r2 self-join of
+    * two separate aggregates. */
+  private val qChecksumVerify: Q = (s, d) =>
+    dedup(s, d)
       .groupBy("partition_id", "map_id")
-      .agg(sum("len2").cast("long").as("computed_sum"))
-    expected.join(computed, Seq("partition_id", "map_id"))
+      .agg(sum("sent_h").cast("long").as("expected_sum"),
+        sum("recv_h").cast("long").as("computed_sum"))
       .filter(col("expected_sum") =!= col("computed_sum"))
       .orderBy("partition_id", "map_id")
-  }
 
   /** Ledger ordering invariant (ShuffleDataFileTest.scala:38-77 analog):
     * per (map_id, attempt_id), seq_id must be 1..n with no gaps — verified
@@ -115,18 +133,26 @@ object LedgerOps {
       |  SELECT event_id,
       |         CAST((((user_id % 1000000007) * 2654435761) % 1000000007) % 16 AS INT) AS partition_id,
       |         CAST((((event_id % 1000000007) * 2654435761) % 1000000007) % 8 AS INT) AS map_id,
-      |         CAST(length(props) AS INT) AS length
+      |         CAST(length(props) AS INT) AS length,
+      |         ((CAST('0x' || substr(md5(props), 1, 15) AS BIGINT) % 1000000007)
+      |           * 2654435761) % 1000000007 AS sent_h,
+      |         ((CAST('0x' || substr(md5(CASE WHEN event_id % 97 = 0
+      |                                        THEN reverse(props) ELSE props END),
+      |                               1, 15) AS BIGINT) % 1000000007)
+      |           * 2654435761) % 1000000007 AS recv_h
       |  FROM events
       |), attempts AS (
-      |  SELECT event_id, partition_id, map_id, CAST(0 AS BIGINT) AS attempt_id, length FROM base
+      |  SELECT event_id, partition_id, map_id, CAST(0 AS BIGINT) AS attempt_id,
+      |         length, sent_h, recv_h FROM base
       |  UNION ALL
-      |  SELECT event_id, partition_id, map_id, CAST(1 AS BIGINT) AS attempt_id, length FROM base
+      |  SELECT event_id, partition_id, map_id, CAST(1 AS BIGINT) AS attempt_id,
+      |         length, sent_h, recv_h FROM base
       |  WHERE event_id % 20 = 0
       |), seqd AS (
       |  SELECT *, CAST(row_number() OVER (PARTITION BY map_id, attempt_id ORDER BY event_id) AS INT) AS seq_id
       |  FROM attempts
       |), dedup AS (
-      |  SELECT event_id, partition_id, map_id, attempt_id, seq_id, length FROM seqd
+      |  SELECT event_id, partition_id, map_id, attempt_id, seq_id, length, sent_h, recv_h FROM seqd
       |)
       |""".stripMargin
 
@@ -150,15 +176,11 @@ object LedgerOps {
         |      WHERE attempt_id = max_att)
         |GROUP BY 1 ORDER BY 1""".stripMargin),
     "q_checksum_verify" -> (cte +
-      """SELECT e.partition_id, e.map_id, expected_sum, computed_sum FROM
-        |  (SELECT partition_id, map_id, CAST(sum(length) AS BIGINT) AS expected_sum
-        |   FROM dedup GROUP BY 1, 2) e
-        |JOIN
-        |  (SELECT partition_id, map_id,
-        |          CAST(sum(length + CASE WHEN event_id % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS computed_sum
-        |   FROM dedup GROUP BY 1, 2) c
-        |ON e.partition_id = c.partition_id AND e.map_id = c.map_id
-        |WHERE expected_sum <> computed_sum
+      """SELECT partition_id, map_id,
+        |       CAST(sum(sent_h) AS BIGINT) AS expected_sum,
+        |       CAST(sum(recv_h) AS BIGINT) AS computed_sum
+        |FROM dedup GROUP BY 1, 2
+        |HAVING CAST(sum(sent_h) AS BIGINT) <> CAST(sum(recv_h) AS BIGINT)
         |ORDER BY 1, 2""".stripMargin),
     "q_ledger_order" -> (cte +
       """SELECT map_id, attempt_id,

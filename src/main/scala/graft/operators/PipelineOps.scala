@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -34,14 +34,21 @@ object PipelineOps {
     * mostly template. Fraction threshold scales with corpus size, an
     * absolute count would not. */
   private val qTextBoilerplate: Q = (s, d) => {
-    val sh = DedupOps.shingles(s, d).persist()
+    // carry 8-byte shingle hashes, not strings: the common-set join keys
+    // and shuffles on fixed-width longs, and there is NO broadcast hint —
+    // at 100 TB "5% of docs" shingles can exceed broadcast limits, so the
+    // join is left to AQE (it will still broadcast when the runtime size
+    // allows). xxhash64 collisions across ~10^5 distinct shingles are
+    // ~1e-9 — negligible against the 0.05 df threshold.
+    val sh = DedupOps.shingles(s, d)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+      .persist()
     val nDocs = sh.select("doc_id").distinct().count()
-    val common = sh.groupBy("shingle")
-      .agg(countDistinct(col("doc_id")).as("df"))
+    val common = sh.groupBy("h")
+      .agg(count(lit(1)).as("df"))
       .filter(col("df") >= lit(nDocs) * 0.05)
-      .select("shingle")
-    sh.join(common.hint("broadcast").withColumn("is_common", lit(1L)),
-        Seq("shingle"), "left")
+      .select("h")
+    sh.join(common.withColumn("is_common", lit(1L)), Seq("h"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"),
         sum(coalesce(col("is_common"), lit(0L))).as("n_common"))
@@ -169,20 +176,28 @@ object PipelineOps {
   // Spark side AND the oracle SQL — they must never drift apart)
   private val RangeJoinW = 7L
 
+  /** Epoch-micros → epoch-day as FLOOR division (pmod keeps the remainder
+    * non-negative, so the subtraction floors for any sign). Spark's `div`
+    * truncates toward zero while the oracle's `//` floors — they agree
+    * only for positive epochs; this form agrees for pre-1970 dates too. */
+  private def epochDay(tsCol: String): Column = {
+    val us = s"unix_micros(CAST($tsCol AS TIMESTAMP))"
+    expr(s"CAST(($us - pmod($us, 86400000000)) div 86400000000 AS BIGINT)")
+  }
+
   private val qRangeJoin: Q = (s, d) => {
     val W = RangeJoinW
+    // the day→bucket step uses plain `div`: the bucket function only needs
+    // to be monotone and identical for points and intervals, and
+    // truncation is monotone — no oracle mirror exists for buckets
     val iv = Tables.orders(s, d)
       .filter(Tables.phash(col("o_orderkey")) % 100 < 2)
-      .select(col("o_orderkey"),
-        expr("CAST(unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000 AS BIGINT)")
-          .as("start_day"))
+      .select(col("o_orderkey"), epochDay("o_orderdate").as("start_day"))
       .withColumn("end_day", col("start_day") + W)
       .withColumn("bucket",
         explode(sequence(expr(s"start_day div $W"), expr(s"end_day div $W"))))
     val pts = Tables.lineitem(s, d)
-      .select(col("l_quantity"),
-        expr("CAST(unix_micros(CAST(l_shipdate AS TIMESTAMP)) div 86400000000 AS BIGINT)")
-          .as("ship_day"))
+      .select(col("l_quantity"), epochDay("l_shipdate").as("ship_day"))
       .withColumn("bucket", expr(s"ship_day div $W"))
     pts.join(iv, Seq("bucket"))
       .filter(col("ship_day") >= col("start_day") &&

@@ -106,31 +106,69 @@ object VectorOps {
       .orderBy("query_id", "rk")
   }
 
-  /** IVF-style ANN: partition the corpus into cells around centroids
-    * (computed as the element-wise mean per cell seed — here the corpus is
-    * assigned to cells by nearest centroid, bootstrapped from the label
-    * column's groups as deterministic seeds), then search only the query's
-    * two nearest cells (nprobe=2). Approximate (no oracle); cell quality +
-    * recall are spec'd in AnnSpec.
+  /** Number of IVF cells and Lloyd refinement rounds. */
+  private val IvfCells = 10
+  private val LloydRounds = 3
+
+  /** Spherical k-means training for the IVF cell centroids — label-free
+    * (a real corpus has no cluster column):
+    *   - seeds: the IvfCells vectors with the smallest phash(vec_id) —
+    *     a deterministic hash-sample, reproducible on any cluster;
+    *   - each round: assign every vector to its max-cosine centroid
+    *     (broadcast of the tiny centroid table, one map-side pass), then
+    *     recompute centroids with the native vector_avg aggregate (ONE
+    *     exchange carrying O(dim) partial sums per cell).
+    * Centroids are COLLECTED each round (IvfCells × dim floats — driver-
+    * small by construction, the same step any k-means driver loop does):
+    * that re-seeds the next round as a literal table, keeping the per-
+    * round lineage flat instead of stacking LloydRounds of join trees.
+    * Cells that capture no vectors die (standard k-means behavior). */
+  private def trainCentroids(s: SparkSession, e: DataFrame): DataFrame = {
+    import s.implicits._
+    def toDf(rows: Seq[(Int, Seq[Float])]): DataFrame =
+      rows.toDF("cell", "centroid")
+    var cent = toDf(
+      e.select(col("vec_id"), col("embedding"))
+        .withColumn("hk", Tables.phash(col("vec_id")))
+        .orderBy("hk", "vec_id")
+        .limit(IvfCells)
+        .collect()
+        .zipWithIndex
+        .map { case (r, i) => (i, r.getSeq[Float](1).toSeq) }.toSeq)
+    for (_ <- 1 to LloydRounds) {
+      cent = toDf(
+        e.join(broadcast(cent))
+          .select(col("vec_id"), col("embedding"), col("cell"),
+            expr("cosine_sim(embedding, centroid)").as("csim"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cell"))))
+          .filter(col("rk") === 1)
+          .groupBy("cell")
+          .agg(expr("transform(vector_avg(embedding), x -> CAST(x AS FLOAT))")
+            .as("centroid"))
+          .collect()
+          .map(r => (r.getInt(0), r.getSeq[Float](1).toSeq)).toSeq)
+    }
+    cent
+  }
+
+  /** IVF-style ANN: k-means-train IvfCells centroids (Lloyd, hash-sampled
+    * seeds — no label column involved), assign the corpus to cells, then
+    * search only the query's two nearest cells (nprobe=2). Approximate
+    * (no oracle); cell quality + recall are spec'd in AnnSpec.
     *
     * Scale notes: this is the same topology as a billion-vector IVF index —
     * a tiny broadcastable centroid table, one map-side assignment pass,
     * searches co-partitioned by cell. Raising nprobe = unioning more cells.
-    */
+    * Training cost is LloydRounds extra passes over the corpus; real
+    * deployments train on a hash-sample (swap `e` for a phash filter). */
   private val qAnnIvf: Q = (s, d) => {
     GraftFunctions.register(s)
     // spread: assignment scoring does heavy per-row work off the
     // single-split fixture; persisted because the corpus feeds centroid
-    // build + assignment + query probes
+    // training + assignment + query probes
     val e = Tables.spread(s, Tables.embeddings(s, d)).persist()
-    // centroids via the native vector_avg aggregate: ONE exchange carrying
-    // O(dim) partial sums per cell — the posexplode formulation shuffled
-    // 64× the rows through two exchanges. Persisted: broadcast twice
-    // (assignment + query probing).
-    val cent = e.groupBy(col("label").as("cell"))
-      .agg(expr("transform(vector_avg(embedding), x -> CAST(x AS FLOAT))")
-        .as("centroid"))
-      .persist()
+    val cent = trainCentroids(s, e)
     // assign every vector to its nearest centroid (cosine, broadcast table)
     val assigned = e.join(broadcast(cent))
       .select(col("vec_id"), col("embedding"), col("cell"),

@@ -11,17 +11,38 @@ import graft.Tables
   * identical decisions (everything is a pure function of the row; no
   * state store, no rand()).
   *
-  * Only the STATELESS stages stream here (tokenize/quality/sample).
-  * Exact and near-dup dedup need cross-document state; their streaming
-  * forms are watermarked dropDuplicates (see Sessionize.dedupStream) and
-  * periodic batch re-clustering respectively — the standard lambda split
-  * for dedup at scale.
+  * The stateless stages (tokenize/quality/sample) stream as pure column
+  * transforms. EXACT dedup streams too, as [[dedupByFingerprint]]: the
+  * same md5 fingerprint key the batch funnel groups on, deduplicated with
+  * bounded state via the watermark. Near-dup dedup remains periodic batch
+  * re-clustering (candidate generation needs the corpus-wide band index)
+  * — the standard lambda split at scale.
   */
 object CurationStream {
 
   case class Doc(docId: Long, lang: String, text: String)
   case class Curated(docId: Long, lang: String, nTokens: Long,
       qualityOk: Boolean, sampled: Boolean)
+  /** A document with an arrival/event time — the dedup stream's input. */
+  case class TimedDoc(docId: Long, lang: String, text: String, tsUs: Long)
+
+  /** Streaming exact dedup on the canonical content fingerprint
+    * ([[Tables.fingerprint]] — the SAME key the batch funnel's exact
+    * stage groups on): the first document per fingerprint passes,
+    * re-arrivals within the watermark horizon are dropped.
+    * `dropDuplicatesWithinWatermark` keys the state store on the
+    * fingerprint alone while still expiring entries as the watermark
+    * advances, so state is O(docs-per-horizon), not O(stream). Decisions
+    * match the batch funnel's `exact_ok` flags whenever arrival order
+    * follows doc_id order (the batch keeper is min doc_id; the stream's
+    * is first-arrived) — spec-pinned in StreamingSpec. */
+  def dedupByFingerprint(docs: Dataset[TimedDoc], horizon: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("fp", Tables.fingerprint(col("text")))
+      .withColumn("ts", timestamp_micros(col("tsUs")))
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("fp")
+      .select("docId", "lang", "text", "tsUs")
 
   /** Apply tokenize → quality rules → per-lang hash sampling to a
     * (streaming or batch) document Dataset. Rules are IDENTICAL to

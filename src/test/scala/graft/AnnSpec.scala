@@ -24,8 +24,9 @@ class AnnSpec extends AnyFunSuite {
     val ivf = VectorOps.queries("q_ann_ivf")(spark, TestSpark.sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(ivf.nonEmpty)
-    // label cells are true clusters: nearest neighbors should often share
-    // the query's cell, so nprobe=1 recall is well above chance
+    // Lloyd-trained cells (hash-sampled seeds, label column unused) track
+    // the corpus's cluster structure: nearest neighbors should often share
+    // the query's cell, so nprobe=2 recall is well above chance
     val recall = brute.intersect(ivf).size.toDouble / brute.size
     assert(recall > 0.2, s"ivf recall@5 = $recall")
   }

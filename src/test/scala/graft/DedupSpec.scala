@@ -26,6 +26,35 @@ class DedupSpec extends AnyFunSuite {
     assert(sh == exact)
   }
 
+  test("df-cap bounds the candidate join under a boilerplate flood") {
+    import spark.implicits._
+    // 200 docs all share 5 boilerplate shingle hashes (the templated-footer
+    // case); only docs 0 and 1 also share 28 content hashes (true near-dup)
+    val rows = (0 until 200).flatMap { d =>
+      val boiler = (1L to 5L).map(h => (d.toLong, h))
+      val content =
+        if (d <= 1) (100L to 127L).map(h => (d.toLong, h)) :+ (d.toLong, 1000L + d)
+        else (0 until 29).map(i => (d.toLong, 10000L + d * 100L + i))
+      boiler ++ content
+    }
+    val sh = rows.toDF("doc_id", "h")
+    val uncapped = DedupOps.cappedCandidates(sh, Long.MaxValue).count()
+    val capped = DedupOps.cappedCandidates(sh, 10L).count()
+    // uncapped: every pair collides on boilerplate -> d² flood
+    assert(uncapped == 200L * 199L / 2)
+    // capped: boilerplate (df=200 > 10) excluded from pairing, unique
+    // content (df=1) can't pair -> only the genuine overlap survives
+    assert(capped == 1L)
+  }
+
+  test("sf0.001 is below the relative df-cap: capped == uncapped result") {
+    // the production cap max(1000, 0.5% of docs) must be inert on corpora
+    // without boilerplate floods — q_ngram_jaccard's oracle equivalence
+    // (checked by the driver) plus this pin keep the cap honest
+    assert(DedupOps.ngramDfCap(500) == 1000L)
+    assert(DedupOps.ngramDfCap(1000000) == 5000L)
+  }
+
   test("planted fixture: near-dup pair found, distinct docs not") {
     import spark.implicits._
     val base = (0 until 40).map(i => s"tok${i * 7 % 13} word$i item${i % 5}").mkString(" ")

@@ -31,12 +31,31 @@ class LedgerSpec extends AnyFunSuite {
     assert(atts.toSet == Set(1L))
   }
 
-  test("checksum verification flags exactly the corrupted groups") {
-    val mismatches = LedgerOps.queries("q_checksum_verify")(spark, TestSpark.sf0001)
-    val m = mismatches.collect()
+  test("checksum verification flags exactly the content-corrupted groups") {
+    val m = LedgerOps.queries("q_checksum_verify")(spark, TestSpark.sf0001)
+      .collect()
     assert(m.nonEmpty, "the ~1% corrupted slice must surface")
-    // each mismatch differs by exactly the number of corrupted rows in it
-    assert(m.forall(r => r.getLong(2) < r.getLong(3)))
+    // the corruption is LENGTH-PRESERVING (byte transposition), so this
+    // only passes because the ledger hashes content; expected groups are
+    // those holding an event whose bytes actually change under reversal
+    val expected = Tables.events(spark, TestSpark.sf0001)
+      .filter(col("event_id") % 97 === 0 && col("props") =!= reverse(col("props")))
+      .select(
+        (Tables.phash(col("user_id")) % 16).cast("int").as("p"),
+        (Tables.phash(col("event_id")) % 8).cast("int").as("m"))
+      .distinct()
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(m.map(r => (r.getInt(0), r.getInt(1))).toSet == expected)
+  }
+
+  test("portable content hash: Spark conv(md5-prefix) == DuckDB hex cast") {
+    // pinned against DuckDB: CAST('0x' || substr(md5('hello'),1,15) AS
+    // BIGINT) = 419982666956583591 — the two engines must parse the same
+    // 60-bit integer from the same md5 prefix or the ledger drifts
+    val v = spark.range(1)
+      .select(expr("CAST(conv(substring(md5('hello'),1,15),16,10) AS BIGINT)"))
+      .collect()(0).getLong(0)
+    assert(v == 419982666956583591L)
   }
 
   test("seq_id is contiguous 1..n per (map, attempt)") {

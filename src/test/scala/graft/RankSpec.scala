@@ -19,7 +19,10 @@ class RankSpec extends AnyFunSuite {
       buckets: Int): Unit = {
     val expected = df
       .withColumn("rn", row_number().over(Window.orderBy(key +: ties: _*)))
-    val got = RankOps.globalRowNumber(df, key, ties, buckets, "rn")
+    // smallInputBytes = 0 forces the bucketed path — these tests exist to
+    // pin ITS equivalence; the fast path is covered separately below
+    val got = RankOps.globalRowNumber(df, key, ties, buckets, "rn",
+      smallInputBytes = 0L)
     assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty,
       s"buckets=$buckets")
   }
@@ -48,5 +51,17 @@ class RankSpec extends AnyFunSuite {
     import spark.implicits._
     val df = Seq.empty[(Long, Long)].toDF("k", "id")
     assert(RankOps.globalRowNumber(df, col("k"), Seq(col("id")), 8).isEmpty)
+  }
+
+  test("small inputs take the direct-window fast path, same results") {
+    val df = Tables.supplier(spark, TestSpark.sf0001)
+      .select("s_suppkey", "s_name")
+    // default threshold: plan statistics classify the fixture as small
+    val fast = RankOps.globalRowNumber(df, col("s_suppkey"), Nil, 64, "rn")
+    val expected = df.withColumn("rn",
+      row_number().over(Window.orderBy(col("s_suppkey"))))
+    assert(fast.exceptAll(expected).isEmpty && expected.exceptAll(fast).isEmpty)
+    // no bucket machinery in the fast path's plan
+    assert(!fast.queryExecution.executedPlan.toString.contains("__graft_rank_bucket"))
   }
 }

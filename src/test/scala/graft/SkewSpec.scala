@@ -24,6 +24,53 @@ class SkewSpec extends AnyFunSuite {
     }
   }
 
+  test("salted agg == direct on a zipfian hot-key distribution") {
+    import spark.implicits._
+    // key k appears ~20000/k times: key 1 dominates with 20k copies while
+    // the tail is sparse — the hot-key shape AQE cannot split for an agg
+    val df = spark.range(1, 201)
+      .select(col("id").as("k"), (lit(20000L) / col("id")).cast("long").as("copies"))
+      .withColumn("i", explode(sequence(lit(1L), col("copies"))))
+      .select(col("k"), (col("k") * 1000L + col("i")).as("v"))
+    val direct = df.groupBy("k")
+      .agg(sum("v").as("sum_v"), count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val salted = SkewOps.saltedSumCount(df, "k", "v", 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(salted == direct)
+  }
+
+  test("AQE splits the skewed join partition (skew=true in the final plan)") {
+    val s = spark
+    val confs = Map(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16k",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8k",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.keys.map(k => k -> s.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      // left side: ~98% of rows carry key 0 -> one shuffle partition far
+      // exceeds both the absolute threshold and factor×median
+      val left = s.range(0, 100000).select(
+        when(col("id") % 50 === 0, col("id") % 97 + 1).otherwise(0L).as("k"),
+        col("id").as("v"))
+      val right = s.range(0, 98).select(col("id").as("k"), (col("id") * 7).as("w"))
+      val out = left.join(right, "k").select("v")
+      val n = out.collect().length
+      assert(n == 100000, s"join row count $n")
+      val plan = out.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not split the skewed partition:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
   test("pre-existing salt-like columns don't corrupt the aggregation") {
     import spark.implicits._
     val df = Seq(("a", 1L, 9L, 9L), ("a", 2L, 9L, 9L), ("b", 3L, 9L, 9L))

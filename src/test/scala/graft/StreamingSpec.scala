@@ -142,6 +142,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(curated.filter(_._2 > 0) == viaBitmask.filter(_._2 > 0))
   }
 
+  test("streaming fingerprint dedup matches the batch exact-dedup keepers") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    import graft.streaming.CurationStream
+    import graft.streaming.CurationStream.TimedDoc
+    // event times must sit ABOVE the initial watermark (epoch 0): a row
+    // whose event time <= watermark is late and silently dropped, so a
+    // ts=0 first arrival would never register dedup state
+    val t0 = 1000000000L * 1000000L // 2001-09-09, safely past epoch 0
+    val base = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .collect().sortBy(_.getLong(0)).take(100)
+      .zipWithIndex.map { case (r, i) =>
+        TimedDoc(r.getLong(0), r.getString(1), r.getString(2), t0 + i * 1000000L) }
+    // plant a cross-batch exact duplicate: same text, later arrival
+    val dup = base.head.copy(docId = 999999L, tsUs = t0 + 200 * 1000000L)
+    val docs = base :+ dup
+    // batch keeper set: min doc_id per fingerprint — the funnel's exact_ok
+    val keepers = spark.createDataset(docs.toSeq)
+      .select(Tables.fingerprint(col("text")).as("fp"), col("docId"))
+      .groupBy("fp").agg(min("docId").as("keep"))
+      .collect().map(_.getLong(1)).toSet
+    val source = MemoryStream[TimedDoc]
+    val q = CurationStream.dedupByFingerprint(source.toDS())
+      .writeStream.format("memory").queryName("fpdedup").outputMode("append").start()
+    try {
+      // arrival follows doc_id order -> first-arrived == min doc_id and
+      // the streaming decisions must equal the batch keeper set exactly
+      source.addData(docs.take(60): _*)
+      q.processAllAvailable()
+      source.addData(docs.drop(60): _*)
+      q.processAllAvailable()
+      val kept = spark.sql("SELECT docId FROM fpdedup").collect()
+        .map(_.getLong(0)).toSet
+      assert(!kept.contains(999999L), "cross-batch duplicate must be dropped")
+      assert(kept == keepers)
+    } finally q.stop()
+  }
+
   test("deterministic stream sampling matches the batch hash rule") {
     import spark.implicits._
     implicit val sql = spark.sqlContext

@@ -56,6 +56,18 @@ class VectorAvgSpec extends AnyFunSuite {
     assert(out("b") == null)
   }
 
+  test("mixed-dimension vectors are skipped, never corrupt the buffer") {
+    import spark.implicits._
+    // single partition -> deterministic: dimension fixes on the first
+    // vector, the dim-3 row is skipped like a null-element vector
+    val df = Seq(
+      ("a", Seq(1.0, 3.0)), ("a", Seq(9.0, 9.0, 9.0)), ("a", Seq(3.0, 5.0)))
+      .toDF("k", "v").coalesce(1)
+    val out = df.groupBy("k").agg(expr("vector_avg(v)").as("m"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(out("a") == Seq(2.0, 4.0))
+  }
+
   test("works in partial/final split across many partitions") {
     import spark.implicits._
     val df = (1 to 1000).map(i => (i % 7, Seq(i.toDouble, -i.toDouble)))
