@@ -113,19 +113,48 @@ object DedupOps {
   }
 
   /** Ground truth: blocked exact n-gram Jaccard, with the df-cap bounding
-    * the candidate join. Candidates come from capped 8-byte-hash
-    * collisions; verification intersects the full per-doc hash sets. */
+    * the pair join. SPLIT-INTERSECTION shape: candidate pairs AND their
+    * kept-shingle intersection counts come straight off the capped
+    * self-join (groupBy-count — no distinct pass, no re-verification
+    * join); the capped (boilerplate) shingles' contribution is recovered
+    * from per-doc capped-hash arrays, which are tiny by construction —
+    * few DISTINCT boilerplate shingles per doc even when their df is
+    * huge. inter_total = inter_kept + |capped_a ∩ capped_b| is exact, so
+    * the result equals the uncapped Jaccard for every pair that shares at
+    * least one uncapped shingle (the cap's documented recall contract). */
   private val qNgramJaccard: Q = (s, d) => {
-    // persisted: feeds the df-cap aggregation, both candidate join sides,
-    // and the per-doc set build — all within the one action
+    // persisted: feeds the df aggregation, both capped-join sides, the
+    // capped arrays and the per-doc sizes — all within the one action
     val sh = shingles(s, d)
       .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
       .persist()
     val nDocs = sh.select("doc_id").distinct().count()
-    val cand = cappedCandidates(sh, ngramDfCap(nDocs))
-    val docs = sh.groupBy("doc_id")
-      .agg(collect_list("h").as("hs"), count(lit(1)).as("n"))
-    verifyPairs(cand, docs)
+    val cap = ngramDfCap(nDocs)
+    val dfs = sh.groupBy("h").agg(count(lit(1)).as("df"))
+    val kept = sh.join(dfs.filter(col("df") >= 2 && col("df") <= cap)
+      .select("h"), "h")
+    val pairsKept = kept.as("a").join(kept.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_kept"))
+    val cappedArr = sh.join(dfs.filter(col("df") > cap).select("h"), "h")
+      .groupBy("doc_id").agg(collect_list("h").as("ch"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    pairsKept
+      .join(broadcast(sizes).as("za"), col("doc_a") === col("za.doc_id"))
+      .join(broadcast(sizes).as("zb"), col("doc_b") === col("zb.doc_id"))
+      .join(cappedArr.select(col("doc_id").as("doc_a"), col("ch").as("ch_a")),
+        Seq("doc_a"), "left")
+      .join(cappedArr.select(col("doc_id").as("doc_b"), col("ch").as("ch_b")),
+        Seq("doc_b"), "left")
+      .withColumn("inter", col("n_kept") +
+        when(col("ch_a").isNull || col("ch_b").isNull, lit(0L))
+          .otherwise(size(array_intersect(col("ch_a"), col("ch_b"))).cast("long")))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") /
+          (col("za.n") + col("zb.n") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+      .orderBy("doc_a", "doc_b")
   }
 
   /** MinHash + banded LSH (r=2 rows/band, b=32 bands), then exact

@@ -58,9 +58,11 @@ object LedgerOps {
       contentHash(col("props")).as("sent_h"),
       when(col("event_id") % 97 === 0, contentHash(reverse(col("props"))))
         .otherwise(contentHash(col("props"))).as("recv_h"))
-    val attempts = base.withColumn("attempt_id", lit(0L))
-      .unionByName(
-        base.filter(col("event_id") % 20 === 0).withColumn("attempt_id", lit(1L)))
+    // retry slice via the same explode-flag shape as the dup slice below:
+    // the union form scanned events twice (one branch per attempt)
+    val attempts = base.withColumn("attempt_id",
+      explode(when(col("event_id") % 20 === 0, array(lit(0L), lit(1L)))
+        .otherwise(array(lit(0L)))))
     attempts
       .withColumn("seq_id",
         row_number().over(

@@ -168,7 +168,12 @@ object VectorOps {
     // single-split fixture; persisted because the corpus feeds centroid
     // training + assignment + query probes
     val e = Tables.spread(s, Tables.embeddings(s, d)).persist()
-    val cent = trainCentroids(s, e)
+    // train on a deterministic ~25% hash-sample: k-means centroids
+    // converge on the sample's geometry (standard IVF practice — training
+    // never needs the full corpus), so each Lloyd pass scores a quarter
+    // of the vectors; the FULL corpus is assigned exactly once below
+    val cent = trainCentroids(s,
+      e.filter(Tables.phash(col("vec_id")) % 4 === 0))
     // assign every vector to its nearest centroid (cosine, broadcast table)
     val assigned = e.join(broadcast(cent))
       .select(col("vec_id"), col("embedding"), col("cell"),
