@@ -422,6 +422,24 @@ object CoreOps {
       .orderBy("user_id", "event_id")
   }
 
+  /** Time-RANGE rolling aggregation: per-user sum/count of events in the
+    * trailing 10 minutes — the VALUE-based frame (q_rolling_agg covers the
+    * ROWS frame). RANGE frames are peer-inclusive: equal timestamps share
+    * one frame, so the result is deterministic without a tie-break column.
+    * Partitioned by user — no global window; decimal sums stay exact. */
+  private val qRollingRange: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ep"))
+      .rangeBetween(-600000000L, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("ep"),
+        col("value").cast("decimal(18,6)").as("v"))
+      .select(col("user_id"), col("event_id"),
+        sum(col("v")).over(w).cast("double").as("range_sum"),
+        count(lit(1)).over(w).as("range_n"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** Two-stage salted aggregation as a registered query (SkewOps is the
     * library form): the salt spreads a hot key over 8 reducers and the
     * merge must be invisible in the result — the oracle is the direct
@@ -610,6 +628,7 @@ object CoreOps {
     "q_percentile" -> qPercentile,
     "q_approx_percentile" -> qApproxPercentile,
     "q_rolling_agg" -> qRollingAgg,
+    "q_rolling_range" -> qRollingRange,
     "q_salted_agg" -> qSaltedAgg,
     "q_topk_agg" -> qTopkAgg,
     "q_partition_scramble" -> qPartitionScramble,
@@ -741,6 +760,16 @@ object CoreOps {
         |FROM e
         |WINDOW w AS (PARTITION BY user_id ORDER BY ep, event_id
         |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
+    "q_rolling_range" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ep,
+        |                  CAST(value AS DECIMAL(18,6)) AS v FROM events)
+        |SELECT user_id, event_id,
+        |       CAST(sum(v) OVER w AS DOUBLE) AS range_sum,
+        |       CAST(count(*) OVER w AS BIGINT) AS range_n
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ep
+        |             RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, event_id""".stripMargin,
     "q_topk_agg" ->
       """SELECT event_type, rk, event_id, value FROM (

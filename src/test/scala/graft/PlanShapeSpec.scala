@@ -51,4 +51,26 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
     assert(p.contains("LeftSemi") && p.contains("LeftAnti"))
   }
+
+  test("multi-join: dims broadcast, date filter pushed to the orders scan") {
+    val p = plan(CoreOps.queries("q_multi_join")(spark, sf))
+    // all four dimension sides build broadcast hash tables at this SF
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 4, s"joins in:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    // Catalyst must simplify cast(o_orderdate as date) >= d into a scan-
+    // pushable predicate — the join tree then starts from the filtered side
+    assert(p.contains("GreaterThanOrEqual(o_orderdate,1995-01-01"),
+      s"date filter not pushed:\n$p")
+  }
+
+  test("ledger queries compute the seq_id window exactly once (explode dups)") {
+    // sf0.01, NOT the shared sf0.001: LedgerSpec caches blocks(sf0.001)
+    // concurrently, and a cache hit swaps in an InMemoryRelation whose
+    // stored plan string doubles the Window count
+    val p = plan(graft.operators.LedgerOps.queries("q_dedup_exact")(
+      spark, "/root/testdata/sf0.01"))
+    // the r2 union form planned TWO identical Window subtrees + two scans
+    assert("Window".r.findAllIn(p).size == 1, s"window subtrees in:\n$p")
+    assert("Scan parquet".r.findAllIn(p).size == 1, s"scans in:\n$p")
+  }
 }
