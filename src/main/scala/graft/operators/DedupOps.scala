@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -128,28 +128,49 @@ object DedupOps {
     val sh = shingles(s, d)
       .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
       .persist()
-    val nDocs = sh.select("doc_id").distinct().count()
+    // Job 1: corpus doc count for the relative cap — a parquet
+    // metadata-only count (footer row counts, no text scan). Job 2 (pays
+    // the one-time shingle-cache materialization): the hot-shingle set,
+    // DRIVER-COLLECTABLE BY CONSTRUCTION — at most |shingle rows| / floor
+    // distinct shingles can exceed df = floor, so the collect is bounded
+    // at any corpus size (the same bound that makes the cap work at all).
+    // The cap is then a codegen'd isin filter — zero extra joins or
+    // shuffles vs the uncapped r2 plan (an anti-join/tagged-join variant
+    // measured +2.5-3s of pure local job overhead from the extra
+    // broadcast subtrees racing to materialize the cache).
+    val nDocs = Tables.documents(s, d).count()
     val cap = ngramDfCap(nDocs)
-    val dfs = sh.groupBy("h").agg(count(lit(1)).as("df"))
-    val kept = sh.join(dfs.filter(col("df") >= 2 && col("df") <= cap)
-      .select("h"), "h")
+    val cappedHs = sh.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") > NgramDfCapFloor).collect()
+      .filter(_.getLong(1) > cap).map(_.getLong(0))
+    val isCapped: Column =
+      if (cappedHs.isEmpty) lit(false) else col("h").isInCollection(cappedHs)
+    val kept = sh.filter(!isCapped)
     val pairsKept = kept.as("a").join(kept.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_kept"))
-    val cappedArr = sh.join(dfs.filter(col("df") > cap).select("h"), "h")
-      .groupBy("doc_id").agg(collect_list("h").as("ch"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    pairsKept
+    val base = pairsKept
       .join(broadcast(sizes).as("za"), col("doc_a") === col("za.doc_id"))
       .join(broadcast(sizes).as("zb"), col("doc_b") === col("zb.doc_id"))
-      .join(cappedArr.select(col("doc_id").as("doc_a"), col("ch").as("ch_a")),
-        Seq("doc_a"), "left")
-      .join(cappedArr.select(col("doc_id").as("doc_b"), col("ch").as("ch_b")),
-        Seq("doc_b"), "left")
-      .withColumn("inter", col("n_kept") +
-        when(col("ch_a").isNull || col("ch_b").isNull, lit(0L))
-          .otherwise(size(array_intersect(col("ch_a"), col("ch_b"))).cast("long")))
+    // un-flooded corpora (no capped shingles) skip the array-recovery
+    // stage entirely — the plan is then exactly the uncapped one
+    val withInter =
+      if (cappedHs.isEmpty) base.withColumn("inter", col("n_kept"))
+      else {
+        val cappedArr = sh.filter(isCapped)
+          .groupBy("doc_id").agg(collect_list("h").as("ch"))
+        base
+          .join(cappedArr.select(col("doc_id").as("doc_a"), col("ch").as("ch_a")),
+            Seq("doc_a"), "left")
+          .join(cappedArr.select(col("doc_id").as("doc_b"), col("ch").as("ch_b")),
+            Seq("doc_b"), "left")
+          .withColumn("inter", col("n_kept") +
+            when(col("ch_a").isNull || col("ch_b").isNull, lit(0L))
+              .otherwise(size(array_intersect(col("ch_a"), col("ch_b"))).cast("long")))
+      }
+    withInter
       .select(col("doc_a"), col("doc_b"),
         (col("inter").cast("double") /
           (col("za.n") + col("zb.n") - col("inter"))).as("jaccard"))
@@ -300,7 +321,7 @@ object DedupOps {
       |sh AS (
       |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
       |  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) g),
-      |ndocs AS (SELECT count(DISTINCT doc_id) AS nd FROM sh),
+      |ndocs AS (SELECT count(*) AS nd FROM documents),
       |keep AS (
       |  SELECT shingle FROM sh, ndocs
       |  GROUP BY shingle, nd
