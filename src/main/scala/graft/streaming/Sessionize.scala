@@ -97,4 +97,30 @@ object Sessionize {
     * identically on retry (no rand()). */
   def sampleStream(events: Dataset[Ev], pct: Int): Dataset[Ev] =
     events.filter(graft.Tables.phash(col("userId")) % 100 < pct)
+
+  /** Watermarked STREAM-STREAM join: each purchase attributed to the same
+    * user's clicks in the preceding `windowUs` microseconds. Both sides
+    * carry watermarks and the join condition bounds event-time distance
+    * in BOTH directions, which is what lets each side's state store evict
+    * rows once the opposite watermark passes the bound — state is
+    * O(events-per-window) per side, not O(stream). This is the join
+    * topology batch `q_interval_join` expresses, running incrementally:
+    * one output row per (purchase, click) pair inside the window. */
+  def attributeStream(
+      clicks: Dataset[Ev], purchases: Dataset[Ev],
+      windowUs: Long = 3600000000L): Dataset[(Long, Long, Long)] = {
+    import clicks.sparkSession.implicits._
+    val c = clicks
+      .select(col("userId").as("cUser"), timestamp_micros(col("tsUs")).as("cTs"))
+      .withWatermark("cTs", "1 hour")
+    val p = purchases
+      .select(col("userId").as("pUser"), timestamp_micros(col("tsUs")).as("pTs"))
+      .withWatermark("pTs", "1 hour")
+    p.join(c,
+        col("pUser") === col("cUser") &&
+          col("cTs") <= col("pTs") &&
+          col("cTs") >= col("pTs") - expr(s"INTERVAL ${windowUs / 1000000} SECOND"))
+      .select(col("pUser"), unix_micros(col("pTs")), unix_micros(col("cTs")))
+      .as[(Long, Long, Long)]
+  }
 }

@@ -181,6 +181,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream join attributes purchases to in-window clicks") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val t0 = 1000000000L * 1000000L // past epoch 0 (initial-watermark trap)
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val q = Sessionize.attributeStream(clicks.toDS(), purchases.toDS(),
+        windowUs = 600000000L) // 10 min
+      .toDF("user", "pTs", "cTs")
+      .writeStream.format("memory").queryName("attr").outputMode("append").start()
+    try {
+      // user 1: click at t0, purchase 5 min later (inside window);
+      // user 2: click at t0, purchase 20 min later (outside window);
+      // user 3: purchase with no click at all
+      clicks.addData(Ev(1L, t0), Ev(2L, t0))
+      purchases.addData(Ev(1L, t0 + 300000000L))
+      q.processAllAvailable()
+      purchases.addData(Ev(2L, t0 + 1200000000L), Ev(3L, t0 + 60000000L))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT user, pTs, cTs FROM attr").collect()
+        .map(r => (r.getLong(0), r.getLong(1) - t0, r.getLong(2) - t0)).toSet
+      // only user 1's purchase joins: cross-batch (click arrived a batch
+      // earlier, held in the join state), inside the 10-min bound
+      assert(rows == Set((1L, 300000000L, 0L)), rows.mkString(","))
+    } finally q.stop()
+  }
+
   test("deterministic stream sampling matches the batch hash rule") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
