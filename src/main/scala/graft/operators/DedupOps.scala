@@ -97,21 +97,6 @@ object DedupOps {
   def ngramDfCap(nDocs: Long): Long =
     math.max(NgramDfCapFloor, math.ceil(nDocs * NgramDfCapFrac).toLong)
 
-  /** Candidate (doc_a, doc_b) pairs from a (doc_id, h) shingle-hash table,
-    * pairing only on shingles with 2 <= df <= cap (df=1 cannot pair; df >
-    * cap is boilerplate). The df aggregation is one partial-aggregable
-    * pass; the self-join fan-out per shingle is bounded by cap². */
-  def cappedCandidates(sh: DataFrame, cap: Long): DataFrame = {
-    val keep = sh.groupBy("h").agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2 && col("df") <= cap)
-      .select("h")
-    val shc = sh.join(keep, "h")
-    shc.as("a").join(shc.as("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-  }
-
   /** Ground truth: blocked exact n-gram Jaccard, with the df-cap bounding
     * the pair join. SPLIT-INTERSECTION shape: candidate pairs AND their
     * kept-shingle intersection counts come straight off the capped
@@ -140,9 +125,13 @@ object DedupOps {
     // broadcast subtrees racing to materialize the cache).
     val nDocs = Tables.documents(s, d).count()
     val cap = ngramDfCap(nDocs)
+    // the filter must use the COMPUTED cap, not the constant floor: at
+    // large nDocs the cap is 0.005·nDocs >> floor, and filtering at the
+    // floor would ship every df>1000 shingle to the driver — unbounded
+    // in exactly the flood regime the cap exists for
     val cappedHs = sh.groupBy("h").agg(count(lit(1)).as("df"))
-      .filter(col("df") > NgramDfCapFloor).collect()
-      .filter(_.getLong(1) > cap).map(_.getLong(0))
+      .filter(col("df") > cap)
+      .collect().map(_.getLong(0))
     val isCapped: Column =
       if (cappedHs.isEmpty) lit(false) else col("h").isInCollection(cappedHs)
     val kept = sh.filter(!isCapped)

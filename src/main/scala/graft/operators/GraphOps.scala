@@ -27,7 +27,10 @@ import org.apache.spark.sql.functions._
 object GraphOps {
 
   /** edges: two LongType columns (src, dst), undirected (one direction is
-    * enough). Returns (vertex_id, label) for every vertex present. */
+    * enough). Returns (vertex_id, label) for every vertex present. On the
+    * distributed path the returned frame is PERSISTED (it backs the
+    * converged labels) and the caller owns the release — unpersist it (or
+    * clearCache) once consumed. */
   def connectedComponents(
       s: SparkSession,
       edges: DataFrame,
@@ -65,6 +68,11 @@ object GraphOps {
       var cached = both.groupBy(col("src").as("vertex_id"))
         .agg(least(min(col("dst")), col("src")).as("label"))
         .persist()
+      // the frame persisted this round but not yet promoted to `cached` —
+      // tracked so a mid-round failure (e.g. the convergence count
+      // throwing) cannot leak it past the finally block
+      var inFlight: DataFrame = null
+      var ok = false
       try {
         var labels = cached
         var converged = false
@@ -79,25 +87,31 @@ object GraphOps {
             .select(col("vertex_id"), least(col("label"), col("prop")).as("label"),
               col("label").as("old"))
             .persist()
+          inFlight = next
           val changed = next.filter(col("label") =!= col("old")).count()
           cached.unpersist()
           cached = next
+          inFlight = null
           labels = next.select("vertex_id", "label")
           converged = changed == 0
           rounds += 1
         }
         if (!converged) throw new IllegalStateException(
           s"connectedComponents: not converged after $rounds rounds")
-        // materialize the result OFF the loop caches before releasing them
-        // (labels is a view over the final round's persisted frame; without
-        // the checkpoint, unpersisting would re-run every propagation round
-        // on first consumption). localCheckpoint severs the lineage; its
-        // blocks are released by the ContextCleaner once unreferenced.
-        labels.localCheckpoint(true)
+        ok = true
+        // The returned frame stays PERSISTED and the CALLER OWNS it:
+        // every round is already materialized (the convergence count),
+        // so consumption is a cache read. Severing lineage instead
+        // (localCheckpoint) would lose recomputability on executor loss —
+        // the wrong trade for a cluster library; unpersisting here would
+        // re-run every propagation round on first consumption. The
+        // engine's runners release it via clearCache per query.
+        labels
       } finally {
-        // on success AND on non-convergence/failure: nothing stays cached
-        // for the session lifetime (r2 ADVICE leak)
-        cached.unpersist()
+        if (inFlight != null && (inFlight ne cached)) inFlight.unpersist()
+        // the final round's frame backs the returned result — keep it on
+        // success, release it on any failure path
+        if (!ok) cached.unpersist()
         both.unpersist()
         e.unpersist()
       }

@@ -76,22 +76,22 @@ object RankOps {
     // guaranteed to reproduce (merge order of quantile-sketch partials
     // follows shuffle-fetch order). One small driver array = one source
     // of truth for both jobs, and one fewer scan of the input.
-    val bucketed =
-      if (buckets == 1) keyed.withColumn(bCol, lit(0))
+    // buckets == 1 is fully handled by the fast path above; only the
+    // quantile-bucketed formulation lives here
+    val bucketed = {
+      val probs = (1 until buckets).map(_.toDouble / buckets)
+      val bounds = keyed.agg(
+        percentile_approx(col(kCol).cast("double"),
+          array(probs.map(lit): _*), lit(10000)).as("__bounds"))
+        .collect()(0)
+      if (bounds.isNullAt(0)) keyed.withColumn(bCol, lit(0))
       else {
-        val probs = (1 until buckets).map(_.toDouble / buckets)
-        val bounds = keyed.agg(
-          percentile_approx(col(kCol).cast("double"),
-            array(probs.map(lit): _*), lit(10000)).as("__bounds"))
-          .collect()(0)
-        if (bounds.isNullAt(0)) keyed.withColumn(bCol, lit(0))
-        else {
-          val bArr = bounds.getSeq[Double](0)
-          keyed.withColumn(bCol,
-            aggregate(typedlit(bArr), lit(0),
-              (acc, b) => acc + when(col(kCol).cast("double") >= b, 1).otherwise(0)))
-        }
+        val bArr = bounds.getSeq[Double](0)
+        keyed.withColumn(bCol,
+          aggregate(typedlit(bArr), lit(0),
+            (acc, b) => acc + when(col(kCol).cast("double") >= b, 1).otherwise(0)))
       }
+    }
 
     val w = Window.partitionBy(col(bCol))
       .orderBy(col(kCol) +: tieBreaks: _*)

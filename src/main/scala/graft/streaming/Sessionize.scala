@@ -119,7 +119,9 @@ object Sessionize {
     p.join(c,
         col("pUser") === col("cUser") &&
           col("cTs") <= col("pTs") &&
-          col("cTs") >= col("pTs") - expr(s"INTERVAL ${windowUs / 1000000} SECOND"))
+          // MICROSECOND units: dividing down to SECOND would silently
+          // truncate sub-second windows (500ms -> INTERVAL 0)
+          col("cTs") >= col("pTs") - expr(s"INTERVAL $windowUs MICROSECOND"))
       .select(col("pUser"), unix_micros(col("pTs")), unix_micros(col("cTs")))
       .as[(Long, Long, Long)]
   }

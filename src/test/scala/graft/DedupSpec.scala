@@ -26,25 +26,34 @@ class DedupSpec extends AnyFunSuite {
     assert(sh == exact)
   }
 
-  test("df-cap bounds the candidate join under a boilerplate flood") {
+  test("df-cap engages under a boilerplate flood; the true pair survives") {
     import spark.implicits._
-    // 200 docs all share 5 boilerplate shingle hashes (the templated-footer
-    // case); only docs 0 and 1 also share 28 content hashes (true near-dup)
-    val rows = (0 until 200).flatMap { d =>
-      val boiler = (1L to 5L).map(h => (d.toLong, h))
-      val content =
-        if (d <= 1) (100L to 127L).map(h => (d.toLong, h)) :+ (d.toLong, 1000L + d)
-        else (0 until 29).map(i => (d.toLong, 10000L + d * 100L + i))
-      boiler ++ content
-    }
-    val sh = rows.toDF("doc_id", "h")
-    val uncapped = DedupOps.cappedCandidates(sh, Long.MaxValue).count()
-    val capped = DedupOps.cappedCandidates(sh, 10L).count()
-    // uncapped: every pair collides on boilerplate -> d² flood
-    assert(uncapped == 200L * 199L / 2)
-    // capped: boilerplate (df=200 > 10) excluded from pairing, unique
-    // content (df=1) can't pair -> only the genuine overlap survives
-    assert(capped == 1L)
+    // 1200 docs all share one templated footer -> its shingles have
+    // df = 1200 > cap = max(1000, 0.5% · 1200) = 1000. Without the cap the
+    // self-join would generate all C(1200,2) = 719400 pairs off the footer
+    // alone; with it, pairing runs on content shingles only. Docs 0 and 1
+    // are genuine near-dups (one word differs) and must still be found —
+    // with Jaccard over their FULL shingle sets, footer included.
+    val boiler = "this footer sentence repeats verbatim on every page of the corpus"
+    val content = (0 until 40).map(i => s"w${i * 7 % 97}x$i").mkString(" ")
+    val docs = (0 until 1200).map { i =>
+      val text = i match {
+        case 0 => s"$boiler $content"
+        case 1 => s"$boiler ${content.replace("x20 ", "y20 ")}"
+        case _ => s"$boiler " + (0 until 30).map(j => s"u${i}q$j").mkString(" ")
+      }
+      (i.toLong, text, "en", "src0", text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = Files.createTempDirectory("graft-flood").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val q = DedupOps.queries("q_ngram_jaccard")(spark, dir)
+    val found = q.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found == Set((0L, 1L)), s"got $found")
+    // prove the cap ENGAGED on this corpus: the hot footer hashes ride the
+    // plan as an in-set filter (In below 10 values, InSet above)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("INSET") || plan.contains(" IN ("),
+      s"df-cap filter absent from plan:\n$plan")
   }
 
   test("sf0.001 is below the relative df-cap: capped == uncapped result") {

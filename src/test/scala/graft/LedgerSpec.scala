@@ -7,9 +7,14 @@ import graft.operators.LedgerOps
 /** Ledger invariants from the reference's read-side guards
   * (ShufflePartitionReader.java:378-393, Ors2Util.scala:75-81,
   * ShufflePartitionReader.java:217-249; FIXTURES.md §B). */
-class LedgerSpec extends AnyFunSuite {
+class LedgerSpec extends AnyFunSuite
+    with org.scalatest.BeforeAndAfterAll {
   private lazy val spark = TestSpark.spark
   private lazy val blocks = LedgerOps.blocks(spark, TestSpark.sf0001).cache()
+
+  // release the suite cache: a lingering InMemoryRelation for blocks(sf0.001)
+  // substitutes into OTHER suites' plans (PlanShapeSpec pins plan strings)
+  override def afterAll(): Unit = blocks.unpersist()
 
   test("dedup removes exactly the dup slice") {
     val total = blocks.count()

@@ -64,11 +64,10 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("ledger queries compute the seq_id window exactly once (explode dups)") {
-    // sf0.01, NOT the shared sf0.001: LedgerSpec caches blocks(sf0.001)
-    // concurrently, and a cache hit swaps in an InMemoryRelation whose
-    // stored plan string doubles the Window count
-    val p = plan(graft.operators.LedgerOps.queries("q_dedup_exact")(
-      spark, "/root/testdata/sf0.01"))
+    // LedgerSpec releases its blocks(sf0.001) cache in afterAll; without
+    // that, a cache hit would swap an InMemoryRelation into this plan and
+    // its stored plan string would double the Window count
+    val p = plan(graft.operators.LedgerOps.queries("q_dedup_exact")(spark, sf))
     // the r2 union form planned TWO identical Window subtrees + two scans
     assert("Window".r.findAllIn(p).size == 1, s"window subtrees in:\n$p")
     assert("Scan parquet".r.findAllIn(p).size == 1, s"scans in:\n$p")
