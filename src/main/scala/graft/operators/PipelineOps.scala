@@ -138,6 +138,34 @@ object PipelineOps {
       .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
       .orderBy("lang", "reasons")
 
+  /** Corpus-self-trained unigram LM score per document — the CCNet-style
+    * perplexity signal: avg over a doc's tokens of ln P(tok), with P
+    * estimated from the corpus's own token frequencies. Low (very
+    * negative) scores = rare-token gibberish; high = stopword soup.
+    *
+    * Shape: one explode (map-side) → one token-frequency aggregation →
+    * one join of the exploded tokens against the frequency table (AQE
+    * broadcasts it while it fits; shuffle join on the token key beyond) →
+    * one per-doc aggregation. The corpus-total token count rides as a
+    * broadcast 1-row aggregate. avg(ln(...)) is order-sensitive at 1e-15,
+    * so the score is rounded to 4 decimals on BOTH engines (the
+    * engine-parity convention q_embed_centroids established). */
+  private val qLmScore: Q = (s, d) => {
+    // persisted: feeds the frequency table, the total, and the join side
+    val toks = toked(s, d)
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .persist()
+    val tf = toks.groupBy("tok").agg(count(lit(1)).as("tf"))
+    val total = toks.agg(count(lit(1)).as("total"))
+    toks.join(tf, "tok")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"),
+        round(avg(log(col("tf").cast("double") / col("total"))), 4)
+          .as("avg_logprob"))
+      .orderBy("doc_id")
+  }
+
   /** Interval self-join on the event stream: for each error event, the
     * count of purchase events by the same user within ±10 minutes. Equi
     * key (user_id) + range predicate — Spark plans a shuffled join on the
@@ -266,6 +294,7 @@ object PipelineOps {
     "q_text_normalize" -> qTextNormalize,
     "q_quality_filter" -> qQualityFilter,
     "q_interval_join" -> qIntervalJoin,
+    "q_lm_score" -> qLmScore,
   )
 
   private val shingleCte =
@@ -420,6 +449,18 @@ object PipelineOps {
         |SELECT lang, reasons, CAST(count(*) AS BIGINT) AS n_docs,
         |       CAST(sum(doc_id) AS BIGINT) AS id_sum
         |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_lm_score" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         unnest(list_filter(string_split_regex(lower(text), '\W+'),
+        |                            x -> x <> '')) AS tok
+        |  FROM documents),
+        |tf AS (SELECT tok, count(*) AS tf FROM t GROUP BY 1),
+        |tot AS (SELECT count(*) AS total FROM t)
+        |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+        |       round(avg(ln(CAST(tf.tf AS DOUBLE) / tot.total)), 4) AS avg_logprob
+        |FROM t JOIN tf ON t.tok = tf.tok, tot
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
     "q_interval_join" ->
       """WITH ev AS (
         |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ep

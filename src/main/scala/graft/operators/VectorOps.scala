@@ -220,7 +220,34 @@ object VectorOps {
       .orderBy("label")
   }
 
+  /** Symmetric int8 quantization of the embedding column — the standard
+    * compression step before a billion-vector ANN index (4× smaller than
+    * float32, SIMD-friendly dot products). Per vector: scale = 127/max|x|,
+    * q_i = floor(x_i·127/amax + 0.5). floor(x+0.5) instead of round():
+    * the two engines disagree on round-half ties, floor is bit-identical
+    * (and the double math is identical IEEE ops in both). Pure map-side
+    * expression work — zero shuffles; output is the per-vector checksum
+    * triple, not the arrays (oracle-hashable). */
+  private val qEmbedQuantize: Q = (s, d) =>
+    Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))")
+          .as("amax"),
+        col("embedding"))
+      .select(col("vec_id"),
+        expr("""CASE WHEN amax = 0D
+               |  THEN transform(embedding, x -> 0)
+               |  ELSE transform(embedding,
+               |         x -> CAST(floor(CAST(x AS DOUBLE) * 127.0D / amax + 0.5D) AS INT))
+               |END""".stripMargin).as("q"))
+      .select(col("vec_id"),
+        expr("aggregate(q, 0L, (a, v) -> a + v)").as("q_sum"),
+        expr("array_min(q)").as("q_min"),
+        expr("array_max(q)").as("q_max"))
+      .orderBy("vec_id")
+
   val queries: Map[String, Q] = Map(
+    "q_embed_quantize" -> qEmbedQuantize,
     "q_ann_brute" -> qAnnBrute,
     "q_embed_neardup" -> qEmbedNeardup,
     "q_ann_lsh" -> qAnnLsh,
@@ -229,6 +256,26 @@ object VectorOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_embed_quantize" ->
+      """WITH a AS (
+        |  SELECT vec_id,
+        |         list_max(list_transform(embedding,
+        |                  x -> abs(CAST(x AS DOUBLE)))) AS amax,
+        |         embedding
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id,
+        |         CASE WHEN amax = 0
+        |           THEN list_transform(embedding, x -> 0)
+        |           ELSE list_transform(embedding,
+        |                  x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / amax + 0.5) AS INT))
+        |         END AS qv
+        |  FROM a)
+        |SELECT vec_id,
+        |       CAST(list_sum(qv) AS BIGINT) AS q_sum,
+        |       CAST(list_min(qv) AS INT) AS q_min,
+        |       CAST(list_max(qv) AS INT) AS q_max
+        |FROM q ORDER BY vec_id""".stripMargin,
     "q_ann_brute" ->
       """SELECT query_id, neighbor_id, rk FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
