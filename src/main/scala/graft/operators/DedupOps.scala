@@ -39,6 +39,12 @@ object DedupOps {
   private type Q = (SparkSession, String) => DataFrame
   private val P = 1000000007L
 
+  // Cache ownership: the public operators here (nearDupPairs, and the
+  // registered queries) persist() reused subplans (doc hash arrays,
+  // shingle tables) that BACK their returned frames — the CALLER owns the
+  // release (unpersist/clearCache once consumed; the engine's runners
+  // clearCache per query). Same convention as GraphOps.connectedComponents.
+
   /** (doc_id, shingle): distinct word-3-gram shingles per document.
     * The corpus arrives as one parquet file (one input split), so the
     * CPU-heavy shingling is explicitly spread across the cluster first;
@@ -47,8 +53,7 @@ object DedupOps {
   def shingles(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-      .select(col("doc_id"),
-        expr("filter(split(lower(text), '\\\\W+'), x -> x != '')").as("toks"))
+      .select(col("doc_id"), TextRules.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         explode(expr(
           """CASE WHEN size(toks) >= 3
@@ -140,9 +145,14 @@ object DedupOps {
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_kept"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // sizes is one row per DOC — unbounded at corpus scale, so the
+    // broadcast hint is gated on the already-collected doc count; above
+    // the gate the join is left to the planner (shuffle on doc id)
+    val sizesJ: DataFrame => DataFrame =
+      if (nDocs <= 2000000L) df => broadcast(df) else identity
     val base = pairsKept
-      .join(broadcast(sizes).as("za"), col("doc_a") === col("za.doc_id"))
-      .join(broadcast(sizes).as("zb"), col("doc_b") === col("zb.doc_id"))
+      .join(sizesJ(sizes).as("za"), col("doc_a") === col("za.doc_id"))
+      .join(sizesJ(sizes).as("zb"), col("doc_b") === col("zb.doc_id"))
     // un-flooded corpora (no capped shingles) skip the array-recovery
     // stage entirely — the plan is then exactly the uncapped one
     val withInter =

@@ -93,14 +93,21 @@ object RankOps {
       }
     }
 
+    // persisted: the bucket-counts job below and the returned frame both
+    // scan `bucketed` — without the cache the full input (by definition
+    // > smallInputBytes on this path) is read and bucket-assigned twice.
+    // The returned frame is backed by this cache; the engine's runners
+    // release it via clearCache per query (same caller-owned convention
+    // as GraphOps.connectedComponents).
+    val bucketed2 = bucketed.persist()
     val w = Window.partitionBy(col(bCol))
       .orderBy(col(kCol) +: tieBreaks: _*)
-    val local = bucketed.withColumn(lCol, row_number().over(w))
+    val local = bucketed2.withColumn(lCol, row_number().over(w))
 
     // Bucket counts: at most `buckets` rows — the same driver-side step
     // RDD.zipWithIndex performs. Offsets are cumulative counts of all
     // lower buckets.
-    val counts = bucketed.groupBy(col(bCol)).count()
+    val counts = bucketed2.groupBy(col(bCol)).count()
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     var acc = 0L
     val offsets = counts.map { case (b, n) => val o = (b, acc); acc += n; o }

@@ -25,8 +25,7 @@ object TextOps {
   /** Tokenize + global token frequencies, top-100. */
   private val qTextTokens: Q = (s, d) =>
     Tables.documents(s, d)
-      .select(explode(split(lower(col("text")), "\\W+")).as("token"))
-      .filter(col("token") =!= "")
+      .select(explode(TextRules.tokens(col("text"))).as("token"))
       .groupBy("token")
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("token"))
@@ -50,8 +49,7 @@ object TextOps {
     val docs = Tables.documents(s, d)
     val toks = docs
       .select(col("doc_id"),
-        explode(split(lower(col("text")), "\\W+")).as("token"))
-      .filter(col("token") =!= "")
+        explode(TextRules.tokens(col("text"))).as("token"))
     val scores = toks.join(broadcast(lex), Seq("token"))
       .groupBy("doc_id", "plang").agg(count(lit(1)).as("hits"))
     val best = scores
@@ -74,8 +72,7 @@ object TextOps {
     Tables.documents(s, d)
       .select(
         col("doc_id"),
-        expr("size(filter(split(lower(text), '\\\\W+'), x -> x != ''))")
-          .as("n_tokens"),
+        size(TextRules.tokens(col("text"))).as("n_tokens"),
         length(regexp_replace(lower(col("text")), "\\W", "")).as("word_chars"),
         length(regexp_replace(col("text"), "[^.!?,;:]", "")).as("punct_cnt"),
         length(col("text")).as("n_chars_txt"),

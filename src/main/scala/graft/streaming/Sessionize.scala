@@ -29,7 +29,10 @@ object Sessionize {
     * the "expired worker" predicate of ShuffleWorkerStatusManager.java:90-95. */
   def update(gapUs: Long)(
       userId: Long, evs: Iterator[Ev], state: GroupState[SessState]): Iterator[UserSessions] = {
-    val sorted = evs.toArray.sortBy(e => (e.tsUs, e.userId))
+    // tsUs only: userId is the group key (constant here), and equal-ts
+    // events are order-insensitive for gap counting — there is no real
+    // secondary order and pretending otherwise would overstate determinism
+    val sorted = evs.toArray.sortBy(_.tsUs)
     var st = state.getOption.getOrElse(SessState(Long.MinValue, 0L, 0L))
     sorted.foreach { e =>
       val newSess = st.lastTs == Long.MinValue || e.tsUs - st.lastTs > gapUs
