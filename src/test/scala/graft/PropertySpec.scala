@@ -100,6 +100,32 @@ class PropertySpec extends AnyFunSuite {
     }, n = 5)
   }
 
+  test("int8 quantization stays inside [-127, 127] and zeros degenerate vectors") {
+    import spark.implicits._
+    val vecGen = Gen.oneOf(
+      Gen.listOfN(8, Gen.choose(-1000.0f, 1000.0f)),
+      Gen.const(List.fill(8)(0.0f))) // amax = 0 guard path
+    check("quantize-bounds", Prop.forAll(Gen.listOfN(30, vecGen)) { vecs =>
+      val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("vec_id", "embedding")
+      val dir = java.nio.file.Files.createTempDirectory("graft-q").toString
+      df.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val rows = graft.operators.VectorOps.queries("q_embed_quantize")(spark, dir)
+        .collect()
+      rows.forall { r =>
+        val (mn, mx) = (r.getInt(2), r.getInt(3))
+        mn >= -127 && mx <= 127
+      } && rows.length == vecs.length
+    }, n = 4)
+  }
+
+  test("lm score is non-positive (token probabilities never exceed 1)") {
+    val rows = graft.operators.PipelineOps.queries("q_lm_score")(
+      spark, TestSpark.sf0001).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getDouble(2) <= 0.0))
+  }
+
   test("dropDuplicates is idempotent and equals distinct on full rows") {
     import spark.implicits._
     check("dedup-idempotence", Prop.forAll(rowsGen) { rows =>
