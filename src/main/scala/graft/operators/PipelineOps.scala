@@ -43,7 +43,10 @@ object PipelineOps {
     val sh = DedupOps.shingles(s, d)
       .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
       .persist()
-    val nDocs = sh.select("doc_id").distinct().count()
+    // corpus doc count via parquet metadata (footer row counts — no text
+    // scan, no extra action over the shingle pipeline); the df threshold
+    // is then "5% of corpus docs", same base the ngram cap uses
+    val nDocs = Tables.documents(s, d).count()
     val common = sh.groupBy("h")
       .agg(count(lit(1)).as("df"))
       .filter(col("df") >= lit(nDocs) * 0.05)
@@ -375,7 +378,7 @@ object PipelineOps {
          |  ON p.ship_day BETWEEN i.start_day AND i.start_day + $RangeJoinW
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_text_boilerplate" -> (shingleCte + """,
-      |ndocs AS (SELECT count(DISTINCT doc_id) AS nd FROM sh),
+      |ndocs AS (SELECT count(*) AS nd FROM documents),
       |common AS (
       |  SELECT shingle FROM sh, ndocs
       |  GROUP BY shingle, nd HAVING count(DISTINCT doc_id) >= nd * 0.05)
