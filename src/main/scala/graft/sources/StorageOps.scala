@@ -35,6 +35,35 @@ object StorageOps {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** Small-file compaction: rewrite the parquet dataset at `dir` so data
+    * files approach `targetBytes` each — the table-layout counterpart of
+    * the problem the reference engine solves at the shuffle layer (many
+    * tiny per-map blocks merged into partition-grouped sequential files;
+    * that design goal is the whole point of its worker data plane).
+    * Sizing uses the dataset's actual on-disk bytes from an FS listing —
+    * no data scan; then ONE round-robin repartition and an atomic-commit
+    * rewrite via a temp dir + rename (reading and overwriting the same
+    * path in one job would clobber its own input). The temp-dir swap
+    * mirrors the reference's finalize-rename; a production lake would
+    * flip a manifest/view instead for readers-during-compaction.
+    * Returns (dataFilesBefore, dataFilesAfter). */
+  def compact(spark: SparkSession, dir: String, targetBytes: Long): (Int, Int) = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val p = new Path(dir)
+    val fs: FileSystem = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles = fs.listStatus(p)
+      .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+    val before = dataFiles
+    val totalBytes = before.map(_.getLen).sum
+    val parts = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    val tmp = new Path(dir + "__compact_tmp")
+    spark.read.parquet(dir).repartition(parts)
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(p, true)
+    fs.rename(tmp, p)
+    (before.length, dataFiles.length)
+  }
+
   /** Delete child dirs of `root` whose mtime is older than retentionMs
     * (ShuffleDataDirClear.java semantics); returns the deleted paths. */
   def cleanExpired(spark: SparkSession, root: String,

@@ -34,6 +34,27 @@ class StorageAndAggSpec extends AnyFunSuite {
     assert(!Files.exists(oldDir) && Files.exists(newDir))
   }
 
+  test("compaction merges small files, preserves content, commits atomically") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-compact").toString + "/data"
+    // the small-files disease: 40 tiny parquet files for 10k rows
+    val df = spark.range(10000)
+      .select(col("id"), (col("id") % 7).as("k"))
+    df.repartition(40).write.parquet(out)
+    val checksumBefore = spark.read.parquet(out)
+      .agg(sum(Tables.phash(col("id") + col("k")))).collect()(0).getLong(0)
+    val filesBefore = new java.io.File(out).listFiles()
+      .count(f => f.isFile && !f.getName.startsWith("_") && !f.getName.endsWith(".crc"))
+    // target far above total bytes -> everything compacts into one file
+    val (before, after) = StorageOps.compact(spark, out, targetBytes = 1L << 30)
+    assert(before == filesBefore && before >= 40)
+    assert(after == 1, s"expected 1 data file, got $after")
+    assert(StorageOps.isCommitted(spark, out))
+    val checksumAfter = spark.read.parquet(out)
+      .agg(sum(Tables.phash(col("id") + col("k")))).collect()(0).getLong(0)
+    assert(checksumAfter == checksumBefore)
+  }
+
   test("TopKAgg matches the window row_number() top-k formulation") {
     import spark.implicits._
     // revenue per (nation, supplier), same as q_topk's input
