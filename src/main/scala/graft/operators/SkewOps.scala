@@ -42,4 +42,33 @@ object SkewOps {
       .agg(sum(col("_psum")).as(outSum),
         sum(col("_pcnt")).as(outCnt))
   }
+
+  /** Inner equi-join with explicit key salting: each `left` row gets a
+    * salt in [0, salts); `right` is replicated once per salt value; the
+    * join key becomes (key, salt). A hot key's left rows then spread over
+    * `salts` reducers instead of funneling into one, and every left row
+    * still meets each matching right row exactly once (at its own salt
+    * replica) — so the result is EXACTLY the plain inner join.
+    *
+    * When to prefer this over AQE's OptimizeSkewedJoin (which stays the
+    * default answer): AQE can only split a skewed partition when the
+    * exchange is free to re-plan — a reused exchange, a required child
+    * distribution (e.g. the join feeds a groupBy on the same key), or a
+    * non-sort-merge plan can all pin it. Salting bakes the spread into
+    * the data itself. Cost: the right side is materialized `salts`× —
+    * keep it slim (project first) and salts modest.
+    *
+    * The left salt is id-based, not key/value-based, for the same reason
+    * as [[saltedSumCount]]: hot keys usually carry near-constant values,
+    * which would collapse a value-derived salt. */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+      salts: Int): DataFrame = {
+    require(salts >= 1, "salts must be >= 1")
+    val salt = s"__graft_salt_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val l = left.withColumn(salt,
+      pmod(monotonically_increasing_id(), lit(salts)).cast("int"))
+    val r = right.withColumn(salt,
+      explode(array((0 until salts).map(s => lit(s)): _*)))
+    l.join(r, Seq(key, salt)).drop(salt)
+  }
 }

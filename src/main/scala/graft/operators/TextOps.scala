@@ -128,8 +128,48 @@ object TextOps {
           lit(" ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+")).as("n_bpe_tokens"))
       .orderBy("doc_id")
 
+  /** Windowed token co-occurrence — the distributional statistic under
+    * PMI scoring and embedding training: unordered distinct-token pairs
+    * within a [[CooccurWindow]]-token window, counted over the corpus;
+    * top-50 pairs with their token marginals (the exact counts a PMI
+    * computes from; the log itself is left out of the contract because
+    * ln() is not bit-portable across engines).
+    *
+    * Scale shape: pair generation is a pure array expression — O(W·L)
+    * pair rows per doc straight out of whole-stage codegen, NO positions
+    * self-join (the naive formulation shuffles the corpus twice and joins
+    * it to itself). The only exchanges are the two hash aggregations
+    * (pairs, marginals) — both partial-aggregated map-side — and the
+    * top-50 is a TakeOrderedAndProject, never a global sort. The final
+    * marginal join runs AFTER the limit, so it touches 50 rows. */
+  val CooccurWindow = 3
+
+  private val qCooccur: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), TextRules.tokens(col("text")).as("t"))
+    val pairs = toks
+      .filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        s"""flatten(transform(sequence(0, size(t)-2), i ->
+           |  filter(transform(sequence(i+1, least(i+$CooccurWindow, size(t)-1)), j ->
+           |    named_struct('ta', least(t[i], t[j]), 'tb', greatest(t[i], t[j]))),
+           |    p -> p.ta <> p.tb)))""".stripMargin)).as("p"))
+      .select(col("p.ta"), col("p.tb"))
+    val marg = toks.select(explode(col("t")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val top = pairs.groupBy("ta", "tb").agg(count(lit(1)).as("pair_cnt"))
+      .orderBy(col("pair_cnt").desc, col("ta"), col("tb"))
+      .limit(50)
+    top
+      .join(marg.select(col("tok").as("ta"), col("cnt").as("cnt_a")), "ta")
+      .join(marg.select(col("tok").as("tb"), col("cnt").as("cnt_b")), "tb")
+      .select("ta", "tb", "pair_cnt", "cnt_a", "cnt_b")
+      .orderBy(col("pair_cnt").desc, col("ta"), col("tb"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_token_count" -> qTokenCount,
+    "q_cooccur" -> qCooccur,
     "q_text_tokens" -> qTextTokens,
     "q_text_langid" -> qTextLangid,
     "q_text_quality" -> qTextQuality,
@@ -147,6 +187,26 @@ object TextOps {
       |        ('zh','de0_zh_placeholder')) lex(plang, token)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_cooccur" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\W+'),
+        |                             x -> x <> '') AS t
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, i, t[i] AS tok
+        |  FROM toks, LATERAL (SELECT unnest(range(1, len(t)+1)) AS i) g),
+        |pairs AS (
+        |  SELECT least(a.tok, b.tok) AS ta, greatest(a.tok, b.tok) AS tb
+        |  FROM pos a JOIN pos b
+        |    ON a.doc_id = b.doc_id AND b.i > a.i AND b.i <= a.i + $CooccurWindow
+        |  WHERE a.tok <> b.tok),
+        |marg AS (SELECT tok, count(*) AS cnt FROM pos GROUP BY 1),
+        |top AS (
+        |  SELECT ta, tb, count(*) AS pair_cnt FROM pairs GROUP BY 1, 2
+        |  ORDER BY pair_cnt DESC, ta, tb LIMIT 50)
+        |SELECT ta, tb, pair_cnt, ma.cnt AS cnt_a, mb.cnt AS cnt_b
+        |FROM top JOIN marg ma ON ta = ma.tok JOIN marg mb ON tb = mb.tok
+        |ORDER BY pair_cnt DESC, ta, tb""".stripMargin,
     "q_token_count" ->
       """SELECT doc_id,
         |       CAST(len(regexp_extract_all(text, '\S+')) AS INT) AS n_ws_tokens,

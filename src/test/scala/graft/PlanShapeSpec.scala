@@ -63,6 +63,38 @@ class PlanShapeSpec extends AnyFunSuite {
       s"date filter not pushed:\n$p")
   }
 
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    // Catalyst's InjectRuntimeFilter is the engine's answer to the
+    // "pre-filter the big side before the shuffle" pattern: a bloom filter
+    // built from the dim side's selective filter is pushed onto the fact
+    // side, so non-matching fact rows drop BEFORE the join exchange. The
+    // size thresholds exist for 100 TB reality (don't bother below 10 GB);
+    // here they are lowered only to make the tiny fixture eligible —
+    // asserting the rule fires end-to-end on this engine's plans.
+    val s = spark
+    val confs = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.keys.map(k => k -> s.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val out = Tables.lineitem(s, sf)
+        .join(Tables.part(s, sf).filter(col("p_brand") === "Brand#13"),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("cnt"))
+      val opt = out.queryExecution.optimizedPlan.toString
+      assert(opt.contains("might_contain"),
+        s"no runtime bloom filter injected:\n$opt")
+      assert(out.collect().length == 1)
+    } finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
   test("ledger queries compute the seq_id window exactly once (explode dups)") {
     // LedgerSpec releases its blocks(sf0.001) cache in afterAll; without
     // that, a cache hit would swap an InMemoryRelation into this plan and

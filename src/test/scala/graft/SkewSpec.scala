@@ -71,6 +71,33 @@ class SkewSpec extends AnyFunSuite {
     }
   }
 
+  test("salted join == plain inner join on a zipfian hot-key distribution") {
+    // ~98% of left rows carry key 0; right is slim (the salting contract)
+    val left = spark.range(0, 50000).select(
+      when(col("id") % 50 === 0, col("id") % 97 + 1).otherwise(0L).as("k"),
+      col("id").as("v"))
+    val right = spark.range(0, 98).select(col("id").as("k"), (col("id") * 7).as("w"))
+    val direct = left.join(right, "k")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    for (salts <- Seq(1, 8)) {
+      val salted = SkewOps.saltedJoin(left, right, "k", salts)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .groupBy(identity).view.mapValues(_.length).toMap
+      assert(salted == direct, s"salts=$salts")
+    }
+  }
+
+  test("salted join keeps duplicate right-side matches (multiset semantics)") {
+    import spark.implicits._
+    val left = Seq((1L, "a"), (1L, "b"), (2L, "c")).toDF("k", "v")
+    val right = Seq((1L, 10L), (1L, 20L), (3L, 30L)).toDF("k", "w")
+    val out = SkewOps.saltedJoin(left, right, "k", 4)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted
+    assert(out.toSeq == Seq((1L, "a", 10L), (1L, "a", 20L),
+      (1L, "b", 10L), (1L, "b", 20L)))
+  }
+
   test("pre-existing salt-like columns don't corrupt the aggregation") {
     import spark.implicits._
     val df = Seq(("a", 1L, 9L, 9L), ("a", 2L, 9L, 9L), ("b", 3L, 9L, 9L))
