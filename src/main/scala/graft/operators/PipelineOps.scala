@@ -287,8 +287,46 @@ object PipelineOps {
       .orderBy("lang")
   }
 
+  /** SCD2 history build (slowly-changing-dimension type 2 — dataset
+    * versioning for a feature/dimension store): treat `events` as a
+    * change log of each user's `event_type` attribute and compress
+    * consecutive equal values into validity intervals. Gaps-and-islands:
+    * a change flag (`lag` differs) cumulatively summed becomes the
+    * version number; one aggregation per (user, version) yields the
+    * interval; `lead(valid_from)` closes it (NULL = current version).
+    *
+    * Scale shape: both window passes AND the aggregation are partitioned
+    * by user_id — no global window, one shuffle on user_id reused across
+    * all three (Catalyst collapses the sort orders); versions-per-user is
+    * bounded by events-per-user, so no hot reducer beyond the user key
+    * itself (which the salted paths cover if a user floods). Epochs in
+    * exact microseconds, valid_to left as int64 so the NULL-open interval
+    * survives the parquet⇄oracle round trip without dtype ambiguity. */
+  private val qScdMerge: Q = (s, d) => {
+    val wRow = Window.partitionBy(col("user_id"))
+      .orderBy(col("ep"), col("event_id"))
+    val wVer = Window.partitionBy(col("user_id")).orderBy(col("version"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts div 1000").as("ep"))
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(wRow).isNull ||
+          lag(col("event_type"), 1).over(wRow) =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("version", sum(col("chg")).over(
+        wRow.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("version"), col("event_type"))
+      .agg(min(col("ep")).as("valid_from"), count(lit(1)).as("n_events"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wVer))
+      .select(col("user_id"), col("version").cast("int").as("version"),
+        col("event_type"), col("valid_from"), col("valid_to"),
+        col("n_events"))
+      .orderBy("user_id", "version")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_pipeline_e2e" -> qPipelineE2e,
+    "q_scd_merge" -> qScdMerge,
     "q_range_join" -> qRangeJoin,
     "q_text_boilerplate" -> qTextBoilerplate,
     "q_stratified_sample" -> qStratifiedSample,
@@ -310,6 +348,30 @@ object PipelineOps {
       |  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) g)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_scd_merge" ->
+      """WITH log AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ep
+        |  FROM events),
+        |flagged AS (
+        |  SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+        |                   OR lag(event_type) OVER w <> event_type
+        |                 THEN 1 ELSE 0 END AS chg
+        |  FROM log
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ep, event_id)),
+        |versioned AS (
+        |  SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ep, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT)
+        |            AS version
+        |  FROM flagged),
+        |islands AS (
+        |  SELECT user_id, version, event_type,
+        |         min(ep) AS valid_from, count(*) AS n_events
+        |  FROM versioned GROUP BY 1, 2, 3)
+        |SELECT user_id, version, event_type, valid_from,
+        |       lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+        |         AS valid_to,
+        |       n_events
+        |FROM islands ORDER BY user_id, version""".stripMargin,
     "q_pipeline_e2e" -> (shingleCte + s""",
       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
       |pairs AS (

@@ -59,6 +59,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.forall(r => r.getInt(1) >= 0 && r.getInt(1) <= 7))
   }
 
+  test("q_scd_merge: islands are maximal and intervals tile each user's timeline") {
+    val hist = SparkEntry.queries("q_scd_merge")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getLong(3), if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        r.getLong(5)))
+      .groupBy(_._1)
+    val nEvents = Tables.events(spark, sf).count()
+    assert(hist.values.flatten.map(_._6).sum == nEvents)
+    for ((_, rows) <- hist) {
+      val ordered = rows.sortBy(_._2)
+      // versions are 1..n dense
+      assert(ordered.map(_._2).toSeq == (1 to ordered.length))
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          // maximal islands: consecutive versions change the attribute...
+          assert(a._3 != b._3)
+          // ...and tile the timeline: each interval closes where the next opens
+          assert(a._5.contains(b._4))
+        case _ =>
+      }
+      // only the last version is open-ended
+      assert(ordered.last._5.isEmpty)
+    }
+  }
+
   test("q_interval_join: one row per error event, self-pairs impossible") {
     val errs = Tables.events(spark, sf)
       .filter(col("event_type") === "error").count()
