@@ -167,9 +167,50 @@ object TextOps {
       .orderBy(col("pair_cnt").desc, col("ta"), col("tb"))
   }
 
+  /** Winnowing document fingerprint (the MOSS algorithm — Schleimer,
+    * Wilkerson, Aiken 2003): hash every token 3-gram, slide a
+    * [[WinnowWindow]]-gram window, keep each window's minimum hash; the
+    * distinct minima are the document's fingerprint set. Guarantees a
+    * fingerprint within every window (density ~2/(w+1)) while staying
+    * position-robust — the rolling-hash fingerprinting of the north-star
+    * text-analysis list. The gram hash is md5-derived (engine-portable)
+    * rather than a true Rabin rolling hash: cross-engine parity needs a
+    * hash both engines compute, and at 3 tokens/gram the rolling
+    * recurrence saves nothing.
+    *
+    * Scale shape: the whole computation is ONE array expression per row —
+    * gram hashes, window minima (slice+array_min), distinct — entirely
+    * map-side in codegen with ZERO shuffles; the output contract
+    * (fingerprint count + sum per doc) keeps the result compact. The
+    * per-doc fingerprint SET feeds a band/bucket join exactly like the
+    * MinHash path when used for partial-overlap detection. */
+  val WinnowWindow = 4
+
+  private val qDocWinnow: Q = (s, d) => {
+    val W = WinnowWindow
+    Tables.documents(s, d)
+      .select(col("doc_id"), TextRules.tokens(col("text")).as("t"))
+      // need >= W full windows source grams: grams = size(t)-2 >= W
+      .filter(size(col("t")) >= W + 2)
+      .select(col("doc_id"), expr(
+        """transform(sequence(0, size(t)-3), i ->
+          |  CAST(conv(substr(md5(concat_ws(' ', t[i], t[i+1], t[i+2])),
+          |                   1, 15), 16, 10) AS BIGINT) % 1000000007)"""
+          .stripMargin).as("hs"))
+      .select(col("doc_id"), expr(
+        s"""array_distinct(transform(sequence($W - 1, size(hs) - 1), p ->
+           |  array_min(slice(hs, p - ${W - 2}, $W))))""".stripMargin)
+        .as("fps"))
+      .select(col("doc_id"),
+        size(col("fps")).cast("long").as("n_fp"),
+        expr("aggregate(fps, CAST(0 AS BIGINT), (a, x) -> a + x)").as("fp_sum"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_token_count" -> qTokenCount,
     "q_cooccur" -> qCooccur,
+    "q_doc_winnow" -> qDocWinnow,
     "q_text_tokens" -> qTextTokens,
     "q_text_langid" -> qTextLangid,
     "q_text_quality" -> qTextQuality,
@@ -187,6 +228,26 @@ object TextOps {
       |        ('zh','de0_zh_placeholder')) lex(plang, token)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_doc_winnow" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\W+'),
+        |                             x -> x <> '') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, i,
+        |         CAST('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]),
+        |                             1, 15) AS BIGINT) % 1000000007 AS h
+        |  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) g),
+        |wm AS (
+        |  SELECT doc_id, i,
+        |         min(h) OVER (PARTITION BY doc_id ORDER BY i
+        |                      ROWS BETWEEN ${WinnowWindow - 1} PRECEDING
+        |                      AND CURRENT ROW) AS wmin
+        |  FROM grams)
+        |SELECT doc_id, count(DISTINCT wmin) AS n_fp,
+        |       CAST(sum(DISTINCT wmin) AS BIGINT) AS fp_sum
+        |FROM wm WHERE i >= $WinnowWindow
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "q_cooccur" ->
       s"""WITH toks AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\W+'),
