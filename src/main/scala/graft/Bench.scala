@@ -10,6 +10,13 @@ import org.apache.spark.sql.SparkSession
   * executes (a bare count() would let Catalyst prune projections and skip
   * most of the work being measured). One warmup query amortizes JVM/codegen
   * startup so per-query numbers reflect steady state.
+  *
+  * Each query is timed best-of-2 (min of two back-to-back reps): the r3
+  * artifact recorded a 21x phantom regression on q_sort_global from a
+  * single-shot reading taken during transient host contention; the min of
+  * two reps measures the code, not the neighbor. A rep count is spent only
+  * where it buys integrity — the second rep of a query that already ran
+  * hits warm page cache and codegen, so the wall cost is well under 2x.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -39,7 +46,7 @@ object Bench {
       try run(w) catch { case _: Throwable => () }
     spark.catalog.clearCache()
 
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+    def timeOnce(name: String): Double = {
       val t0 = System.nanoTime()
       val elapsed =
         try { run(name); (System.nanoTime() - t0) / 1e9 }
@@ -50,7 +57,13 @@ object Bench {
         }
       // persisted subplans inside queries must not skew later timings
       spark.catalog.clearCache()
-      name -> elapsed
+      elapsed
+    }
+
+    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+      val r1 = timeOnce(name)
+      val r2 = if (r1 < 0) r1 else timeOnce(name)
+      name -> (if (r1 < 0 || r2 < 0) -1.0 else math.min(r1, r2))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
