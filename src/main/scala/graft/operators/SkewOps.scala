@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Skew mitigation utilities for the 100 TB path (SURVEY.md §7 risks,
@@ -12,8 +12,24 @@ import org.apache.spark.sql.functions._
   *
   * AQE's skew-join handling covers joins automatically; this covers
   * aggregation, where AQE cannot split a single group.
+  *
+  * Salt derivation: `pmod(xxhash64(all columns), salts)` — DETERMINISTIC
+  * per row. An id- or rand()-based salt is recomputed differently when a
+  * lost shuffle map partition is re-run from nondeterministically-ordered
+  * input, so fetched and recomputed map outputs disagree and rows are
+  * duplicated or dropped on retry (the SPARK-23207 failure class). The
+  * full-row hash is stable under recompute by construction. Trade-off:
+  * rows that are EXACT full duplicates share a salt, so a hot key whose
+  * rows are byte-identical copies is not spread — pre-aggregate such
+  * inputs to (row, multiplicity) first (`q_dedup_exact` shape), or append
+  * a distinguishing column before salting.
   */
 object SkewOps {
+
+  /** Stable per-row salt in [0, salts): hash of every column. */
+  private def rowHashSalt(df: DataFrame, salts: Int): Column =
+    pmod(xxhash64(df.columns.toIndexedSeq.map(col): _*), lit(salts.toLong))
+      .cast("int")
 
   /** sum/count of `value` per `key`, aggregated in two salted stages.
     * For exact domains (integral/decimal), the result is identical to
@@ -32,10 +48,10 @@ object SkewOps {
     val outCnt = Option(cntCol).getOrElse("cnt")
     val salt = s"__graft_salt_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     df
-      // row-unique salt: a value-derived salt collapses when the hot key
-      // carries one constant value (the classic skew case) — the id-based
-      // salt spreads regardless of the value distribution
-      .withColumn(salt, pmod(monotonically_increasing_id(), lit(salts)))
+      // full-row hash: stable under task recompute (see object doc); and
+      // unlike a (key, value)-only hash it still spreads when the hot key
+      // carries one constant value but other columns vary
+      .withColumn(salt, rowHashSalt(df, salts))
       .groupBy(col(key), col(salt))
       .agg(sum(col(value)).as("_psum"), count(lit(1)).as("_pcnt"))
       .groupBy(col(key))
@@ -48,7 +64,9 @@ object SkewOps {
     * join key becomes (key, salt). A hot key's left rows then spread over
     * `salts` reducers instead of funneling into one, and every left row
     * still meets each matching right row exactly once (at its own salt
-    * replica) — so the result is EXACTLY the plain inner join.
+    * replica) — so the result is EXACTLY the plain inner join, for ANY
+    * salt assignment (which is also why the deterministic row-hash salt
+    * costs nothing in correctness).
     *
     * When to prefer this over AQE's OptimizeSkewedJoin (which stays the
     * default answer): AQE can only split a skewed partition when the
@@ -56,17 +74,12 @@ object SkewOps {
     * distribution (e.g. the join feeds a groupBy on the same key), or a
     * non-sort-merge plan can all pin it. Salting bakes the spread into
     * the data itself. Cost: the right side is materialized `salts`× —
-    * keep it slim (project first) and salts modest.
-    *
-    * The left salt is id-based, not key/value-based, for the same reason
-    * as [[saltedSumCount]]: hot keys usually carry near-constant values,
-    * which would collapse a value-derived salt. */
+    * keep it slim (project first) and salts modest. */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
       salts: Int): DataFrame = {
     require(salts >= 1, "salts must be >= 1")
     val salt = s"__graft_salt_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val l = left.withColumn(salt,
-      pmod(monotonically_increasing_id(), lit(salts)).cast("int"))
+    val l = left.withColumn(salt, rowHashSalt(left, salts))
     val r = right.withColumn(salt,
       explode(array((0 until salts).map(s => lit(s)): _*)))
     l.join(r, Seq(key, salt)).drop(salt)

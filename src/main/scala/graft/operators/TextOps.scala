@@ -140,8 +140,12 @@ object TextOps {
     * self-join (the naive formulation shuffles the corpus twice and joins
     * it to itself). The only exchanges are the two hash aggregations
     * (pairs, marginals) — both partial-aggregated map-side — and the
-    * top-50 is a TakeOrderedAndProject, never a global sort. The final
-    * marginal join runs AFTER the limit, so it touches 50 rows. */
+    * top-50 is a TakeOrderedAndProject, never a global sort. The
+    * marginal aggregate is computed ONCE: the 50 surviving pairs are
+    * melted to (side, token) rows and broadcast against it in a single
+    * join, then pivoted back — two marg joins would instantiate the
+    * marginal subplan (and its documents scan) twice, r3's plan-audit
+    * finding. */
   val CooccurWindow = 3
 
   private val qCooccur: Q = (s, d) => {
@@ -160,9 +164,15 @@ object TextOps {
     val top = pairs.groupBy("ta", "tb").agg(count(lit(1)).as("pair_cnt"))
       .orderBy(col("pair_cnt").desc, col("ta"), col("tb"))
       .limit(50)
-    top
-      .join(marg.select(col("tok").as("ta"), col("cnt").as("cnt_a")), "ta")
-      .join(marg.select(col("tok").as("tb"), col("cnt").as("cnt_b")), "tb")
+    val melted = top.select(col("ta"), col("tb"), col("pair_cnt"),
+      explode(array(
+        struct(lit("a").as("side"), col("ta").as("tok")),
+        struct(lit("b").as("side"), col("tb").as("tok")))).as("m"))
+      .select(col("ta"), col("tb"), col("pair_cnt"), col("m.side"), col("m.tok"))
+    melted.join(marg, "tok")
+      .groupBy("ta", "tb", "pair_cnt")
+      .agg(max(when(col("side") === "a", col("cnt"))).as("cnt_a"),
+           max(when(col("side") === "b", col("cnt"))).as("cnt_b"))
       .select("ta", "tb", "pair_cnt", "cnt_a", "cnt_b")
       .orderBy(col("pair_cnt").desc, col("ta"), col("tb"))
   }
