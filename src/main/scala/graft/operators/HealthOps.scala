@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.streaming.WorkerHealth
+import graft.streaming.WorkerHealth.{Heartbeat, HealthSummary}
+
+/** Batch surface of the worker-health blacklist/punish state machine
+  * (SURVEY.md §2A #20; semantics and reference citations in
+  * [[graft.streaming.WorkerHealth]] — the SAME step function drives both
+  * this operator and the streaming tracker).
+  *
+  * Heartbeat fixture, derived deterministically from `events`:
+  * worker = user_id, ts = epoch millis, self-check OK ⇔ event_type is not
+  * 'error', busy ⇔ value > 120 (the isWorkerBusy threshold disjunction,
+  * pre-evaluated — ShuffleWorkerStatusManager.java:184-188).
+  *
+  * Scale shape (the 1000-executor plan): ONE hash exchange on worker id,
+  * a partition-local spillable sort (worker, ts, seq) — Tungsten
+  * SortExec, not a per-group in-memory buffer — then a single
+  * mapPartitions pass holding O(1) state per run. No window over the
+  * full stream, no driver collect; parallelism = worker-id cardinality
+  * spread over executors, and a fleet's heartbeat history per worker is
+  * days × 8640, never unbounded. */
+object HealthOps {
+  private type Q = (SparkSession, String) => DataFrame
+
+  /** Busy threshold on the fixture's load column (`value` p77 ≈ 120). */
+  val BusyThreshold = 120.0
+
+  def heartbeats(s: SparkSession, d: String): Dataset[Heartbeat] = {
+    import s.implicits._
+    Tables.events(s, d)
+      .select(
+        col("user_id").as("worker"),
+        // ts arrives as int64 nanos (nanosAsLong); div 10^6 = epoch_ms
+        expr("ts div 1000000").as("ts"),
+        (col("event_type") =!= "error").as("ok"),
+        (col("value") > BusyThreshold).as("busy"),
+        col("event_id").as("seq"))
+      .as[Heartbeat]
+  }
+
+  private val qWorkerHealth: Q = (s, d) => {
+    import s.implicits._
+    heartbeats(s, d)
+      .repartition(col("worker"))
+      .sortWithinPartitions(col("worker"), col("ts"), col("seq"))
+      .mapPartitions { it =>
+        val b = it.buffered
+        new Iterator[HealthSummary] {
+          def hasNext: Boolean = b.hasNext
+          def next(): HealthSummary = {
+            val w = b.head.worker
+            var st = WorkerHealth.initial
+            while (b.hasNext && b.head.worker == w) st = WorkerHealth.step(st, b.next())
+            WorkerHealth.summarize(w, st)
+          }
+        }
+      }
+      .toDF()
+      .orderBy("worker_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_worker_health" -> qWorkerHealth,
+  )
+
+  /** The oracle steps the identical machine event-by-event in a recursive
+    * CTE: state at event n joins event n+1; the CASE stages mirror
+    * WorkerHealth.step's phases (settle punish → gap blacklist →
+    * self-check → busy punish) in order via nested derived tables. */
+  val oracles: Map[String, String] = Map(
+    "q_worker_health" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id AS w, epoch_ms(ts) AS ts,
+        |         (event_type <> 'error') AS ok, (value > 120) AS busy,
+        |         CAST(row_number() OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS INT) AS n
+        |  FROM events
+        |), seed AS (SELECT DISTINCT user_id AS w FROM events),
+        |rec AS (
+        |  SELECT w, 0 AS n, FALSE AS black, 0 AS okt, FALSE AS pun,
+        |         CAST(0 AS BIGINT) AS ps, CAST(0 AS BIGINT) AS pd,
+        |         CAST(0 AS BIGINT) AS pts, FALSE AS pbusy, FALSE AS seen,
+        |         CAST(0 AS BIGINT) AS nb, CAST(0 AS BIGINT) AS nr,
+        |         CAST(0 AS BIGINT) AS np, CAST(0 AS BIGINT) AS nd
+        |  FROM seed
+        |  UNION ALL
+        |  SELECT w, n, black3, okt3, pun4, ps4, pd4, ts, busy, TRUE,
+        |         nb3, nr3, np4, nd1
+        |  FROM (
+        |    SELECT *,
+        |      (pun1 OR (busy AND NOT pun1)) AS pun4,
+        |      CASE WHEN busy AND NOT pun1 THEN ts ELSE ps END AS ps4,
+        |      CASE WHEN busy AND NOT pun1 THEN CAST(21600000 AS BIGINT) ELSE pd1 END AS pd4,
+        |      np + CASE WHEN busy AND NOT pun1 THEN 1 ELSE 0 END AS np4
+        |    FROM (
+        |      SELECT *,
+        |        CASE WHEN NOT ok AND NOT black2 THEN TRUE
+        |             WHEN black2 AND ok AND okt2 + 1 >= 3 THEN FALSE
+        |             ELSE black2 END AS black3,
+        |        CASE WHEN NOT ok AND NOT black2 THEN 0
+        |             WHEN black2 AND ok AND okt2 + 1 >= 3 THEN 0
+        |             WHEN black2 AND ok THEN okt2 + 1
+        |             WHEN black2 THEN 0
+        |             ELSE okt2 END AS okt3,
+        |        nb2 + CASE WHEN NOT ok AND NOT black2 THEN 1 ELSE 0 END AS nb3,
+        |        nr + CASE WHEN black2 AND ok AND okt2 + 1 >= 3 THEN 1 ELSE 0 END AS nr3
+        |      FROM (
+        |        SELECT *,
+        |          (black OR gapped) AS black2,
+        |          CASE WHEN gapped THEN 0 ELSE okt END AS okt2,
+        |          nb + CASE WHEN gapped THEN 1 ELSE 0 END AS nb2
+        |        FROM (
+        |          SELECT *,
+        |            (seen AND ts - pts > 86400000 AND NOT black AND NOT pun1) AS gapped
+        |          FROM (
+        |            SELECT rec.w, ev.n, ev.ts, ev.ok, ev.busy,
+        |                   rec.black, rec.okt, rec.pun, rec.ps, rec.pd,
+        |                   rec.pts, rec.pbusy, rec.seen,
+        |                   rec.nb, rec.nr, rec.np, rec.nd,
+        |                   CASE WHEN rec.pun AND ev.ts > rec.ps + rec.pd AND NOT rec.pbusy THEN FALSE ELSE rec.pun END AS pun1,
+        |                   CASE WHEN rec.pun AND ev.ts > rec.ps + rec.pd AND rec.pbusy THEN rec.pd * 2 ELSE rec.pd END AS pd1,
+        |                   rec.nd + CASE WHEN rec.pun AND ev.ts > rec.ps + rec.pd AND rec.pbusy THEN 1 ELSE 0 END AS nd1
+        |            FROM rec JOIN ev ON ev.w = rec.w AND ev.n = rec.n + 1
+        |          )
+        |        )
+        |      )
+        |    )
+        |  )
+        |)
+        |SELECT w AS worker_id, CAST(n AS BIGINT) AS n_events,
+        |       nb AS n_black, nr AS n_recover, np AS n_punish, nd AS n_double,
+        |       CAST(CASE WHEN black THEN 1 ELSE 0 END AS INT) AS final_black,
+        |       CAST(CASE WHEN pun THEN 1 ELSE 0 END AS INT) AS final_punished,
+        |       CAST(CASE WHEN NOT black AND NOT pun THEN 1 ELSE 0 END AS INT) AS final_online
+        |FROM rec
+        |QUALIFY n = max(n) OVER (PARTITION BY w)
+        |ORDER BY worker_id""".stripMargin,
+  )
+}
