@@ -14,9 +14,10 @@ import graft.Tables
   * The stateless stages (tokenize/quality/sample) stream as pure column
   * transforms. EXACT dedup streams too, as [[dedupByFingerprint]]: the
   * same md5 fingerprint key the batch funnel groups on, deduplicated with
-  * bounded state via the watermark. Near-dup dedup remains periodic batch
-  * re-clustering (candidate generation needs the corpus-wide band index)
-  * — the standard lambda split at scale.
+  * bounded state via the watermark. NEAR-dup streams as
+  * [[NearDupStream.nearDupAgainstCorpus]] — a stream-static join of each
+  * arriving doc's MinHash band keys against the corpus band index,
+  * refreshed on each batch rebuild (freshness contract documented there).
   */
 object CurationStream {
 

@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.streaming.CurationStream.TimedDoc
+
+/** Incremental (streaming) near-duplicate detection — closes the lambda
+  * split CurationStream documents: exact dedup already streams; this
+  * streams NEAR-dup too, as a stream-static join of each arriving
+  * document's 32 MinHash band keys against the corpus band index.
+  *
+  * Shape (the billion-doc topology):
+  *   - STATIC side: the corpus band index (band, minhash → doc_id) and
+  *     the per-doc shingle-hash sets — both products of the batch
+  *     pipeline (DedupOps.docHashes + the same native minhash_sig), in
+  *     production republished as compacted parquet on each corpus
+  *     rebuild. Size: 32 rows/doc (index) + 1 row/doc (hash sets).
+  *   - STREAM side: per-doc shingle hashes computed as ONE pure array
+  *     expression (no groupBy — a streaming aggregation would force
+  *     update mode and unbounded state), then posexplode to 32 band-key
+  *     rows, inner-join the index, exact-Jaccard verify against the
+  *     static hash sets, and drop duplicate pairs within the watermark
+  *     (the same pair can surface via several colliding bands, or twice
+  *     when both members arrive inside the stream window).
+  *
+  * Contract (documented, not hidden): an arriving doc is checked against
+  * the corpus as of the last index publish. Two NEW docs that are
+  * near-dups only of each other are caught by the NEXT rebuild, not
+  * in-stream — the standard freshness/completeness trade of incremental
+  * dedup; streaming EXACT dedup (dedupByFingerprint) still catches
+  * verbatim copies immediately.
+  *
+  * Decision parity with batch `DedupOps.nearDupPairs` is pinned in
+  * NearDupStreamSpec: streamed against the full-corpus index, the
+  * verified pair set is identical.
+  */
+object NearDupStream {
+
+  /** Distinct word-3-gram shingle hashes as a pure column expression —
+    * the same shingle definition as DedupOps.shingles (tokens →
+    * 3-grams → array_distinct → xxhash64), but per-row instead of
+    * explode+groupBy, so it runs on a stream. */
+  def shingleHashes(toks: Column): Column = {
+    val grams = expr(
+      """CASE WHEN size(toks) >= 3
+        |  THEN array_distinct(transform(sequence(0, size(toks)-3),
+        |         i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))
+        |  ELSE array() END""".stripMargin)
+    transform(grams, sh => xxhash64(sh))
+  }
+
+  /** The corpus band index: one (band, minhash, doc_id) row per band of
+    * each corpus doc's native MinHash signature. `corpus` is
+    * DedupOps.docHashes output (doc_id, hs, n). */
+  def bandIndex(s: SparkSession, corpus: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    corpus
+      .select(col("doc_id"), posexplode(expr("minhash_sig(hs)")))
+      .select(col("col").as("minhash"), col("pos").as("band"), col("doc_id"))
+  }
+
+  /** Stream-static near-dup: verified (doc_a, doc_b, jaccard) pairs for
+    * arriving docs vs the corpus, each pair emitted once within
+    * `horizon`. `corpus` is DedupOps.docHashes output; `horizon` should
+    * cover the index republish period so a pair cannot re-emit between
+    * rebuilds. */
+  def nearDupAgainstCorpus(s: SparkSession, docs: Dataset[TimedDoc],
+      corpus: DataFrame, horizon: String = "30 days"): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val index = bandIndex(s, corpus)
+    val hashSets = corpus.select(col("doc_id").as("c_id"),
+      col("hs").as("c_hs"), col("n").as("c_n"))
+
+    val arriving = docs.toDF()
+      .select(col("docId").as("q_id"), col("tsUs"),
+        graft.operators.TextRules.tokens(col("text")).as("toks"))
+      .select(col("q_id"), col("tsUs"), shingleHashes(col("toks")).as("q_hs"))
+      .filter(size(col("q_hs")) > 0)
+      .withColumn("q_n", size(col("q_hs")).cast("long"))
+
+    arriving
+      .select(col("q_id"), col("tsUs"), col("q_hs"), col("q_n"),
+        posexplode(expr("minhash_sig(q_hs)")))
+      .select(col("q_id"), col("tsUs"), col("q_hs"), col("q_n"),
+        col("pos").as("band"), col("col").as("minhash"))
+      .join(index, Seq("band", "minhash"))
+      .filter(col("doc_id") =!= col("q_id"))
+      .join(hashSets, col("doc_id") === col("c_id"))
+      .withColumn("inter",
+        size(array_intersect(col("q_hs"), col("c_hs"))).cast("long"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("q_n") + col("c_n") - col("inter")))
+      .filter(col("jaccard") >= 0.8)
+      .select(
+        least(col("q_id"), col("doc_id")).as("doc_a"),
+        greatest(col("q_id"), col("doc_id")).as("doc_b"),
+        col("jaccard"),
+        timestamp_micros(col("tsUs")).as("ts"))
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("doc_a", "doc_b")
+  }
+}
