@@ -93,5 +93,10 @@ object GraftFunctions {
       "vector_avg", exprs => VectorAvg(exprs.head), "built-in")
     registry.createOrReplaceTempFunction(
       "simhash64", exprs => SimHash64(exprs.head), "built-in")
+    // width/probes must be integer literals (they size the generated code)
+    registry.createOrReplaceTempFunction(
+      "hyperplane_sig", exprs => HyperplaneSig(exprs.head,
+        exprs(1).eval(null).asInstanceOf[Int],
+        exprs(2).eval(null).asInstanceOf[Int]), "built-in")
   }
 }

@@ -53,12 +53,28 @@ object VectorOps {
       .orderBy("query_id", "rk")
   }
 
-  /** Embedding-cosine near-duplicate pairs (threshold 0.45). The streamed
-    * side is spread first: the O(n²) scoring must parallelize even though
-    * the fixture is one input split. */
+  /** GROUND-TRUTH BASELINE ONLY: cap on the all-pairs corpus size. The
+    * deliberately unblocked O(n²) pair join below exists to calibrate the
+    * bucketed paths (exactly like q_ngram_jaccard pre-cap); the guard
+    * makes the baseline-only role load-bearing instead of a comment —
+    * past it, use the LSH bucket topology (annLsh / SCALING.md "Vectors"
+    * row), where pairing is per-bucket and never corpus². */
+  val EmbedNeardupMaxRows = 100000L
+
+  /** Embedding-cosine near-duplicate pairs (threshold 0.45) by exact
+    * all-pairs scoring — the ground-truth baseline the LSH/IVF paths are
+    * measured against, NOT the scale path (see [[EmbedNeardupMaxRows]]).
+    * The streamed side is spread first: the O(n²) scoring must
+    * parallelize even though the fixture is one input split. */
   private val qEmbedNeardup: Q = (s, d) => {
     GraftFunctions.register(s)
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    // parquet-footer count: metadata-only, no vector scan
+    val n = e.count()
+    require(n <= EmbedNeardupMaxRows,
+      s"q_embed_neardup is the all-pairs ground-truth baseline ($n rows > " +
+        s"$EmbedNeardupMaxRows): at this size use the LSH-bucketed path " +
+        "(VectorOps.annLsh) — pairing inside hyperplane buckets, not corpus²")
     Tables.spread(s, e).as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         cosine("a.embedding", "b.embedding").as("sim"))
@@ -67,33 +83,36 @@ object VectorOps {
       .orderBy("vec_a", "vec_b")
   }
 
-  /** Deterministic pseudo-random hyperplane j (64 dims): values in
-    * [-0.5, 0.5) derived from the portable multiplicative hash. */
-  private def plane(j: Int): Seq[Double] =
-    (0 until 64).map { k =>
-      (((j * 64L + k + 1L) * 2654435761L) % P).toDouble / P.toDouble - 0.5
-    }
+  /** Default LSH geometry: 8 sign bits (256 buckets) with 2 multi-probes
+    * per query. Wider codes make buckets more selective (fewer exact
+    * scorings per query); multi-probe recovers the recall lost at bucket
+    * boundaries without adding tables. At billions of vectors widen to
+    * 16-32 bits and raise probes — both are literal parameters of the
+    * same native expression (AnnSpec pins recall at two widths). */
+  val LshWidth = 8
+  val LshProbes = 2
 
-  /** LSH bucket signature: sign bits of 6 hyperplane projections. */
-  private def bucketCol(nPlanes: Int): Column =
-    (0 until nPlanes).map { j =>
-      val dot = aggregate(
-        zip_with(col("embedding").cast("array<double>"), typedlit(plane(j)),
-          (x, w) => x * w),
-        lit(0.0), (acc, x) => acc + x)
-      when(dot > 0, lit(1 << j)).otherwise(lit(0))
-    }.reduce(_ + _)
-
-  /** ANN via random-hyperplane LSH: bucket, then exact top-5 within the
-    * query's bucket. Approximate (no oracle). */
-  private val qAnnLsh: Q = (s, d) => {
+  /** ANN via random-hyperplane LSH with query-directed multi-probe:
+    * the corpus keeps ONE bucket per vector (native codegen'd
+    * `hyperplane_sig` — projections, sign-packing and probe selection in
+    * a single fused loop; the interpreted aggregate/zip_with formulation
+    * it replaces burned width×dim closure calls per row). Each query
+    * explodes into its own bucket plus the `probes` lowest-margin
+    * bit-flip buckets; a corpus vector has exactly one bucket, so a
+    * (query, vector) pair meets at most one probe — no dedup needed.
+    * Exact top-5 within the probed buckets. Approximate (no oracle);
+    * recall pinned in AnnSpec at two widths. */
+  def annLsh(s: SparkSession, d: String, width: Int, probes: Int): DataFrame = {
     GraftFunctions.register(s)
-    // spread BEFORE bucketCol: 6 hyperplane projections per row
+    // spread BEFORE the signature: `width` projections per row
     val e = Tables.spread(s, Tables.embeddings(s, d))
-      .select(col("vec_id"), col("embedding"), bucketCol(6).as("bucket"))
-    val q = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-        col("bucket").as("qbucket"))
+      .select(col("vec_id"), col("embedding"),
+        element_at(expr(s"hyperplane_sig(embedding, $width, 0)"), 1)
+          .as("bucket"))
+    val q = Tables.embeddings(s, d).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .select(col("query_id"), col("qe"),
+        explode(expr(s"hyperplane_sig(qe, $width, $probes)")).as("qbucket"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id"))
     e.join(broadcast(q),
@@ -105,6 +124,8 @@ object VectorOps {
       .select("query_id", "neighbor_id", "rk")
       .orderBy("query_id", "rk")
   }
+
+  private val qAnnLsh: Q = (s, d) => annLsh(s, d, LshWidth, LshProbes)
 
   /** Number of IVF cells and Lloyd refinement rounds. */
   private val IvfCells = 10
