@@ -1,0 +1,208 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Metrics, Tables}
+
+/** Corpus-curation operators a training-data pipeline runs beside the
+  * dedup/quality family:
+  *
+  *   - q_metrics_funnel: the observability surface (reference:
+  *     Ors2MetricsExport.java, Ors2MetricsConstants.java:22-44 — per-stage
+  *     rows/bytes counters exported to Prometheus). Here each funnel stage
+  *     is instrumented with [[graft.Metrics.instrument]] (`observe()` /
+  *     CollectMetricsExec), so the counters ride the one execution of the
+  *     plan instead of re-running lineage per counter; the query RETURNS
+  *     the metrics table itself, oracle-checked against DuckDB recomputing
+  *     each stage independently.
+  *   - q_decontaminate: benchmark decontamination — flag training docs
+  *     sharing any word-8-gram with a held-out benchmark set (the standard
+  *     train/test-overlap hygiene step before LLM training). The benchmark
+  *     side of a real pipeline is MBs (eval suites) vs TBs of training
+  *     text, so candidates come from a BROADCAST join of benchmark 8-gram
+  *     hashes against map-side-hashed training grams: zero wide shuffles
+  *     of text, one groupBy(doc_id) over 8-byte hashes.
+  *   - q_gopher_repeat: Gopher-style repetition quality signals (Rae et
+  *     al. 2021 §A1.1: fraction of most-common 2-gram, fraction of tokens
+  *     in duplicated 3-grams). Both are PURE per-document array
+  *     expressions — whole-stage-codegen map work, zero shuffles; at
+  *     100 TB this runs at scan speed alongside the other quality gates.
+  *     Counts are emitted as exact integers (numerator/denominator) so the
+  *     oracle hash-compares without float-rounding hazards; the fractions
+  *     are cnt/total downstream.
+  */
+object CurationOps {
+  private type Q = (SparkSession, String) => DataFrame
+
+  /** Word n-gram strings over a `toks` array column — same construction
+    * as DedupOps.shingles' 3-gram CASE, width-parameterized. Distinct per
+    * doc (set semantics, like shingles). */
+  private def ngramsExpr(n: Int): String = {
+    val join = (0 until n).map(j => s"toks[i+$j]").mkString(", ' ', ")
+    s"""CASE WHEN size(toks) >= $n
+       |  THEN array_distinct(transform(sequence(0, size(toks)-$n),
+       |         i -> concat($join)))
+       |  ELSE array() END""".stripMargin
+  }
+
+  /** Width of the decontamination grams (13 is common for exact-match
+    * decontamination; 8 suits this corpus' ~60-token docs — both are the
+    * same plan). */
+  val DecontamGramWidth = 8
+
+  /** Deterministic benchmark membership: phash(doc_id) % 20 == 1 (~5% of
+    * docs stand in for the held-out eval suite). Pure arithmetic, so the
+    * DuckDB oracle reproduces the exact same split. */
+  private def isBench(c: Column): Column = Tables.phash(c) % 20 === 1
+
+  private val qDecontaminate: Q = (s, d) => {
+    // gram construction is the CPU stage: spread the single-split fixture
+    // by doc_id (also pre-partitions the downstream groupBy)
+    val grams = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), TextRules.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode(expr(ngramsExpr(DecontamGramWidth))).as("gram"))
+      .select(col("doc_id"), xxhash64(col("gram")).as("h"))
+    // benchmark gram-hash set: small by construction -> broadcast; the
+    // training side never shuffles its grams at all
+    val bench = grams.filter(isBench(col("doc_id"))).select("h").distinct()
+    grams.filter(!isBench(col("doc_id")))
+      .join(broadcast(bench), "h")
+      .groupBy("doc_id")
+      // per-doc grams are distinct and bench is distinct on h, so each
+      // (doc, h) survives at most once; count = distinct overlap size
+      .agg(count(lit(1)).as("n_hit"))
+      .orderBy("doc_id")
+  }
+
+  private val qGopherRepeat: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), TextRules.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+        expr(ngramCounts(2, "top")).as("top2_cnt"),
+        expr(s"size(${grams(2)})").cast("long").as("n_bigrams"),
+        expr(ngramCounts(3, "dup")).as("dup3_cnt"),
+        expr(s"size(${grams(3)})").cast("long").as("n_trigrams"))
+      .orderBy("doc_id")
+
+  /** Overlapping (non-distinct) n-gram array over `toks`. */
+  private def grams(n: Int): String = {
+    val join = (0 until n).map(j => s"toks[i+$j]").mkString(", ' ', ")
+    s"""(CASE WHEN size(toks) >= $n
+       |  THEN transform(sequence(0, size(toks)-$n), i -> concat($join))
+       |  ELSE CAST(array() AS array<string>) END)""".stripMargin
+  }
+
+  /** `top`: occurrence count of the most frequent n-gram (Gopher's
+    * top-n-gram signal numerator). `dup`: tokens' worth of n-grams that
+    * occur more than once = total - distinct (duplicated-n-gram
+    * numerator). Both pure array expressions; the top-gram count is
+    * O(d·u) per doc (u distinct grams) — fine at ~60 tokens/doc, and
+    * map-side at any corpus size. */
+  private def ngramCounts(n: Int, kind: String): String = {
+    val g = grams(n)
+    kind match {
+      case "top" =>
+        s"""CAST(coalesce(array_max(transform(array_distinct($g),
+           |  x -> size(filter($g, y -> y = x)))), 0) AS BIGINT)""".stripMargin
+      case "dup" =>
+        s"CAST(size($g) - size(array_distinct($g)) AS BIGINT)"
+    }
+  }
+
+  private val qMetricsFunnel: Q = (s, d) => {
+    import s.implicits._
+    val chars = "chars" -> sum(length(col("text"))).cast("long")
+    val (ingest, mIngest) =
+      Metrics.instrument(Tables.documents(s, d), "ingest", chars)
+    val (lang, mLang) =
+      Metrics.instrument(ingest.filter(col("lang") === "en"), "lang", chars)
+    val kept = lang
+      .withColumn("toks", TextRules.tokens(col("text")))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .filter(TextRules.qualityOk(col("toks"), col("n")))
+    val (quality, mQuality) = Metrics.instrument(kept, "quality", chars)
+    // ONE action materializes all three observation points
+    quality.count()
+    Seq(mIngest, mLang, mQuality).zipWithIndex
+      .map { case (m, i) =>
+        (s"${i + 1}_${m.name}", m.rows, m.metricLong("chars")) }
+      .toDF("stage", "n_rows", "chars")
+      .orderBy("stage")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_decontaminate" -> qDecontaminate,
+    "q_gopher_repeat" -> qGopherRepeat,
+    "q_metrics_funnel" -> qMetricsFunnel,
+  )
+
+  private val toksCte =
+    """WITH t AS (
+      |  SELECT doc_id, lang, text,
+      |         list_filter(string_split_regex(lower(text), '\W+'),
+      |                     x -> x <> '') AS toks
+      |  FROM documents)""".stripMargin
+
+  private def gramSql(n: Int): String =
+    (1 to n).map(j => s"toks[i+${j - 1}]").mkString(" || ' ' || ")
+
+  val oracles: Map[String, String] = Map(
+    "q_decontaminate" -> (toksCte + s""",
+      |g AS (
+      |  SELECT DISTINCT doc_id, ${gramSql(DecontamGramWidth)} AS gram
+      |  FROM t, LATERAL (SELECT unnest(range(1, len(toks) - ${DecontamGramWidth - 2})) AS i) gi
+      |  WHERE len(toks) >= $DecontamGramWidth),
+      |bench AS (
+      |  SELECT DISTINCT gram FROM g
+      |  WHERE ${Tables.phashSql("doc_id")} % 20 = 1)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit
+      |FROM g
+      |WHERE ${Tables.phashSql("doc_id")} % 20 <> 1
+      |  AND gram IN (SELECT gram FROM bench)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    "q_gopher_repeat" -> (toksCte + s""",
+      |g AS (
+      |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+      |         CASE WHEN len(toks) >= 2
+      |           THEN list_transform(range(1, len(toks)), i -> ${gramSql(2)})
+      |           ELSE [] END AS bg,
+      |         CASE WHEN len(toks) >= 3
+      |           THEN list_transform(range(1, len(toks) - 1), i -> ${gramSql(3)})
+      |           ELSE [] END AS tg
+      |  FROM t)
+      |SELECT doc_id, n_tokens,
+      |       CAST(coalesce(list_max(list_transform(list_distinct(bg),
+      |              x -> len(list_filter(bg, y -> y = x)))), 0) AS BIGINT)
+      |         AS top2_cnt,
+      |       CAST(len(bg) AS BIGINT) AS n_bigrams,
+      |       CAST(len(tg) - len(list_distinct(tg)) AS BIGINT) AS dup3_cnt,
+      |       CAST(len(tg) AS BIGINT) AS n_trigrams
+      |FROM g ORDER BY doc_id""".stripMargin),
+    "q_metrics_funnel" -> (toksCte + """,
+      |m AS (
+      |  SELECT doc_id, lang, text,
+      |         CAST(len(toks) AS BIGINT) AS n,
+      |         CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT)
+      |           AS sum_len,
+      |         CAST(len(list_filter(toks, x -> x = 'the')) AS BIGINT) AS n_the
+      |  FROM t)
+      |SELECT '1_ingest' AS stage, CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(coalesce(sum(length(text)), 0) AS BIGINT) AS chars
+      |FROM documents
+      |UNION ALL
+      |SELECT '2_lang', CAST(count(*) AS BIGINT),
+      |       CAST(coalesce(sum(length(text)), 0) AS BIGINT)
+      |FROM documents WHERE lang = 'en'
+      |UNION ALL
+      |SELECT '3_quality', CAST(count(*) AS BIGINT),
+      |       CAST(coalesce(sum(length(text)), 0) AS BIGINT)
+      |FROM m
+      |WHERE lang = 'en' AND n >= 10 AND n <= 1000
+      |  AND CAST(sum_len AS DOUBLE) / n >= 2.0
+      |  AND CAST(sum_len AS DOUBLE) / n <= 12.0
+      |  AND CAST(n_the AS DOUBLE) / n <= 0.2
+      |ORDER BY stage""".stripMargin),
+  )
+}

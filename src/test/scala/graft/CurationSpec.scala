@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.CurationOps
+
+/** Semantics of the curation additions: the Metrics/observe helper, the
+  * decontamination join, and the Gopher repetition signals. Oracle-parity
+  * at sf0.01 is the driver's job; these tests pin the invariants the
+  * oracles can't see (observed-vs-direct equality, flagged docs really
+  * overlapping, signal arithmetic recomputed independently in Scala).
+  */
+class CurationSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val sf = TestSpark.sf0001
+  import spark.implicits._
+
+  test("Metrics.instrument observes exactly the direct aggregates") {
+    val docs = Tables.documents(spark, sf)
+    val (inst, stage) = Metrics.instrument(
+      docs.filter(col("lang") === "en"), "en_docs",
+      "chars" -> sum(length(col("text"))).cast("long"),
+      "max_id" -> max(col("doc_id")))
+    inst.write.format("noop").mode("overwrite").save()
+    val direct = docs.filter(col("lang") === "en")
+      .agg(count(lit(1)), sum(length(col("text"))).cast("long"),
+        max(col("doc_id")))
+      .as[(Long, Long, Long)].head()
+    assert(stage.rows === direct._1)
+    assert(stage.metricLong("chars") === direct._2)
+    assert(stage.metricLong("max_id") === direct._3)
+  }
+
+  test("q_metrics_funnel stages are monotonically narrowing and start at corpus size") {
+    val rows = SparkEntry.queries("q_metrics_funnel")(spark, sf)
+      .as[(String, Long, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq("1_ingest", "2_lang", "3_quality"))
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows(0)._2 === nDocs)
+    assert(rows(0)._2 >= rows(1)._2 && rows(1)._2 >= rows(2)._2)
+    assert(rows(0)._3 >= rows(1)._3 && rows(1)._3 >= rows(2)._3)
+    // chars metric is consistent with the row metric (docs are non-empty)
+    rows.foreach { case (_, n, chars) => assert((n == 0) === (chars == 0)) }
+  }
+
+  test("q_decontaminate flags exactly the train docs sharing an 8-gram with the bench set") {
+    // independent recomputation on gram STRINGS (the operator joins on
+    // xxhash64 of the gram; equality here also rules out hash artifacts)
+    val grams = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        operators.TextRules.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(toks) >= 8
+          |THEN array_distinct(transform(sequence(0, size(toks)-8),
+          |  i -> concat(toks[i],' ',toks[i+1],' ',toks[i+2],' ',toks[i+3],' ',
+          |              toks[i+4],' ',toks[i+5],' ',toks[i+6],' ',toks[i+7])))
+          |ELSE array() END""".stripMargin)).as("gram"))
+    val isBench = Tables.phash(col("doc_id")) % 20 === 1
+    val bench = grams.filter(isBench).select("gram").distinct()
+    val expected = grams.filter(!isBench)
+      .join(bench, "gram")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+      .as[(Long, Long)].collect().toMap
+    val got = SparkEntry.queries("q_decontaminate")(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    assert(got === expected)
+    // the fixture corpus must actually exercise the operator
+    assert(got.nonEmpty, "fixture produced no contaminated docs")
+  }
+
+  test("q_gopher_repeat signals match a scala recomputation per doc") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val expected = docs.map { case (id, text) =>
+      val toks = text.toLowerCase.split("\\W+").filter(_.nonEmpty).toSeq
+      def grams(n: Int) =
+        if (toks.size >= n) toks.sliding(n).map(_.mkString(" ")).toSeq
+        else Seq.empty[String]
+      val bg = grams(2); val tg = grams(3)
+      val top2 = if (bg.isEmpty) 0L
+        else bg.groupBy(identity).values.map(_.size).max.toLong
+      (id, (toks.size.toLong, top2, bg.size.toLong,
+        (tg.size - tg.distinct.size).toLong, tg.size.toLong))
+    }.toMap
+    val got = SparkEntry.queries("q_gopher_repeat")(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, (r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(got === expected)
+    // repetition must exist somewhere in the fixture or the signal is dead
+    assert(got.values.exists(_._4 > 0), "no duplicated trigrams in corpus")
+  }
+
+  test("decontamination plan broadcasts the benchmark side") {
+    val plan = SparkEntry.queries("q_decontaminate")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"benchmark gram set should broadcast:\n$plan")
+  }
+
+  test("curation queries and oracles are registered consistently") {
+    assert(CurationOps.queries.keySet ===
+      Set("q_decontaminate", "q_gopher_repeat", "q_metrics_funnel"))
+    assert(CurationOps.oracles.keySet === CurationOps.queries.keySet)
+  }
+}
