@@ -77,13 +77,27 @@ object CurationOps {
   }
 
   private val qGopherRepeat: Q = (s, d) =>
-    Tables.documents(s, d)
+    // spread: pure map-side CPU over a single-split fixture; the gram
+    // arrays are MATERIALIZED by one projection each (a lambda referencing
+    // the gram-construction expression directly would rebuild all the
+    // concat work per distinct element)
+    Tables.spread(s, Tables.documents(s, d))
       .select(col("doc_id"), TextRules.tokens(col("text")).as("toks"))
       .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
-        expr(ngramCounts(2, "top")).as("top2_cnt"),
-        expr(s"size(${grams(2)})").cast("long").as("n_bigrams"),
-        expr(ngramCounts(3, "dup")).as("dup3_cnt"),
-        expr(s"size(${grams(3)})").cast("long").as("n_trigrams"))
+        expr(grams(2)).as("bg"), expr(grams(3)).as("tg"))
+      .select(col("doc_id"), col("n_tokens"),
+        // top: occurrence count of the most frequent 2-gram (Gopher's
+        // top-n-gram numerator) — O(d·u) per doc over the materialized
+        // array, per-doc CPU at any corpus size
+        expr("""CAST(coalesce(array_max(transform(array_distinct(bg),
+               |  x -> size(filter(bg, y -> y = x)))), 0) AS BIGINT)"""
+          .stripMargin).as("top2_cnt"),
+        size(col("bg")).cast("long").as("n_bigrams"),
+        // dup: 3-grams occurring more than once = total - distinct
+        // (duplicated-n-gram numerator)
+        (size(col("tg")) - size(array_distinct(col("tg")))).cast("long")
+          .as("dup3_cnt"),
+        size(col("tg")).cast("long").as("n_trigrams"))
       .orderBy("doc_id")
 
   /** Overlapping (non-distinct) n-gram array over `toks`. */
@@ -92,23 +106,6 @@ object CurationOps {
     s"""(CASE WHEN size(toks) >= $n
        |  THEN transform(sequence(0, size(toks)-$n), i -> concat($join))
        |  ELSE CAST(array() AS array<string>) END)""".stripMargin
-  }
-
-  /** `top`: occurrence count of the most frequent n-gram (Gopher's
-    * top-n-gram signal numerator). `dup`: tokens' worth of n-grams that
-    * occur more than once = total - distinct (duplicated-n-gram
-    * numerator). Both pure array expressions; the top-gram count is
-    * O(d·u) per doc (u distinct grams) — fine at ~60 tokens/doc, and
-    * map-side at any corpus size. */
-  private def ngramCounts(n: Int, kind: String): String = {
-    val g = grams(n)
-    kind match {
-      case "top" =>
-        s"""CAST(coalesce(array_max(transform(array_distinct($g),
-           |  x -> size(filter($g, y -> y = x)))), 0) AS BIGINT)""".stripMargin
-      case "dup" =>
-        s"CAST(size($g) - size(array_distinct($g)) AS BIGINT)"
-    }
   }
 
   private val qMetricsFunnel: Q = (s, d) => {
