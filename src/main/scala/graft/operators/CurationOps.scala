@@ -15,18 +15,35 @@ import graft.{Metrics, Tables}
   *     plan instead of re-running lineage per counter; the query RETURNS
   *     the metrics table itself, oracle-checked against DuckDB recomputing
   *     each stage independently.
+  *     EAGER CONTRACT: Observation values exist only after an action, so
+  *     unlike every other registered query this builder RUNS the funnel
+  *     (one corpus pass) at construction and returns the tiny metrics
+  *     table — build it only to execute it. Plan inspection must use
+  *     [[instrumentedFunnel]] instead, which returns the lazy instrumented
+  *     plan (DumpPlans dumps that one).
   *   - q_decontaminate: benchmark decontamination — flag training docs
   *     sharing any word-8-gram with a held-out benchmark set (the standard
-  *     train/test-overlap hygiene step before LLM training). The benchmark
-  *     side of a real pipeline is MBs (eval suites) vs TBs of training
-  *     text, so candidates come from a BROADCAST join of benchmark 8-gram
-  *     hashes against map-side-hashed training grams: zero wide shuffles
-  *     of text, one groupBy(doc_id) over 8-byte hashes.
-  *   - q_gopher_repeat: Gopher-style repetition quality signals (Rae et
-  *     al. 2021 §A1.1: fraction of most-common 2-gram, fraction of tokens
-  *     in duplicated 3-grams). Both are PURE per-document array
-  *     expressions — whole-stage-codegen map work, zero shuffles; at
-  *     100 TB this runs at scan speed alongside the other quality gates.
+  *     train/test-overlap hygiene step before LLM training). Grams are
+  *     compared by xxhash64: like the MinHash family, parity with the
+  *     string-joining oracle is probabilistic — a 64-bit collision between
+  *     distinct grams would diverge the two (P ~ n²/2^65; negligible at
+  *     fixture scale, and at corpus scale a collision only over-flags).
+  *     Join strategy is left to Catalyst/AQE rather than a broadcast hint:
+  *     when the bench side is a real eval suite (MBs vs TBs of training
+  *     text) AQE broadcasts it at runtime from its ACTUAL size; when the
+  *     bench side is large — as in this fixture's 5%-of-corpus split, which
+  *     at 100 TB would be a multi-GB set no executor should hold — the same
+  *     plan degrades gracefully to a shuffled hash join on 8-byte hashes.
+  *     Either way no wide shuffle of text, one groupBy(doc_id) over hashes.
+  *   - q_gopher_repeat: Gopher-style repetition quality signals, an
+  *     occurrence-count adaptation of Rae et al. 2021 §A1.1 (the paper
+  *     measures top-2..4-gram and duplicate-5..10-gram fractions over
+  *     CHARACTERS; the counts here are token-occurrence numerators /
+  *     denominators for the 2-gram top and 3-gram duplicate cases — same
+  *     signal family, not the paper's exact definition). Both are PURE
+  *     per-document array expressions — whole-stage-codegen map work, zero
+  *     shuffles; at 100 TB this runs at scan speed alongside the other
+  *     quality gates.
   *     Counts are emitted as exact integers (numerator/denominator) so the
   *     oracle hash-compares without float-rounding hazards; the fractions
   *     are cnt/total downstream.
@@ -64,11 +81,13 @@ object CurationOps {
       .select(col("doc_id"),
         explode(expr(ngramsExpr(DecontamGramWidth))).as("gram"))
       .select(col("doc_id"), xxhash64(col("gram")).as("h"))
-    // benchmark gram-hash set: small by construction -> broadcast; the
-    // training side never shuffles its grams at all
+    // bench gram-hash set: no broadcast hint — AQE picks broadcast when the
+    // runtime size is actually small (external eval suite) and falls back
+    // to a shuffled hash join when it is not (this 5%-of-corpus split at
+    // 100 TB would OOM executors if force-broadcast); see object scaladoc
     val bench = grams.filter(isBench(col("doc_id"))).select("h").distinct()
     grams.filter(!isBench(col("doc_id")))
-      .join(broadcast(bench), "h")
+      .join(bench, "h")
       .groupBy("doc_id")
       // per-doc grams are distinct and bench is distinct on h, so each
       // (doc, h) survives at most once; count = distinct overlap size
@@ -108,8 +127,12 @@ object CurationOps {
        |  ELSE CAST(array() AS array<string>) END)""".stripMargin
   }
 
-  private val qMetricsFunnel: Q = (s, d) => {
-    import s.implicits._
+  /** The LAZY instrumented funnel: the quality-stage frame with all three
+    * observation points attached, plus the stage handles. This is the plan
+    * that actually executes (and the one DumpPlans records); resolve the
+    * handles only after running an action on the frame. */
+  def instrumentedFunnel(s: SparkSession, d: String)
+      : (DataFrame, Seq[Metrics.Stage]) = {
     val chars = "chars" -> sum(length(col("text"))).cast("long")
     val (ingest, mIngest) =
       Metrics.instrument(Tables.documents(s, d), "ingest", chars)
@@ -120,9 +143,18 @@ object CurationOps {
       .withColumn("n", size(col("toks")).cast("long"))
       .filter(TextRules.qualityOk(col("toks"), col("n")))
     val (quality, mQuality) = Metrics.instrument(kept, "quality", chars)
+    (quality, Seq(mIngest, mLang, mQuality))
+  }
+
+  // EAGER by contract (see object scaladoc): runs the funnel at
+  // construction — the returned metrics table cannot exist before the
+  // instrumented plan's action.
+  private val qMetricsFunnel: Q = (s, d) => {
+    import s.implicits._
+    val (quality, stages) = instrumentedFunnel(s, d)
     // ONE action materializes all three observation points
     quality.count()
-    Seq(mIngest, mLang, mQuality).zipWithIndex
+    stages.zipWithIndex
       .map { case (m, i) =>
         (s"${i + 1}_${m.name}", m.rows, m.metricLong("chars")) }
       .toDF("stage", "n_rows", "chars")

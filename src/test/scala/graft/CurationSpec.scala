@@ -90,11 +90,15 @@ class CurationSpec extends AnyFunSuite {
     assert(got.values.exists(_._4 > 0), "no duplicated trigrams in corpus")
   }
 
-  test("decontamination plan broadcasts the benchmark side") {
-    val plan = SparkEntry.queries("q_decontaminate")(spark, sf)
-      .queryExecution.executedPlan.toString
+  test("decontamination join strategy is AQE-decided: broadcast at this scale") {
+    // no broadcast hint in the operator (a 100 TB bench split must be free
+    // to fall back to a shuffled hash join); at fixture scale AQE should
+    // still land the broadcast from the bench side's actual runtime size
+    val df = SparkEntry.queries("q_decontaminate")(spark, sf)
+    df.collect() // finalize the adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
-      s"benchmark gram set should broadcast:\n$plan")
+      s"AQE should broadcast the small bench side at fixture scale:\n$plan")
   }
 
   test("curation queries and oracles are registered consistently") {
