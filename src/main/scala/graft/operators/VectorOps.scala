@@ -16,9 +16,11 @@ import graft.functions.GraftFunctions
   * - q_embed_neardup: all pairs with cosine >= 0.45 (embedding-cosine
   *   near-dup dedup; this corpus's max off-diagonal cosine is ~0.51).
   * - q_ann_lsh: the scale path — random-hyperplane LSH bucketing with
-  *   deterministic planes; exact re-ranking within buckets. Approximate by
-  *   design → no SQL oracle (rows-only check); recall vs brute force is
-  *   asserted in the scalatest spec instead.
+  *   deterministic planes; exact re-ranking within buckets. Approximate
+  *   relative to brute force but fully deterministic, so the DuckDB oracle
+  *   recomputes the buckets from the same portable hash arithmetic and
+  *   checks the result exactly; recall floors are additionally asserted in
+  *   the scalatest spec and exported as q_ann_recall.
   *
   * Scale notes (100 TB): brute force is O(Q×N). The LSH variant buckets on
   * a 6-bit signature here (corpus is tiny); at scale the signature widens
@@ -100,8 +102,9 @@ object VectorOps {
     * explodes into its own bucket plus the `probes` lowest-margin
     * bit-flip buckets; a corpus vector has exactly one bucket, so a
     * (query, vector) pair meets at most one probe — no dedup needed.
-    * Exact top-5 within the probed buckets. Approximate (no oracle);
-    * recall pinned in AnnSpec at two widths. */
+    * Exact top-5 within the probed buckets. Deterministic, so oracled
+    * exactly (DuckDB rebuilds the buckets); recall pinned in AnnSpec at
+    * two widths and exported via q_ann_recall. */
   def annLsh(s: SparkSession, d: String, width: Int, probes: Int): DataFrame = {
     GraftFunctions.register(s)
     // spread BEFORE the signature: `width` projections per row
@@ -126,6 +129,33 @@ object VectorOps {
   }
 
   private val qAnnLsh: Q = (s, d) => annLsh(s, d, LshWidth, LshProbes)
+
+  /** Recall@5 of both approximate ANN paths against exact brute force —
+    * the driver-checked artifact for the approximation quality (r4 verdict
+    * item 2). Everything is deterministic (hash-derived hyperplanes,
+    * hash-sampled k-means seeds, fixed Lloyd rounds), so the DuckDB oracle
+    * recomputes the LSH buckets and the unrolled Lloyd loop from the same
+    * portable arithmetic and reproduces the recall EXACTLY — the
+    * approximate family is no longer outside the correctness gate.
+    * Output: per variant, |approx ∩ brute| / |brute| over the 10 fixed
+    * queries' top-5 sets. */
+  private val qAnnRecall: Q = (s, d) => {
+    val brute = qAnnBrute(s, d).select("query_id", "neighbor_id")
+    def stats(name: String, approx: DataFrame): DataFrame = {
+      // 1-row aggregates; the crossJoin is a broadcast of one row
+      val hits = brute.join(approx.select("query_id", "neighbor_id"),
+          Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+      val total = brute.agg(count(lit(1)).as("n_brute"))
+      hits.crossJoin(total)
+        .select(lit(name).as("variant"), col("n_hits"), col("n_brute"),
+          round(col("n_hits").cast("double") / col("n_brute"), 4)
+            .as("recall_at_5"))
+    }
+    stats("ivf", qAnnIvf(s, d))
+      .unionAll(stats("lsh", qAnnLsh(s, d)))
+      .orderBy("variant")
+  }
 
   /** Number of IVF cells and Lloyd refinement rounds. */
   private val IvfCells = 10
@@ -176,7 +206,11 @@ object VectorOps {
   /** IVF-style ANN: k-means-train IvfCells centroids (Lloyd, hash-sampled
     * seeds — no label column involved), assign the corpus to cells, then
     * search only the query's two nearest cells (nprobe=2). Approximate
-    * (no oracle); cell quality + recall are spec'd in AnnSpec.
+    * relative to brute force but deterministic end-to-end (hash-sampled
+    * seeds, fixed Lloyd rounds), so the DuckDB oracle replays the
+    * unrolled training loop and checks the result exactly; cell quality +
+    * recall are additionally spec'd in AnnSpec and exported via
+    * q_ann_recall.
     *
     * Scale notes: this is the same topology as a billion-vector IVF index —
     * a tiny broadcastable centroid table, one map-side assignment pass,
@@ -273,8 +307,124 @@ object VectorOps {
     "q_embed_neardup" -> qEmbedNeardup,
     "q_ann_lsh" -> qAnnLsh,
     "q_ann_ivf" -> qAnnIvf,
+    "q_ann_recall" -> qAnnRecall,
     "q_embed_centroids" -> qEmbedCentroids,
   )
+
+  // ---- DuckDB recomputation of the approximate paths ------------------
+  // The hyperplane weights and k-means seeds are portable arithmetic
+  // (Tables.phash family), so the oracle rebuilds the SAME buckets /
+  // centroids the engine uses. FP caveat: a hyperplane dot or a cosine
+  // tie within ~1e-15 of the decision boundary could order differently
+  // across engines (same hazard class as the cosine-ordered queries,
+  // which have held exact through every round).
+
+  /** CTEs `e` → `sigt` (corpus bucket per vector) → `qprobe` (exploded
+    * query probe buckets) → `lshq` (the LSH top-5 result set). */
+  private def lshCtes(width: Int, probes: Int): String = s"""
+    |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    |dots AS (
+    |  SELECT vec_id, emb,
+    |         list_transform(range(0, $width), j ->
+    |           list_sum(list_transform(range(1, len(emb)+1),
+    |             k -> emb[k] * (CAST(((j*len(emb) + k) * 2654435761)
+    |                    % 1000000007 AS DOUBLE)/1000000007 - 0.5)))) AS ds
+    |  FROM e),
+    |sigt AS (
+    |  SELECT vec_id, emb, ds,
+    |         CAST(list_sum(list_transform(range(0, $width),
+    |           j -> CASE WHEN ds[j+1] > 0
+    |                THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT)
+    |           AS bucket
+    |  FROM dots),
+    |qprobe AS (
+    |  SELECT vec_id AS query_id, emb AS qe,
+    |         unnest(list_prepend(bucket,
+    |           list_transform(list_slice(list_sort(list_transform(
+    |             range(0, $width), j -> {'a': abs(ds[j+1]), 'j': j})),
+    |             1, $probes),
+    |             s -> xor(bucket, CAST(1 AS BIGINT) << s.j)))) AS qbucket
+    |  FROM sigt WHERE vec_id < 10),
+    |lshq AS (
+    |  SELECT query_id, neighbor_id, CAST(rk AS INT) AS rk FROM (
+    |    SELECT q.query_id, c.vec_id AS neighbor_id,
+    |           row_number() OVER (PARTITION BY q.query_id
+    |             ORDER BY list_cosine_similarity(q.qe, c.emb) DESC,
+    |                      c.vec_id) AS rk
+    |    FROM qprobe q JOIN sigt c
+    |      ON c.bucket = q.qbucket AND c.vec_id <> q.query_id)
+    |  WHERE rk <= 5)""".stripMargin
+
+  /** CTEs `samp`/`seed` → unrolled 3-round Lloyd (`a1..c3`) → `afull`
+    * (full-corpus assignment) → `qc` (nprobe=2 query cells) → `ivfq`
+    * (the IVF top-5 result set). Requires CTE `e` from [[lshCtes]]. */
+  private def ivfCtes: String = {
+    val ph = Tables.phashSql("vec_id")
+    def asgn(cent: String): String = s"""
+      |  SELECT vec_id, emb, cell FROM (
+      |    SELECT s.vec_id, s.emb, c.cell,
+      |           row_number() OVER (PARTITION BY s.vec_id
+      |             ORDER BY list_cosine_similarity(s.emb,
+      |                        CAST(c.c AS DOUBLE[])) DESC, c.cell) AS rk
+      |    FROM samp s, $cent c)
+      |  WHERE rk = 1""".stripMargin
+    def cent(asgn: String): String = s"""
+      |  SELECT cell, list(CAST(v AS FLOAT) ORDER BY pos) AS c FROM (
+      |    SELECT cell, pos, avg(x) AS v FROM (
+      |      SELECT a.cell, generate_subscripts(a.emb, 1) AS pos,
+      |             unnest(a.emb) AS x
+      |      FROM $asgn a)
+      |    GROUP BY cell, pos)
+      |  GROUP BY cell""".stripMargin
+    s"""
+    |samp AS (SELECT * FROM e WHERE $ph % 4 = 0),
+    |seed AS (
+    |  SELECT CAST(row_number() OVER (ORDER BY $ph, vec_id) AS INT) - 1
+    |           AS cell,
+    |         CAST(emb AS FLOAT[]) AS c
+    |  FROM samp
+    |  QUALIFY row_number() OVER (ORDER BY $ph, vec_id) <= $IvfCells),
+    |a1 AS (${asgn("seed")}), c1 AS (${cent("a1")}),
+    |a2 AS (${asgn("c1")}),   c2 AS (${cent("a2")}),
+    |a3 AS (${asgn("c2")}),   c3 AS (${cent("a3")}),
+    |afull AS (
+    |  SELECT vec_id, emb, cell FROM (
+    |    SELECT e.vec_id, e.emb, c.cell,
+    |           row_number() OVER (PARTITION BY e.vec_id
+    |             ORDER BY list_cosine_similarity(e.emb,
+    |                        CAST(c.c AS DOUBLE[])) DESC, c.cell) AS rk
+    |    FROM e, c3 c)
+    |  WHERE rk = 1),
+    |qc AS (
+    |  SELECT vec_id AS query_id, emb AS qe, cell AS qcell FROM (
+    |    SELECT e.vec_id, e.emb, c.cell,
+    |           row_number() OVER (PARTITION BY e.vec_id
+    |             ORDER BY list_cosine_similarity(e.emb,
+    |                        CAST(c.c AS DOUBLE[])) DESC, c.cell) AS crk
+    |    FROM e, c3 c WHERE e.vec_id < 10)
+    |  WHERE crk <= 2),
+    |ivfq AS (
+    |  SELECT query_id, neighbor_id, CAST(rk AS INT) AS rk FROM (
+    |    SELECT q.query_id, a.vec_id AS neighbor_id,
+    |           row_number() OVER (PARTITION BY q.query_id
+    |             ORDER BY list_cosine_similarity(q.qe, a.emb) DESC,
+    |                      a.vec_id) AS rk
+    |    FROM afull a JOIN qc q
+    |      ON a.cell = q.qcell AND a.vec_id <> q.query_id)
+    |  WHERE rk <= 5)""".stripMargin
+  }
+
+  /** Exact top-5 per query as a CTE (`brutq`); requires CTE `e`. */
+  private def bruteCte: String = """
+    |brutq AS (
+    |  SELECT query_id, neighbor_id FROM (
+    |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    |           row_number() OVER (PARTITION BY q.vec_id
+    |             ORDER BY list_cosine_similarity(q.emb, c.emb) DESC,
+    |                      c.vec_id) AS rk
+    |    FROM e q JOIN e c ON c.vec_id <> q.vec_id
+    |    WHERE q.vec_id < 10)
+    |  WHERE rk <= 5)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_embed_quantize" ->
@@ -314,8 +464,33 @@ object VectorOps {
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                             CAST(b.embedding AS DOUBLE[])) >= 0.45
         |ORDER BY 1, 2""".stripMargin,
-    // q_ann_lsh: intentionally no oracle — approximate operator; recall vs
-    // brute force is asserted in AnnSpec instead.
+    "q_ann_lsh" ->
+      (s"WITH ${lshCtes(LshWidth, LshProbes)}" + """
+        |SELECT query_id, neighbor_id, rk FROM lshq
+        |ORDER BY query_id, rk""".stripMargin),
+    "q_ann_ivf" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb " +
+        s"FROM embeddings), $ivfCtes" + """
+        |SELECT query_id, neighbor_id, rk FROM ivfq
+        |ORDER BY query_id, rk""".stripMargin),
+    "q_ann_recall" ->
+      (s"WITH ${lshCtes(LshWidth, LshProbes)}, $ivfCtes, $bruteCte" + """
+        |SELECT variant, n_hits, n_brute,
+        |       round(CAST(n_hits AS DOUBLE) / n_brute, 4) AS recall_at_5
+        |FROM (
+        |  SELECT 'ivf' AS variant,
+        |         CAST((SELECT count(*) FROM brutq b JOIN ivfq v
+        |                 ON b.query_id = v.query_id
+        |                AND b.neighbor_id = v.neighbor_id) AS BIGINT)
+        |           AS n_hits,
+        |         CAST((SELECT count(*) FROM brutq) AS BIGINT) AS n_brute
+        |  UNION ALL
+        |  SELECT 'lsh',
+        |         CAST((SELECT count(*) FROM brutq b JOIN lshq l
+        |                 ON b.query_id = l.query_id
+        |                AND b.neighbor_id = l.neighbor_id) AS BIGINT),
+        |         CAST((SELECT count(*) FROM brutq) AS BIGINT))
+        |ORDER BY variant""".stripMargin),
     "q_embed_centroids" ->
       """WITH u AS (
         |  SELECT label, generate_subscripts(embedding, 1) AS pos,

@@ -29,9 +29,13 @@ class AnnSpec extends AnyFunSuite {
     assert(ivf.nonEmpty)
     // Lloyd-trained cells (hash-sampled seeds, label column unused) track
     // the corpus's cluster structure: nearest neighbors should often share
-    // the query's cell, so nprobe=2 recall is well above chance
+    // the query's cell, so nprobe=2 recall is well above chance.
+    // Deterministic (fixed seeds/rounds/fixture): observed 0.52 — the
+    // floor sits at the observed value, margin only for ordering ties.
+    // The same number is a driver-checked artifact via q_ann_recall's
+    // DuckDB oracle, which replays the unrolled Lloyd loop.
     val recall = brute.intersect(ivf).size.toDouble / brute.size
-    assert(recall > 0.2, s"ivf recall@5 = $recall")
+    assert(recall >= 0.5, s"ivf recall@5 = $recall")
   }
 
   test("lsh recall@5 pinned at two widths (the scale dial has code behind it)") {
@@ -39,11 +43,13 @@ class AnnSpec extends AnyFunSuite {
     assert(brute.nonEmpty)
     // the width/probe dial SCALING.md describes: wider codes = smaller
     // buckets (cheaper exact scoring) at some recall cost; multi-probe
-    // buys recall back. Bounds are deliberately below observed values —
-    // they pin "the dial works", not an exact number.
-    // deterministic planes + fixture => recall is exact; observed 0.18 /
-    // 0.06 — the bounds leave margin only for ordering ties
-    for ((width, probes, minRecall) <- Seq((6, 2, 0.15), (10, 2, 0.05))) {
+    // buys recall back. Deterministic planes + fixture => recall is
+    // exact; floors pin the observed values themselves (0.18 / 0.14 /
+    // 0.06), not a loose lower bound — a silent recall regression in the
+    // signature or probe selection fails the spec. The default geometry
+    // (8, 2) is additionally oracle-checked via q_ann_recall.
+    for ((width, probes, minRecall) <- Seq(
+        (6, 2, 0.18), (8, 2, 0.14), (10, 2, 0.06))) {
       val got = VectorOps.annLsh(spark, TestSpark.sf0001, width, probes)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val recall = brute.intersect(got).size.toDouble / brute.size

@@ -95,6 +95,23 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("AQE coalesces small post-shuffle partitions into a range read") {
+    // the reference's partition-range read (Ors2ShuffleManager.scala:213-262
+    // — one reducer fetches a contiguous range of map-output partitions) is
+    // its AQE surface; on this engine the same behavior is Catalyst's
+    // runtime partition coalescing. Pin that a small-output shuffle is
+    // actually read as coalesced ranges, not 1 reducer per static partition
+    // (and, unlike the reference's local-read limitation at :77-80, with no
+    // locality constraint on who may read them).
+    val df = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity")).as("sum_qty"))
+    df.collect() // finalize the adaptive plan: coalescing happens at runtime
+    val p = plan(df)
+    assert(p.contains("AQEShuffleRead") && p.contains("coalesced"),
+      s"expected a coalesced AQEShuffleRead on a small shuffle:\n$p")
+  }
+
   test("ledger queries compute the seq_id window exactly once (explode dups)") {
     // LedgerSpec releases its blocks(sf0.001) cache in afterAll; without
     // that, a cache hit would swap an InMemoryRelation into this plan and
