@@ -161,10 +161,57 @@ object CurationOps {
       .orderBy("stage")
   }
 
+  /** PII detector patterns — the standard pre-training redaction/filter
+    * families (emails, NANP-style phone numbers, IPv4 addresses). The
+    * patterns deliberately use only syntax with identical semantics in
+    * java.util.regex (Spark) and RE2 (DuckDB): character classes, bounded
+    * repetition, ASCII \b word boundaries — no lookaround, no backrefs.
+    * Keyed map so downstream gates can pick families individually. */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "n_email" -> """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""",
+    "n_phone" -> """\b\d{3}[-.]\d{3}[-.]\d{4}\b""",
+    "n_ip" -> """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b""",
+  )
+
+  /** Per-doc PII counts over a text column: one `regexp_count` projection
+    * per family plus the gate flag — pure map-side expression work, zero
+    * shuffles, scan-speed at any corpus size (same shape as the quality
+    * gates). */
+  def piiFlags(text: Column): Seq[Column] = {
+    val counts = PiiPatterns.map { case (name, pat) =>
+      regexp_count(text, lit(pat)).cast("long").as(name)
+    }
+    counts :+ counts.map(c => c > 0).reduce(_ || _).as("has_pii")
+  }
+
+  /** The fixture corpus is PII-free word salad (no digits, no '@'), which
+    * would make a detector query a dead signal. q_pii_flag therefore runs
+    * the REAL detectors over a seeded view: docs with phash(doc_id)%5 ∈
+    * {1,2,3} get one deterministic synthetic email / phone / IP appended —
+    * pure doc_id arithmetic, so the DuckDB oracle renders the identical
+    * corpus and the comparison exercises the actual regex semantics across
+    * engines (the parity hazard a PII gate lives or dies on). On a real
+    * corpus, apply [[piiFlags]] to the raw text column directly. */
+  private val qPiiFlag: Q = (s, d) => {
+    val h = Tables.phash(col("doc_id")) % 5
+    val seeded = concat(col("text"),
+      when(h === 1, concat(lit(" reach me at user"), col("doc_id"),
+        lit("@mail.example.com"))).otherwise(lit("")),
+      when(h === 2, concat(lit(" call 415-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .otherwise(lit("")),
+      when(h === 3, concat(lit(" host 10."), col("doc_id") % 256,
+        lit(".0."), (col("doc_id") * 7) % 256)).otherwise(lit("")))
+    Tables.documents(s, d)
+      .select(col("doc_id") +: piiFlags(seeded): _*)
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_decontaminate" -> qDecontaminate,
     "q_gopher_repeat" -> qGopherRepeat,
     "q_metrics_funnel" -> qMetricsFunnel,
+    "q_pii_flag" -> qPiiFlag,
   )
 
   private val toksCte =
@@ -178,6 +225,35 @@ object CurationOps {
     (1 to n).map(j => s"toks[i+${j - 1}]").mkString(" || ' ' || ")
 
   val oracles: Map[String, String] = Map(
+    "q_pii_flag" -> {
+      val ph = Tables.phashSql("doc_id")
+      // DuckDB standard string literals are raw (no backslash escapes),
+      // so the java-regex pattern strings pass through unmodified
+      val pats = PiiPatterns.map { case (name, pat) =>
+        s"CAST(len(regexp_extract_all(seeded, '$pat')) AS BIGINT) AS $name"
+      }.mkString(",\n      |       ")
+      s"""WITH s AS (
+      |  SELECT doc_id, text ||
+      |    CASE WHEN $ph % 5 = 1
+      |      THEN ' reach me at user' || CAST(doc_id AS VARCHAR)
+      |             || '@mail.example.com' ELSE '' END ||
+      |    CASE WHEN $ph % 5 = 2
+      |      THEN ' call 415-555-'
+      |             || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      |      ELSE '' END ||
+      |    CASE WHEN $ph % 5 = 3
+      |      THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+      |             || CAST((doc_id * 7) % 256 AS VARCHAR) ELSE '' END
+      |      AS seeded
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id,
+      |       $pats
+      |  FROM s)
+      |SELECT doc_id, n_email, n_phone, n_ip,
+      |       (n_email > 0 OR n_phone > 0 OR n_ip > 0) AS has_pii
+      |FROM c ORDER BY doc_id""".stripMargin
+    },
     "q_decontaminate" -> (toksCte + s""",
       |g AS (
       |  SELECT DISTINCT doc_id, ${gramSql(DecontamGramWidth)} AS gram

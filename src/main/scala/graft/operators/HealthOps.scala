@@ -63,8 +63,58 @@ object HealthOps {
       .orderBy("worker_id")
   }
 
+  /** Admission-quota parameters (ApplicationRequestController):
+    * resourceNum (semaphore permits per name-space and control interval),
+    * appNamePreLen (name-prefix length defining the quota space — the
+    * q_similarity_prefix grouping), and one excluded prefix that bypasses
+    * the quota entirely (filterExcludes). */
+  val AdmissionCap = 2
+  val AdmissionPrefixLen = 3
+  val AdmissionExclude = "err"
+
+  /** Per-name-space hourly admission quota
+    * (ApplicationRequestController.java:82-112): within each (name-space,
+    * hour-window), at most [[AdmissionCap]] DISTINCT holders acquire the
+    * semaphore; a request from an appId already holding re-admits
+    * (holderList.contains), a new appId past the cap is rejected, and
+    * excluded name prefixes bypass without consuming permits (:83-87).
+    * The window is the controller's appControlInterval (clearAppMap resets
+    * holders each interval). Batch formulation: admitted ⇔ the appId is
+    * among the first cap distinct appIds of its window by arrival order —
+    * request = event, appName = event_type (name-space = its
+    * [[AdmissionPrefixLen]]-prefix, as in q_similarity_prefix), appId =
+    * user_id, arrival = (ts, event_id).
+    *
+    * Scale shape: one partial-aggregated groupBy to first-arrivals (keys
+    * only, text never shuffles), a window ranking over (ns, hr) partitions
+    * whose size is bounded by distinct holders per window — never the raw
+    * request count — and one key-join back to requests that AQE plans by
+    * the aggregated side's runtime size. */
+  private val qAdmissionQuota: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val req = Tables.events(s, d).select(
+      col("event_id"), col("user_id"),
+      substring(col("event_type"), 1, AdmissionPrefixLen).as("ns"),
+      // µs-epoch hour buckets (ts arrives as int64 nanos)
+      expr("(ts div 1000) div 3600000000").as("hr"),
+      expr("ts div 1000").as("ep"))
+    val firsts = req.filter(col("ns") =!= AdmissionExclude)
+      .groupBy("ns", "hr", "user_id")
+      .agg(min(struct(col("ep"), col("event_id"))).as("first_req"))
+    val ranked = firsts
+      .withColumn("holder_rank", row_number().over(
+        Window.partitionBy("ns", "hr").orderBy(col("first_req"))))
+      .select("ns", "hr", "user_id", "holder_rank")
+    req.join(ranked, Seq("ns", "hr", "user_id"), "left")
+      .select(col("event_id"), col("ns"), col("hr"), col("user_id"),
+        (col("ns") === AdmissionExclude ||
+          col("holder_rank") <= AdmissionCap).as("admitted"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_worker_health" -> qWorkerHealth,
+    "q_admission_quota" -> qAdmissionQuota,
   )
 
   /** The oracle steps the identical machine event-by-event in a recursive
@@ -72,6 +122,30 @@ object HealthOps {
     * WorkerHealth.step's phases (settle punish → gap blacklist →
     * self-check → busy punish) in order via nested derived tables. */
   val oracles: Map[String, String] = Map(
+    "q_admission_quota" ->
+      s"""WITH req AS (
+        |  SELECT event_id, user_id,
+        |         substring(event_type, 1, $AdmissionPrefixLen) AS ns,
+        |         epoch_us(ts) // 3600000000 AS hr,
+        |         epoch_us(ts) AS ep
+        |  FROM events),
+        |firsts AS (
+        |  SELECT ns, hr, user_id, ep, event_id,
+        |         row_number() OVER (PARTITION BY ns, hr, user_id
+        |           ORDER BY ep, event_id) AS rn
+        |  FROM req WHERE ns <> '$AdmissionExclude'),
+        |ranked AS (
+        |  SELECT ns, hr, user_id,
+        |         row_number() OVER (PARTITION BY ns, hr
+        |           ORDER BY ep, event_id) AS holder_rank
+        |  FROM firsts WHERE rn = 1)
+        |SELECT r.event_id, r.ns, r.hr, r.user_id,
+        |       (r.ns = '$AdmissionExclude'
+        |         OR coalesce(k.holder_rank <= $AdmissionCap, FALSE))
+        |         AS admitted
+        |FROM req r LEFT JOIN ranked k
+        |  ON r.ns = k.ns AND r.hr = k.hr AND r.user_id = k.user_id
+        |ORDER BY r.event_id""".stripMargin,
     "q_worker_health" ->
       """WITH RECURSIVE ev AS (
         |  SELECT user_id AS w, epoch_ms(ts) AS ts,

@@ -101,9 +101,43 @@ class CurationSpec extends AnyFunSuite {
       s"AQE should broadcast the small bench side at fixture scale:\n$plan")
   }
 
+  test("piiFlags counts each family and multiple hits per doc") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "plain text with no pii at all"),
+      (2L, "mail a@b.io and c.d+x@sub.example.org twice"),
+      (3L, "call 415-555-0142 or 212.555.9999"),
+      (4L, "hosts 10.0.0.1 and 192.168.255.3"),
+      (5L, "mixed: e@f.com at 10.1.2.3")).toDF("doc_id", "text")
+    val got = docs
+      .select(col("doc_id") +: CurationOps.piiFlags(col("text")): _*)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+      .toMap
+    assert(got(1L) === ((0L, 0L, 0L, false)))
+    assert(got(2L) === ((2L, 0L, 0L, true)))
+    assert(got(3L) === ((0L, 2L, 0L, true)))
+    assert(got(4L) === ((0L, 0L, 2L, true)))
+    assert(got(5L) === ((1L, 0L, 1L, true)))
+  }
+
+  test("q_pii_flag seeds fire every detector family and leave clean docs clean") {
+    val rows = SparkEntry.queries("q_pii_flag")(spark, sf).collect()
+    def total(i: Int) = rows.map(_.getLong(i)).sum
+    assert(total(1) > 0, "no email hits");  assert(total(2) > 0, "no phone hits")
+    assert(total(3) > 0, "no ip hits")
+    assert(rows.exists(!_.getBoolean(4)), "every doc flagged — gate is dead")
+    // seeded docs carry exactly one synthetic hit in exactly one family
+    assert(rows.filter(_.getBoolean(4))
+      .forall(r => r.getLong(1) + r.getLong(2) + r.getLong(3) == 1))
+  }
+
   test("curation queries and oracles are registered consistently") {
     assert(CurationOps.queries.keySet ===
-      Set("q_decontaminate", "q_gopher_repeat", "q_metrics_funnel"))
+      Set("q_decontaminate", "q_gopher_repeat", "q_metrics_funnel",
+        "q_pii_flag"))
     assert(CurationOps.oracles.keySet === CurationOps.queries.keySet)
   }
 }
