@@ -115,9 +115,8 @@ object DedupOps {
   private val qNgramJaccard: Q = (s, d) => {
     // persisted: feeds the df aggregation, both capped-join sides, the
     // capped arrays and the per-doc sizes — all within the one action
-    val sh = shingles(s, d)
-      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
-      .persist()
+    val sh = graft.Caching.persist(shingles(s, d)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h")))
     // Job 1: corpus doc count for the relative cap — a parquet
     // metadata-only count (footer row counts, no text scan). Job 2 (pays
     // the one-time shingle-cache materialization): the hot-shingle set,
@@ -186,7 +185,7 @@ object DedupOps {
     * candidate generator for q_text_minhash and the clustering operator. */
   def nearDupPairs(s: SparkSession, d: String): DataFrame = {
     // persisted: feeds the signature build + both verify joins
-    val docs = docHashes(s, d).persist()
+    val docs = graft.Caching.persist(docHashes(s, d))
     // all 32 packed band values computed by the native MinHashSig
     // expression in one tight codegen loop (no intermediate arrays), then
     // posexplode just the packed (band, value) pairs:
@@ -227,7 +226,7 @@ object DedupOps {
     * hamming <= 15, then exact verification. */
   private val qTextSimhash: Q = (s, d) => {
     // persisted: feeds the signature build + both verify joins
-    val docs = docHashes(s, d).persist()
+    val docs = graft.Caching.persist(docHashes(s, d))
     // native one-pass SimHash64 (same bit semantics as the expression
     // formulation, which burned 64×|hs| interpreted lambda calls per doc)
     graft.functions.GraftFunctions.register(s)

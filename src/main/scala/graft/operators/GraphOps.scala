@@ -37,7 +37,7 @@ object GraphOps {
       localThreshold: Long = 1000000L,
       maxRounds: Int = 20): DataFrame = {
     val Seq(srcC, dstC) = edges.columns.toSeq.take(2)
-    val e = edges.select(col(srcC).as("src"), col(dstC).as("dst")).persist()
+    val e = graft.Caching.persist(edges.select(col(srcC).as("src"), col(dstC).as("dst")))
     val n = e.count()
 
     if (n <= localThreshold) {
@@ -63,11 +63,10 @@ object GraphOps {
       import s.implicits._
       labels.toDF("vertex_id", "label")
     } else {
-      val both = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
-        .persist()
-      var cached = both.groupBy(col("src").as("vertex_id"))
-        .agg(least(min(col("dst")), col("src")).as("label"))
-        .persist()
+      val both = graft.Caching.persist(
+        e.unionByName(e.select(col("dst").as("src"), col("src").as("dst"))))
+      var cached = graft.Caching.persist(both.groupBy(col("src").as("vertex_id"))
+        .agg(least(min(col("dst")), col("src")).as("label")))
       // the frame persisted this round but not yet promoted to `cached` —
       // tracked so a mid-round failure (e.g. the convergence count
       // throwing) cannot leak it past the finally block
@@ -78,15 +77,14 @@ object GraphOps {
         var converged = false
         var rounds = 0
         while (!converged && rounds < maxRounds) {
-          val next = both
+          val next = graft.Caching.persist(both
             .join(labels.withColumnRenamed("vertex_id", "dst")
               .withColumnRenamed("label", "nlabel"), "dst")
             .groupBy(col("src").as("vertex_id"))
             .agg(min(col("nlabel")).as("prop"))
             .join(labels, "vertex_id")
             .select(col("vertex_id"), least(col("label"), col("prop")).as("label"),
-              col("label").as("old"))
-            .persist()
+              col("label").as("old")))
           inFlight = next
           val changed = next.filter(col("label") =!= col("old")).count()
           cached.unpersist()

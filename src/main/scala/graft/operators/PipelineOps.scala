@@ -40,9 +40,8 @@ object PipelineOps {
     // join is left to AQE (it will still broadcast when the runtime size
     // allows). xxhash64 collisions across ~10^5 distinct shingles are
     // ~1e-9 — negligible against the 0.05 df threshold.
-    val sh = DedupOps.shingles(s, d)
-      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
-      .persist()
+    val sh = graft.Caching.persist(DedupOps.shingles(s, d)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h")))
     // corpus doc count via parquet metadata (footer row counts — no text
     // scan, no extra action over the shingle pipeline); the df threshold
     // is then "5% of corpus docs", same base the ngram cap uses
@@ -155,9 +154,8 @@ object PipelineOps {
     * engine-parity convention q_embed_centroids established). */
   private val qLmScore: Q = (s, d) => {
     // persisted: feeds the frequency table, the total, and the join side
-    val toks = toked(s, d)
-      .select(col("doc_id"), explode(col("toks")).as("tok"))
-      .persist()
+    val toks = graft.Caching.persist(toked(s, d)
+      .select(col("doc_id"), explode(col("toks")).as("tok")))
     val tf = toks.groupBy("tok").agg(count(lit(1)).as("tf"))
     val total = toks.agg(count(lit(1)).as("total"))
     toks.join(tf, "tok")

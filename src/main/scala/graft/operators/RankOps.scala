@@ -99,7 +99,7 @@ object RankOps {
     // The returned frame is backed by this cache; the engine's runners
     // release it via clearCache per query (same caller-owned convention
     // as GraphOps.connectedComponents).
-    val bucketed2 = bucketed.persist()
+    val bucketed2 = graft.Caching.persist(bucketed)
     val w = Window.partitionBy(col(bCol))
       .orderBy(col(kCol) +: tieBreaks: _*)
     val local = bucketed2.withColumn(lCol, row_number().over(w))

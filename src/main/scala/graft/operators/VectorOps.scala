@@ -222,7 +222,7 @@ object VectorOps {
     // spread: assignment scoring does heavy per-row work off the
     // single-split fixture; persisted because the corpus feeds centroid
     // training + assignment + query probes
-    val e = Tables.spread(s, Tables.embeddings(s, d)).persist()
+    val e = graft.Caching.persist(Tables.spread(s, Tables.embeddings(s, d)))
     // train on a deterministic ~25% hash-sample: k-means centroids
     // converge on the sample's geometry (standard IVF practice — training
     // never needs the full corpus), so each Lloyd pass scores a quarter

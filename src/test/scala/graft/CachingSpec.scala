@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.storage.StorageLevel
+
+/** Storage-level independence of the persist-heavy operators
+  * (SCALING.md "persist at 100 TB" row): forcing every reused-subplan
+  * cache to DISK_ONLY — the everything-evicted-from-memory path — must
+  * not change any result. Combined with recompute-stable lineage (r4
+  * salt fix), this pins that cache pressure at scale costs latency only,
+  * never correctness. */
+class CachingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf0001
+
+  // operators whose plans run through Caching.persist: MinHash banding
+  // (DedupOps), dedup clustering (GraphOps iterative path is exercised in
+  // GraphOpsSpec; here the fixture takes the driver union-find branch),
+  // global ranking (RankOps), IDF scoring (PipelineOps), IVF (VectorOps)
+  private val probes =
+    Seq("q_text_minhash", "q_dedup_cluster", "q_roundrobin_slice",
+      "q_text_boilerplate", "q_ann_ivf")
+
+  private def run(name: String): Seq[String] = {
+    val rows = SparkEntry.queries(name)(spark, sf).collect().map(_.toString).toSeq
+    spark.catalog.clearCache()
+    rows
+  }
+
+  test("forcing caches to DISK_ONLY changes no operator result") {
+    val baseline = probes.map(n => n -> run(n)).toMap
+    spark.conf.set(Caching.ConfKey, "DISK_ONLY")
+    try probes.foreach { n =>
+      assert(run(n) === baseline(n), s"$n diverged under DISK_ONLY caching")
+    } finally spark.conf.unset(Caching.ConfKey)
+  }
+
+  test("cache level default is MEMORY_AND_DISK; NONE disables persistence") {
+    assert(Caching.level(spark) === StorageLevel.MEMORY_AND_DISK)
+    spark.conf.set(Caching.ConfKey, "NONE")
+    try {
+      assert(Caching.level(spark) === StorageLevel.NONE)
+      import spark.implicits._
+      val df = Caching.persist(Seq(1, 2, 3).toDF("x"))
+      assert(df.storageLevel === StorageLevel.NONE, "NONE must skip persist")
+      assert(df.count() === 3)
+    } finally spark.conf.unset(Caching.ConfKey)
+  }
+}
