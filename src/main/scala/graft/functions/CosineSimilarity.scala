@@ -98,5 +98,7 @@ object GraftFunctions {
       "hyperplane_sig", exprs => HyperplaneSig(exprs.head,
         exprs(1).eval(null).asInstanceOf[Int],
         exprs(2).eval(null).asInstanceOf[Int]), "built-in")
+    registry.createOrReplaceTempFunction(
+      "bpe_count", exprs => BpeCount(exprs.head), "built-in")
   }
 }

@@ -217,8 +217,35 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Tokenizer-real token budgeting: per-doc word count and BPE token
+    * count under the SHIPPED merge table ([[graft.functions.Bpe]] — a
+    * pretrained tokenizer is an artifact, so the budget is reproducible
+    * anywhere, including the DuckDB oracle, which replays the same merge
+    * table as a recursive CTE). Complements q_token_count's regex
+    * approximation with the count a real BPE training pipeline budgets.
+    *
+    * Scale shape: pure per-doc array expression around the native
+    * `bpe_count` — zero shuffles, scan-speed. The aggregate() lambda is
+    * interpreted (higher-order functions are CodegenFallback), but each
+    * element call lands in the expression's compiled merge loop, so the
+    * per-word cost is JVM-compiled either way. (A distinct-word dedup +
+    * join-back would trade the zero-shuffle shape for a shuffle;
+    * per-occurrence encoding of short words is cheaper until word
+    * frequency skew is extreme.) */
+  private val qBpeCount: Q = (s, d) => {
+    graft.functions.GraftFunctions.register(s)
+    Tables.documents(s, d)
+      .select(col("doc_id"), TextRules.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_words"),
+        expr("aggregate(toks, 0L, (a, w) -> a + CAST(bpe_count(w) AS BIGINT))")
+          .as("n_bpe"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_token_count" -> qTokenCount,
+    "q_bpe_count" -> qBpeCount,
     "q_cooccur" -> qCooccur,
     "q_doc_winnow" -> qDocWinnow,
     "q_text_tokens" -> qTextTokens,
@@ -237,7 +264,60 @@ object TextOps {
       |        ('fr','le'),('fr','les'),('fr','et'),('fr','des'),('fr','une'),
       |        ('zh','de0_zh_placeholder')) lex(plang, token)""".stripMargin
 
+  /** The shipped merge table as a priority-lookup CASE over an adjacent
+    * symbol pair "a|b" ('|' cannot appear in \w+ tokens). Single source
+    * of truth: generated from [[graft.functions.Bpe.merges]]. */
+  private def bpePrioCase(pairExpr: String): String =
+    graft.functions.Bpe.merges.zipWithIndex
+      .map { case ((a, b), i) => s"WHEN '$a|$b' THEN $i" }
+      .mkString(s"CASE $pairExpr ", " ", " ELSE NULL END")
+
   val oracles: Map[String, String] = Map(
+    // replays Bpe.encode's contract per recursion step: merge the
+    // LEFTMOST occurrence (list_position finds the first) of the
+    // LOWEST-priority applicable pair (list_min over the prio lookups),
+    // until no pair is in the merge table
+    "q_bpe_count" ->
+      s"""WITH RECURSIVE t AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\W+'),
+        |                             x -> x <> '') AS toks
+        |  FROM documents),
+        |w AS (SELECT DISTINCT unnest(toks) AS word FROM t),
+        |rec AS (
+        |  SELECT word,
+        |         list_transform(range(1, len(word)+1), i -> word[i]) AS syms
+        |  FROM w
+        |  UNION ALL
+        |  SELECT word,
+        |         list_slice(syms, 1, pos-1)
+        |           || [syms[pos] || syms[pos+1]]
+        |           || list_slice(syms, pos+2, len(syms)) AS syms
+        |  FROM (
+        |    SELECT word, syms,
+        |           list_position(prios, list_min(prios)) AS pos,
+        |           list_min(prios) AS mp
+        |    FROM (
+        |      SELECT word, syms,
+        |             list_transform(range(1, len(syms)),
+        |               i -> ${bpePrioCase("syms[i] || '|' || syms[i+1]")})
+        |               AS prios
+        |      FROM rec))
+        |  WHERE mp IS NOT NULL),
+        |enc AS (
+        |  SELECT word, CAST(len(syms) AS BIGINT) AS n
+        |  FROM rec
+        |  QUALIFY row_number() OVER (PARTITION BY word
+        |                             ORDER BY len(syms) ASC) = 1),
+        |agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |         CAST(sum(e.n) AS BIGINT) AS n_bpe
+        |  FROM (SELECT doc_id, unnest(toks) AS word FROM t) u
+        |  JOIN enc e USING (word) GROUP BY 1)
+        |SELECT t.doc_id,
+        |       coalesce(a.n_words, CAST(0 AS BIGINT)) AS n_words,
+        |       coalesce(a.n_bpe, CAST(0 AS BIGINT)) AS n_bpe
+        |FROM t LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "q_doc_winnow" ->
       s"""WITH toks AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\W+'),

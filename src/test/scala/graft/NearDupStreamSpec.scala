@@ -52,4 +52,66 @@ class NearDupStreamSpec extends AnyFunSuite {
       } finally q.stop()
     } finally corpus.unpersist()
   }
+
+  test("index refresh cycle reaches batch parity with no double emission") {
+    // The production cycle the operator documents: the static band index
+    // is republished on each corpus rebuild, and the stream restarts
+    // against the new publish. Simulated here as two publishes: index v1 =
+    // first half of the corpus (phase-1 arrivals = that same half), then a
+    // rebuild to the full corpus for phase-2 arrivals (second half).
+    // Expected: phase 1 emits exactly the batch pairs inside the old
+    // corpus (the freshness contract — nothing involving unseen docs),
+    // the refresh closes every remaining pair (cross-half members are in
+    // index v2 when their partner arrives; second-half-internal pairs
+    // catch on the later member's arrival), and no pair re-emits across
+    // the rebuild because each doc arrives once.
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+
+    val all = DedupOps.docHashes(spark, TestSpark.sf0001).persist()
+    try {
+      val docs = Tables.documents(spark, TestSpark.sf0001)
+        .select(col("doc_id").as("docId"), col("lang"), col("text"),
+          (col("doc_id") * 1000000L).as("tsUs"))
+        .as[TimedDoc].collect()
+      val split = docs.map(_.docId).max / 2
+      val batchPairs = DedupOps.nearDupPairs(spark, TestSpark.sf0001)
+        .select("doc_a", "doc_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val oldPairs = batchPairs.filter(p => p._1 < split && p._2 < split)
+      // the refresh must have something to close or the test proves nothing
+      assert(oldPairs.nonEmpty && oldPairs != batchPairs,
+        "fixture must have pairs inside AND beyond the old corpus")
+
+      def phase(corpus: org.apache.spark.sql.DataFrame, name: String,
+          arrivals: Seq[TimedDoc]): Set[(Long, Long)] = {
+        val source = MemoryStream[TimedDoc]
+        val q = NearDupStream.nearDupAgainstCorpus(spark, source.toDS(), corpus)
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        try {
+          arrivals.sortBy(d => d.docId * 2654435761L % 1000000007L)
+            .grouped(arrivals.length / 2 + 1).foreach { b =>
+              source.addData(b.toIndexedSeq: _*)
+              q.processAllAvailable()
+            }
+          spark.sql(s"SELECT doc_a, doc_b FROM $name")
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        } finally q.stop()
+      }
+
+      val r1 = phase(all.filter(col("doc_id") < split), "neardup_v1",
+        docs.filter(_.docId < split).toSeq)
+      val r2 = phase(all, "neardup_v2", docs.filter(_.docId >= split).toSeq)
+
+      assert(r1 == oldPairs,
+        s"phase 1 must see exactly the old corpus's pairs; " +
+          s"extra: ${(r1 -- oldPairs).take(5)}, missing: ${(oldPairs -- r1).take(5)}")
+      assert((r1 ++ r2) == batchPairs,
+        s"refresh did not close the gap; missing: ${(batchPairs -- r1 -- r2).take(5)}, " +
+          s"extra: ${((r1 ++ r2) -- batchPairs).take(5)}")
+      assert(r1.intersect(r2).isEmpty,
+        s"pair re-emitted across the rebuild: ${r1.intersect(r2).take(5)}")
+    } finally all.unpersist()
+  }
 }
