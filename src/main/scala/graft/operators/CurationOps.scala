@@ -207,11 +207,50 @@ object CurationOps {
       .orderBy("doc_id")
   }
 
+  /** Deterministic source mixing — the step that assembles a training
+    * mixture from weighted sources (e.g. "2 epochs of wiki, 0.25 of CC";
+    * Gao et al. 2020 The Pile §2, Touvron et al. 2023 table 1). Rates are
+    * permille epochs: a doc yields `rate div 1000` whole copies plus one
+    * more iff phash(doc_id) mod 1000 < rate mod 1000 — integer-epoch
+    * upsampling and hash-fraction downsampling in one rule, reproducible
+    * on any cluster and in the oracle (no rand()). Shuffle-free: the
+    * sampling decision and the copy explosion are per-row expression
+    * work; at 100 TB the output lands partitioned exactly like the scan. */
+  def mix(docs: DataFrame, rateExpr: Column): DataFrame =
+    docs.withColumn("rate", rateExpr)
+      .withColumn("copies", expr("rate div 1000") +
+        when(Tables.phash(col("doc_id")) % 1000 < col("rate") % 1000, 1)
+          .otherwise(0))
+      // sequence(1, 0) would generate a DESCENDING [1, 0] — guard to empty
+      .withColumn("copy",
+        explode(expr("CASE WHEN copies >= 1 THEN sequence(1, copies) " +
+          "ELSE CAST(array() AS array<int>) END")))
+
+  /** Fixture mixture: source srcN gets 2000/1000/500/250 permille epochs
+    * by N mod 4 — upsampling (2x), identity, and two downsampling rates
+    * all exercised. */
+  private def fixtureRate: Column =
+    expr("""CASE CAST(substring(source, 4) AS INT) % 4
+           |  WHEN 0 THEN 2000 WHEN 1 THEN 1000 WHEN 2 THEN 500
+           |  ELSE 250 END""".stripMargin)
+
+  /** Per-source mixture audit over the mixed rows: input docs, output
+    * rows, and a selection checksum (sum of phash×copies — pins WHICH
+    * docs were sampled, not just how many). */
+  private val qDataMix: Q = (s, d) =>
+    mix(Tables.documents(s, d), fixtureRate)
+      .groupBy("source")
+      .agg(count_distinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_out"),
+        sum(Tables.phash(col("doc_id"))).as("sel_check"))
+      .orderBy("source")
+
   val queries: Map[String, Q] = Map(
     "q_decontaminate" -> qDecontaminate,
     "q_gopher_repeat" -> qGopherRepeat,
     "q_metrics_funnel" -> qMetricsFunnel,
     "q_pii_flag" -> qPiiFlag,
+    "q_data_mix" -> qDataMix,
   )
 
   private val toksCte =
@@ -225,6 +264,25 @@ object CurationOps {
     (1 to n).map(j => s"toks[i+${j - 1}]").mkString(" || ' ' || ")
 
   val oracles: Map[String, String] = Map(
+    "q_data_mix" -> {
+      val ph = Tables.phashSql("doc_id")
+      s"""WITH c AS (
+      |  SELECT doc_id, source,
+      |         r // 1000 + CASE WHEN $ph % 1000 < r % 1000
+      |                     THEN 1 ELSE 0 END AS copies
+      |  FROM (
+      |    SELECT doc_id, source,
+      |           CASE CAST(substring(source, 4) AS INT) % 4
+      |             WHEN 0 THEN 2000 WHEN 1 THEN 1000 WHEN 2 THEN 500
+      |             ELSE 250 END AS r
+      |    FROM documents))
+      |SELECT source,
+      |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |       CAST(sum(copies) AS BIGINT) AS n_out,
+      |       CAST(sum($ph * copies) AS BIGINT) AS sel_check
+      |FROM c WHERE copies >= 1
+      |GROUP BY source ORDER BY source""".stripMargin
+    },
     "q_pii_flag" -> {
       val ph = Tables.phashSql("doc_id")
       // DuckDB standard string literals are raw (no backslash escapes),

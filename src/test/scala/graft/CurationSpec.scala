@@ -134,10 +134,42 @@ class CurationSpec extends AnyFunSuite {
       .forall(r => r.getLong(1) + r.getLong(2) + r.getLong(3) == 1))
   }
 
+  test("data mix: whole-epoch sources duplicate, fractional sources subsample") {
+    import org.apache.spark.sql.functions.col
+    val mixed = CurationOps.mix(
+      Tables.documents(spark, sf),
+      org.apache.spark.sql.functions.expr(
+        """CASE CAST(substring(source, 4) AS INT) % 4
+          |  WHEN 0 THEN 2000 WHEN 1 THEN 1000 WHEN 2 THEN 500
+          |  ELSE 250 END""".stripMargin))
+    val perSource = mixed.groupBy("source")
+      .agg(org.apache.spark.sql.functions.count(col("doc_id")).as("n_out"),
+        org.apache.spark.sql.functions.count_distinct(col("doc_id")).as("n_docs"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val in = Tables.documents(spark, sf).groupBy("source")
+      .agg(org.apache.spark.sql.functions.count(col("doc_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    perSource.foreach { case (src, nOut, nDocs) =>
+      val k = src.stripPrefix("src").toInt % 4
+      k match {
+        case 0 => // 2 epochs: every doc exactly twice
+          assert(nDocs === in(src) && nOut === 2 * in(src), s"$src")
+        case 1 => // identity
+          assert(nDocs === in(src) && nOut === in(src), s"$src")
+        case _ => // hash-fraction downsample: strict subset, one copy each
+          assert(nDocs < in(src) && nOut === nDocs, s"$src")
+      }
+    }
+    // every mixture class must occur in the fixture
+    assert(Set(0, 1, 2, 3).subsetOf(
+      perSource.map(_._1.stripPrefix("src").toInt % 4).toSet))
+  }
+
   test("curation queries and oracles are registered consistently") {
     assert(CurationOps.queries.keySet ===
       Set("q_decontaminate", "q_gopher_repeat", "q_metrics_funnel",
-        "q_pii_flag"))
+        "q_pii_flag", "q_data_mix"))
     assert(CurationOps.oracles.keySet === CurationOps.queries.keySet)
   }
 }
