@@ -322,7 +322,47 @@ object PipelineOps {
       .orderBy("user_id", "version")
   }
 
+  /** Context-window size (tokens) and shard fan-out for q_seq_pack.
+    * The window is sized to the fixture's ~60-token docs so boundary
+    * straddling is actually exercised; production windows (2k-8k) are the
+    * same constant. */
+  val PackWindow = 128
+  val PackShards = 2
+
+  /** Sequence packing — the layout step that concatenates documents into
+    * fixed [[PackWindow]]-token training windows (wasting no window tail
+    * on short docs; straddling docs split across window boundaries).
+    * Streams are per (lang, shard): monolingual context windows, the
+    * usual packing discipline. Declarative formulation: within each
+    * packing stream, a doc's start offset is the running token total
+    * before it (one window-function pass), and its first/last context
+    * windows are integer divisions of the offsets — no per-row state
+    * machine, no collect.
+    *
+    * Scale shape: ONE exchange on (lang, shard) + a partition-local
+    * running sum. `shard` (phash mod [[PackShards]]) is the parallelism
+    * dial: packing streams per language at 100 TB would otherwise bound
+    * parallelism by language count; sharding trades stream count for
+    * executor fan-out with deterministic assignment. */
+  private val qSeqPack: Q = (s, d) => {
+    val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        (Tables.phash(col("doc_id")) % PackShards).as("shard"),
+        // empty docs still occupy a slot boundary: floor at 1 token
+        greatest(size(TextRules.tokens(col("text"))), lit(1))
+          .cast("long").as("n_tok"))
+      .withColumn("off", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .select(col("doc_id"), col("lang"), col("shard"), col("n_tok"),
+        col("off"),
+        expr(s"off div $PackWindow").as("win_start"),
+        expr(s"(off + n_tok - 1) div $PackWindow").as("win_end"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_seq_pack" -> qSeqPack,
     "q_pipeline_e2e" -> qPipelineE2e,
     "q_scd_merge" -> qScdMerge,
     "q_range_join" -> qRangeJoin,
@@ -346,6 +386,26 @@ object PipelineOps {
       |  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) g)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_seq_pack" -> {
+      val ph = Tables.phashSql("doc_id")
+      s"""WITH d AS (
+        |  SELECT doc_id, lang, $ph % $PackShards AS shard,
+        |         CAST(greatest(len(list_filter(
+        |           string_split_regex(lower(text), '\\W+'), x -> x <> '')), 1)
+        |           AS BIGINT) AS n_tok
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, lang, shard, n_tok,
+        |         CAST(coalesce(sum(n_tok) OVER (
+        |           PARTITION BY lang, shard ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS BIGINT) AS off
+        |  FROM d)
+        |SELECT doc_id, lang, shard, n_tok, off,
+        |       off // $PackWindow AS win_start,
+        |       (off + n_tok - 1) // $PackWindow AS win_end
+        |FROM o ORDER BY doc_id""".stripMargin
+    },
     "q_scd_merge" ->
       """WITH log AS (
         |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ep

@@ -140,7 +140,11 @@ object VectorOps {
     * Output: per variant, |approx ∩ brute| / |brute| over the 10 fixed
     * queries' top-5 sets. */
   private val qAnnRecall: Q = (s, d) => {
-    val brute = qAnnBrute(s, d).select("query_id", "neighbor_id")
+    // persisted: the brute subplan feeds both variants' semi joins plus
+    // the denominators — without the cache it would instantiate (and
+    // score Q×N) four times in one action
+    val brute = graft.Caching.persist(
+      qAnnBrute(s, d).select("query_id", "neighbor_id"))
     def stats(name: String, approx: DataFrame): DataFrame = {
       // 1-row aggregates; the crossJoin is a broadcast of one row
       val hits = brute.join(approx.select("query_id", "neighbor_id"),

@@ -92,4 +92,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.count() == errs)
     assert(out.filter(col("n_nearby") < 0).isEmpty)
   }
+  test("seq_pack: offsets are gapless running sums; windows cover each doc") {
+    val rows = SparkEntry.queries("q_seq_pack")(spark, sf)
+      .collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(0), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))) // (lang, shard, id, ...)
+    // per packing stream, ordered by doc_id: each doc starts exactly where
+    // the previous one ended — no gaps, no overlaps in the packed layout
+    rows.groupBy(r => (r._1, r._2)).foreach { case ((src, shard), rs) =>
+      val sorted = rs.sortBy(_._3)
+      sorted.foldLeft(0L) { case (expected, (_, _, id, nTok, off, ws, we)) =>
+        assert(off === expected, s"gap at doc $id in ($src,$shard)")
+        assert(ws === off / graft.operators.PipelineOps.PackWindow)
+        assert(we === (off + nTok - 1) / graft.operators.PipelineOps.PackWindow)
+        assert(we >= ws)
+        off + nTok
+      }
+    }
+    // boundary-straddling docs must exist or the window math is untested
+    assert(rows.exists(r => r._7 > r._6), "no doc straddles a window boundary")
+  }
 }
