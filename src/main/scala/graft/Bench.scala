@@ -25,18 +25,19 @@ import org.apache.spark.sql.SparkSession
   *     contention artifact does not.
   */
 object Bench {
-  /** Extract the per-query seconds map from a prior BENCH json line.
-    * The artifact is this object's own single-line output format, so a
-    * regex scan of the "queries" object is exact — no JSON lib needed. */
+  /** Extract the per-query seconds map from a prior BENCH artifact.
+    * Two shapes exist in the wild: this object's own single-line output
+    * (a "queries" object), and the round driver's wrapper, which embeds a
+    * possibly-TRUNCATED, string-ESCAPED fragment of that line under
+    * "tail" (BENCH_r04.json shape). Query keys all start with q_, so a
+    * whole-text scan for "q_*":number pairs handles both — allowing an
+    * escaping backslash before the closing quote, and dropping a
+    * fragment's first pair if the cut fell mid-name (it simply won't
+    * match). No JSON lib needed. */
   private[graft] def parsePriorQueries(json: String): Map[String, Double] = {
-    val qObj = """"queries"\s*:\s*\{([^}]*)\}""".r
-    qObj.findFirstMatchIn(json) match {
-      case None => Map.empty
-      case Some(m) =>
-        val pair = """"([^"]+)"\s*:\s*(-?[0-9.eE+]+)""".r
-        pair.findAllMatchIn(m.group(1))
-          .map(p => p.group(1) -> p.group(2).toDouble).toMap
-    }
+    val pair = """"(q_\w+)\\?"\s*:\s*(-?[0-9.eE+]+)""".r
+    pair.findAllMatchIn(json)
+      .map(p => p.group(1) -> p.group(2).toDouble).toMap
   }
 
   /** Latest prior-round artifact: SPARK_GRAFT_PRIOR_BENCH if set, else the

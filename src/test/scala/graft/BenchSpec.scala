@@ -13,6 +13,15 @@ class BenchSpec extends AnyFunSuite {
     assert(m == Map("q_a" -> 1.5, "q_b" -> -1.0, "q_c" -> 0.123))
   }
 
+  test("parsePriorQueries reads the driver wrapper with escaped truncated tail") {
+    // the round driver's BENCH_r*.json: metadata object embedding an
+    // escaped fragment of the bench line, cut mid-pair at the front
+    val wrapper = """{"n":4,"rc":0,"cpus":32,"sf":0.1,""" +
+      """"tail":"54793,\"q_embed_quantize\":0.299,\"q_except_all\":0.412"}"""
+    val m = Bench.parsePriorQueries(wrapper)
+    assert(m == Map("q_embed_quantize" -> 0.299, "q_except_all" -> 0.412))
+  }
+
   test("parsePriorQueries tolerates malformed input") {
     assert(Bench.parsePriorQueries("").isEmpty)
     assert(Bench.parsePriorQueries("""{"metric":"total"}""").isEmpty)
