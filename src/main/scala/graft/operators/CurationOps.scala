@@ -240,7 +240,10 @@ object CurationOps {
   private val qDataMix: Q = (s, d) =>
     mix(Tables.documents(s, d), fixtureRate)
       .groupBy("source")
-      .agg(count_distinct(col("doc_id")).as("n_docs"),
+      // distinct docs = rows with copy 1 (each sampled doc has exactly
+      // one): a count_distinct here would force a second aggregation
+      // exchange on (source, doc_id)
+      .agg(sum(when(col("copy") === 1, 1L).otherwise(0L)).as("n_docs"),
         count(lit(1)).as("n_out"),
         sum(Tables.phash(col("doc_id"))).as("sel_check"))
       .orderBy("source")

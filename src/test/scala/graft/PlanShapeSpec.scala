@@ -112,6 +112,25 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected a coalesced AQEShuffleRead on a small shuffle:\n$p")
   }
 
+  test("seq_pack plans one stream exchange + running-sum window, no joins") {
+    val p = plan(graft.operators.PipelineOps.queries("q_seq_pack")(spark, sf))
+    assert("Window".r.findAllIn(p).size == 1, s"window passes in:\n$p")
+    // exactly two exchanges: the (lang, shard) stream partition and the
+    // output sort's range partitioning — anything more means the running
+    // sum stopped being partition-local
+    assert("Exchange".r.findAllIn(p).size == 2, s"exchanges in:\n$p")
+    assert(!p.contains("Join"), s"packing must not join:\n$p")
+  }
+
+  test("data_mix samples and explodes map-side: no join, single agg exchange") {
+    val p = plan(graft.operators.CurationOps.queries("q_data_mix")(spark, sf))
+    assert(!p.contains("Join"), s"mixing must not join:\n$p")
+    assert(p.contains("Generate"), s"copy explosion missing:\n$p")
+    // partial + final aggregate around one exchange; plus the output sort
+    assert(p.contains("partial_"), s"no map-side partial agg:\n$p")
+    assert("Exchange".r.findAllIn(p).size == 2, s"exchanges in:\n$p")
+  }
+
   test("ledger queries compute the seq_id window exactly once (explode dups)") {
     // LedgerSpec releases its blocks(sf0.001) cache in afterAll; without
     // that, a cache hit would swap an InMemoryRelation into this plan and

@@ -135,4 +135,18 @@ class PropertySpec extends AnyFunSuite {
         once.count() == df.distinct().count()
     }, n = 5)
   }
+  test("Bpe.encode: lossless concat, count bounds, idempotent merges (property)") {
+    import graft.functions.Bpe
+    val wordGen = Gen.choose(1, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+    check("bpe-props", Prop.forAll(wordGen) { w =>
+      val toks = Bpe.encode(w)
+      // subword boundaries never lose or reorder characters
+      toks.mkString == w &&
+        // between "every merge fired" and "no merge fired"
+        toks.length >= 1 && toks.length <= w.length &&
+        // fixpoint: re-encoding each emitted token changes nothing
+        toks.forall(t => Bpe.encode(t) == Vector(t))
+    }, n = 200)
+  }
 }
