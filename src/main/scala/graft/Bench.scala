@@ -33,15 +33,28 @@ object Bench {
     * whole-text scan for "q_*":number pairs handles both — allowing an
     * escaping backslash before the closing quote, and dropping a
     * fragment's first pair if the cut fell mid-name (it simply won't
-    * match). No JSON lib needed. */
+    * match). No JSON lib needed.
+    *
+    * The number pattern is a real float regex (sign, optional fraction,
+    * optional signed exponent): Scala serializes sub-millisecond Doubles
+    * as e.g. "5.0E-4", and a charset like [0-9.eE+] would match "5.0E"
+    * and throw in toDouble. One malformed pair must not discard the rest
+    * of the map (it would silently disable the re-measure pass), so each
+    * conversion is individually guarded. */
   private[graft] def parsePriorQueries(json: String): Map[String, Double] = {
-    val pair = """"(q_\w+)\\?"\s*:\s*(-?[0-9.eE+]+)""".r
+    val pair = """"(q_\w+)\\?"\s*:\s*(-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)""".r
     pair.findAllMatchIn(json)
-      .map(p => p.group(1) -> p.group(2).toDouble).toMap
+      .flatMap(p => scala.util.Try(p.group(1) -> p.group(2).toDouble).toOption)
+      .toMap
   }
 
   /** Latest prior-round artifact: SPARK_GRAFT_PRIOR_BENCH if set, else the
-    * highest-numbered BENCH_r*.json in the working directory. */
+    * highest-numbered BENCH_r*.json in the working directory. On a re-run
+    * within the same round the highest-numbered file is this round's own
+    * recording — the 2x threshold then guards against contention relative
+    * to minutes-old readings rather than the prior round's, which is an
+    * acceptable (slightly stricter) baseline; set SPARK_GRAFT_PRIOR_BENCH
+    * to pin a specific artifact. */
   private def loadPrior(): Map[String, Double] = {
     val explicit = sys.env.get("SPARK_GRAFT_PRIOR_BENCH")
       .map(new java.io.File(_)).filter(_.isFile)
@@ -131,11 +144,18 @@ object Bench {
       }
       n -> best
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // 4-decimal seconds (0.1 ms resolution — far below run-to-run noise):
+    // the round driver's wrapper stores a WINDOW of this line and has
+    // truncated the tail of every artifact so far; full-precision Doubles
+    // (up to 17 digits each) roughly double the line length for nothing.
+    // Locale.ROOT: a comma decimal separator would corrupt the JSON.
+    def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.4f", v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
-    // -1.0 failure sentinels must not deflate the headline total
+    // -1.0 failure sentinels must not deflate the headline total; the
+    // total prints FIRST so a truncated capture still carries it
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -27,4 +27,19 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.parsePriorQueries("""{"metric":"total"}""").isEmpty)
     assert(Bench.parsePriorQueries("not json at all").isEmpty)
   }
+
+  test("parsePriorQueries reads scientific-notation values (negative exponent)") {
+    // Scala Double.toString emits e.g. "5.0E-4" below 1e-3; the charset
+    // regex of r5 matched "5.0E" and the toDouble throw dropped the map
+    val line = """{"queries":{"q_fast":5.0E-4,"q_big":1.2e+3,"q_plain":2.0}}"""
+    val m = Bench.parsePriorQueries(line)
+    assert(m == Map("q_fast" -> 5.0e-4, "q_big" -> 1.2e3, "q_plain" -> 2.0))
+  }
+
+  test("parsePriorQueries keeps good pairs when one pair is malformed") {
+    // a truncation mid-number must cost only that entry, not the whole map
+    val line = """"q_ok":1.25,"q_cut":,"q_dot":.5,"q_ok2":0.5"""
+    val m = Bench.parsePriorQueries(line)
+    assert(m == Map("q_ok" -> 1.25, "q_ok2" -> 0.5))
+  }
 }
