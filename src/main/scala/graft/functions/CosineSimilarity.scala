@@ -93,6 +93,11 @@ object GraftFunctions {
       "vector_avg", exprs => VectorAvg(exprs.head), "built-in")
     registry.createOrReplaceTempFunction(
       "simhash64", exprs => SimHash64(exprs.head), "built-in")
+    // optional width must be an integer literal (it sizes the generated code)
+    registry.createOrReplaceTempFunction(
+      "simhash_sig", exprs => SimHashSig(exprs.head,
+        if (exprs.length > 1) exprs(1).eval(null).asInstanceOf[Int]
+        else SimHashSig.DefaultWords), "built-in")
     // width/probes must be integer literals (they size the generated code)
     registry.createOrReplaceTempFunction(
       "hyperplane_sig", exprs => HyperplaneSig(exprs.head,

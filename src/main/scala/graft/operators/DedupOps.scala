@@ -15,25 +15,35 @@ import graft.Tables
   *     baseline; the join is bounded by shingle collisions).
   *   - q_text_minhash: 64 MinHash permutations, banded r=2/b=32 → candidate
   *     iff both minima of some band collide. P(miss | J>=0.8) <= (1-0.64)^32.
-  *   - q_text_simhash: 64-bit SimHash, 16 nibble bands (pigeonhole: hamming
-  *     <= 15 implies a band collides) + hamming <= 15 gate. Wide bands are
-  *     needed because unweighted SimHash over small shingle sets (60-90 per
-  *     doc) flips several bits per differing shingle.
+  *   - q_text_simhash: 512-bit seeded SimHash (native SimHashSig), 32
+  *     bands of 16 bits + a 512-bit hamming gate. Probabilistic recall,
+  *     same style as MinHash banding: measured on the corpus, J>=0.8
+  *     pairs flip ~6% of signature bits (random pairs ~50%), so a 16-bit
+  *     band collides with prob >= 0.35 per true pair (expected ~12 of 32
+  *     bands; miss ~4e-7) while random pairs collide at 2^-16 per band.
+  *     The previous 4-bit nibble banding had a 256-value key space — the
+  *     self-join degenerated to ~n²/32 pairs at corpus scale; 16-bit
+  *     bands make the key space 32×65536 ≈ 2M.
   *
   * Physical design (this is where the 100 TB shape is decided):
   *   - One pass builds per-doc shingle-HASH arrays (doc_id, hs, n): the
   *     shingling + xxhash64 stay inside whole-stage codegen; the only wide
   *     exchange is the groupBy(doc_id), and downstream stages carry 8-byte
   *     hashes, never shingle strings.
-  *   - MinHash/SimHash signatures are computed as pure array expressions
-  *     over `hs` (array_min/aggregate) — per-doc O(64×|hs|) CPU with NO
-  *     row explosion and no extra shuffle (v1 exploded 64 rows/shingle and
-  *     shuffled 29M rows at sf0.1; this form shuffles 5k).
+  *   - MinHash/SimHash signatures are computed by native one-pass
+  *     expressions over `hs` (MinHashSig/SimHashSig) — per-doc
+  *     O(bits×|hs|) CPU with NO row explosion and no extra shuffle (v1
+  *     exploded 64 rows/shingle and shuffled 29M rows at sf0.1; this form
+  *     shuffles 5k).
+  *   - BOTH band self-joins run through cappedBandPairs: buckets wider
+  *     than LshBucketCap degrade from all-pairs to star pairing, making
+  *     total candidates <= (cap/2+1)·|band rows| — LINEAR in the corpus
+  *     by construction, whatever the key distribution (flood-fixture
+  *     pinned in DedupSpec).
   *   - Exact verification joins candidate pairs back to the doc arrays and
   *     evaluates `array_intersect` per pair — again codegen, no shuffle
   *     beyond the candidate join itself. At 1000 executors the doc-array
-  *     side co-partitions by doc_id; hot (band, value) buckets get salted
-  *     or width-capped.
+  *     side co-partitions by doc_id.
   */
 object DedupOps {
   private type Q = (SparkSession, String) => DataFrame
@@ -71,7 +81,7 @@ object DedupOps {
   /** Exact-Jaccard verification of candidate (doc_a, doc_b) pairs against
     * the per-doc hash sets; xxhash64 collisions are negligible (~1e-19/pair)
     * so hash-set intersection == shingle-set intersection. */
-  private def verifyPairs(cand: DataFrame, docs: DataFrame): DataFrame =
+  private[graft] def verifyPairs(cand: DataFrame, docs: DataFrame): DataFrame =
     cand
       .join(docs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"),
         col("n").as("na")), "doc_a")
@@ -176,6 +186,87 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Per-(band, value) bucket width cap for the LSH self-joins. A bucket
+    * of width w contributes C(w,2) pairs: one mega-cluster of
+    * near-identical docs (SEO spam, templated pages) makes a single
+    * bucket quadratic at corpus scale. Above the cap a bucket degrades to
+    * STAR pairing (every member paired with the bucket's min doc_id only,
+    * w-1 pairs), so total candidates are <= (cap/2+1)·|band rows| —
+    * linear by construction. Flat constant (not relative): the bound it
+    * buys is per-bucket, independent of corpus size. Inert at test SFs
+    * (max natural bucket ~ cluster size ≈ 25), so oracle outputs are
+    * unchanged; DedupSpec engages it with an explicit small cap. */
+  val LshBucketCap = 1000L
+
+  /** Candidate pairs from an exploded band table (doc_id, band, bv) with
+    * the width cap applied per (band, bv) bucket.
+    *
+    * Buckets at or below `cap`: the classic LSH all-pairs self-join.
+    * Buckets above `cap`: star pairing against the bucket's min doc_id.
+    *
+    * Recall under the cap — why star degradation is the right trade:
+    *   - a hot bucket means near-IDENTICAL members (they agree on this
+    *     band value alongside thousands of others); each member is still
+    *     exact-verified against the bucket rep, so every true member
+    *     stays paired and the downstream clustering (connected
+    *     components) keeps the flood as ONE component via the star.
+    *   - a true pair whose members merely pass through a hot bucket also
+    *     collides in other, cold bands (MinHash: expected ~20 of 32
+    *     bands at J=0.8; SimHash: ~12 of 32) — losing the capped band is
+    *     harmless.
+    *   - listing ALL C(w,2) pairs of a mega-cluster is itself quadratic
+    *     OUTPUT; no engine can emit n² rows at 100 TB. The star is the
+    *     linear-size certificate of the same cluster.
+    *
+    * Physical shape: hot-bucket stats come from a groupBy — map-side
+    * partial agg, and the output is SMALL by construction (at most
+    * |band rows|/cap buckets can exceed the cap — the same bound that
+    * makes the cap work). The anti-join (cold side) and the star join
+    * (hot side) then key on (band, bv), the same key as the self-join,
+    * so every stage shares one hash partitioning; no window sort over
+    * the full band table (an earlier window formulation re-sorted the
+    * 32n-row band table three times). On benign corpora the hot set is
+    * EMPTY and the anti-join is a pass-through. */
+  /** `bands` must carry (doc_id, band, bv) and may carry extra columns
+    * (e.g. the signature); `pairGate` is evaluated INSIDE the self-join
+    * against aliases x/y, so junk pairs die in the join stage rather
+    * than flowing through the distinct exchange — at bucket width ~cap
+    * the raw enumeration is (cap/2)·|band rows| and must be pruned
+    * before it is shuffled again. */
+  private[graft] def cappedBandPairs(bands: DataFrame, cap: Long,
+      pairGate: Column = lit(true)): DataFrame = {
+    val hot = bands.groupBy("band", "bv")
+      .agg(count(lit(1)).as("bw"), min("doc_id").as("rep"))
+      .filter(col("bw") > cap)
+    val cold = bands.join(hot.select("band", "bv"), Seq("band", "bv"), "left_anti")
+    val coldPairs = cold.as("x").join(cold.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id") && pairGate)
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    val hotPairs = bands.join(hot, Seq("band", "bv"))
+      .filter(col("doc_id") > col("rep"))
+      .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
+    coldPairs.union(hotPairs).distinct()
+  }
+
+  /** MinHash band table: 32 packed band values per doc computed by the
+    * native MinHashSig expression in one tight codegen loop (no
+    * intermediate arrays), then posexplode just the packed (band, value)
+    * pairs: value = m_{2b} * P + m_{2b+1}, permutation j:
+    * a_j=(2j+1)*K mod P. */
+  private def minhashBands(s: SparkSession, docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    docs
+      .select(col("doc_id"), posexplode(expr("minhash_sig(hs)")))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bv")
+  }
+
+  /** Width-capped MinHash LSH candidates — exposed for the flood spec. */
+  private[graft] def minhashCandidates(s: SparkSession, docs: DataFrame,
+      cap: Long = LshBucketCap): DataFrame =
+    cappedBandPairs(minhashBands(s, docs), cap)
+
   /** MinHash + banded LSH (r=2 rows/band, b=32 bands), then exact
     * verification. r=2 matters on corpora where random pairs share common
     * shingles: band-collision probability is J^2, so J~0.02 background
@@ -186,21 +277,7 @@ object DedupOps {
   def nearDupPairs(s: SparkSession, d: String): DataFrame = {
     // persisted: feeds the signature build + both verify joins
     val docs = graft.Caching.persist(docHashes(s, d))
-    // all 32 packed band values computed by the native MinHashSig
-    // expression in one tight codegen loop (no intermediate arrays), then
-    // posexplode just the packed (band, value) pairs:
-    // value = m_{2b} * P + m_{2b+1}, permutation j: a_j=(2j+1)*K mod P.
-    graft.functions.GraftFunctions.register(s)
-    val sig = docs
-      .select(col("doc_id"), posexplode(expr("minhash_sig(hs)")))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "minhash")
-    val cand = sig.as("x").join(sig.as("y"),
-        col("x.band") === col("y.band") && col("x.minhash") === col("y.minhash") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-    verifyPairs(cand, docs)
+    verifyPairs(minhashCandidates(s, docs), docs)
   }
 
   private val qTextMinhash: Q = (s, d) => nearDupPairs(s, d)
@@ -222,27 +299,55 @@ object DedupOps {
         sum(col("vertex_id") - col("label")).as("id_span"))
       .orderBy("rep_id")
 
-  /** SimHash (64-bit, unweighted shingle hashes), nibble-band blocking +
-    * hamming <= 15, then exact verification. */
-  private val qTextSimhash: Q = (s, d) => {
-    // persisted: feeds the signature build + both verify joins
-    val docs = graft.Caching.persist(docHashes(s, d))
-    // native one-pass SimHash64 (same bit semantics as the expression
-    // formulation, which burned 64×|hs| interpreted lambda calls per doc)
+  /** Hamming gate over the 512-bit signature, applied INSIDE the
+    * candidate self-join (before the distinct exchange). Measured
+    * separation on the corpus: true (J>=0.8) pairs' hamming <= 80/512,
+    * random pairs >= 206/512 — 144 sits mid-gap with ~80% margin over
+    * the true max. Random band collisions (2^-16/band, but a bucket of
+    * natural width k enumerates ~k²/2 raw pairs) die in the join stage
+    * on 64-byte signatures, never reaching the distinct shuffle or the
+    * array-intersect verify join. */
+  val SimhashHammingGate = 144
+
+  /** SimHash band table: 32 16-bit band values sliced from the 512-bit
+    * seeded signature (native SimHashSig, one pass over `hs`), with the
+    * signature carried alongside for the in-join hamming gate. Band b is
+    * bits [16b, 16b+16) — word b/4, slice b%4. Null signatures (empty
+    * docs) are dropped BEFORE banding: the explode is over a literal
+    * sequence, so a null sig would otherwise emit 32 (band, null) rows
+    * that the width cap would group into one fake mega-bucket. */
+  private def simhashBands(s: SparkSession, sig: DataFrame): DataFrame =
+    sig
+      .select(col("doc_id"), col("sig"), explode(expr("sequence(0, 31)")).as("band"))
+      .select(col("doc_id"), col("sig"), col("band"),
+        expr("shiftrightunsigned(sig[band div 4], (band % 4) * 16) & 65535").as("bv"))
+
+  /** Width-capped SimHash LSH candidates (hamming-gated) — exposed for
+    * the flood spec. `docs` may carry a precomputed `sig` column (the
+    * query-level cache does, so the signature is built once per run). */
+  private[graft] def simhashCandidates(s: SparkSession, docs: DataFrame,
+      cap: Long = LshBucketCap): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val sig = docs.withColumn("simhash", expr("simhash64(hs)"))
-    val bands = sig
-      .select(col("doc_id"), col("simhash"), explode(expr("sequence(0, 15)")).as("k"))
-      .withColumn("nib", expr("shiftrightunsigned(simhash, k * 4)") % 16)
-    val cand = bands.as("x").join(bands.as("y"),
-        col("x.k") === col("y.k") && col("x.nib") === col("y.nib") &&
-          col("x.doc_id") < col("y.doc_id"))
-      // hamming-filter BEFORE distinct: nibble buckets are coarse (16
-      // values), so the raw join is ~16x wider than the surviving pairs
-      .filter(expr("bit_count(x.simhash ^ y.simhash) <= 15"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-    verifyPairs(cand, docs)
+    val sig = (if (docs.columns.contains("sig")) docs
+      else docs.withColumn("sig", expr("simhash_sig(hs)")))
+      .select(col("doc_id"), col("sig"))
+      .filter(col("sig").isNotNull)
+    val hamming = (0 until graft.functions.SimHashSig.DefaultWords)
+      .map(i => expr(s"bit_count(x.sig[$i] ^ y.sig[$i])"))
+      .reduce(_ + _)
+    cappedBandPairs(simhashBands(s, sig), cap,
+      pairGate = hamming <= SimhashHammingGate)
+  }
+
+  /** Seeded 512-bit SimHash, 32×16-bit band blocking + hamming gate, then
+    * exact verification (recall math in the object scaladoc). */
+  private val qTextSimhash: Q = (s, d) => {
+    graft.functions.GraftFunctions.register(s)
+    // ONE persisted frame (hash arrays + signature) feeds the band
+    // explode, both hamming-gate joins and both verify joins
+    val docs = graft.Caching.persist(
+      docHashes(s, d).withColumn("sig", expr("simhash_sig(hs)")))
+    verifyPairs(simhashCandidates(s, docs), docs)
   }
 
   val queries: Map[String, Q] = Map(

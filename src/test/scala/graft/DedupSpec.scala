@@ -64,6 +64,74 @@ class DedupSpec extends AnyFunSuite {
     assert(DedupOps.ngramDfCap(1000000) == 5000L)
   }
 
+  test("LSH bucket cap: flood candidates grow linearly; cluster stays connected") {
+    // A mega-cluster of near-identical docs (shared 45-token base, 3
+    // unique tail tokens each: pairwise J = 43/49 ≈ 0.88) floods the
+    // (band, value) buckets of both LSH paths. With the width cap, hot
+    // buckets degrade to star pairing, so candidates must grow ~linearly
+    // in the flood size (quadratic would 4x when the flood doubles), and
+    // the verified star must still connect the whole flood into one
+    // component for downstream clustering.
+    import spark.implicits._
+    def corpus(flood: Int): String = {
+      val base = (0 until 45).map(i => s"b${i * 3 % 31}n$i").mkString(" ")
+      val docs = (0 until flood).map { i =>
+        val text = s"$base fu$i fv$i fw$i"
+        (i.toLong, text, "en", "src0", text.length.toLong)
+      } ++ (0 until 30).map { i =>
+        val text = (0 until 40).map(j => s"d${i}z$j").mkString(" ")
+        ((flood + i).toLong, text, "en", "src1", text.length.toLong)
+      }
+      val dir = Files.createTempDirectory(s"graft-lshflood$flood").toString
+      docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      dir
+    }
+    val cap = 32L
+    for (gen <- Seq[(org.apache.spark.sql.DataFrame, Long) => org.apache.spark.sql.DataFrame](
+        (d, c) => DedupOps.minhashCandidates(spark, d, c),
+        (d, c) => DedupOps.simhashCandidates(spark, d, c))) {
+      val (small, large) = (300, 600)
+      val docsS = DedupOps.docHashes(spark, corpus(small)).persist()
+      val docsL = DedupOps.docHashes(spark, corpus(large)).persist()
+      val nS = gen(docsS, cap).count()
+      val nL = gen(docsL, cap).count()
+      assert(nS >= small - 1, s"star must keep every flood doc paired: $nS")
+      assert(nL.toDouble / nS <= 3.0,
+        s"candidates super-linear under flood: $small->$nS, $large->$nL")
+      // verified pairs connect the flood into one component (union-find)
+      val pairs = DedupOps.verifyPairs(gen(docsS, cap), docsS)
+        .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) => parent(find(a)) = find(b) }
+      val roots = (0L until small.toLong).map(find).distinct
+      assert(roots.size == 1, s"flood split into ${roots.size} components")
+      docsS.unpersist(); docsL.unpersist()
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("cap is inert below the width threshold: capped == uncapped candidates") {
+    // on the real corpus no (band, value) bucket approaches the default
+    // cap, so the capped generators must emit exactly the uncapped pair
+    // set — this plus the oracle equivalence keeps the cap honest
+    val docs = DedupOps.docHashes(spark, TestSpark.sf0001).persist()
+    for (gen <- Seq[(org.apache.spark.sql.DataFrame, Long) => org.apache.spark.sql.DataFrame](
+        (d, c) => DedupOps.minhashCandidates(spark, d, c),
+        (d, c) => DedupOps.simhashCandidates(spark, d, c))) {
+      val capped = gen(docs, DedupOps.LshBucketCap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val uncapped = gen(docs, Long.MaxValue)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(capped == uncapped)
+    }
+    docs.unpersist()
+  }
+
   test("planted fixture: near-dup pair found, distinct docs not") {
     import spark.implicits._
     val base = (0 until 40).map(i => s"tok${i * 7 % 13} word$i item${i % 5}").mkString(" ")
