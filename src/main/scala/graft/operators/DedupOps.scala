@@ -55,28 +55,48 @@ object DedupOps {
   // release (unpersist/clearCache once consumed; the engine's runners
   // clearCache per query). Same convention as GraphOps.connectedComponents.
 
-  /** (doc_id, shingle): distinct word-3-gram shingles per document.
-    * The corpus arrives as one parquet file (one input split), so the
-    * CPU-heavy shingling is explicitly spread across the cluster first;
-    * hash-partitioning by doc_id also satisfies docHashes' groupBy, so
-    * Catalyst inserts no further exchange. */
+  /** Per-doc token budget for shingling. docHashes collects one hash
+    * array per document; without a bound, a single pathological 10 MB
+    * document makes a jumbo aggregation row (and a jumbo cached row) on
+    * whichever executor it lands. Shingling the first DocTokenCap tokens
+    * bounds the array at the SOURCE — a pure projection, no extra
+    * shuffle or sort — and mirrors exactly in the oracle SQL (a token
+    * prefix slice). 20k tokens ≈ 160 KB of hashes per row, and a
+    * truncated near-dup pair is still compared prefix-to-prefix, so
+    * detection quality degrades only for pairs whose divergence is
+    * entirely beyond the budget (the flag lets a pipeline route those
+    * to a second pass if it cares). Inert on the test corpora (~100
+    * tokens/doc) — oracle outputs are unchanged. */
+  val DocTokenCap = 20000
+
+  /** (doc_id, shingle, truncated): distinct word-3-gram shingles per
+    * document over the first DocTokenCap tokens, with the truncation
+    * flag. The corpus arrives as one parquet file (one input split), so
+    * the CPU-heavy shingling is explicitly spread across the cluster
+    * first; hash-partitioning by doc_id also satisfies docHashes'
+    * groupBy, so Catalyst inserts no further exchange. */
   def shingles(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-      .select(col("doc_id"), TextRules.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), TextRules.tokens(col("text")).as("all_toks"))
       .select(col("doc_id"),
+        (size(col("all_toks")) > DocTokenCap).as("truncated"),
+        slice(col("all_toks"), 1, DocTokenCap).as("toks"))
+      .select(col("doc_id"), col("truncated"),
         explode(expr(
           """CASE WHEN size(toks) >= 3
             |  THEN array_distinct(transform(sequence(0, size(toks)-3),
             |         i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))
             |  ELSE array() END""".stripMargin)).as("shingle"))
 
-  /** Per-doc shingle-hash sets: (doc_id, hs: array<bigint>, n). */
+  /** Per-doc shingle-hash sets: (doc_id, hs: array<bigint>, n,
+    * truncated). |hs| <= DocTokenCap - 2 by construction. */
   def docHashes(s: SparkSession, d: String): DataFrame =
     shingles(s, d)
-      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+      .select(col("doc_id"), col("truncated"), xxhash64(col("shingle")).as("h"))
       .groupBy("doc_id")
-      .agg(collect_list("h").as("hs"), count(lit(1)).as("n"))
+      .agg(collect_list("h").as("hs"), count(lit(1)).as("n"),
+        max(col("truncated")).as("truncated"))
 
   /** Exact-Jaccard verification of candidate (doc_a, doc_b) pairs against
     * the per-doc hash sets; xxhash64 collisions are negligible (~1e-19/pair)
@@ -358,11 +378,12 @@ object DedupOps {
   )
 
   /** Exact ground-truth pair SQL — all three sketches must converge to it
-    * (their candidate recall at J>=0.8 is ~1 by construction). */
+    * (their candidate recall at J>=0.8 is ~1 by construction). The token
+    * prefix slice mirrors DocTokenCap. */
   private val exactPairsSql =
-    """WITH toks AS (
-      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'),
-      |                             x -> x <> '') AS t
+    s"""WITH toks AS (
+      |  SELECT doc_id, (list_filter(string_split_regex(lower(text), '\\W+'),
+      |                             x -> x <> ''))[:$DocTokenCap] AS t
       |  FROM documents),
       |sh AS (
       |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
@@ -383,9 +404,9 @@ object DedupOps {
   /** Connected components over the exact pair graph via a recursive CTE
     * (transitive closure, then min-reachable label per vertex). */
   private val clusterSql =
-    """WITH RECURSIVE toks AS (
-      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'),
-      |                             x -> x <> '') AS t
+    s"""WITH RECURSIVE toks AS (
+      |  SELECT doc_id, (list_filter(string_split_regex(lower(text), '\\W+'),
+      |                             x -> x <> ''))[:$DocTokenCap] AS t
       |  FROM documents),
       |sh AS (
       |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
@@ -418,8 +439,8 @@ object DedupOps {
     * Jaccard is computed over the FULL shingle sets of candidate pairs. */
   private val cappedPairsSql =
     s"""WITH toks AS (
-      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\W+'),
-      |                             x -> x <> '') AS t
+      |  SELECT doc_id, (list_filter(string_split_regex(lower(text), '\\W+'),
+      |                             x -> x <> ''))[:$DocTokenCap] AS t
       |  FROM documents),
       |sh AS (
       |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle

@@ -168,23 +168,37 @@ object PipelineOps {
   }
 
   /** Interval self-join on the event stream: for each error event, the
-    * count of purchase events by the same user within ±10 minutes. Equi
-    * key (user_id) + range predicate — Spark plans a shuffled join on the
-    * equi key with the range as a post-filter, the standard
-    * point-in-interval topology (at scale: bucket the time axis to bound
-    * the per-key fan-out). Epochs in exact microseconds (ts is int64
-    * nanos; div 1000 matches DuckDB's ns→µs truncation). */
+    * count of purchase events by the same user within ±10 minutes.
+    *
+    * The join key is (user_id, time-bucket), not user_id alone: with
+    * only the equi key, one hot user with millions of events makes the
+    * per-key fan-out quadratic (every error × every purchase of that
+    * user, with the ±10 min range as a post-filter). Composing
+    * q_range_join's bucket decomposition on TOP of the equi key bounds
+    * pair work by local density — bucket width = interval length (2W),
+    * so each error interval explodes to at most 2 bucket rows and a
+    * purchase can meet an interval via exactly one bucket (its own; the
+    * two exploded buckets are distinct, and pep div B is monotone
+    * between them), so no dedup is needed. The left join keeps
+    * zero-purchase errors: both unmatched bucket rows contribute 0 to
+    * the sum. Epochs in exact microseconds (ts is int64 nanos; div 1000
+    * matches DuckDB's ns→µs truncation). */
   private val qIntervalJoin: Q = (s, d) => {
+    val W = 600000000L // ±10 min in µs
+    val B = 2 * W      // bucket width == interval length → ≤ 2 buckets each
     val ev = Tables.events(s, d)
       .select(col("event_id"), col("user_id"), col("event_type"),
         expr("ts div 1000").as("ep"))
     val err = ev.filter(col("event_type") === "error")
       .select(col("event_id"), col("user_id"), col("ep"))
+      .withColumn("bucket",
+        explode(sequence(expr(s"(ep - $W) div $B"), expr(s"(ep + $W) div $B"))))
     val pur = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("ep").as("pep"))
+      .select(col("user_id").as("p_uid"), col("ep").as("pep"))
+      .withColumn("p_bucket", expr(s"pep div $B"))
     err.join(pur,
-        err("user_id") === pur("user_id") &&
-          abs(col("pep") - col("ep")) <= 600000000L,
+        col("user_id") === col("p_uid") && col("bucket") === col("p_bucket") &&
+          abs(col("pep") - col("ep")) <= W,
         "left")
       .groupBy(col("event_id"))
       .agg(sum(when(col("pep").isNotNull, 1L).otherwise(0L)).as("n_nearby"))

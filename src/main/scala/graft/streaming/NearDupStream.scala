@@ -37,13 +37,17 @@ import graft.streaming.CurationStream.TimedDoc
 object NearDupStream {
 
   /** Distinct word-3-gram shingle hashes as a pure column expression —
-    * the same shingle definition as DedupOps.shingles (tokens →
-    * 3-grams → array_distinct → xxhash64), but per-row instead of
-    * explode+groupBy, so it runs on a stream. */
+    * the same shingle definition as DedupOps.shingles (token prefix
+    * capped at DocTokenCap → 3-grams → array_distinct → xxhash64), but
+    * per-row instead of explode+groupBy, so it runs on a stream. Must
+    * stay in lockstep with the batch definition: the stream/batch
+    * parity spec compares the two pair sets verbatim. */
   def shingleHashes(toks: Column): Column = {
+    val cap = graft.operators.DedupOps.DocTokenCap
     val grams = expr(
-      """CASE WHEN size(toks) >= 3
-        |  THEN array_distinct(transform(sequence(0, size(toks)-3),
+      s"""CASE WHEN size(slice(toks, 1, $cap)) >= 3
+        |  THEN array_distinct(transform(
+        |         sequence(0, size(slice(toks, 1, $cap))-3),
         |         i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))
         |  ELSE array() END""".stripMargin)
     transform(grams, sh => xxhash64(sh))

@@ -132,6 +132,32 @@ class DedupSpec extends AnyFunSuite {
     docs.unpersist()
   }
 
+  test("token cap bounds per-doc hash arrays; truncated docs still dedup") {
+    // one 10 MB doc must not become a jumbo aggregation row: shingling
+    // stops at DocTokenCap tokens, the doc is flagged, and near-dup
+    // detection still works prefix-to-prefix (docs diverging only beyond
+    // the budget compare as identical — the documented trade)
+    import spark.implicits._
+    val cap = DedupOps.DocTokenCap
+    val base = (0 until cap + 500).map(i => s"t${i % 9973}x$i").mkString(" ")
+    val nearDup = base.replace("x10 ", "y10 ") // differs INSIDE the prefix
+    val tailDiff = base + " " +
+      (0 until 50).map(i => s"tail$i").mkString(" ") // differs only BEYOND it
+    val docs = Seq((0L, base), (1L, nearDup), (2L, tailDiff))
+      .map { case (id, text) => (id, text, "en", "src0", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = Files.createTempDirectory("graft-jumbo").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val dh = DedupOps.docHashes(spark, dir).collect()
+    assert(dh.length == 3)
+    dh.foreach { r =>
+      assert(r.getSeq[Long](1).size <= cap - 2, "hash array exceeds the cap")
+      assert(r.getBoolean(3), "oversized doc not flagged truncated")
+    }
+    val found = pairs("q_text_minhash", dir)
+    assert(found == Set((0L, 1L), (0L, 2L), (1L, 2L)), s"got $found")
+  }
+
   test("planted fixture: near-dup pair found, distinct docs not") {
     import spark.implicits._
     val base = (0 until 40).map(i => s"tok${i * 7 % 13} word$i item${i % 5}").mkString(" ")

@@ -131,6 +131,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("Exchange".r.findAllIn(p).size == 2, s"exchanges in:\n$p")
   }
 
+  test("interval join keys on (user_id, time bucket), not user_id alone") {
+    // the bucket in the join key is what bounds a hot user's fan-out by
+    // local density; without it the range predicate is a post-filter
+    // over an all-errors x all-purchases per-user blowup
+    val df = graft.operators.PipelineOps.queries("q_interval_join")(spark, sf)
+    df.collect() // finalize the adaptive plan
+    val p = plan(df)
+    // any hash-keyed strategy qualifies (AQE broadcasts at small SFs);
+    // what is pinned is the KEY — bucket alongside user_id
+    val joinLine = p.linesIterator.find(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+        l.contains("BroadcastHashJoin"))
+    assert(joinLine.exists(l => l.contains("bucket") && l.contains("user_id")),
+      s"bucket missing from the join key:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+  }
+
   test("ledger queries compute the seq_id window exactly once (explode dups)") {
     // LedgerSpec releases its blocks(sf0.001) cache in afterAll; without
     // that, a cache hit would swap an InMemoryRelation into this plan and
