@@ -63,6 +63,73 @@ object NearDupStream {
       .select(col("col").as("minhash"), col("pos").as("band"), col("doc_id"))
   }
 
+  /** Stream-STREAM near-dup: verified (doc_a, doc_b, jaccard) pairs
+    * between two documents that BOTH arrive within `window` of each
+    * other — the self-join twin of nearDupAgainstCorpus, closing its
+    * documented freshness gap (two NEW docs that are near-dups only of
+    * each other used to wait for the next index rebuild).
+    *
+    * Topology: each arriving doc explodes to its 32 MinHash band keys;
+    * the band table self-joins on (band, value) with the event-time
+    * distance bounded in BOTH directions, which is what lets each
+    * side's state store evict rows once the opposite watermark passes
+    * the bound (the attribution-join shape in Sessionize). Exact
+    * Jaccard verification runs on the shingle-hash arrays carried
+    * through the join; multi-band collisions collapse via
+    * dropDuplicatesWithinWatermark.
+    *
+    * State: O(docs-per-window × 32 band rows), each row carrying the
+    * doc's (token-capped) hash array — sized for a deployment window of
+    * minutes-to-hours of arrivals, NOT for corpus-wide history; the
+    * corpus-scale path remains the stream-static band index. Run both:
+    * this operator catches same-window pairs immediately, the index
+    * catches everything else on its republish cadence.
+    *
+    * Contract: `tsUs` must be a real arrival time. A row whose event
+    * time is at or before the stream's INITIAL watermark (epoch 0) is
+    * dropped as late by the join before any state is built. */
+  def nearDupWithinStream(s: SparkSession, docs: Dataset[TimedDoc],
+      window: String = "1 hour"): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    def side(p: String): DataFrame = docs.toDF()
+      .select(col("docId").as(s"${p}_id"),
+        timestamp_micros(col("tsUs")).as(s"${p}_ts"),
+        graft.operators.TextRules.tokens(col("text")).as("toks"))
+      .select(col(s"${p}_id"), col(s"${p}_ts"),
+        shingleHashes(col("toks")).as(s"${p}_hs"))
+      .filter(size(col(s"${p}_hs")) > 0)
+      .select(col(s"${p}_id"), col(s"${p}_ts"), col(s"${p}_hs"),
+        posexplode(expr(s"minhash_sig(${p}_hs)")))
+      .withColumnRenamed("pos", s"${p}_band")
+      .withColumnRenamed("col", s"${p}_bv")
+      .withWatermark(s"${p}_ts", window)
+    val bound = expr(s"INTERVAL $window")
+    // self-pairs are excluded with =!= rather than an id ORDERING:
+    // Catalyst pushes post-join filters back into the join condition,
+    // and the streaming state-watermark extractor walks every < / >
+    // conjunct as a potential time constraint — an id inequality there
+    // hits an internal error (Spark 4.1). Both orientations of a pair
+    // therefore emit; least/greatest canonicalizes and the watermark
+    // dedup collapses them (it already collapses multi-band collisions).
+    side("x").join(side("y"),
+        col("x_band") === col("y_band") && col("x_bv") === col("y_bv") &&
+          col("x_id") =!= col("y_id") &&
+          col("y_ts") >= col("x_ts") - bound &&
+          col("y_ts") <= col("x_ts") + bound)
+      .withColumn("inter",
+        size(array_intersect(col("x_hs"), col("y_hs"))).cast("long"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("x_hs")) + size(col("y_hs")) - col("inter")))
+      .filter(col("jaccard") >= 0.8)
+      .select(least(col("x_id"), col("y_id")).as("doc_a"),
+        greatest(col("x_id"), col("y_id")).as("doc_b"),
+        col("jaccard"), col("x_ts").as("ts"))
+      // no re-watermark: ts (= x_ts) keeps its event-time tag through the
+      // join, and chained stateful operators propagate the watermark —
+      // redefining it mid-query is disallowed
+      .dropDuplicatesWithinWatermark("doc_a", "doc_b")
+  }
+
   /** Stream-static near-dup: verified (doc_a, doc_b, jaccard) pairs for
     * arriving docs vs the corpus, each pair emitted once within
     * `horizon`. `corpus` is DedupOps.docHashes output; `horizon` should

@@ -53,6 +53,37 @@ class AdmissionStreamSpec extends AnyFunSuite {
           (id, a, streamed.get(id))
       }
       assert(diff.isEmpty, s"divergent decisions: ${diff.take(5)}")
+      // parity == no decision flagged: the ordering contract's witness
+      val flagged = spark.sql(
+        "SELECT count(*) FROM admission WHERE out_of_order").collect()(0).getLong(0)
+      assert(flagged === 0L, s"$flagged decisions flagged on an in-order feed")
+    } finally q.stop()
+  }
+
+  test("cross-batch disorder is flagged per decision") {
+    // a request delivered in a LATER batch than a larger (ep, event_id)
+    // key is decided in processing order — still deterministic and
+    // cap-respecting, but not the batch decision; the high-water mark in
+    // state must flag exactly those requests
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val source = MemoryStream[AdmissionEv]
+    val q = AdmissionStream.fromEvents(spark, source.toDF(), 2, "xxx", 3)
+      .writeStream.format("memory").queryName("admission_ooo")
+      .outputMode("append").start()
+    try {
+      // batch 1: keys 10..14; batch 2: keys 5..7 (behind the high-water
+      // mark) plus 20 (ahead of it)
+      source.addData((10 to 14).map(i => AdmissionEv(i.toLong, i.toLong, "sig", 1000L + i)): _*)
+      q.processAllAvailable()
+      source.addData((Seq(5, 6, 7, 20)).map(i => AdmissionEv(i.toLong, i.toLong, "sig", 1000L + i)): _*)
+      q.processAllAvailable()
+      val flags = spark.sql("SELECT event_id, out_of_order FROM admission_ooo")
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(flags.size === 9)
+      assert((5 to 7).forall(i => flags(i.toLong)), s"late keys unflagged: $flags")
+      assert(((10 to 14) ++ Seq(20)).forall(i => !flags(i.toLong)),
+        s"in-order keys flagged: $flags")
     } finally q.stop()
   }
 

@@ -53,6 +53,46 @@ class NearDupStreamSpec extends AnyFunSuite {
     } finally corpus.unpersist()
   }
 
+  test("stream-stream self-join pairs same-window near-dups (batch parity)") {
+    // no corpus index at all: every pair member arrives IN-STREAM, split
+    // across micro-batches in hashed order, so same-batch pairing,
+    // cross-batch pairing (via join state) and multi-band dedup are all
+    // exercised; the verified pair set must equal the batch MinHash path.
+    // Timestamps are offset off the epoch: a row whose event time equals
+    // the stream's INITIAL watermark (epoch 0) is dropped as late by the
+    // join — real arrival times never sit at epoch 0, synthetic ones must
+    // not either (operator scaladoc documents the contract)
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+
+    val batchPairs = DedupOps.nearDupPairs(spark, TestSpark.sf0001)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batchPairs.nonEmpty, "fixture must contain near-dup pairs")
+
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id").as("docId"), col("lang"), col("text"),
+        (col("doc_id") * 1000000L + 86400000000L).as("tsUs"))
+      .as[TimedDoc].collect()
+
+    val source = MemoryStream[TimedDoc]
+    val q = NearDupStream.nearDupWithinStream(spark, source.toDS())
+      .writeStream.format("memory").queryName("neardup_ss")
+      .outputMode("append").start()
+    try {
+      docs.sortBy(d => d.docId * 2654435761L % 1000000007L)
+        .grouped(docs.length / 3 + 1).foreach { batch =>
+          source.addData(batch.toIndexedSeq: _*)
+          q.processAllAvailable()
+        }
+      val streamed = spark.sql("SELECT doc_a, doc_b FROM neardup_ss")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == batchPairs,
+        s"stream-only: ${(streamed -- batchPairs).take(5)}; " +
+          s"batch-only: ${(batchPairs -- streamed).take(5)}")
+    } finally q.stop()
+  }
+
   test("index refresh cycle reaches batch parity with no double emission") {
     // The production cycle the operator documents: the static band index
     // is republished on each corpus rebuild, and the stream restarts
