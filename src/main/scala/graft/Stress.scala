@@ -12,9 +12,162 @@ import java.nio.file.Files
   *
   * Usage: runMain graft.Stress [rows] [partitions] [outDir]
   * Prints one JSON line: {"write_mb_s":…, "read_mb_s":…, "rows":…, "bytes":…}
+  *
+  * Second mode — the scaling-curve instrument:
+  *   runMain graft.Stress scaling [outFile]
+  * measures, for each candidate-generating operator of the dedup/ANN
+  * family, the WORK it enumerates (candidate pairs) at every available
+  * scale factor, fits the growth exponent against corpus size, and
+  * writes the table to SCALING.md. Candidate counts, not wall time:
+  * at the test SFs runtime is fixed-overhead-dominated (a quadratic
+  * enumeration hides inside ~1s of stage latency), while the candidate
+  * count is exactly the quantity whose exponent must stay ~1 for the
+  * plan to survive 100 TB. A deliberately-included contrast row measures
+  * the retired nibble-band SimHash blocking (4-bit band values), whose
+  * exponent ~2 is the defect this instrument exists to catch.
   */
 object Stress {
+
+  private case class Probe(name: String, note: String,
+      work: (SparkSession, String) => Long)
+
+  /** Distinct df-capped shingle self-join candidates (q_ngram_jaccard's
+    * enumeration, anti-join formulation). */
+  private def ngramCandidates(s: SparkSession, d: String): Long = {
+    import graft.operators.DedupOps
+    val sh = DedupOps.shingles(s, d)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+    val cap = DedupOps.ngramDfCap(Tables.documents(s, d).count())
+    val hot = sh.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") > cap).select("h")
+    val kept = sh.join(hot, Seq("h"), "left_anti")
+    kept.as("a").join(kept.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
+  }
+
+  /** RAW pair enumeration of the retired r5 SimHash blocking: 16 nibble
+    * bands of a 64-bit SimHash — 256 total band values. Kept as the
+    * contrast row: its exponent reads ~2 where the shipped designs read
+    * ~1. Counted pre-hamming-filter because the enumeration itself is
+    * the cost that kills the plan at scale. */
+  private def nibbleCandidates(s: SparkSession, docs: org.apache.spark.sql.DataFrame): Long = {
+    graft.functions.GraftFunctions.register(s)
+    val sig = docs.select(col("doc_id"), expr("simhash64(hs)").as("sh64"))
+      .filter(col("sh64").isNotNull)
+    val bands = sig
+      .select(col("doc_id"), col("sh64"), explode(expr("sequence(0, 15)")).as("k"))
+      .withColumn("nib", expr("shiftrightunsigned(sh64, k * 4)") % 16)
+    bands.as("x").join(bands.as("y"),
+        col("x.k") === col("y.k") && col("x.nib") === col("y.nib") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .count()
+  }
+
+  /** ANN LSH bucket-join candidates (corpus rows meeting the 10 probed
+    * queries, pre-top-k). */
+  private def annLshCandidates(s: SparkSession, d: String): Long = {
+    import graft.operators.VectorOps
+    graft.functions.GraftFunctions.register(s)
+    val (width, probes) = (VectorOps.LshWidth, VectorOps.LshProbes)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        element_at(expr(s"hyperplane_sig(embedding, $width, 0)"), 1).as("bucket"))
+    val q = Tables.embeddings(s, d).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"),
+        explode(expr(s"hyperplane_sig(embedding, $width, $probes)")).as("qbucket"))
+    e.join(q, col("bucket") === col("qbucket") &&
+      col("vec_id") =!= col("query_id")).count()
+  }
+
+  private def scalingMain(args: Array[String]): Unit = {
+    import graft.operators.DedupOps
+    val outFile = if (args.length > 1) args(1) else "SCALING.md"
+    val sfs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+      "/root/testdata/sf0.1").filter(p => new java.io.File(p).isDirectory)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val probes = Seq(
+      Probe("ngram_capped_pairs",
+        "distinct df-capped shingle self-join candidates (q_ngram_jaccard) — the EXACT ground-truth baseline: inverted-index pairing costs Σ df² and is superlinear BY DESIGN below the df cap; the sketch rows are the corpus-scale path",
+        ngramCandidates),
+      Probe("minhash_candidates",
+        "width-capped MinHash band candidates (q_text_minhash, q_dedup_cluster)",
+        (s, d) => DedupOps.minhashCandidates(s, DedupOps.docHashes(s, d)).count()),
+      Probe("simhash_candidates",
+        "width-capped + hamming-gated 16-bit-band SimHash candidates (q_text_simhash)",
+        (s, d) => DedupOps.simhashCandidates(s, DedupOps.docHashes(s, d)).count()),
+      Probe("simhash_nibble_RETIRED",
+        "CONTRAST ROW: r5 nibble-band blocking, raw enumeration — the ~2 exponent this instrument exists to catch",
+        (s, d) => nibbleCandidates(s, DedupOps.docHashes(s, d))),
+      Probe("ann_lsh_candidates",
+        "hyperplane-bucket join candidates for 10 queries, pre-top-k (q_ann_lsh)",
+        annLshCandidates),
+    )
+
+    val nDocs = sfs.map(d => Tables.documents(spark, d).count())
+    val rows = probes.map { p =>
+      val counts = sfs.map { d =>
+        val c = p.work(spark, d)
+        spark.catalog.clearCache()
+        c
+      }
+      // least-squares slope of ln(count) vs ln(docs) across all SFs
+      val xs = nDocs.map(n => math.log(n.toDouble))
+      val ys = counts.map(c => math.log(math.max(c, 1).toDouble))
+      val (mx, my) = (xs.sum / xs.size, ys.sum / ys.size)
+      val slope = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum /
+        xs.map(x => (x - mx) * (x - mx)).sum
+      (p, counts, slope)
+    }
+
+    val sb = new StringBuilder
+    sb ++= "# SCALING — measured candidate-growth exponents\n\n"
+    sb ++= "Generated by `sbt 'runMain graft.Stress scaling'`. For each\n"
+    sb ++= "candidate-generating operator, the table shows the WORK it\n"
+    sb ++= "enumerates at each scale factor and the least-squares exponent of\n"
+    sb ++= "count vs corpus size (docs). Candidate counts, not wall time:\n"
+    sb ++= "at these SFs runtime is stage-overhead-dominated, while the\n"
+    sb ++= "candidate exponent is what decides survival at 100 TB. An\n"
+    sb ++= "exponent ~1 means enumeration grows linearly with the corpus;\n"
+    sb ++= "~2 means an all-pairs blowup. The RETIRED row keeps the r5\n"
+    sb ++= "nibble-band SimHash design as the instrument's positive control.\n\n"
+    sb ++= ("| probe | " + sfs.map(_.split('/').last).mkString(" | ") +
+      " | exponent | note |\n")
+    sb ++= ("|---|" + sfs.map(_ => "---|").mkString + "---|---|\n")
+    sb ++= (s"| corpus docs | " + nDocs.mkString(" | ") + " | 1.00 | — |\n")
+    rows.foreach { case (p, counts, slope) =>
+      sb ++= f"| ${p.name} | ${counts.mkString(" | ")} | $slope%.2f | ${p.note} |\n"
+    }
+    sb ++= "\nVerdict rule: a shipped SKETCH probe reading an exponent above\n"
+    sb ++= "~1.3 is a scale defect (band entropy and the width caps exist to\n"
+    sb ++= "keep these linear); the RETIRED contrast row is expected ~2, and\n"
+    sb ++= "the exact ngram baseline is allowed to read high — it is the\n"
+    sb ++= "oracle generator, not the corpus-scale path, and its df cap\n"
+    sb ++= "bounds per-shingle (not total) work.\n\n"
+    sb ++= "History: this instrument flagged two designs — r5's nibble-band\n"
+    sb ++= "SimHash (exponent 2.0, kept below as the contrast row) and r5's\n"
+    sb ++= "r=2 MinHash banding (exponent 1.84 from background J≈0.03-0.05\n"
+    sb ++= "pairs leaking through 32·J² band collisions; fixed by r=6, the\n"
+    sb ++= "log-n rows-per-band law in MinHashSig's scaladoc).\n"
+    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      sb.toString.getBytes("UTF-8"))
+    println(s"wrote $outFile")
+    rows.foreach { case (p, counts, slope) =>
+      println(f"${p.name}%-24s exp=$slope%.2f counts=${counts.mkString(",")}")
+    }
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("scaling")) { scalingMain(args); return }
     val rows = if (args.length > 0) args(0).toLong else 2000000L
     val parts = if (args.length > 1) args(1).toInt else 32
     val out = if (args.length > 2) args(2)

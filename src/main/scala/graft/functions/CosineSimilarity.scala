@@ -87,8 +87,13 @@ object GraftFunctions {
       .sessionState.functionRegistry
     registry.createOrReplaceTempFunction(
       "cosine_sim", exprs => CosineSimilarity(exprs.head, exprs(1)), "built-in")
+    // optional rows/bands must be integer literals (they size the codegen)
     registry.createOrReplaceTempFunction(
-      "minhash_sig", exprs => MinHashSig(exprs.head), "built-in")
+      "minhash_sig", exprs => MinHashSig(exprs.head,
+        if (exprs.length > 1) exprs(1).eval(null).asInstanceOf[Int]
+        else MinHashSig.DefaultRows,
+        if (exprs.length > 2) exprs(2).eval(null).asInstanceOf[Int]
+        else MinHashSig.DefaultBands), "built-in")
     registry.createOrReplaceTempFunction(
       "vector_avg", exprs => VectorAvg(exprs.head), "built-in")
     registry.createOrReplaceTempFunction(

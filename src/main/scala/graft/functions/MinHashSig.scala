@@ -6,20 +6,36 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
-/** Native MinHash signature: from an array of shingle hashes, compute the
-  * 32 packed band values (m_{2b}*P + m_{2b+1}, permutation j with
-  * a_j=(2j+1)*K mod P, offset j*B) in ONE pass per band pair — no
-  * intermediate arrays. The expression-only formulation
-  * (transform→array_min ×64) allocates 64 temporary arrays per document;
-  * this loop allocates one output array, which is what the signature stage
-  * costs at 10^9 documents. Same arithmetic as DedupOps' SQL form, so
-  * signatures are interchangeable.
+/** Native MinHash signature: from an array of shingle hashes, compute
+  * `bands` packed band values in ONE pass — no intermediate arrays. Band
+  * k packs its `rows` minima by polynomial accumulation (v = v*P + m,
+  * 64-bit wrap; equal bands always pack equal, a wrap collision can only
+  * ADD a candidate, never lose one, and candidates are exact-verified
+  * downstream). Permutation j = k*rows + i is a_j = (2j+1)*K mod P with
+  * offset j*B. The expression-only formulation (transform→array_min per
+  * permutation) allocates one temporary array per permutation per
+  * document; this loop allocates one output array, which is what the
+  * signature stage costs at 10^9 documents.
+  *
+  * Why rows-per-band is a parameter: a pair with Jaccard J collides in
+  * a band with probability J^rows, so the background candidate rate is
+  * bands·J_bg^rows·C(n,2). For any FIXED rows that term is quadratic in
+  * n; it stays sub-linear only while J_bg^rows < 1/n, i.e. rows must
+  * grow ~ln(n)/ln(1/J_bg) — the same O(log n) scaling law as
+  * SimHashSig's band width. The default r=6, b=32 (192 permutations)
+  * carries a J_bg≈0.05 corpus to n ~ 10^8 docs with candidate exponent
+  * ~1 (measured in SCALING.md; r=2 read exponent 1.84 on the same
+  * corpus), while missing a J>=0.8 true pair with probability
+  * (1-0.8^6)^32 ≈ 6e-5 (J>=0.9: 3e-11).
   */
-case class MinHashSig(child: Expression) extends UnaryExpression {
+case class MinHashSig(child: Expression,
+    rows: Int = MinHashSig.DefaultRows,
+    bands: Int = MinHashSig.DefaultBands) extends UnaryExpression {
+  require(rows > 0 && bands > 0 && rows * bands <= 4096,
+    s"rows*bands must be in [1, 4096], got $rows x $bands")
   private val P = 1000000007L
   private val K = 2654435761L
   private val B = 40503L
-  private val bands = 32
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -38,7 +54,7 @@ case class MinHashSig(child: Expression) extends UnaryExpression {
     val total = hs.numElements()
     // One pass to pre-mod the hashes, skipping null elements (user-facing
     // arrays may carry containsNull=true); also avoids re-walking ArrayData
-    // 32 times in the band loop.
+    // once per permutation in the band loop.
     val pre = new Array[Long](total)
     var n = 0
     var j = 0
@@ -53,22 +69,23 @@ case class MinHashSig(child: Expression) extends UnaryExpression {
     val out = new Array[Long](bands)
     var b = 0
     while (b < bands) {
-      val a0 = ((4L * b + 1) * K) % P
-      val a1 = ((4L * b + 3) * K) % P
-      val c0 = (2L * b) * B
-      val c1 = (2L * b + 1) * B
-      var m0 = Long.MaxValue
-      var m1 = Long.MaxValue
-      var i = 0
-      while (i < n) {
-        val hp = pre(i)
-        val v0 = (a0 * hp + c0) % P
-        val v1 = (a1 * hp + c1) % P
-        if (v0 < m0) m0 = v0
-        if (v1 < m1) m1 = v1
-        i += 1
+      var packed = 0L
+      var r = 0
+      while (r < rows) {
+        val perm = b * rows + r
+        val a = ((2L * perm + 1) * K) % P
+        val c = perm * B
+        var m = Long.MaxValue
+        var i = 0
+        while (i < n) {
+          val v = (a * pre(i) + c) % P
+          if (v < m) m = v
+          i += 1
+        }
+        packed = packed * P + m
+        r += 1
       }
-      out(b) = m0 * P + m1
+      out(b) = packed
       b += 1
     }
     new GenericArrayData(out)
@@ -79,16 +96,14 @@ case class MinHashSig(child: Expression) extends UnaryExpression {
       val n = ctx.freshName("n")
       val out = ctx.freshName("out")
       val b = ctx.freshName("b")
+      val r = ctx.freshName("r")
       val i = ctx.freshName("i")
-      val a0 = ctx.freshName("a0")
-      val a1 = ctx.freshName("a1")
-      val c0 = ctx.freshName("c0")
-      val c1 = ctx.freshName("c1")
-      val m0 = ctx.freshName("m0")
-      val m1 = ctx.freshName("m1")
-      val hp = ctx.freshName("hp")
-      val v0 = ctx.freshName("v0")
-      val v1 = ctx.freshName("v1")
+      val perm = ctx.freshName("perm")
+      val a = ctx.freshName("a")
+      val c = ctx.freshName("c")
+      val m = ctx.freshName("m")
+      val v = ctx.freshName("v")
+      val packed = ctx.freshName("packed")
       val total = ctx.freshName("total")
       val pre = ctx.freshName("pre")
       val jj = ctx.freshName("j")
@@ -104,19 +119,19 @@ case class MinHashSig(child: Expression) extends UnaryExpression {
          |if ($n == 0) { ${ev.isNull} = true; } else {
          |long[] $out = new long[$bands];
          |for (int $b = 0; $b < $bands; $b++) {
-         |  long $a0 = ((4L * $b + 1) * ${K}L) % ${P}L;
-         |  long $a1 = ((4L * $b + 3) * ${K}L) % ${P}L;
-         |  long $c0 = (2L * $b) * ${B}L;
-         |  long $c1 = (2L * $b + 1) * ${B}L;
-         |  long $m0 = Long.MAX_VALUE, $m1 = Long.MAX_VALUE;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    long $hp = $pre[$i];
-         |    long $v0 = ($a0 * $hp + $c0) % ${P}L;
-         |    long $v1 = ($a1 * $hp + $c1) % ${P}L;
-         |    if ($v0 < $m0) $m0 = $v0;
-         |    if ($v1 < $m1) $m1 = $v1;
+         |  long $packed = 0L;
+         |  for (int $r = 0; $r < $rows; $r++) {
+         |    int $perm = $b * $rows + $r;
+         |    long $a = ((2L * $perm + 1) * ${K}L) % ${P}L;
+         |    long $c = (long) $perm * ${B}L;
+         |    long $m = Long.MAX_VALUE;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      long $v = ($a * $pre[$i] + $c) % ${P}L;
+         |      if ($v < $m) $m = $v;
+         |    }
+         |    $packed = $packed * ${P}L + $m;
          |  }
-         |  $out[$b] = $m0 * ${P}L + $m1;
+         |  $out[$b] = $packed;
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
          |}
@@ -125,4 +140,12 @@ case class MinHashSig(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+object MinHashSig {
+  /** r=6 rows/band × b=32 bands = 192 permutations — the S-curve sits at
+    * J* = (1/32)^(1/6) ≈ 0.56; sized per the scaling law in the class
+    * scaladoc. Raise `rows` as the corpus grows. */
+  val DefaultRows = 6
+  val DefaultBands = 32
 }

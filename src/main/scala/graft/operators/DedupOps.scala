@@ -13,8 +13,9 @@ import graft.Tables
   * sketches differ only in HOW candidates are generated:
   *   - q_ngram_jaccard: exact blocked join on shared shingles (ground truth
   *     baseline; the join is bounded by shingle collisions).
-  *   - q_text_minhash: 64 MinHash permutations, banded r=2/b=32 → candidate
-  *     iff both minima of some band collide. P(miss | J>=0.8) <= (1-0.64)^32.
+  *   - q_text_minhash: 192 MinHash permutations, banded r=6/b=32 →
+  *     candidate iff all six minima of some band collide.
+  *     P(miss | J>=0.8) <= (1-0.8^6)^32 ≈ 6e-5 (J>=0.9: 3e-11).
   *   - q_text_simhash: 512-bit seeded SimHash (native SimHashSig), 32
   *     bands of 16 bits + a 512-bit hamming gate. Probabilistic recall,
   *     same style as MinHash banding: measured on the corpus, J>=0.8
@@ -231,9 +232,9 @@ object DedupOps {
     *     stays paired and the downstream clustering (connected
     *     components) keeps the flood as ONE component via the star.
     *   - a true pair whose members merely pass through a hot bucket also
-    *     collides in other, cold bands (MinHash: expected ~20 of 32
-    *     bands at J=0.8; SimHash: ~12 of 32) — losing the capped band is
-    *     harmless.
+    *     collides in other, cold bands (MinHash: expected ~8 of 32
+    *     bands at J=0.8, ~17 at J=0.9; SimHash: ~12 of 32) — losing the
+    *     capped band is harmless.
     *   - listing ALL C(w,2) pairs of a mega-cluster is itself quadratic
     *     OUTPUT; no engine can emit n² rows at 100 TB. The star is the
     *     linear-size certificate of the same cluster.
@@ -272,8 +273,8 @@ object DedupOps {
   /** MinHash band table: 32 packed band values per doc computed by the
     * native MinHashSig expression in one tight codegen loop (no
     * intermediate arrays), then posexplode just the packed (band, value)
-    * pairs: value = m_{2b} * P + m_{2b+1}, permutation j:
-    * a_j=(2j+1)*K mod P. */
+    * pairs — each value packs its band's 6 minima (the packing and
+    * permutation arithmetic live in MinHashSig's scaladoc). */
   private def minhashBands(s: SparkSession, docs: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     docs
@@ -287,11 +288,16 @@ object DedupOps {
       cap: Long = LshBucketCap): DataFrame =
     cappedBandPairs(minhashBands(s, docs), cap)
 
-  /** MinHash + banded LSH (r=2 rows/band, b=32 bands), then exact
-    * verification. r=2 matters on corpora where random pairs share common
-    * shingles: band-collision probability is J^2, so J~0.02 background
-    * pairs produce ~0 candidates while J>=0.8 pairs miss with prob
-    * (1-0.64)^32 ≈ 3e-15. (r=1 flooded the candidate join here.) */
+  /** MinHash + banded LSH (r=6 rows/band, b=32 bands), then exact
+    * verification. The rows-per-band dial is what suppresses the
+    * BACKGROUND: band-collision probability is J^r, and with fixed r the
+    * background term bands·J_bg^r·C(n,2) is quadratic in corpus size —
+    * r must grow ~log n (MinHashSig scaladoc has the law). r=2 measured
+    * candidate exponent 1.84 on this corpus (J_bg≈0.03-0.05 pairs
+    * leaking through at 32·J²); r=6 reads ~1.0 (SCALING.md), at the
+    * price of P(miss | J>=0.8) ≈ 6e-5 — and J in (0.56, 0.8) pairs
+    * still surface and are verification-rejected, so the observed pair
+    * set only tightens. */
   /** Exact-verified near-dup pairs via the MinHash+LSH path — the shared
     * candidate generator for q_text_minhash and the clustering operator. */
   def nearDupPairs(s: SparkSession, d: String): DataFrame = {

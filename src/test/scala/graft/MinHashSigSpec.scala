@@ -4,27 +4,49 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import graft.functions.GraftFunctions
 
-/** The native MinHashSig expression must match the pure-SQL formulation
-  * bit-for-bit (codegen and interpreted paths). */
+/** The native MinHashSig expression must match a straightforward Scala
+  * reference implementation bit-for-bit (codegen and interpreted paths).
+  * The reference is written independently of the expression's codegen;
+  * the band pack uses the same wrapping 64-bit polynomial accumulation
+  * (a pure-SQL mirror is impossible under ANSI mode — the pack overflows
+  * bigint by design, which is safe for a JOIN KEY). */
 class MinHashSigSpec extends AnyFunSuite {
   private lazy val spark = { val s = TestSpark.spark; GraftFunctions.register(s); s }
   private val P = 1000000007L
+  private val K = 2654435761L
+  private val B = 40503L
 
-  private val sqlForm =
-    s"""transform(sequence(0, 31), b ->
-       |  array_min(transform(hs, h ->
-       |    pmod(((4 * b + 1) * 2654435761L % ${P}L) * pmod(h, ${P}L) + (2 * b) * 40503L, ${P}L))) * ${P}L +
-       |  array_min(transform(hs, h ->
-       |    pmod(((4 * b + 3) * 2654435761L % ${P}L) * pmod(h, ${P}L) + (2 * b + 1) * 40503L, ${P}L)))
-       |)""".stripMargin
+  private def reference(hs: Seq[Long], rows: Int, bands: Int): Seq[Long] = {
+    val pre = hs.map(h => ((h % P) + P) % P)
+    (0 until bands).map { b =>
+      (0 until rows).foldLeft(0L) { (packed, r) =>
+        val perm = b * rows + r
+        val a = ((2L * perm + 1) * K) % P
+        val c = perm * B
+        packed * P + pre.map(hp => (a * hp + c) % P).min
+      }
+    }
+  }
 
-  test("native expression == SQL formulation on corpus hash arrays") {
-    val docs = graft.operators.DedupOps.docHashes(spark, TestSpark.sf0001)
-    val bad = docs
-      .select(expr("minhash_sig(hs)").as("native"), expr(sqlForm).as("sql"))
-      .filter(col("native") =!= col("sql"))
-      .count()
-    assert(bad == 0)
+  test("native expression == reference implementation on corpus hash arrays") {
+    import graft.functions.MinHashSig.{DefaultRows, DefaultBands}
+    val rows = graft.operators.DedupOps.docHashes(spark, TestSpark.sf0001)
+      .select(col("hs"), expr("minhash_sig(hs)").as("native"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val hs = r.getSeq[Long](0)
+      assert(r.getSeq[Long](1) == reference(hs, DefaultRows, DefaultBands),
+        s"mismatch for hs=$hs")
+    }
+  }
+
+  test("rows/bands are parameters (the log-n scaling dial)") {
+    import spark.implicits._
+    val hs = Seq(7L, -11L, 13L, Long.MaxValue)
+    val df = Seq((1L, hs)).toDF("id", "hs")
+    val sig = df.select(expr("minhash_sig(hs, 2, 16)")).collect()(0).getSeq[Long](0)
+    assert(sig == reference(hs, 2, 16))
   }
 
   test("handles negative hashes and empty arrays") {
