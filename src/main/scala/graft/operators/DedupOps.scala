@@ -376,11 +376,48 @@ object DedupOps {
     verifyPairs(simhashCandidates(s, docs), docs)
   }
 
+  /** Repeated-span window length (tokens). 20 tokens ≈ the 50-token
+    * spans substring-dedup work uses, scaled to this corpus's ~100-token
+    * documents; one constant feeds the Spark side AND the oracle SQL. */
+  val SpanLen = 20
+
+  /** Exact repeated-SPAN rate — the substring-level dedup signal that
+    * complements document-level near-dup: for each document, the share
+    * of its distinct SpanLen-token windows that appear verbatim in at
+    * least one OTHER document (memorization-prone boilerplate a doc-level
+    * Jaccard at 0.8 never sees). Physical shape: one row per distinct
+    * window hash per doc (8-byte xxhash64 of the window text, never the
+    * text itself), one groupBy(wh) for document frequency — count(*)
+    * IS the doc count because windows are per-doc distinct — and a
+    * co-partitioned join back. Work is Θ(total tokens), the same row
+    * count a suffix-array build would scan; the token-prefix cap bounds
+    * the per-doc contribution. */
+  private val qSpanDupRate: Q = (s, d) => {
+    val wins = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), TextRules.tokens(col("text")).as("all_toks"))
+      .select(col("doc_id"), slice(col("all_toks"), 1, DocTokenCap).as("toks"))
+      .select(col("doc_id"), explode(expr(
+        s"""CASE WHEN size(toks) >= $SpanLen
+           |  THEN array_distinct(transform(sequence(0, size(toks)-$SpanLen),
+           |         i -> xxhash64(concat_ws(' ', slice(toks, i+1, $SpanLen)))))
+           |  ELSE array() END""".stripMargin)).as("wh"))
+    val docFreq = wins.groupBy("wh").agg(count(lit(1)).as("wdf"))
+    wins.join(docFreq, "wh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("wdf") >= 2, 1L).otherwise(0L)).as("dup_spans"))
+      .select(col("doc_id"), col("n_spans"), col("dup_spans"),
+        round(col("dup_spans").cast("double") / col("n_spans"), 4).as("dup_rate"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_ngram_jaccard" -> qNgramJaccard,
     "q_text_minhash" -> qTextMinhash,
     "q_text_simhash" -> qTextSimhash,
     "q_dedup_cluster" -> qDedupCluster,
+    "q_span_dup_rate" -> qSpanDupRate,
   )
 
   /** Exact ground-truth pair SQL — all three sketches must converge to it
@@ -476,10 +513,32 @@ object DedupOps {
       |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Span-dup oracle: same windows by STRING (no cross-engine hashing —
+    * DuckDB groups the window text itself; xxhash64 only exists on the
+    * Spark side as a shuffle-size optimization). */
+  private val spanDupSql =
+    s"""WITH toks AS (
+      |  SELECT doc_id, (list_filter(string_split_regex(lower(text), '\\W+'),
+      |                             x -> x <> ''))[:$DocTokenCap] AS t
+      |  FROM documents),
+      |w AS (
+      |  SELECT DISTINCT doc_id, array_to_string(t[i:i+${SpanLen - 1}], ' ') AS win
+      |  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - ${SpanLen - 2})) AS i) g
+      |  WHERE len(t) >= $SpanLen),
+      |wdf AS (SELECT win, count(*) AS wdf FROM w GROUP BY 1)
+      |SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+      |       CAST(sum(CASE WHEN wdf.wdf >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS dup_spans,
+      |       round(CAST(sum(CASE WHEN wdf.wdf >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+      |             / count(*), 4) AS dup_rate
+      |FROM w JOIN wdf USING (win)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_ngram_jaccard" -> cappedPairsSql,
     "q_text_minhash" -> exactPairsSql,
     "q_text_simhash" -> exactPairsSql,
     "q_dedup_cluster" -> clusterSql,
+    "q_span_dup_rate" -> spanDupSql,
   )
 }

@@ -243,7 +243,35 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Per-doc top-5 TF-IDF terms — the keyword/topic signal corpus
+    * analysis and mixture design lean on. tf = term count within the
+    * doc; idf = ln(N/df) over distinct-doc frequency. Ordering and
+    * output both use the ROUNDED score (4 decimals): raw doubles can
+    * differ by an ulp across engines and flip near-ties, while at 4
+    * decimals ties collapse and break deterministically by term. Plan:
+    * one (doc, term) partial-agg exchange, a tok-keyed df agg reusing
+    * that partitioning, the N scalar rides a broadcast 1-row aggregate
+    * (the q_lm_score convention), and one per-doc window for the top-k. */
+  private val qTfidfTopk: Q = (s, d) => {
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), explode(TextRules.tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term"))
+    tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("doc_id"), col("rk"), col("term"), col("score"))
+      .orderBy("doc_id", "rk")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_tfidf_topk" -> qTfidfTopk,
     "q_token_count" -> qTokenCount,
     "q_bpe_count" -> qBpeCount,
     "q_cooccur" -> qCooccur,
@@ -358,6 +386,26 @@ object TextOps {
         |SELECT ta, tb, pair_cnt, ma.cnt AS cnt_a, mb.cnt AS cnt_b
         |FROM top JOIN marg ma ON ta = ma.tok JOIN marg mb ON tb = mb.tok
         |ORDER BY pair_cnt DESC, ta, tb""".stripMargin,
+    "q_tfidf_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         unnest(list_filter(string_split_regex(lower(text), '\W+'),
+        |                            x -> x <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |         round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 4) AS score
+        |  FROM tf JOIN df USING (term), n)
+        |SELECT doc_id,
+        |       CAST(row_number() OVER (PARTITION BY doc_id
+        |                               ORDER BY score DESC, term) AS INT) AS rk,
+        |       term, score
+        |FROM scored
+        |QUALIFY rk <= 5
+        |ORDER BY doc_id, rk""".stripMargin,
     "q_token_count" ->
       """SELECT doc_id,
         |       CAST(len(regexp_extract_all(text, '\S+')) AS INT) AS n_ws_tokens,

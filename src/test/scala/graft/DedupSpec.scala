@@ -158,6 +158,28 @@ class DedupSpec extends AnyFunSuite {
     assert(found == Set((0L, 1L), (0L, 2L), (1L, 2L)), s"got $found")
   }
 
+  test("span-dup rate: shared verbatim run counted window-exact, others zero") {
+    // docs 0 and 1 share a verbatim 25-token run (different surroundings,
+    // far below doc-level J>=0.8) -> exactly 25-20+1 = 6 duplicated
+    // windows each; doc 2 shares nothing
+    import spark.implicits._
+    val run = (0 until 25).map(i => s"shared$i").mkString(" ")
+    val a = s"${(0 until 30).map(i => s"apre$i").mkString(" ")} $run"
+    val b = s"$run ${(0 until 30).map(i => s"bpost$i").mkString(" ")}"
+    val c = (0 until 60).map(i => s"cown$i").mkString(" ")
+    val docs = Seq((0L, a), (1L, b), (2L, c))
+      .map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = Files.createTempDirectory("graft-span").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = DedupOps.queries("q_span_dup_rate")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val spanWindows = 25 - DedupOps.SpanLen + 1
+    assert(rows(0L) == (a.split(" ").length - DedupOps.SpanLen + 1, spanWindows))
+    assert(rows(1L) == (b.split(" ").length - DedupOps.SpanLen + 1, spanWindows))
+    assert(rows(2L)._2 == 0L)
+  }
+
   test("planted fixture: near-dup pair found, distinct docs not") {
     import spark.implicits._
     val base = (0 until 40).map(i => s"tok${i * 7 % 13} word$i item${i % 5}").mkString(" ")

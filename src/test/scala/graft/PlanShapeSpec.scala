@@ -148,6 +148,28 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
   }
 
+  test("simhash gate runs inside the band self-join, cap path joins hash-keyed") {
+    // the 512-bit hamming gate must evaluate in the join stage (junk
+    // pairs die before the distinct exchange), and the width-cap
+    // machinery must stay hash-keyed: a cartesian/nested-loop here means
+    // the band key stopped carrying entropy
+    graft.functions.GraftFunctions.register(spark)
+    val docs = graft.operators.DedupOps.docHashes(spark, sf)
+      .withColumn("sig", expr("simhash_sig(hs)"))
+    val df = graft.operators.DedupOps.simhashCandidates(spark, docs)
+    df.collect() // finalize the adaptive plan
+    val p = plan(df)
+    val joinLine = p.linesIterator.find(l =>
+      (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+        l.contains("BroadcastHashJoin")) && l.contains("bit_count"))
+    assert(joinLine.nonEmpty, s"hamming gate not inside the join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"non-hash join in the capped band plan:\n$p")
+    // hot-bucket stats are a partial agg, and the cold side anti-joins them
+    assert(p.contains("partial_"), s"hot-bucket agg not map-side partial:\n$p")
+    assert(p.contains("LeftAnti"), s"cold path lost its anti-join:\n$p")
+  }
+
   test("ledger queries compute the seq_id window exactly once (explode dups)") {
     // LedgerSpec releases its blocks(sf0.001) cache in afterAll; without
     // that, a cache hit would swap an InMemoryRelation into this plan and
