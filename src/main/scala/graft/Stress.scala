@@ -129,7 +129,7 @@ object Stress {
     }
 
     val sb = new StringBuilder
-    sb ++= "# SCALING — measured candidate-growth exponents\n\n"
+    sb ++= "## Measured candidate-growth exponents\n\n"
     sb ++= "Generated by `sbt 'runMain graft.Stress scaling'`. For each\n"
     sb ++= "candidate-generating operator, the table shows the WORK it\n"
     sb ++= "enumerates at each scale factor and the least-squares exponent of\n"
@@ -157,8 +157,21 @@ object Stress {
     sb ++= "r=2 MinHash banding (exponent 1.84 from background J≈0.03-0.05\n"
     sb ++= "pairs leaking through 32·J² band collisions; fixed by r=6, the\n"
     sb ++= "log-n rows-per-band law in MinHashSig's scaladoc).\n"
-    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
-      sb.toString.getBytes("UTF-8"))
+    // splice into the marked section of the curated doc (the rest of
+    // SCALING.md is hand-written design posture — never regenerate it)
+    val path = java.nio.file.Paths.get(outFile)
+    val (begin, end) = ("<!-- scaling:measured:begin -->",
+      "<!-- scaling:measured:end -->")
+    val existing = if (java.nio.file.Files.exists(path))
+      new String(java.nio.file.Files.readAllBytes(path), "UTF-8") else ""
+    val block = s"$begin\n${sb.toString}$end\n"
+    val merged =
+      if (existing.contains(begin) && existing.contains(end))
+        existing.substring(0, existing.indexOf(begin)) + block +
+          existing.substring(existing.indexOf(end) + end.length + 1)
+      else if (existing.nonEmpty) existing.stripTrailing() + "\n\n" + block
+      else block
+    java.nio.file.Files.write(path, merged.getBytes("UTF-8"))
     println(s"wrote $outFile")
     rows.foreach { case (p, counts, slope) =>
       println(f"${p.name}%-24s exp=$slope%.2f counts=${counts.mkString(",")}")

@@ -274,11 +274,15 @@ object DedupOps {
     * native MinHashSig expression in one tight codegen loop (no
     * intermediate arrays), then posexplode just the packed (band, value)
     * pairs — each value packs its band's 6 minima (the packing and
-    * permutation arithmetic live in MinHashSig's scaladoc). */
+    * permutation arithmetic live in MinHashSig's scaladoc). `docs` may
+    * carry a precomputed `msig` column (the query-level cache does, so
+    * the 192-permutation pass runs once, not once per consuming
+    * subtree). */
   private def minhashBands(s: SparkSession, docs: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    docs
-      .select(col("doc_id"), posexplode(expr("minhash_sig(hs)")))
+    (if (docs.columns.contains("msig")) docs
+     else docs.withColumn("msig", expr("minhash_sig(hs)")))
+      .select(col("doc_id"), posexplode(col("msig")))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bv")
   }
@@ -301,8 +305,11 @@ object DedupOps {
   /** Exact-verified near-dup pairs via the MinHash+LSH path — the shared
     * candidate generator for q_text_minhash and the clustering operator. */
   def nearDupPairs(s: SparkSession, d: String): DataFrame = {
-    // persisted: feeds the signature build + both verify joins
-    val docs = graft.Caching.persist(docHashes(s, d))
+    graft.functions.GraftFunctions.register(s)
+    // ONE persisted frame (hash arrays + signature) feeds the band
+    // explode (3 subtrees) and both verify joins
+    val docs = graft.Caching.persist(
+      docHashes(s, d).withColumn("msig", expr("minhash_sig(hs)")))
     verifyPairs(minhashCandidates(s, docs), docs)
   }
 

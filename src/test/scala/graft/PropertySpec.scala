@@ -135,6 +135,32 @@ class PropertySpec extends AnyFunSuite {
         once.count() == df.distinct().count()
     }, n = 5)
   }
+  test("span-dup rate is a well-formed ratio; tfidf ranks are dense and ordered") {
+    // corpus-level invariants on the two round-6 text operators
+    val spans = graft.operators.DedupOps.queries("q_span_dup_rate")(
+      spark, TestSpark.sf0001).collect()
+    assert(spans.nonEmpty)
+    spans.foreach { r =>
+      val (n, dup, rate) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(n > 0 && dup >= 0 && dup <= n, s"span counts broken: $r")
+      assert(rate >= 0.0 && rate <= 1.0, s"rate out of range: $r")
+    }
+    val tfidf = graft.operators.TextOps.queries("q_tfidf_topk")(
+      spark, TestSpark.sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3)))
+    tfidf.groupBy(_._1).foreach { case (doc, rows) =>
+      val rks = rows.map(_._2).sorted.toSeq
+      assert(rks == (1 to rks.max), s"ranks not dense for doc $doc: $rks")
+      // scores non-increasing in rank; equal scores ordered by term
+      rows.sortBy(_._2).sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4 > b._4 || (a._4 == b._4 && a._3 < b._3),
+            s"rank order broken for doc $doc: $a then $b")
+        case _ =>
+      }
+    }
+  }
+
   test("Bpe.encode: lossless concat, count bounds, idempotent merges (property)") {
     import graft.functions.Bpe
     val wordGen = Gen.choose(1, 12).flatMap(n =>
