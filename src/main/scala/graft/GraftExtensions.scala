@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarity, MinHashSig, SimHash64, VectorAvg}
+import graft.functions.{BpeCount, CosineSimilarity, HyperplaneSig,
+  MinHashSig, SimHash64, SimHashSig, VectorAvg}
 
 /** Session-extension entry point: users opt in with
   * `spark.sql.extensions=graft.GraftExtensions` and get the native
@@ -37,5 +38,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (exprs: Seq[Expression]) => SimHash64(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("simhash_sig"),
+      new ExpressionInfo(classOf[SimHashSig].getName, "simhash_sig"),
+      (exprs: Seq[Expression]) => SimHashSig(exprs.head,
+        if (exprs.length > 1) exprs(1).eval(null).asInstanceOf[Int]
+        else SimHashSig.DefaultWords)))
+    ext.injectFunction((
+      FunctionIdentifier("hyperplane_sig"),
+      new ExpressionInfo(classOf[HyperplaneSig].getName, "hyperplane_sig"),
+      (exprs: Seq[Expression]) => HyperplaneSig(exprs.head,
+        exprs(1).eval(null).asInstanceOf[Int],
+        exprs(2).eval(null).asInstanceOf[Int])))
+    ext.injectFunction((
+      FunctionIdentifier("bpe_count"),
+      new ExpressionInfo(classOf[BpeCount].getName, "bpe_count"),
+      (exprs: Seq[Expression]) => BpeCount(exprs.head)))
   }
 }
