@@ -29,7 +29,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
-      (exprs: Seq[Expression]) => MinHashSig(exprs.head)))
+      (exprs: Seq[Expression]) => MinHashSig(exprs.head,
+        if (exprs.length > 1) exprs(1).eval(null).asInstanceOf[Int]
+        else MinHashSig.DefaultRows,
+        if (exprs.length > 2) exprs(2).eval(null).asInstanceOf[Int]
+        else MinHashSig.DefaultBands)))
     ext.injectFunction((
       FunctionIdentifier("vector_avg"),
       new ExpressionInfo(classOf[VectorAvg].getName, "vector_avg"),

@@ -85,6 +85,11 @@ object Stress {
     val outFile = if (args.length > 1) args(1) else "SCALING.md"
     val sfs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
       "/root/testdata/sf0.1").filter(p => new java.io.File(p).isDirectory)
+    // an exponent needs at least two scale points; with one the slope
+    // divides by zero and every row would read NaN — which the verdict
+    // rule's `> 1.3` silently never flags. Fail loudly instead.
+    require(sfs.size >= 2,
+      s"scaling needs >= 2 sf directories under /root/testdata, found $sfs")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -166,9 +171,13 @@ object Stress {
       new String(java.nio.file.Files.readAllBytes(path), "UTF-8") else ""
     val block = s"$begin\n${sb.toString}$end\n"
     val merged =
-      if (existing.contains(begin) && existing.contains(end))
+      if (existing.contains(begin) && existing.contains(end)) {
+        // keep everything after the end marker verbatim (however the
+        // curated doc is formatted), trimming only one leading newline
+        val after = existing.substring(existing.indexOf(end) + end.length)
         existing.substring(0, existing.indexOf(begin)) + block +
-          existing.substring(existing.indexOf(end) + end.length + 1)
+          after.stripPrefix("\n")
+      }
       else if (existing.nonEmpty) existing.stripTrailing() + "\n\n" + block
       else block
     java.nio.file.Files.write(path, merged.getBytes("UTF-8"))

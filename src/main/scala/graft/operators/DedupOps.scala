@@ -259,14 +259,23 @@ object DedupOps {
     val hot = bands.groupBy("band", "bv")
       .agg(count(lit(1)).as("bw"), min("doc_id").as("rep"))
       .filter(col("bw") > cap)
+      .select("band", "bv", "rep")
     val cold = bands.join(hot.select("band", "bv"), Seq("band", "bv"), "left_anti")
     val coldPairs = cold.as("x").join(cold.as("y"),
         col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
           col("x.doc_id") < col("y.doc_id") && pairGate)
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-    val hotPairs = bands.join(hot, Seq("band", "bv"))
-      .filter(col("doc_id") > col("rep"))
-      .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
+    // star pairs are an x (bucket rep) / y (member) join so the SAME
+    // pairGate prunes them in-join: at natural-width ≈ cap a hot bucket
+    // is mostly random colliders, exactly the rows the gate exists to
+    // kill before the distinct exchange and the verify join
+    val hotMembers = bands.join(hot, Seq("band", "bv"))
+    val hotX = hotMembers.filter(col("doc_id") === col("rep")).drop("rep")
+    val hotY = hotMembers.filter(col("doc_id") > col("rep")).drop("rep")
+    val hotPairs = hotX.as("x").join(hotY.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          pairGate)
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
     coldPairs.union(hotPairs).distinct()
   }
 

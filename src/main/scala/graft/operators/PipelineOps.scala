@@ -390,10 +390,13 @@ object PipelineOps {
     "q_lm_score" -> qLmScore,
   )
 
+  /** Shared shingle CTE — MUST mirror DedupOps.shingles exactly,
+    * including the DocTokenCap prefix slice (the Spark side of
+    * q_text_boilerplate and q_pipeline_e2e shingles through DedupOps). */
   private val shingleCte =
-    """WITH toks AS (
-      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'),
-      |                             x -> x <> '') AS t
+    s"""WITH toks AS (
+      |  SELECT doc_id, (list_filter(string_split_regex(lower(text), '\\W+'),
+      |                             x -> x <> ''))[:${DedupOps.DocTokenCap}] AS t
       |  FROM documents),
       |sh AS (
       |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle

@@ -44,10 +44,13 @@ object NearDupStream {
     * parity spec compares the two pair sets verbatim. */
   def shingleHashes(toks: Column): Column = {
     val cap = graft.operators.DedupOps.DocTokenCap
+    // least(size, cap) gives the prefix bound with zero allocation —
+    // slicing would copy an up-to-20k-element array per arriving doc
+    // just to measure it; the transform below never reads past the bound
     val grams = expr(
-      s"""CASE WHEN size(slice(toks, 1, $cap)) >= 3
+      s"""CASE WHEN least(size(toks), $cap) >= 3
         |  THEN array_distinct(transform(
-        |         sequence(0, size(slice(toks, 1, $cap))-3),
+        |         sequence(0, least(size(toks), $cap)-3),
         |         i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))
         |  ELSE array() END""".stripMargin)
     transform(grams, sh => xxhash64(sh))
@@ -121,13 +124,18 @@ object NearDupStream {
       .withColumn("jaccard", col("inter").cast("double") /
         (size(col("x_hs")) + size(col("y_hs")) - col("inter")))
       .filter(col("jaccard") >= 0.8)
+      // ts = the pair's COMPLETION time (later member's arrival): both
+      // orientations compute the same value, so the row surviving the
+      // dedup is deterministic — x_ts alone would report whichever
+      // orientation happened to win. ts_wm (= x_ts) keeps its event-time
+      // tag through the join for the watermark dedup (chained stateful
+      // operators propagate the watermark; re-declaring it is disallowed)
       .select(least(col("x_id"), col("y_id")).as("doc_a"),
         greatest(col("x_id"), col("y_id")).as("doc_b"),
-        col("jaccard"), col("x_ts").as("ts"))
-      // no re-watermark: ts (= x_ts) keeps its event-time tag through the
-      // join, and chained stateful operators propagate the watermark —
-      // redefining it mid-query is disallowed
+        col("jaccard"), greatest(col("x_ts"), col("y_ts")).as("ts"),
+        col("x_ts").as("ts_wm"))
       .dropDuplicatesWithinWatermark("doc_a", "doc_b")
+      .drop("ts_wm")
   }
 
   /** Stream-static near-dup: verified (doc_a, doc_b, jaccard) pairs for

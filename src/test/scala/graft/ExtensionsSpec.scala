@@ -25,6 +25,31 @@ class ExtensionsSpec extends AnyFunSuite {
       "simhash_sig", "hyperplane_sig", "bpe_count"))
   }
 
+  test("injected builders honor optional width arguments (full arity)") {
+    // name-set equality alone let a builder-arity divergence ship once:
+    // the extension's minhash_sig dropped its optional (rows, bands)
+    // arguments while the registrar honored them — signatures silently
+    // differed between config-time and imperative sessions. Evaluate the
+    // INJECTED builders directly at max arity.
+    import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types._
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    val f = classOf[SparkSessionExtensions].getDeclaredField("injectedFunctions")
+    f.setAccessible(true)
+    val builders = f.get(ext).asInstanceOf[scala.collection.mutable.Buffer[
+        (FunctionIdentifier, _, Seq[Expression] => Expression)]]
+      .map(t => t._1.funcName -> t._3).toMap
+    val hs = Literal.create(Seq(7L, 11L, 13L), ArrayType(LongType))
+    val mh = builders("minhash_sig")(Seq(hs, Literal(2), Literal(16)))
+      .eval(null).asInstanceOf[ArrayData]
+    assert(mh.numElements() == 16, "minhash_sig dropped its bands argument")
+    val sh = builders("simhash_sig")(Seq(hs, Literal(13)))
+      .eval(null).asInstanceOf[ArrayData]
+    assert(sh.numElements() == 13, "simhash_sig dropped its width argument")
+  }
+
   test("injected builders bind and evaluate") {
     val spark = TestSpark.spark
     graft.functions.GraftFunctions.register(spark)
