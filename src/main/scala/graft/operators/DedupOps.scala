@@ -392,6 +392,33 @@ object DedupOps {
     verifyPairs(simhashCandidates(s, docs), docs)
   }
 
+  /** The dedup ACTION a curation pipeline actually executes: for every
+    * doc in a near-dup cluster, decide keep (the cluster's best member)
+    * or drop. "Best" = longest (n_chars), smaller doc_id on ties — the
+    * keep-longest rule corpus dedup commonly applies, and both criteria
+    * are deterministic columns so the decision is reproducible across
+    * engines and retries. Docs outside any cluster never appear (they are
+    * trivially kept; emitting per-cluster rows keeps the output
+    * O(duplicates), not O(corpus)). Plan: the verified pair graph +
+    * connected components (same subplan as q_dedup_cluster), one
+    * broadcast-sized join to doc metadata, and two windows over the SAME
+    * (label) partitioning — one sort, no extra exchange. */
+  private val qDedupKeepBest: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val labels = GraphOps.connectedComponents(
+      s, nearDupPairs(s, d).select("doc_a", "doc_b"))
+    val byCluster = Window.partitionBy("label")
+    val best = Window.partitionBy("label")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    labels
+      .join(Tables.documents(s, d).select("doc_id", "n_chars"),
+        labels("vertex_id") === col("doc_id"))
+      .select(col("doc_id"), col("label").as("rep_id"),
+        count(lit(1)).over(byCluster).as("cluster_size"),
+        (row_number().over(best) === 1).cast("int").as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** Repeated-span window length (tokens). 20 tokens ≈ the 50-token
     * spans substring-dedup work uses, scaled to this corpus's ~100-token
     * documents; one constant feeds the Spark side AND the oracle SQL. */
@@ -433,6 +460,7 @@ object DedupOps {
     "q_text_minhash" -> qTextMinhash,
     "q_text_simhash" -> qTextSimhash,
     "q_dedup_cluster" -> qDedupCluster,
+    "q_dedup_keep_best" -> qDedupKeepBest,
     "q_span_dup_rate" -> qSpanDupRate,
   )
 
@@ -460,9 +488,11 @@ object DedupOps {
       |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
       |ORDER BY doc_a, doc_b""".stripMargin
 
-  /** Connected components over the exact pair graph via a recursive CTE
-    * (transitive closure, then min-reachable label per vertex). */
-  private val clusterSql =
+  /** Shared recursive-CTE prefix: exact pair graph → transitive closure →
+    * min-reachable component label per clustered doc. Feeds both the
+    * cluster rollup (q_dedup_cluster) and the keep-best selection
+    * (q_dedup_keep_best). */
+  private val clusterLabelsCte =
     s"""WITH RECURSIVE toks AS (
       |  SELECT doc_id, (list_filter(string_split_regex(lower(text), '\\W+'),
       |                             x -> x <> ''))[:$DocTokenCap] AS t
@@ -487,11 +517,30 @@ object DedupOps {
       |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
       |  UNION
       |  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.v),
-      |labels AS (SELECT u AS doc_id, min(r) AS label FROM reach GROUP BY 1)
+      |labels AS (SELECT u AS doc_id, min(r) AS label FROM reach GROUP BY 1)""".stripMargin
+
+  /** Connected components over the exact pair graph via a recursive CTE
+    * (transitive closure, then min-reachable label per vertex). */
+  private val clusterSql =
+    s"""$clusterLabelsCte
       |SELECT label AS rep_id,
       |       CAST(count(*) AS BIGINT) AS cluster_size,
       |       CAST(sum(doc_id - label) AS BIGINT) AS id_span
       |FROM labels GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Keep-best mirror: same labels, longest doc (n_chars, then smaller
+    * doc_id) wins its cluster. */
+  private val keepBestSql =
+    s"""$clusterLabelsCte
+      |SELECT l.doc_id, l.label AS rep_id,
+      |       CAST(count(*) OVER (PARTITION BY l.label) AS BIGINT)
+      |         AS cluster_size,
+      |       CAST(CASE WHEN row_number() OVER (
+      |              PARTITION BY l.label
+      |              ORDER BY d.n_chars DESC, l.doc_id) = 1
+      |            THEN 1 ELSE 0 END AS INT) AS keep
+      |FROM labels l JOIN documents d ON l.doc_id = d.doc_id
+      |ORDER BY l.doc_id""".stripMargin
 
   /** The df-capped ground truth — mirrors qNgramJaccard exactly: pairing
     * is restricted to shingles with 2 <= df <= max(floor, frac·nDocs);
@@ -555,6 +604,7 @@ object DedupOps {
     "q_text_minhash" -> exactPairsSql,
     "q_text_simhash" -> exactPairsSql,
     "q_dedup_cluster" -> clusterSql,
+    "q_dedup_keep_best" -> keepBestSql,
     "q_span_dup_rate" -> spanDupSql,
   )
 }

@@ -270,7 +270,73 @@ object TextOps {
       .orderBy("doc_id", "rk")
   }
 
+  /** RAG-style chunking: fixed token windows with overlap. Window j of a
+    * doc covers tokens [j·stride+1, j·stride+size]; the last window may be
+    * short, and every token lands in at least one window (stride < size).
+    * Output carries the chunk TEXT (chunks are what an embedding or
+    * indexing stage consumes next), plus (start_tok, n_tok) so a consumer
+    * can map back into the source. Pure per-row projection + explode —
+    * zero shuffles at any corpus size, and chunk rows are window-bounded
+    * however large the source doc (chunking is the jumbo-row REMEDY, so
+    * unlike the dedup family it deliberately reads past DocTokenCap). */
+  val ChunkSize = 64
+  val ChunkStride = 48
+
+  private val qChunk: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), TextRules.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 1)
+      .select(col("doc_id"), col("toks"),
+        explode(expr(s"sequence(0L, (size(toks)-1) div $ChunkStride)")).as("j"))
+      .select(col("doc_id"),
+        (col("j") + 1).cast("int").as("chunk_id"),
+        (col("j") * ChunkStride + 1).cast("int").as("start_tok"),
+        least(lit(ChunkSize), size(col("toks")) - col("j") * ChunkStride)
+          .cast("int").as("n_tok"),
+        concat_ws(" ",
+          slice(col("toks"), col("j") * ChunkStride + 1, lit(ChunkSize)))
+          .as("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+
+  /** Exact corpus heavy hitters over token BIGRAMS, computed the way a
+    * billion-key domain demands: pass 1 runs the mergeable Misra-Gries
+    * summary ([[graft.functions.MisraGriesAgg]]) — at most MgSummarySize
+    * entries shuffle per map task, whatever the key cardinality — and
+    * pass 2 exact-counts ONLY the candidate set. The threshold
+    * ceil(n/(k+1)) + 1 strictly exceeds the sketch's n/(k+1) miss bound,
+    * so the candidate set provably contains every qualifying term and the
+    * OUTPUT is exact: all bigrams with count >= threshold. A plain
+    * groupBy would be correct here too — the point is the shuffle shape
+    * when distinct terms outnumber what a hash aggregate should carry
+    * (URLs, n-grams, session keys at 100 TB). */
+  val MgSummarySize = 1024
+
+  private val qHeavyHitters: Q = (s, d) => {
+    import s.implicits._
+    val bigrams = graft.Caching.persist(
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextRules.tokens(col("text")).as("t"))
+        .select(explode(expr(
+          """CASE WHEN size(t) >= 2
+            |  THEN transform(sequence(0, size(t)-2),
+            |         i -> concat(t[i], ' ', t[i+1]))
+            |  ELSE array() END""".stripMargin)).as("term")))
+    val n = bigrams.count()
+    val threshold = n / (MgSummarySize + 1) + 1 // = ceil-exceeding bound
+    val cand = bigrams.as[String]
+      .select(new graft.functions.MisraGriesAgg(MgSummarySize).toColumn)
+      .head().m.keys.toSeq
+    val inCand = if (cand.isEmpty) lit(false) else col("term").isInCollection(cand)
+    bigrams
+      .filter(inCand)
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= threshold)
+      .orderBy(col("cnt").desc, col("term"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_chunk" -> qChunk,
+    "q_heavy_hitters" -> qHeavyHitters,
     "q_tfidf_topk" -> qTfidfTopk,
     "q_token_count" -> qTokenCount,
     "q_bpe_count" -> qBpeCount,
@@ -301,6 +367,38 @@ object TextOps {
       .mkString(s"CASE $pairExpr ", " ", " ELSE NULL END")
 
   val oracles: Map[String, String] = Map(
+    "q_chunk" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\W+'),
+        |                             x -> x <> '') AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, t,
+        |         unnest(range(0, (len(t)-1) // $ChunkStride + 1)) AS j
+        |  FROM toks WHERE len(t) >= 1)
+        |SELECT doc_id,
+        |       CAST(j + 1 AS INT) AS chunk_id,
+        |       CAST(j * $ChunkStride + 1 AS INT) AS start_tok,
+        |       CAST(least($ChunkSize, len(t) - j * $ChunkStride) AS INT) AS n_tok,
+        |       array_to_string(
+        |         t[j * $ChunkStride + 1 : j * $ChunkStride + $ChunkSize],
+        |         ' ') AS chunk_text
+        |FROM g ORDER BY doc_id, chunk_id""".stripMargin,
+    "q_heavy_hitters" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\W+'),
+        |                             x -> x <> '') AS t
+        |  FROM documents),
+        |bg AS (
+        |  SELECT t[i] || ' ' || t[i+1] AS term
+        |  FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i) g
+        |  WHERE len(t) >= 2),
+        |n AS (SELECT count(*) AS n FROM bg),
+        |cnts AS (SELECT term, count(*) AS cnt FROM bg GROUP BY 1)
+        |SELECT term, CAST(cnt AS BIGINT) AS cnt
+        |FROM cnts, n
+        |WHERE cnt >= n.n // ${MgSummarySize + 1} + 1
+        |ORDER BY cnt DESC, term""".stripMargin,
     // replays Bpe.encode's contract per recursion step: merge the
     // LEFTMOST occurrence (list_position finds the first) of the
     // LOWEST-priority applicable pair (list_min over the prio lookups),

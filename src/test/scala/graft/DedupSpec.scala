@@ -197,4 +197,28 @@ class DedupSpec extends AnyFunSuite {
     val foundSim = pairs("q_text_simhash", dir)
     assert(foundSim == Set((0L, 1L)))
   }
+
+  test("keep-best: longest cluster member kept, singletons absent") {
+    import spark.implicits._
+    val base = (0 until 40).map(i => s"tok${i * 7 % 13} word$i item${i % 5}").mkString(" ")
+    val nearDup = base.replace("word3 ", "changed3 ")
+    val longer = base + " extra trailing tokens here"
+    val other = (0 until 40).map(i => s"zeta${i * 11 % 17} gamma$i").mkString(" ")
+    // cluster {0,1,2}: doc 2 is the longest (n_chars) and must win; doc 3
+    // has no near-dup and must not appear in the output at all
+    val docs = Seq(
+      (0L, base, "en", "src0", base.length.toLong),
+      (1L, nearDup, "en", "src0", nearDup.length.toLong),
+      (2L, longer, "en", "src0", longer.length.toLong),
+      (3L, other, "en", "src0", other.length.toLong),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = Files.createTempDirectory("graft-keepbest").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = DedupOps.queries("q_dedup_keep_best")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(rows.map(_._1).toSet == Set(0L, 1L, 2L), s"got ${rows.toSeq}")
+    assert(rows.forall(r => r._2 == 0L && r._3 == 3L)) // rep = min id, size 3
+    assert(rows.collect { case (id, _, _, 1) => id }.toSeq == Seq(2L),
+      "keep flag must mark exactly the longest member")
+  }
 }
