@@ -77,7 +77,13 @@ object DedupOps {
     * first; hash-partitioning by doc_id also satisfies docHashes'
     * groupBy, so Catalyst inserts no further exchange. */
   def shingles(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    shinglesOf(s, Tables.documents(s, d))
+
+  /** shingles over an arbitrary documents-shaped frame (doc_id, text) —
+    * the cross-corpus operator feeds two different slices through the
+    * same definition. */
+  def shinglesOf(s: SparkSession, docs: DataFrame): DataFrame =
+    docs
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), TextRules.tokens(col("text")).as("all_toks"))
       .select(col("doc_id"),
@@ -93,7 +99,11 @@ object DedupOps {
   /** Per-doc shingle-hash sets: (doc_id, hs: array<bigint>, n,
     * truncated). |hs| <= DocTokenCap - 2 by construction. */
   def docHashes(s: SparkSession, d: String): DataFrame =
-    shingles(s, d)
+    docHashesOf(s, Tables.documents(s, d))
+
+  /** docHashes over an arbitrary documents-shaped frame. */
+  def docHashesOf(s: SparkSession, docs: DataFrame): DataFrame =
+    shinglesOf(s, docs)
       .select(col("doc_id"), col("truncated"), xxhash64(col("shingle")).as("h"))
       .groupBy("doc_id")
       .agg(collect_list("h").as("hs"), count(lit(1)).as("n"),
@@ -392,6 +402,70 @@ object DedupOps {
     verifyPairs(simhashCandidates(s, docs), docs)
   }
 
+  /** Cross-corpus near-dup: for each INCOMING doc, the best (highest
+    * Jaccard, then smallest id) corpus match with J >= 0.8, if any — the
+    * batch twin of NearDupStream.nearDupAgainstCorpus, and the shape of
+    * "dedup this crawl against the existing corpus" at ingestion time.
+    *
+    * Topology for |corpus| >> |incoming| (the production regime): both
+    * sides band via the same native MinHash signature; the CORPUS band
+    * side is width-capped per (band, value) — a flooded bucket keeps only
+    * its min-doc_id representative, so candidates are <= 32·|incoming
+    * bands|·cap, linear in the batch whatever the corpus's bucket
+    * distribution (a hot bucket means near-identical corpus members: ANY
+    * representative answers "is this a duplicate", which is the output
+    * contract). The candidate join shuffles 16-byte band keys, never
+    * text; verification joins co-partition by doc id. In production the
+    * corpus band table and hash arrays are the published index
+    * (NearDupStream's static side) — here they are built in-query so the
+    * operator is self-contained. */
+  def crossDedupBest(s: SparkSession, incoming: DataFrame, corpus: DataFrame,
+      cap: Long = LshBucketCap): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(s)
+    val inDocs = graft.Caching.persist(
+      docHashesOf(s, incoming).withColumn("msig", expr("minhash_sig(hs)")))
+    val corpDocs = graft.Caching.persist(
+      docHashesOf(s, corpus).withColumn("msig", expr("minhash_sig(hs)")))
+    val inBands = minhashBands(s, inDocs).withColumnRenamed("doc_id", "in_id")
+    val corpBands = minhashBands(s, corpDocs)
+    val hot = corpBands.groupBy("band", "bv")
+      .agg(count(lit(1)).as("bw"), min("doc_id").as("rep"))
+      .filter(col("bw") > cap)
+    val cold = corpBands.join(hot.select("band", "bv"), Seq("band", "bv"), "left_anti")
+    val capped = cold.union(hot.select(col("band"), col("bv"), col("rep").as("doc_id")))
+    val cand = inBands.join(capped, Seq("band", "bv"))
+      .select(col("in_id"), col("doc_id").as("corp_id")).distinct()
+    val verified = cand
+      .join(inDocs.select(col("doc_id").as("in_id"), col("hs").as("hs_a"),
+        col("n").as("na")), "in_id")
+      .join(corpDocs.select(col("doc_id").as("corp_id"), col("hs").as("hs_b"),
+        col("n").as("nb")), "corp_id")
+      .withColumn("inter",
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
+      .select(col("in_id"), col("corp_id"),
+        (col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+    val best = Window.partitionBy("in_id")
+      .orderBy(col("jaccard").desc, col("corp_id"))
+    verified
+      .withColumn("rk", row_number().over(best)).filter(col("rk") === 1)
+      .select(col("in_id").as("doc_id"), col("corp_id").as("match_id"),
+        col("jaccard"))
+      .orderBy("doc_id")
+  }
+
+  /** Registered form: odd doc_ids are the "incoming batch", even the
+    * "existing corpus" — a deterministic split that crosses the planted
+    * duplicate pairs. */
+  private val qCrossDedup: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    crossDedupBest(s,
+      docs.filter(col("doc_id") % 2 === 1),
+      docs.filter(col("doc_id") % 2 === 0))
+  }
+
   /** The dedup ACTION a curation pipeline actually executes: for every
     * doc in a near-dup cluster, decide keep (the cluster's best member)
     * or drop. "Best" = longest (n_chars), smaller doc_id on ties — the
@@ -461,6 +535,7 @@ object DedupOps {
     "q_text_simhash" -> qTextSimhash,
     "q_dedup_cluster" -> qDedupCluster,
     "q_dedup_keep_best" -> qDedupKeepBest,
+    "q_cross_dedup" -> qCrossDedup,
     "q_span_dup_rate" -> qSpanDupRate,
   )
 
@@ -578,6 +653,35 @@ object DedupOps {
       |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Cross-dedup oracle: exact Jaccard between the odd (incoming) and
+    * even (corpus) halves, best match per incoming doc. */
+  private val crossDedupSql =
+    s"""WITH toks AS (
+      |  SELECT doc_id, (list_filter(string_split_regex(lower(text), '\\W+'),
+      |                             x -> x <> ''))[:$DocTokenCap] AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      |  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) g),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.doc_id AS in_id, b.doc_id AS corp_id, count(*) AS inter
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+      |  WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+      |  GROUP BY 1, 2),
+      |j AS (
+      |  SELECT in_id, corp_id,
+      |         CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+      |  FROM pairs
+      |  JOIN sizes sa ON in_id = sa.doc_id
+      |  JOIN sizes sb ON corp_id = sb.doc_id
+      |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8)
+      |SELECT in_id AS doc_id, corp_id AS match_id, jaccard
+      |FROM j
+      |QUALIFY row_number() OVER (PARTITION BY in_id
+      |                           ORDER BY jaccard DESC, corp_id) = 1
+      |ORDER BY doc_id""".stripMargin
+
   /** Span-dup oracle: same windows by STRING (no cross-engine hashing —
     * DuckDB groups the window text itself; xxhash64 only exists on the
     * Spark side as a shuffle-size optimization). */
@@ -605,6 +709,7 @@ object DedupOps {
     "q_text_simhash" -> exactPairsSql,
     "q_dedup_cluster" -> clusterSql,
     "q_dedup_keep_best" -> keepBestSql,
+    "q_cross_dedup" -> crossDedupSql,
     "q_span_dup_rate" -> spanDupSql,
   )
 }

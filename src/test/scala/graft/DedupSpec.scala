@@ -198,6 +198,53 @@ class DedupSpec extends AnyFunSuite {
     assert(foundSim == Set((0L, 1L)))
   }
 
+  test("cross-dedup: incoming near-dup matched to its corpus twin only") {
+    import spark.implicits._
+    val base = (0 until 40).map(i => s"tok${i * 7 % 13} word$i item${i % 5}").mkString(" ")
+    val nearDup = base.replace("word3 ", "changed3 ")
+    val other = (0 until 40).map(i => s"zeta${i * 11 % 17} gamma$i").mkString(" ")
+    // corpus = even ids {0, 2}; incoming = odd ids {1, 3}; only doc 1 has
+    // a corpus twin (doc 0)
+    val docs = Seq(
+      (0L, base, "en", "src0", base.length.toLong),
+      (1L, nearDup, "en", "src0", nearDup.length.toLong),
+      (2L, other, "en", "src0", other.length.toLong),
+      (3L, "fully unrelated text tokens qqq www eee", "en", "src0", 40L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = Files.createTempDirectory("graft-cross").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = DedupOps.queries("q_cross_dedup")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.toSeq == Seq((1L, 0L)), s"got ${rows.toSeq}")
+  }
+
+  test("cross-dedup corpus-side cap: flooded bucket still answers via its rep") {
+    import spark.implicits._
+    // corpus = 60 near-identical docs (even ids 0..118); incoming doc 121
+    // is a near-dup of the cluster. With cap = 10 the flooded corpus
+    // buckets keep only their min-id representative — the incoming doc
+    // must still be flagged, matched to a cluster member.
+    val base = (0 until 45).map(i => s"base${i * 3 % 31} tk$i").mkString(" ")
+    val corpus = (0 until 60).map { i =>
+      val id = 2L * i
+      val text = s"$base uniq${i}a uniq${i}b"
+      (id, text, "en", "src0", text.length.toLong)
+    }
+    val incoming = Seq((121L, s"$base inc0a inc0b", "en", "src0", 100L))
+    val docs = (corpus ++ incoming)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = Files.createTempDirectory("graft-crossflood").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val all = Tables.documents(spark, dir)
+    val res = DedupOps.crossDedupBest(spark,
+        all.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 1),
+        all.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 0),
+        cap = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(res.length == 1 && res.head._1 == 121L, s"got ${res.toSeq}")
+    assert(res.head._2 % 2 == 0, "match must come from the corpus side")
+  }
+
   test("keep-best: longest cluster member kept, singletons absent") {
     import spark.implicits._
     val base = (0 until 40).map(i => s"tok${i * 7 % 13} word$i item${i % 5}").mkString(" ")
