@@ -112,6 +112,14 @@ object Stress {
       Probe("simhash_nibble_RETIRED",
         "CONTRAST ROW: r5 nibble-band blocking, raw enumeration — the ~2 exponent this instrument exists to catch",
         (s, d) => nibbleCandidates(s, DedupOps.docHashes(s, d))),
+      Probe("cross_dedup_candidates",
+        "incoming-vs-corpus band-join candidates, corpus side width-capped (q_cross_dedup) — must stay linear in the incoming batch",
+        (s, d) => {
+          val all = Tables.documents(s, d)
+          DedupOps.crossDedupCandidates(s,
+            DedupOps.docHashesOf(s, all.filter(col("doc_id") % 2 === 1)),
+            DedupOps.docHashesOf(s, all.filter(col("doc_id") % 2 === 0))).count()
+        }),
       Probe("ann_lsh_candidates",
         "hyperplane-bucket join candidates for 10 queries, pre-top-k (q_ann_lsh)",
         annLshCandidates),

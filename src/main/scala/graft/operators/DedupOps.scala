@@ -419,6 +419,22 @@ object DedupOps {
     * corpus band table and hash arrays are the published index
     * (NearDupStream's static side) — here they are built in-query so the
     * operator is self-contained. */
+  /** Candidate (in_id, corp_id) pairs of the cross-corpus band join with
+    * the corpus-side width cap — exposed for the scaling instrument. The
+    * two doc frames must already carry (doc_id, hs[, msig]). */
+  private[graft] def crossDedupCandidates(s: SparkSession, inDocs: DataFrame,
+      corpDocs: DataFrame, cap: Long = LshBucketCap): DataFrame = {
+    val inBands = minhashBands(s, inDocs).withColumnRenamed("doc_id", "in_id")
+    val corpBands = minhashBands(s, corpDocs)
+    val hot = corpBands.groupBy("band", "bv")
+      .agg(count(lit(1)).as("bw"), min("doc_id").as("rep"))
+      .filter(col("bw") > cap)
+    val cold = corpBands.join(hot.select("band", "bv"), Seq("band", "bv"), "left_anti")
+    val capped = cold.union(hot.select(col("band"), col("bv"), col("rep").as("doc_id")))
+    inBands.join(capped, Seq("band", "bv"))
+      .select(col("in_id"), col("doc_id").as("corp_id")).distinct()
+  }
+
   def crossDedupBest(s: SparkSession, incoming: DataFrame, corpus: DataFrame,
       cap: Long = LshBucketCap): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -427,16 +443,7 @@ object DedupOps {
       docHashesOf(s, incoming).withColumn("msig", expr("minhash_sig(hs)")))
     val corpDocs = graft.Caching.persist(
       docHashesOf(s, corpus).withColumn("msig", expr("minhash_sig(hs)")))
-    val inBands = minhashBands(s, inDocs).withColumnRenamed("doc_id", "in_id")
-    val corpBands = minhashBands(s, corpDocs)
-    val hot = corpBands.groupBy("band", "bv")
-      .agg(count(lit(1)).as("bw"), min("doc_id").as("rep"))
-      .filter(col("bw") > cap)
-    val cold = corpBands.join(hot.select("band", "bv"), Seq("band", "bv"), "left_anti")
-    val capped = cold.union(hot.select(col("band"), col("bv"), col("rep").as("doc_id")))
-    val cand = inBands.join(capped, Seq("band", "bv"))
-      .select(col("in_id"), col("doc_id").as("corp_id")).distinct()
-    val verified = cand
+    val verified = crossDedupCandidates(s, inDocs, corpDocs, cap)
       .join(inDocs.select(col("doc_id").as("in_id"), col("hs").as("hs_a"),
         col("n").as("na")), "in_id")
       .join(corpDocs.select(col("doc_id").as("corp_id"), col("hs").as("hs_b"),

@@ -285,9 +285,16 @@ object TextOps {
   private val qChunk: Q = (s, d) =>
     Tables.documents(s, d)
       .select(col("doc_id"), TextRules.tokens(col("text")).as("toks"))
-      .filter(size(col("toks")) >= 1)
+      // the empty-doc guard lives INSIDE the explode expression (empty
+      // array → zero rows): a separate filter(size >= 1) would evaluate
+      // the tokenizer a second time, once in the Filter and once in the
+      // Project ((size-1) div stride is 0 for size 0, not -1 — integer
+      // division truncates toward zero — so the guard is load-bearing)
       .select(col("doc_id"), col("toks"),
-        explode(expr(s"sequence(0L, (size(toks)-1) div $ChunkStride)")).as("j"))
+        explode(expr(
+          s"""CASE WHEN size(toks) >= 1
+             |  THEN sequence(0L, (size(toks)-1) div $ChunkStride)
+             |  ELSE array() END""".stripMargin)).as("j"))
       .select(col("doc_id"),
         (col("j") + 1).cast("int").as("chunk_id"),
         (col("j") * ChunkStride + 1).cast("int").as("start_tok"),

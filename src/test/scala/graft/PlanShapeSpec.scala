@@ -170,6 +170,34 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("LeftAnti"), s"cold path lost its anti-join:\n$p")
   }
 
+  test("chunking is shuffle-free up to its output ordering") {
+    val df = operators.TextOps.queries("q_chunk")(spark, sf)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==")(0)
+    // exactly one exchange: the range partitioning of the final orderBy
+    // (part of the output contract); the chunk computation itself is a
+    // pure projection + explode on the scan
+    val exchanges = "Exchange [a-z]+partitioning".r.findAllIn(p).toSeq
+    assert(exchanges.length == 1 && exchanges.head.contains("rangepartitioning"),
+      s"chunking should shuffle only for the final sort:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("HashAggregate"),
+      s"chunking must not join or aggregate:\n$p")
+  }
+
+  test("heavy-hitters exact pass filters candidates BEFORE aggregating") {
+    // the second pass must scan-filter on the MG candidate set and only
+    // then aggregate — aggregating the full term domain first would be
+    // exactly the full-cardinality shuffle the sketch exists to avoid
+    val df = operators.TextOps.queries("q_heavy_hitters")(spark, sf)
+    df.collect()
+    val p = plan(df)
+    val aggIdx = p.indexOf("HashAggregate")
+    assert(aggIdx >= 0, s"no aggregation in exact pass:\n$p")
+    val below = p.substring(aggIdx)
+    assert(below.contains("INSET") || below.contains(" IN ("),
+      s"candidate filter not below the aggregation:\n$p")
+  }
+
   test("ledger queries compute the seq_id window exactly once (explode dups)") {
     // LedgerSpec releases its blocks(sf0.001) cache in afterAll; without
     // that, a cache hit would swap an InMemoryRelation into this plan and
