@@ -111,7 +111,11 @@ object DedupOps {
 
   /** Exact-Jaccard verification of candidate (doc_a, doc_b) pairs against
     * the per-doc hash sets; xxhash64 collisions are negligible (~1e-19/pair)
-    * so hash-set intersection == shingle-set intersection. */
+    * so hash-set intersection == shingle-set intersection. UNORDERED —
+    * most consumers (clustering, keep-best, the e2e funnel) feed the
+    * pairs straight into joins or aggregations, and a range-exchange sort
+    * here would be torn down immediately; the pair QUERIES apply their
+    * output ordering themselves. */
   private[graft] def verifyPairs(cand: DataFrame, docs: DataFrame): DataFrame =
     cand
       .join(docs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"),
@@ -124,7 +128,6 @@ object DedupOps {
         (col("inter").cast("double") /
           (col("na") + col("nb") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= 0.8)
-      .orderBy("doc_a", "doc_b")
 
   /** Shingle document-frequency cap for pair generation (CCNet-style
     * hot-shingle guard): a boilerplate shingle present in df documents
@@ -332,7 +335,8 @@ object DedupOps {
     verifyPairs(minhashCandidates(s, docs), docs)
   }
 
-  private val qTextMinhash: Q = (s, d) => nearDupPairs(s, d)
+  private val qTextMinhash: Q = (s, d) =>
+    nearDupPairs(s, d).orderBy("doc_a", "doc_b")
 
   /** Near-dup CLUSTERS: connected components over the verified pair graph,
     * labeling every member with the minimum doc_id of its component (the
@@ -399,7 +403,7 @@ object DedupOps {
     // explode, both hamming-gate joins and both verify joins
     val docs = graft.Caching.persist(
       docHashes(s, d).withColumn("sig", expr("simhash_sig(hs)")))
-    verifyPairs(simhashCandidates(s, docs), docs)
+    verifyPairs(simhashCandidates(s, docs), docs).orderBy("doc_a", "doc_b")
   }
 
   /** Cross-corpus near-dup: for each INCOMING doc, the best (highest
