@@ -282,14 +282,16 @@ object TextOps {
   val ChunkSize = 64
   val ChunkStride = 48
 
-  private val qChunk: Q = (s, d) =>
-    Tables.documents(s, d)
-      .select(col("doc_id"), TextRules.tokens(col("text")).as("toks"))
-      // the empty-doc guard lives INSIDE the explode expression (empty
-      // array → zero rows): a separate filter(size >= 1) would evaluate
-      // the tokenizer a second time, once in the Filter and once in the
-      // Project ((size-1) div stride is 0 for size 0, not -1 — integer
-      // division truncates toward zero — so the guard is load-bearing)
+  /** THE chunk transform over a (doc_id, toks) frame — the single
+    * definition shared by the batch query and the streaming twin
+    * (CurationStream.chunkStream), unordered. The empty-doc guard lives
+    * INSIDE the explode expression (empty array → zero rows): a separate
+    * filter(size >= 1) would evaluate the tokenizer a second time, once
+    * in the Filter and once in the Project ((size-1) div stride is 0 for
+    * size 0, not -1 — integer division truncates toward zero — so the
+    * guard is load-bearing). */
+  private[graft] def chunkRows(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), col("toks"),
         explode(expr(
           s"""CASE WHEN size(toks) >= 1
@@ -303,6 +305,10 @@ object TextOps {
         concat_ws(" ",
           slice(col("toks"), col("j") * ChunkStride + 1, lit(ChunkSize)))
           .as("chunk_text"))
+
+  private val qChunk: Q = (s, d) =>
+    chunkRows(Tables.documents(s, d)
+      .select(col("doc_id"), TextRules.tokens(col("text")).as("toks")))
       .orderBy("doc_id", "chunk_id")
 
   /** Exact corpus heavy hitters over token BIGRAMS, computed the way a

@@ -45,6 +45,18 @@ object CurationStream {
       .dropDuplicatesWithinWatermark("fp")
       .select("docId", "lang", "text", "tsUs")
 
+  /** Streaming chunker: the q_chunk geometry (ChunkSize/ChunkStride
+    * windows over the shared tokenizer) as a stateless per-row transform
+    * — an arriving doc explodes into its chunk rows immediately, so the
+    * indexing/embedding stages downstream consume chunks at arrival
+    * latency. Pure projection + explode: no state store, no watermark
+    * needed, decisions identical to the batch operator by construction
+    * (spec-pinned batch-vs-stream in StreamingSpec). */
+  def chunkStream(docs: Dataset[Doc]): DataFrame =
+    graft.operators.TextOps.chunkRows(docs.toDF()
+      .select(col("docId").as("doc_id"),
+        graft.operators.TextRules.tokens(col("text")).as("toks")))
+
   /** Apply tokenize → quality rules → per-lang hash sampling to a
     * (streaming or batch) document Dataset. Rules are IDENTICAL to
     * q_quality_filter / q_stratified_sample — spec-pinned. */

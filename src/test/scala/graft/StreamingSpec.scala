@@ -125,6 +125,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming chunker emits exactly the batch q_chunk rows") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    import graft.streaming.CurationStream
+    import graft.streaming.CurationStream.Doc
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id").as("docId"), col("lang"), col("text"))
+      .as[Doc].collect().toSeq.take(80)
+    val batch = operators.TextOps.queries("q_chunk")(spark, TestSpark.sf0001)
+      .filter(col("doc_id").isin(docs.map(_.docId): _*))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getInt(3), r.getString(4))).toSet
+    val source = MemoryStream[Doc]
+    val q = CurationStream.chunkStream(source.toDS())
+      .writeStream.format("memory").queryName("chunks").outputMode("append").start()
+    try {
+      source.addData(docs.take(40): _*)
+      q.processAllAvailable()
+      source.addData(docs.drop(40): _*)
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT * FROM chunks").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+          r.getInt(3), r.getString(4))).toSet
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("curation quality decisions equal q_quality_filter's reasons==0 counts") {
     import spark.implicits._
     import graft.streaming.CurationStream
