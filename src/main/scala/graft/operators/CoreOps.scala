@@ -612,7 +612,35 @@ object CoreOps {
           (col("n") - 1)).as("var_samp"))
   }
 
+  /** Weekly cohort retention over the event stream — the
+    * first-seen-week × activity-week-offset matrix product analytics
+    * reads off every engagement dashboard. All time math is integer
+    * (epoch-week = µs div day div 7) so the bucketing is engine-exact.
+    * Plan: one distinct over (user, week) — the only pass over raw
+    * events — then user-keyed min + join and a bounded (cohort, offset)
+    * aggregation; cohort sizes ride a broadcast of the per-cohort
+    * aggregate. Every stage after the distinct works on O(users) rows,
+    * not O(events), which is what holds at 100 TB of clickstream. */
+  private val qCohortRetention: Q = (s, d) => {
+    val weeks = Tables.events(s, d)
+      .select(col("user_id"),
+        expr("(ts div 86400000000000) div 7").as("wk"))
+      .distinct()
+    val cohort = weeks.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+    val sizes = cohort.groupBy("cohort_wk").agg(count(lit(1)).as("n_cohort"))
+    weeks.join(cohort, "user_id")
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), "cohort_wk")
+      .select(col("cohort_wk"), col("week_offset"), col("n_active"),
+        col("n_cohort"),
+        round(col("n_active").cast("double") / col("n_cohort"), 4)
+          .as("retention"))
+      .orderBy("cohort_wk", "week_offset")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_cohort_retention" -> qCohortRetention,
     "q_join_theta" -> qJoinTheta,
     "q_multi_join" -> qMultiJoin,
     "q_except_all" -> qExceptAll,
@@ -658,6 +686,21 @@ object CoreOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_cohort_retention" ->
+      """WITH w AS (
+        |  SELECT DISTINCT user_id,
+        |         (epoch_us(ts) // 86400000000) // 7 AS wk
+        |  FROM events),
+        |c AS (SELECT user_id, min(wk) AS cohort_wk FROM w GROUP BY 1),
+        |sz AS (SELECT cohort_wk, count(*) AS n_cohort FROM c GROUP BY 1),
+        |a AS (
+        |  SELECT c.cohort_wk, w.wk - c.cohort_wk AS week_offset,
+        |         count(*) AS n_active
+        |  FROM w JOIN c USING (user_id) GROUP BY 1, 2)
+        |SELECT a.cohort_wk, a.week_offset, a.n_active, sz.n_cohort,
+        |       round(CAST(a.n_active AS DOUBLE) / sz.n_cohort, 4) AS retention
+        |FROM a JOIN sz USING (cohort_wk)
+        |ORDER BY 1, 2""".stripMargin,
     "q_join_theta" ->
       """SELECT a.s_nationkey AS nk, count(*) AS n_ordered_pairs
         |FROM supplier a JOIN supplier b

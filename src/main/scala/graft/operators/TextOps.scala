@@ -347,7 +347,30 @@ object TextOps {
       .orderBy(col("cnt").desc, col("term"))
   }
 
+  /** Tokenizer-vocabulary construction: every token with corpus count >=
+    * VocabMinCount gets a contiguous id by (count desc, token) — the
+    * artifact a tokenizer build or embedding table sizing step consumes.
+    * The global id assignment runs through RankOps.globalRowNumber: at
+    * corpus scale the vocabulary outgrows a single-partition window, and
+    * the bucketed formulation (quantile range split → per-bucket window →
+    * additive offsets) assigns the identical ids with bounded partitions;
+    * under the small-input statistics gate it collapses to the direct
+    * window. One token-count exchange either way. */
+  val VocabMinCount = 5L
+
+  private val qVocabBuild: Q = (s, d) => {
+    val counts = Tables.documents(s, d)
+      .select(explode(TextRules.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= VocabMinCount)
+    RankOps.globalRowNumber(counts, key = -col("cnt"),
+        tieBreaks = Seq(col("token")), out = "id")
+      .select(col("token"), col("id"), col("cnt"))
+      .orderBy("id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_vocab_build" -> qVocabBuild,
     "q_chunk" -> qChunk,
     "q_heavy_hitters" -> qHeavyHitters,
     "q_tfidf_topk" -> qTfidfTopk,
@@ -380,6 +403,17 @@ object TextOps {
       .mkString(s"CASE $pairExpr ", " ", " ELSE NULL END")
 
   val oracles: Map[String, String] = Map(
+    "q_vocab_build" ->
+      s"""WITH t AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), '\\W+'),
+        |                            x -> x <> '')) AS token
+        |  FROM documents),
+        |c AS (SELECT token, count(*) AS cnt FROM t GROUP BY 1
+        |      HAVING count(*) >= $VocabMinCount)
+        |SELECT token,
+        |       CAST(row_number() OVER (ORDER BY cnt DESC, token) AS INT) AS id,
+        |       cnt
+        |FROM c ORDER BY id""".stripMargin,
     "q_chunk" ->
       s"""WITH toks AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\W+'),
