@@ -614,8 +614,10 @@ object CoreOps {
 
   /** Weekly cohort retention over the event stream — the
     * first-seen-week × activity-week-offset matrix product analytics
-    * reads off every engagement dashboard. All time math is integer
-    * (epoch-week = µs div day div 7) so the bucketing is engine-exact.
+    * reads off every engagement dashboard. All time math is integer —
+    * ts is int64 NANOS here (nanosAsLong), so epoch-week = ts div
+    * 86400e9 div 7, which equals the oracle's epoch_us // 86400e6 // 7
+    * under floor division — so the bucketing is engine-exact.
     * Plan: one distinct over (user, week) — the only pass over raw
     * events — then user-keyed min + join and a bounded (cohort, offset)
     * aggregation; cohort sizes ride a broadcast of the per-cohort

@@ -267,13 +267,24 @@ object DedupOps {
     * than flowing through the distinct exchange — at bucket width ~cap
     * the raw enumeration is (cap/2)·|band rows| and must be pruned
     * before it is shuffled again. */
-  private[graft] def cappedBandPairs(bands: DataFrame, cap: Long,
-      pairGate: Column = lit(true)): DataFrame = {
+  /** (cold, hot) split of a band table by per-(band, bv) bucket width:
+    * `hot` holds one stats row (band, bv, rep = min doc_id) per bucket
+    * wider than `cap`; `cold` is the anti-joined remainder. THE single
+    * cap-detection definition — the self-join path (cappedBandPairs) and
+    * the cross-corpus path (crossDedupCandidates) both split here, so a
+    * change to the cap rule cannot reach one and miss the other. */
+  private def splitByWidth(bands: DataFrame, cap: Long): (DataFrame, DataFrame) = {
     val hot = bands.groupBy("band", "bv")
       .agg(count(lit(1)).as("bw"), min("doc_id").as("rep"))
       .filter(col("bw") > cap)
       .select("band", "bv", "rep")
     val cold = bands.join(hot.select("band", "bv"), Seq("band", "bv"), "left_anti")
+    (cold, hot)
+  }
+
+  private[graft] def cappedBandPairs(bands: DataFrame, cap: Long,
+      pairGate: Column = lit(true)): DataFrame = {
+    val (cold, hot) = splitByWidth(bands, cap)
     val coldPairs = cold.as("x").join(cold.as("y"),
         col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
           col("x.doc_id") < col("y.doc_id") && pairGate)
@@ -372,11 +383,20 @@ object DedupOps {
     * docs) are dropped BEFORE banding: the explode is over a literal
     * sequence, so a null sig would otherwise emit 32 (band, null) rows
     * that the width cap would group into one fake mega-bucket. */
-  private def simhashBands(s: SparkSession, sig: DataFrame): DataFrame =
+  private def simhashBands(s: SparkSession, sig: DataFrame): DataFrame = {
+    // geometry DERIVED from the signature width: 4 16-bit bands per
+    // 64-bit word, so widening SimHashSig.DefaultWords (the scaling
+    // law's dial) automatically bands the added bits — no second literal
+    // to keep in lockstep
+    val bandsPerWord = 4
+    val nBands = graft.functions.SimHashSig.DefaultWords * bandsPerWord
     sig
-      .select(col("doc_id"), col("sig"), explode(expr("sequence(0, 31)")).as("band"))
+      .select(col("doc_id"), col("sig"),
+        explode(expr(s"sequence(0, ${nBands - 1})")).as("band"))
       .select(col("doc_id"), col("sig"), col("band"),
-        expr("shiftrightunsigned(sig[band div 4], (band % 4) * 16) & 65535").as("bv"))
+        expr(s"shiftrightunsigned(sig[band div $bandsPerWord], " +
+          s"(band % $bandsPerWord) * 16) & 65535").as("bv"))
+  }
 
   /** Width-capped SimHash LSH candidates (hamming-gated) — exposed for
     * the flood spec. `docs` may carry a precomputed `sig` column (the
@@ -429,12 +449,13 @@ object DedupOps {
   private[graft] def crossDedupCandidates(s: SparkSession, inDocs: DataFrame,
       corpDocs: DataFrame, cap: Long = LshBucketCap): DataFrame = {
     val inBands = minhashBands(s, inDocs).withColumnRenamed("doc_id", "in_id")
-    val corpBands = minhashBands(s, corpDocs)
-    val hot = corpBands.groupBy("band", "bv")
-      .agg(count(lit(1)).as("bw"), min("doc_id").as("rep"))
-      .filter(col("bw") > cap)
-    val cold = corpBands.join(hot.select("band", "bv"), Seq("band", "bv"), "left_anti")
-    val capped = cold.union(hot.select(col("band"), col("bv"), col("rep").as("doc_id")))
+    // shared cap detection (splitByWidth); the cross-path degradation is
+    // rep-only (a flooded bucket answers through its min-id member alone)
+    // where the self-join degrades to star pairing — same bound, shapes
+    // differ because only one side carries candidates here
+    val (cold, hot) = splitByWidth(minhashBands(s, corpDocs), cap)
+    val capped = cold.select("band", "bv", "doc_id")
+      .union(hot.select(col("band"), col("bv"), col("rep").as("doc_id")))
     inBands.join(capped, Seq("band", "bv"))
       .select(col("in_id"), col("doc_id").as("corp_id")).distinct()
   }
@@ -521,7 +542,12 @@ object DedupOps {
     * count a suffix-array build would scan; the token-prefix cap bounds
     * the per-doc contribution. */
   private val qSpanDupRate: Q = (s, d) => {
-    val wins = Tables.documents(s, d)
+    // persisted: the tokenize → window → xxhash64 projection is the
+    // heaviest per-token work in the query and feeds BOTH the df
+    // aggregation and the join-back — without the persist it runs twice
+    // over the whole corpus (the repartition exchange below it is not a
+    // materialization point for the projection above)
+    val wins = graft.Caching.persist(Tables.documents(s, d)
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), TextRules.tokens(col("text")).as("all_toks"))
       .select(col("doc_id"), slice(col("all_toks"), 1, DocTokenCap).as("toks"))
@@ -529,7 +555,7 @@ object DedupOps {
         s"""CASE WHEN size(toks) >= $SpanLen
            |  THEN array_distinct(transform(sequence(0, size(toks)-$SpanLen),
            |         i -> xxhash64(concat_ws(' ', slice(toks, i+1, $SpanLen)))))
-           |  ELSE array() END""".stripMargin)).as("wh"))
+           |  ELSE array() END""".stripMargin)).as("wh")))
     val docFreq = wins.groupBy("wh").agg(count(lit(1)).as("wdf"))
     wins.join(docFreq, "wh")
       .groupBy("doc_id")

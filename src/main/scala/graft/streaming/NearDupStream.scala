@@ -92,8 +92,24 @@ object NearDupStream {
     * time is at or before the stream's INITIAL watermark (epoch 0) is
     * dropped as late by the join before any state is built. */
   def nearDupWithinStream(s: SparkSession, docs: Dataset[TimedDoc],
-      window: String = "1 hour"): DataFrame = {
+      window: String = "1 hour", bucketSlots: Int = 256): DataFrame = {
     graft.functions.GraftFunctions.register(s)
+    // WIDTH CAP, streaming form. The batch self-join caps per-(band, bv)
+    // bucket width by counting first (splitByWidth) — a pre-join
+    // aggregation a stream-stream join cannot chain behind. Instead each
+    // doc claims slot = hash(id) mod bucketSlots in each of its buckets
+    // and dropDuplicatesWithinWatermark((band, bv, slot)) admits only the
+    // FIRST claimant per slot per horizon: bucket width is <= bucketSlots
+    // by construction, state is O(buckets × slots), and an in-window
+    // flood of near-identical docs enumerates <= C(bucketSlots, 2) pairs
+    // per bucket instead of C(flood, 2) — flood-fixture pinned in
+    // NearDupStreamSpec. Costs vs the batch star-cap, stated honestly:
+    // benign buckets (width << slots) lose a band to a slot collision
+    // with probability ~width²/2·slots — harmless, a true pair collides
+    // in ~8+ other bands; flood members beyond the retained slots get NO
+    // within-stream edge (the batch star links them all) — they are
+    // linked durably by the next index republish (nearDupAgainstCorpus),
+    // which is this operator's documented completeness backstop anyway.
     def side(p: String): DataFrame = docs.toDF()
       .select(col("docId").as(s"${p}_id"),
         timestamp_micros(col("tsUs")).as(s"${p}_ts"),
@@ -105,7 +121,10 @@ object NearDupStream {
         posexplode(expr(s"minhash_sig(${p}_hs)")))
       .withColumnRenamed("pos", s"${p}_band")
       .withColumnRenamed("col", s"${p}_bv")
+      .withColumn(s"${p}_slot",
+        pmod(xxhash64(col(s"${p}_id")), lit(bucketSlots.toLong)))
       .withWatermark(s"${p}_ts", window)
+      .dropDuplicatesWithinWatermark(s"${p}_band", s"${p}_bv", s"${p}_slot")
     val bound = expr(s"INTERVAL $window")
     // self-pairs are excluded with =!= rather than an id ORDERING:
     // Catalyst pushes post-join filters back into the join condition,

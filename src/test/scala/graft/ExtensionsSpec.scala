@@ -6,21 +6,26 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 
 class ExtensionsSpec extends AnyFunSuite {
 
+  import org.apache.spark.sql.catalyst.expressions.Expression
+
   /** The config-time extension point and the imperative registrar are two
-    * doors to the same function set; read the injected identifiers back
-    * via reflection (the buffer is private) to keep them in lockstep. */
-  private def injectedNames(ext: SparkSessionExtensions): Set[String] = {
+    * doors to the same function set; read the injected (name → builder)
+    * map back via reflection to keep them in lockstep. The ONE place
+    * that touches the private Spark field — both tests go through it, so
+    * a Spark upgrade renaming the buffer breaks a single helper. */
+  private def injectedBuilders(
+      ext: SparkSessionExtensions): Map[String, Seq[Expression] => Expression] = {
     val f = classOf[SparkSessionExtensions].getDeclaredField("injectedFunctions")
     f.setAccessible(true)
     f.get(ext).asInstanceOf[scala.collection.mutable.Buffer[
-        (FunctionIdentifier, _, _)]]
-      .map(_._1.funcName).toSet
+        (FunctionIdentifier, _, Seq[Expression] => Expression)]]
+      .map(t => t._1.funcName -> t._3).toMap
   }
 
   test("GraftExtensions injects every native function the registrar offers") {
     val ext = new SparkSessionExtensions
     new GraftExtensions().apply(ext)
-    assert(injectedNames(ext) == Set(
+    assert(injectedBuilders(ext).keySet == Set(
       "cosine_sim", "minhash_sig", "vector_avg", "simhash64",
       "simhash_sig", "hyperplane_sig", "bpe_count"))
   }
@@ -31,16 +36,12 @@ class ExtensionsSpec extends AnyFunSuite {
     // arguments while the registrar honored them — signatures silently
     // differed between config-time and imperative sessions. Evaluate the
     // INJECTED builders directly at max arity.
-    import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+    import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.util.ArrayData
     import org.apache.spark.sql.types._
     val ext = new SparkSessionExtensions
     new GraftExtensions().apply(ext)
-    val f = classOf[SparkSessionExtensions].getDeclaredField("injectedFunctions")
-    f.setAccessible(true)
-    val builders = f.get(ext).asInstanceOf[scala.collection.mutable.Buffer[
-        (FunctionIdentifier, _, Seq[Expression] => Expression)]]
-      .map(t => t._1.funcName -> t._3).toMap
+    val builders = injectedBuilders(ext)
     val hs = Literal.create(Seq(7L, 11L, 13L), ArrayType(LongType))
     val mh = builders("minhash_sig")(Seq(hs, Literal(2), Literal(16)))
       .eval(null).asInstanceOf[ArrayData]

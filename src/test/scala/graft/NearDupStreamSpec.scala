@@ -93,6 +93,42 @@ class NearDupStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream slot cap bounds an in-window flood of near-identical docs") {
+    // 400 near-identical docs arrive in one window: uncapped, every
+    // (band, bv) bucket holds all 400 and the join enumerates
+    // 32·C(400,2) ≈ 2.5M raw pairs (the batch defect this round's width
+    // cap fixed, streaming edition). With bucketSlots = 4 each bucket
+    // admits at most 4 members per horizon, so raw enumeration is
+    // <= 32·C(4,2) = 192 — pinned by asserting the emitted pair set
+    // stays within the <= 128 docs that can hold any slot at all.
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val base = (0 until 45).map(i => s"flood${i * 3 % 31} tk$i").mkString(" ")
+    val docs = (0 until 400).map { i =>
+      TimedDoc(i.toLong, "en", s"$base uniq${i}a uniq${i}b",
+        86400000000L + i * 1000000L)
+    }
+    val source = MemoryStream[TimedDoc]
+    val q = NearDupStream.nearDupWithinStream(spark, source.toDS(),
+        bucketSlots = 4)
+      .writeStream.format("memory").queryName("neardup_flood")
+      .outputMode("append").start()
+    try {
+      docs.grouped(150).foreach { b =>
+        source.addData(b.toIndexedSeq: _*); q.processAllAvailable()
+      }
+      val pairs = spark.sql("SELECT doc_a, doc_b FROM neardup_flood")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(pairs.nonEmpty, "retained slot-holders must still pair")
+      val members = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      // at most bucketSlots × bands distinct docs can hold a slot; the
+      // flood's C(400,2) ≈ 80k pair space must NOT appear
+      assert(members.length <= 4 * 32,
+        s"cap leaked: ${members.length} docs paired")
+      assert(pairs.length <= members.length * (members.length - 1) / 2)
+    } finally q.stop()
+  }
+
   test("index refresh cycle reaches batch parity with no double emission") {
     // The production cycle the operator documents: the static band index
     // is republished on each corpus rebuild, and the stream restarts
