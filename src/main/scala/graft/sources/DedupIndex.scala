@@ -1,0 +1,54 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The published near-dup index — the static side NearDupStream's
+  * scaladoc promises ("republished as compacted parquet on each corpus
+  * rebuild"), as real artifacts rather than prose:
+  *
+  *   <dir>/docs/   (doc_id, hs, n, truncated)  — per-doc shingle-hash sets
+  *   <dir>/bands/  (band, minhash, doc_id)     — the MinHash band index
+  *
+  * Both datasets commit atomically through the Spark committer (task temp
+  * dirs → rename → `_SUCCESS`), so a reader that checks [[isPublished]]
+  * never observes a half-written publish — the same reader-side wait
+  * contract StorageOps.isCommitted carries for the data sink
+  * (the reference's `_SUCCEED` marker, ShuffleDataExecutor.java:119-138).
+  *
+  * Size at 100 TB: `docs` is one row per corpus doc (hash arrays,
+  * token-capped); `bands` is 32 rows per doc of three int64s — both a
+  * small multiple of a doc-id listing, far under the corpus itself, and
+  * both partition-friendly (bands bucket naturally by (band, minhash) for
+  * the stream join; docs by doc_id for the verify join). A rebuild is one
+  * batch job; consumers swap directories on the `_SUCCESS` flip.
+  */
+object DedupIndex {
+
+  /** Build and publish both index datasets for the corpus at `corpusDir`.
+    * Overwrites any previous publish at `indexDir` (the republish cycle).
+    * Returns (docRows, bandRows). */
+  def publish(s: SparkSession, corpusDir: String, indexDir: String): (Long, Long) = {
+    graft.functions.GraftFunctions.register(s)
+    val docs = graft.Caching.persist(
+      graft.operators.DedupOps.docHashes(s, corpusDir))
+    try {
+      docs.write.mode("overwrite").parquet(s"$indexDir/docs")
+      graft.streaming.NearDupStream.bandIndex(s, docs)
+        .write.mode("overwrite").parquet(s"$indexDir/bands")
+      (s.read.parquet(s"$indexDir/docs").count(),
+        s.read.parquet(s"$indexDir/bands").count())
+    } finally docs.unpersist()
+  }
+
+  /** True iff BOTH datasets committed — the reader-side gate. */
+  def isPublished(s: SparkSession, indexDir: String): Boolean =
+    StorageOps.isCommitted(s, s"$indexDir/docs") &&
+      StorageOps.isCommitted(s, s"$indexDir/bands")
+
+  def loadDocs(s: SparkSession, indexDir: String): DataFrame =
+    s.read.parquet(s"$indexDir/docs")
+
+  def loadBands(s: SparkSession, indexDir: String): DataFrame =
+    s.read.parquet(s"$indexDir/bands")
+}

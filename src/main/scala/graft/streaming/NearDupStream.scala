@@ -163,10 +163,20 @@ object NearDupStream {
     * cover the index republish period so a pair cannot re-emit between
     * rebuilds. */
   def nearDupAgainstCorpus(s: SparkSession, docs: Dataset[TimedDoc],
-      corpus: DataFrame, horizon: String = "30 days"): DataFrame = {
+      corpus: DataFrame, horizon: String = "30 days"): DataFrame =
+    nearDupAgainstIndex(s, docs, bandIndex(s, corpus), corpus, horizon)
+
+  /** The same stream-static join over PRE-BUILT index artifacts — the
+    * production entry point, fed by `sources.DedupIndex.publish`'s
+    * parquet datasets (band index + hash arrays) instead of an in-query
+    * signature build. `bands` is (band, minhash, doc_id); `corpusDocs`
+    * carries (doc_id, hs, n). */
+  def nearDupAgainstIndex(s: SparkSession, docs: Dataset[TimedDoc],
+      bands: DataFrame, corpusDocs: DataFrame,
+      horizon: String = "30 days"): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val index = bandIndex(s, corpus)
-    val hashSets = corpus.select(col("doc_id").as("c_id"),
+    val index = bands
+    val hashSets = corpusDocs.select(col("doc_id").as("c_id"),
       col("hs").as("c_hs"), col("n").as("c_n"))
 
     val arriving = docs.toDF()
