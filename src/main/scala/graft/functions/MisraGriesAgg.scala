@@ -34,32 +34,37 @@ import org.apache.spark.sql.expressions.Aggregator
   * encoder round-trip per row dominates either way — as with TopKAgg, the
   * win is what shuffles, not per-row CPU.
   */
-case class MGBuf(m: Map[String, Long])
+/** `n` rides the buffer: every consumer of the sketch needs the total
+  * row count to state its n/(k+1) bound (and q_heavy_hitters derives its
+  * threshold from it) — carrying it here saves a separate counting pass
+  * over the input. */
+case class MGBuf(m: Map[String, Long], n: Long)
 
 class MisraGriesAgg(k: Int) extends Aggregator[String, MGBuf, MGBuf] {
   require(k >= 1, "summary size must be >= 1")
 
-  override def zero: MGBuf = MGBuf(Map.empty)
+  override def zero: MGBuf = MGBuf(Map.empty, 0L)
 
   override def reduce(b: MGBuf, term: String): MGBuf = b.m.get(term) match {
-    case Some(c) => MGBuf(b.m.updated(term, c + 1L))
-    case None if b.m.size < k => MGBuf(b.m.updated(term, 1L))
+    case Some(c) => MGBuf(b.m.updated(term, c + 1L), b.n + 1)
+    case None if b.m.size < k => MGBuf(b.m.updated(term, 1L), b.n + 1)
     case None =>
       // summary full and term absent: decrement every counter, dropping
       // zeros — the step that buys the n/(k+1) bound
-      MGBuf(b.m.collect { case (t, c) if c > 1L => t -> (c - 1L) })
+      MGBuf(b.m.collect { case (t, c) if c > 1L => t -> (c - 1L) }, b.n + 1)
   }
 
   override def merge(x: MGBuf, y: MGBuf): MGBuf = {
     val combined = y.m.foldLeft(x.m) { case (acc, (t, c)) =>
       acc.updated(t, acc.getOrElse(t, 0L) + c)
     }
-    if (combined.size <= k) MGBuf(combined)
+    val n = x.n + y.n
+    if (combined.size <= k) MGBuf(combined, n)
     else {
       // subtract the (k+1)-th largest count from everything; at most k
       // entries can then be positive
       val cut = combined.valuesIterator.toArray.sorted(Ordering[Long].reverse)(k)
-      MGBuf(combined.collect { case (t, c) if c > cut => t -> (c - cut) })
+      MGBuf(combined.collect { case (t, c) if c > cut => t -> (c - cut) }, n)
     }
   }
 

@@ -462,12 +462,24 @@ object DedupOps {
 
   def crossDedupBest(s: SparkSession, incoming: DataFrame, corpus: DataFrame,
       cap: Long = LshBucketCap): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(s)
     val inDocs = graft.Caching.persist(
       docHashesOf(s, incoming).withColumn("msig", expr("minhash_sig(hs)")))
     val corpDocs = graft.Caching.persist(
       docHashesOf(s, corpus).withColumn("msig", expr("minhash_sig(hs)")))
+    crossDedupBestFromHashes(s, inDocs, corpDocs, cap)
+  }
+
+  /** Same operator over PRE-BUILT doc-hash frames (doc_id, hs, n [,msig])
+    * — the entry for callers that already hold the hash arrays: the
+    * registered query splits ONE shingle pass over the whole table by
+    * parity instead of shingling each half separately, and a production
+    * ingest would pass the published index (sources.DedupIndex) as the
+    * corpus side. */
+  def crossDedupBestFromHashes(s: SparkSession, inDocs: DataFrame,
+      corpDocs: DataFrame, cap: Long = LshBucketCap): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(s)
     val verified = crossDedupCandidates(s, inDocs, corpDocs, cap)
       .join(inDocs.select(col("doc_id").as("in_id"), col("hs").as("hs_a"),
         col("n").as("na")), "in_id")
@@ -490,12 +502,16 @@ object DedupOps {
 
   /** Registered form: odd doc_ids are the "incoming batch", even the
     * "existing corpus" — a deterministic split that crosses the planted
-    * duplicate pairs. */
+    * duplicate pairs. The hash arrays are built in ONE shingle pass over
+    * the whole table and split by parity afterwards (shingling is the
+    * dominant cost; running it per half would scan the corpus twice). */
   private val qCrossDedup: Q = (s, d) => {
-    val docs = Tables.documents(s, d)
-    crossDedupBest(s,
-      docs.filter(col("doc_id") % 2 === 1),
-      docs.filter(col("doc_id") % 2 === 0))
+    graft.functions.GraftFunctions.register(s)
+    val all = graft.Caching.persist(
+      docHashes(s, d).withColumn("msig", expr("minhash_sig(hs)")))
+    crossDedupBestFromHashes(s,
+      all.filter(col("doc_id") % 2 === 1),
+      all.filter(col("doc_id") % 2 === 0))
   }
 
   /** The dedup ACTION a curation pipeline actually executes: for every

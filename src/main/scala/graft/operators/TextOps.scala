@@ -334,11 +334,11 @@ object TextOps {
             |  THEN transform(sequence(0, size(t)-2),
             |         i -> concat(t[i], ' ', t[i+1]))
             |  ELSE array() END""".stripMargin)).as("term")))
-    val n = bigrams.count()
-    val threshold = n / (MgSummarySize + 1) + 1 // = ceil-exceeding bound
-    val cand = bigrams.as[String]
+    val sketch = bigrams.as[String]
       .select(new graft.functions.MisraGriesAgg(MgSummarySize).toColumn)
-      .head().m.keys.toSeq
+      .head() // one pass yields candidates AND n (the buffer carries it)
+    val threshold = sketch.n / (MgSummarySize + 1) + 1 // ceil-exceeding bound
+    val cand = sketch.m.keys.toSeq
     val inCand = if (cand.isEmpty) lit(false) else col("term").isInCollection(cand)
     bigrams
       .filter(inCand)

@@ -41,9 +41,9 @@ object HotKeys {
       .withColumn("ts", timestamp_micros(col("tsUs")))
       .withWatermark("ts", horizon)
       .groupBy(org.apache.spark.sql.functions.window(col("ts"), window))
-      .agg(count(lit(1)).as("n_events"), mg(col("key")).as("sketch"))
+      .agg(mg(col("key")).as("sketch")) // buffer carries n — no second agg
       .select(col("window.start").as("window_start"),
         col("window.end").as("window_end"),
-        col("n_events"), col("sketch.m").as("summary"))
+        col("sketch.n").as("n_events"), col("sketch.m").as("summary"))
   }
 }

@@ -50,8 +50,9 @@ class MisraGriesSpec extends AnyFunSuite {
     import spark.implicits._
     val xs = fixture
     val ds = spark.createDataset(xs).repartition(4)
-    val sketch = ds.select(new MisraGriesAgg(K).toColumn).head().m
-    assertBounds(sketch, xs)
+    val sketch = ds.select(new MisraGriesAgg(K).toColumn).head()
+    assert(sketch.n == xs.size, "buffer-carried n must equal rows seen")
+    assertBounds(sketch.m, xs)
   }
 
   test("bounds hold for direct reduce + pairwise merge") {
@@ -61,6 +62,7 @@ class MisraGriesSpec extends AnyFunSuite {
     val merged = parts
       .map(p => p.foldLeft(agg.zero)(agg.reduce))
       .reduce(agg.merge)
+    assert(merged.n == xs.size, "n must survive merge")
     assertBounds(agg.finish(merged).m, xs)
   }
 
