@@ -64,6 +64,27 @@ object StorageOps {
     (before.length, dataFiles.length)
   }
 
+  /** Range-sorted layout writer: range-partition on `key` then sort
+    * within each partition, so every output file covers a DISJOINT key
+    * range. This is the table-layout lever for range-predicated scans at
+    * 100 TB: parquet footers carry per-file (and per-row-group) min/max
+    * for the sort key, and a `key BETWEEN a AND b` scan prunes every
+    * file whose range misses — the same read-amplification cut the
+    * reference engineers by grouping partition data into sequential
+    * files (its workers exist to make one reducer's reads contiguous;
+    * a sorted lake layout makes one RANGE's reads contiguous).
+    * Deterministic caveat stated: repartitionByRange samples to pick
+    * bounds, so file BOUNDARIES may vary run to run — the disjointness
+    * contract (what pruning relies on) holds regardless and is what
+    * StorageAndAggSpec pins. */
+  def writeRangeSorted(df: DataFrame, outDir: String, key: String,
+      partitions: Int): Unit = {
+    import org.apache.spark.sql.functions.col
+    df.repartitionByRange(partitions, col(key))
+      .sortWithinPartitions(key)
+      .write.mode("overwrite").parquet(outDir)
+  }
+
   /** Delete child dirs of `root` whose mtime is older than retentionMs
     * (ShuffleDataDirClear.java semantics); returns the deleted paths. */
   def cleanExpired(spark: SparkSession, root: String,

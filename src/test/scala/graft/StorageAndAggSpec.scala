@@ -55,6 +55,31 @@ class StorageAndAggSpec extends AnyFunSuite {
     assert(checksumAfter == checksumBefore)
   }
 
+  test("range-sorted layout: per-file key ranges are disjoint; filter pushed") {
+    val spark = TestSpark.spark
+    val dir = Files.createTempDirectory("graft-rangesort").toString + "/li"
+    StorageOps.writeRangeSorted(
+      Tables.lineitem(spark, TestSpark.sf0001), dir, "l_orderkey", 4)
+    // per-FILE min/max of the sort key must not overlap — the property
+    // parquet footer pruning needs to skip whole files on a range scan
+    val ranges = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("l_orderkey").as("lo"), max("l_orderkey").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(ranges.length > 1, "need multiple files to prove disjointness")
+    ranges.sliding(2).foreach { case Array((_, hi), (lo, _)) =>
+      assert(hi <= lo, s"file ranges overlap: ${ranges.mkString(",")}")
+    }
+    // the range predicate reaches the scan as a pushed filter
+    val scan = spark.read.parquet(dir).filter(col("l_orderkey") < 100)
+      .queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(l_orderkey), LessThan(l_orderkey,100)]"),
+      s"range filter not pushed:\n$scan")
+    // content round-trips
+    assert(spark.read.parquet(dir).count() ==
+      Tables.lineitem(spark, TestSpark.sf0001).count())
+  }
+
   test("TopKAgg matches the window row_number() top-k formulation") {
     import spark.implicits._
     // revenue per (nation, supplier), same as q_topk's input
