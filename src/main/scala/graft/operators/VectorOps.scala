@@ -130,6 +130,61 @@ object VectorOps {
 
   private val qAnnLsh: Q = (s, d) => annLsh(s, d, LshWidth, LshProbes)
 
+  /** Per-bucket corpus cap for the kNN JOIN (inert at test SFs, like
+    * DedupOps.LshBucketCap): a flood of near-identical embeddings
+    * collapses into one bucket and would make the self-join quadratic;
+    * keeping the `cap` hash-lowest members per bucket bounds candidates
+    * at (probes+1)·cap per query, and near-identical members are
+    * interchangeable as neighbors, so any retained `cap` answer the
+    * top-k as well as the full flood would. */
+  val KnnBucketCap = 1000L
+
+  /** All-pairs k-nearest-neighbor JOIN over the embedding table — the
+    * similarity-join the pointwise ANN queries don't cover (semantic
+    * dedup, diversity analysis, and graph construction all start from
+    * "every vector's top-k"). Same deterministic hyperplane buckets as
+    * annLsh, but EVERY vector is a query: one bucket per corpus vector,
+    * (probes+1) probe buckets per query, exact cosine top-k within the
+    * probed buckets.
+    *
+    * Scale posture: the bucket join shuffles on the bucket key, whose
+    * cardinality is 2^width — width must grow ~log2(n/targetBucketWidth)
+    * with the corpus (the dial annLsh's scaladoc documents; the scaling
+    * instrument reads the candidate exponent). The corpus side is
+    * width-capped per bucket (KnnBucketCap) so an embedding flood cannot
+    * go quadratic; candidates are <= (probes+1)·cap·n — linear at fixed
+    * width budget. No broadcast anywhere: both join sides are
+    * corpus-sized. */
+  def knnJoin(s: SparkSession, d: String, width: Int, probes: Int, k: Int,
+      cap: Long = KnnBucketCap): DataFrame = {
+    GraftFunctions.register(s)
+    val spreadE = Tables.spread(s, Tables.embeddings(s, d))
+    val corpus = spreadE
+      .select(col("vec_id"), col("embedding"),
+        element_at(expr(s"hyperplane_sig(embedding, $width, 0)"), 1)
+          .as("bucket"))
+      .withColumn("bkRank", row_number().over(Window.partitionBy("bucket")
+        .orderBy(Tables.phash(col("vec_id")), col("vec_id"))))
+      .filter(col("bkRank") <= cap)
+      .drop("bkRank")
+    val q = spreadE
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .select(col("query_id"), col("qe"),
+        explode(expr(s"hyperplane_sig(qe, $width, $probes)")).as("qbucket"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    corpus.join(q,
+        col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine("qe", "embedding").as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id").as("vec_id"), col("rk"), col("neighbor_id"))
+      .orderBy("vec_id", "rk")
+  }
+
+  private val qKnnJoin: Q = (s, d) => knnJoin(s, d, LshWidth, LshProbes, 3)
+
   /** Recall@5 of both approximate ANN paths against exact brute force —
     * the driver-checked artifact for the approximation quality (r4 verdict
     * item 2). Everything is deterministic (hash-derived hyperplanes,
@@ -306,6 +361,7 @@ object VectorOps {
       .orderBy("vec_id")
 
   val queries: Map[String, Q] = Map(
+    "q_knn_join" -> qKnnJoin,
     "q_embed_quantize" -> qEmbedQuantize,
     "q_ann_brute" -> qAnnBrute,
     "q_embed_neardup" -> qEmbedNeardup,
@@ -324,8 +380,11 @@ object VectorOps {
   // which have held exact through every round).
 
   /** CTEs `e` → `sigt` (corpus bucket per vector) → `qprobe` (exploded
-    * query probe buckets) → `lshq` (the LSH top-5 result set). */
-  private def lshCtes(width: Int, probes: Int): String = s"""
+    * query probe buckets) → `lshq` (the LSH top-5 result set).
+    * `queryFilter` selects which vectors act as queries — the pointwise
+    * queries probe the 10 fixed ids, the kNN join probes everything. */
+  private def lshCtes(width: Int, probes: Int,
+      queryFilter: String = "WHERE vec_id < 10"): String = s"""
     |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
     |dots AS (
     |  SELECT vec_id, emb,
@@ -348,7 +407,7 @@ object VectorOps {
     |             range(0, $width), j -> {'a': abs(ds[j+1]), 'j': j})),
     |             1, $probes),
     |             s -> xor(bucket, CAST(1 AS BIGINT) << s.j)))) AS qbucket
-    |  FROM sigt WHERE vec_id < 10),
+    |  FROM sigt $queryFilter),
     |lshq AS (
     |  SELECT query_id, neighbor_id, CAST(rk AS INT) AS rk FROM (
     |    SELECT q.query_id, c.vec_id AS neighbor_id,
@@ -472,6 +531,19 @@ object VectorOps {
       (s"WITH ${lshCtes(LshWidth, LshProbes)}" + """
         |SELECT query_id, neighbor_id, rk FROM lshq
         |ORDER BY query_id, rk""".stripMargin),
+    // every vector is a query (no filter); top-3; the Spark-side corpus
+    // bucket cap is inert at test SFs so the uncapped replay matches
+    "q_knn_join" ->
+      (s"WITH ${lshCtes(LshWidth, LshProbes, queryFilter = "")}" + """
+        |SELECT vec_id, rk, neighbor_id FROM (
+        |  SELECT q.query_id AS vec_id, c.vec_id AS neighbor_id,
+        |         CAST(row_number() OVER (PARTITION BY q.query_id
+        |           ORDER BY list_cosine_similarity(q.qe, c.emb) DESC,
+        |                    c.vec_id) AS INT) AS rk
+        |  FROM qprobe q JOIN sigt c
+        |    ON c.bucket = q.qbucket AND c.vec_id <> q.query_id)
+        |WHERE rk <= 3
+        |ORDER BY vec_id, rk""".stripMargin),
     "q_ann_ivf" ->
       ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb " +
         s"FROM embeddings), $ivfCtes" + """

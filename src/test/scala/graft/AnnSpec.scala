@@ -59,6 +59,43 @@ class AnnSpec extends AnyFunSuite {
     }
   }
 
+  test("knn join restricted to the fixed queries equals the pointwise LSH top-3") {
+    // same buckets, same probes, every vector a query: slicing the join's
+    // output to the 10 pointwise query ids and rank <= 3 must reproduce
+    // annLsh's rows exactly — the join is the pointwise path generalized,
+    // not a reimplementation that can drift
+    val knn = VectorOps.knnJoin(spark, TestSpark.sf0001,
+        VectorOps.LshWidth, VectorOps.LshProbes, 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .filter(_._1 < 10).toSet
+    val pointwise = VectorOps.annLsh(spark, TestSpark.sf0001,
+        VectorOps.LshWidth, VectorOps.LshProbes)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(1)))
+      .filter(_._2 <= 3).toSet
+    assert(knn == pointwise)
+    assert(knn.nonEmpty)
+  }
+
+  test("knn join bucket cap bounds an embedding flood") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 300 identical embeddings = one bucket; cap 8 keeps candidates at
+    // (probes+1)·cap per query instead of the 300²-ish flood
+    val dim = 8
+    val docs = (0 until 300).map(i => (i.toLong, Array.fill(dim)(0.5f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val dir = java.nio.file.Files.createTempDirectory("graft-knnflood").toString
+    docs.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val res = VectorOps.knnJoin(spark, dir, VectorOps.LshWidth,
+        VectorOps.LshProbes, 3, cap = 8L)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    // neighbors may only come from the <= 8 retained bucket members
+    assert(res.map(_._2).distinct.length <= 8,
+      s"cap leaked: ${res.map(_._2).distinct.length} distinct neighbors")
+    // every query still gets answers (identical vectors: any rep serves)
+    assert(res.map(_._1).distinct.length == 300)
+  }
+
   test("multi-probe never hurts: candidates at probes=2 superset probes=0 recall") {
     val brute = bruteSet
     def recallAt(probes: Int): Double = {
