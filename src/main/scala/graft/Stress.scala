@@ -80,6 +80,29 @@ object Stress {
       col("vec_id") =!= col("query_id")).count()
   }
 
+  /** kNN-join candidates at the PRODUCTION width for each SF: width is
+    * the corpus-growth dial (log2(n/targetBucket), targetBucket ~ 8), so
+    * the probe grows width with n exactly as a deployment would — the
+    * exponent then reads the EFFECTIVE growth under the documented
+    * schedule rather than the fixed-width quadratic. */
+  private def knnJoinCandidates(s: SparkSession, d: String): Long = {
+    import graft.operators.VectorOps
+    graft.functions.GraftFunctions.register(s)
+    val n = Tables.embeddings(s, d).count()
+    val width = math.max(VectorOps.LshWidth,
+      (math.log(math.max(n / 8.0, 2.0)) / math.log(2.0)).ceil.toInt)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        element_at(expr(s"hyperplane_sig(embedding, $width, 0)"), 1).as("bucket"))
+    val q = Tables.embeddings(s, d)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .select(col("query_id"),
+        explode(expr(s"hyperplane_sig(qe, $width, ${VectorOps.LshProbes})"))
+          .as("qbucket"))
+    e.join(q, col("bucket") === col("qbucket") &&
+      col("vec_id") =!= col("query_id")).count()
+  }
+
   private def scalingMain(args: Array[String]): Unit = {
     import graft.operators.DedupOps
     val outFile = if (args.length > 1) args(1) else "SCALING.md"
@@ -123,6 +146,9 @@ object Stress {
       Probe("ann_lsh_candidates",
         "hyperplane-bucket join candidates for 10 queries, pre-top-k (q_ann_lsh)",
         annLshCandidates),
+      Probe("knn_join_candidates",
+        "all-pairs kNN bucket-join candidates, corpus side width-capped, pre-top-k (q_knn_join) — quadratic at FIXED width by design; the dial is width ~ log2(n/targetBucket), so the verdict rule reads this row against the width schedule, not the fixed-width exponent",
+        knnJoinCandidates),
     )
 
     val nDocs = sfs.map(d => Tables.documents(spark, d).count())
