@@ -3,8 +3,11 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): runs every registered query against
-  * SPARK_GRAFT_SF_DIR, prints ONE JSON line
-  * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}.
+  * SPARK_GRAFT_SF_DIR, prints the JSON line
+  * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...},
+  * mirrors it in full to BENCH_LOCAL.json, then prints a short
+  * {"metric":"bench_summary",...} line LAST so a tail-window stdout
+  * capture always retains the headline numbers.
   *
   * Queries are forced through the noop sink so the full physical plan
   * executes (a bare count() would let Catalyst prune projections and skip
@@ -48,26 +51,44 @@ object Bench {
       .toMap
   }
 
-  /** Latest prior-round artifact: SPARK_GRAFT_PRIOR_BENCH if set, else the
-    * highest-numbered BENCH_r*.json in the working directory. On a re-run
-    * within the same round the highest-numbered file is this round's own
-    * recording — the 2x threshold then guards against contention relative
-    * to minutes-old readings rather than the prior round's, which is an
-    * acceptable (slightly stricter) baseline; set SPARK_GRAFT_PRIOR_BENCH
-    * to pin a specific artifact. */
+  /** An artifact written within this window of "now" is presumed to belong
+    * to the CURRENT round (a same-round re-run: the driver retried, or a
+    * local iteration loop) and is skipped as a re-measure baseline — the 2x
+    * outlier threshold must compare against the PRIOR round's steady-state
+    * recording, not a minutes-old reading taken under the same host load.
+    * Rounds are hours apart, so 30 min cleanly separates the two cases. */
+  private[graft] val SameRoundWindowMs: Long = 30L * 60 * 1000
+
+  /** Pick the prior-round artifact from candidate files. Preference order:
+    *   1. BENCH_LOCAL.json — this program's own full-line record of the
+    *      latest completed run (never tail-truncated, all queries present);
+    *   2. the highest-numbered BENCH_r*.json (driver wrapper, tail window).
+    * Any candidate modified within [[SameRoundWindowMs]] of `nowMs` is
+    * skipped entirely (see above). Pure function of (files, nowMs) so the
+    * spec can exercise the same-round skip with controlled mtimes. */
+  private[graft] def selectPrior(files: Seq[java.io.File], nowMs: Long): Option[java.io.File] = {
+    val aged = files.filter(f => nowMs - f.lastModified() >= SameRoundWindowMs)
+    val local = aged.find(_.getName == "BENCH_LOCAL.json")
+    val rx = """BENCH_r(\d+)\.json""".r
+    val driver = aged
+      .flatMap(f => f.getName match {
+        case rx(n) => Some((n.toInt, f))
+        case _ => None
+      })
+      .sortBy(-_._1).headOption.map(_._2)
+    local.orElse(driver)
+  }
+
+  /** Latest prior-round artifact: SPARK_GRAFT_PRIOR_BENCH if set (explicit
+    * pin, no same-round filtering), else [[selectPrior]] over the working
+    * directory. */
   private def loadPrior(): Map[String, Double] = {
     val explicit = sys.env.get("SPARK_GRAFT_PRIOR_BENCH")
       .map(new java.io.File(_)).filter(_.isFile)
     val latest = explicit.orElse {
-      val rx = """BENCH_r(\d+)\.json""".r
-      Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
-        .flatMap { f =>
-          f.getName match {
-            case rx(n) => Some((n.toInt, f))
-            case _ => None
-          }
-        }
-        .sortBy(-_._1).headOption.map(_._2)
+      val cands = Option(new java.io.File(".").listFiles())
+        .getOrElse(Array.empty[java.io.File]).toSeq
+      selectPrior(cands, System.currentTimeMillis())
     }
     latest match {
       case None => Map.empty
@@ -152,10 +173,29 @@ object Bench {
     def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.4f", v)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
-    // -1.0 failure sentinels must not deflate the headline total; the
-    // total prints FIRST so a truncated capture still carries it
+    // -1.0 failure sentinels must not deflate the headline total
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // The round driver stores only a TAIL window of stdout (~2 kB), so the
+    // head of the big line — the total plus the alphabetically-first
+    // queries — is exactly what truncates. Two defenses:
+    //   1. the FULL line is written to BENCH_LOCAL.json in the working
+    //      directory (the repo), so every per-query time is always
+    //      readable regardless of what the stdout capture kept;
+    //   2. a SHORT summary line prints LAST — last bytes survive a tail
+    //      window — carrying the total, the query count, and the five
+    //      slowest queries (the ones a reviewer triages first).
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_LOCAL.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] BENCH_LOCAL.json write failed: ${e.getMessage}")
+    }
+    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
+      .map { case (k, v) => "\"" + k + "\":" + num(v) }.mkString("{", ",", "}")
+    val failed = results.count(_._2 < 0)
+    println(s"""{"metric":"bench_summary","total":${num(total)},"n":${results.size},"failed":$failed,"slowest":$slowest,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -42,4 +42,49 @@ class BenchSpec extends AnyFunSuite {
     val m = Bench.parsePriorQueries(line)
     assert(m == Map("q_ok" -> 1.25, "q_ok2" -> 0.5))
   }
+
+  private def tmpFile(dir: java.io.File, name: String, ageMs: Long, now: Long): java.io.File = {
+    val f = new java.io.File(dir, name)
+    java.nio.file.Files.write(f.toPath, "{}".getBytes("UTF-8"))
+    assert(f.setLastModified(now - ageMs))
+    f
+  }
+
+  test("selectPrior skips a same-round artifact (fresh mtime) in favor of the prior round") {
+    // a driver re-run within the round leaves BENCH_r07.json minutes old;
+    // the re-measure baseline must be r06, not this round's own reading
+    val dir = java.nio.file.Files.createTempDirectory("benchspec").toFile
+    val now = System.currentTimeMillis()
+    val fresh = tmpFile(dir, "BENCH_r07.json", 5L * 60 * 1000, now)
+    val aged = tmpFile(dir, "BENCH_r06.json", 6L * 60 * 60 * 1000, now)
+    assert(Bench.selectPrior(Seq(fresh, aged), now).contains(aged))
+  }
+
+  test("selectPrior returns none when every artifact is same-round fresh") {
+    val dir = java.nio.file.Files.createTempDirectory("benchspec").toFile
+    val now = System.currentTimeMillis()
+    val fresh = tmpFile(dir, "BENCH_r07.json", 60 * 1000, now)
+    assert(Bench.selectPrior(Seq(fresh), now).isEmpty)
+  }
+
+  test("selectPrior prefers the full BENCH_LOCAL.json record over a truncated driver wrapper") {
+    val dir = java.nio.file.Files.createTempDirectory("benchspec").toFile
+    val now = System.currentTimeMillis()
+    val local = tmpFile(dir, "BENCH_LOCAL.json", 6L * 60 * 60 * 1000, now)
+    val wrapper = tmpFile(dir, "BENCH_r06.json", 6L * 60 * 60 * 1000, now)
+    assert(Bench.selectPrior(Seq(wrapper, local), now).contains(local))
+    // but not when the local record is itself a same-round leftover
+    assert(local.setLastModified(now - 60 * 1000))
+    assert(Bench.selectPrior(Seq(wrapper, local), now).contains(wrapper))
+  }
+
+  test("selectPrior picks the highest-numbered aged driver artifact") {
+    val dir = java.nio.file.Files.createTempDirectory("benchspec").toFile
+    val now = System.currentTimeMillis()
+    val old = 6L * 60 * 60 * 1000
+    val r4 = tmpFile(dir, "BENCH_r04.json", 3 * old, now)
+    val r6 = tmpFile(dir, "BENCH_r06.json", old, now)
+    val noise = tmpFile(dir, "CORRECTNESS_r06.json", old, now)
+    assert(Bench.selectPrior(Seq(r4, noise, r6), now).contains(r6))
+  }
 }
