@@ -8,51 +8,122 @@ import graft.Tables
   * `binary` payloads with typed metadata, processed by a partition-local
   * decode/feature-extract stage.
   *
-  * The decode step is a STUB — no image/audio codecs exist in this
-  * container — replaced by a deterministic fake (dimensions/frame counts
-  * derived from the byte stream, mean byte value as the "feature"). The
-  * Spark-side plumbing is real: a typed `Dataset[(Long, Array[Byte])]`,
-  * a `mapPartitions` decode stage (one codec init per partition, the shape
-  * a JNI/FFI decoder needs), and a schema'd metadata result.
+  * The IMAGE path is real end-to-end: a generator stage renders a genuine
+  * PNG per document (8-bit grayscale, `javax.imageio` — JDK-built-in and
+  * headless-safe), and the codec stage decodes those bytes back with
+  * `ImageIO.read`, extracting the actual width/height and per-pixel stats.
+  * PNG is lossless, so the decoded samples equal the generator's formula
+  * exactly and the DuckDB oracle can recompute them from doc_id alone.
+  * The VIDEO path (frame sampling) keeps a byte-slicing stand-in for the
+  * codec — the JDK ships no video decoder — but its fan-out plumbing (one
+  * blob exploding to per-frame rows inside mapPartitions) is the real
+  * shape such a pipeline takes.
   *
-  * Scale notes (100 TB of media): the binary column rides parquet; the
-  * decode stage is embarrassingly parallel with NO shuffle — partition
-  * sizing is governed by `spark.sql.files.maxPartitionBytes` so each task
-  * holds only its batch of blobs. Frame-sampling/resize compose as further
+  * Scale notes (100 TB of media): the binary column rides parquet; both
+  * the encode and decode stages are embarrassingly parallel with NO
+  * shuffle — partition sizing is governed by
+  * `spark.sql.files.maxPartitionBytes` so each task holds only its batch
+  * of blobs. Codec state is initialized once per partition (the shape a
+  * JNI/FFI decoder needs); frame-sampling/resize compose as further
   * mapPartitions stages over the same typed Dataset.
   */
 object MultiModalOps {
   private type Q = (SparkSession, String) => DataFrame
 
-  private val qMultimodalMeta: Q = (s, d) => {
+  // ImageIO never needs a display for in-memory raster work, but AWT can
+  // still probe for one on class-load; pin headless before first use.
+  private def ensureHeadless(): Unit =
+    if (System.getProperty("java.awt.headless") == null)
+      System.setProperty("java.awt.headless", "true")
+
+  /** Fixture dimensions/pixels as a pure function of doc_id, mirrored by
+    * the oracle SQL: width 8..31, height 8..31, gray(x,y) =
+    * (doc_id*31 + x*7 + y*13) mod 256. */
+  private[graft] def imgWidth(id: Long): Int = (8 + Math.floorMod(id, 24L)).toInt
+  private[graft] def imgHeight(id: Long): Int = (8 + Math.floorMod(id / 3, 24L)).toInt
+  private[graft] def imgPixel(id: Long, x: Int, y: Int): Int =
+    Math.floorMod(id * 31 + x * 7 + y * 13, 256L).toInt
+
+  /** Render the fixture image for one document as real PNG bytes. */
+  private[graft] def encodePng(id: Long): Array[Byte] = {
+    ensureHeadless()
+    val w = imgWidth(id)
+    val h = imgHeight(id)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { raster.setSample(x, y, 0, imgPixel(id, x, y)); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Decode real PNG bytes and extract metadata + pixel stats. Exposed for
+    * the roundtrip spec; the query runs it inside mapPartitions. */
+  private[graft] def decodePng(id: Long, bytes: Array[Byte]): (Long, Long, Long, Long, Double, Long, Long) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val w = img.getWidth
+    val h = img.getHeight
+    val raster = img.getRaster
+    var sum = 0L
+    var mn = 255L
+    var mx = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = raster.getSample(x, y, 0).toLong
+        sum += v
+        if (v < mn) mn = v
+        if (v > mx) mx = v
+        x += 1
+      }
+      y += 1
+    }
+    val nPx = w.toLong * h
+    (id, w.toLong, h.toLong, nPx, sum.toDouble / nPx, mn, mx)
+  }
+
+  /** Generator stage: one real PNG payload per document. Pure projection,
+    * no shuffle — the binary column materializes exactly where the doc_id
+    * partition already lives. */
+  private[graft] def pngPayloads(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d)
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        ensureHeadless()
+        it.map(id => (id, encodePng(id)))
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  private val qMultimodalMeta: Q = (s, d) => {
+    import s.implicits._
+    pngPayloads(s, d)
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // Real pipeline: init the codec once per partition here.
-        it.map { case (id, bytes) =>
-          // STUB decode: deterministic fake metadata in place of a codec.
-          val n = bytes.length.toLong
-          var sum = 0L
-          var i = 0
-          while (i < bytes.length) { sum += (bytes(i) & 0xff); i += 1 }
-          val width = 64L + n % 512L
-          val height = 64L + (n / 7L) % 512L
-          val frames = 1L + n % 16L
-          val meanByte = if (n == 0) 0.0 else sum.toDouble / n
-          (id, n, width, height, frames, meanByte)
-        }
+        // Real pipeline shape: one codec init per partition, then a tight
+        // decode loop. ImageIO is the codec here — a JNI decoder slots in
+        // at the same point.
+        ensureHeadless()
+        it.map { case (id, bytes) => decodePng(id, bytes) }
       }
-      .toDF("doc_id", "n_bytes", "width", "height", "n_frames", "mean_byte")
+      .toDF("doc_id", "width", "height", "n_px", "mean_px", "min_px", "max_px")
       .orderBy("doc_id")
   }
 
   /** Frame-sampling stage: treat the payload as n_frames equal slices,
     * keep every 4th frame, emit one row per sampled frame with its offset,
-    * length and byte-sum "feature" (the decode is the same deterministic
-    * stub; the flatMap-over-partitions plumbing — one input blob fanning
-    * out to per-frame rows — is the real shape of a video pipeline). */
+    * length and byte-sum "feature". The slicing stands in for a video
+    * codec (none ships with the JDK); the flatMap-over-partitions plumbing
+    * — one input blob fanning out to per-frame rows — is the real shape of
+    * a video pipeline. */
   private val qMultimodalFrames: Q = (s, d) => {
     import s.implicits._
     Tables.documents(s, d)
@@ -82,16 +153,32 @@ object MultiModalOps {
   )
 
   val oracles: Map[String, String] = Map(
-    // documents are pure ASCII (verified), so per-char codepoints == bytes.
+    // The oracle recomputes the generator's formula: dims from doc_id,
+    // pixel stats by enumerating the (x, y) grid. Sum of pixels is an
+    // exact integer well inside double precision (<= 255 * 1024), so the
+    // mean divides bit-identically in both engines.
     "q_multimodal_meta" ->
-      """SELECT doc_id,
-        |       CAST(strlen(text) AS BIGINT) AS n_bytes,
-        |       CAST(64 + strlen(text) % 512 AS BIGINT) AS width,
-        |       CAST(64 + (strlen(text) // 7) % 512 AS BIGINT) AS height,
-        |       CAST(1 + strlen(text) % 16 AS BIGINT) AS n_frames,
-        |       coalesce((SELECT sum(ord(c)) FROM unnest(string_split(text, '')) u(c))
-        |         / CAST(nullif(strlen(text), 0) AS DOUBLE), 0.0) AS mean_byte
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         8 + doc_id % 24 AS w,
+        |         8 + (doc_id // 3) % 24 AS h
+        |  FROM documents),
+        |xs AS (SELECT unnest(range(0, 32)) AS x),
+        |ys AS (SELECT unnest(range(0, 32)) AS y),
+        |px AS (
+        |  SELECT d.doc_id, d.w, d.h,
+        |         (d.doc_id * 31 + xs.x * 7 + ys.y * 13) % 256 AS v
+        |  FROM d, xs, ys
+        |  WHERE xs.x < d.w AND ys.y < d.h)
+        |SELECT doc_id,
+        |       CAST(w AS BIGINT) AS width,
+        |       CAST(h AS BIGINT) AS height,
+        |       CAST(count(*) AS BIGINT) AS n_px,
+        |       CAST(sum(v) AS DOUBLE) / count(*) AS mean_px,
+        |       CAST(min(v) AS BIGINT) AS min_px,
+        |       CAST(max(v) AS BIGINT) AS max_px
+        |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+    // documents are pure ASCII (verified), so per-char codepoints == bytes.
     "q_multimodal_frames" ->
       """WITH d AS (
         |  SELECT doc_id, text, strlen(text) AS n,
