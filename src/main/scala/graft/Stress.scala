@@ -65,11 +65,12 @@ object Stress {
   }
 
   /** ANN LSH bucket-join candidates (corpus rows meeting the 10 probed
-    * queries, pre-top-k). */
+    * queries, pre-top-k) at the schedule-derived production width. */
   private def annLshCandidates(s: SparkSession, d: String): Long = {
     import graft.operators.VectorOps
     graft.functions.GraftFunctions.register(s)
-    val (width, probes) = (VectorOps.LshWidth, VectorOps.LshProbes)
+    val n = Tables.embeddings(s, d).count()
+    val (width, probes) = (VectorOps.lshWidthFor(n), VectorOps.LshProbes)
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"),
         element_at(expr(s"hyperplane_sig(embedding, $width, 0)"), 1).as("bucket"))
@@ -81,16 +82,15 @@ object Stress {
   }
 
   /** kNN-join candidates at the PRODUCTION width for each SF: width is
-    * the corpus-growth dial (log2(n/targetBucket), targetBucket ~ 8), so
-    * the probe grows width with n exactly as a deployment would — the
-    * exponent then reads the EFFECTIVE growth under the documented
-    * schedule rather than the fixed-width quadratic. */
+    * the corpus-growth dial (log2(n/targetBucket)), now the same
+    * [[graft.operators.VectorOps.lshWidthFor]] schedule the registered
+    * queries run — the exponent reads the EFFECTIVE growth under the
+    * shipped schedule rather than the fixed-width quadratic. */
   private def knnJoinCandidates(s: SparkSession, d: String): Long = {
     import graft.operators.VectorOps
     graft.functions.GraftFunctions.register(s)
     val n = Tables.embeddings(s, d).count()
-    val width = math.max(VectorOps.LshWidth,
-      (math.log(math.max(n / 8.0, 2.0)) / math.log(2.0)).ceil.toInt)
+    val width = VectorOps.lshWidthFor(n)
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"),
         element_at(expr(s"hyperplane_sig(embedding, $width, 0)"), 1).as("bucket"))

@@ -22,12 +22,14 @@ import graft.functions.GraftFunctions
   *   checks the result exactly; recall floors are additionally asserted in
   *   the scalatest spec and exported as q_ann_recall.
   *
-  * Scale notes (100 TB): brute force is O(Q×N). The LSH variant buckets on
-  * a 6-bit signature here (corpus is tiny); at scale the signature widens
-  * (16-32 bits) + multi-probe, queries broadcast, and each bucket scores
-  * locally — a shuffle-free broadcast-hash-join topology. An IVF variant
-  * (k-means centroids + nprobe) shares the same plan shape: assign →
-  * co-partition by cell → local scoring.
+  * Scale notes (100 TB): brute force is O(Q×N). The LSH variant's
+  * signature width follows the corpus: [[lshWidthFor]] derives it from
+  * the parquet row count (log2(n/targetBucket), integer-exact), so a tiny
+  * corpus buckets on a few bits and a billion-vector corpus widens toward
+  * 24 bits + multi-probe automatically; queries broadcast and each bucket
+  * scores locally — a shuffle-free broadcast-hash-join topology. An IVF
+  * variant (k-means centroids + nprobe) shares the same plan shape:
+  * assign → co-partition by cell → local scoring.
   */
 object VectorOps {
   private type Q = (SparkSession, String) => DataFrame
@@ -85,14 +87,46 @@ object VectorOps {
       .orderBy("vec_a", "vec_b")
   }
 
-  /** Default LSH geometry: 8 sign bits (256 buckets) with 2 multi-probes
-    * per query. Wider codes make buckets more selective (fewer exact
-    * scorings per query); multi-probe recovers the recall lost at bucket
-    * boundaries without adding tables. At billions of vectors widen to
-    * 16-32 bits and raise probes — both are literal parameters of the
-    * same native expression (AnnSpec pins recall at two widths). */
-  val LshWidth = 8
+  /** LSH geometry schedule: the signature width is DERIVED from the corpus
+    * row count (parquet footer metadata — no data scan), not a fixed
+    * literal. Target mean bucket occupancy is [[LshTargetBucket]]; the
+    * schedule picks the smallest width whose 2^width buckets hold the
+    * corpus at that occupancy — i.e. the log2(n/target) dial the scaling
+    * docs describe, realized in code. Integer-exact on purpose: both this
+    * loop and the oracle's SQL twin search the same `(target << w) >= n`
+    * predicate, so a floating log2 rounding at a power-of-two boundary
+    * cannot make the engines pick different widths. Clamped to
+    * [[LshMinWidth]] (tiny corpora degenerate to near-brute-force, which
+    * is correct there) and [[LshMaxWidth]] (2^24 buckets; past that,
+    * occupancy grows linearly and the kNN cap takes over). */
+  val LshTargetBucket = 8L
+  val LshMinWidth = 4
+  val LshMaxWidth = 24
   val LshProbes = 2
+
+  /** Smallest width w with expected occupancy n/2^w <= LshTargetBucket,
+    * clamped to [LshMinWidth, LshMaxWidth]. */
+  def lshWidthFor(n: Long): Int = {
+    var w = 0
+    while (w < LshMaxWidth && (LshTargetBucket << w) < n) w += 1
+    math.max(LshMinWidth, w)
+  }
+
+  /** Per-bucket corpus cap for the kNN join, derived from the same corpus
+    * count: 64× the expected bucket occupancy at the scheduled width. At
+    * scheduled widths occupancy is ~LshTargetBucket so the cap sits at
+    * 64×8 = 512 — far above any healthy bucket, engaged only by a genuine
+    * flood. When the width clamp at LshMaxWidth makes occupancy grow with
+    * n, the cap grows with it, keeping the flood bound proportionate. */
+  def knnCapFor(n: Long, width: Int): Long = {
+    val occupancy = (n + (1L << width) - 1) >> width
+    64L * math.max(LshTargetBucket, occupancy)
+  }
+
+  /** Corpus size from parquet footer metadata (no vector scan): the input
+    * every schedule decision derives from. */
+  private def corpusSize(s: SparkSession, d: String): Long =
+    Tables.embeddings(s, d).count()
 
   /** ANN via random-hyperplane LSH with query-directed multi-probe:
     * the corpus keeps ONE bucket per vector (native codegen'd
@@ -128,16 +162,17 @@ object VectorOps {
       .orderBy("query_id", "rk")
   }
 
-  private val qAnnLsh: Q = (s, d) => annLsh(s, d, LshWidth, LshProbes)
+  private val qAnnLsh: Q = (s, d) =>
+    annLsh(s, d, lshWidthFor(corpusSize(s, d)), LshProbes)
 
-  /** Per-bucket corpus cap for the kNN JOIN (inert at test SFs, like
+  /** Why a bucket cap at all (inert at test SFs, like
     * DedupOps.LshBucketCap): a flood of near-identical embeddings
     * collapses into one bucket and would make the self-join quadratic;
     * keeping the `cap` hash-lowest members per bucket bounds candidates
     * at (probes+1)·cap per query, and near-identical members are
     * interchangeable as neighbors, so any retained `cap` answer the
-    * top-k as well as the full flood would. */
-  val KnnBucketCap = 1000L
+    * top-k as well as the full flood would. The production cap value is
+    * schedule-derived — see [[knnCapFor]]. */
 
   /** All-pairs k-nearest-neighbor JOIN over the embedding table — the
     * similarity-join the pointwise ANN queries don't cover (semantic
@@ -148,15 +183,15 @@ object VectorOps {
     * probed buckets.
     *
     * Scale posture: the bucket join shuffles on the bucket key, whose
-    * cardinality is 2^width — width must grow ~log2(n/targetBucketWidth)
-    * with the corpus (the dial annLsh's scaladoc documents; the scaling
-    * instrument reads the candidate exponent). The corpus side is
-    * width-capped per bucket (KnnBucketCap) so an embedding flood cannot
-    * go quadratic; candidates are <= (probes+1)·cap·n — linear at fixed
-    * width budget. No broadcast anywhere: both join sides are
-    * corpus-sized. */
+    * cardinality is 2^width — width grows log2(n/targetBucket) with the
+    * corpus via [[lshWidthFor]] (the registered query derives it from the
+    * parquet metadata row count; the scaling instrument reads the
+    * candidate exponent). The corpus side is width-capped per bucket
+    * ([[knnCapFor]]) so an embedding flood cannot go quadratic;
+    * candidates are <= (probes+1)·cap·n — linear at the scheduled width.
+    * No broadcast anywhere: both join sides are corpus-sized. */
   def knnJoin(s: SparkSession, d: String, width: Int, probes: Int, k: Int,
-      cap: Long = KnnBucketCap): DataFrame = {
+      cap: Long): DataFrame = {
     GraftFunctions.register(s)
     val spreadE = Tables.spread(s, Tables.embeddings(s, d))
     val corpus = spreadE
@@ -183,7 +218,11 @@ object VectorOps {
       .orderBy("vec_id", "rk")
   }
 
-  private val qKnnJoin: Q = (s, d) => knnJoin(s, d, LshWidth, LshProbes, 3)
+  private val qKnnJoin: Q = (s, d) => {
+    val n = corpusSize(s, d)
+    val width = lshWidthFor(n)
+    knnJoin(s, d, width, LshProbes, 3, cap = knnCapFor(n, width))
+  }
 
   /** Recall@5 of both approximate ANN paths against exact brute force —
     * the driver-checked artifact for the approximation quality (r4 verdict
@@ -379,23 +418,32 @@ object VectorOps {
   // across engines (same hazard class as the cosine-ordered queries,
   // which have held exact through every round).
 
-  /** CTEs `e` → `sigt` (corpus bucket per vector) → `qprobe` (exploded
-    * query probe buckets) → `lshq` (the LSH top-5 result set).
-    * `queryFilter` selects which vectors act as queries — the pointwise
-    * queries probe the 10 fixed ids, the kNN join probes everything. */
-  private def lshCtes(width: Int, probes: Int,
+  /** CTEs `nw` (the schedule-derived signature width) → `e` → `sigt`
+    * (corpus bucket per vector) → `qprobe` (exploded query probe buckets)
+    * → `lshq` (the LSH top-5 result set). The width CTE is the SQL twin
+    * of [[lshWidthFor]]: the same integer `(target << w) >= n` search over
+    * candidate widths, so both engines derive the identical width from the
+    * corpus count with no floating log2 involved. `queryFilter` selects
+    * which vectors act as queries — the pointwise queries probe the 10
+    * fixed ids, the kNN join probes everything. */
+  private def lshCtes(probes: Int,
       queryFilter: String = "WHERE vec_id < 10"): String = s"""
+    |nw AS (
+    |  SELECT GREATEST($LshMinWidth,
+    |           COALESCE(min(CAST(j AS INT)), $LshMaxWidth)) AS w
+    |  FROM (SELECT unnest(range(0, ${LshMaxWidth + 1})) AS j)
+    |  WHERE ($LshTargetBucket << j) >= (SELECT count(*) FROM embeddings)),
     |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
     |dots AS (
     |  SELECT vec_id, emb,
-    |         list_transform(range(0, $width), j ->
+    |         list_transform(range(0, (SELECT w FROM nw)), j ->
     |           list_sum(list_transform(range(1, len(emb)+1),
     |             k -> emb[k] * (CAST(((j*len(emb) + k) * 2654435761)
     |                    % 1000000007 AS DOUBLE)/1000000007 - 0.5)))) AS ds
     |  FROM e),
     |sigt AS (
     |  SELECT vec_id, emb, ds,
-    |         CAST(list_sum(list_transform(range(0, $width),
+    |         CAST(list_sum(list_transform(range(0, (SELECT w FROM nw)),
     |           j -> CASE WHEN ds[j+1] > 0
     |                THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT)
     |           AS bucket
@@ -404,7 +452,8 @@ object VectorOps {
     |  SELECT vec_id AS query_id, emb AS qe,
     |         unnest(list_prepend(bucket,
     |           list_transform(list_slice(list_sort(list_transform(
-    |             range(0, $width), j -> {'a': abs(ds[j+1]), 'j': j})),
+    |             range(0, (SELECT w FROM nw)),
+    |               j -> {'a': abs(ds[j+1]), 'j': j})),
     |             1, $probes),
     |             s -> xor(bucket, CAST(1 AS BIGINT) << s.j)))) AS qbucket
     |  FROM sigt $queryFilter),
@@ -528,13 +577,13 @@ object VectorOps {
         |                             CAST(b.embedding AS DOUBLE[])) >= 0.45
         |ORDER BY 1, 2""".stripMargin,
     "q_ann_lsh" ->
-      (s"WITH ${lshCtes(LshWidth, LshProbes)}" + """
+      (s"WITH ${lshCtes(LshProbes)}" + """
         |SELECT query_id, neighbor_id, rk FROM lshq
         |ORDER BY query_id, rk""".stripMargin),
     // every vector is a query (no filter); top-3; the Spark-side corpus
     // bucket cap is inert at test SFs so the uncapped replay matches
     "q_knn_join" ->
-      (s"WITH ${lshCtes(LshWidth, LshProbes, queryFilter = "")}" + """
+      (s"WITH ${lshCtes(LshProbes, queryFilter = "")}" + """
         |SELECT vec_id, rk, neighbor_id FROM (
         |  SELECT q.query_id AS vec_id, c.vec_id AS neighbor_id,
         |         CAST(row_number() OVER (PARTITION BY q.query_id
@@ -550,7 +599,7 @@ object VectorOps {
         |SELECT query_id, neighbor_id, rk FROM ivfq
         |ORDER BY query_id, rk""".stripMargin),
     "q_ann_recall" ->
-      (s"WITH ${lshCtes(LshWidth, LshProbes)}, $ivfCtes, $bruteCte" + """
+      (s"WITH ${lshCtes(LshProbes)}, $ivfCtes, $bruteCte" + """
         |SELECT variant, n_hits, n_brute,
         |       round(CAST(n_hits AS DOUBLE) / n_brute, 4) AS recall_at_5
         |FROM (

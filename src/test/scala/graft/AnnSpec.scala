@@ -59,17 +59,53 @@ class AnnSpec extends AnyFunSuite {
     }
   }
 
+  test("width schedule: integer-exact log2(n/target), clamped") {
+    // the schedule the oracle's nw CTE mirrors; a drift here desyncs the
+    // two engines, so the exact values are pinned
+    assert(VectorOps.lshWidthFor(1) == 4)          // min clamp
+    assert(VectorOps.lshWidthFor(50) == 4)
+    assert(VectorOps.lshWidthFor(500) == 6)        // sf0.001/sf0.01 fixtures
+    assert(VectorOps.lshWidthFor(512) == 6)        // 8*2^6 = 512 boundary
+    assert(VectorOps.lshWidthFor(513) == 7)
+    assert(VectorOps.lshWidthFor(2000) == 8)       // sf0.1 fixture
+    assert(VectorOps.lshWidthFor(1_000_000_000L) == 24) // max clamp
+    // cap: 64x expected occupancy, floored at 64x target occupancy
+    assert(VectorOps.knnCapFor(500, 6) == 512)
+    assert(VectorOps.knnCapFor(50, 4) == 512)
+    // past the width clamp, occupancy grows with n and the cap follows
+    assert(VectorOps.knnCapFor(1_000_000_000L, 24) ==
+      64L * ((1_000_000_000L + (1L << 24) - 1) >> 24))
+  }
+
+  test("two fixture sizes pick two different widths, both with usable output") {
+    // embeddings is 500 rows at both sf0.001 and sf0.01; sf0.1 has 2000 —
+    // the smallest pair of fixtures whose counts cross a width boundary
+    val sizes = Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1").map { d =>
+      val n = spark.read.parquet(s"$d/embeddings.parquet").count()
+      val w = VectorOps.lshWidthFor(n)
+      val rows = VectorOps.annLsh(spark, d, w, VectorOps.LshProbes).collect()
+      assert(rows.nonEmpty, s"$d width=$w produced no neighbors")
+      (n, w)
+    }
+    info(s"schedule picked: $sizes")
+    assert(sizes.map(_._2).distinct.length == 2,
+      s"fixture sizes must exercise two widths, got $sizes")
+  }
+
   test("knn join restricted to the fixed queries equals the pointwise LSH top-3") {
     // same buckets, same probes, every vector a query: slicing the join's
     // output to the 10 pointwise query ids and rank <= 3 must reproduce
     // annLsh's rows exactly — the join is the pointwise path generalized,
-    // not a reimplementation that can drift
+    // not a reimplementation that can drift. Width/cap come from the same
+    // schedule the registered queries use.
+    val n = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet").count()
+    val w = VectorOps.lshWidthFor(n)
     val knn = VectorOps.knnJoin(spark, TestSpark.sf0001,
-        VectorOps.LshWidth, VectorOps.LshProbes, 3)
+        w, VectorOps.LshProbes, 3, cap = VectorOps.knnCapFor(n, w))
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
       .filter(_._1 < 10).toSet
     val pointwise = VectorOps.annLsh(spark, TestSpark.sf0001,
-        VectorOps.LshWidth, VectorOps.LshProbes)
+        w, VectorOps.LshProbes)
       .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(1)))
       .filter(_._2 <= 3).toSet
     assert(knn == pointwise)
@@ -86,7 +122,7 @@ class AnnSpec extends AnyFunSuite {
       .toDF("vec_id", "embedding", "label")
     val dir = java.nio.file.Files.createTempDirectory("graft-knnflood").toString
     docs.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-    val res = VectorOps.knnJoin(spark, dir, VectorOps.LshWidth,
+    val res = VectorOps.knnJoin(spark, dir, VectorOps.lshWidthFor(300),
         VectorOps.LshProbes, 3, cap = 8L)
       .collect().map(r => (r.getLong(0), r.getLong(2)))
     // neighbors may only come from the <= 8 retained bucket members
