@@ -20,12 +20,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreOps.queries ++ LedgerOps.queries ++ TextOps.queries ++
       DedupOps.queries ++ VectorOps.queries ++ MultiModalOps.queries ++
-      PipelineOps.queries ++ HealthOps.queries ++ CurationOps.queries
+      PipelineOps.queries ++ HealthOps.queries ++ CurationOps.queries ++
+      SkewOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     CoreOps.oracles ++ LedgerOps.oracles ++ TextOps.oracles ++
       DedupOps.oracles ++ VectorOps.oracles ++ MultiModalOps.oracles ++
-      PipelineOps.oracles ++ HealthOps.oracles ++ CurationOps.oracles
+      PipelineOps.oracles ++ HealthOps.oracles ++ CurationOps.oracles ++
+      SkewOps.oracles
 }

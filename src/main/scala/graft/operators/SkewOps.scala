@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Tables
 
 /** Skew mitigation utilities for the 100 TB path (SURVEY.md §7 risks,
   * SCALING.md): when one group key dominates, a single reducer receives the
@@ -84,4 +85,88 @@ object SkewOps {
       explode(array((0 until salts).map(s => lit(s)): _*)))
     l.join(r, Seq(key, salt)).drop(salt)
   }
+
+  /** Exact dedup on `keys` with a DETERMINISTIC representative — the row
+    * minimal under the lexicographic order of `order` columns (ties broken
+    * by the remaining columns, so the choice is total whenever rows are
+    * distinct) — in two salted stages: dedup within (keys, salt), then
+    * across salts. min is associative, so the staged result is EXACTLY the
+    * direct single-pass result for any salt assignment.
+    *
+    * When this beats the direct forms on a hot key:
+    *   - `row_number().over(partitionBy(keys))` ships EVERY row of the hot
+    *     key to one reducer and sorts them there — the window funnel this
+    *     function exists to avoid;
+    *   - plain `dropDuplicates(keys)` does get a map-side partial
+    *     aggregate, but its per-key state is the full representative row:
+    *     on wide rows the partial buffers themselves thrash memory, and
+    *     its pick is plan-dependent (whichever row each task sees first),
+    *     so results drift across retries/AQE re-plans. Here the pick is
+    *     reproducible on any cluster, any partitioning.
+    * Both stages are hash aggregations with map-side partials; the hot
+    * key's rows spread over `salts` stage-1 groups (full-row hash salt:
+    * byte-identical duplicates share a salt, but those collapse in the
+    * map-side partial before ever shuffling). */
+  def saltedDedup(df: DataFrame, keys: Seq[String], order: Seq[String],
+      salts: Int): DataFrame = {
+    require(salts >= 1, "salts must be >= 1")
+    val salt = s"__graft_salt_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val rest = df.columns.filterNot(c => keys.contains(c) || order.contains(c))
+    val payloadCols = (order ++ rest).toIndexedSeq
+    val payload = struct(payloadCols.map(col): _*)
+    df.withColumn(salt, rowHashSalt(df, salts))
+      .groupBy((keys.map(col) :+ col(salt)): _*)
+      .agg(min(payload).as("_rep"))          // stage 1: dedup within salt
+      .groupBy(keys.map(col): _*)
+      .agg(min(col("_rep")).as("_rep"))      // stage 2: dedup across salts
+      .select(df.columns.toIndexedSeq.map { c =>
+        if (keys.contains(c)) col(c) else col(s"_rep.$c").as(c)
+      }: _*)
+  }
+
+  // ---- registered query: the zipfian ledger flood ----------------------
+  // The blocks fixture's (map_id, attempt_id, seq_id) key space cannot
+  // skew (seq_id is a per-group row_number), so the salted path needs its
+  // own fixture: a ledger derived from `events` where ~80% of rows land on
+  // map_id 0 and seq_id has only 4 values — one composite key holds ~20%
+  // of the table. The dedup keeps the earliest (attempt_id, event_id) row
+  // per (map_id, seq_id), the resend-wins-by-first-attempt rule.
+
+  private type QT = (SparkSession, String) => DataFrame
+
+  private val qDedupSalted: QT = (s, d) => {
+    val ph = Tables.phash(col("event_id"))
+    val skewed = Tables.events(s, d).select(
+      col("event_id"),
+      when(ph % 5 < 4, lit(0L)).otherwise(ph % 8).as("map_id"),
+      (Tables.phash(col("user_id")) % 4).as("seq_id"),
+      (col("event_id") % 7).as("attempt_id"),
+      length(col("props")).cast("long").as("length"))
+    saltedDedup(skewed, keys = Seq("map_id", "seq_id"),
+        order = Seq("attempt_id", "event_id"), salts = 16)
+      .select("map_id", "seq_id", "attempt_id", "event_id", "length")
+      .orderBy("map_id", "seq_id")
+  }
+
+  val queries: Map[String, QT] = Map("q_dedup_salted" -> qDedupSalted)
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_salted" -> {
+      val phe = Tables.phashSql("event_id")
+      val phu = Tables.phashSql("user_id")
+      s"""WITH skewed AS (
+        |  SELECT event_id,
+        |         CASE WHEN ($phe) % 5 < 4 THEN 0
+        |              ELSE ($phe) % 8 END AS map_id,
+        |         ($phu) % 4 AS seq_id,
+        |         event_id % 7 AS attempt_id,
+        |         CAST(length(props) AS BIGINT) AS length
+        |  FROM events),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY map_id, seq_id
+        |            ORDER BY attempt_id, event_id) AS rn
+        |  FROM skewed)
+        |SELECT map_id, seq_id, attempt_id, event_id, length
+        |FROM r WHERE rn = 1 ORDER BY map_id, seq_id""".stripMargin
+    })
 }

@@ -98,6 +98,42 @@ class SkewSpec extends AnyFunSuite {
       (1L, "b", 10L), (1L, "b", 20L)))
   }
 
+  test("salted dedup == direct window dedup on a zipfian composite-key flood") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // (map_id, seq_id) zipfian: key (0, s) holds ~80% of 40k rows across 4
+    // seq values — one composite key is ~20% of the table, the funnel a
+    // window-based dedup ships to a single reducer
+    val df = spark.range(0, 40000).select(
+      when(col("id") % 5 < 4, 0L).otherwise(col("id") % 7 + 1).as("map_id"),
+      (col("id") % 4).as("seq_id"),
+      (col("id") % 11).as("attempt_id"),
+      col("id").as("event_id"),
+      (col("id") * 13 % 997).as("length"))
+    val w = Window.partitionBy("map_id", "seq_id")
+      .orderBy("attempt_id", "event_id")
+    val direct = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+      .collect().map(_.toSeq).toSet
+    for (salts <- Seq(1, 16)) {
+      val salted = SkewOps.saltedDedup(df,
+          keys = Seq("map_id", "seq_id"),
+          order = Seq("attempt_id", "event_id"), salts = salts)
+        .collect().map(_.toSeq).toSet
+      assert(salted == direct, s"salts=$salts")
+    }
+  }
+
+  test("salted dedup preserves the caller's column order and names") {
+    import spark.implicits._
+    val df = Seq((1L, "b", 9L), (1L, "a", 7L), (2L, "z", 1L))
+      .toDF("k", "tag", "v")
+    val out = SkewOps.saltedDedup(df, keys = Seq("k"), order = Seq("tag"), 4)
+    assert(out.columns.toSeq == Seq("k", "tag", "v"))
+    val rows = out.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(rows == Set((1L, "a", 7L), (2L, "z", 1L)))
+  }
+
   test("pre-existing salt-like columns don't corrupt the aggregation") {
     import spark.implicits._
     val df = Seq(("a", 1L, 9L, 9L), ("a", 2L, 9L, 9L), ("b", 3L, 9L, 9L))
