@@ -461,13 +461,13 @@ object DedupOps {
   }
 
   def crossDedupBest(s: SparkSession, incoming: DataFrame, corpus: DataFrame,
-      cap: Long = LshBucketCap): DataFrame = {
+      cap: Long = LshBucketCap, refine: Boolean = true): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val inDocs = graft.Caching.persist(
       docHashesOf(s, incoming).withColumn("msig", expr("minhash_sig(hs)")))
     val corpDocs = graft.Caching.persist(
       docHashesOf(s, corpus).withColumn("msig", expr("minhash_sig(hs)")))
-    crossDedupBestFromHashes(s, inDocs, corpDocs, cap)
+    crossDedupBestFromHashes(s, inDocs, corpDocs, cap, refine)
   }
 
   /** Same operator over PRE-BUILT doc-hash frames (doc_id, hs, n [,msig])
@@ -475,12 +475,43 @@ object DedupOps {
     * registered query splits ONE shingle pass over the whole table by
     * parity instead of shingling each half separately, and a production
     * ingest would pass the published index (sources.DedupIndex) as the
-    * corpus side. */
+    * corpus side.
+    *
+    * Cap-engagement contract: the output carries a `cap_engaged` flag —
+    * true for probes that touched a flooded corpus bucket, i.e. whose
+    * candidate set the width cap truncated to the bucket representative.
+    * With `refine = true` (default) a second pass re-admits the flooded
+    * buckets' FULL membership for exactly those probes before exact
+    * verification, so the reported match is the globally-best one — the
+    * result is identical to the uncapped computation by construction
+    * (rep ⊆ members; the flag then only signals elevated cost). Refine
+    * cost is |flagged probes| × flood width, paid only when a flood
+    * exists AND probes hit it; pass `refine = false` to keep the strict
+    * linear candidate bound and instead route flagged docs (e.g. to the
+    * published cluster index) downstream. */
   def crossDedupBestFromHashes(s: SparkSession, inDocs: DataFrame,
-      corpDocs: DataFrame, cap: Long = LshBucketCap): DataFrame = {
+      corpDocs: DataFrame, cap: Long = LshBucketCap,
+      refine: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(s)
-    val verified = crossDedupCandidates(s, inDocs, corpDocs, cap)
+    val inBands = minhashBands(s, inDocs).withColumnRenamed("doc_id", "in_id")
+    val corpBands = minhashBands(s, corpDocs)
+    val (cold, hot) = splitByWidth(corpBands, cap)
+    val capped = cold.select("band", "bv", "doc_id")
+      .union(hot.select(col("band"), col("bv"), col("rep").as("doc_id")))
+    val baseCands = inBands.join(capped, Seq("band", "bv"))
+      .select(col("in_id"), col("doc_id").as("corp_id"))
+    val flagged = inBands.join(hot.select("band", "bv"), Seq("band", "bv"))
+      .select("in_id").distinct()
+      .withColumn("cap_engaged", lit(true))
+    val cands =
+      (if (refine)
+        baseCands.union(
+          inBands.join(corpBands.join(hot.select("band", "bv"),
+              Seq("band", "bv")), Seq("band", "bv"))
+            .select(col("in_id"), col("doc_id").as("corp_id")))
+      else baseCands).distinct()
+    val verified = cands
       .join(inDocs.select(col("doc_id").as("in_id"), col("hs").as("hs_a"),
         col("n").as("na")), "in_id")
       .join(corpDocs.select(col("doc_id").as("corp_id"), col("hs").as("hs_b"),
@@ -495,8 +526,10 @@ object DedupOps {
       .orderBy(col("jaccard").desc, col("corp_id"))
     verified
       .withColumn("rk", row_number().over(best)).filter(col("rk") === 1)
+      .join(flagged, Seq("in_id"), "left")
       .select(col("in_id").as("doc_id"), col("corp_id").as("match_id"),
-        col("jaccard"))
+        col("jaccard"),
+        coalesce(col("cap_engaged"), lit(false)).as("cap_engaged"))
       .orderBy("doc_id")
   }
 
@@ -509,9 +542,16 @@ object DedupOps {
     graft.functions.GraftFunctions.register(s)
     val all = graft.Caching.persist(
       docHashes(s, d).withColumn("msig", expr("minhash_sig(hs)")))
+    // the oracle is the exact-shingle ground truth, which has no band
+    // table to compute cap engagement from — the registered projection
+    // keeps the three verifiable columns; with refine on (the default)
+    // the match itself equals the uncapped ground truth at any scale, and
+    // the cap_engaged routing flag stays on the library surface
+    // (CrossDedupSpec pins it on a flood fixture)
     crossDedupBestFromHashes(s,
       all.filter(col("doc_id") % 2 === 1),
       all.filter(col("doc_id") % 2 === 0))
+      .select("doc_id", "match_id", "jaccard")
   }
 
   /** The dedup ACTION a curation pipeline actually executes: for every
