@@ -16,8 +16,11 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Every loader passes the chaos gate ([[Chaos.gate]]): a no-op returning
+    * the scan untouched unless the conf-probability fault injection is
+    * enabled (test harness only). */
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    Chaos.gate(spark, spark.read.parquet(s"$dir/$name.parquet"))
 
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")

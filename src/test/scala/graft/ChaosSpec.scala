@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Read-path fault injection (SURVEY §2A #35, the reference's
+  * mockReadErrorProbability): with every task's first attempt failing
+  * synthetically, the ledger queries must complete via Spark's task
+  * retries and produce results BIT-IDENTICAL to the injection-off run —
+  * retry-determinism end-to-end, not just "the job survives". */
+class ChaosSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  // the dedup-ledger family: dropDuplicates + window + aggregation over
+  // the chaos-gated events scan — the queries whose retry semantics the
+  // reference's LongHashSet/latest-attempt machinery exists to protect
+  private val ledgerQueries =
+    Seq("q_dedup_exact", "q_latest_attempt", "q_checksum_verify",
+      "q_ledger_order")
+
+  private def runAll(): Map[String, Seq[Seq[Any]]] =
+    ledgerQueries.map { q =>
+      q -> SparkEntry.queries(q)(spark, TestSpark.sf0001)
+        .collect().toSeq.map(_.toSeq)
+    }.toMap
+
+  test("ledger queries are bit-identical under full first-attempt failure") {
+    val clean = runAll()
+    spark.conf.set(Chaos.ProbConf, "1.0")
+    val before = Chaos.injected.get()
+    try {
+      val chaotic = runAll()
+      assert(Chaos.injected.get() > before,
+        "chaos gate engaged but injected no failures")
+      for (q <- ledgerQueries)
+        assert(chaotic(q) == clean(q), s"$q diverged under injection")
+    } finally spark.conf.unset(Chaos.ProbConf)
+  }
+
+  test("partial probability fails a deterministic subset and still matches") {
+    val clean = runAll()
+    spark.conf.set(Chaos.ProbConf, "0.5")
+    spark.conf.set(Chaos.SeedConf, "7")
+    try {
+      val chaotic = runAll()
+      for (q <- ledgerQueries)
+        assert(chaotic(q) == clean(q), s"$q diverged under injection")
+    } finally {
+      spark.conf.unset(Chaos.ProbConf)
+      spark.conf.unset(Chaos.SeedConf)
+    }
+  }
+
+  test("gate is an identity when disabled (no extra stage in the plan)") {
+    val plain = Tables.events(spark, TestSpark.sf0001)
+    // default-off: the gate must return the scan itself, so pushdown and
+    // pruning survive — the plan contains no (De)serialize/mapPartitions
+    val plan = plain.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("MapPartitions"), s"chaos gate left a stage:\n$plan")
+  }
+}

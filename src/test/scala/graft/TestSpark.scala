@@ -6,7 +6,11 @@ import org.apache.spark.sql.SparkSession
 object TestSpark {
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
-      .master("local[4]")
+      // maxFailures = 2: plain local[4] fails the job on the FIRST task
+      // failure, which would turn ChaosSpec's injected first-attempt
+      // errors into job aborts instead of retries; harmless elsewhere
+      // (no other spec fails tasks)
+      .master("local[4, 2]")
       .appName("graft-tests")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
