@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import graft.functions.{BpeCount, CosineSimilarity, HyperplaneSig,
-  MinHashSig, SimHash64, SimHashSig, VectorAvg}
+  MinHashSig, SimHash64, SimHashSig, SizedArg, VectorAvg}
 
 /** Session-extension entry point: users opt in with
   * `spark.sql.extensions=graft.GraftExtensions` and get the native
@@ -30,9 +30,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
       (exprs: Seq[Expression]) => MinHashSig(exprs.head,
-        if (exprs.length > 1) exprs(1).eval(null).asInstanceOf[Int]
+        if (exprs.length > 1) SizedArg.literalInt("minhash_sig", "rows", exprs(1))
         else MinHashSig.DefaultRows,
-        if (exprs.length > 2) exprs(2).eval(null).asInstanceOf[Int]
+        if (exprs.length > 2) SizedArg.literalInt("minhash_sig", "bands", exprs(2))
         else MinHashSig.DefaultBands)))
     ext.injectFunction((
       FunctionIdentifier("vector_avg"),
@@ -46,14 +46,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash_sig"),
       new ExpressionInfo(classOf[SimHashSig].getName, "simhash_sig"),
       (exprs: Seq[Expression]) => SimHashSig(exprs.head,
-        if (exprs.length > 1) exprs(1).eval(null).asInstanceOf[Int]
+        if (exprs.length > 1) SizedArg.literalInt("simhash_sig", "words", exprs(1))
         else SimHashSig.DefaultWords)))
     ext.injectFunction((
       FunctionIdentifier("hyperplane_sig"),
       new ExpressionInfo(classOf[HyperplaneSig].getName, "hyperplane_sig"),
       (exprs: Seq[Expression]) => HyperplaneSig(exprs.head,
-        exprs(1).eval(null).asInstanceOf[Int],
-        exprs(2).eval(null).asInstanceOf[Int])))
+        SizedArg.literalInt("hyperplane_sig", "width", exprs(1)),
+        SizedArg.literalInt("hyperplane_sig", "probes", exprs(2)))))
     ext.injectFunction((
       FunctionIdentifier("bpe_count"),
       new ExpressionInfo(classOf[BpeCount].getName, "bpe_count"),

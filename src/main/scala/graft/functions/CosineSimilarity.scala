@@ -78,6 +78,34 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Validation for the size parameters of the sized-codegen functions
+  * (minhash_sig rows/bands, simhash_sig width, hyperplane_sig
+  * width/probes): these sizes unroll into the generated code, so they
+  * MUST be integer literals known at plan time. A bare
+  * `eval(null).asInstanceOf[Int]` turned a non-literal, NULL, or
+  * long-typed argument into a plan-time ClassCastException/NPE with no
+  * user-facing message — this helper instead raises Spark's own
+  * NON_FOLDABLE_ARGUMENT analysis error naming the function and
+  * parameter, and widens any integral literal that fits in an Int. */
+private[graft] object SizedArg {
+  import org.apache.spark.sql.AnalysisException
+
+  def literalInt(fn: String, param: String, e: Expression): Int = {
+    def bad(): Nothing = throw new AnalysisException(
+      "NON_FOLDABLE_ARGUMENT",
+      Map("funcName" -> s"`$fn`", "paramName" -> s"`$param`",
+        "paramType" -> "\"INT\""))
+    if (!e.foldable) bad()
+    (try e.eval(null) catch { case _: Throwable => bad() }) match {
+      case i: Int => i
+      case i: Short => i.toInt
+      case i: Byte => i.toInt
+      case l: Long if l.isValidInt => l.toInt
+      case _ => bad() // NULL, fractional, string, or an out-of-range long
+    }
+  }
+}
+
 /** Session-local registration of graft's native functions; idempotent, works
   * on any SparkSession (no spark.sql.extensions config needed, so the
   * driver's own sessions work too). */
@@ -90,9 +118,9 @@ object GraftFunctions {
     // optional rows/bands must be integer literals (they size the codegen)
     registry.createOrReplaceTempFunction(
       "minhash_sig", exprs => MinHashSig(exprs.head,
-        if (exprs.length > 1) exprs(1).eval(null).asInstanceOf[Int]
+        if (exprs.length > 1) SizedArg.literalInt("minhash_sig", "rows", exprs(1))
         else MinHashSig.DefaultRows,
-        if (exprs.length > 2) exprs(2).eval(null).asInstanceOf[Int]
+        if (exprs.length > 2) SizedArg.literalInt("minhash_sig", "bands", exprs(2))
         else MinHashSig.DefaultBands), "built-in")
     registry.createOrReplaceTempFunction(
       "vector_avg", exprs => VectorAvg(exprs.head), "built-in")
@@ -101,13 +129,13 @@ object GraftFunctions {
     // optional width must be an integer literal (it sizes the generated code)
     registry.createOrReplaceTempFunction(
       "simhash_sig", exprs => SimHashSig(exprs.head,
-        if (exprs.length > 1) exprs(1).eval(null).asInstanceOf[Int]
+        if (exprs.length > 1) SizedArg.literalInt("simhash_sig", "words", exprs(1))
         else SimHashSig.DefaultWords), "built-in")
     // width/probes must be integer literals (they size the generated code)
     registry.createOrReplaceTempFunction(
       "hyperplane_sig", exprs => HyperplaneSig(exprs.head,
-        exprs(1).eval(null).asInstanceOf[Int],
-        exprs(2).eval(null).asInstanceOf[Int]), "built-in")
+        SizedArg.literalInt("hyperplane_sig", "width", exprs(1)),
+        SizedArg.literalInt("hyperplane_sig", "probes", exprs(2))), "built-in")
     registry.createOrReplaceTempFunction(
       "bpe_count", exprs => BpeCount(exprs.head), "built-in")
   }

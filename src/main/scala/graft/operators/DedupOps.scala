@@ -383,13 +383,13 @@ object DedupOps {
     * docs) are dropped BEFORE banding: the explode is over a literal
     * sequence, so a null sig would otherwise emit 32 (band, null) rows
     * that the width cap would group into one fake mega-bucket. */
-  private def simhashBands(s: SparkSession, sig: DataFrame): DataFrame = {
-    // geometry DERIVED from the signature width: 4 16-bit bands per
-    // 64-bit word, so widening SimHashSig.DefaultWords (the scaling
-    // law's dial) automatically bands the added bits — no second literal
-    // to keep in lockstep
+  private def simhashBands(s: SparkSession, sig: DataFrame,
+      nWords: Int): DataFrame = {
+    // geometry derived from the signature width dial: 4 16-bit bands per
+    // 64-bit word, so a widened signature bands its added bits — no
+    // second literal to keep in lockstep
     val bandsPerWord = 4
-    val nBands = graft.functions.SimHashSig.DefaultWords * bandsPerWord
+    val nBands = nWords * bandsPerWord
     sig
       .select(col("doc_id"), col("sig"),
         explode(expr(s"sequence(0, ${nBands - 1})")).as("band"))
@@ -400,18 +400,32 @@ object DedupOps {
 
   /** Width-capped SimHash LSH candidates (hamming-gated) — exposed for
     * the flood spec. `docs` may carry a precomputed `sig` column (the
-    * query-level cache does, so the signature is built once per run). */
+    * query-level cache does, so the signature is built once per run);
+    * `nWords` is the banding/gating geometry and MUST match that
+    * signature's width. The geometry stays an unrolled compile-time
+    * constant (the hamming sum is 2·nWords codegen'd bit_counts inside
+    * the join — a size(sig)-driven higher-order aggregate would fall out
+    * of whole-stage codegen in the hottest loop), so a mismatched
+    * precomputed signature is made to fail LOUDLY instead of silently
+    * banding only the first nWords words: an assert_true guard on
+    * size(sig) rides the band explode. */
   private[graft] def simhashCandidates(s: SparkSession, docs: DataFrame,
-      cap: Long = LshBucketCap): DataFrame = {
+      cap: Long = LshBucketCap,
+      nWords: Int = graft.functions.SimHashSig.DefaultWords): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val sig = (if (docs.columns.contains("sig")) docs
       else docs.withColumn("sig", expr("simhash_sig(hs)")))
       .select(col("doc_id"), col("sig"))
       .filter(col("sig").isNotNull)
-    val hamming = (0 until graft.functions.SimHashSig.DefaultWords)
+      // assert_true returns NULL (passing the filter) on every conforming
+      // row and throws on the first mismatched one
+      .filter(isnull(expr(s"assert_true(size(sig) = $nWords, " +
+        s"'simhash signature width <> $nWords words: pass nWords to " +
+        "simhashCandidates to match the precomputed sig')")))
+    val hamming = (0 until nWords)
       .map(i => expr(s"bit_count(x.sig[$i] ^ y.sig[$i])"))
       .reduce(_ + _)
-    cappedBandPairs(simhashBands(s, sig), cap,
+    cappedBandPairs(simhashBands(s, sig, nWords), cap,
       pairGate = hamming <= SimhashHammingGate)
   }
 

@@ -176,13 +176,23 @@ object PipelineOps {
     * user, with the ±10 min range as a post-filter). Composing
     * q_range_join's bucket decomposition on TOP of the equi key bounds
     * pair work by local density — bucket width = interval length (2W),
-    * so each error interval explodes to at most 2 bucket rows and a
-    * purchase can meet an interval via exactly one bucket (its own; the
-    * two exploded buckets are distinct, and pep div B is monotone
-    * between them), so no dedup is needed. The left join keeps
-    * zero-purchase errors: both unmatched bucket rows contribute 0 to
-    * the sum. Epochs in exact microseconds (ts is int64 nanos; div 1000
-    * matches DuckDB's ns→µs truncation). */
+    * so each error interval explodes to at most 2 bucket rows, and a
+    * purchase meets an interval at most once (its single p_bucket;
+    * sequence() never repeats a value), so no dedup is needed.
+    *
+    * Sign-correctness of the truncating `div` bucketing: coverage only
+    * needs the bucket map to be MONOTONE — pep in [ep-W, ep+W] then
+    * implies pep div B lies in [(ep-W) div B, (ep+W) div B], and the
+    * exploded sequence spans every integer in that range. Truncating
+    * division is monotone over the whole int64 line (it merely widens
+    * the bucket straddling zero to 2B-1), so the decomposition stays
+    * exactly equivalent to the direct range join for NEGATIVE epochs
+    * too — no floor-div needed, no non-negativity precondition
+    * (PipelineSpec pins a pre-1970 fixture against the direct join).
+    *
+    * The left join keeps zero-purchase errors: both unmatched bucket
+    * rows contribute 0 to the sum. Epochs in exact microseconds (ts is
+    * int64 nanos; div 1000 matches DuckDB's ns→µs truncation). */
   private val qIntervalJoin: Q = (s, d) => {
     val W = 600000000L // ±10 min in µs
     val B = 2 * W      // bucket width == interval length → ≤ 2 buckets each

@@ -22,7 +22,16 @@ import org.apache.spark.sql.functions._
   * both partition-friendly (bands bucket naturally by (band, minhash) for
   * the stream join; docs by doc_id for the verify join). A rebuild is one
   * batch job; consumers swap directories on the `_SUCCESS` flip.
-  */
+  *
+  * PUBLISHED-KEY CONTRACT — the `minhash` column is a HASH, not an
+  * arithmetic encoding: MinHashSig packs a band's r minima as
+  * `((m1·P + m2)·P + m3)…`, which WRAPS int64 from r = 3 on
+  * (MinHashSig.scala band-packing scaladoc). Key equality is therefore a
+  * ~2^-64-collision-grade signal that the band's minima collided, not a
+  * certainty — every consumer (in-repo: the stream join, cross-dedup,
+  * the batch self-join) must exact-verify candidate pairs against
+  * `docs.hs`, and an external consumer of this artifact must NOT treat
+  * equal keys as proven r-minima collisions. */
 object DedupIndex {
 
   /** Build and publish both index datasets for the corpus at `corpusDir`.

@@ -268,4 +268,29 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.collect { case (id, _, _, 1) => id }.toSeq == Seq(2L),
       "keep flag must mark exactly the longest member")
   }
+
+  test("a precomputed simhash signature must match the banding geometry or fail loudly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    graft.functions.GraftFunctions.register(spark)
+    val base = (0 until 40).map(i => s"tok${i * 7 % 13} word$i item${i % 5}").mkString(" ")
+    val nearDup = base.replace("word3 ", "changed3 ")
+    val docs = Seq((0L, base), (1L, nearDup)).toDF("doc_id", "text")
+    // a 9-word (576-bit) signature against the default 8-word geometry:
+    // silently banding only the first 8 words was the ADVICE hazard — the
+    // width guard must throw instead
+    val wide = DedupOps.docHashesOf(spark, docs)
+      .withColumn("sig", expr("simhash_sig(hs, 9)"))
+    val e = intercept[Throwable] {
+      DedupOps.simhashCandidates(spark, wide).collect()
+    }
+    val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(chain.contains("simhash signature width"),
+      s"guard did not fire; got: $chain")
+    // the same signature with the geometry passed explicitly works
+    val found = DedupOps.simhashCandidates(spark, wide, nWords = 9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found == Set((0L, 1L)), s"got $found")
+  }
 }

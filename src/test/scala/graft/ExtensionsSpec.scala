@@ -65,4 +65,29 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(sig.getInt(0) == graft.functions.SimHashSig.DefaultWords)
     assert(sig.getInt(1) == graft.functions.MinHashSig.DefaultBands)
   }
+
+  test("sized-codegen size args: integral literals widen, bad args raise a named error") {
+    val spark = TestSpark.spark
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq((1L, Seq(7L, 11L, 13L))).toDF("doc_id", "hs")
+    // a LONG literal used to throw a bare ClassCastException at plan time;
+    // it now widens like any integral literal that fits an Int
+    assert(df.selectExpr("size(minhash_sig(hs, 6L))").head().getInt(0) ==
+      graft.functions.MinHashSig.DefaultBands)
+    assert(df.selectExpr("size(simhash_sig(hs, CAST(9 AS SHORT)))")
+      .head().getInt(0) == 9)
+    // non-foldable, NULL, and fractional arguments raise an
+    // AnalysisException naming the function and parameter
+    for (bad <- Seq("minhash_sig(hs, CAST(doc_id AS INT))",
+        "simhash_sig(hs, NULL)", "minhash_sig(hs, 1.5)")) {
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        df.selectExpr(bad).collect()
+      }
+      val fn = bad.takeWhile(_ != '(')
+      assert(e.getMessage.contains(fn) &&
+        e.getMessage.contains("NON_FOLDABLE_ARGUMENT"),
+        s"$bad -> ${e.getMessage}")
+    }
+  }
 }

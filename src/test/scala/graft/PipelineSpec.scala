@@ -112,4 +112,35 @@ class PipelineSpec extends AnyFunSuite {
     // boundary-straddling docs must exist or the window math is untested
     assert(rows.exists(r => r._7 > r._6), "no doc straddles a window boundary")
   }
+
+  test("interval join bucket decomposition is exact for pre-1970 epochs") {
+    import spark.implicits._
+    // The truncating-div bucketing is argued sign-correct by monotonicity
+    // (scaladoc at the bucket math); this pins it on epochs that straddle
+    // zero — the exact case a floor-vs-truncate divergence would corrupt.
+    val W = 600000000L // ±10 min in µs, the query's window
+    val errors = Seq( // (event_id, user_id, ep µs)
+      (1L, 10L, -1900000000L), (2L, 10L, -600000000L), (3L, 10L, -1L),
+      (4L, 20L, 0L), (5L, 20L, 700000000L), (6L, 30L, -5000000000L))
+    val purchases = Seq(
+      (100L, 10L, -2500000000L), (101L, 10L, -1300000000L),
+      (102L, 10L, -650000000L), (103L, 10L, -100000000L),
+      (104L, 20L, 50000000L), (105L, 20L, 1300000000L), (106L, 30L, 0L))
+    val rows =
+      errors.map { case (id, u, ep) => (id, u, "error", ep * 1000L) } ++
+        purchases.map { case (id, u, ep) => (id, u, "purchase", ep * 1000L) }
+    val dir = java.nio.file.Files.createTempDirectory("graft-negiv").toString
+    rows.toDF("event_id", "user_id", "event_type", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q_interval_join")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = errors.map { case (id, u, ep) =>
+      id -> purchases.count { case (_, pu, pep) =>
+        pu == u && math.abs(pep - ep) <= W
+      }.toLong
+    }.toMap
+    assert(got == want, s"got $got want $want")
+    // the fixture must actually exercise matches across zero
+    assert(want.values.sum > 0 && want.values.exists(_ == 0L))
+  }
 }
