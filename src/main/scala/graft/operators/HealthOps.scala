@@ -112,9 +112,69 @@ object HealthOps {
       .orderBy("event_id")
   }
 
+  /** Flow-control parameters (the batch analog of the reference's
+    * two-level memory/busy barrier, FlowController.java:110-149,160-202):
+    * a tenant's requests occupy their byte size for [[FlowHoldUs]] after
+    * arrival, and a request is admitted iff the tenant's in-flight bytes
+    * plus its own stay within [[FlowLimit]]. The reference BLOCKS the
+    * connection until memory frees; the batch formulation flags the
+    * would-block decision instead (the admit/reject ledger a capacity
+    * audit replays).
+    *
+    * Constants sized to the fixture's density (events span ~720 h, ~9-byte
+    * payloads, ~0.3 requests/tenant-hour): a 48 h hold with a 100-byte
+    * budget makes the barrier BIND — ~30% of sf0.01 requests reject — so
+    * the ledger arithmetic is actually exercised, not vacuously admitted. */
+  val FlowLimit = 100L
+  val FlowHoldUs = 172800000000L // 48 hours in µs
+  val FlowTenants = 50L
+
+  /** One flow-control request (public: the Dataset encoder's generated
+    * code must be able to reach the class). */
+  case class FlowReq(tenant: Long, ep: Long, eventId: Long, bytes: Long)
+
+  /** Per-tenant concurrent-bytes admission ledger — SURVEY §2A #13's one
+    * previously-unexpressed semantics. Sequential per-tenant state, so the
+    * plan is the same shape as [[qWorkerHealth]]: ONE hash exchange on
+    * tenant, a partition-local spillable sort (tenant, ep, event_id), and
+    * a single mapPartitions pass whose state is the in-flight queue —
+    * bounded by FlowLimit / min(bytes) entries, NEVER the tenant's request
+    * history. No window over the full stream, no driver collect;
+    * parallelism = tenant cardinality spread over executors. */
+  private val qFlowControl: Q = (s, d) => {
+    import s.implicits._
+    Tables.events(s, d)
+      .select((col("user_id") % FlowTenants).as("tenant"),
+        expr("ts div 1000").as("ep"),
+        col("event_id").as("eventId"),
+        length(col("props")).cast("long").as("bytes"))
+      .as[FlowReq]
+      .repartition(col("tenant"))
+      .sortWithinPartitions(col("tenant"), col("ep"), col("eventId"))
+      .mapPartitions { it =>
+        var cur = Long.MinValue
+        // (ep, bytes) of admitted, still-held requests; enqueue order is
+        // ep-sorted, so the head is always the earliest holder
+        val inflight = scala.collection.mutable.Queue.empty[(Long, Long)]
+        var inBytes = 0L
+        it.map { r =>
+          if (r.tenant != cur) { cur = r.tenant; inflight.clear(); inBytes = 0L }
+          while (inflight.nonEmpty && inflight.head._1 <= r.ep - FlowHoldUs) {
+            inBytes -= inflight.dequeue()._2
+          }
+          val admitted = inBytes + r.bytes <= FlowLimit
+          if (admitted) { inflight.enqueue((r.ep, r.bytes)); inBytes += r.bytes }
+          (r.eventId, r.tenant, r.bytes, admitted)
+        }
+      }
+      .toDF("event_id", "tenant", "bytes", "admitted")
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_worker_health" -> qWorkerHealth,
     "q_admission_quota" -> qAdmissionQuota,
+    "q_flow_control" -> qFlowControl,
   )
 
   /** The oracle steps the identical machine event-by-event in a recursive
@@ -122,6 +182,38 @@ object HealthOps {
     * WorkerHealth.step's phases (settle punish → gap blacklist →
     * self-check → busy punish) in order via nested derived tables. */
   val oracles: Map[String, String] = Map(
+    // Steps the identical in-flight ledger event-by-event: the recursion
+    // carries the admitted-and-still-held (ep, bytes) list per tenant,
+    // filters it by the hold horizon, and decides exactly as the Spark
+    // state machine does.
+    "q_flow_control" ->
+      s"""WITH RECURSIVE ev AS (
+        |  SELECT user_id % $FlowTenants AS tenant,
+        |         epoch_us(ts) AS ep, event_id,
+        |         CAST(length(props) AS BIGINT) AS bytes,
+        |         CAST(row_number() OVER (PARTITION BY user_id % $FlowTenants
+        |              ORDER BY epoch_us(ts), event_id) AS INT) AS n
+        |  FROM events),
+        |seed AS (SELECT DISTINCT tenant FROM ev),
+        |rec AS (
+        |  SELECT tenant, 0 AS n, CAST(NULL AS BIGINT) AS event_id,
+        |         CAST(NULL AS BIGINT) AS bytes, FALSE AS admitted,
+        |         CAST([] AS STRUCT(ep BIGINT, b BIGINT)[]) AS fl
+        |  FROM seed
+        |  UNION ALL
+        |  SELECT tenant, n, event_id, bytes,
+        |         coalesce(list_sum(list_transform(kept, x -> x.b)), 0)
+        |           + bytes <= $FlowLimit AS admitted,
+        |         CASE WHEN coalesce(list_sum(list_transform(kept, x -> x.b)), 0)
+        |                   + bytes <= $FlowLimit
+        |              THEN list_append(kept, {'ep': ep, 'b': bytes})
+        |              ELSE kept END AS fl
+        |  FROM (
+        |    SELECT e.tenant, e.n, e.event_id, e.ep, e.bytes,
+        |           list_filter(r.fl, x -> x.ep > e.ep - $FlowHoldUs) AS kept
+        |    FROM rec r JOIN ev e ON e.tenant = r.tenant AND e.n = r.n + 1))
+        |SELECT event_id, tenant, bytes, admitted
+        |FROM rec WHERE n > 0 ORDER BY event_id""".stripMargin,
     "q_admission_quota" ->
       s"""WITH req AS (
         |  SELECT event_id, user_id,
