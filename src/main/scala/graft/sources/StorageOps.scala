@@ -15,6 +15,30 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - retention cleanup: the master deletes app dirs older than the
   *    retention window (ShuffleDataDirClear.java:1-96, 8h default).
   *
+  * == Object-store commit semantics (the `file`/`hdfs`/`cfs`/`alluxio`
+  * dispatch the reference hides behind one FS interface,
+  * FileSystem.java:30-128) ==
+  *
+  * Everything above leans on RENAME being a cheap atomic metadata
+  * operation — true on local FS/HDFS-like stores, FALSE on object stores,
+  * where rename is copy+delete (O(bytes), non-atomic). Two code paths
+  * close the gap:
+  *
+  *  - [[objectStoreCommitterConf]]: the session conf that switches
+  *    Spark's output committer to a store-native one (S3A "magic"
+  *    committer shape: tasks write multipart uploads that MATERIALIZE at
+  *    job commit — no rename anywhere, and incomplete tasks leave no
+  *    visible garbage). FileOutputCommitter v2 is NOT the answer there:
+  *    it renames per-task (still copies on an object store) and makes
+  *    partial output visible on failure.
+  *  - [[publishVersioned]]/[[loadPublished]]: rename-free publish for
+  *    dataset REPLACEMENT (the compact/republish cycle): each publish
+  *    writes a fresh immutable version directory, then flips a one-line
+  *    `_current` pointer file — a single-object PUT, which object stores
+  *    make atomic — so readers see the old or the new version, never a
+  *    mix. [[compact]] keeps the rename swap (correct where rename is
+  *    atomic); versioned publish is the object-store-safe twin.
+  *
   * Scale notes: `partitionBy` creates one directory per key — suitable for
   * low-cardinality partition keys (date, tenant); high-cardinality keys
   * must bucket instead. Cleanup lists only the top-level dirs (one FS call
@@ -22,6 +46,34 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * on HDFS-like stores.
   */
 object StorageOps {
+
+  /** Session conf for committing through a store-native committer on
+    * `scheme://` paths (the S3A committer factory shape; same keys apply
+    * to other stores' committers). Pure configuration — the committer
+    * classes ship with the store's connector jars, and the factory key is
+    * scoped to the scheme, so applying this on a cluster without those
+    * jars changes nothing for `file://`/`hdfs://` writes (pinned by
+    * spec). */
+  def objectStoreCommitterConf(scheme: String = "s3a"): Map[String, String] = Map(
+    // route FileOutputFormat commits for this scheme to the store's factory
+    s"spark.hadoop.mapreduce.outputcommitter.factory.scheme.$scheme" ->
+      "org.apache.hadoop.fs.s3a.commit.S3ACommitterFactory",
+    // "magic" = tasks write in-flight multipart uploads under __magic/,
+    // job commit completes them — zero renames, atomic-enough visibility
+    s"spark.hadoop.fs.$scheme.committer.name" -> "magic",
+    s"spark.hadoop.fs.$scheme.committer.magic.enabled" -> "true",
+    // parquet must use the committer-factory path, not its own subclass
+    "spark.sql.parquet.output.committer.class" ->
+      "org.apache.spark.internal.io.cloud.BindingParquetOutputCommitter",
+    "spark.sql.sources.commitProtocolClass" ->
+      "org.apache.spark.internal.io.cloud.PathOutputCommitProtocol")
+
+  /** Apply [[objectStoreCommitterConf]] to a session (idempotent). */
+  def configureObjectStoreCommitter(spark: SparkSession,
+      scheme: String = "s3a"): Unit =
+    objectStoreCommitterConf(scheme).foreach { case (k, v) =>
+      spark.conf.set(k, v)
+    }
 
   /** Write a DataFrame as a partitioned parquet dataset with atomic commit
     * + `_SUCCESS` marker (the reference's finalize + `_SUCCEED`). */
@@ -83,6 +135,84 @@ object StorageOps {
     df.repartitionByRange(partitions, col(key))
       .sortWithinPartitions(key)
       .write.mode("overwrite").parquet(outDir)
+  }
+
+  /** Rename-free dataset publish for object stores: write an immutable
+    * `v<n>` version directory under `tableDir`, then flip the one-line
+    * `_current` pointer (single-object PUT — atomic on object stores,
+    * where directory rename is copy+delete). Readers resolve through
+    * [[loadPublished]] and observe the previous or the new version in
+    * full, never a mix; the data write itself still goes through the
+    * normal committer (so a crashed publish leaves a dangling version
+    * directory but never moves the pointer). Returns the published
+    * version number. */
+  def publishVersioned(df: DataFrame, tableDir: String): Int = {
+    val spark = df.sparkSession
+    val root = new Path(tableDir)
+    val fs: FileSystem = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vrx = """v(\d+)""".r
+    val next = (if (fs.exists(root))
+      fs.listStatus(root).flatMap(_.getPath.getName match {
+        case vrx(n) => Some(n.toInt)
+        case _ => None
+      }).maxOption.getOrElse(0)
+    else 0) + 1
+    df.write.mode("errorifexists").parquet(s"$tableDir/v$next")
+    val tmp = new Path(root, s"._current_tmp$next")
+    val out = fs.create(tmp, true)
+    out.write(s"v$next".getBytes("UTF-8"))
+    out.close()
+    // Object stores overwrite the pointer in ONE atomic PUT. FileSystem
+    // rename refuses an existing destination, so the local/HDFS path is
+    // delete+rename: the worst crash window leaves NO pointer (readers
+    // fail loudly; every version directory stays intact) — never a torn
+    // or mixed dataset.
+    val cur = new Path(root, "_current")
+    if (fs.exists(cur)) fs.delete(cur, false)
+    fs.rename(tmp, cur)
+    next
+  }
+
+  /** Resolve the `_current` pointer and load the active version. */
+  def loadPublished(spark: SparkSession, tableDir: String): DataFrame = {
+    val cur = currentVersion(spark, tableDir).getOrElse(
+      throw new IllegalStateException(s"no published version at $tableDir"))
+    spark.read.parquet(s"$tableDir/$cur")
+  }
+
+  /** The active version name (e.g. "v3"), if any publish completed. */
+  def currentVersion(spark: SparkSession, tableDir: String): Option[String] = {
+    val p = new Path(tableDir, "_current")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val buf = new Array[Byte](64)
+        val n = in.read(buf)
+        Some(new String(buf, 0, math.max(n, 0), "UTF-8").trim)
+      } finally in.close()
+    }
+  }
+
+  /** Drop all but the newest `keep` version directories (and any dangling
+    * pointer temp files) — the retention pass of the publish cycle. The
+    * active version is never deleted. Returns deleted dir names. */
+  def pruneVersions(spark: SparkSession, tableDir: String, keep: Int): Seq[String] = {
+    require(keep >= 1, "keep must be >= 1")
+    val root = new Path(tableDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    val vrx = """v(\d+)""".r
+    val active = currentVersion(spark, tableDir)
+    val versions = fs.listStatus(root).flatMap(_.getPath.getName match {
+      case vrx(n) => Some(n.toInt)
+      case _ => None
+    }).sorted(Ordering.Int.reverse)
+    versions.drop(keep).map(n => s"v$n")
+      .filterNot(active.contains)
+      .filter(v => fs.delete(new Path(root, v), true))
+      .toSeq
   }
 
   /** Delete child dirs of `root` whose mtime is older than retentionMs

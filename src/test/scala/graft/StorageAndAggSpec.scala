@@ -104,6 +104,55 @@ class StorageAndAggSpec extends AnyFunSuite {
     assert(viaAgg == viaWindow)
   }
 
+  test("versioned publish: pointer flip swaps whole versions; prune keeps the active one") {
+    import spark.implicits._
+    import graft.sources.StorageOps
+    val dir = java.nio.file.Files.createTempDirectory("graft-vpub").toString + "/tbl"
+    val v1 = StorageOps.publishVersioned(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), dir)
+    assert(v1 == 1 && StorageOps.currentVersion(spark, dir).contains("v1"))
+    assert(StorageOps.loadPublished(spark, dir).collect().map(_.getLong(0)).sorted
+      .sameElements(Array(1L, 2L)))
+    val v2 = StorageOps.publishVersioned(Seq((3L, "c")).toDF("k", "v"), dir)
+    assert(v2 == 2 && StorageOps.currentVersion(spark, dir).contains("v2"))
+    // readers now see v2 in full; v1 is intact until pruned (a reader
+    // mid-scan on v1 keeps a consistent dataset)
+    assert(StorageOps.loadPublished(spark, dir).collect().map(_.getLong(0))
+      .sameElements(Array(3L)))
+    assert(spark.read.parquet(s"$dir/v1").count() == 2)
+    val pruned = StorageOps.pruneVersions(spark, dir, keep = 1)
+    assert(pruned == Seq("v1"), s"got $pruned")
+    assert(StorageOps.loadPublished(spark, dir).count() == 1)
+  }
+
+  test("object-store committer conf is scheme-scoped and inert for local writes") {
+    import spark.implicits._
+    import graft.sources.StorageOps
+    val conf = StorageOps.objectStoreCommitterConf()
+    // the two load-bearing choices: factory routing + the magic committer
+    assert(conf.keys.exists(_.contains("outputcommitter.factory.scheme.s3a")))
+    assert(conf.get("spark.hadoop.fs.s3a.committer.name").contains("magic"))
+    // scheme-scoped: with the conf applied, a file:// parquet write still
+    // goes through the default committer and commits fine (no s3a jars
+    // in this sandbox — exactly the situation the scoping must survive).
+    // Hadoop keys can't enter an active session via runtime conf; scope
+    // them to this write via the hadoopConfiguration with restore.
+    val hc = spark.sparkContext.hadoopConfiguration
+    val saved = conf.collect { case (k, v) if k.startsWith("spark.hadoop.") =>
+      val hk = k.stripPrefix("spark.hadoop.")
+      val old = Option(hc.get(hk))
+      hc.set(hk, v); (hk, old)
+    }
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("graft-oscc").toString + "/t"
+      Seq((1L, "x")).toDF("k", "v").write.parquet(dir)
+      assert(StorageOps.isCommitted(spark, dir), "local write must still commit")
+      assert(spark.read.parquet(dir).count() == 1)
+    } finally saved.foreach {
+      case (k, Some(v)) => hc.set(k, v)
+      case (k, None) => hc.unset(k)
+    }
+  }
+
   test("observe() exposes scan metrics (Ors2MetricsExport analog)") {
     val obs = new org.apache.spark.sql.Observation("lineitem-scan")
     Tables.lineitem(spark, TestSpark.sf0001)
