@@ -118,6 +118,55 @@ object MultiModalOps {
       .orderBy("doc_id")
   }
 
+  /** Resize stage: decode the PNG, 2×2 average-pool the raster (integer
+    * mean of each complete block — odd edge rows/columns drop, floor
+    * dims), and emit the pooled dimensions and pixel stats. Exposed for
+    * the roundtrip spec; the query runs it inside mapPartitions. */
+  private[graft] def poolPng(id: Long, bytes: Array[Byte]): (Long, Long, Long, Long, Double, Long, Long, Long) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val raster = img.getRaster
+    val w2 = img.getWidth / 2
+    val h2 = img.getHeight / 2
+    var sum = 0L
+    var mn = 255L
+    var mx = 0L
+    var y = 0
+    while (y < h2) {
+      var x = 0
+      while (x < w2) {
+        val v = (raster.getSample(2 * x, 2 * y, 0) +
+          raster.getSample(2 * x + 1, 2 * y, 0) +
+          raster.getSample(2 * x, 2 * y + 1, 0) +
+          raster.getSample(2 * x + 1, 2 * y + 1, 0)) / 4
+        sum += v
+        if (v < mn) mn = v
+        if (v > mx) mx = v
+        x += 1
+      }
+      y += 1
+    }
+    val n = w2.toLong * h2
+    (id, w2.toLong, h2.toLong, n, sum.toDouble / n, mn, mx, sum)
+  }
+
+  /** Downsample (2×2 average-pool) over real PNG bytes — the
+    * feature-extract/resize stage of an image pipeline, decode and pool
+    * in one partition-local pass. Zero shuffle; the oracle recomputes the
+    * pooled raster from the generator formula (integer block means are
+    * engine-portable: both sides truncate non-negative division). */
+  private val qMultimodalResize: Q = (s, d) => {
+    import s.implicits._
+    pngPayloads(s, d)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        ensureHeadless()
+        it.map { case (id, bytes) => poolPng(id, bytes) }
+      }
+      .toDF("doc_id", "width2", "height2", "n_px2", "mean_px2",
+        "min_px2", "max_px2", "sum_px2")
+      .orderBy("doc_id")
+  }
+
   /** Frame-sampling stage: treat the payload as n_frames equal slices,
     * keep every 4th frame, emit one row per sampled frame with its offset,
     * length and byte-sum "feature". The slicing stands in for a video
@@ -149,6 +198,7 @@ object MultiModalOps {
 
   val queries: Map[String, Q] = Map(
     "q_multimodal_meta" -> qMultimodalMeta,
+    "q_multimodal_resize" -> qMultimodalResize,
     "q_multimodal_frames" -> qMultimodalFrames,
   )
 
@@ -178,6 +228,32 @@ object MultiModalOps {
         |       CAST(min(v) AS BIGINT) AS min_px,
         |       CAST(max(v) AS BIGINT) AS max_px
         |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+    "q_multimodal_resize" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         8 + doc_id % 24 AS w,
+        |         8 + (doc_id // 3) % 24 AS h
+        |  FROM documents),
+        |xs AS (SELECT unnest(range(0, 16)) AS x),
+        |ys AS (SELECT unnest(range(0, 16)) AS y),
+        |px AS (
+        |  SELECT d.doc_id, d.w // 2 AS w2, d.h // 2 AS h2,
+        |         ((d.doc_id * 31 + (2 * xs.x) * 7     + (2 * ys.y) * 13) % 256
+        |        + (d.doc_id * 31 + (2 * xs.x + 1) * 7 + (2 * ys.y) * 13) % 256
+        |        + (d.doc_id * 31 + (2 * xs.x) * 7     + (2 * ys.y + 1) * 13) % 256
+        |        + (d.doc_id * 31 + (2 * xs.x + 1) * 7 + (2 * ys.y + 1) * 13) % 256)
+        |           // 4 AS v
+        |  FROM d, xs, ys
+        |  WHERE xs.x < d.w // 2 AND ys.y < d.h // 2)
+        |SELECT doc_id,
+        |       CAST(w2 AS BIGINT) AS width2,
+        |       CAST(h2 AS BIGINT) AS height2,
+        |       CAST(count(*) AS BIGINT) AS n_px2,
+        |       CAST(sum(v) AS DOUBLE) / count(*) AS mean_px2,
+        |       CAST(min(v) AS BIGINT) AS min_px2,
+        |       CAST(max(v) AS BIGINT) AS max_px2,
+        |       CAST(sum(v) AS BIGINT) AS sum_px2
+        |FROM px GROUP BY doc_id, w2, h2 ORDER BY doc_id""".stripMargin,
     // documents are pure ASCII (verified), so per-char codepoints == bytes.
     "q_multimodal_frames" ->
       """WITH d AS (

@@ -37,6 +37,26 @@ class MultiModalSpec extends AnyFunSuite {
     }
   }
 
+  test("2x2 average-pool matches brute-force pooling of the formula") {
+    for (id <- ids) {
+      val (_, w2, h2, n2, mean2, mn2, mx2, sum2) =
+        MultiModalOps.poolPng(id, MultiModalOps.encodePng(id))
+      val w = MultiModalOps.imgWidth(id)
+      val h = MultiModalOps.imgHeight(id)
+      assert(w2 == w / 2 && h2 == h / 2 && n2 == w2 * h2)
+      val pooled = for {
+        y <- 0 until h2.toInt
+        x <- 0 until w2.toInt
+      } yield (MultiModalOps.imgPixel(id, 2 * x, 2 * y) +
+        MultiModalOps.imgPixel(id, 2 * x + 1, 2 * y) +
+        MultiModalOps.imgPixel(id, 2 * x, 2 * y + 1) +
+        MultiModalOps.imgPixel(id, 2 * x + 1, 2 * y + 1)) / 4
+      assert(sum2 == pooled.map(_.toLong).sum, s"id=$id sum")
+      assert(mn2 == pooled.min.toLong && mx2 == pooled.max.toLong, s"id=$id minmax")
+      assert(mean2 == pooled.map(_.toLong).sum.toDouble / n2, s"id=$id mean")
+    }
+  }
+
   test("q_multimodal_meta decodes real bytes end-to-end at sf0.001") {
     val spark = TestSpark.spark
     val rows = MultiModalOps.queries("q_multimodal_meta")(spark, TestSpark.sf0001)
