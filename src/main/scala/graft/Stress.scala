@@ -144,10 +144,10 @@ object Stress {
             DedupOps.docHashesOf(s, all.filter(col("doc_id") % 2 === 0))).count()
         }),
       Probe("ann_lsh_candidates",
-        "hyperplane-bucket join candidates for 10 queries, pre-top-k (q_ann_lsh)",
+        "hyperplane-bucket join candidates for 10 queries at the schedule-derived width, pre-top-k (q_ann_lsh)",
         annLshCandidates),
       Probe("knn_join_candidates",
-        "all-pairs kNN bucket-join candidates, corpus side width-capped, pre-top-k (q_knn_join) — quadratic at FIXED width by design; the dial is width ~ log2(n/targetBucket), so the verdict rule reads this row against the width schedule, not the fixed-width exponent",
+        "all-pairs kNN bucket-join candidates, corpus side width-capped, pre-top-k (q_knn_join) — measured AT the production schedule (VectorOps.lshWidthFor, the registered query's own code path since r7); quadratic only at an artificially frozen width",
         knnJoinCandidates),
     )
 
