@@ -255,24 +255,41 @@ object VectorOps {
       .orderBy("variant")
   }
 
-  /** Number of IVF cells and Lloyd refinement rounds. */
-  private val IvfCells = 10
+  /** IVF cell-count schedule: cells grow ~sqrt(n) with the corpus (the
+    * standard IVF sizing — search cost per query is
+    * cells + nprobe·n/cells, minimized at cells ≈ sqrt(n·nprobe)), here
+    * the smallest c with c²·[[IvfTargetCell]] >= n, clamped to
+    * [[IvfMinCells]]/[[IvfMaxCells]]. Integer-exact like [[lshWidthFor]]
+    * — the oracle's `nc` CTE searches the same predicate, so the two
+    * engines always train the same number of cells. */
+  val IvfTargetCell = 50L
+  val IvfMinCells = 4
+  val IvfMaxCells = 4096
+
+  def ivfCellsFor(n: Long): Int = {
+    var c = 1
+    while (c < IvfMaxCells && c.toLong * c * IvfTargetCell < n) c += 1
+    math.max(IvfMinCells, c)
+  }
+
+  /** Lloyd refinement rounds (unrolled in the oracle — keep literal). */
   private val LloydRounds = 3
 
   /** Spherical k-means training for the IVF cell centroids — label-free
     * (a real corpus has no cluster column):
-    *   - seeds: the IvfCells vectors with the smallest phash(vec_id) —
+    *   - seeds: the `cells` vectors with the smallest phash(vec_id) —
     *     a deterministic hash-sample, reproducible on any cluster;
     *   - each round: assign every vector to its max-cosine centroid
     *     (broadcast of the tiny centroid table, one map-side pass), then
     *     recompute centroids with the native vector_avg aggregate (ONE
     *     exchange carrying O(dim) partial sums per cell).
-    * Centroids are COLLECTED each round (IvfCells × dim floats — driver-
+    * Centroids are COLLECTED each round (cells × dim floats — driver-
     * small by construction, the same step any k-means driver loop does):
     * that re-seeds the next round as a literal table, keeping the per-
     * round lineage flat instead of stacking LloydRounds of join trees.
     * Cells that capture no vectors die (standard k-means behavior). */
-  private def trainCentroids(s: SparkSession, e: DataFrame): DataFrame = {
+  private def trainCentroids(s: SparkSession, e: DataFrame,
+      cells: Int): DataFrame = {
     import s.implicits._
     def toDf(rows: Seq[(Int, Seq[Float])]): DataFrame =
       rows.toDF("cell", "centroid")
@@ -280,7 +297,7 @@ object VectorOps {
       e.select(col("vec_id"), col("embedding"))
         .withColumn("hk", Tables.phash(col("vec_id")))
         .orderBy("hk", "vec_id")
-        .limit(IvfCells)
+        .limit(cells)
         .collect()
         .zipWithIndex
         .map { case (r, i) => (i, r.getSeq[Float](1).toSeq) }.toSeq)
@@ -301,7 +318,7 @@ object VectorOps {
     cent
   }
 
-  /** IVF-style ANN: k-means-train IvfCells centroids (Lloyd, hash-sampled
+  /** IVF-style ANN: k-means-train schedule-many centroids (Lloyd, hash-sampled
     * seeds — no label column involved), assign the corpus to cells, then
     * search only the query's two nearest cells (nprobe=2). Approximate
     * relative to brute force but deterministic end-to-end (hash-sampled
@@ -324,9 +341,11 @@ object VectorOps {
     // train on a deterministic ~25% hash-sample: k-means centroids
     // converge on the sample's geometry (standard IVF practice — training
     // never needs the full corpus), so each Lloyd pass scores a quarter
-    // of the vectors; the FULL corpus is assigned exactly once below
+    // of the vectors; the FULL corpus is assigned exactly once below.
+    // Cell count follows the corpus via the sqrt schedule.
     val cent = trainCentroids(s,
-      e.filter(Tables.phash(col("vec_id")) % 4 === 0))
+      e.filter(Tables.phash(col("vec_id")) % 4 === 0),
+      ivfCellsFor(corpusSize(s, d)))
     // assign every vector to its nearest centroid (cosine, broadcast table)
     val assigned = e.join(broadcast(cent))
       .select(col("vec_id"), col("embedding"), col("cell"),
@@ -467,7 +486,9 @@ object VectorOps {
     |      ON c.bucket = q.qbucket AND c.vec_id <> q.query_id)
     |  WHERE rk <= 5)""".stripMargin
 
-  /** CTEs `samp`/`seed` → unrolled 3-round Lloyd (`a1..c3`) → `afull`
+  /** CTEs `nc` (the sqrt cell-count schedule, SQL twin of
+    * [[ivfCellsFor]] — same integer `c²·target >= n` search) →
+    * `samp`/`seed` → unrolled 3-round Lloyd (`a1..c3`) → `afull`
     * (full-corpus assignment) → `qc` (nprobe=2 query cells) → `ivfq`
     * (the IVF top-5 result set). Requires CTE `e` from [[lshCtes]]. */
   private def ivfCtes: String = {
@@ -489,13 +510,19 @@ object VectorOps {
       |    GROUP BY cell, pos)
       |  GROUP BY cell""".stripMargin
     s"""
+    |nc AS (
+    |  SELECT GREATEST($IvfMinCells,
+    |           COALESCE(min(CAST(c AS INT)), $IvfMaxCells)) AS c
+    |  FROM (SELECT unnest(range(1, ${IvfMaxCells + 1})) AS c)
+    |  WHERE c * c * $IvfTargetCell >= (SELECT count(*) FROM embeddings)),
     |samp AS (SELECT * FROM e WHERE $ph % 4 = 0),
     |seed AS (
     |  SELECT CAST(row_number() OVER (ORDER BY $ph, vec_id) AS INT) - 1
     |           AS cell,
     |         CAST(emb AS FLOAT[]) AS c
     |  FROM samp
-    |  QUALIFY row_number() OVER (ORDER BY $ph, vec_id) <= $IvfCells),
+    |  QUALIFY row_number() OVER (ORDER BY $ph, vec_id)
+    |    <= (SELECT c FROM nc)),
     |a1 AS (${asgn("seed")}), c1 AS (${cent("a1")}),
     |a2 AS (${asgn("c1")}),   c2 AS (${cent("a2")}),
     |a3 AS (${asgn("c2")}),   c3 AS (${cent("a3")}),

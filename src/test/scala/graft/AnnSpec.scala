@@ -75,6 +75,14 @@ class AnnSpec extends AnyFunSuite {
     // past the width clamp, occupancy grows with n and the cap follows
     assert(VectorOps.knnCapFor(1_000_000_000L, 24) ==
       64L * ((1_000_000_000L + (1L << 24) - 1) >> 24))
+    // IVF cells: smallest c with c^2 * 50 >= n (sqrt growth), clamped —
+    // the same integer predicate the oracle's nc CTE searches
+    assert(VectorOps.ivfCellsFor(1) == 4)            // min clamp
+    assert(VectorOps.ivfCellsFor(500) == 4)          // sf0.001/0.01 fixtures
+    assert(VectorOps.ivfCellsFor(800) == 4)          // 4^2*50 boundary
+    assert(VectorOps.ivfCellsFor(801) == 5)
+    assert(VectorOps.ivfCellsFor(2000) == 7)         // sf0.1 fixture
+    assert(VectorOps.ivfCellsFor(1_000_000_000L) == 4096) // max clamp
   }
 
   test("two fixture sizes pick two different widths, both with usable output") {
