@@ -207,4 +207,46 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("Window".r.findAllIn(p).size == 1, s"window subtrees in:\n$p")
     assert("Scan parquet".r.findAllIn(p).size == 1, s"scans in:\n$p")
   }
+
+  test("salted dedup plans two hash aggregations and no window funnel") {
+    // the point of the operator: both stages are partial-aggregable hash
+    // aggregates — a Window here would re-introduce the hot-key funnel
+    val df = operators.SkewOps.queries("q_dedup_salted")(spark, sf)
+    df.collect()
+    val p = plan(df)
+    assert(!p.contains("Window"), s"window funnel in salted dedup:\n$p")
+    assert("partial_min".r.findAllIn(p).nonEmpty,
+      s"stage aggregates not partial-aggregated:\n$p")
+  }
+
+  // an executed AQE plan string appends the "Initial Plan" section, which
+  // would double every operator count — measure the final plan only
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String =
+    plan(df).split("== Initial Plan ==")(0)
+
+  test("flow control plans one tenant exchange + local sort, no window") {
+    // state-machine shape: ONE hash exchange on tenant, partition-local
+    // sort, mapPartitions — a Window or a second exchange would mean the
+    // ledger stopped being a single-pass operator (the output orderBy's
+    // range exchange is the only other allowed exchange)
+    val df = operators.HealthOps.queries("q_flow_control")(spark, sf)
+    df.collect()
+    val p = finalPlan(df)
+    assert(!p.contains("Window"), s"window in flow control:\n$p")
+    assert("hashpartitioning\\(tenant".r.findAllIn(p).size >= 1,
+      s"no tenant hash exchange:\n$p")
+    assert("Exchange".r.findAllIn(p).size <= 2,
+      s"more than tenant+output exchanges:\n$p")
+  }
+
+  test("multimodal decode stages are shuffle-free up to output ordering") {
+    // generator + codec are both partition-local; the only exchange the
+    // plan may carry is the final orderBy's range partitioning
+    val df = operators.MultiModalOps.queries("q_multimodal_resize")(spark, sf)
+    df.collect()
+    val p = finalPlan(df)
+    assert(!p.contains("Window"), s"window in multimodal:\n$p")
+    assert("Exchange".r.findAllIn(p).size <= 1,
+      s"shuffle inside the decode pipeline:\n$p")
+  }
 }
