@@ -215,6 +215,46 @@ object StorageOps {
       .toSeq
   }
 
+  /** Z-order (Morton) value of two NON-NEGATIVE integral columns:
+    * interleaves the low `bits` bits of each (a in even positions, b in
+    * odd), as a plain arithmetic Column tree — 2·bits shift/mask/add
+    * terms, all inside whole-stage codegen, no UDF. Disjoint bit
+    * positions make the sum an OR. */
+  def zValue(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+      bits: Int = 21): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{lit, shiftleft, shiftrightunsigned}
+    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+    (0 until bits).flatMap { i =>
+      Seq(
+        shiftleft(shiftrightunsigned(a.cast("long"), i).bitwiseAND(lit(1L)), 2 * i),
+        shiftleft(shiftrightunsigned(b.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ + _)
+  }
+
+  /** Z-order layout writer — the two-dimensional counterpart of
+    * [[writeRangeSorted]]: range-partition and sort on the interleaved
+    * [[zValue]], so every output file covers a compact RECTANGLE of the
+    * (keyA, keyB) plane instead of a thin slab of keyA. Parquet footers
+    * then carry tight per-file min/max for BOTH columns, and a scan
+    * filtered on either one (or both) prunes most files — the layout
+    * lever for corpora queried along two axes (e.g. source × date, or
+    * tenant × time) where a single sort key leaves the second axis
+    * unprunable. Trade-off stated: per-axis pruning is ~sqrt(files)
+    * coarser than a dedicated single-key sort on that axis; z-order buys
+    * BOUNDED pruning on both. Same determinism caveat as
+    * writeRangeSorted: range boundaries come from sampling, the per-file
+    * rectangle property is what the spec pins. */
+  def writeZOrdered(df: DataFrame, outDir: String, keyA: String, keyB: String,
+      partitions: Int, bits: Int = 21): Unit = {
+    import org.apache.spark.sql.functions.col
+    val z = s"__graft_z_${java.util.UUID.randomUUID().toString.take(8)}"
+    df.withColumn(z, zValue(col(keyA), col(keyB), bits))
+      .repartitionByRange(partitions, col(z))
+      .sortWithinPartitions(z)
+      .drop(z)
+      .write.mode("overwrite").parquet(outDir)
+  }
+
   /** Delete child dirs of `root` whose mtime is older than retentionMs
     * (ShuffleDataDirClear.java semantics); returns the deleted paths. */
   def cleanExpired(spark: SparkSession, root: String,

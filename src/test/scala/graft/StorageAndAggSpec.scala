@@ -153,6 +153,46 @@ class StorageAndAggSpec extends AnyFunSuite {
     }
   }
 
+  test("z-order layout prunes on BOTH axes where single-key sort leaves one unprunable") {
+    import spark.implicits._
+    import graft.sources.StorageOps
+    import org.apache.hadoop.fs.Path
+    // two uniform 0..199 keys, decorrelated
+    val df = spark.range(0, 40000).select(
+      (col("id") % 200).as("a"), (col("id") * 7919 % 200).as("b"),
+      col("id").as("v"))
+    val base = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    StorageOps.writeRangeSorted(df, s"$base/linear", "a", 16)
+    StorageOps.writeZOrdered(df, s"$base/zorder", "a", "b", 16, bits = 8)
+    def fileBoxes(dir: String): Seq[(Long, Long, Long, Long)] = {
+      val p = new Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+        .map { f =>
+          val r = spark.read.parquet(f.getPath.toString)
+            .agg(min("a"), max("a"), min("b"), max("b")).head()
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+        }.toSeq
+    }
+    // a scan filtered on b alone: count files whose footer b-range
+    // intersects [100, 119] (the files a min/max-pruning reader must open)
+    def bHits(boxes: Seq[(Long, Long, Long, Long)]): Int =
+      boxes.count { case (_, _, bmin, bmax) => bmax >= 100 && bmin <= 119 }
+    val linear = fileBoxes(s"$base/linear")
+    val zorder = fileBoxes(s"$base/zorder")
+    assert(linear.size == 16 && zorder.size == 16)
+    // single-key layout: every file spans the whole b range — nothing prunes
+    assert(bHits(linear) == 16, s"linear: ${bHits(linear)}")
+    // z-order: files are rectangles, most miss the 10% b-band
+    assert(bHits(zorder) <= 8, s"zorder files hit on b: ${bHits(zorder)}")
+    // and the a-axis still prunes to at most half the files for a 10% band
+    val aHits = zorder.count { case (amin, amax, _, _) => amax >= 40 && amin <= 59 }
+    assert(aHits <= 8, s"zorder files hit on a: $aHits")
+    // layouts carry identical data
+    assert(spark.read.parquet(s"$base/zorder").agg(sum("v")).head().getLong(0) ==
+      spark.read.parquet(s"$base/linear").agg(sum("v")).head().getLong(0))
+  }
+
   test("observe() exposes scan metrics (Ors2MetricsExport analog)") {
     val obs = new org.apache.spark.sql.Observation("lineitem-scan")
     Tables.lineitem(spark, TestSpark.sf0001)
