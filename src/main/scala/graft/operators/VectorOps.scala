@@ -78,7 +78,8 @@ object VectorOps {
     require(n <= EmbedNeardupMaxRows,
       s"q_embed_neardup is the all-pairs ground-truth baseline ($n rows > " +
         s"$EmbedNeardupMaxRows): at this size use the LSH-bucketed path " +
-        "(VectorOps.annLsh) — pairing inside hyperplane buckets, not corpus²")
+        "(q_embed_neardup_lsh / VectorOps.embedNeardupLsh) — pairing " +
+        "inside hyperplane buckets, not corpus²")
     Tables.spread(s, e).as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         cosine("a.embedding", "b.embedding").as("sim"))
@@ -222,6 +223,51 @@ object VectorOps {
     val n = corpusSize(s, d)
     val width = lshWidthFor(n)
     knnJoin(s, d, width, LshProbes, 3, cap = knnCapFor(n, width))
+  }
+
+  /** Embedding-cosine near-dup pairs AT SCALE — the LSH-bucketed miner
+    * the all-pairs baseline's guard points to: candidates are (probe,
+    * corpus) meetings inside shared hyperplane buckets (every vector
+    * probes, corpus side width-capped — the kNN join's topology), folded
+    * to unordered pairs, then exact-cosine verified at the same 0.45
+    * threshold as the baseline. Approximate relative to all-pairs
+    * (bucket recall; the spec floors it against the exact baseline) but
+    * fully deterministic, so the oracle replays the buckets and the
+    * result is exact. Candidates ≤ (probes+1)·cap·n — linear at the
+    * scheduled width — vs the baseline's n². */
+  def embedNeardupLsh(s: SparkSession, d: String, width: Int, probes: Int,
+      cap: Long, threshold: Double): DataFrame = {
+    GraftFunctions.register(s)
+    val spreadE = Tables.spread(s, Tables.embeddings(s, d))
+    val corpus = spreadE
+      .select(col("vec_id"), element_at(
+        expr(s"hyperplane_sig(embedding, $width, 0)"), 1).as("bucket"))
+      .withColumn("bkRank", row_number().over(Window.partitionBy("bucket")
+        .orderBy(Tables.phash(col("vec_id")), col("vec_id"))))
+      .filter(col("bkRank") <= cap)
+      .select("vec_id", "bucket")
+    val probesDf = spreadE
+      .select(col("vec_id").as("query_id"),
+        explode(expr(s"hyperplane_sig(embedding, $width, $probes)"))
+          .as("qbucket"))
+    val pairs = corpus.join(probesDf,
+        col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
+      .select(least(col("vec_id"), col("query_id")).as("vec_a"),
+        greatest(col("vec_id"), col("query_id")).as("vec_b"))
+      .distinct()
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    pairs
+      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), "vec_a")
+      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), "vec_b")
+      .filter(cosine("ea", "eb") >= threshold)
+      .select("vec_a", "vec_b")
+      .orderBy("vec_a", "vec_b")
+  }
+
+  private val qEmbedNeardupLsh: Q = (s, d) => {
+    val n = corpusSize(s, d)
+    val width = lshWidthFor(n)
+    embedNeardupLsh(s, d, width, LshProbes, knnCapFor(n, width), 0.45)
   }
 
   /** Recall@5 of both approximate ANN paths against exact brute force —
@@ -420,6 +466,7 @@ object VectorOps {
 
   val queries: Map[String, Q] = Map(
     "q_knn_join" -> qKnnJoin,
+    "q_embed_neardup_lsh" -> qEmbedNeardupLsh,
     "q_embed_quantize" -> qEmbedQuantize,
     "q_ann_brute" -> qAnnBrute,
     "q_embed_neardup" -> qEmbedNeardup,
@@ -607,6 +654,22 @@ object VectorOps {
       (s"WITH ${lshCtes(LshProbes)}" + """
         |SELECT query_id, neighbor_id, rk FROM lshq
         |ORDER BY query_id, rk""".stripMargin),
+    // same bucket topology as the kNN join, folded to unordered pairs
+    // and thresholded; the Spark-side corpus bucket cap is inert at test
+    // SFs so the uncapped replay matches
+    "q_embed_neardup_lsh" ->
+      (s"WITH ${lshCtes(LshProbes, queryFilter = "")}," + """
+        |pairs AS (
+        |  SELECT DISTINCT least(c.vec_id, q.query_id) AS vec_a,
+        |                  greatest(c.vec_id, q.query_id) AS vec_b
+        |  FROM qprobe q JOIN sigt c
+        |    ON c.bucket = q.qbucket AND c.vec_id <> q.query_id)
+        |SELECT p.vec_a, p.vec_b
+        |FROM pairs p
+        |JOIN e a ON a.vec_id = p.vec_a
+        |JOIN e b ON b.vec_id = p.vec_b
+        |WHERE list_cosine_similarity(a.emb, b.emb) >= 0.45
+        |ORDER BY 1, 2""".stripMargin),
     // every vector is a query (no filter); top-3; the Spark-side corpus
     // bucket cap is inert at test SFs so the uncapped replay matches
     "q_knn_join" ->

@@ -120,6 +120,53 @@ class AnnSpec extends AnyFunSuite {
     assert(knn.nonEmpty)
   }
 
+  test("bucketed embed near-dup is sound, and recalls what its geometry promises") {
+    val exact = VectorOps.queries("q_embed_neardup")(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = VectorOps.queries("q_embed_neardup_lsh")(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    // soundness: every bucketed pair passes the same exact-cosine verify,
+    // so lsh ⊆ exact always
+    assert(lsh.subsetOf(exact), s"unsound pairs: ${lsh.diff(exact)}")
+    // The corpus's "near-dups" at 0.45 are barely similar (max off-diag
+    // cosine ~0.51 — random fixture, no true twins): at that angle a
+    // 6-bit bucket keeps ~7% per direction, so low recall here is the
+    // geometry, not a bug. Pin the observed deterministic value; the
+    // planted-twin test below carries the real near-dup recall claim.
+    val recall = lsh.size.toDouble / exact.size
+    info(s"bucketed near-dup recall at 0.45 = $recall (${lsh.size}/${exact.size})")
+    assert(recall >= 0.25, s"recall $recall")
+  }
+
+  test("bucketed embed near-dup finds every planted true twin") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 40 deterministic pseudo-random base vectors + 5 planted twins
+    // (0.1% perturbation, cosine ~0.9999): TRUE near-dups, the case the
+    // operator exists for — every planted pair must surface
+    val dim = 16
+    def vec(seed: Long): Array[Float] =
+      Array.tabulate(dim)(j => (((seed * 31 + j * 7919) % 997).toFloat - 498f) / 498f)
+    val base = (0 until 40).map(i => (i.toLong, vec(i.toLong), 0))
+    val twins = (0 until 5).map { i =>
+      val v = vec(i.toLong)
+      v(0) = v(0) + 0.001f
+      (100L + i, v, 0)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-twins").toString
+    (base ++ twins).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val n = 45L
+    val w = VectorOps.lshWidthFor(n)
+    val pairs = VectorOps.embedNeardupLsh(spark, dir, w, VectorOps.LshProbes,
+        VectorOps.knnCapFor(n, w), threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0 until 5).map(i => (i.toLong, 100L + i)).toSet
+    assert(planted.subsetOf(pairs),
+      s"missed planted twins: ${planted.diff(pairs)}")
+  }
+
   test("knn join bucket cap bounds an embedding flood") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
