@@ -191,18 +191,24 @@ object VectorOps {
     * ([[knnCapFor]]) so an embedding flood cannot go quadratic;
     * candidates are <= (probes+1)·cap·n — linear at the scheduled width.
     * No broadcast anywhere: both join sides are corpus-sized. */
-  def knnJoin(s: SparkSession, d: String, width: Int, probes: Int, k: Int,
-      cap: Long): DataFrame = {
-    GraftFunctions.register(s)
-    val spreadE = Tables.spread(s, Tables.embeddings(s, d))
-    val corpus = spreadE
-      .select(col("vec_id"), col("embedding"),
-        element_at(expr(s"hyperplane_sig(embedding, $width, 0)"), 1)
-          .as("bucket"))
+  /** Corpus side of the bucket joins: one hyperplane bucket per vector,
+    * width-capped per bucket (hash-lowest `cap` members retained) —
+    * shared by the kNN join and the pair miner so the cap rule cannot
+    * drift between them. Carries `cols` plus the bucket. */
+  private def cappedBuckets(e: DataFrame, width: Int, cap: Long,
+      cols: String*): DataFrame =
+    e.select(cols.map(col) :+ element_at(
+        expr(s"hyperplane_sig(embedding, $width, 0)"), 1).as("bucket"): _*)
       .withColumn("bkRank", row_number().over(Window.partitionBy("bucket")
         .orderBy(Tables.phash(col("vec_id")), col("vec_id"))))
       .filter(col("bkRank") <= cap)
       .drop("bkRank")
+
+  def knnJoin(s: SparkSession, d: String, width: Int, probes: Int, k: Int,
+      cap: Long): DataFrame = {
+    GraftFunctions.register(s)
+    val spreadE = Tables.spread(s, Tables.embeddings(s, d))
+    val corpus = cappedBuckets(spreadE, width, cap, "vec_id", "embedding")
     val q = spreadE
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
       .select(col("query_id"), col("qe"),
@@ -239,13 +245,7 @@ object VectorOps {
       cap: Long, threshold: Double): DataFrame = {
     GraftFunctions.register(s)
     val spreadE = Tables.spread(s, Tables.embeddings(s, d))
-    val corpus = spreadE
-      .select(col("vec_id"), element_at(
-        expr(s"hyperplane_sig(embedding, $width, 0)"), 1).as("bucket"))
-      .withColumn("bkRank", row_number().over(Window.partitionBy("bucket")
-        .orderBy(Tables.phash(col("vec_id")), col("vec_id"))))
-      .filter(col("bkRank") <= cap)
-      .select("vec_id", "bucket")
+    val corpus = cappedBuckets(spreadE, width, cap, "vec_id")
     val probesDf = spreadE
       .select(col("vec_id").as("query_id"),
         explode(expr(s"hyperplane_sig(embedding, $width, $probes)"))
