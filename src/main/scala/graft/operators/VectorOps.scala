@@ -193,9 +193,10 @@ object VectorOps {
     * No broadcast anywhere: both join sides are corpus-sized. */
   /** Corpus side of the bucket joins: one hyperplane bucket per vector,
     * width-capped per bucket (hash-lowest `cap` members retained) —
-    * shared by the kNN join and the pair miner so the cap rule cannot
-    * drift between them. Carries `cols` plus the bucket. */
-  private def cappedBuckets(e: DataFrame, width: Int, cap: Long,
+    * shared by the kNN join, the pair miner, and the streaming bucket
+    * index so the cap rule cannot drift between them. Carries `cols`
+    * plus the bucket. */
+  private[graft] def cappedBuckets(e: DataFrame, width: Int, cap: Long,
       cols: String*): DataFrame =
     e.select(cols.map(col) :+ element_at(
         expr(s"hyperplane_sig(embedding, $width, 0)"), 1).as("bucket"): _*)

@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.VectorOps
+
+/** Incremental (streaming) embedding near-dup — the vector twin of
+  * [[NearDupStream]]: each arriving embedding probes the published corpus
+  * BUCKET index (the hyperplane-LSH analog of the MinHash band index)
+  * and exact-cosine verifies the meetings.
+  *
+  * Shape (the billion-vector topology):
+  *   - STATIC side: the corpus bucket index (bucket → vec_id; ONE row
+  *     per corpus vector, width-capped per bucket by the SAME
+  *     [[VectorOps.cappedBuckets]] rule the batch joins use) plus the
+  *     corpus embeddings for verification — both batch products,
+  *     republished on each corpus rebuild exactly like the band index.
+  *   - STREAM side: each arriving vector computes its probe buckets as
+  *     one pure native expression (hyperplane_sig — per-row, no
+  *     aggregation, so append mode holds), explodes to (probes+1) probe
+  *     rows, inner-joins the index, and exact-cosine verifies against
+  *     the static embeddings.
+  *
+  * No in-stream dedup stage is needed: a corpus vector owns exactly ONE
+  * bucket and a query's probe buckets are pairwise distinct, so an
+  * (incoming, corpus) pair meets at most once — the same argument that
+  * keeps the batch pointwise path dedup-free.
+  *
+  * Freshness contract (same as the text twin, documented not hidden): an
+  * arriving vector is checked against the corpus as of the last index
+  * publish; two NEW vectors that are near-dups only of each other wait
+  * for the next rebuild. Batch parity is pinned in EmbedNearDupStreamSpec:
+  * streamed against the full-corpus index, the folded pair set equals
+  * the batch q_embed_neardup_lsh result.
+  */
+object EmbedNearDupStream {
+
+  /** The published corpus bucket index: (bucket, vec_id), width-capped
+    * per bucket. `corpusEmb` carries (vec_id, embedding). */
+  def bucketIndex(s: SparkSession, corpusEmb: DataFrame, width: Int,
+      cap: Long): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    VectorOps.cappedBuckets(corpusEmb, width, cap, "vec_id")
+  }
+
+  /** Verified (in_id, corpus_id, sim) matches of a watermarked embedding
+    * stream (`vec_id`, `embedding`, event-time `ts`) against the corpus
+    * index. Pure stream-static join — append-safe, state-free. */
+  def nearDupAgainstCorpus(s: SparkSession, stream: DataFrame,
+      corpusEmb: DataFrame, width: Int, probes: Int, cap: Long,
+      threshold: Double, delay: String = "10 minutes"): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val idx = bucketIndex(s, corpusEmb, width, cap)
+    stream
+      .withWatermark("ts", delay)
+      .select(col("ts"), col("vec_id").as("in_id"),
+        col("embedding").as("ie"),
+        explode(expr(s"hyperplane_sig(embedding, $width, $probes)"))
+          .as("qbucket"))
+      .join(idx, col("qbucket") === col("bucket") &&
+        col("vec_id") =!= col("in_id"))
+      .join(corpusEmb.select(col("vec_id"), col("embedding").as("ce")),
+        "vec_id")
+      .select(col("ts"), col("in_id"), col("vec_id").as("corpus_id"),
+        expr("cosine_sim(ie, ce)").as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.operators.VectorOps
+import graft.streaming.EmbedNearDupStream
+
+/** Top-level so Spark can build its encoder without an outer scope. */
+case class EmbedEv(vec_id: Long, embedding: Array[Float], ts: java.sql.Timestamp)
+
+/** Streaming embedding near-dup must agree with the batch bucketed miner
+  * when the whole corpus streams against its own index — the same
+  * online/batch parity contract the text twin carries. */
+class EmbedNearDupStreamSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("streamed against the full-corpus index, pairs equal the batch miner") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+
+    val d = TestSpark.sf0001
+    val corpusEmb = Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding"))
+    val n = corpusEmb.count()
+    val width = VectorOps.lshWidthFor(n)
+    val cap = VectorOps.knnCapFor(n, width)
+
+    val batch = VectorOps.embedNeardupLsh(spark, d, width,
+        VectorOps.LshProbes, cap, threshold = 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch.nonEmpty, "fixture must contain bucketed near-dup pairs")
+
+    val evs = corpusEmb.collect().map { r =>
+      EmbedEv(r.getLong(0), r.getSeq[Float](1).toArray,
+        new java.sql.Timestamp(1700000000000L + r.getLong(0)))
+    }
+    val source = MemoryStream[EmbedEv]
+    val q = EmbedNearDupStream.nearDupAgainstCorpus(spark, source.toDF(),
+        corpusEmb, width, VectorOps.LshProbes, cap, threshold = 0.45)
+      .writeStream.format("memory").queryName("embed_neardup")
+      .outputMode("append").start()
+    try {
+      evs.grouped(evs.length / 3 + 1).foreach { b =>
+        source.addData(b.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      val streamed = spark.sql("SELECT in_id, corpus_id FROM embed_neardup")
+        .collect()
+        .map(r => (math.min(r.getLong(0), r.getLong(1)),
+          math.max(r.getLong(0), r.getLong(1)))).toSet
+      assert(streamed == batch,
+        s"missing: ${batch.diff(streamed)}; extra: ${streamed.diff(batch)}")
+      // and no pair surfaced twice per direction (one bucket per corpus
+      // vector + distinct probe buckets -> at most one meeting)
+      val directed = spark.sql("SELECT in_id, corpus_id FROM embed_neardup")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(directed.length == directed.distinct.length,
+        "a pair met through more than one bucket")
+    } finally q.stop()
+  }
+}
