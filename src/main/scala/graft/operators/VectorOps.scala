@@ -271,6 +271,44 @@ object VectorOps {
     embedNeardupLsh(s, d, width, LshProbes, knnCapFor(n, width), 0.45)
   }
 
+  /** Hard-negative mining for contrastive training: for EVERY vector, the
+    * top-k most-similar neighbors with a DIFFERENT label — the classic
+    * "hardest negatives" batch-construction step (high-cosine, wrong
+    * class). Identical topology to [[knnJoin]] — shared width-capped
+    * hyperplane buckets, every vector probes — with the label inequality
+    * applied inside the bucket join, so the mismatch predicate prunes
+    * candidates before the window instead of post-filtering a same-label
+    * top-k (which would under-fill k). Candidates keep the kNN bound:
+    * <= (probes+1)·cap·n. Deterministic buckets → oracled exactly. */
+  def hardNegatives(s: SparkSession, d: String, width: Int, probes: Int,
+      k: Int, cap: Long): DataFrame = {
+    GraftFunctions.register(s)
+    val spreadE = Tables.spread(s, Tables.embeddings(s, d))
+    val corpus = cappedBuckets(spreadE, width, cap, "vec_id", "embedding", "label")
+    val q = spreadE
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("label").as("qlabel"))
+      .select(col("query_id"), col("qe"), col("qlabel"),
+        explode(expr(s"hyperplane_sig(qe, $width, $probes)")).as("qbucket"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    corpus.join(q,
+        col("bucket") === col("qbucket") && col("label") =!= col("qlabel"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("label").as("neg_label"), cosine("qe", "embedding").as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id").as("vec_id"), col("rk"), col("neighbor_id"),
+        col("neg_label"))
+      .orderBy("vec_id", "rk")
+  }
+
+  private val qHardNegatives: Q = (s, d) => {
+    val n = corpusSize(s, d)
+    val width = lshWidthFor(n)
+    hardNegatives(s, d, width, LshProbes, 3, knnCapFor(n, width))
+  }
+
   /** Recall@5 of both approximate ANN paths against exact brute force —
     * the driver-checked artifact for the approximation quality (r4 verdict
     * item 2). Everything is deterministic (hash-derived hyperplanes,
@@ -467,6 +505,7 @@ object VectorOps {
 
   val queries: Map[String, Q] = Map(
     "q_knn_join" -> qKnnJoin,
+    "q_hard_negatives" -> qHardNegatives,
     "q_embed_neardup_lsh" -> qEmbedNeardupLsh,
     "q_embed_quantize" -> qEmbedQuantize,
     "q_ann_brute" -> qAnnBrute,
@@ -682,6 +721,24 @@ object VectorOps {
         |                    c.vec_id) AS INT) AS rk
         |  FROM qprobe q JOIN sigt c
         |    ON c.bucket = q.qbucket AND c.vec_id <> q.query_id)
+        |WHERE rk <= 3
+        |ORDER BY vec_id, rk""".stripMargin),
+    // the kNN-join replay with the label-mismatch predicate inside the
+    // bucket join; labels come from the base table (sigt doesn't carry
+    // them). Corpus bucket cap inert at test SFs, as with q_knn_join.
+    "q_hard_negatives" ->
+      (s"WITH ${lshCtes(LshProbes, queryFilter = "")}" + """
+        |SELECT vec_id, rk, neighbor_id, neg_label FROM (
+        |  SELECT q.query_id AS vec_id, c.vec_id AS neighbor_id,
+        |         cl.label AS neg_label,
+        |         CAST(row_number() OVER (PARTITION BY q.query_id
+        |           ORDER BY list_cosine_similarity(q.qe, c.emb) DESC,
+        |                    c.vec_id) AS INT) AS rk
+        |  FROM qprobe q
+        |  JOIN embeddings ql ON ql.vec_id = q.query_id
+        |  JOIN sigt c ON c.bucket = q.qbucket
+        |  JOIN embeddings cl ON cl.vec_id = c.vec_id
+        |   AND cl.label <> ql.label)
         |WHERE rk <= 3
         |ORDER BY vec_id, rk""".stripMargin),
     "q_ann_ivf" ->

@@ -120,6 +120,43 @@ class AnnSpec extends AnyFunSuite {
     assert(knn.nonEmpty)
   }
 
+  test("hard negatives: different-label only, and exactly the kNN list with same-label rows dropped") {
+    val d = TestSpark.sf0001
+    val n = spark.read.parquet(s"$d/embeddings.parquet").count()
+    val w = VectorOps.lshWidthFor(n)
+    val cap = VectorOps.knnCapFor(n, w)
+    val labels = spark.read.parquet(s"$d/embeddings.parquet")
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val hn = VectorOps.hardNegatives(spark, d, w, VectorOps.LshProbes, 3, cap)
+      .collect()
+    assert(hn.nonEmpty)
+    hn.foreach { r =>
+      val (q, nb, nl) = (r.getLong(0), r.getLong(2), r.getInt(3))
+      assert(labels(nb) == nl, s"neg_label drifted from the table for $nb")
+      assert(labels(q) != nl, s"same-label negative leaked: $q -> $nb ($nl)")
+    }
+    hn.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val ranks = rs.map(_.getInt(1)).sorted.toSeq
+      assert(ranks == (1 to ranks.length))
+    }
+    // equivalence to the unconstrained join: k=50 exhausts every bucket's
+    // candidate list at this SF (occupancy ~8, probes+1 buckets), so the
+    // hard-negative top-3 must be EXACTLY the first 3 different-label
+    // entries of the kNN list in rank order — the label predicate prunes,
+    // it cannot reorder
+    val knnAll = VectorOps.knnJoin(spark, d, w, VectorOps.LshProbes, 50, cap)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1)
+    val expected = knnAll.toSeq.flatMap { case (q, rs) =>
+      rs.toSeq.sortBy(_._2).map(_._3).filter(nb => labels(nb) != labels(q))
+        .take(3).zipWithIndex.map { case (nb, i) => (q, i + 1, nb) }
+    }.toSet
+    val got = hn.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == expected,
+      s"hard-negative list is not the label-filtered kNN list: " +
+        s"extra=${got.diff(expected).take(5)} missing=${expected.diff(got).take(5)}")
+  }
+
   test("bucketed embed near-dup is sound, and recalls what its geometry promises") {
     val exact = VectorOps.queries("q_embed_neardup")(spark, TestSpark.sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
