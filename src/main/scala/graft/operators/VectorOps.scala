@@ -417,6 +417,18 @@ object VectorOps {
     * searches co-partitioned by cell. Raising nprobe = unioning more cells.
     * Training cost is LloydRounds extra passes over the corpus; real
     * deployments train on a hash-sample (swap `e` for a phash filter). */
+  /** Assign every vector of `e` to its max-cosine centroid (broadcast of
+    * the tiny centroid table, one map-side pass) — the shared step of the
+    * IVF search and the semantic-dedup clustering. */
+  private def assignCells(e: DataFrame, cent: DataFrame): DataFrame =
+    e.join(broadcast(cent))
+      .select(col("vec_id"), col("embedding"), col("cell"),
+        expr("cosine_sim(embedding, centroid)").as("csim"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cell"))))
+      .filter(col("rk") === 1)
+      .select("vec_id", "embedding", "cell")
+
   private val qAnnIvf: Q = (s, d) => {
     GraftFunctions.register(s)
     // spread: assignment scoring does heavy per-row work off the
@@ -432,13 +444,7 @@ object VectorOps {
       e.filter(Tables.phash(col("vec_id")) % 4 === 0),
       ivfCellsFor(corpusSize(s, d)))
     // assign every vector to its nearest centroid (cosine, broadcast table)
-    val assigned = e.join(broadcast(cent))
-      .select(col("vec_id"), col("embedding"), col("cell"),
-        expr("cosine_sim(embedding, centroid)").as("csim"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cell"))))
-      .filter(col("rk") === 1)
-      .select("vec_id", "embedding", "cell")
+    val assigned = assignCells(e, cent)
     // nprobe=2: each query searches its two nearest cells
     val qcells = e.filter(col("vec_id") < 10).join(broadcast(cent))
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
@@ -459,6 +465,76 @@ object VectorOps {
       .select("query_id", "neighbor_id", "rk")
       .orderBy("query_id", "rk")
   }
+
+  /** Semantic-dedup cell schedule — LINEAR, unlike the IVF search
+    * schedule: cells = ceil(n / [[SemTargetCell]]) so expected occupancy
+    * stays CONSTANT as the corpus grows (the SemDeDup recipe — Abbas et
+    * al. 2023 run k ~ n/2000 clusters over LAION embeddings; search
+    * wants cells ~ sqrt(n), dedup wants occupancy ~ const because the
+    * within-cell work is quadratic in occupancy). ceil is integer-exact:
+    * the smallest c with c·target >= n, the same predicate the oracle's
+    * `nc` CTE searches. Clamped to [[IvfMinCells]] / [[SemMaxCells]]. */
+  val SemTargetCell = 50L
+  val SemMaxCells = 1 << 20
+
+  def semCellsFor(n: Long): Int =
+    math.max(IvfMinCells,
+      math.min(SemMaxCells.toLong, (n + SemTargetCell - 1) / SemTargetCell).toInt)
+
+  /** Per-cell membership cap for the semantic-dedup pairing: 64× the
+    * TARGET occupancy, fixed — NOT 64× the realized occupancy like
+    * [[knnCapFor]], because the within-cell work is quadratic in the
+    * retained membership, so a cap that followed a flooded cell's
+    * occupancy would follow the blowup it exists to stop. Inert at any
+    * healthy occupancy (~target); a degenerate cell (k-means collapse,
+    * embedding flood) is truncated to the hash-lowest [[SemCellCap]]
+    * members — recall loss on the flooded cell only, the same
+    * degradation contract as the MinHash/SimHash band caps. */
+  val SemCellCap: Long = 64L * SemTargetCell
+
+  /** SemDeDup-style semantic dedup: k-means-cluster the embeddings
+    * (hash-sampled seeds, [[semCellsFor]] linear cell schedule), then
+    * WITHIN each cell pair members at cosine >= `threshold` and keep the
+    * min-id representative. Output: the duplicates only — (vec_id,
+    * rep_id = its lowest-id same-cell near neighbor, n_near = how many
+    * lower-id near neighbors share the cell). A vector absent from the
+    * output is retained; the representative chain bottoms out at a
+    * retained vector (rep may itself be a duplicate of something lower,
+    * the same keep-min convention as q_dedup_cluster).
+    *
+    * Scale regimes (100 TB posture): below the [[SemMaxCells]] clamp,
+    * occupancy ~ [[SemTargetCell]] constant, so candidates ~ cells ×
+    * target² = O(n) — linear by the schedule, no cap needed. Past the
+    * clamp (n > ~52M vectors at target 50) occupancy grows and the
+    * within-cell pairing would go O(n²/cells); [[SemCellCap]] then
+    * bounds per-cell membership, degrading flooded cells to a capped
+    * sample exactly like the text band caps. Deterministic end-to-end
+    * (hash seeds, fixed Lloyd rounds, hash-ranked cap) → oracled
+    * exactly via the replayed training loop. */
+  def semanticDedup(s: SparkSession, d: String, cells: Int, cap: Long,
+      threshold: Double): DataFrame = {
+    GraftFunctions.register(s)
+    val e = graft.Caching.persist(Tables.spread(s, Tables.embeddings(s, d)))
+    val cent = trainCentroids(s,
+      e.filter(Tables.phash(col("vec_id")) % 4 === 0), cells)
+    // persisted: the capped assignment feeds BOTH sides of the pair join
+    val capped = graft.Caching.persist(
+      assignCells(e, cent)
+        .withColumn("ck", row_number().over(Window.partitionBy("cell")
+          .orderBy(Tables.phash(col("vec_id")), col("vec_id"))))
+        .filter(col("ck") <= cap)
+        .drop("ck"))
+    capped.as("a").join(capped.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .filter(expr("cosine_sim(a.embedding, b.embedding)") >= threshold)
+      .groupBy(col("b.vec_id").as("vec_id"))
+      .agg(min(col("a.vec_id")).as("rep_id"),
+        count(lit(1)).as("n_near"))
+      .orderBy("vec_id")
+  }
+
+  private val qSemanticDedup: Q = (s, d) =>
+    semanticDedup(s, d, semCellsFor(corpusSize(s, d)), SemCellCap, 0.45)
 
   /** Per-label embedding centroids via the native vector_avg aggregate
     * (one O(dim)-state exchange, no posexplode row blow-up). First four
@@ -512,6 +588,7 @@ object VectorOps {
     "q_embed_neardup" -> qEmbedNeardup,
     "q_ann_lsh" -> qAnnLsh,
     "q_ann_ivf" -> qAnnIvf,
+    "q_semantic_dedup" -> qSemanticDedup,
     "q_ann_recall" -> qAnnRecall,
     "q_embed_centroids" -> qEmbedCentroids,
   )
@@ -578,7 +655,13 @@ object VectorOps {
     * `samp`/`seed` → unrolled 3-round Lloyd (`a1..c3`) → `afull`
     * (full-corpus assignment) → `qc` (nprobe=2 query cells) → `ivfq`
     * (the IVF top-5 result set). Requires CTE `e` from [[lshCtes]]. */
-  private def ivfCtes: String = {
+  /** The k-means training replay, parameterized by the cell-count CTE
+    * (`nc`): `samp`/`seed` → unrolled 3-round Lloyd (`a1..c3`) → `afull`
+    * (full-corpus assignment). The IVF search passes the sqrt schedule,
+    * semantic dedup the linear one; everything downstream of `nc` is the
+    * SAME replay, so the two oracles cannot train differently from the
+    * engine. Requires CTE `e`. */
+  private def trainCtes(ncSql: String): String = {
     val ph = Tables.phashSql("vec_id")
     def asgn(cent: String): String = s"""
       |  SELECT vec_id, emb, cell FROM (
@@ -597,11 +680,7 @@ object VectorOps {
       |    GROUP BY cell, pos)
       |  GROUP BY cell""".stripMargin
     s"""
-    |nc AS (
-    |  SELECT GREATEST($IvfMinCells,
-    |           COALESCE(min(CAST(c AS INT)), $IvfMaxCells)) AS c
-    |  FROM (SELECT unnest(range(1, ${IvfMaxCells + 1})) AS c)
-    |  WHERE c * c * $IvfTargetCell >= (SELECT count(*) FROM embeddings)),
+    |nc AS ($ncSql),
     |samp AS (SELECT * FROM e WHERE $ph % 4 = 0),
     |seed AS (
     |  SELECT CAST(row_number() OVER (ORDER BY $ph, vec_id) AS INT) - 1
@@ -620,7 +699,28 @@ object VectorOps {
     |             ORDER BY list_cosine_similarity(e.emb,
     |                        CAST(c.c AS DOUBLE[])) DESC, c.cell) AS rk
     |    FROM e, c3 c)
-    |  WHERE rk = 1),
+    |  WHERE rk = 1)""".stripMargin
+  }
+
+  /** SQL twin of [[ivfCellsFor]]: the sqrt `c²·target >= n` search. */
+  private def ivfNcSql: String = s"""
+    |  SELECT GREATEST($IvfMinCells,
+    |           COALESCE(min(CAST(c AS INT)), $IvfMaxCells)) AS c
+    |  FROM (SELECT unnest(range(1, ${IvfMaxCells + 1})) AS c)
+    |  WHERE c * c * $IvfTargetCell >= (SELECT count(*) FROM embeddings)""".stripMargin
+
+  /** SQL twin of [[semCellsFor]]: the linear `c·target >= n` search
+    * (= ceil(n/target)), clamped to the same bounds. The range scan stops
+    * at the clamp, so min() is NULL past it and COALESCE applies the
+    * clamp — identical to the Scala min/max arithmetic. */
+  private def semNcSql: String = s"""
+    |  SELECT GREATEST($IvfMinCells,
+    |           COALESCE(min(CAST(c AS INT)), $SemMaxCells)) AS c
+    |  FROM (SELECT unnest(range(1, ${SemMaxCells + 1})) AS c)
+    |  WHERE c * $SemTargetCell >= (SELECT count(*) FROM embeddings)""".stripMargin
+
+  private def ivfCtes: String = {
+    s"""${trainCtes(ivfNcSql)},
     |qc AS (
     |  SELECT vec_id AS query_id, emb AS qe, cell AS qcell FROM (
     |    SELECT e.vec_id, e.emb, c.cell,
@@ -746,6 +846,21 @@ object VectorOps {
         s"FROM embeddings), $ivfCtes" + """
         |SELECT query_id, neighbor_id, rk FROM ivfq
         |ORDER BY query_id, rk""".stripMargin),
+    // the same Lloyd replay as q_ann_ivf but at the LINEAR cell schedule
+    // (semNcSql); pairs within a cell, keep-min representative. The
+    // Spark-side per-cell cap is inert at test SFs so the uncapped
+    // replay matches (same convention as the kNN-join cap).
+    "q_semantic_dedup" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb " +
+        s"FROM embeddings), ${trainCtes(semNcSql)}," + """
+        |pairs AS (
+        |  SELECT a.vec_id AS ra, b.vec_id AS vb
+        |  FROM afull a JOIN afull b
+        |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.emb, b.emb) >= 0.45)
+        |SELECT vb AS vec_id, CAST(min(ra) AS BIGINT) AS rep_id,
+        |       CAST(count(*) AS BIGINT) AS n_near
+        |FROM pairs GROUP BY vb ORDER BY vec_id""".stripMargin),
     "q_ann_recall" ->
       (s"WITH ${lshCtes(LshProbes)}, $ivfCtes, $bruteCte" + """
         |SELECT variant, n_hits, n_brute,

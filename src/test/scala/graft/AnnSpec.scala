@@ -204,6 +204,91 @@ class AnnSpec extends AnyFunSuite {
       s"missed planted twins: ${planted.diff(pairs)}")
   }
 
+  test("semantic dedup cell schedule: integer-exact ceil(n/target), clamped") {
+    // the linear twin of the IVF sqrt schedule — constant expected
+    // occupancy; the oracle's nc CTE searches the same predicate
+    assert(VectorOps.semCellsFor(1) == 4)            // min clamp
+    assert(VectorOps.semCellsFor(200) == 4)          // 4*50 boundary
+    assert(VectorOps.semCellsFor(201) == 5)
+    assert(VectorOps.semCellsFor(500) == 10)         // sf0.001/0.01 fixtures
+    assert(VectorOps.semCellsFor(5000) == 100)       // sf0.1 fixture
+    assert(VectorOps.semCellsFor(1L << 40) == VectorOps.SemMaxCells)
+  }
+
+  test("semantic dedup: sound (every emitted pair is a real near-dup), keep-min, lower-id rep") {
+    val d = TestSpark.sf0001
+    val exact = VectorOps.queries("q_embed_neardup")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sem = VectorOps.queries("q_semantic_dedup")(spark, d).collect()
+    assert(sem.nonEmpty)
+    sem.foreach { r =>
+      val (v, rep, nNear) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(rep < v, s"representative must be the lower id: $rep >= $v")
+      // cell-scoping can only RESTRICT the pair relation: anything the
+      // cell pairing emits must be in the exact all-pairs set
+      assert(exact.contains((rep, v)),
+        s"unsound: ($rep, $v) not a true >=0.45 pair")
+      val exactLower = exact.count(_._2 == v)
+      assert(nNear <= exactLower,
+        s"n_near $nNear exceeds the $exactLower true lower-id partners of $v")
+      // keep-min within what the cell retained: rep is a true partner and
+      // no emitted row for v points above it (single row per v by groupBy)
+    }
+    info(s"semantic dedup flagged ${sem.length} duplicates " +
+      s"of ${exact.size} exact near-dup pairs")
+  }
+
+  test("semantic dedup catches every planted true twin") {
+    import spark.implicits._
+    // same planted-twin fixture as the LSH near-dup test: cosine ~0.9999
+    // twins MUST co-cluster (same nearest centroid) and be flagged with
+    // their base vector as representative
+    val dim = 16
+    def vec(seed: Long): Array[Float] =
+      Array.tabulate(dim)(j => (((seed * 31 + j * 7919) % 997).toFloat - 498f) / 498f)
+    val base = (0 until 40).map(i => (i.toLong, vec(i.toLong), 0))
+    val twins = (0 until 5).map { i =>
+      val v = vec(i.toLong)
+      v(0) = v(0) + 0.001f
+      (100L + i, v, 0)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-semtwins").toString
+    (base ++ twins).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = VectorOps.semanticDedup(spark, dir,
+        VectorOps.semCellsFor(45), VectorOps.SemCellCap, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    (0 until 5).foreach { i =>
+      // rep <= base id: the base itself is a >=0.99 partner, and keep-min
+      // may find an even lower-id one (these pseudo-random ramp vectors
+      // are correlated enough that e.g. base 1 ~ base 0 at >=0.99)
+      val rep = got.get(100L + i)
+      assert(rep.isDefined, s"twin ${100 + i} not flagged as duplicate")
+      assert(rep.get <= i.toLong,
+        s"twin ${100 + i} deduped to ${rep.get}, above its base $i")
+    }
+  }
+
+  test("semantic dedup cell cap bounds a flooded cell") {
+    import spark.implicits._
+    // 300 identical vectors collapse into one cell; cap 8 must bound the
+    // pair join at C(8,2) emitted duplicates (7 flagged of the retained
+    // 8) instead of 300² — flood members beyond the cap are simply not
+    // paired (the documented recall-loss degradation)
+    val dim = 8
+    val docs = (0 until 300).map(i => (i.toLong, Array.fill(dim)(0.5f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val dir = java.nio.file.Files.createTempDirectory("graft-semflood").toString
+    docs.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = VectorOps.semanticDedup(spark, dir,
+        VectorOps.semCellsFor(300), cap = 8L, threshold = 0.99)
+      .collect()
+    // exactly the retained members minus their keep-min representative
+    assert(got.length == 7, s"expected 7 capped duplicates, got ${got.length}")
+    got.foreach(r => assert(r.getLong(2) <= 7,
+      s"n_near ${r.getLong(2)} exceeds the cap-implied bound"))
+  }
+
   test("knn join bucket cap bounds an embedding flood") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
