@@ -149,6 +149,9 @@ object Stress {
       Probe("knn_join_candidates",
         "all-pairs kNN bucket-join candidates, corpus side width-capped, pre-top-k (q_knn_join) — measured AT the production schedule (VectorOps.lshWidthFor, the registered query's own code path since r7); quadratic only at an artificially frozen width",
         knnJoinCandidates),
+      Probe("semantic_dedup_candidates",
+        "within-cell pair candidates at the LINEAR cell schedule (q_semantic_dedup) — cells ~ n/50 keeps occupancy constant, so cell-scoped pairing stays ~linear; the IVF sqrt schedule would read ~1.5 here",
+        graft.operators.VectorOps.semanticDedupCandidates),
     )
 
     val nDocs = sfs.map(d => Tables.documents(spark, d).count())

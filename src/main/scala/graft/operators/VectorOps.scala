@@ -536,6 +536,25 @@ object VectorOps {
   private val qSemanticDedup: Q = (s, d) =>
     semanticDedup(s, d, semCellsFor(corpusSize(s, d)), SemCellCap, 0.45)
 
+  /** Scaling-instrument hook ([[graft.Stress]]): the within-cell pair
+    * count the semantic dedup enumerates (pre-threshold, capped) at the
+    * production schedule — the quantity whose exponent must stay ~1. */
+  private[graft] def semanticDedupCandidates(s: SparkSession, d: String): Long = {
+    GraftFunctions.register(s)
+    val n = corpusSize(s, d)
+    val e = graft.Caching.persist(Tables.spread(s, Tables.embeddings(s, d)))
+    val cent = trainCentroids(s,
+      e.filter(Tables.phash(col("vec_id")) % 4 === 0), semCellsFor(n))
+    val capped = assignCells(e, cent)
+      .withColumn("ck", row_number().over(Window.partitionBy("cell")
+        .orderBy(Tables.phash(col("vec_id")), col("vec_id"))))
+      .filter(col("ck") <= SemCellCap)
+      .drop("ck")
+    capped.as("a").join(capped.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .count()
+  }
+
   /** Per-label embedding centroids via the native vector_avg aggregate
     * (one O(dim)-state exchange, no posexplode row blow-up). First four
     * dimensions rounded to 4 decimals: double-sum association order
