@@ -248,12 +248,52 @@ object CurationOps {
         sum(Tables.phash(col("doc_id"))).as("sel_check"))
       .orderBy("source")
 
+  /** Per-source token budget for q_source_budget: sized so the fixture's
+    * ~60-token docs truncate mid-source (25 docs ≈ 1500 tokens/source);
+    * production budgets (e.g. RefinedWeb's per-domain caps) are the same
+    * constant scaled. */
+  val SourceTokenBudget = 800L
+
+  /** Per-source (domain) TOKEN-budget cap — the RefinedWeb-style guard
+    * against a single domain dominating the training mix, budgeted in
+    * tokens rather than doc count (what the training run actually
+    * consumes): within each source, rank docs by quality — stopword hits
+    * desc (natural text first; same lexicon as q_text_quality), token
+    * count desc, doc_id — and keep docs while the running token total
+    * stays within [[SourceTokenBudget]]. Integer-only sort keys: no
+    * float-ordering hazard between engines.
+    *
+    * Scale shape: ONE exchange on source, then rank + running sum ride
+    * the SAME partition-local sort (one window spec — Spark plans a
+    * single Window operator). Sources at 100 TB are domains (millions of
+    * groups) so the window parallelizes; a mega-domain is a hot
+    * partition — the same skew class, and remedy, as q_vocab_build's
+    * bucketed rank. Output is O(kept docs). */
+  private val qSourceBudget: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source")
+      .orderBy(col("stop_cnt").desc, col("n_tok").desc, col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(TextRules.tokens(col("text"))).cast("long").as("n_tok"),
+        regexp_count(lower(col("text")), lit("\\b(the|a|of|to|and|in|is)\\b"))
+          .as("stop_cnt"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("cum_tok", sum(col("n_tok")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("cum_tok") <= SourceTokenBudget)
+      .select(col("source"), col("doc_id"), col("rk"), col("n_tok"),
+        col("cum_tok"))
+      .orderBy("source", "rk")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_decontaminate" -> qDecontaminate,
     "q_gopher_repeat" -> qGopherRepeat,
     "q_metrics_funnel" -> qMetricsFunnel,
     "q_pii_flag" -> qPiiFlag,
     "q_data_mix" -> qDataMix,
+    "q_source_budget" -> qSourceBudget,
   )
 
   private val toksCte =
@@ -267,6 +307,27 @@ object CurationOps {
     (1 to n).map(j => s"toks[i+${j - 1}]").mkString(" || ' ' || ")
 
   val oracles: Map[String, String] = Map(
+    "q_source_budget" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source,
+         |         CAST(len(list_filter(string_split_regex(lower(text), '\\W+'),
+         |                              x -> x <> '')) AS BIGINT) AS n_tok,
+         |         CAST(len(regexp_extract_all(lower(text),
+         |                  '\\b(the|a|of|to|and|in|is)\\b')) AS BIGINT) AS stop_cnt
+         |  FROM documents),
+         |r AS (
+         |  SELECT source, doc_id, n_tok,
+         |         CAST(row_number() OVER (
+         |           PARTITION BY source
+         |           ORDER BY stop_cnt DESC, n_tok DESC, doc_id) AS INT) AS rk,
+         |         sum(n_tok) OVER (
+         |           PARTITION BY source
+         |           ORDER BY stop_cnt DESC, n_tok DESC, doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+         |  FROM t)
+         |SELECT source, doc_id, rk, n_tok, CAST(cum_tok AS BIGINT) AS cum_tok
+         |FROM r WHERE cum_tok <= $SourceTokenBudget
+         |ORDER BY source, rk""".stripMargin,
     "q_data_mix" -> {
       val ph = Tables.phashSql("doc_id")
       s"""WITH c AS (

@@ -166,10 +166,60 @@ class CurationSpec extends AnyFunSuite {
       perSource.map(_._1.stripPrefix("src").toInt % 4).toSet))
   }
 
+  test("source budget keeps a maximal quality-ordered prefix per source, in one window pass") {
+    val res = CurationOps.queries("q_source_budget")(spark, sf)
+    val rows = res.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val budget = CurationOps.SourceTokenBudget
+    val perSource = rows.groupBy(_._1)
+    val nDocsPerSource = Tables.documents(spark, sf)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    perSource.foreach { case (src, rs) =>
+      val sorted = rs.sortBy(_._3)
+      // ranks contiguous from 1; running total consistent and within budget
+      assert(sorted.map(_._3).toSeq == (1 to sorted.length))
+      var cum = 0L
+      sorted.foreach { case (_, _, _, nTok, cumTok) =>
+        cum += nTok
+        assert(cumTok == cum, s"$src running total drifted")
+      }
+      assert(cum <= budget)
+      // maximality: either the source is exhausted, or the budget is spent
+      // to the point the NEXT doc could not fit (every doc has >= 1 token,
+      // so a full-budget prefix of fewer docs than the source holds means
+      // the rank-(k+1) doc overflowed — checked indirectly: the kept
+      // prefix is a strict prefix only when cum + next > budget; recompute
+      // the next doc's tokens from the table)
+      if (sorted.length < nDocsPerSource(src).toInt) {
+        val kept = sorted.map(_._2).toSet
+        val nextTok = Tables.documents(spark, sf)
+          .filter(col("source") === src &&
+            !col("doc_id").isInCollection(kept))
+          .select(size(graft.operators.TextRules.tokens(col("text")))
+            .cast("long").as("n"),
+            regexp_count(lower(col("text")),
+              lit("\\b(the|a|of|to|and|in|is)\\b")).as("sc"),
+            col("doc_id"))
+          .orderBy(col("sc").desc, col("n").desc, col("doc_id"))
+          .limit(1).collect().head.getLong(0)
+        assert(cum + nextTok > budget,
+          s"$src dropped a doc that still fit: cum=$cum next=$nextTok")
+      }
+    }
+    // one exchange: rank + running sum share the partition-local sort
+    // (inspect only the final AQE plan — toString repeats the initial one)
+    val plan = res.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.split("Exchange hashpartitioning").length - 1 <= 1,
+      s"more than one hash exchange:\n$plan")
+  }
+
   test("curation queries and oracles are registered consistently") {
     assert(CurationOps.queries.keySet ===
       Set("q_decontaminate", "q_gopher_repeat", "q_metrics_funnel",
-        "q_pii_flag", "q_data_mix"))
+        "q_pii_flag", "q_data_mix", "q_source_budget"))
     assert(CurationOps.oracles.keySet === CurationOps.queries.keySet)
   }
 }
