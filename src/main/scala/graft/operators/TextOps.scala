@@ -31,6 +31,50 @@ object TextOps {
       .orderBy(col("cnt").desc, col("token"))
       .limit(100)
 
+  /** Feature-hashing dimensionality for q_feature_hash (the hashing
+    * trick — Weinberger et al. 2009): production dims are 2^18+; the
+    * fixture dim keeps the oracle's slot domain readable. */
+  val FeatureHashDim = 16
+
+  /** Text → vector bridge via the hashing trick: each token folds to a
+    * portable polynomial hash (31-base char fold mod the phash prime —
+    * plain arithmetic, engine-identical), its slot is `h mod dim`, its
+    * sign the next hash bit (`(h div dim) mod 2` — the signed variant
+    * that makes collisions cancel in expectation rather than bias).
+    * Output is the SPARSE form — (doc_id, slot, w) for nonzero slots —
+    * the relational representation a downstream ANN/clustering stage
+    * consumes without an array-schema dependency.
+    *
+    * Scale shape: ZERO data shuffles — the whole vector is built
+    * map-side as array expressions (tokens fold per doc, O(tokens·dim)
+    * local CPU), then posexplode to sparse rows; the only exchange is
+    * the ordered-output range partition. The explode-then-groupBy
+    * formulation would shuffle one row PER TOKEN OCCURRENCE — corpus
+    * token count, the largest cardinality in the pipeline — to build the
+    * same per-doc locality this plan never gives up. */
+  private val qFeatureHash: Q = (s, d) => {
+    val P = 1000000007L
+    Tables.documents(s, d)
+      .select(col("doc_id"), TextRules.tokens(col("text")).as("toks"))
+      // one hash per token (empties filtered: Spark's split('') keeps a
+      // trailing '' that DuckDB's string_split drops; ascii('')=0 would
+      // silently shift the fold)
+      .withColumn("hs", expr(
+        s"""transform(toks, t ->
+           |  aggregate(filter(split(t, ''), c -> c <> ''), 0L,
+           |            (a, c) -> (a * 31 + ascii(c)) % $P))""".stripMargin))
+      .select(col("doc_id"), expr(
+        s"""transform(sequence(0, ${FeatureHashDim - 1}), s ->
+           |  aggregate(hs, 0L, (a, h) ->
+           |    a + IF(CAST(h % $FeatureHashDim AS INT) = s,
+           |           IF((h div $FeatureHashDim) % 2 = 0, 1L, -1L),
+           |           0L)))""".stripMargin).as("vec"))
+      .select(col("doc_id"), posexplode(col("vec")).as(Seq("slot", "w")))
+      .filter(col("w") =!= 0L)
+      .select(col("doc_id"), col("slot"), col("w"))
+      .orderBy("doc_id", "slot")
+  }
+
   /** Stopword-lexicon language ID (n-gram heuristic): score each doc per
     * language by stopword hits, argmax with alphabetical tie-break, 'und'
     * when no lexicon token appears. Output = confusion matrix against the
@@ -379,6 +423,7 @@ object TextOps {
     "q_cooccur" -> qCooccur,
     "q_doc_winnow" -> qDocWinnow,
     "q_text_tokens" -> qTextTokens,
+    "q_feature_hash" -> qFeatureHash,
     "q_text_langid" -> qTextLangid,
     "q_text_quality" -> qTextQuality,
     "q_text_fingerprint" -> qTextFingerprint,
@@ -562,6 +607,32 @@ object TextOps {
         |  SELECT unnest(string_split_regex(lower(text), '\W+')) AS token
         |  FROM documents)
         |WHERE token <> '' GROUP BY 1 ORDER BY cnt DESC, token LIMIT 100""".stripMargin,
+    // the 31-base char fold is plain integer arithmetic in both engines;
+    // list_reduce's first-element seeding equals aggregate's 0-init fold
+    // (0*31 + c0 = c0)
+    "q_feature_hash" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         list_filter(string_split_regex(lower(text), '\\W+'),
+         |                     x -> x <> '') AS toks
+         |  FROM documents),
+         |h AS (
+         |  SELECT doc_id,
+         |         list_transform(toks, tok ->
+         |           list_reduce(list_transform(string_split(tok, ''),
+         |                                      c -> CAST(ascii(c) AS BIGINT)),
+         |                       (a, b) -> (a * 31 + b) % 1000000007)) AS hs
+         |  FROM t),
+         |v AS (
+         |  SELECT doc_id, s.slot,
+         |         CAST(list_sum(list_transform(hs, x ->
+         |           CASE WHEN x % $FeatureHashDim = s.slot
+         |                THEN CASE WHEN (x // $FeatureHashDim) % 2 = 0
+         |                     THEN 1 ELSE -1 END
+         |                ELSE 0 END)) AS BIGINT) AS w
+         |  FROM h, (SELECT unnest(range(0, $FeatureHashDim)) AS slot) s)
+         |SELECT doc_id, CAST(slot AS INT) AS slot, w
+         |FROM v WHERE w <> 0 ORDER BY doc_id, slot""".stripMargin,
     "q_text_langid" ->
       s"""WITH toks AS (
         |  SELECT doc_id, unnest(string_split_regex(lower(text), '\\W+')) AS token
