@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{BpeCount, CosineSimilarity, HyperplaneSig,
-  MinHashSig, SimHash64, SimHashSig, SizedArg, VectorAvg}
+import graft.functions.{BpeCount, CosineSimilarity, FeatureHashVec,
+  HyperplaneSig, MinHashSig, SimHash64, SimHashSig, SizedArg, VectorAvg}
 
 /** Session-extension entry point: users opt in with
   * `spark.sql.extensions=graft.GraftExtensions` and get the native
@@ -58,5 +58,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("bpe_count"),
       new ExpressionInfo(classOf[BpeCount].getName, "bpe_count"),
       (exprs: Seq[Expression]) => BpeCount(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("feature_hash_vec"),
+      new ExpressionInfo(classOf[FeatureHashVec].getName, "feature_hash_vec"),
+      (exprs: Seq[Expression]) => FeatureHashVec(exprs.head,
+        SizedArg.literalInt("feature_hash_vec", "dim", exprs(1)))))
   }
 }

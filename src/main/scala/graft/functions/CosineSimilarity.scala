@@ -138,5 +138,9 @@ object GraftFunctions {
         SizedArg.literalInt("hyperplane_sig", "probes", exprs(2))), "built-in")
     registry.createOrReplaceTempFunction(
       "bpe_count", exprs => BpeCount(exprs.head), "built-in")
+    // dim must be an integer literal (it sizes the output vector)
+    registry.createOrReplaceTempFunction(
+      "feature_hash_vec", exprs => FeatureHashVec(exprs.head,
+        SizedArg.literalInt("feature_hash_vec", "dim", exprs(1))), "built-in")
   }
 }

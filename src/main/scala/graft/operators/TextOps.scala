@@ -46,29 +46,21 @@ object TextOps {
     * consumes without an array-schema dependency.
     *
     * Scale shape: ZERO data shuffles — the whole vector is built
-    * map-side as array expressions (tokens fold per doc, O(tokens·dim)
-    * local CPU), then posexplode to sparse rows; the only exchange is
-    * the ordered-output range partition. The explode-then-groupBy
-    * formulation would shuffle one row PER TOKEN OCCURRENCE — corpus
-    * token count, the largest cardinality in the pipeline — to build the
-    * same per-doc locality this plan never gives up. */
+    * map-side by the native [[graft.functions.FeatureHashVec]] expression
+    * (one fused codegen'd pass: char fold → slot/sign → accumulate; the
+    * expression-only formulation was three nested interpreted
+    * HigherOrderFunctions and benched 25s at sf0.1 vs <1s native), then
+    * posexplode to sparse rows; the only exchange is the ordered-output
+    * range partition. The explode-then-groupBy formulation would shuffle
+    * one row PER TOKEN OCCURRENCE — corpus token count, the largest
+    * cardinality in the pipeline — to build the same per-doc locality
+    * this plan never gives up. */
   private val qFeatureHash: Q = (s, d) => {
-    val P = 1000000007L
+    graft.functions.GraftFunctions.register(s)
     Tables.documents(s, d)
       .select(col("doc_id"), TextRules.tokens(col("text")).as("toks"))
-      // one hash per token (empties filtered: Spark's split('') keeps a
-      // trailing '' that DuckDB's string_split drops; ascii('')=0 would
-      // silently shift the fold)
-      .withColumn("hs", expr(
-        s"""transform(toks, t ->
-           |  aggregate(filter(split(t, ''), c -> c <> ''), 0L,
-           |            (a, c) -> (a * 31 + ascii(c)) % $P))""".stripMargin))
-      .select(col("doc_id"), expr(
-        s"""transform(sequence(0, ${FeatureHashDim - 1}), s ->
-           |  aggregate(hs, 0L, (a, h) ->
-           |    a + IF(CAST(h % $FeatureHashDim AS INT) = s,
-           |           IF((h div $FeatureHashDim) % 2 = 0, 1L, -1L),
-           |           0L)))""".stripMargin).as("vec"))
+      .select(col("doc_id"),
+        expr(s"feature_hash_vec(toks, $FeatureHashDim)").as("vec"))
       .select(col("doc_id"), posexplode(col("vec")).as(Seq("slot", "w")))
       .filter(col("w") =!= 0L)
       .select(col("doc_id"), col("slot"), col("w"))

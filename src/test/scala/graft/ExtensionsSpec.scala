@@ -27,7 +27,7 @@ class ExtensionsSpec extends AnyFunSuite {
     new GraftExtensions().apply(ext)
     assert(injectedBuilders(ext).keySet == Set(
       "cosine_sim", "minhash_sig", "vector_avg", "simhash64",
-      "simhash_sig", "hyperplane_sig", "bpe_count"))
+      "simhash_sig", "hyperplane_sig", "bpe_count", "feature_hash_vec"))
   }
 
   test("injected builders honor optional width arguments (full arity)") {
