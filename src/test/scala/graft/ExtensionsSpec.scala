@@ -80,7 +80,8 @@ class ExtensionsSpec extends AnyFunSuite {
     // non-foldable, NULL, and fractional arguments raise an
     // AnalysisException naming the function and parameter
     for (bad <- Seq("minhash_sig(hs, CAST(doc_id AS INT))",
-        "simhash_sig(hs, NULL)", "minhash_sig(hs, 1.5)")) {
+        "simhash_sig(hs, NULL)", "minhash_sig(hs, 1.5)",
+        "feature_hash_vec(array('a'), CAST(doc_id AS INT))")) {
       val e = intercept[org.apache.spark.sql.AnalysisException] {
         df.selectExpr(bad).collect()
       }
