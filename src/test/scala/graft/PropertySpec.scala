@@ -60,6 +60,24 @@ class PropertySpec extends AnyFunSuite {
     }, n = 5)
   }
 
+  test("FeatureHashVec is additive over token concatenation and order-invariant") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val tokGen = Gen.nonEmptyListOf(
+      Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString.take(12)))
+    def vec(toks: List[String]): Seq[Long] =
+      Seq((1L, toks)).toDF("id", "toks")
+        .selectExpr(s"feature_hash_vec(toks, ${graft.operators.TextOps.FeatureHashDim})")
+        .head().getSeq[Long](0)
+    check("feature-hash-additive", Prop.forAll(Gen.zip(tokGen, tokGen)) {
+      case (a, b) =>
+        val (va, vb, vab) = (vec(a), vec(b), vec(a ++ b))
+        // bag semantics: weights add under concatenation, so any
+        // reordering (a++b vs b++a) yields the same vector
+        vab == va.zip(vb).map { case (x, y) => x + y } && vec(b ++ a) == vab
+    }, n = 6)
+  }
+
   test("agg is invariant to partitioning (partial+final == direct)") {
     import spark.implicits._
     check("partition-invariance", Prop.forAll(rowsGen, Gen.choose(1, 13)) {
