@@ -271,6 +271,46 @@ object VectorOps {
     embedNeardupLsh(s, d, width, LshProbes, knnCapFor(n, width), 0.45)
   }
 
+  /** Cross-corpus embedding dedup — the vector twin of q_cross_dedup and
+    * the batch twin of [[graft.streaming.EmbedNearDupStream]]: an
+    * incoming batch probes the existing corpus's hyperplane buckets
+    * (corpus side width-capped via [[cappedBuckets]], the published-index
+    * side in production), pairs are exact-cosine verified, and each
+    * flagged incoming vector reports its best corpus match (max cosine,
+    * min-id tie-break; the threshold filter runs BEFORE the ranking
+    * window so rank 1 is the best qualifying match). Candidates are
+    * linear in the incoming batch — (probes+1)·cap per probe bucket —
+    * whatever the corpus distribution. The fixture split is vec_id
+    * parity (odd = incoming, even = corpus), mirroring q_cross_dedup's
+    * doc split. */
+  def embedCrossDedup(s: SparkSession, d: String, width: Int, probes: Int,
+      cap: Long, threshold: Double): DataFrame = {
+    GraftFunctions.register(s)
+    val all = Tables.spread(s, Tables.embeddings(s, d))
+    val corpus = cappedBuckets(all.filter(col("vec_id") % 2 === 0),
+      width, cap, "vec_id", "embedding")
+    val incoming = all.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id").as("in_id"), col("embedding").as("ie"))
+      .select(col("in_id"), col("ie"),
+        explode(expr(s"hyperplane_sig(ie, $width, $probes)")).as("qbucket"))
+    val w = Window.partitionBy("in_id")
+      .orderBy(col("sim").desc, col("match_id"))
+    corpus.join(incoming, col("bucket") === col("qbucket"))
+      .select(col("in_id"), col("vec_id").as("match_id"),
+        cosine("ie", "embedding").as("sim"))
+      .filter(col("sim") >= threshold)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("in_id").as("vec_id"), col("match_id"))
+      .orderBy("vec_id")
+  }
+
+  private val qEmbedCrossDedup: Q = (s, d) => {
+    val n = corpusSize(s, d)
+    val width = lshWidthFor(n)
+    embedCrossDedup(s, d, width, LshProbes, knnCapFor(n, width), 0.45)
+  }
+
   /** Hard-negative mining for contrastive training: for EVERY vector, the
     * top-k most-similar neighbors with a DIFFERENT label — the classic
     * "hardest negatives" batch-construction step (high-cosine, wrong
@@ -601,6 +641,7 @@ object VectorOps {
   val queries: Map[String, Q] = Map(
     "q_knn_join" -> qKnnJoin,
     "q_hard_negatives" -> qHardNegatives,
+    "q_embed_cross_dedup" -> qEmbedCrossDedup,
     "q_embed_neardup_lsh" -> qEmbedNeardupLsh,
     "q_embed_quantize" -> qEmbedQuantize,
     "q_ann_brute" -> qAnnBrute,
@@ -842,6 +883,22 @@ object VectorOps {
         |    ON c.bucket = q.qbucket AND c.vec_id <> q.query_id)
         |WHERE rk <= 3
         |ORDER BY vec_id, rk""".stripMargin),
+    // odd vectors probe, even vectors are the corpus; threshold filter
+    // precedes the ranking window (SQL WHERE runs before window eval) so
+    // rank 1 is the best QUALIFYING match — same order as the Spark side.
+    // Corpus bucket cap inert at test SFs, as with q_knn_join.
+    "q_embed_cross_dedup" ->
+      (s"WITH ${lshCtes(LshProbes, queryFilter = "WHERE vec_id % 2 = 1")}" + """
+        |SELECT vec_id, match_id FROM (
+        |  SELECT q.query_id AS vec_id, c.vec_id AS match_id,
+        |         row_number() OVER (PARTITION BY q.query_id
+        |           ORDER BY list_cosine_similarity(q.qe, c.emb) DESC,
+        |                    c.vec_id) AS rk
+        |  FROM qprobe q JOIN sigt c
+        |    ON c.bucket = q.qbucket AND c.vec_id % 2 = 0
+        |  WHERE list_cosine_similarity(q.qe, c.emb) >= 0.45)
+        |WHERE rk = 1
+        |ORDER BY vec_id""".stripMargin),
     // the kNN-join replay with the label-mismatch predicate inside the
     // bucket join; labels come from the base table (sigt doesn't carry
     // them). Corpus bucket cap inert at test SFs, as with q_knn_join.

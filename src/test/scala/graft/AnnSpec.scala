@@ -269,6 +269,52 @@ class AnnSpec extends AnyFunSuite {
     }
   }
 
+  test("cross-corpus embed dedup flags every incoming twin with its best corpus match") {
+    import spark.implicits._
+    // corpus = even ids (bases); incoming = odd ids, each a 0.1%
+    // perturbation of its neighbor base — all ten twins must be flagged,
+    // and the reported match must be the best-available corpus vector
+    // (>= the planted base's own cosine)
+    val dim = 16
+    def vec(seed: Long): Array[Float] =
+      Array.tabulate(dim)(j => (((seed * 31 + j * 7919) % 997).toFloat - 498f) / 498f)
+    val corpus = (0 until 40).map(i => (2L * i, vec(i.toLong), 0))
+    val twins = (0 until 10).map { i =>
+      val v = vec(i.toLong)
+      v(0) = v(0) + 0.001f
+      (2L * i + 1, v, 0)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-xtwins").toString
+    (corpus ++ twins).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val n = 50L
+    val w = VectorOps.lshWidthFor(n)
+    val got = VectorOps.embedCrossDedup(spark, dir, w, VectorOps.LshProbes,
+        VectorOps.knnCapFor(n, w), threshold = 0.99)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val (dot, na, nb) = (0 until dim).foldLeft((0.0, 0.0, 0.0)) {
+        case ((d, x, y), j) => (d + a(j).toDouble * b(j), x + a(j).toDouble * a(j), y + b(j).toDouble * b(j))
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val baseVec = corpus.map { case (id, v, _) => id -> v }.toMap
+    twins.foreach { case (tid, tv, _) =>
+      val m = got.get(tid)
+      assert(m.isDefined, s"incoming twin $tid not flagged against the corpus")
+      // best-match contract: the reported corpus vector is at least as
+      // close as the planted base (these ramp vectors have close bases,
+      // so equal-or-better, not strictly-the-base, is the invariant)
+      assert(cos(tv, baseVec(m.get)) >= cos(tv, baseVec(tid - 1)) - 1e-12,
+        s"twin $tid matched ${m.get}, worse than its base ${tid - 1}")
+    }
+    // corpus-only and incoming-only sides never swap: every key is odd,
+    // every match even
+    got.foreach { case (v, m) =>
+      assert(v % 2 == 1 && m % 2 == 0, s"parity contract violated: $v -> $m")
+    }
+  }
+
   test("semantic dedup cell cap bounds a flooded cell") {
     import spark.implicits._
     // 300 identical vectors collapse into one cell; cap 8 must bound the
