@@ -59,4 +59,45 @@ class EmbedNearDupStreamSpec extends AnyFunSuite {
         "a pair met through more than one bucket")
     } finally q.stop()
   }
+
+  test("streamed incoming fold to best match equals the batch cross-corpus dedup") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+
+    // ONE cross-corpus semantics, two execution modes: odd vectors
+    // streamed against the even-corpus index, folded to (max sim, min id)
+    // per arrival, must equal q_embed_cross_dedup's batch answer
+    val d = TestSpark.sf0001
+    val all = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
+    val n = all.count()
+    val width = VectorOps.lshWidthFor(n)
+    val cap = VectorOps.knnCapFor(n, width)
+    val batch = VectorOps.embedCrossDedup(spark, d, width,
+        VectorOps.LshProbes, cap, threshold = 0.45)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(batch.nonEmpty, "fixture must contain cross-corpus matches")
+
+    val corpusEmb = all.filter(col("vec_id") % 2 === 0)
+    val incoming = all.filter(col("vec_id") % 2 === 1).collect().map { r =>
+      EmbedEv(r.getLong(0), r.getSeq[Float](1).toArray,
+        new java.sql.Timestamp(1700000000000L + r.getLong(0)))
+    }
+    val source = MemoryStream[EmbedEv]
+    val q = EmbedNearDupStream.nearDupAgainstCorpus(spark, source.toDF(),
+        corpusEmb, width, VectorOps.LshProbes, cap, threshold = 0.45)
+      .writeStream.format("memory").queryName("embed_cross")
+      .outputMode("append").start()
+    try {
+      source.addData(incoming.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val folded = spark.sql("SELECT in_id, corpus_id, sim FROM embed_cross")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1)
+        .map { case (in, rs) => in -> rs.minBy(t => (-t._3, t._2))._2 }
+      assert(folded == batch,
+        s"stream fold diverged: missing=${batch.toSet.diff(folded.toSet).take(5)} " +
+          s"extra=${folded.toSet.diff(batch.toSet).take(5)}")
+    } finally q.stop()
+  }
 }
