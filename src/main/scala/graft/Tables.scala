@@ -29,7 +29,25 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame   = table(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
-  def events(s: SparkSession, d: String): DataFrame   = table(s, d, "events")
+  /** `events` with `ts` normalized to int64 epoch NANOS whatever the
+    * fixture generation typed it: parquet TIMESTAMP(NANOS) already
+    * arrives as int64 nanos (`nanosAsLong`), while TIMESTAMP(MICROS)
+    * arrives as TIMESTAMP_NTZ and is converted here (session TZ is UTC,
+    * so the NTZ→TIMESTAMP cast is exact). Downstream operators and every
+    * DuckDB oracle then share ONE contract — ts = nanos since epoch on
+    * the Spark side, `epoch_us(ts)`/`epoch_ms(ts)` on the oracle side —
+    * and a fixture-schema change cannot silently shift semantics. The
+    * conversion is a pure projection (column pruning still reaches the
+    * scan); only a raw min/max-ts pushdown is lost, which no query here
+    * relies on. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => raw
+      case _ => raw.withColumn(
+        "ts", unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
