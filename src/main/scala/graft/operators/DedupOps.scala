@@ -636,6 +636,74 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** Exact-substring dedup ACTION — the remedy for what q_span_dup_rate
+    * measures (the "dedup repeated substrings" pass of training-data
+    * curation): every SpanLen-token window that appears verbatim in at
+    * least 2 DISTINCT documents is cut from every document containing
+    * it, and the query emits, per affected doc, the cut accounting plus
+    * an md5 of the trimmed text so the action is verifiable end-to-end.
+    * Output is O(affected docs), not O(corpus) — untouched docs are
+    * trivially kept and never emitted (same contract as
+    * q_dedup_keep_best).
+    *
+    * Physical shape — deliberately explode/anti-join, NOT a per-doc
+    * lambda: dup window positions explode to covered token indexes
+    * (SpanLen rows per dup window, distinct folds overlaps), the run
+    * count is one lag window over (doc_id, j), and the trimmed text is
+    * a left-anti join of the posexploded tokens against the covered
+    * set. Every stage is Θ(total tokens) and fully distributed; there
+    * is no O(tokens × dup-windows) per-document loop, so a pathological
+    * jumbo doc costs its token count, nothing more. Windows are matched
+    * by xxhash64 of the window text (8-byte keys shuffle, never text) —
+    * the same unverified-hash trade q_span_dup_rate makes. */
+  private val qSpanTrim: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val toksDf = graft.Caching.persist(Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), TextRules.tokens(col("text")).as("all_toks"))
+      .select(col("doc_id"), slice(col("all_toks"), 1, DocTokenCap).as("toks")))
+    // (doc_id, i, wh): 1-based window start + xxhash64 of the window text;
+    // positions kept (NOT array_distinct) — a window repeated within one
+    // doc occupies two start positions and both get cut
+    val pos = toksDf.filter(size(col("toks")) >= SpanLen)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(1, size(toks) - ${SpanLen - 1}),
+           |          i -> xxhash64(concat_ws(' ', slice(toks, i, $SpanLen))))""".stripMargin)))
+      .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("wh"))
+    // duplicated = present in >= 2 distinct docs (cross-doc, matching
+    // q_span_dup_rate's df semantics)
+    val dupWh = pos.select("doc_id", "wh").distinct()
+      .groupBy("wh").agg(count(lit(1)).as("wdf"))
+      .filter(col("wdf") >= 2).select("wh")
+    val dupPos = pos.join(dupWh, "wh").select("doc_id", "i")
+    // covered token indexes: SpanLen rows per dup window, distinct folds
+    // overlapping windows into a set
+    val cov = dupPos
+      .select(col("doc_id"), explode(sequence(col("i"), col("i") + lit(SpanLen - 1))).as("j"))
+      .distinct()
+    val byDoc = Window.partitionBy("doc_id").orderBy("j")
+    val stats = cov
+      .withColumn("pj", lag("j", 1).over(byDoc))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("cut_toks"),
+        sum(when(col("pj").isNull || col("j") - col("pj") > 1, 1L).otherwise(0L)).as("n_runs"))
+    // trimmed text: only for affected docs (semi join), tokens minus the
+    // covered set, reassembled in position order
+    val tokIdx = toksDf.join(stats.select("doc_id"), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), posexplode(col("toks")))
+      .select(col("doc_id"), (col("pos") + 1).as("j"), col("col").as("tok"))
+    val kept = tokIdx.join(cov, Seq("doc_id", "j"), "left_anti")
+      .groupBy("doc_id")
+      .agg(expr("md5(concat_ws(' ', transform(sort_array(collect_list(struct(j, tok))), x -> x.tok)))")
+        .as("trimmed_md5"))
+    stats
+      .join(toksDf.select(col("doc_id"), size(col("toks")).cast("long").as("n_toks")), "doc_id")
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_toks"), col("cut_toks"), col("n_runs"),
+        coalesce(col("trimmed_md5"), md5(lit(""))).as("trimmed_md5"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_ngram_jaccard" -> qNgramJaccard,
     "q_text_minhash" -> qTextMinhash,
@@ -644,6 +712,7 @@ object DedupOps {
     "q_dedup_keep_best" -> qDedupKeepBest,
     "q_cross_dedup" -> qCrossDedup,
     "q_span_dup_rate" -> qSpanDupRate,
+    "q_span_trim" -> qSpanTrim,
   )
 
   /** Exact ground-truth pair SQL — all three sketches must converge to it
@@ -810,6 +879,46 @@ object DedupOps {
       |FROM w JOIN wdf USING (win)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q_span_trim oracle: same window/coverage/trim pipeline on the
+    * window TEXT (the Spark side matches 8-byte xxhash64 keys — equal
+    * modulo hash collisions, which the gate would surface as a hash
+    * mismatch). Indexes are 1-based on both sides; `md5(coalesce(...,''))`
+    * covers the fully-cut doc whose kept set is empty. */
+  private val spanTrimSql =
+    s"""WITH toks AS (
+      |  SELECT doc_id, (list_filter(string_split_regex(lower(text), '\\W+'),
+      |                             x -> x <> ''))[:$DocTokenCap] AS t
+      |  FROM documents),
+      |pos AS (
+      |  SELECT doc_id, i, array_to_string(t[i:i+${SpanLen - 1}], ' ') AS win
+      |  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - ${SpanLen - 2})) AS i) g
+      |  WHERE len(t) >= $SpanLen),
+      |wdup AS (SELECT win FROM pos GROUP BY win HAVING count(DISTINCT doc_id) >= 2),
+      |dpos AS (SELECT doc_id, i FROM pos JOIN wdup USING (win)),
+      |cov AS (SELECT DISTINCT doc_id, j
+      |        FROM dpos, LATERAL (SELECT unnest(range(i, i + $SpanLen)) AS j) g),
+      |stats AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS cut_toks,
+      |         CAST(sum(CASE WHEN pj IS NULL OR j - pj > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS n_runs
+      |  FROM (SELECT doc_id, j, lag(j) OVER (PARTITION BY doc_id ORDER BY j) AS pj
+      |        FROM cov) q
+      |  GROUP BY 1),
+      |kept AS (
+      |  SELECT ti.doc_id, string_agg(ti.tok, ' ' ORDER BY ti.j) AS trimmed
+      |  FROM (SELECT t2.doc_id, t2.t[j] AS tok, j
+      |        FROM toks t2, LATERAL (SELECT unnest(range(1, len(t2.t) + 1)) AS j) g) ti
+      |  JOIN stats st ON st.doc_id = ti.doc_id
+      |  LEFT JOIN cov ON cov.doc_id = ti.doc_id AND cov.j = ti.j
+      |  WHERE cov.j IS NULL
+      |  GROUP BY 1)
+      |SELECT s.doc_id, CAST(len(t.t) AS BIGINT) AS n_toks, s.cut_toks, s.n_runs,
+      |       md5(coalesce(k.trimmed, '')) AS trimmed_md5
+      |FROM stats s
+      |JOIN toks t ON t.doc_id = s.doc_id
+      |LEFT JOIN kept k ON k.doc_id = s.doc_id
+      |ORDER BY s.doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_ngram_jaccard" -> cappedPairsSql,
     "q_text_minhash" -> exactPairsSql,
@@ -818,5 +927,6 @@ object DedupOps {
     "q_dedup_keep_best" -> keepBestSql,
     "q_cross_dedup" -> crossDedupSql,
     "q_span_dup_rate" -> spanDupSql,
+    "q_span_trim" -> spanTrimSql,
   )
 }

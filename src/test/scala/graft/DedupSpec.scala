@@ -180,6 +180,32 @@ class DedupSpec extends AnyFunSuite {
     assert(rows(2L)._2 == 0L)
   }
 
+  test("span-trim: duplicated run cut from every doc, trimmed text md5-exact") {
+    // docs 0/1 share a verbatim 25-token run (1 merged island each, 25
+    // tokens cut); doc 3 IS the run (fully cut -> md5('')); doc 2 shares
+    // nothing and must be absent (output is O(affected docs))
+    import spark.implicits._
+    val run = (0 until 25).map(i => s"shared$i").mkString(" ")
+    val aPre = (0 until 30).map(i => s"apre$i").mkString(" ")
+    val bPost = (0 until 30).map(i => s"bpost$i").mkString(" ")
+    val docs = Seq((0L, s"$aPre $run"), (1L, s"$run $bPost"),
+        (2L, (0 until 60).map(i => s"cown$i").mkString(" ")), (3L, run))
+      .map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = Files.createTempDirectory("graft-spantrim").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def md5(x: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(x.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val rows = DedupOps.queries("q_span_trim")(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(rows.keySet == Set(0L, 1L, 3L))
+    assert(rows(0L) == ((55L, 25L, 1L, md5(aPre))))
+    assert(rows(1L) == ((55L, 25L, 1L, md5(bPost))))
+    assert(rows(3L) == ((25L, 25L, 1L, md5(""))))
+  }
+
   test("planted fixture: near-dup pair found, distinct docs not") {
     import spark.implicits._
     val base = (0 until 40).map(i => s"tok${i * 7 % 13} word$i item${i % 5}").mkString(" ")
