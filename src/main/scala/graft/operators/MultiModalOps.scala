@@ -196,10 +196,120 @@ object MultiModalOps {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** 64-bit dHash (difference hash) of a decoded image — the standard
+    * perceptual fingerprint for image-level dedup: sample a 9×8 grid at
+    * positions (⌊i·w/9⌋, ⌊j·h/8⌋) and set bit j·8+i iff the right
+    * neighbor is brighter. Exposed for the roundtrip spec; the query
+    * runs it inside mapPartitions over real PNG bytes. */
+  private[graft] def dhashPng(bytes: Array[Byte]): Long = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val raster = img.getRaster
+    val w = img.getWidth
+    val h = img.getHeight
+    var hash = 0L
+    var j = 0
+    while (j < 8) {
+      val y = j * h / 8
+      var i = 0
+      while (i < 8) {
+        val a = raster.getSample(i * w / 9, y, 0)
+        val b = raster.getSample((i + 1) * w / 9, y, 0)
+        if (b > a) hash |= 1L << (j * 8 + i)
+        i += 1
+      }
+      j += 1
+    }
+    hash
+  }
+
+  /** Image-level exact-perceptual dedup: decode → 64-bit dHash → groupBy
+    * the hash → emit only groups of >= 2 with a deterministic keeper
+    * (min doc_id). The image twin of q_doc_dedup_exact, and the pattern
+    * a 100 TB media corpus dedups by: the decode+hash stage is
+    * embarrassingly parallel (no shuffle, codec init once per
+    * partition), the only wide exchange carries 16-byte (doc_id, dhash)
+    * rows — never pixels — and output is O(duplicates), not O(corpus).
+    * Near-dup (hamming <= k) extends by banding the 64 bits 4×16 and
+    * reusing DedupOps.cappedBandPairs, exactly like q_text_simhash; the
+    * fixture's formula images either collide exactly or differ widely,
+    * so the exact-group form is the oracled contract. The oracle
+    * recomputes the dHash from the generator formula (bit 63 via the
+    * signed-min literal so the packed BIGINT matches Scala's `1L << 63`
+    * two's-complement exactly). */
+  private val qImageDhash: Q = (s, d) => {
+    import s.implicits._
+    val hashes = pngPayloads(s, d)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        ensureHeadless()
+        it.map { case (id, bytes) => (id, dhashPng(bytes)) }
+      }
+      .toDF("doc_id", "dhash")
+    val groups = hashes.groupBy("dhash")
+      .agg(count(lit(1)).as("group_size"), min("doc_id").as("rep_id"))
+      .filter(col("group_size") >= 2)
+    hashes.join(groups, "dhash")
+      .select(col("doc_id"), col("dhash"), col("group_size"), col("rep_id"))
+      .orderBy("doc_id")
+  }
+
+  /** Image NEAR-dup: pairs of distinct perceptual hashes within hamming
+    * distance 3 — the "same image, slightly altered" detector that exact
+    * dHash grouping (q_image_dhash) cannot see. Two scale decisions:
+    * (1) the self-join runs over DISTINCT dhash values (with member
+    * count + min-doc representative), never over docs — a billion-image
+    * corpus with heavy exact duplication joins only its unique
+    * signatures; (2) candidates come from 4×16-bit banding of the
+    * 64-bit hash, which for a hamming-<=3 threshold is EXACT by
+    * pigeonhole (3 differing bits cannot touch all 4 bands), so the
+    * banded join provably equals the all-pairs oracle — same law
+    * q_text_simhash exploits, here with zero recall loss. The in-join
+    * `bit_count(a ^ b) <= 3` gate kills random band colliders before
+    * the distinct exchange; if distinct-signature cardinality ever
+    * explodes, DedupOps.cappedBandPairs is the drop-in degradation
+    * path. Hamming-0 pairs cannot appear (equal hashes collapse into
+    * one signature row), keeping the two queries' contracts disjoint. */
+  private val qImageNeardup: Q = (s, d) => {
+    import s.implicits._
+    val hashes = pngPayloads(s, d)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        ensureHeadless()
+        it.map { case (id, bytes) => (id, dhashPng(bytes)) }
+      }
+      .toDF("doc_id", "dhash")
+    val sigs = graft.Caching.persist(
+      hashes.groupBy("dhash")
+        .agg(count(lit(1)).as("n"), min("doc_id").as("rep")))
+    val bands = sigs.select(col("dhash"), explode(expr(
+      """transform(sequence(0, 3),
+        |          j -> struct(j AS band,
+        |                      shiftrightunsigned(dhash, j * 16) & 65535 AS bv))"""
+        .stripMargin)).as("b"))
+      .select(col("dhash"), col("b.band").as("band"), col("b.bv").as("bv"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.dhash") < col("y.dhash") &&
+          expr("bit_count(x.dhash ^ y.dhash)") <= 3)
+      .select(col("x.dhash").as("dhash_a"), col("y.dhash").as("dhash_b"))
+      .distinct()
+    cand
+      .join(sigs.select(col("dhash").as("dhash_a"), col("n").as("n_a"),
+        col("rep").as("rep_a")), "dhash_a")
+      .join(sigs.select(col("dhash").as("dhash_b"), col("n").as("n_b"),
+        col("rep").as("rep_b")), "dhash_b")
+      .select(col("dhash_a"), col("dhash_b"),
+        expr("CAST(bit_count(dhash_a ^ dhash_b) AS BIGINT)").as("hamming"),
+        col("n_a"), col("n_b"), col("rep_a"), col("rep_b"))
+      .orderBy("dhash_a", "dhash_b")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_multimodal_meta" -> qMultimodalMeta,
     "q_multimodal_resize" -> qMultimodalResize,
     "q_multimodal_frames" -> qMultimodalFrames,
+    "q_image_dhash" -> qImageDhash,
+    "q_image_neardup" -> qImageNeardup,
   )
 
   val oracles: Map[String, String] = Map(
@@ -271,5 +381,66 @@ object MultiModalOps {
         |                   CAST(frame_idx * flen + 1 AS INT),
         |                   CAST(flen AS INT)), '')) u(c)), 0) AS BIGINT) AS frame_sum
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+    "q_image_dhash" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         8 + doc_id % 24 AS w,
+        |         8 + (doc_id // 3) % 24 AS h
+        |  FROM documents),
+        |bits AS (
+        |  SELECT d.doc_id, gj.j * 8 + gi.i AS k,
+        |         CASE WHEN (d.doc_id * 31 + (((gi.i + 1) * d.w) // 9) * 7
+        |                    + ((gj.j * d.h) // 8) * 13) % 256
+        |                 > (d.doc_id * 31 + ((gi.i * d.w) // 9) * 7
+        |                    + ((gj.j * d.h) // 8) * 13) % 256
+        |              THEN 1 ELSE 0 END AS b
+        |  FROM d,
+        |       (SELECT unnest(range(0, 8)) AS i) gi,
+        |       (SELECT unnest(range(0, 8)) AS j) gj),
+        |dh AS (
+        |  SELECT doc_id,
+        |         CAST(sum(CASE WHEN b = 1 THEN
+        |                CASE WHEN k = 63 THEN -9223372036854775807 - 1
+        |                     ELSE (CAST(1 AS BIGINT) << k) END
+        |              ELSE 0 END) AS BIGINT) AS dhash
+        |  FROM bits GROUP BY 1),
+        |grp AS (SELECT dhash, CAST(count(*) AS BIGINT) AS group_size,
+        |               min(doc_id) AS rep_id
+        |        FROM dh GROUP BY 1 HAVING count(*) >= 2)
+        |SELECT dh.doc_id, dh.dhash, grp.group_size, grp.rep_id
+        |FROM dh JOIN grp USING (dhash) ORDER BY dh.doc_id""".stripMargin,
+    // All-pairs over DISTINCT signatures (the banded Spark join is exact
+    // for hamming <= 3 by pigeonhole, so brute force is a fair oracle).
+    "q_image_neardup" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         8 + doc_id % 24 AS w,
+        |         8 + (doc_id // 3) % 24 AS h
+        |  FROM documents),
+        |bits AS (
+        |  SELECT d.doc_id, gj.j * 8 + gi.i AS k,
+        |         CASE WHEN (d.doc_id * 31 + (((gi.i + 1) * d.w) // 9) * 7
+        |                    + ((gj.j * d.h) // 8) * 13) % 256
+        |                 > (d.doc_id * 31 + ((gi.i * d.w) // 9) * 7
+        |                    + ((gj.j * d.h) // 8) * 13) % 256
+        |              THEN 1 ELSE 0 END AS b
+        |  FROM d,
+        |       (SELECT unnest(range(0, 8)) AS i) gi,
+        |       (SELECT unnest(range(0, 8)) AS j) gj),
+        |dh AS (
+        |  SELECT doc_id,
+        |         CAST(sum(CASE WHEN b = 1 THEN
+        |                CASE WHEN k = 63 THEN -9223372036854775807 - 1
+        |                     ELSE (CAST(1 AS BIGINT) << k) END
+        |              ELSE 0 END) AS BIGINT) AS dhash
+        |  FROM bits GROUP BY 1),
+        |sig AS (SELECT dhash, CAST(count(*) AS BIGINT) AS n, min(doc_id) AS rep
+        |        FROM dh GROUP BY 1)
+        |SELECT a.dhash AS dhash_a, b.dhash AS dhash_b,
+        |       CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming,
+        |       a.n AS n_a, b.n AS n_b, a.rep AS rep_a, b.rep AS rep_b
+        |FROM sig a JOIN sig b
+        |  ON a.dhash < b.dhash AND bit_count(xor(a.dhash, b.dhash)) <= 3
+        |ORDER BY dhash_a, dhash_b""".stripMargin,
   )
 }

@@ -57,6 +57,64 @@ class MultiModalSpec extends AnyFunSuite {
     }
   }
 
+  private def formulaDhash(id: Long): Long = {
+    val w = MultiModalOps.imgWidth(id)
+    val h = MultiModalOps.imgHeight(id)
+    var hash = 0L
+    for (j <- 0 until 8; i <- 0 until 8) {
+      val y = j * h / 8
+      if (MultiModalOps.imgPixel(id, (i + 1) * w / 9, y) >
+          MultiModalOps.imgPixel(id, i * w / 9, y))
+        hash |= 1L << (j * 8 + i)
+    }
+    hash
+  }
+
+  test("dhashPng over decoded PNG bytes matches the generator-formula dHash") {
+    for (id <- ids)
+      assert(MultiModalOps.dhashPng(MultiModalOps.encodePng(id)) == formulaDhash(id),
+        s"id=$id")
+  }
+
+  test("q_image_dhash equals brute-force perceptual grouping of the corpus") {
+    val spark = TestSpark.spark
+    val dir = "/root/testdata/sf0.01" // sf0.001's id range holds no collisions
+    val docIds = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+    val expected = docIds.map(id => id -> formulaDhash(id))
+      .groupBy(_._2).filter(_._2.length >= 2).toSeq
+      .flatMap { case (dh, members) =>
+        val ms = members.map(_._1).toSeq
+        ms.map(id => (id, dh, ms.length.toLong, ms.min))
+      }.toSet
+    assert(expected.nonEmpty, "fixture holds no perceptual dups - test is vacuous")
+    val got = MultiModalOps.queries("q_image_dhash")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected)
+  }
+
+  test("q_image_neardup: banded join equals all-pairs hamming<=3 over distinct sigs") {
+    val spark = TestSpark.spark
+    val dir = "/root/testdata/sf0.01"
+    val docIds = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+    val byHash = docIds.map(id => id -> formulaDhash(id)).groupBy(_._2)
+      .map { case (dh, ms) => dh -> ((ms.length.toLong, ms.map(_._1).min)) }
+    val sigs = byHash.keys.toSeq.sorted
+    val expected = (for {
+      ai <- sigs.indices; bi <- (ai + 1) until sigs.length
+      a = sigs(ai); b = sigs(bi)
+      if java.lang.Long.bitCount(a ^ b) <= 3
+    } yield (a, b, java.lang.Long.bitCount(a ^ b).toLong,
+        byHash(a)._1, byHash(b)._1, byHash(a)._2, byHash(b)._2)).toSet
+    assert(expected.nonEmpty, "fixture holds no near-dup signatures - test is vacuous")
+    val got = MultiModalOps.queries("q_image_neardup")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    assert(got == expected)
+    assert(got.forall { case (_, _, hm, _, _, _, _) => hm >= 1 && hm <= 3 })
+  }
+
   test("q_multimodal_meta decodes real bytes end-to-end at sf0.001") {
     val spark = TestSpark.spark
     val rows = MultiModalOps.queries("q_multimodal_meta")(spark, TestSpark.sf0001)
