@@ -95,6 +95,42 @@ object CurationOps {
       .orderBy("doc_id")
   }
 
+  /** Bloom-prefiltered decontamination — same contract as
+    * q_decontaminate (flag train docs sharing any 8-gram with the bench
+    * set, exact n_hit), but the 100 TB hard-guarantee path: a Bloom
+    * filter over the bench gram hashes is built once (driver-side
+    * aggregate — the real-world bench side is an eval suite, MBs not
+    * TBs) and broadcast; corpus grams are prefiltered map-side by
+    * mightContain BEFORE any wide exchange, so the join's build input
+    * shrinks from |corpus grams| to |true hits| + ~0.1% false
+    * positives, and the exact semi-join then removes those FPs — the
+    * result is EXACTLY q_decontaminate's, which is why both share one
+    * oracle. This is the same shape as Spark's own injected runtime
+    * bloom filter (InjectRuntimeFilter), made explicit so the pruning
+    * is guaranteed rather than cost-model-dependent; the probe is a
+    * scalar long->bool UDF over the broadcast sketch, the one place a
+    * UDF beats any expressible Column (Spark's BloomFilterMightContain
+    * is not public API). */
+  private val qBloomDecontaminate: Q = (s, d) => {
+    val grams = graft.Caching.persist(Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), TextRules.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode(expr(ngramsExpr(DecontamGramWidth))).as("gram"))
+      .select(col("doc_id"), xxhash64(col("gram")).as("h")))
+    val benchH = grams.filter(isBench(col("doc_id"))).select("h").distinct()
+    val nBench = benchH.count().max(1L)
+    val bloom = benchH.stat.bloomFilter("h", nBench, 0.001)
+    val bloomBc = s.sparkContext.broadcast(bloom)
+    val mightContain = udf((h: Long) => bloomBc.value.mightContainLong(h))
+    grams.filter(!isBench(col("doc_id")))
+      .filter(mightContain(col("h")))
+      .join(benchH, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hit"))
+      .orderBy("doc_id")
+  }
+
   private val qGopherRepeat: Q = (s, d) =>
     // spread: pure map-side CPU over a single-split fixture; the gram
     // arrays are MATERIALIZED by one projection each (a lambda referencing
@@ -289,6 +325,7 @@ object CurationOps {
 
   val queries: Map[String, Q] = Map(
     "q_decontaminate" -> qDecontaminate,
+    "q_bloom_decontaminate" -> qBloomDecontaminate,
     "q_gopher_repeat" -> qGopherRepeat,
     "q_metrics_funnel" -> qMetricsFunnel,
     "q_pii_flag" -> qPiiFlag,
@@ -377,6 +414,21 @@ object CurationOps {
       |FROM c ORDER BY doc_id""".stripMargin
     },
     "q_decontaminate" -> (toksCte + s""",
+      |g AS (
+      |  SELECT DISTINCT doc_id, ${gramSql(DecontamGramWidth)} AS gram
+      |  FROM t, LATERAL (SELECT unnest(range(1, len(toks) - ${DecontamGramWidth - 2})) AS i) gi
+      |  WHERE len(toks) >= $DecontamGramWidth),
+      |bench AS (
+      |  SELECT DISTINCT gram FROM g
+      |  WHERE ${Tables.phashSql("doc_id")} % 20 = 1)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit
+      |FROM g
+      |WHERE ${Tables.phashSql("doc_id")} % 20 <> 1
+      |  AND gram IN (SELECT gram FROM bench)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    // The bloom prefilter is exactness-preserving (FPs die in the exact
+    // join), so the bloom path shares the plain decontamination oracle.
+    "q_bloom_decontaminate" -> (toksCte + s""",
       |g AS (
       |  SELECT DISTINCT doc_id, ${gramSql(DecontamGramWidth)} AS gram
       |  FROM t, LATERAL (SELECT unnest(range(1, len(toks) - ${DecontamGramWidth - 2})) AS i) gi

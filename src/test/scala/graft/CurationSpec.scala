@@ -68,6 +68,15 @@ class CurationSpec extends AnyFunSuite {
     assert(got.nonEmpty, "fixture produced no contaminated docs")
   }
 
+  test("q_bloom_decontaminate: bloom prefilter is exactness-preserving") {
+    val plain = CurationOps.queries("q_decontaminate")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bloom = CurationOps.queries("q_bloom_decontaminate")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(plain.nonEmpty, "fixture yields no contaminated docs - test is vacuous")
+    assert(bloom == plain)
+  }
+
   test("q_gopher_repeat signals match a scala recomputation per doc") {
     val docs = Tables.documents(spark, sf)
       .select(col("doc_id"), col("text")).as[(Long, String)].collect()
@@ -218,8 +227,8 @@ class CurationSpec extends AnyFunSuite {
 
   test("curation queries and oracles are registered consistently") {
     assert(CurationOps.queries.keySet ===
-      Set("q_decontaminate", "q_gopher_repeat", "q_metrics_funnel",
-        "q_pii_flag", "q_data_mix", "q_source_budget"))
+      Set("q_decontaminate", "q_bloom_decontaminate", "q_gopher_repeat",
+        "q_metrics_funnel", "q_pii_flag", "q_data_mix", "q_source_budget"))
     assert(CurationOps.oracles.keySet === CurationOps.queries.keySet)
   }
 }
