@@ -152,6 +152,12 @@ object Stress {
       Probe("semantic_dedup_candidates",
         "within-cell pair candidates at the LINEAR cell schedule (q_semantic_dedup) — cells ~ n/50 keeps occupancy constant, so cell-scoped pairing stays ~linear; the IVF sqrt schedule would read ~1.5 here",
         graft.operators.VectorOps.semanticDedupCandidates),
+      Probe("image_neardup_candidates",
+        "banded hamming<=3 dHash signature pairs (q_image_neardup) — the join runs over DISTINCT signatures, so candidates track signature diversity, not corpus size (exponent << 1 on this formula fixture whose signature space saturates)",
+        (s, d) => {
+          import graft.operators.MultiModalOps
+          MultiModalOps.imageSigPairs(MultiModalOps.imageSigs(s, d)).count()
+        }),
     )
 
     val nDocs = sfs.map(d => Tables.documents(spark, d).count())

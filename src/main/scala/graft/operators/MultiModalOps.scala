@@ -269,31 +269,43 @@ object MultiModalOps {
     * explodes, DedupOps.cappedBandPairs is the drop-in degradation
     * path. Hamming-0 pairs cannot appear (equal hashes collapse into
     * one signature row), keeping the two queries' contracts disjoint. */
-  private val qImageNeardup: Q = (s, d) => {
+  /** Distinct-signature table (dhash, member count, min-doc rep) —
+    * shared by the near-dup query and the scaling instrument. Caller
+    * owns the persist. */
+  private[graft] def imageSigs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val hashes = pngPayloads(s, d)
+    graft.Caching.persist(pngPayloads(s, d)
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         ensureHeadless()
         it.map { case (id, bytes) => (id, dhashPng(bytes)) }
       }
       .toDF("doc_id", "dhash")
-    val sigs = graft.Caching.persist(
-      hashes.groupBy("dhash")
-        .agg(count(lit(1)).as("n"), min("doc_id").as("rep")))
+      .groupBy("dhash")
+      .agg(count(lit(1)).as("n"), min("doc_id").as("rep")))
+  }
+
+  /** Banded + hamming-gated signature pairs over [[imageSigs]] — the
+    * candidate set the scaling instrument counts (it grows with DISTINCT
+    * signatures, not docs). */
+  private[graft] def imageSigPairs(sigs: DataFrame): DataFrame = {
     val bands = sigs.select(col("dhash"), explode(expr(
       """transform(sequence(0, 3),
         |          j -> struct(j AS band,
         |                      shiftrightunsigned(dhash, j * 16) & 65535 AS bv))"""
         .stripMargin)).as("b"))
       .select(col("dhash"), col("b.band").as("band"), col("b.bv").as("bv"))
-    val cand = bands.as("x").join(bands.as("y"),
+    bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
           col("x.dhash") < col("y.dhash") &&
           expr("bit_count(x.dhash ^ y.dhash)") <= 3)
       .select(col("x.dhash").as("dhash_a"), col("y.dhash").as("dhash_b"))
       .distinct()
-    cand
+  }
+
+  private val qImageNeardup: Q = (s, d) => {
+    val sigs = imageSigs(s, d)
+    imageSigPairs(sigs)
       .join(sigs.select(col("dhash").as("dhash_a"), col("n").as("n_a"),
         col("rep").as("rep_a")), "dhash_a")
       .join(sigs.select(col("dhash").as("dhash_b"), col("n").as("n_b"),
