@@ -1,0 +1,80 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.MultiModalOps
+
+/** Incremental (streaming) image dedup — the multimodal twin of
+  * [[NearDupStream]]/[[EmbedNearDupStream]]: each arriving image decodes
+  * to its 64-bit perceptual dHash map-side and probes the published
+  * corpus SIGNATURE index for exact (hamming 0) and near (hamming <= 3)
+  * matches, so a media-ingest pipeline can route duplicates before they
+  * reach storage.
+  *
+  * Shape (the billion-image topology):
+  *   - STATIC side: the distinct-signature index
+  *     ([[MultiModalOps.imageSigs]] — dhash, member count, min-doc rep;
+  *     one row per DISTINCT perceptual hash, however many images share
+  *     it), band-exploded 4×16-bit exactly like the batch near-dup join.
+  *     A batch product, republished on corpus rebuild like the MinHash
+  *     band index.
+  *   - STREAM side: decode+dhash is a pure per-row scalar (append-safe,
+  *     no aggregation), the probe explodes to 4 band rows, inner-joins
+  *     the index with the in-join `bit_count(dh ^ cand) <= 3` gate —
+  *     banding is EXACT for hamming <= 3 by pigeonhole, so the stream
+  *     misses nothing the batch join would find.
+  *
+  * A pair can meet in up to 4 bands (all 4 when hamming = 0), so the
+  * join is followed by `dropDuplicatesWithinWatermark(in_id, cand)` —
+  * the same watermark-bounded pair-dedup state the text twin carries;
+  * state is O(matches within the watermark window), event-time reaped.
+  *
+  * Freshness contract (same as both sibling twins): an arriving image is
+  * checked against the corpus as of the last index publish; two NEW
+  * images that only duplicate each other wait for the next rebuild.
+  * Parity is pinned in ImageDedupStreamSpec: the whole corpus streamed
+  * against its own index yields exactly the brute-force
+  * hamming-<= 3 (doc, signature) match set.
+  */
+object ImageDedupStream {
+
+  private def bandsExpr(c: String) =
+    s"""transform(sequence(0, 3),
+       |          j -> struct(j AS band,
+       |                      shiftrightunsigned($c, j * 16) & 65535 AS bv))"""
+      .stripMargin
+
+  /** Matches of a watermarked image stream (`doc_id`, binary `payload`,
+    * event-time `ts`) against the published signature index `sigs`
+    * ([[MultiModalOps.imageSigs]] schema: dhash, n, rep). Emits one row
+    * per (arrival, matched corpus signature) with the hamming distance
+    * and the group's size/representative — hamming 0 = exact perceptual
+    * dup of an existing group. */
+  def matchesAgainstIndex(s: SparkSession, stream: DataFrame,
+      sigs: DataFrame, maxHamming: Int = 3,
+      delay: String = "10 minutes"): DataFrame = {
+    require(maxHamming <= 3,
+      s"4x16-bit banding is only pigeonhole-exact for hamming <= 3, got $maxHamming")
+    val dhashOf = udf((b: Array[Byte]) => MultiModalOps.dhashPng(b))
+    val idx = sigs
+      .select(col("dhash").as("cand"), col("n"), col("rep"),
+        explode(expr(bandsExpr("dhash"))).as("b"))
+      .select(col("cand"), col("n"), col("rep"),
+        col("b.band").as("band"), col("b.bv").as("bv"))
+    stream
+      .withWatermark("ts", delay)
+      .select(col("ts"), col("doc_id").as("in_id"),
+        dhashOf(col("payload")).as("dh"))
+      .select(col("ts"), col("in_id"), col("dh"),
+        explode(expr(bandsExpr("dh"))).as("p"))
+      .select(col("ts"), col("in_id"), col("dh"),
+        col("p.band").as("pband"), col("p.bv").as("pbv"))
+      .join(idx, col("pband") === col("band") && col("pbv") === col("bv") &&
+        expr("bit_count(dh ^ cand)") <= maxHamming)
+      .dropDuplicatesWithinWatermark("in_id", "cand")
+      .select(col("ts"), col("in_id"), col("dh").as("in_dhash"),
+        col("cand").as("corpus_dhash"),
+        expr("CAST(bit_count(dh ^ cand) AS BIGINT)").as("hamming"),
+        col("n").as("corpus_n"), col("rep").as("corpus_rep"))
+  }
+}

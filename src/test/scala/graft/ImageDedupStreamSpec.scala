@@ -1,0 +1,76 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.operators.MultiModalOps
+import graft.streaming.ImageDedupStream
+
+/** Top-level so Spark can build its encoder without an outer scope. */
+case class ImgEv(doc_id: Long, payload: Array[Byte], ts: java.sql.Timestamp)
+
+/** Streaming image dedup must agree with the brute-force hamming match
+  * set when the whole corpus streams against its own signature index —
+  * the online/batch parity contract the text and embedding twins carry. */
+class ImageDedupStreamSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def formulaDhash(id: Long): Long = {
+    val w = MultiModalOps.imgWidth(id)
+    val h = MultiModalOps.imgHeight(id)
+    var hash = 0L
+    for (j <- 0 until 8; i <- 0 until 8) {
+      val y = j * h / 8
+      if (MultiModalOps.imgPixel(id, (i + 1) * w / 9, y) >
+          MultiModalOps.imgPixel(id, i * w / 9, y))
+        hash |= 1L << (j * 8 + i)
+    }
+    hash
+  }
+
+  test("whole corpus streamed against its own index equals brute-force matches") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+
+    val d = TestSpark.sf0001
+    val docIds = spark.read.parquet(s"$d/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+    val sigOf = docIds.map(id => id -> formulaDhash(id)).toMap
+    val sigTable = sigOf.values.groupBy(identity)
+      .map { case (dh, g) => dh -> g.size.toLong }
+    val repOf = sigOf.toSeq.groupBy(_._2)
+      .map { case (dh, ms) => dh -> ms.map(_._1).min }
+    // expected: every (doc, corpus signature) within hamming <= 3 —
+    // including the doc's own signature at hamming 0
+    val expected = (for {
+      id <- docIds.toSeq
+      cand <- sigTable.keys
+      hm = java.lang.Long.bitCount(sigOf(id) ^ cand)
+      if hm <= 3
+    } yield (id, sigOf(id), cand, hm.toLong, sigTable(cand), repOf(cand))).toSet
+    assert(expected.exists(_._4 > 0), "fixture holds no near matches - vacuous")
+
+    val sigs = MultiModalOps.imageSigs(spark, d)
+    val evs = docIds.map(id => ImgEv(id, MultiModalOps.encodePng(id),
+      new java.sql.Timestamp(1700000000000L + id)))
+    val source = MemoryStream[ImgEv]
+    val q = ImageDedupStream.matchesAgainstIndex(spark, source.toDF(), sigs)
+      .writeStream.format("memory").queryName("img_dedup")
+      .outputMode("append").start()
+    try {
+      evs.grouped(evs.length / 3 + 1).foreach { b =>
+        source.addData(b.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      val streamed = spark.sql(
+          "SELECT in_id, in_dhash, corpus_dhash, hamming, corpus_n, corpus_rep FROM img_dedup")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5)))
+      assert(streamed.length == streamed.distinct.length,
+        "a (doc, signature) match surfaced twice despite the pair dedup")
+      assert(streamed.toSet == expected,
+        s"missing: ${expected.diff(streamed.toSet).take(3)}; " +
+          s"extra: ${streamed.toSet.diff(expected).take(3)}")
+    } finally q.stop()
+  }
+}
