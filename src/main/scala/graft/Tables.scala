@@ -22,8 +22,25 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     Chaos.gate(spark, spark.read.parquet(s"$dir/$name.parquet"))
 
-  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
+  /** Fixture-typing guard for date columns, mirroring [[events]]' ts
+    * normalization in the other direction: operators consume
+    * `l_shipdate`/`o_orderdate` as timestamps, but a fixture generated
+    * with TIMESTAMP(NANOS) parquet arrives as int64 nanos under
+    * `nanosAsLong`. Convert that case back to a timestamp (µs
+    * truncation — exact for these date-precision fixtures); the oracles
+    * (`epoch_us`, `strftime`, DATE casts) already work under both
+    * parquet typings on the DuckDB side. */
+  private def nanosToTs(df: DataFrame, c: String): DataFrame =
+    df.schema(c).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn(c, expr(s"timestamp_micros($c div 1000)"))
+      case _ => df
+    }
+
+  def lineitem(s: SparkSession, d: String): DataFrame =
+    nanosToTs(table(s, d, "lineitem"), "l_shipdate")
+  def orders(s: SparkSession, d: String): DataFrame =
+    nanosToTs(table(s, d, "orders"), "o_orderdate")
   def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
   def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
   def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")

@@ -18,6 +18,37 @@ class SourceFormatSpec extends AnyFunSuite {
         sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("t"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
 
+  test("fixture-typing guards: ts and date columns normalize from either parquet typing") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-typing").toString
+    // events.ts as int64 nanos (the rounds-<=6 typing): passes through
+    val nanos = 1700000000123456789L
+    Seq((1L, nanos)).toDF("event_id", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val evRow = Tables.events(spark, dir).select("ts").head()
+    assert(evRow.getLong(0) == nanos, "long ts must pass through untouched")
+    // events.ts as timestamp (round-7 typing): converts to epoch nanos
+    val dir2 = Files.createTempDirectory("graft-typing2").toString
+    Seq((1L, new java.sql.Timestamp(nanos / 1000000)))
+      .toDF("event_id", "ts")
+      .write.mode("overwrite").parquet(s"$dir2/events.parquet")
+    val evRow2 = Tables.events(spark, dir2).select("ts").head()
+    assert(evRow2.getLong(0) == (nanos / 1000000) * 1000000,
+      "timestamp ts must convert to epoch nanos")
+    // l_shipdate as int64 nanos: converts back to a timestamp
+    Seq((1L, nanos)).toDF("l_orderkey", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val li = Tables.lineitem(spark, dir)
+    assert(li.schema("l_shipdate").dataType.typeName.startsWith("timestamp"),
+      s"long l_shipdate must normalize to a timestamp, got ${li.schema("l_shipdate").dataType}")
+    val micros = li.select(unix_micros(col("l_shipdate").cast("timestamp")))
+      .head().getLong(0)
+    assert(micros == nanos / 1000, "nanos -> timestamp must truncate to micros")
+    // o_orderdate already a timestamp: untouched
+    val od = Tables.orders(spark, TestSpark.sf0001).schema("o_orderdate")
+    assert(od.dataType.typeName.startsWith("timestamp"))
+  }
+
   test("same aggregate over parquet, csv and json sources") {
     val orders = Tables.orders(spark, TestSpark.sf0001)
       .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
