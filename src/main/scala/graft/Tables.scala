@@ -29,7 +29,11 @@ object Tables {
     * `nanosAsLong`. Convert that case back to a timestamp (µs
     * truncation — exact for these date-precision fixtures); the oracles
     * (`epoch_us`, `strftime`, DATE casts) already work under both
-    * parquet typings on the DuckDB side. */
+    * parquet typings on the DuckDB side. POST-EPOCH assumption, stated:
+    * `div 1000` truncates toward zero, so a pre-1970 (negative-nanos)
+    * value would round opposite to DuckDB's floor-based `epoch_us`;
+    * these fixtures are all post-1990, and any pre-epoch fixture must
+    * switch this to a floor division. */
   private def nanosToTs(df: DataFrame, c: String): DataFrame =
     df.schema(c).dataType match {
       case org.apache.spark.sql.types.LongType =>

@@ -32,7 +32,7 @@ object MultiModalOps {
 
   // ImageIO never needs a display for in-memory raster work, but AWT can
   // still probe for one on class-load; pin headless before first use.
-  private def ensureHeadless(): Unit =
+  private[graft] def ensureHeadless(): Unit =
     if (System.getProperty("java.awt.headless") == null)
       System.setProperty("java.awt.headless", "true")
 
@@ -200,7 +200,13 @@ object MultiModalOps {
     * perceptual fingerprint for image-level dedup: sample a 9×8 grid at
     * positions (⌊i·w/9⌋, ⌊j·h/8⌋) and set bit j·8+i iff the right
     * neighbor is brighter. Exposed for the roundtrip spec; the query
-    * runs it inside mapPartitions over real PNG bytes. */
+    * runs it inside mapPartitions over real PNG bytes.
+    *
+    * GRAYSCALE assumption, stated: samples raster band 0 only — exact
+    * for the TYPE_BYTE_GRAY fixture PNGs this engine generates. Promoting
+    * this helper to general RGB input requires converting to luminance
+    * (e.g. 0.299R+0.587G+0.114B) first; sampling band 0 alone would
+    * silently hash just the red channel. */
   private[graft] def dhashPng(bytes: Array[Byte]): Long = {
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
     val raster = img.getRaster
@@ -236,15 +242,24 @@ object MultiModalOps {
     * recomputes the dHash from the generator formula (bit 63 via the
     * signed-min literal so the packed BIGINT matches Scala's `1L << 63`
     * two's-complement exactly). */
-  private val qImageDhash: Q = (s, d) => {
+  /** Per-doc perceptual hash frame (doc_id, dhash) — the decode+hash
+    * codec stage, persisted (Caching policy) because every image-dedup
+    * query traverses it more than once: qImageDhash groups it AND joins
+    * back to it; without the persist the corpus PNG decode would run
+    * twice. */
+  private[graft] def imageHashes(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val hashes = pngPayloads(s, d)
+    graft.Caching.persist(pngPayloads(s, d)
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         ensureHeadless()
         it.map { case (id, bytes) => (id, dhashPng(bytes)) }
       }
-      .toDF("doc_id", "dhash")
+      .toDF("doc_id", "dhash"))
+  }
+
+  private val qImageDhash: Q = (s, d) => {
+    val hashes = imageHashes(s, d)
     val groups = hashes.groupBy("dhash")
       .agg(count(lit(1)).as("group_size"), min("doc_id").as("rep_id"))
       .filter(col("group_size") >= 2)
@@ -272,18 +287,10 @@ object MultiModalOps {
   /** Distinct-signature table (dhash, member count, min-doc rep) —
     * shared by the near-dup query and the scaling instrument. Caller
     * owns the persist. */
-  private[graft] def imageSigs(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    graft.Caching.persist(pngPayloads(s, d)
-      .as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        ensureHeadless()
-        it.map { case (id, bytes) => (id, dhashPng(bytes)) }
-      }
-      .toDF("doc_id", "dhash")
+  private[graft] def imageSigs(s: SparkSession, d: String): DataFrame =
+    graft.Caching.persist(imageHashes(s, d)
       .groupBy("dhash")
       .agg(count(lit(1)).as("n"), min("doc_id").as("rep")))
-  }
 
   /** Banded + hamming-gated signature pairs over [[imageSigs]] — the
     * candidate set the scaling instrument counts (it grows with DISTINCT

@@ -35,6 +35,34 @@ object VectorOps {
   private type Q = (SparkSession, String) => DataFrame
   private val P = 1000000007L
 
+  /** Cross-query shared-result memo for the ANN result frames: q_ann_recall
+    * compares the LSH and IVF outputs against brute force, and all three
+    * also run standalone — without sharing, the recall artifact re-executes
+    * both approximate subplans in full (the r7 "minor waste" note). The
+    * memo hands every caller the SAME persisted DataFrame per (dir, cache
+    * level), so whichever query materializes first warms the rest; results
+    * are tiny (top-5 rows per fixed query). Keyed weakly by session (a
+    * stopped session's entries are collectable) and by [[graft.Caching]]
+    * level (CachingSpec's DISK_ONLY pass must rebuild under that level,
+    * not reuse a MEMORY_AND_DISK plan). An external `clearCache()` only
+    * unpersists — lineage is recompute-stable, so the re-arm below costs
+    * latency, never correctness. */
+  private val sharedResults = new java.util.WeakHashMap[SparkSession,
+    scala.collection.concurrent.TrieMap[String, DataFrame]]()
+
+  private def sharedAnn(name: String, build: Q): Q = (s, d) => {
+    val m = sharedResults.synchronized {
+      sharedResults.computeIfAbsent(s,
+        _ => scala.collection.concurrent.TrieMap.empty[String, DataFrame])
+    }
+    val lvl = graft.Caching.level(s)
+    val df = m.getOrElseUpdate(s"$name|$d|$lvl", graft.Caching.persist(build(s, d)))
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE &&
+        lvl != org.apache.spark.storage.StorageLevel.NONE)
+      df.persist(lvl) // re-arm after an external clearCache
+    df
+  }
+
   private def cosine(a: String, b: String): Column =
     expr(s"cosine_sim($a, $b)")
 
@@ -359,11 +387,14 @@ object VectorOps {
     * Output: per variant, |approx ∩ brute| / |brute| over the 10 fixed
     * queries' top-5 sets. */
   private val qAnnRecall: Q = (s, d) => {
-    // persisted: the brute subplan feeds both variants' semi joins plus
-    // the denominators — without the cache it would instantiate (and
-    // score Q×N) four times in one action
-    val brute = graft.Caching.persist(
-      qAnnBrute(s, d).select("query_id", "neighbor_id"))
+    // ALL THREE result frames come from the cross-query shared cache
+    // ([[sharedAnn]]): the brute subplan feeds both variants' semi joins
+    // plus the denominators, and the LSH/IVF outputs are the SAME
+    // persisted frames the standalone q_ann_lsh / q_ann_ivf queries
+    // return — the recall artifact no longer re-executes either
+    // approximate subplan (r7 note closed).
+    val brute = sharedAnn("q_ann_brute", qAnnBrute)(s, d)
+      .select("query_id", "neighbor_id")
     def stats(name: String, approx: DataFrame): DataFrame = {
       // 1-row aggregates; the crossJoin is a broadcast of one row
       val hits = brute.join(approx.select("query_id", "neighbor_id"),
@@ -375,8 +406,8 @@ object VectorOps {
           round(col("n_hits").cast("double") / col("n_brute"), 4)
             .as("recall_at_5"))
     }
-    stats("ivf", qAnnIvf(s, d))
-      .unionAll(stats("lsh", qAnnLsh(s, d)))
+    stats("ivf", sharedAnn("q_ann_ivf", qAnnIvf)(s, d))
+      .unionAll(stats("lsh", sharedAnn("q_ann_lsh", qAnnLsh)(s, d)))
       .orderBy("variant")
   }
 
@@ -644,10 +675,10 @@ object VectorOps {
     "q_embed_cross_dedup" -> qEmbedCrossDedup,
     "q_embed_neardup_lsh" -> qEmbedNeardupLsh,
     "q_embed_quantize" -> qEmbedQuantize,
-    "q_ann_brute" -> qAnnBrute,
+    "q_ann_brute" -> sharedAnn("q_ann_brute", qAnnBrute),
     "q_embed_neardup" -> qEmbedNeardup,
-    "q_ann_lsh" -> qAnnLsh,
-    "q_ann_ivf" -> qAnnIvf,
+    "q_ann_lsh" -> sharedAnn("q_ann_lsh", qAnnLsh),
+    "q_ann_ivf" -> sharedAnn("q_ann_ivf", qAnnIvf),
     "q_semantic_dedup" -> qSemanticDedup,
     "q_ann_recall" -> qAnnRecall,
     "q_embed_centroids" -> qEmbedCentroids,

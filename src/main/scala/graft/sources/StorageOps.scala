@@ -48,32 +48,65 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object StorageOps {
 
   /** Session conf for committing through a store-native committer on
-    * `scheme://` paths (the S3A committer factory shape; same keys apply
-    * to other stores' committers). Pure configuration — the committer
-    * classes ship with the store's connector jars, and the factory key is
-    * scoped to the scheme, so applying this on a cluster without those
-    * jars changes nothing for `file://`/`hdfs://` writes (pinned by
-    * spec). */
-  def objectStoreCommitterConf(scheme: String = "s3a"): Map[String, String] = Map(
-    // route FileOutputFormat commits for this scheme to the store's factory
-    s"spark.hadoop.mapreduce.outputcommitter.factory.scheme.$scheme" ->
-      "org.apache.hadoop.fs.s3a.commit.S3ACommitterFactory",
+    * `scheme://` paths. Two load-bearing keys:
+    *
+    *  - Hadoop's standard scheme-scoped factory key routes that scheme's
+    *    commits to `factory` (default: the S3A factory, whose "magic"
+    *    committer completes in-flight multipart uploads at job commit —
+    *    zero renames);
+    *  - the commit protocol is [[SchemeRoutedCommitProtocol]], which
+    *    consults that factory key and falls through to Spark's stock
+    *    protocol for every other scheme — so applying this conf changes
+    *    nothing for `file://`/`hdfs://` writes (pinned by spec).
+    *
+    * Exercised end-to-end (not just asserted) by StorageAndAggSpec on a
+    * rename-forbidding mock store with [[DirectPutCommitterFactory]]. */
+  def objectStoreCommitterConf(scheme: String = "s3a",
+      factory: String = "org.apache.hadoop.fs.s3a.commit.S3ACommitterFactory")
+      : Map[String, String] = Map(
+    // route commits for this scheme to the store's committer factory
+    s"spark.hadoop.mapreduce.outputcommitter.factory.scheme.$scheme" -> factory,
     // "magic" = tasks write in-flight multipart uploads under __magic/,
     // job commit completes them — zero renames, atomic-enough visibility
+    // (S3A-specific knobs; inert for other schemes/factories)
     s"spark.hadoop.fs.$scheme.committer.name" -> "magic",
     s"spark.hadoop.fs.$scheme.committer.magic.enabled" -> "true",
-    // parquet must use the committer-factory path, not its own subclass
-    "spark.sql.parquet.output.committer.class" ->
-      "org.apache.spark.internal.io.cloud.BindingParquetOutputCommitter",
+    // the protocol that actually reads the factory key per destination
     "spark.sql.sources.commitProtocolClass" ->
-      "org.apache.spark.internal.io.cloud.PathOutputCommitProtocol")
+      "graft.sources.SchemeRoutedCommitProtocol")
 
-  /** Apply [[objectStoreCommitterConf]] to a session (idempotent). */
-  def configureObjectStoreCommitter(spark: SparkSession,
-      scheme: String = "s3a"): Unit =
-    objectStoreCommitterConf(scheme).foreach { case (k, v) =>
-      spark.conf.set(k, v)
+  /** Apply [[objectStoreCommitterConf]] to a session (idempotent). The
+    * `spark.hadoop.*` keys must reach the Hadoop conf the write job
+    * serializes, so they are set on `sparkContext.hadoopConfiguration`
+    * (runtime `spark.conf` mutation does not reliably reach an active
+    * session's Hadoop conf). */
+  def configureObjectStoreCommitter(spark: SparkSession, scheme: String = "s3a",
+      factory: String = "org.apache.hadoop.fs.s3a.commit.S3ACommitterFactory")
+      : Unit =
+    objectStoreCommitterConf(scheme, factory).foreach {
+      case (k, v) if k.startsWith("spark.hadoop.") =>
+        spark.sparkContext.hadoopConfiguration.set(
+          k.stripPrefix("spark.hadoop."), v)
+      case (k, v) => spark.conf.set(k, v)
     }
+
+  /** Capability string a custom `FileSystem` can advertise (via
+    * `hasPathCapability`) to declare object-store semantics: rename is
+    * copy+delete (or absent), but a single-object overwrite PUT is
+    * atomic. Known object-store schemes are recognized without it. */
+  val AtomicPutOverwriteCapability = "graft.fs.capability.atomic-put-overwrite"
+
+  /** Schemes whose stores overwrite a single object atomically but make
+    * rename copy+delete — the dispatch the reference centralizes in its
+    * FS adapter (FileSystem.java:30-128), extended to the cloud stores. */
+  val objectStoreSchemes: Set[String] =
+    Set("s3", "s3a", "s3n", "gs", "oss", "cos", "wasb", "wasbs", "abfs", "abfss")
+
+  /** True iff `p` lives on an object store (scheme match or advertised
+    * [[AtomicPutOverwriteCapability]]). */
+  def isObjectStore(fs: FileSystem, p: Path): Boolean =
+    objectStoreSchemes.contains(Option(fs.getUri.getScheme).getOrElse("")) ||
+      fs.hasPathCapability(p, AtomicPutOverwriteCapability)
 
   /** Write a DataFrame as a partitioned parquet dataset with atomic commit
     * + `_SUCCESS` marker (the reference's finalize + `_SUCCEED`). */
@@ -158,18 +191,29 @@ object StorageOps {
       }).maxOption.getOrElse(0)
     else 0) + 1
     df.write.mode("errorifexists").parquet(s"$tableDir/v$next")
-    val tmp = new Path(root, s"._current_tmp$next")
-    val out = fs.create(tmp, true)
-    out.write(s"v$next".getBytes("UTF-8"))
-    out.close()
-    // Object stores overwrite the pointer in ONE atomic PUT. FileSystem
-    // rename refuses an existing destination, so the local/HDFS path is
-    // delete+rename: the worst crash window leaves NO pointer (readers
-    // fail loudly; every version directory stays intact) — never a torn
-    // or mixed dataset.
     val cur = new Path(root, "_current")
-    if (fs.exists(cur)) fs.delete(cur, false)
-    fs.rename(tmp, cur)
+    if (isObjectStore(fs, root)) {
+      // Object stores overwrite the pointer in ONE atomic PUT — readers
+      // see the whole old pointer or the whole new one, never a torn
+      // write. No rename anywhere on this branch (rename there is
+      // copy+delete, or forbidden outright).
+      val out = fs.create(cur, true)
+      out.write(s"v$next".getBytes("UTF-8"))
+      out.close()
+    } else {
+      // POSIX/HDFS: create-then-write is NOT atomic for readers (a
+      // concurrent open sees a zero-length pointer), but rename is — so
+      // stage to a temp name and rename. FileSystem rename refuses an
+      // existing destination, hence delete+rename: the worst crash
+      // window leaves NO pointer (readers fail loudly; every version
+      // directory stays intact) — never a torn or mixed dataset.
+      val tmp = new Path(root, s"._current_tmp$next")
+      val out = fs.create(tmp, true)
+      out.write(s"v$next".getBytes("UTF-8"))
+      out.close()
+      if (fs.exists(cur)) fs.delete(cur, false)
+      fs.rename(tmp, cur)
+    }
     next
   }
 

@@ -53,18 +53,30 @@ object ImageDedupStream {
   def matchesAgainstIndex(s: SparkSession, stream: DataFrame,
       sigs: DataFrame, maxHamming: Int = 3,
       delay: String = "10 minutes"): DataFrame = {
+    import s.implicits._
     require(maxHamming <= 3,
       s"4x16-bit banding is only pigeonhole-exact for hamming <= 3, got $maxHamming")
-    val dhashOf = udf((b: Array[Byte]) => MultiModalOps.dhashPng(b))
     val idx = sigs
       .select(col("dhash").as("cand"), col("n"), col("rep"),
         explode(expr(bandsExpr("dhash"))).as("b"))
       .select(col("cand"), col("n"), col("rep"),
         col("b.band").as("band"), col("b.bv").as("bv"))
+    // Decode+hash as the same typed mapPartitions CODEC STAGE the batch
+    // path uses (one headless/codec init per partition, tight per-blob
+    // loop) — not a per-row udf; micro-batch partitions get the identical
+    // decode discipline. Stateless and row-wise, so applying the
+    // watermark AFTER the stage is semantically identical to before it
+    // (the event-time column passes through untouched), and the
+    // watermark tag survives onto the join/dedup below.
     stream
+      .select(col("ts"), col("doc_id").as("in_id"), col("payload"))
+      .as[(java.sql.Timestamp, Long, Array[Byte])]
+      .mapPartitions { it =>
+        MultiModalOps.ensureHeadless()
+        it.map { case (ts, id, bytes) => (ts, id, MultiModalOps.dhashPng(bytes)) }
+      }
+      .toDF("ts", "in_id", "dh")
       .withWatermark("ts", delay)
-      .select(col("ts"), col("doc_id").as("in_id"),
-        dhashOf(col("payload")).as("dh"))
       .select(col("ts"), col("in_id"), col("dh"),
         explode(expr(bandsExpr("dh"))).as("p"))
       .select(col("ts"), col("in_id"), col("dh"),

@@ -128,28 +128,92 @@ class StorageAndAggSpec extends AnyFunSuite {
     import spark.implicits._
     import graft.sources.StorageOps
     val conf = StorageOps.objectStoreCommitterConf()
-    // the two load-bearing choices: factory routing + the magic committer
+    // the two load-bearing choices: factory routing + the routing protocol
     assert(conf.keys.exists(_.contains("outputcommitter.factory.scheme.s3a")))
     assert(conf.get("spark.hadoop.fs.s3a.committer.name").contains("magic"))
-    // scheme-scoped: with the conf applied, a file:// parquet write still
-    // goes through the default committer and commits fine (no s3a jars
-    // in this sandbox — exactly the situation the scoping must survive).
-    // Hadoop keys can't enter an active session via runtime conf; scope
-    // them to this write via the hadoopConfiguration with restore.
+    assert(conf.get("spark.sql.sources.commitProtocolClass")
+      .contains("graft.sources.SchemeRoutedCommitProtocol"))
+    // scheme-scoped: with the FULL conf applied (including the routing
+    // protocol), a file:// parquet write still falls through to the stock
+    // committer and commits fine (no s3a jars in this sandbox — exactly
+    // the situation the scoping must survive).
     val hc = spark.sparkContext.hadoopConfiguration
-    val saved = conf.collect { case (k, v) if k.startsWith("spark.hadoop.") =>
-      val hk = k.stripPrefix("spark.hadoop.")
-      val old = Option(hc.get(hk))
-      hc.set(hk, v); (hk, old)
+    val saved = conf.collect { case (k, _) if k.startsWith("spark.hadoop.") =>
+      (k.stripPrefix("spark.hadoop."), Option(hc.get(k.stripPrefix("spark.hadoop."))))
     }
+    StorageOps.configureObjectStoreCommitter(spark)
     try {
       val dir = java.nio.file.Files.createTempDirectory("graft-oscc").toString + "/t"
       Seq((1L, "x")).toDF("k", "v").write.parquet(dir)
       assert(StorageOps.isCommitted(spark, dir), "local write must still commit")
       assert(spark.read.parquet(dir).count() == 1)
-    } finally saved.foreach {
-      case (k, Some(v)) => hc.set(k, v)
-      case (k, None) => hc.unset(k)
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => hc.set(k, v)
+        case (k, None) => hc.unset(k)
+      }
+      spark.conf.unset("spark.sql.sources.commitProtocolClass")
+    }
+  }
+
+  /** Run `body` with the rename-forbidding mocks3:// store registered,
+    * rooted at a fresh temp dir; restores the Hadoop conf afterwards. */
+  private def withMockS3(body: String => Unit): Unit = {
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.mocks3.impl", classOf[MockS3FileSystem].getName)
+    hc.set("fs.mocks3.impl.disable.cache", "true")
+    try body("mocks3://" + Files.createTempDirectory("graft-mocks3").toString)
+    finally { hc.unset("fs.mocks3.impl"); hc.unset("fs.mocks3.impl.disable.cache") }
+  }
+
+  test("negative control: the stock rename-based committer FAILS on the rename-forbidding store") {
+    import spark.implicits._
+    withMockS3 { base =>
+      val e = intercept[Throwable] {
+        Seq((1L, "x")).toDF("k", "v").write.parquet(s"$base/plain")
+      }
+      // the failure must be the forbidden rename, not something incidental
+      val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10).toSeq
+      assert(chain.exists(t => t.isInstanceOf[UnsupportedOperationException] ||
+        Option(t.getMessage).exists(_.contains("mocks3: rename"))),
+        s"expected forbidden-rename failure, got: $e")
+    }
+  }
+
+  test("scheme-routed commit + versioned publish run end-to-end on the rename-forbidding store") {
+    import spark.implicits._
+    import graft.sources.StorageOps
+    withMockS3 { base =>
+      val hc = spark.sparkContext.hadoopConfiguration
+      val factoryKey = "mapreduce.outputcommitter.factory.scheme.mocks3"
+      StorageOps.configureObjectStoreCommitter(spark, scheme = "mocks3",
+        factory = classOf[graft.sources.DirectPutCommitterFactory].getName)
+      try {
+        // (b) the factory key is what routes commits: the SAME write that
+        // failed above now commits, with zero renames anywhere
+        Seq((1L, "x"), (2L, "y")).toDF("k", "v").write.parquet(s"$base/t")
+        assert(StorageOps.isCommitted(spark, s"$base/t"),
+          "_SUCCESS must be written by the rename-free committer")
+        assert(spark.read.parquet(s"$base/t").count() == 2)
+        // (a) the full publish cycle on the object store: immutable
+        // version dirs + single-PUT pointer flips + retention prune
+        val tbl = s"$base/tbl"
+        val v1 = StorageOps.publishVersioned(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), tbl)
+        assert(v1 == 1 && StorageOps.currentVersion(spark, tbl).contains("v1"))
+        assert(StorageOps.loadPublished(spark, tbl).count() == 2)
+        val v2 = StorageOps.publishVersioned(Seq((3L, "c")).toDF("k", "v"), tbl)
+        assert(v2 == 2 && StorageOps.currentVersion(spark, tbl).contains("v2"))
+        assert(StorageOps.loadPublished(spark, tbl)
+          .collect().map(_.getLong(0)).sameElements(Array(3L)))
+        assert(spark.read.parquet(s"$tbl/v1").count() == 2, "v1 intact until pruned")
+        assert(StorageOps.pruneVersions(spark, tbl, keep = 1) == Seq("v1"))
+        assert(StorageOps.loadPublished(spark, tbl).count() == 1)
+      } finally {
+        hc.unset(factoryKey)
+        hc.unset("fs.mocks3.committer.name")
+        hc.unset("fs.mocks3.committer.magic.enabled")
+        spark.conf.unset("spark.sql.sources.commitProtocolClass")
+      }
     }
   }
 
