@@ -153,10 +153,19 @@ object Stress {
         "within-cell pair candidates at the LINEAR cell schedule (q_semantic_dedup) — cells ~ n/50 keeps occupancy constant, so cell-scoped pairing stays ~linear; the IVF sqrt schedule would read ~1.5 here",
         graft.operators.VectorOps.semanticDedupCandidates),
       Probe("image_neardup_candidates",
-        "banded hamming<=3 dHash signature pairs (q_image_neardup) — the join runs over DISTINCT signatures, so candidates track signature diversity, not corpus size (exponent << 1 on this formula fixture whose signature space saturates)",
+        "banded hamming<=3 dHash signature pairs (q_image_neardup) over the FORMULA fixture — kept for continuity, but its signature space saturates (diversity stops growing with docs), so its exponent flatters the path; the two noise-fixture rows below are the honest instrument",
         (s, d) => {
           import graft.operators.MultiModalOps
           MultiModalOps.imageSigPairs(MultiModalOps.imageSigs(s, d)).count()
+        }),
+      Probe("image_sig_diversity",
+        "DISTINCT dHash signatures on the id-seeded NOISE fixture (real PNG encode→decode→dhash) — must read ~1: it is the diversity-∝-corpus PRECONDITION the formula fixture lacks, making the pair row below measure what it claims",
+        (s, d) => graft.operators.MultiModalOps.noiseImageSigs(s, d).count()),
+      Probe("image_neardup_diverse",
+        "banded hamming<=3 pairs over the noise fixture's DISTINCT signatures with planted twins (~n/10, hamming <= 2): post-gate candidates track the planted near-dup population ∝ corpus while uniform band collisions die at the in-join bit_count gate — the saturation-free reading of the image near-dup growth",
+        (s, d) => {
+          import graft.operators.MultiModalOps
+          MultiModalOps.imageSigPairs(MultiModalOps.noiseImageSigs(s, d)).count()
         }),
     )
 

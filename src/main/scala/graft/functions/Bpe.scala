@@ -32,8 +32,11 @@ object Bpe {
   /** Embedded training text: the pipeline-vocabulary words with rough
     * Zipf-ish repetition. Roughly a third of the corpus vocabulary
     * (customer, vector, window, stream, column, query, value, batch) is
-    * deliberately ABSENT so those words exercise the subword path. */
-  private val trainingText: String = {
+    * deliberately ABSENT so those words exercise the subword path.
+    * Exposed to BpeSpec: the distributed trainer
+    * (TextOps.bpeTrain) run over this same text must reproduce
+    * [[merges]] exactly. */
+  private[graft] val trainingText: String = {
     val weighted = Seq(
       "the" -> 12, "join" -> 10, "hash" -> 9, "row" -> 9, "scan" -> 8,
       "filter" -> 8, "small" -> 7, "slow" -> 7, "merge" -> 7, "order" -> 6,
@@ -81,8 +84,10 @@ object Bpe {
 
   /** Training-side helper: merge all left-to-right non-overlapping
     * occurrences of `pair` (only training uses batch merging; encode is
-    * one-at-a-time by contract). */
-  private def mergeAll(syms: Vector[String], pair: (String, String)): Vector[String] = {
+    * one-at-a-time by contract). Shared with the DISTRIBUTED trainer
+    * (TextOps.bpeTrain) so the per-round merge semantics cannot drift
+    * between the embedded and corpus-level training paths. */
+  private[graft] def mergeAll(syms: Seq[String], pair: (String, String)): Vector[String] = {
     val out = Vector.newBuilder[String]
     var i = 0
     while (i < syms.length) {
@@ -94,7 +99,16 @@ object Bpe {
   }
 
   /** Apply the shipped merges to one word (see ENCODE CONTRACT above). */
-  def encode(word: String): Vector[String] = {
+  def encode(word: String): Vector[String] = encodeLoop(word, prio)
+
+  /** [[encode]] under an ARBITRARY merge table — how a corpus-learned
+    * table (TextOps.bpeTrain) feeds the counting path; BpeSpec pins
+    * learned-table → count equivalence through this entry. */
+  def encodeWith(word: String, table: Seq[(String, String)]): Vector[String] =
+    encodeLoop(word, table.zipWithIndex.toMap)
+
+  private def encodeLoop(word: String,
+      prio: Map[(String, String), Int]): Vector[String] = {
     var syms = word.map(_.toString).toVector
     var done = syms.length < 2
     while (!done) {

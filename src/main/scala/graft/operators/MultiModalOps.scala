@@ -167,32 +167,124 @@ object MultiModalOps {
       .orderBy("doc_id")
   }
 
-  /** Frame-sampling stage: treat the payload as n_frames equal slices,
-    * keep every 4th frame, emit one row per sampled frame with its offset,
-    * length and byte-sum "feature". The slicing stands in for a video
-    * codec (none ships with the JDK); the flatMap-over-partitions plumbing
-    * — one input blob fanning out to per-frame rows — is the real shape of
-    * a video pipeline. */
+  /** Multi-frame fixture formulas, mirrored by the oracle: frames
+    * 2..6, dims 8..15 × 8..15, gray(f,x,y) =
+    * (doc_id*31 + f*17 + x*7 + y*13) mod 256. */
+  private[graft] def vidFrames(id: Long): Int = (2 + Math.floorMod(id, 5L)).toInt
+  private[graft] def vidWidth(id: Long): Int = (8 + Math.floorMod(id, 8L)).toInt
+  private[graft] def vidHeight(id: Long): Int = (8 + Math.floorMod(id / 3, 8L)).toInt
+  private[graft] def vidPixel(id: Long, f: Int, x: Int, y: Int): Int =
+    Math.floorMod(id * 31 + f * 17 + x * 7 + y * 13, 256L).toInt
+
+  /** Render the fixture "video" for one document as a REAL multi-frame
+    * animated GIF (`javax.imageio`'s sequence writer — JDK-built-in).
+    * GIF is palette-indexed and an 8-bit grayscale frame has <= 256
+    * distinct colors, so the encode is exactly lossless and the decoded
+    * samples equal [[vidPixel]] bit-for-bit. */
+  private[graft] def encodeGif(id: Long): Array[Byte] = {
+    ensureHeadless()
+    val w = vidWidth(id)
+    val h = vidHeight(id)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      val n = vidFrames(id)
+      while (f < n) {
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { raster.setSample(x, y, 0, vidPixel(id, f, x, y)); x += 1 }
+          y += 1
+        }
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(img, null, null),
+          writer.getDefaultWriteParam)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    bos.toByteArray
+  }
+
+  /** Decode the SAMPLED frames (every `step`-th) of one multi-frame GIF
+    * with a caller-owned reader (one codec instance per partition) and
+    * emit per-frame pixel stats. Random-access `read(f)`: unsampled
+    * frames are never raster-decoded — the point of frame sampling.
+    * Palette round-trip via getRGB; frames are grayscale so the red
+    * channel IS the gray value. Exposed for the roundtrip spec. */
+  private[graft] def decodeGifFrames(id: Long, bytes: Array[Byte], step: Int,
+      reader: javax.imageio.ImageReader)
+      : Seq[(Long, Long, Long, Long, Long, Long, Double, Long, Long)] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      reader.setInput(iis, false, true)
+      val n = reader.getNumImages(true)
+      (0 until n by step).map { f =>
+        val img = reader.read(f)
+        val w = img.getWidth
+        val h = img.getHeight
+        var sum = 0L
+        var mn = 255L
+        var mx = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = (img.getRGB(x, y) & 0xff).toLong
+            sum += v
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+            x += 1
+          }
+          y += 1
+        }
+        val nPx = w.toLong * h
+        (id, f.toLong, n.toLong, w.toLong, h.toLong, nPx,
+          sum.toDouble / nPx, mn, mx)
+      }
+    } finally iis.close()
+  }
+
+  /** Frame-sampling stage over REAL multi-frame media: a generator stage
+    * renders a genuine animated GIF per document (the only multi-frame
+    * format the JDK can both write and read), and the codec stage decodes
+    * every 2nd frame — one reader init per partition, `read(f)` random
+    * access so unsampled frames never cost a raster decode, one blob
+    * fanning out to per-frame rows inside flatMap-over-partitions. This
+    * replaces the earlier byte-slicing stand-in: the bytes on the wire
+    * are now a real container format and the per-frame stats come from
+    * actually-decoded rasters (exactly lossless — GIF palettes cover
+    * 8-bit grayscale). Zero shuffle up to the output sort; a production
+    * video codec (JNI/FFI) slots into the same reader seam. */
   private val qMultimodalFrames: Q = (s, d) => {
     import s.implicits._
     Tables.documents(s, d)
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        ensureHeadless()
+        it.map(id => (id, encodeGif(id)))
+      }
+      .toDF("doc_id", "payload")
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        it.flatMap { case (id, bytes) =>
-          val n = bytes.length.toLong
-          val nFrames = 1L + n % 16L
-          val frameLen = n / nFrames
-          (0L until nFrames by 4L).map { f =>
-            val off = f * frameLen
-            var sum = 0L
-            var i = off
-            while (i < off + frameLen) { sum += (bytes(i.toInt) & 0xff); i += 1 }
-            (id, f, off, frameLen, sum)
-          }
-        }
+        ensureHeadless()
+        // one codec instance per partition (heap-only; reclaimed with it)
+        val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+        it.flatMap { case (id, bytes) => decodeGifFrames(id, bytes, 2, reader) }
       }
-      .toDF("doc_id", "frame_idx", "frame_off", "frame_len", "frame_sum")
+      .toDF("doc_id", "frame_idx", "n_frames", "width", "height", "n_px",
+        "mean_px", "min_px", "max_px")
       .orderBy("doc_id", "frame_idx")
   }
 
@@ -323,6 +415,74 @@ object MultiModalOps {
       .orderBy("dhash_a", "dhash_b")
   }
 
+  // ---- scaling-instrument NOISE fixture (graft.Stress) ----------------
+  // The formula fixture's dHash space SATURATES (distinct signatures stop
+  // growing with docs), which would flatter a near-dup growth probe. This
+  // id-seeded noise fixture keeps signature diversity ∝ corpus: pixels
+  // are a splitmix-style hash of (id, x, y), so dHash bits are ~uniform
+  // and almost every image carries a distinct signature. Every 10th id
+  // also emits a TWIN whose two top-left grid samples are pinned (0 then
+  // 255), flipping at most 2 dHash bits — a planted near-dup population
+  // ∝ corpus for the post-gate pair probe.
+
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  private[graft] val NoiseDim = 16
+
+  /** Render the noise image for (id, twin) as real PNG bytes. */
+  private[graft] def encodeNoisePng(id: Long, twin: Boolean): Array[Byte] = {
+    ensureHeadless()
+    val n = NoiseDim
+    val img = new java.awt.image.BufferedImage(
+      n, n, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < n) {
+      var x = 0
+      while (x < n) {
+        raster.setSample(x, y, 0,
+          (mix64(id * 1000003L + x * 7919L + y * 104729L) & 0xffL).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    if (twin) {
+      // dHash grid x-positions 0 and 1 at row 0: forces bit(0,0) = 1 and
+      // re-decides bit(0,1) — hamming vs the base image is <= 2
+      raster.setSample(0, 0, 0, 0)
+      raster.setSample(1, 0, 0, 255)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Distinct-signature table of the noise fixture (same schema as
+    * [[imageSigs]]), built through the REAL codec path (PNG encode →
+    * decode → dHash). */
+  private[graft] def noiseImageSigs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id")).as[Long]
+      .flatMap(id => if (id % 10 == 0) Seq((id, false), (id, true))
+        else Seq((id, false)))
+      .mapPartitions { it =>
+        ensureHeadless()
+        it.map { case (id, twin) =>
+          (id * 2 + (if (twin) 1 else 0),
+            dhashPng(encodeNoisePng(id, twin)))
+        }
+      }
+      .toDF("doc_id", "dhash")
+      .groupBy("dhash")
+      .agg(count(lit(1)).as("n"), min("doc_id").as("rep"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_multimodal_meta" -> qMultimodalMeta,
     "q_multimodal_resize" -> qMultimodalResize,
@@ -383,23 +543,34 @@ object MultiModalOps {
         |       CAST(max(v) AS BIGINT) AS max_px2,
         |       CAST(sum(v) AS BIGINT) AS sum_px2
         |FROM px GROUP BY doc_id, w2, h2 ORDER BY doc_id""".stripMargin,
-    // documents are pure ASCII (verified), so per-char codepoints == bytes.
+    // replays the animated-GIF generator formula: sampled frame indices
+    // from the per-doc frame count, pixel stats from the (f, x, y) grid
     "q_multimodal_frames" ->
       """WITH d AS (
-        |  SELECT doc_id, text, strlen(text) AS n,
-        |         1 + strlen(text) % 16 AS nf
+        |  SELECT doc_id,
+        |         8 + doc_id % 8 AS w,
+        |         8 + (doc_id // 3) % 8 AS h,
+        |         2 + doc_id % 5 AS nf
         |  FROM documents),
         |f AS (
-        |  SELECT doc_id, text, n, nf, n // nf AS flen,
-        |         unnest(range(0, nf, 4)) AS frame_idx
-        |  FROM d)
-        |SELECT doc_id, frame_idx, frame_idx * flen AS frame_off,
-        |       flen AS frame_len,
-        |       CAST(coalesce((SELECT sum(ord(c)) FROM
-        |                 unnest(string_split(substring(text,
-        |                   CAST(frame_idx * flen + 1 AS INT),
-        |                   CAST(flen AS INT)), '')) u(c)), 0) AS BIGINT) AS frame_sum
-        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+        |  SELECT doc_id, w, h, nf, unnest(range(0, nf, 2)) AS fi FROM d),
+        |px AS (
+        |  SELECT f.doc_id, f.w, f.h, f.nf, f.fi,
+        |         (f.doc_id * 31 + f.fi * 17 + xs.x * 7 + ys.y * 13) % 256 AS v
+        |  FROM f, (SELECT unnest(range(0, 16)) AS x) xs,
+        |          (SELECT unnest(range(0, 16)) AS y) ys
+        |  WHERE xs.x < f.w AND ys.y < f.h)
+        |SELECT doc_id,
+        |       CAST(fi AS BIGINT) AS frame_idx,
+        |       CAST(nf AS BIGINT) AS n_frames,
+        |       CAST(w AS BIGINT) AS width,
+        |       CAST(h AS BIGINT) AS height,
+        |       CAST(count(*) AS BIGINT) AS n_px,
+        |       CAST(sum(v) AS DOUBLE) / count(*) AS mean_px,
+        |       CAST(min(v) AS BIGINT) AS min_px,
+        |       CAST(max(v) AS BIGINT) AS max_px
+        |FROM px GROUP BY doc_id, fi, nf, w, h
+        |ORDER BY doc_id, frame_idx""".stripMargin,
     "q_image_dhash" ->
       """WITH d AS (
         |  SELECT doc_id,

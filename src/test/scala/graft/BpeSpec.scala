@@ -35,6 +35,51 @@ class BpeSpec extends AnyFunSuite {
     assert(Bpe.encode("zzz7").length === 4)
   }
 
+  test("distributed trainer reproduces the embedded table; learned table feeds counts") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    // the SAME word multiset Bpe.train consumes, as a DataFrame
+    val words = Bpe.trainingText.toLowerCase.split("\\W+").filter(_.nonEmpty)
+      .groupBy(identity).toSeq.map { case (w, g) => (w, g.length.toLong) }
+      .toDF("word", "cnt")
+    // run to exhaustion (early-stops when no pair repeats) — the learned
+    // table must equal the embedded trainer's BIT FOR BIT
+    val learned = TextOps.bpeTrain(spark, words, Bpe.MaxMerges)
+      .collect().map(r => (r.getString(1), r.getString(2))).toVector
+    assert(learned === Bpe.merges,
+      s"distributed trainer diverged at index " +
+        s"${learned.zip(Bpe.merges).indexWhere(p => p._1 != p._2)}")
+    // learned-table → count equivalence: encoding under the learned table
+    // is the shipped bpe_count, for trained words, subword splits, and
+    // out-of-alphabet input alike
+    for (w <- Seq("the", "join", "merge", "customer", "vector", "stream",
+        "xylophone", "zzz7", "sparkles", "a"))
+      assert(Bpe.encodeWith(w, learned) === Bpe.encode(w),
+        s"learned-table encode diverged for '$w'")
+  }
+
+  test("q_bpe_train emits one merge per round with consistent ranks") {
+    val rows = SparkEntry.queries("q_bpe_train")(spark, TestSpark.sf0001).collect()
+    assert(rows.length === graft.operators.TextOps.BpeTrainRounds)
+    assert(rows.map(_.getInt(0)).toSeq === (1 to rows.length))
+    val pairs = rows.map(r => (r.getString(1), r.getString(2)))
+    assert(pairs.distinct.length === pairs.length, "a pair was learned twice")
+    assert(rows.forall(_.getLong(3) >= 2), "winner below the f >= 2 floor")
+  }
+
+  test("q_bpe_learned_count: learned-table budgets are coherent per doc") {
+    val rows = SparkEntry.queries("q_bpe_learned_count")(spark, TestSpark.sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (nWords, nBpe) = (r.getLong(1), r.getLong(2))
+      // every word is >= 1 token; an 8-merge table leaves most words split
+      assert(nBpe >= nWords, s"doc ${r.getLong(0)}: $nBpe tokens < $nWords words")
+    }
+    // the learned merges must actually compress SOMETHING vs chars
+    assert(rows.map(_.getLong(2)).sum > 0)
+  }
+
   test("q_bpe_count uses the native expression in a single map-side Project") {
     val df = SparkEntry.queries("q_bpe_count")(spark, TestSpark.sf0001)
     assert(df.collect().map(_.getLong(2)).sum > 0)

@@ -37,6 +37,17 @@ class CoverageLedgerSpec extends AnyFunSuite {
     assert(o === nOracles, s"COVERAGE says $o oracles; registry has $nOracles")
   }
 
+  test("PLANS.md carries one plan section per registered query") {
+    val text = Files.readString(Paths.get("PLANS.md"))
+    val sections = raw"(?m)^## (q_\w+)$$".r.findAllMatchIn(text)
+      .map(_.group(1)).toSet
+    val missing = SparkEntry.queries.keySet -- sections
+    val stale = sections -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"queries with no plan in PLANS.md: $missing " +
+      "(regenerate: sbt 'runMain graft.tools.DumpPlans')")
+    assert(stale.isEmpty, s"PLANS.md sections for unregistered queries: $stale")
+  }
+
   test("every oracle key is a registered query") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracleSql keys with no query: $orphans")

@@ -31,6 +31,48 @@ class FlowControlSpec extends AnyFunSuite {
     assert(got == want, s"got $got")
   }
 
+  test("zipfian hot tenant: ledger stays exact under 90% tenant skew") {
+    import spark.implicits._
+    // ~90% of 8000 requests hit tenant 1 — the mega-tenant that serializes
+    // its own history (SCALING.md flow-control row); the tail spreads over
+    // tenants 2..49. Event spacing makes holds EXPIRE mid-stream, so the
+    // hot tenant exercises admit, reject, and release continuously.
+    val evs = (0 until 8000).map { i =>
+      val u = if (i % 10 < 9) 1L else 2L + i % 48
+      val ep = i.toLong * 100000000L // 100 s in µs; window holds ~1728 events
+      val b = 10 + (i * 7) % 50
+      (i.toLong, u, ep, b)
+    }
+    // independent single-threaded replay of the ledger, per tenant
+    val expected = evs.groupBy(_._2).flatMap { case (_, rs) =>
+      val q = scala.collection.mutable.Queue.empty[(Long, Long)]
+      var inB = 0L
+      rs.sortBy(r => (r._3, r._1)).map { case (id, _, ep, b) =>
+        while (q.nonEmpty && q.head._1 <= ep - HealthOps.FlowHoldUs) {
+          inB -= q.dequeue()._2
+        }
+        val adm = inB + b <= HealthOps.FlowLimit
+        if (adm) { q.enqueue((ep, b.toLong)); inB += b }
+        id -> adm
+      }
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-flowz").toString
+    evs.map { case (id, u, ep, b) => (id, u, "sig", ep * 1000L, "x" * b) }
+      .toDF("event_id", "user_id", "event_type", "ts", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val expMap = expected.toMap
+    val got = SparkEntry.queries("q_flow_control")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(got == expMap,
+      s"diverged on ${got.count { case (k, v) => expMap(k) != v }} events")
+    // the fixture must actually be skewed and the hot tenant must see
+    // BOTH outcomes, or the case is vacuous
+    val hot = evs.filter(_._2 == 1L).map(_._1).toSet
+    assert(hot.size >= 7000)
+    assert(hot.exists(got(_)) && hot.exists(!got(_)),
+      "hot tenant saw only one outcome - barrier vacuous under skew")
+  }
+
   test("the sf fixture exercises both outcomes (the barrier binds)") {
     val rows = SparkEntry.queries("q_flow_control")(spark, TestSpark.sf0001)
       .collect().map(_.getBoolean(3))

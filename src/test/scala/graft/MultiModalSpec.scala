@@ -115,6 +115,33 @@ class MultiModalSpec extends AnyFunSuite {
     assert(got.forall { case (_, _, hm, _, _, _, _) => hm >= 1 && hm <= 3 })
   }
 
+  test("encodeGif produces a real multi-frame GIF; sampled decode is formula-exact") {
+    val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    for (id <- ids) {
+      val bytes = MultiModalOps.encodeGif(id)
+      // magic header: GIF87a/GIF89a
+      assert(new String(bytes.take(3), "US-ASCII") == "GIF", s"id=$id not a GIF")
+      // step=1: EVERY frame roundtrips the generator formula exactly
+      val all = MultiModalOps.decodeGifFrames(id, bytes, 1, reader)
+      assert(all.length == MultiModalOps.vidFrames(id), s"id=$id frame count")
+      for ((row, f) <- all.zipWithIndex) {
+        val (rid, fi, nf, w, h, nPx, mean, mn, mx) = row
+        assert(rid == id && fi == f && nf == MultiModalOps.vidFrames(id))
+        assert(w == MultiModalOps.vidWidth(id) && h == MultiModalOps.vidHeight(id))
+        val px = for {
+          y <- 0 until h.toInt
+          x <- 0 until w.toInt
+        } yield MultiModalOps.vidPixel(id, f, x, y)
+        assert(nPx == px.length.toLong, s"id=$id f=$f n_px")
+        assert(mn == px.min.toLong && mx == px.max.toLong, s"id=$id f=$f minmax")
+        assert(mean == px.map(_.toLong).sum.toDouble / nPx, s"id=$id f=$f mean")
+      }
+      // step=2: the sampled set is exactly frames 0, 2, 4, ...
+      val sampled = MultiModalOps.decodeGifFrames(id, bytes, 2, reader)
+      assert(sampled.map(_._2) == all.map(_._2).filter(_ % 2 == 0), s"id=$id sampling")
+    }
+  }
+
   test("q_multimodal_meta decodes real bytes end-to-end at sf0.001") {
     val spark = TestSpark.spark
     val rows = MultiModalOps.queries("q_multimodal_meta")(spark, TestSpark.sf0001)

@@ -195,6 +195,14 @@ class StorageAndAggSpec extends AnyFunSuite {
         assert(StorageOps.isCommitted(spark, s"$base/t"),
           "_SUCCESS must be written by the rename-free committer")
         assert(spark.read.parquet(s"$base/t").count() == 2)
+        // partitioned layout too: task files land directly under their
+        // partition directories — still zero renames
+        Seq((1L, "a", "x"), (2L, "b", "y"), (3L, "a", "z"))
+          .toDF("k", "part", "v")
+          .write.partitionBy("part").parquet(s"$base/pt")
+        assert(spark.read.parquet(s"$base/pt").count() == 3)
+        assert(spark.read.parquet(s"$base/pt")
+          .filter(col("part") === "a").count() == 2)
         // (a) the full publish cycle on the object store: immutable
         // version dirs + single-PUT pointer flips + retention prune
         val tbl = s"$base/tbl"
