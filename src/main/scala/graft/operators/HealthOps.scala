@@ -171,10 +171,70 @@ object HealthOps {
       .orderBy("event_id")
   }
 
+  /** Busy-control parameters — the SECOND half of the reference's
+    * two-level barrier (FlowController.busyFlowControl, the connection
+    * slots; q_flow_control covers the memory half): a request is admitted
+    * iff the worker's held connections fit BOTH the priority/retry-raised
+    * barrier `base + prio·perPriority + min(retry, maxRetryIdx)·perRetry`
+    * (reference: higher job priority and later retries may pass a busier
+    * worker) AND the hard slot total. An admitted connection holds its
+    * slot for [[FlowHoldUs]]. Constants sized so every regime is
+    * exercised at the fixture density: the barrier range is 3..8 against
+    * 8 total slots, retry 4 is CLAMPED by maxRetryIdx 3 (the reference's
+    * MAX_RETRY_INDEX min), and the hard cap binds above every barrier. */
+  val BusyWorkers = 8L
+  val BusyBaseConns = 2L
+  val BusyPerPriority = 1L
+  val BusyPerRetry = 1L
+  val BusyMaxRetryIdx = 3L
+  val BusyTotalConns = 8L
+
+  /** One busy-control request (public for the Dataset encoder). */
+  case class BusyReq(worker: Long, ep: Long, eventId: Long,
+      prio: Long, retry: Long)
+
+  /** Per-worker connection-slot admission ledger — same plan shape as
+    * [[qFlowControl]]: ONE hash exchange on worker, a partition-local
+    * sorted pass, state = the held-slot queue (<= BusyTotalConns eps,
+    * O(1) per worker). Priority/retry derive deterministically from
+    * event_id so the oracle replays them bit-for-bit. */
+  private val qFlowBusy: Q = (s, d) => {
+    import s.implicits._
+    Tables.events(s, d)
+      .select((col("user_id") % BusyWorkers).as("worker"),
+        expr("ts div 1000").as("ep"),
+        col("event_id").as("eventId"),
+        (col("event_id") % 3 + 1).as("prio"),
+        (col("event_id") % 5).as("retry"))
+      .as[BusyReq]
+      .repartition(col("worker"))
+      .sortWithinPartitions(col("worker"), col("ep"), col("eventId"))
+      .mapPartitions { it =>
+        var cur = Long.MinValue
+        // eps of admitted, still-held connections (enqueue order = ep
+        // order, so the head is always the earliest holder)
+        val held = scala.collection.mutable.Queue.empty[Long]
+        it.map { r =>
+          if (r.worker != cur) { cur = r.worker; held.clear() }
+          while (held.nonEmpty && held.head <= r.ep - FlowHoldUs) held.dequeue()
+          val barrier = BusyBaseConns + r.prio * BusyPerPriority +
+            math.min(r.retry, BusyMaxRetryIdx) * BusyPerRetry
+          // reference order: used-vs-barrier check, then the free-slot
+          // check — both on the count BEFORE this admission
+          val admitted = held.size <= barrier && held.size < BusyTotalConns
+          if (admitted) held.enqueue(r.ep)
+          (r.eventId, r.worker, r.prio, r.retry, admitted)
+        }
+      }
+      .toDF("event_id", "worker", "prio", "retry", "admitted")
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_worker_health" -> qWorkerHealth,
     "q_admission_quota" -> qAdmissionQuota,
     "q_flow_control" -> qFlowControl,
+    "q_flow_busy" -> qFlowBusy,
   )
 
   /** The oracle steps the identical machine event-by-event in a recursive
@@ -213,6 +273,40 @@ object HealthOps {
         |           list_filter(r.fl, x -> x.ep > e.ep - $FlowHoldUs) AS kept
         |    FROM rec r JOIN ev e ON e.tenant = r.tenant AND e.n = r.n + 1))
         |SELECT event_id, tenant, bytes, admitted
+        |FROM rec WHERE n > 0 ORDER BY event_id""".stripMargin,
+    // The busy twin: the recursion carries the held-connection ep list
+    // per worker, filters by the hold horizon, and admits against the
+    // priority/retry-raised barrier plus the hard slot total — the same
+    // decision order as the Spark state machine (and the reference).
+    "q_flow_busy" ->
+      s"""WITH RECURSIVE ev AS (
+        |  SELECT user_id % $BusyWorkers AS worker,
+        |         epoch_us(ts) AS ep, event_id,
+        |         event_id % 3 + 1 AS prio, event_id % 5 AS retry,
+        |         CAST(row_number() OVER (PARTITION BY user_id % $BusyWorkers
+        |              ORDER BY epoch_us(ts), event_id) AS INT) AS n
+        |  FROM events),
+        |seed AS (SELECT DISTINCT worker FROM ev),
+        |rec AS (
+        |  SELECT worker, 0 AS n, CAST(NULL AS BIGINT) AS event_id,
+        |         CAST(NULL AS BIGINT) AS prio, CAST(NULL AS BIGINT) AS retry,
+        |         FALSE AS admitted, CAST([] AS BIGINT[]) AS fl
+        |  FROM seed
+        |  UNION ALL
+        |  SELECT worker, n, event_id, prio, retry,
+        |         (len(kept) <= $BusyBaseConns + prio * $BusyPerPriority
+        |            + least(retry, $BusyMaxRetryIdx) * $BusyPerRetry
+        |          AND len(kept) < $BusyTotalConns) AS admitted,
+        |         CASE WHEN (len(kept) <= $BusyBaseConns
+        |                      + prio * $BusyPerPriority
+        |                      + least(retry, $BusyMaxRetryIdx) * $BusyPerRetry
+        |                    AND len(kept) < $BusyTotalConns)
+        |              THEN list_append(kept, ep) ELSE kept END AS fl
+        |  FROM (
+        |    SELECT e.worker, e.n, e.event_id, e.ep, e.prio, e.retry,
+        |           list_filter(r.fl, x -> x > e.ep - $FlowHoldUs) AS kept
+        |    FROM rec r JOIN ev e ON e.worker = r.worker AND e.n = r.n + 1))
+        |SELECT event_id, worker, prio, retry, admitted
         |FROM rec WHERE n > 0 ORDER BY event_id""".stripMargin,
     "q_admission_quota" ->
       s"""WITH req AS (

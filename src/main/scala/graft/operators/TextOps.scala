@@ -484,8 +484,30 @@ object TextOps {
       .select(explode(TextRules.tokens(col("text"))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
 
-  private val qBpeTrain: Q = (s, d) =>
-    bpeTrain(s, corpusWords(s, d), BpeTrainRounds)
+  /** Cross-query memo for the corpus-learned merge table (the sharedAnn
+    * convention): q_bpe_train emits it and q_bpe_learned_count applies
+    * it — without sharing, each runs the full training loop. The table
+    * is deterministic per (dir, rounds) and driver-small; keyed weakly
+    * by session so a stopped session's entry is collectable. */
+  private val corpusTables = new java.util.WeakHashMap[SparkSession,
+    scala.collection.concurrent.TrieMap[String, Seq[(Int, String, String, Long)]]]()
+
+  private def corpusMergeTable(s: SparkSession, d: String)
+      : Seq[(Int, String, String, Long)] = {
+    val m = corpusTables.synchronized {
+      corpusTables.computeIfAbsent(s, _ =>
+        scala.collection.concurrent.TrieMap.empty)
+    }
+    m.getOrElseUpdate(s"$d|$BpeTrainRounds",
+      bpeTrain(s, corpusWords(s, d), BpeTrainRounds).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .toSeq)
+  }
+
+  private val qBpeTrain: Q = (s, d) => {
+    import s.implicits._
+    corpusMergeTable(s, d).toDF("mrank", "lhs", "rhs", "freq").orderBy("mrank")
+  }
 
   /** Per-doc token budget under the CORPUS-LEARNED merge table — the
     * APPLY half of the train→apply tokenizer loop (q_bpe_train learns the
@@ -503,8 +525,7 @@ object TextOps {
     * oracle uses its constant CASE. */
   private val qBpeLearnedCount: Q = (s, d) => {
     import s.implicits._
-    val learned = bpeTrain(s, corpusWords(s, d), BpeTrainRounds)
-      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val learned = corpusMergeTable(s, d).map(t => (t._2, t._3))
     Tables.documents(s, d)
       .select(col("doc_id"), TextRules.tokens(col("text")).as("toks"))
       .as[(Long, Seq[String])]

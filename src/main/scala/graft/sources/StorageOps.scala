@@ -217,6 +217,33 @@ object StorageOps {
     next
   }
 
+  /** Object-store-safe compaction for a VERSIONED table
+    * ([[publishVersioned]] layout): read the active version, rewrite it
+    * sized toward `targetBytes` per file as the NEXT immutable version,
+    * and flip the pointer — a single PUT on object stores. This is the
+    * manifest-flip compaction lakehouse formats use where [[compact]]'s
+    * in-place temp-dir swap is only correct on stores with atomic rename:
+    * no data file is ever renamed, a reader mid-scan on the old version
+    * keeps a fully consistent dataset, and the old version stays
+    * readable until [[pruneVersions]]. Returns
+    * (dataFilesBefore, dataFilesAfter, newVersion). */
+  def compactVersioned(spark: SparkSession, tableDir: String,
+      targetBytes: Long): (Int, Int, Int) = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val cur = currentVersion(spark, tableDir).getOrElse(
+      throw new IllegalStateException(s"no published version at $tableDir"))
+    val curDir = new Path(s"$tableDir/$cur")
+    val fs = curDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(p: Path) = fs.listStatus(p)
+      .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+    val before = dataFiles(curDir)
+    val totalBytes = before.map(_.getLen).sum
+    val parts = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    val next = publishVersioned(
+      spark.read.parquet(curDir.toString).repartition(parts), tableDir)
+    (before.length, dataFiles(new Path(s"$tableDir/v$next")).length, next)
+  }
+
   /** Resolve the `_current` pointer and load the active version. */
   def loadPublished(spark: SparkSession, tableDir: String): DataFrame = {
     val cur = currentVersion(spark, tableDir).getOrElse(

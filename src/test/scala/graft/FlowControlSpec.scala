@@ -73,10 +73,48 @@ class FlowControlSpec extends AnyFunSuite {
       "hot tenant saw only one outcome - barrier vacuous under skew")
   }
 
+  test("busy control: priority raises the barrier, retry clamps, hard cap binds, holds release") {
+    import spark.implicits._
+    val H = HealthOps.FlowHoldUs
+    // all on worker 2 (user_id = 2); prio = event_id % 3 + 1,
+    // retry = event_id % 5 (clamped at BusyMaxRetryIdx = 3).
+    // (event_id, ep µs) → expected, with held-count noted:
+    val evs = Seq(
+      (5L, 0L),          // prio3 r0 barrier5: 0<=5  admit  (held 1)
+      (20L, 1000L),      // prio3 r0:          1<=5  admit  (2)
+      (35L, 2000L),      // prio3 r0:          2<=5  admit  (3)
+      (50L, 3000L),      // prio3 r0:          3<=5  admit  (4)
+      (30L, 4000L),      // prio1 r0 barrier3: 4>3   REJECT (priority gates)
+      (65L, 5000L),      // prio3 r0 barrier5: 4<=5  admit  (5)
+      (24L, 6000L),      // prio1 r4→3 barrier6: 5<=6 admit (6)
+      (9L, 7000L),       // prio1 r4→3 barrier6: 6<=6 admit (7)
+      (39L, 7500L),      // prio1 r4→3 barrier6: 7>6 REJECT (uncapped r4
+                         //   would read barrier 7 and admit — the clamp
+                         //   is outcome-distinguishing here)
+      (14L, 8000L),      // prio3 r4→3 barrier8: 7<=8 AND 7<8 admit (8)
+      (29L, 9000L),      // prio3 r4→3 barrier8: 8<=8 BUT NOT 8<8 REJECT
+                         //   (the hard slot total, above every barrier)
+      (45L, H + 10000L)) // prio1 r0 barrier3: all held expired → admit
+    val want = Map(5L -> true, 20L -> true, 35L -> true, 50L -> true,
+      30L -> false, 65L -> true, 24L -> true, 9L -> true, 39L -> false,
+      14L -> true, 29L -> false, 45L -> true)
+    val dir = java.nio.file.Files.createTempDirectory("graft-busy").toString
+    evs.map { case (id, ep) => (id, 2L, "sig", ep * 1000L, "x") }
+      .toDF("event_id", "user_id", "event_type", "ts", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q_flow_busy")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(got == want, s"got $got")
+  }
+
   test("the sf fixture exercises both outcomes (the barrier binds)") {
     val rows = SparkEntry.queries("q_flow_control")(spark, TestSpark.sf0001)
       .collect().map(_.getBoolean(3))
     assert(rows.contains(true) && rows.contains(false),
       s"constants leave the barrier vacuous: ${rows.count(_ == true)}/${rows.length} admitted")
+    val busy = SparkEntry.queries("q_flow_busy")(spark, TestSpark.sf0001)
+      .collect().map(_.getBoolean(4))
+    assert(busy.contains(true) && busy.contains(false),
+      s"busy constants vacuous: ${busy.count(_ == true)}/${busy.length} admitted")
   }
 }

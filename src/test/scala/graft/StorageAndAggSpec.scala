@@ -216,6 +216,20 @@ class StorageAndAggSpec extends AnyFunSuite {
         assert(spark.read.parquet(s"$tbl/v1").count() == 2, "v1 intact until pruned")
         assert(StorageOps.pruneVersions(spark, tbl, keep = 1) == Seq("v1"))
         assert(StorageOps.loadPublished(spark, tbl).count() == 1)
+        // versioned compaction: the object-store-safe small-files remedy —
+        // many-file version rewritten as one-file next version, pointer
+        // flipped, zero renames, content preserved
+        val ct = s"$base/ctbl"
+        StorageOps.publishVersioned(
+          spark.range(0, 1000).select(col("id"), (col("id") % 7).as("k"))
+            .repartition(8), ct)
+        val sumBefore = StorageOps.loadPublished(spark, ct)
+          .agg(sum(col("id") + col("k"))).head().getLong(0)
+        val (nb, na, nv) = StorageOps.compactVersioned(spark, ct, 1L << 30)
+        assert(nb == 8 && na == 1 && nv == 2, s"got ($nb, $na, $nv)")
+        assert(StorageOps.currentVersion(spark, ct).contains("v2"))
+        assert(StorageOps.loadPublished(spark, ct)
+          .agg(sum(col("id") + col("k"))).head().getLong(0) == sumBefore)
       } finally {
         hc.unset(factoryKey)
         hc.unset("fs.mocks3.committer.name")
