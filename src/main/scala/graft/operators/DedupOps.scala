@@ -366,6 +366,37 @@ object DedupOps {
         sum(col("vertex_id") - col("label")).as("id_span"))
       .orderBy("rep_id")
 
+  /** Train/val/test bucket count and boundaries for [[qSplitLeakage]]:
+    * bucket = phash(rep) mod 10, 0-7 train / 8 val / 9 test. */
+  val SplitBuckets = 10L
+
+  /** LEAKAGE-SAFE train/val/test split — the dedup-aware assignment an
+    * eval-clean training pipeline needs: a document's split is decided by
+    * the portable hash of its near-dup CLUSTER representative (docs in no
+    * cluster represent themselves), so two near-duplicate documents can
+    * NEVER straddle splits. Splitting per-doc by hash(doc_id) — the naive
+    * recipe — leaks: a test document's near-copy lands in train with
+    * probability (1 - 1/10) per duplicate, and the eval measures
+    * memorization. Plan: the verified pair graph + connected components
+    * (the exact subplan q_dedup_cluster shares), a LEFT join from the
+    * corpus (labels are O(docs-in-pairs), never O(corpus)), then a pure
+    * projection — the split decision itself is hash arithmetic, zero
+    * extra exchanges, reproducible on any cluster size (no rand()). */
+  private val qSplitLeakage: Q = (s, d) => {
+    val labels = GraphOps.connectedComponents(
+      s, nearDupPairs(s, d).select("doc_a", "doc_b"))
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(labels, col("doc_id") === col("vertex_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("rep_id"))
+      .withColumn("bucket", pmod(Tables.phash(col("rep_id")), lit(SplitBuckets)))
+      .select(col("doc_id"), col("rep_id"),
+        when(col("bucket") <= 7, "train")
+          .when(col("bucket") === 8, "val")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id")
+  }
+
   /** Hamming gate over the 512-bit signature, applied INSIDE the
     * candidate self-join (before the distinct exchange). Measured
     * separation on the corpus: true (J>=0.8) pairs' hamming <= 80/512,
@@ -709,6 +740,7 @@ object DedupOps {
     "q_text_minhash" -> qTextMinhash,
     "q_text_simhash" -> qTextSimhash,
     "q_dedup_cluster" -> qDedupCluster,
+    "q_split_leakage" -> qSplitLeakage,
     "q_dedup_keep_best" -> qDedupKeepBest,
     "q_cross_dedup" -> qCrossDedup,
     "q_span_dup_rate" -> qSpanDupRate,
@@ -778,6 +810,23 @@ object DedupOps {
       |       CAST(count(*) AS BIGINT) AS cluster_size,
       |       CAST(sum(doc_id - label) AS BIGINT) AS id_span
       |FROM labels GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Leakage-safe split mirror: same labels; split decided by
+    * phash(cluster representative) mod SplitBuckets, docs in no cluster
+    * representing themselves via the LEFT join coalesce. */
+  private val splitLeakageSql =
+    s"""$clusterLabelsCte,
+      |reps AS (
+      |  SELECT d.doc_id, coalesce(l.label, d.doc_id) AS rep_id
+      |  FROM documents d LEFT JOIN labels l USING (doc_id))
+      |SELECT doc_id, rep_id,
+      |       CASE WHEN b <= 7 THEN 'train'
+      |            WHEN b = 8 THEN 'val'
+      |            ELSE 'test' END AS split
+      |FROM (SELECT doc_id, rep_id,
+      |             ${Tables.phashSql("rep_id")} % $SplitBuckets AS b
+      |      FROM reps)
+      |ORDER BY doc_id""".stripMargin
 
   /** Keep-best mirror: same labels, longest doc (n_chars, then smaller
     * doc_id) wins its cluster. */
@@ -924,6 +973,7 @@ object DedupOps {
     "q_text_minhash" -> exactPairsSql,
     "q_text_simhash" -> exactPairsSql,
     "q_dedup_cluster" -> clusterSql,
+    "q_split_leakage" -> splitLeakageSql,
     "q_dedup_keep_best" -> keepBestSql,
     "q_cross_dedup" -> crossDedupSql,
     "q_span_dup_rate" -> spanDupSql,

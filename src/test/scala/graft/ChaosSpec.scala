@@ -12,10 +12,14 @@ class ChaosSpec extends AnyFunSuite {
 
   // the dedup-ledger family: dropDuplicates + window + aggregation over
   // the chaos-gated events scan — the queries whose retry semantics the
-  // reference's LongHashSet/latest-attempt machinery exists to protect
+  // reference's LongHashSet/latest-attempt machinery exists to protect —
+  // plus the two flow-control STATE MACHINES (r8): a retried task replays
+  // its whole sorted partition through the admission ledger, so their
+  // determinism under first-attempt failure is exactly what makes the
+  // mapPartitions formulation safe at scale
   private val ledgerQueries =
     Seq("q_dedup_exact", "q_latest_attempt", "q_checksum_verify",
-      "q_ledger_order")
+      "q_ledger_order", "q_flow_control", "q_flow_busy")
 
   private def runAll(): Map[String, Seq[Seq[Any]]] =
     ledgerQueries.map { q =>

@@ -295,6 +295,34 @@ class DedupSpec extends AnyFunSuite {
       "keep flag must mark exactly the longest member")
   }
 
+  test("leakage-safe split: near-dup pairs never straddle splits; singletons self-represent") {
+    val d = TestSpark.sf0001
+    val rows = SparkEntry.queries("q_split_leakage")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val split = rows.map(r => r._1 -> r._3).toMap
+    val rep = rows.map(r => r._1 -> r._2).toMap
+    // total coverage: one decision per corpus doc
+    val nDocs = spark.read.parquet(s"$d/documents.parquet").count()
+    assert(rows.length.toLong == nDocs)
+    // the leakage property itself: every EXACT verified near-dup pair
+    // shares a representative, hence a split
+    val dupPairs = pairs("q_ngram_jaccard", d)
+    assert(dupPairs.nonEmpty, "corpus has planted near-dups")
+    for ((a, b) <- dupPairs) {
+      assert(rep(a) == rep(b), s"pair ($a, $b) has different reps")
+      assert(split(a) == split(b), s"near-dups ($a, $b) straddle splits: " +
+        s"${split(a)} vs ${split(b)} - eval leakage")
+    }
+    // docs outside every cluster represent themselves
+    val inPairs = dupPairs.flatMap(p => Seq(p._1, p._2))
+    for ((id, r, _) <- rows if !inPairs.contains(id))
+      assert(r == id, s"singleton $id got foreign rep $r")
+    // all three splits materialize and train dominates (8/1/1 hash split)
+    val byShare = rows.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(byShare.keySet == Set("train", "val", "test"), s"got $byShare")
+    assert(byShare("train") > byShare("val") && byShare("train") > byShare("test"))
+  }
+
   test("a precomputed simhash signature must match the banding geometry or fail loudly") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, expr}
