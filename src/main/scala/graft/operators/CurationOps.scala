@@ -228,9 +228,11 @@ object CurationOps {
     * corpus and the comparison exercises the actual regex semantics across
     * engines (the parity hazard a PII gate lives or dies on). On a real
     * corpus, apply [[piiFlags]] to the raw text column directly. */
-  private val qPiiFlag: Q = (s, d) => {
+  /** The deterministic PII-seeded text column both detector queries run
+    * over (see [[qPiiFlag]]'s scaladoc for why the fixture is seeded). */
+  private def seededPii: Column = {
     val h = Tables.phash(col("doc_id")) % 5
-    val seeded = concat(col("text"),
+    concat(col("text"),
       when(h === 1, concat(lit(" reach me at user"), col("doc_id"),
         lit("@mail.example.com"))).otherwise(lit("")),
       when(h === 2, concat(lit(" call 415-555-"),
@@ -238,10 +240,70 @@ object CurationOps {
         .otherwise(lit("")),
       when(h === 3, concat(lit(" host 10."), col("doc_id") % 256,
         lit(".0."), (col("doc_id") * 7) % 256)).otherwise(lit("")))
-    Tables.documents(s, d)
-      .select(col("doc_id") +: piiFlags(seeded): _*)
-      .orderBy("doc_id")
   }
+
+  private val qPiiFlag: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id") +: piiFlags(seededPii): _*)
+      .orderBy("doc_id")
+
+  /** Placeholder token per PII family — digit- and '@'-free on purpose,
+    * so a later family's pattern can never match inside an earlier
+    * family's replacement (the substitution order below is then safely
+    * the declaration order of [[PiiPatterns]]). */
+  val PiiTokens: Map[String, String] = Map(
+    "n_email" -> "<EMAIL>", "n_phone" -> "<PHONE>", "n_ip" -> "<IP>")
+
+  /** Redact all PII families from a text column (declaration order). */
+  def piiRedact(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (name, pat)) =>
+      regexp_replace(c, lit(pat), lit(PiiTokens(name)))
+    }
+
+  /** SQL twin of [[seededPii]] (one source for both PII oracles).
+    * DuckDB standard string literals are raw (no backslash escapes), so
+    * the java-regex pattern strings pass through unmodified. NOT
+    * stripMargin'd here: both embedding templates strip once at the end,
+    * and a second strip would eat one pipe of each line-leading `||`. */
+  private def piiSeededCteSql: String = {
+    val ph = Tables.phashSql("doc_id")
+    s"""WITH s AS (
+      |  SELECT doc_id, text ||
+      |    CASE WHEN $ph % 5 = 1
+      |      THEN ' reach me at user' || CAST(doc_id AS VARCHAR)
+      |             || '@mail.example.com' ELSE '' END ||
+      |    CASE WHEN $ph % 5 = 2
+      |      THEN ' call 415-555-'
+      |             || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      |      ELSE '' END ||
+      |    CASE WHEN $ph % 5 = 3
+      |      THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+      |             || CAST((doc_id * 7) % 256 AS VARCHAR) ELSE '' END
+      |      AS seeded
+      |  FROM documents)"""
+  }
+
+  private def piiCountsSql: String =
+    PiiPatterns.map { case (name, pat) =>
+      s"CAST(len(regexp_extract_all(seeded, '$pat')) AS BIGINT) AS $name"
+    }.mkString(",\n      |       ")
+
+  /** The redaction ACTION the flag query points at: replace every match
+    * of every family with its placeholder token, emitting the
+    * pre-redaction counts plus the md5 of the redacted text — the same
+    * byte-exactness contract as q_text_normalize, so a single differing
+    * character between the engines' regex substitutions fails the gate.
+    * Pure map-side expression work (regexp_replace chain in one
+    * projection), zero shuffles, scan-speed at any corpus size. DuckDB
+    * replays with the 'g' flag (its regexp_replace defaults to
+    * first-match; Spark replaces all). */
+  private val qPiiRedact: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id") +:
+        PiiPatterns.map { case (name, pat) =>
+          regexp_count(seededPii, lit(pat)).cast("long").as(name)
+        } :+ md5(piiRedact(seededPii)).as("redacted_md5"): _*)
+      .orderBy("doc_id")
 
   /** Deterministic source mixing — the step that assembles a training
     * mixture from weighted sources (e.g. "2 epochs of wiki, 0.25 of CC";
@@ -329,6 +391,7 @@ object CurationOps {
     "q_gopher_repeat" -> qGopherRepeat,
     "q_metrics_funnel" -> qMetricsFunnel,
     "q_pii_flag" -> qPiiFlag,
+    "q_pii_redact" -> qPiiRedact,
     "q_data_mix" -> qDataMix,
     "q_source_budget" -> qSourceBudget,
   )
@@ -385,33 +448,26 @@ object CurationOps {
       |GROUP BY source ORDER BY source""".stripMargin
     },
     "q_pii_flag" -> {
-      val ph = Tables.phashSql("doc_id")
-      // DuckDB standard string literals are raw (no backslash escapes),
-      // so the java-regex pattern strings pass through unmodified
-      val pats = PiiPatterns.map { case (name, pat) =>
-        s"CAST(len(regexp_extract_all(seeded, '$pat')) AS BIGINT) AS $name"
-      }.mkString(",\n      |       ")
-      s"""WITH s AS (
-      |  SELECT doc_id, text ||
-      |    CASE WHEN $ph % 5 = 1
-      |      THEN ' reach me at user' || CAST(doc_id AS VARCHAR)
-      |             || '@mail.example.com' ELSE '' END ||
-      |    CASE WHEN $ph % 5 = 2
-      |      THEN ' call 415-555-'
-      |             || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
-      |      ELSE '' END ||
-      |    CASE WHEN $ph % 5 = 3
-      |      THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.'
-      |             || CAST((doc_id * 7) % 256 AS VARCHAR) ELSE '' END
-      |      AS seeded
-      |  FROM documents),
+      s"""$piiSeededCteSql,
       |c AS (
       |  SELECT doc_id,
-      |       $pats
+      |       $piiCountsSql
       |  FROM s)
       |SELECT doc_id, n_email, n_phone, n_ip,
       |       (n_email > 0 OR n_phone > 0 OR n_ip > 0) AS has_pii
       |FROM c ORDER BY doc_id""".stripMargin
+    },
+    // the redaction twin: DuckDB regexp_replace needs the 'g' flag to
+    // match Spark's replace-all; the md5 pins the substitution byte-exact
+    "q_pii_redact" -> {
+      val redacted = PiiPatterns.foldLeft("seeded") { case (e, (name, pat)) =>
+        s"regexp_replace($e, '$pat', '${PiiTokens(name)}', 'g')"
+      }
+      s"""$piiSeededCteSql
+      |SELECT doc_id,
+      |       $piiCountsSql,
+      |       md5($redacted) AS redacted_md5
+      |FROM s ORDER BY doc_id""".stripMargin
     },
     "q_decontaminate" -> (toksCte + s""",
       |g AS (

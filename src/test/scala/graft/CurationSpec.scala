@@ -143,6 +143,32 @@ class CurationSpec extends AnyFunSuite {
       .forall(r => r.getLong(1) + r.getLong(2) + r.getLong(3) == 1))
   }
 
+  test("piiRedact strips every detector family; tokens land; clean text unchanged") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "plain text with no pii at all"),
+      (2L, "mail a@b.io and c.d+x@sub.example.org twice"),
+      (3L, "call 415-555-0142 or 212.555.9999"),
+      (4L, "hosts 10.0.0.1 and 192.168.255.3"),
+      (5L, "mixed: e@f.com at 10.1.2.3")).toDF("doc_id", "text")
+    val red = docs.select(col("doc_id"),
+        CurationOps.piiRedact(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // the redacted corpus is PII-free by the detectors' own judgment
+    val recount = docs.select(col("doc_id"),
+        CurationOps.piiRedact(col("text")).as("t"))
+      .select(col("doc_id") +: CurationOps.piiFlags(col("t")): _*)
+      .collect()
+    assert(recount.forall(!_.getBoolean(4)),
+      "a detector still fires on its own redaction output")
+    assert(red(1L) == "plain text with no pii at all")
+    assert(red(2L) == "mail <EMAIL> and <EMAIL> twice")
+    assert(red(3L) == "call <PHONE> or <PHONE>")
+    assert(red(4L) == "hosts <IP> and <IP>")
+    assert(red(5L) == "mixed: <EMAIL> at <IP>")
+  }
+
   test("data mix: whole-epoch sources duplicate, fractional sources subsample") {
     import org.apache.spark.sql.functions.col
     val mixed = CurationOps.mix(
@@ -228,7 +254,8 @@ class CurationSpec extends AnyFunSuite {
   test("curation queries and oracles are registered consistently") {
     assert(CurationOps.queries.keySet ===
       Set("q_decontaminate", "q_bloom_decontaminate", "q_gopher_repeat",
-        "q_metrics_funnel", "q_pii_flag", "q_data_mix", "q_source_budget"))
+        "q_metrics_funnel", "q_pii_flag", "q_pii_redact", "q_data_mix",
+        "q_source_budget"))
     assert(CurationOps.oracles.keySet === CurationOps.queries.keySet)
   }
 }
