@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+/** Cross-query shared-subplan memo — one registry for result frames that
+  * several registered queries derive from the same deterministic
+  * computation (ANN result sets for q_ann_recall vs the standalone ANN
+  * queries; the connected-component label frame behind
+  * q_dedup_cluster / q_dedup_keep_best / q_split_leakage). Every caller
+  * receives the SAME persisted DataFrame per (key, cache level), so
+  * whichever query materializes first warms the rest — within one action
+  * and across queries in a session.
+  *
+  * Safety properties the memo relies on (and why it is correct to share):
+  *   - every memoized build is DETERMINISTIC per (dir) — portable-hash
+  *     schedules, no rand(), recompute-stable lineage — so handing a
+  *     later query the earlier query's frame cannot change results;
+  *   - keys include the [[Caching]] level, so CachingSpec's DISK_ONLY
+  *     pass rebuilds under that level instead of reusing a
+  *     MEMORY_AND_DISK plan;
+  *   - sessions are WEAK keys: a stopped session's entries become
+  *     collectable instead of pinning dead plans;
+  *   - an external `clearCache()` only unpersists — the re-arm below
+  *     re-persists on next use, costing latency, never correctness.
+  */
+object SharedPlans {
+  private val memo = new java.util.WeakHashMap[SparkSession,
+    scala.collection.concurrent.TrieMap[String, DataFrame]]()
+
+  /** The memoized, persisted frame for `key` (cache-level scoped). */
+  def shared(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    val m = memo.synchronized {
+      memo.computeIfAbsent(s,
+        _ => scala.collection.concurrent.TrieMap.empty[String, DataFrame])
+    }
+    val lvl = Caching.level(s)
+    val df = m.getOrElseUpdate(s"$key@$lvl", Caching.persist(build))
+    if (df.storageLevel == StorageLevel.NONE && lvl != StorageLevel.NONE)
+      df.persist(lvl) // re-arm after an external clearCache
+    df
+  }
+}

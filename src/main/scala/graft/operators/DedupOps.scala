@@ -359,8 +359,17 @@ object DedupOps {
     * shape holds (alternating small-star/large-star halves the rounds but
     * shares the join topology).
     */
+  /** Shared CC label frame over the verified near-dup pair graph
+    * ([[graft.SharedPlans]]): q_dedup_cluster, q_dedup_keep_best and
+    * q_split_leakage all derive from these SAME deterministic labels —
+    * one component computation per (session, dir) instead of three. */
+  private def nearDupLabels(s: SparkSession, d: String): DataFrame =
+    graft.SharedPlans.shared(s, s"neardup_labels|$d")(
+      GraphOps.connectedComponents(s,
+        nearDupPairs(s, d).select("doc_a", "doc_b")))
+
   private val qDedupCluster: Q = (s, d) =>
-    GraphOps.connectedComponents(s, nearDupPairs(s, d).select("doc_a", "doc_b"))
+    nearDupLabels(s, d)
       .groupBy(col("label").as("rep_id"))
       .agg(count(lit(1)).as("cluster_size"),
         sum(col("vertex_id") - col("label")).as("id_span"))
@@ -383,8 +392,7 @@ object DedupOps {
     * projection — the split decision itself is hash arithmetic, zero
     * extra exchanges, reproducible on any cluster size (no rand()). */
   private val qSplitLeakage: Q = (s, d) => {
-    val labels = GraphOps.connectedComponents(
-      s, nearDupPairs(s, d).select("doc_a", "doc_b"))
+    val labels = nearDupLabels(s, d)
     Tables.documents(s, d).select(col("doc_id"))
       .join(labels, col("doc_id") === col("vertex_id"), "left")
       .select(col("doc_id"),
@@ -612,8 +620,7 @@ object DedupOps {
     * (label) partitioning — one sort, no extra exchange. */
   private val qDedupKeepBest: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
-    val labels = GraphOps.connectedComponents(
-      s, nearDupPairs(s, d).select("doc_a", "doc_b"))
+    val labels = nearDupLabels(s, d)
     val byCluster = Window.partitionBy("label")
     val best = Window.partitionBy("label")
       .orderBy(col("n_chars").desc, col("doc_id"))

@@ -35,33 +35,15 @@ object VectorOps {
   private type Q = (SparkSession, String) => DataFrame
   private val P = 1000000007L
 
-  /** Cross-query shared-result memo for the ANN result frames: q_ann_recall
-    * compares the LSH and IVF outputs against brute force, and all three
-    * also run standalone — without sharing, the recall artifact re-executes
-    * both approximate subplans in full (the r7 "minor waste" note). The
-    * memo hands every caller the SAME persisted DataFrame per (dir, cache
-    * level), so whichever query materializes first warms the rest; results
-    * are tiny (top-5 rows per fixed query). Keyed weakly by session (a
-    * stopped session's entries are collectable) and by [[graft.Caching]]
-    * level (CachingSpec's DISK_ONLY pass must rebuild under that level,
-    * not reuse a MEMORY_AND_DISK plan). An external `clearCache()` only
-    * unpersists — lineage is recompute-stable, so the re-arm below costs
-    * latency, never correctness. */
-  private val sharedResults = new java.util.WeakHashMap[SparkSession,
-    scala.collection.concurrent.TrieMap[String, DataFrame]]()
-
-  private def sharedAnn(name: String, build: Q): Q = (s, d) => {
-    val m = sharedResults.synchronized {
-      sharedResults.computeIfAbsent(s,
-        _ => scala.collection.concurrent.TrieMap.empty[String, DataFrame])
-    }
-    val lvl = graft.Caching.level(s)
-    val df = m.getOrElseUpdate(s"$name|$d|$lvl", graft.Caching.persist(build(s, d)))
-    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE &&
-        lvl != org.apache.spark.storage.StorageLevel.NONE)
-      df.persist(lvl) // re-arm after an external clearCache
-    df
-  }
+  /** Cross-query shared-result memo for the ANN result frames
+    * ([[graft.SharedPlans]]): q_ann_recall compares the LSH and IVF
+    * outputs against brute force, and all three also run standalone —
+    * without sharing, the recall artifact re-executes both approximate
+    * subplans in full (the r7 "minor waste" note). Results are tiny
+    * (top-5 rows per fixed query); safety properties in SharedPlans'
+    * scaladoc. */
+  private def sharedAnn(name: String, build: Q): Q = (s, d) =>
+    graft.SharedPlans.shared(s, s"$name|$d")(build(s, d))
 
   private def cosine(a: String, b: String): Column =
     expr(s"cosine_sim($a, $b)")
