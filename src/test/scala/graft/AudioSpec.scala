@@ -1,0 +1,111 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.AudioOps
+
+/** Audio-path codec: the generator must emit genuine WAV (RIFF) byte
+  * streams and the javax.sound decode must roundtrip the PCM16 samples
+  * exactly (PCM is lossless), so the oracle can recompute every statistic
+  * from doc_id alone — the same contract the PNG/GIF paths carry. */
+class AudioSpec extends AnyFunSuite {
+  private val ids = Seq(0L, 1L, 7L, 23L, 96L, 499L, 12345L)
+
+  test("encodeWav produces real RIFF/WAVE containers") {
+    for (id <- ids) {
+      val b = AudioOps.encodeWav(AudioOps.clipSamples(id))
+      assert(b.length > 44, s"id=$id payload shorter than a WAV header")
+      assert(new String(b.take(4), "US-ASCII") == "RIFF", s"id=$id no RIFF magic")
+      assert(new String(b.slice(8, 12), "US-ASCII") == "WAVE", s"id=$id no WAVE tag")
+    }
+  }
+
+  test("decode roundtrips format and samples bit-exactly") {
+    for (id <- ids) {
+      val (rate, ch, v) = AudioOps.decodeWav(AudioOps.encodeWav(AudioOps.clipSamples(id)))
+      assert(rate == AudioOps.SampleRate && ch == 1)
+      assert(v.length == AudioOps.nSamples(id), s"id=$id sample count")
+      for (i <- v.indices)
+        assert(v(i) == AudioOps.sampleAt(id, i).toShort, s"id=$id sample $i")
+    }
+  }
+
+  test("trim respects the planted silence and the zero rule") {
+    for (id <- ids) {
+      val v = AudioOps.decodeWav(AudioOps.encodeWav(AudioOps.clipSamples(id)))._3
+      val (_, n, lead, trail, len, sumSq, maxAbs) = AudioOps.trimStats(id, v)
+      assert(n == v.length)
+      // planted zeros are a lower bound; a formula sample that is 0 at the
+      // boundary extends the cut — verify against the actual first/last
+      // nonzero index instead of the plant
+      val firstNz = v.indexWhere(_ != 0)
+      val lastNz = v.lastIndexWhere(_ != 0)
+      assert(firstNz >= 0, s"id=$id fixture produced an all-silent clip")
+      assert(lead == firstNz && trail == v.length - 1 - lastNz)
+      assert(lead >= AudioOps.leadSil(id) && trail >= AudioOps.tailSil(id))
+      assert(len == lastNz - firstNz + 1)
+      val span = v.slice(firstNz, lastNz + 1).map(x => Math.abs(x.toLong))
+      assert(sumSq == span.map(x => x * x).sum && maxAbs == span.max)
+    }
+  }
+
+  test("all-silent clips take the (n, 0, 0-stats) convention") {
+    val (_, n, lead, trail, len, sumSq, maxAbs) =
+      AudioOps.trimStats(42L, Array.fill[Short](10)(0))
+    assert(n == 10 && lead == 10 && trail == 0 && len == 0 && sumSq == 0 && maxAbs == 0)
+  }
+
+  test("frame stats sample every 2nd complete frame") {
+    for (id <- ids) {
+      val v = AudioOps.decodeWav(AudioOps.encodeWav(AudioOps.clipSamples(id)))._3
+      val rows = AudioOps.frameStats(id, v, 2)
+      val nf = v.length / AudioOps.FrameLen
+      assert(rows.map(_._2) == (0 until nf by 2).map(_.toLong))
+      for ((_, f, nfr, sumSq, maxAbs, nZero) <- rows) {
+        assert(nfr == nf)
+        val fr = v.slice(f.toInt * 64, f.toInt * 64 + 64).map(x => Math.abs(x.toLong))
+        assert(sumSq == fr.map(x => x * x).sum)
+        assert(maxAbs == fr.max && nZero == fr.count(_ == 0L))
+      }
+    }
+  }
+
+  test("fingerprint is a pure function of the content key") {
+    // same cid -> identical WAV bytes -> identical fingerprint
+    val aBytes = AudioOps.encodeWav(AudioOps.fpClipSamples(AudioOps.fpCid(3L)))
+    val bBytes = AudioOps.encodeWav(AudioOps.fpClipSamples(AudioOps.fpCid(3L + 64L)))
+    assert(aBytes.sameElements(bBytes))
+    val fa = AudioOps.fingerprint(AudioOps.decodeWav(aBytes)._3)
+    val fb = AudioOps.fingerprint(AudioOps.decodeWav(bBytes)._3)
+    assert(fa == fb)
+  }
+
+  test("fingerprint bits encode the frame-energy deltas") {
+    for (cid <- Seq(0L, 5L, 63L)) {
+      val v = AudioOps.decodeWav(AudioOps.encodeWav(AudioOps.fpClipSamples(cid)))._3
+      val (fp, nf) = AudioOps.fingerprint(v)
+      assert(nf == AudioOps.fpNSamples(cid) / AudioOps.FpFrameLen)
+      val en = (0 until nf.toInt).map(f =>
+        v.slice(f * 32, f * 32 + 32).map(x => Math.abs(x.toLong)).sum)
+      val expect = (0 until nf.toInt - 1)
+        .filter(k => en(k + 1) > en(k)).map(k => 1L << k).sum
+      assert(fp == expect, s"cid=$cid")
+      assert(fp >= 0L, "fingerprint must never touch the sign bit")
+    }
+  }
+
+  test("queries run end-to-end on sf0.001 with dup groups present") {
+    val s = TestSpark.spark
+    val d = TestSpark.sf0001
+    val meta = AudioOps.queries("q_audio_meta")(s, d).collect()
+    assert(meta.nonEmpty)
+    val dedup = AudioOps.queries("q_audio_fingerprint")(s, d).collect()
+    assert(dedup.nonEmpty, "content-keyed fixture must produce dup groups")
+    // every group member shares the keeper's fingerprint and the keeper is
+    // the min doc_id of its group
+    val byFp = dedup.groupBy(_.getLong(1))
+    for ((_, rows) <- byFp) {
+      val repIds = rows.map(_.getLong(4)).distinct
+      assert(repIds.length == 1 && repIds.head == rows.map(_.getLong(0)).min)
+    }
+  }
+}
