@@ -212,6 +212,38 @@ object AudioOps {
       .orderBy("doc_id")
   }
 
+  /** Decimation resample (8 kHz → 4 kHz): decode, keep every 2nd sample,
+    * and report the downsampled clip's exact stats — the audio analog of
+    * the image 2×2 average-pool. (A production resampler low-pass
+    * filters first; plain decimation keeps the oracle integer-exact and
+    * the plumbing — decode → array transform → stats in one
+    * partition-local pass, zero shuffle — is the real shape.) */
+  private[graft] def resampleStats(id: Long, v: Array[Short])
+      : (Long, Long, Long, Long, Long, Long) = {
+    val n2 = (v.length + 1) / 2
+    var sumAbs = 0L; var sumSq = 0L; var maxAbs = 0L
+    var i = 0
+    while (i < v.length) {
+      val a = Math.abs(v(i).toLong)
+      sumAbs += a; sumSq += a * a
+      if (a > maxAbs) maxAbs = a
+      i += 2
+    }
+    (id, n2.toLong, 4000L, sumAbs, sumSq, maxAbs)
+  }
+
+  private val qAudioResample: Q = (s, d) => {
+    import s.implicits._
+    wavPayloads(s, d)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(it => it.map { case (id, bytes) =>
+        resampleStats(id, decodeWav(bytes)._3)
+      })
+      .toDF("doc_id", "n_samples2", "sample_rate2", "sum_abs2", "sum_sq2",
+        "max_abs2")
+      .orderBy("doc_id")
+  }
+
   // ---- perceptual fingerprint dedup ----------------------------------
 
   /** Dedup fixture: waveform depends only on the CONTENT key
@@ -259,12 +291,20 @@ object AudioOps {
     * twin of q_image_dhash. Decode+fingerprint is map-side (zero
     * shuffle); the one wide exchange carries (doc_id, fp) longs, never
     * PCM. */
+  /** Distinct-fingerprint index (fp, n, rep) — the static side of
+    * [[graft.streaming.AudioDedupStream]] and the group table of the
+    * dedup query. One row per distinct fingerprint, however many clips
+    * share it. */
+  private[graft] def fingerprintIndex(s: SparkSession, d: String): DataFrame =
+    wavPayloads0(s, d).groupBy("fp")
+      .agg(count(lit(1)).as("n"), min("doc_id").as("rep"))
+
   private val qAudioFingerprint: Q = (s, d) => {
     import s.implicits._
     val fps = wavPayloads0(s, d)
-    val groups = fps.groupBy("fp")
-      .agg(count(lit(1)).as("group_size"), min("doc_id").as("rep_id"))
-      .filter(col("group_size") >= 2)
+    val groups = fingerprintIndex(s, d)
+      .filter(col("n") >= 2)
+      .select(col("fp"), col("n").as("group_size"), col("rep").as("rep_id"))
     fps.join(groups, "fp")
       .select(col("doc_id"), col("fp"), col("n_frames"),
         col("group_size"), col("rep_id"))
@@ -293,6 +333,7 @@ object AudioOps {
     "q_audio_meta" -> qAudioMeta,
     "q_audio_frames" -> qAudioFrames,
     "q_audio_trim" -> qAudioTrim,
+    "q_audio_resample" -> qAudioResample,
     "q_audio_fingerprint" -> qAudioFingerprint,
   )
 
@@ -365,6 +406,19 @@ object AudioOps {
          |       coalesce(agg.trimmed_sum_sq, 0) AS trimmed_sum_sq,
          |       coalesce(agg.trimmed_max_abs, 0) AS trimmed_max_abs
          |FROM b LEFT JOIN agg USING (doc_id) ORDER BY b.doc_id""".stripMargin,
+    "q_audio_resample" ->
+      s"""WITH $SamplesCte
+         |SELECT doc_id,
+         |       CAST(sum(CASE WHEN i % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_samples2,
+         |       CAST(4000 AS BIGINT) AS sample_rate2,
+         |       CAST(sum(CASE WHEN i % 2 = 0 THEN abs(v) ELSE 0 END)
+         |            AS BIGINT) AS sum_abs2,
+         |       CAST(sum(CASE WHEN i % 2 = 0 THEN v * v ELSE 0 END)
+         |            AS BIGINT) AS sum_sq2,
+         |       CAST(max(CASE WHEN i % 2 = 0 THEN abs(v) END) AS BIGINT)
+         |         AS max_abs2
+         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // Replays the content-keyed generator + fingerprint per cid, then
     // fans out to docs; bit k of fp uses frame-energy deltas (Σ|v|).
     "q_audio_fingerprint" ->

@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.AudioOps
+
+/** Incremental (streaming) audio dedup — the audio twin of
+  * [[ImageDedupStream]]: each arriving clip decodes to its perceptual
+  * fingerprint map-side and probes the published corpus FINGERPRINT index
+  * for exact matches, so an ingest pipeline can route duplicate audio
+  * before it reaches storage.
+  *
+  * Shape (the billion-clip topology):
+  *   - STATIC side: the fingerprint group index (fp, member count,
+  *     min-doc rep — one row per DISTINCT fingerprint, however many clips
+  *     share it). A batch product, republished on corpus rebuild like the
+  *     MinHash band index.
+  *   - STREAM side: decode+fingerprint runs as the same typed
+  *     mapPartitions codec stage the batch path uses (one codec init per
+  *     partition), a pure per-row scalar — append-safe, no aggregation —
+  *     then an equi-join on fp against the index. Exact fingerprint
+  *     equality is the match semantic (the batch groupBy's key), so each
+  *     arrival meets each index row at most once: no pair-dedup state is
+  *     needed at all, and the whole query is stateless stream-static.
+  *
+  * Freshness contract (same as all three sibling twins): an arriving clip
+  * is checked against the corpus as of the last index publish; two NEW
+  * clips that only duplicate each other wait for the next rebuild. Parity
+  * is pinned in AudioDedupStreamSpec: the whole corpus streamed against
+  * its own index yields exactly the batch dup-group membership.
+  */
+object AudioDedupStream {
+
+  /** Matches of a watermarked audio stream (`doc_id`, binary WAV
+    * `payload`, event-time `ts`) against the published fingerprint index
+    * `fps` (schema: fp, n, rep). Emits one row per (arrival, matched
+    * fingerprint group) with the group's size and representative. */
+  def matchesAgainstIndex(s: SparkSession, stream: DataFrame,
+      fps: DataFrame, delay: String = "10 minutes"): DataFrame = {
+    import s.implicits._
+    val idx = fps.select(col("fp").as("cand_fp"), col("n"), col("rep"))
+    stream
+      .select(col("ts"), col("doc_id").as("in_id"), col("payload"))
+      .as[(java.sql.Timestamp, Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (ts, id, bytes) =>
+          val (fp, nf) = AudioOps.fingerprint(AudioOps.decodeWav(bytes)._3)
+          (ts, id, fp, nf)
+        }
+      }
+      .toDF("ts", "in_id", "fp", "n_frames")
+      .withWatermark("ts", delay)
+      .join(idx, col("fp") === col("cand_fp"))
+      .select(col("ts"), col("in_id"), col("fp"), col("n_frames"),
+        col("n").as("corpus_n"), col("rep").as("corpus_rep"))
+  }
+}
