@@ -346,6 +346,47 @@ object PipelineOps {
       .orderBy("user_id", "version")
   }
 
+  /** Corpus snapshot diff — the dataset-versioning operator: classify
+    * every document as added / removed / changed between two corpus
+    * versions by content digest, emitting O(changes) rows (unchanged docs
+    * are filtered before the output ever materializes). The fixture's
+    * "new" version is a deterministic transform of the same table
+    * (id%31==0 removed; id%17==0 edited; id%41==0 re-added under a
+    * shifted id), so the DuckDB oracle replays both versions exactly.
+    *
+    * Scale shape: each side reduces to (doc_id, 16-byte md5) map-side —
+    * full texts never shuffle — then ONE full-outer sort-merge join on
+    * doc_id classifies membership. At 100 TB the old side is the
+    * previous version's published digest manifest (computed once per
+    * version, the way [[graft.sources.StorageOps.publishVersioned]]
+    * artifacts chain), so an incremental diff costs one scan of the new
+    * version plus a join of two digest manifests. Absent digests are
+    * surfaced as '' (not NULL) so the diff row is totally ordered and
+    * engine-portable. */
+  private val qSnapshotDiff: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val oldV = docs.select(col("doc_id"), md5(col("text")).as("old_md5"))
+    val newV = docs.filter(col("doc_id") % 31 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 17 === 0, concat(col("text"), lit(" [v2]")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(docs.filter(col("doc_id") % 41 === 0)
+        .select((col("doc_id") + 1000000000L).as("doc_id"),
+          concat(col("text"), lit(" [new]")).as("text")))
+      .select(col("doc_id"), md5(col("text")).as("new_md5"))
+    oldV.join(newV, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("old_md5").isNull, lit("added"))
+          .when(col("new_md5").isNull, lit("removed"))
+          .otherwise(lit("changed")))
+      .filter(col("old_md5").isNull || col("new_md5").isNull ||
+        col("old_md5") =!= col("new_md5"))
+      .select(col("doc_id"), col("status"),
+        coalesce(col("old_md5"), lit("")).as("old_md5"),
+        coalesce(col("new_md5"), lit("")).as("new_md5"))
+      .orderBy("doc_id")
+  }
+
   /** Context-window size (tokens) and shard fan-out for q_seq_pack.
     * The window is sized to the fixture's ~60-token docs so boundary
     * straddling is actually exercised; production windows (2k-8k) are the
@@ -386,6 +427,7 @@ object PipelineOps {
   }
 
   val queries: Map[String, Q] = Map(
+    "q_snapshot_diff" -> qSnapshotDiff,
     "q_seq_pack" -> qSeqPack,
     "q_pipeline_e2e" -> qPipelineE2e,
     "q_scd_merge" -> qScdMerge,
@@ -413,6 +455,30 @@ object PipelineOps {
       |  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) g)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // replays both fixture versions from the same table; md5 of the same
+    // UTF-8 bytes is engine-portable (both emit lowercase hex)
+    "q_snapshot_diff" ->
+      """WITH oldv AS (SELECT doc_id, md5(text) AS old_md5 FROM documents),
+        |newv AS (
+        |  SELECT doc_id,
+        |         md5(CASE WHEN doc_id % 17 = 0 THEN text || ' [v2]'
+        |                  ELSE text END) AS new_md5
+        |  FROM documents WHERE doc_id % 31 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000, md5(text || ' [new]')
+        |  FROM documents WHERE doc_id % 41 = 0),
+        |j AS (
+        |  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, o.old_md5, n.new_md5
+        |  FROM oldv o FULL OUTER JOIN newv n ON o.doc_id = n.doc_id)
+        |SELECT doc_id,
+        |       CASE WHEN old_md5 IS NULL THEN 'added'
+        |            WHEN new_md5 IS NULL THEN 'removed'
+        |            ELSE 'changed' END AS status,
+        |       coalesce(old_md5, '') AS old_md5,
+        |       coalesce(new_md5, '') AS new_md5
+        |FROM j
+        |WHERE old_md5 IS NULL OR new_md5 IS NULL OR old_md5 <> new_md5
+        |ORDER BY doc_id""".stripMargin,
     "q_seq_pack" -> {
       val ph = Tables.phashSql("doc_id")
       s"""WITH d AS (
