@@ -625,6 +625,34 @@ object VectorOps {
       .orderBy("label")
   }
 
+  /** Embedding-space diagnostics — per-DIMENSION corpus statistics (mean
+    * and variance of every coordinate), the standard health check before
+    * training on an embedding corpus: a dimension whose variance is ~0 is
+    * collapsed (encoder failure, bad normalization) and poisons cosine
+    * geometry silently.
+    *
+    * Scale shape: elementwise mean and mean-of-squares both ride the
+    * native `vector_avg` aggregate — ONE exchange with O(dim) partial
+    * state per map task, no posexplode row blow-up (the naive
+    * formulation multiplies the shuffled rows by dim, 64× here); the
+    * dim-indexed fan-out happens on the single aggregated row. Stats are
+    * rounded to 4 decimals like q_embed_centroids: double-sum
+    * association order differs between engines at ~1e-15, rounding pins
+    * the arithmetic engine-neutrally. */
+  private val qEmbedDiagnostics: Q = (s, d) => {
+    GraftFunctions.register(s)
+    Tables.spread(s, Tables.embeddings(s, d))
+      .agg(count(lit(1)).as("n_vecs"),
+        expr("vector_avg(embedding)").as("m"),
+        expr("vector_avg(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))")
+          .as("m2"))
+      .select(col("n_vecs"), posexplode(arrays_zip(col("m"), col("m2"))))
+      .select(col("pos").cast("long").as("dim"), col("n_vecs"),
+        round(col("col.m"), 4).as("mean_r"),
+        round(col("col.m2") - col("col.m") * col("col.m"), 4).as("var_r"))
+      .orderBy("dim")
+  }
+
   /** Symmetric int8 quantization of the embedding column — the standard
     * compression step before a billion-vector ANN index (4× smaller than
     * float32, SIMD-friendly dot products). Per vector: scale = 127/max|x|,
@@ -664,6 +692,7 @@ object VectorOps {
     "q_semantic_dedup" -> qSemanticDedup,
     "q_ann_recall" -> qAnnRecall,
     "q_embed_centroids" -> qEmbedCentroids,
+    "q_embed_diagnostics" -> qEmbedDiagnostics,
   )
 
   // ---- DuckDB recomputation of the approximate paths ------------------
@@ -984,5 +1013,17 @@ object VectorOps {
         |       round(max(CASE WHEN pos = 4 THEN c END), 4) AS c3
         |FROM m JOIN n ON m.label = n.label
         |GROUP BY n.label, n.n_vecs ORDER BY n.label""".stripMargin,
+    // per-dimension mean/variance; round(.,4) absorbs the cross-engine
+    // double-sum association-order noise exactly like q_embed_centroids
+    "q_embed_diagnostics" ->
+      """WITH u AS (
+        |  SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+        |         CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings)
+        |SELECT CAST(dim AS BIGINT) AS dim,
+        |       CAST(count(*) AS BIGINT) AS n_vecs,
+        |       round(avg(v), 4) AS mean_r,
+        |       round(avg(v * v) - avg(v) * avg(v), 4) AS var_r
+        |FROM u GROUP BY dim ORDER BY dim""".stripMargin,
   )
 }
