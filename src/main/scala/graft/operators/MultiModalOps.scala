@@ -91,17 +91,26 @@ object MultiModalOps {
 
   /** Generator stage: one real PNG payload per document. Pure projection,
     * no shuffle — the binary column materializes exactly where the doc_id
-    * partition already lives. */
-  private[graft] def pngPayloads(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    Tables.documents(s, d)
-      .select(col("doc_id")).as[Long]
-      .mapPartitions { it =>
-        ensureHeadless()
-        it.map(id => (id, encodePng(id)))
-      }
-      .toDF("doc_id", "payload")
-  }
+    * partition already lives. Shared across the image family via
+    * [[graft.SharedPlans]]: meta/resize/dhash/near-dup all consume the
+    * same payload frame, so the PNG encode runs once per session (in
+    * production the payloads are a parquet column read once; the memo
+    * gives the fixture generator the same read-once economics). Each
+    * query still runs its own decode — the per-extractor work. */
+  private[graft] def pngPayloads(s: SparkSession, d: String): DataFrame =
+    graft.SharedPlans.shared(s, s"png_payloads|$d") {
+      import s.implicits._
+      // single-row-group fixture files scan as ONE split; spread the
+      // 8-byte ids across the cluster BEFORE the CPU-heavy codec stage
+      // (SCALING.md "Scan" note) so encode parallelism = cores, not files
+      Tables.spread(s, Tables.documents(s, d).select(col("doc_id")))
+        .as[Long]
+        .mapPartitions { it =>
+          ensureHeadless()
+          it.map(id => (id, encodePng(id)))
+        }
+        .toDF("doc_id", "payload")
+    }
 
   private val qMultimodalMeta: Q = (s, d) => {
     import s.implicits._
@@ -176,6 +185,17 @@ object MultiModalOps {
   private[graft] def vidPixel(id: Long, f: Int, x: Int, y: Int): Int =
     Math.floorMod(id * 31 + f * 17 + x * 7 + y * 13, 256L).toInt
 
+  /** Identity 256-gray palette: index i = RGB(i,i,i). Handing frames to
+    * the GIF writer pre-indexed under this palette skips the writer's
+    * per-frame palette DERIVATION (a histogram pass over every raster —
+    * the dominant generator cost measured at sf0.1) while staying exactly
+    * lossless: sample value == palette index == gray level. Per-JVM
+    * static — no serialization, executors initialize it on first use. */
+  private lazy val GrayPalette: java.awt.image.IndexColorModel = {
+    val g = Array.tabulate(256)(_.toByte)
+    new java.awt.image.IndexColorModel(8, 256, g, g, g)
+  }
+
   /** Render the fixture "video" for one document as a REAL multi-frame
     * animated GIF (`javax.imageio`'s sequence writer — JDK-built-in).
     * GIF is palette-indexed and an 8-bit grayscale frame has <= 256
@@ -195,7 +215,7 @@ object MultiModalOps {
       val n = vidFrames(id)
       while (f < n) {
         val img = new java.awt.image.BufferedImage(
-          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, GrayPalette)
         val raster = img.getRaster
         var y = 0
         while (y < h) {
@@ -269,8 +289,10 @@ object MultiModalOps {
     * video codec (JNI/FFI) slots into the same reader seam. */
   private val qMultimodalFrames: Q = (s, d) => {
     import s.implicits._
-    Tables.documents(s, d)
-      .select(col("doc_id")).as[Long]
+    // spread before the codec stages — same single-split remedy as
+    // pngPayloads (the GIF writer+reader otherwise run on one core)
+    Tables.spread(s, Tables.documents(s, d).select(col("doc_id")))
+      .as[Long]
       .mapPartitions { it =>
         ensureHeadless()
         it.map(id => (id, encodeGif(id)))
@@ -335,20 +357,22 @@ object MultiModalOps {
     * signed-min literal so the packed BIGINT matches Scala's `1L << 63`
     * two's-complement exactly). */
   /** Per-doc perceptual hash frame (doc_id, dhash) — the decode+hash
-    * codec stage, persisted (Caching policy) because every image-dedup
-    * query traverses it more than once: qImageDhash groups it AND joins
-    * back to it; without the persist the corpus PNG decode would run
-    * twice. */
-  private[graft] def imageHashes(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    graft.Caching.persist(pngPayloads(s, d)
-      .as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        ensureHeadless()
-        it.map { case (id, bytes) => (id, dhashPng(bytes)) }
-      }
-      .toDF("doc_id", "dhash"))
-  }
+    * codec stage, memoized via [[graft.SharedPlans]] (which persists):
+    * qImageDhash groups it AND joins back to it, and [[imageSigs]]
+    * derives from it for the near-dup query and the streaming index —
+    * the memo hands all of them one frame, so the corpus PNG decode runs
+    * once per session. */
+  private[graft] def imageHashes(s: SparkSession, d: String): DataFrame =
+    graft.SharedPlans.shared(s, s"image_hashes|$d") {
+      import s.implicits._
+      pngPayloads(s, d)
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          ensureHeadless()
+          it.map { case (id, bytes) => (id, dhashPng(bytes)) }
+        }
+        .toDF("doc_id", "dhash")
+    }
 
   private val qImageDhash: Q = (s, d) => {
     val hashes = imageHashes(s, d)
@@ -377,12 +401,15 @@ object MultiModalOps {
     * path. Hamming-0 pairs cannot appear (equal hashes collapse into
     * one signature row), keeping the two queries' contracts disjoint. */
   /** Distinct-signature table (dhash, member count, min-doc rep) —
-    * shared by the near-dup query and the scaling instrument. Caller
-    * owns the persist. */
+    * shared by the near-dup query, the streaming index and the scaling
+    * instrument through the [[graft.SharedPlans]] memo (which owns the
+    * persist). */
   private[graft] def imageSigs(s: SparkSession, d: String): DataFrame =
-    graft.Caching.persist(imageHashes(s, d)
-      .groupBy("dhash")
-      .agg(count(lit(1)).as("n"), min("doc_id").as("rep")))
+    graft.SharedPlans.shared(s, s"image_sigs|$d") {
+      imageHashes(s, d)
+        .groupBy("dhash")
+        .agg(count(lit(1)).as("n"), min("doc_id").as("rep"))
+    }
 
   /** Banded + hamming-gated signature pairs over [[imageSigs]] — the
     * candidate set the scaling instrument counts (it grows with DISTINCT
@@ -467,8 +494,8 @@ object MultiModalOps {
     * decode → dHash). */
   private[graft] def noiseImageSigs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, d)
-      .select(col("doc_id")).as[Long]
+    Tables.spread(s, Tables.documents(s, d).select(col("doc_id")))
+      .as[Long]
       .flatMap(id => if (id % 10 == 0) Seq((id, false), (id, true))
         else Seq((id, false)))
       .mapPartitions { it =>

@@ -240,13 +240,19 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("multimodal decode stages are shuffle-free up to output ordering") {
-    // generator + codec are both partition-local; the only exchange the
-    // plan may carry is the final orderBy's range partitioning
+    // generator + codec are both partition-local; above the shared
+    // payload frame (InMemoryRelation — its build carries the documented
+    // single-split ingest spread, a round-robin exchange of 8-byte ids)
+    // the only exchange the decode pipeline may carry is the final
+    // orderBy's range partitioning
     val df = operators.MultiModalOps.queries("q_multimodal_resize")(spark, sf)
     df.collect()
     val p = finalPlan(df)
     assert(!p.contains("Window"), s"window in multimodal:\n$p")
-    assert("Exchange".r.findAllIn(p).size <= 1,
+    val decodePipeline = p.split("InMemoryRelation")(0)
+    assert("Exchange".r.findAllIn(decodePipeline).size <= 1,
       s"shuffle inside the decode pipeline:\n$p")
+    assert(decodePipeline.count(_ == '\n') > 3,
+      s"payload frame not cached - decode pipeline split found nothing:\n$p")
   }
 }
