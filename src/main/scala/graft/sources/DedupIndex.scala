@@ -37,10 +37,16 @@ object DedupIndex {
   /** Build and publish both index datasets for the corpus at `corpusDir`.
     * Overwrites any previous publish at `indexDir` (the republish cycle).
     * Returns (docRows, bandRows). */
-  def publish(s: SparkSession, corpusDir: String, indexDir: String): (Long, Long) = {
+  def publish(s: SparkSession, corpusDir: String, indexDir: String): (Long, Long) =
+    publishFrom(s, graft.Tables.documents(s, corpusDir), indexDir)
+
+  /** [[publish]] over an arbitrary documents-shaped frame (doc_id, text) —
+    * the entry the merge-equivalence spec and partial-corpus publishes
+    * use. */
+  def publishFrom(s: SparkSession, corpus: DataFrame, indexDir: String): (Long, Long) = {
     graft.functions.GraftFunctions.register(s)
     val docs = graft.Caching.persist(
-      graft.operators.DedupOps.docHashes(s, corpusDir))
+      graft.operators.DedupOps.docHashesOf(s, corpus))
     try {
       docs.write.mode("overwrite").parquet(s"$indexDir/docs")
       graft.streaming.NearDupStream.bandIndex(s, docs)
@@ -48,6 +54,50 @@ object DedupIndex {
       (s.read.parquet(s"$indexDir/docs").count(),
         s.read.parquet(s"$indexDir/bands").count())
     } finally docs.unpersist()
+  }
+
+  /** Incremental index maintenance — the lifecycle step between full
+    * rebuilds: merge an ACCEPTED batch of documents (doc_id, text; the
+    * docs cross-dedup admitted) into a published index and publish the
+    * result as a NEW index directory. Consumers swap directories on the
+    * `_SUCCESS` flip exactly as the rebuild contract above describes —
+    * writing beside, never into, the live index is what makes the swap
+    * atomic on any store (and is why `newIndexDir != indexDir` is
+    * enforced: an in-place overwrite would race its own readers).
+    *
+    * Re-submitted ids take LATEST-WINS: the old index's rows for ids
+    * present in the batch are dropped before the union, so a re-ingested
+    * (edited) document replaces its hash set and band keys.
+    *
+    * Incrementality: shingling/hashing/banding run over the BATCH only —
+    * the existing corpus contributes its already-computed `docs` and
+    * `bands` rows through a broadcast-able anti-join + union, so a merge
+    * costs O(batch) compute plus an O(index) copy, never a corpus
+    * re-shingle. (At 100 TB the copy is the small index artifact, not the
+    * corpus; partitioning `bands` by band would turn the copy into a
+    * partition-level append for the unreplaced majority.)
+    * Returns (docRows, bandRows) of the merged publish. */
+  def mergePublish(s: SparkSession, indexDir: String, newDocs: DataFrame,
+      newIndexDir: String): (Long, Long) = {
+    require(isPublished(s, indexDir), s"no published index at $indexDir")
+    require(new java.io.File(newIndexDir).getAbsolutePath !=
+      new java.io.File(indexDir).getAbsolutePath,
+      "merge must publish beside the live index, not into it")
+    graft.functions.GraftFunctions.register(s)
+    val batch = graft.Caching.persist(
+      graft.operators.DedupOps.docHashesOf(s, newDocs))
+    try {
+      val batchIds = batch.select(col("doc_id"))
+      loadDocs(s, indexDir).join(batchIds, Seq("doc_id"), "left_anti")
+        .unionByName(batch)
+        .write.mode("overwrite").parquet(s"$newIndexDir/docs")
+      loadBands(s, indexDir).join(batchIds, Seq("doc_id"), "left_anti")
+        .unionByName(graft.streaming.NearDupStream.bandIndex(s, batch)
+          .select(col("band"), col("minhash"), col("doc_id")))
+        .write.mode("overwrite").parquet(s"$newIndexDir/bands")
+      (s.read.parquet(s"$newIndexDir/docs").count(),
+        s.read.parquet(s"$newIndexDir/bands").count())
+    } finally batch.unpersist()
   }
 
   /** True iff BOTH datasets committed — the reader-side gate. */

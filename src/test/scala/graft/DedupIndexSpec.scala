@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.sources.DedupIndex
+
+/** Incremental index maintenance must be indistinguishable from a full
+  * rebuild: mergePublish(old index, batch) == publishFrom(latest-wins
+  * union) on both artifacts — so consumers can alternate full rebuilds
+  * and incremental merges freely. */
+class DedupIndexSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def docRows(df: DataFrame) =
+    df.collect().map(r => (r.getLong(0),
+      r.getSeq[Long](1).sorted.toList, r.getLong(2), r.getBoolean(3))).toSet
+  private def bandRows(df: DataFrame) =
+    df.select("band", "minhash", "doc_id").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("mergePublish equals a full rebuild of the latest-wins union") {
+    val full = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), col("text"))
+    val oldCorpus = full.filter(col("doc_id") % 3 =!= 0)
+    // the batch: the missing third, plus EDITED resubmissions of ids the
+    // old index already holds (latest-wins must replace their rows)
+    val batch = full.filter(col("doc_id") % 3 === 0)
+      .unionByName(full.filter(col("doc_id") % 3 =!= 0 && col("doc_id") % 7 === 1)
+        .select(col("doc_id"), concat(col("text"), lit(" edited")).as("text")))
+    val resubmitted = batch.join(oldCorpus, "doc_id").count()
+    assert(resubmitted > 0, "no id overlap - latest-wins path not exercised")
+
+    val base = java.nio.file.Files.createTempDirectory("graft-idx-merge")
+    val dirA = s"$base/a"; val dirB = s"$base/b"; val dirC = s"$base/c"
+    DedupIndex.publishFrom(spark, oldCorpus, dirA)
+    val (nDocs, nBands) = DedupIndex.mergePublish(spark, dirA, batch, dirB)
+    assert(DedupIndex.isPublished(spark, dirB))
+    assert(nBands == nDocs * graft.functions.MinHashSig.DefaultBands)
+
+    // reference: a from-scratch publish of the same latest-wins corpus
+    val combined = oldCorpus.join(batch.select("doc_id"), Seq("doc_id"), "left_anti")
+      .unionByName(batch)
+    DedupIndex.publishFrom(spark, combined, dirC)
+
+    assert(docRows(DedupIndex.loadDocs(spark, dirB)) ==
+      docRows(DedupIndex.loadDocs(spark, dirC)), "docs artifacts differ")
+    assert(bandRows(DedupIndex.loadBands(spark, dirB)) ==
+      bandRows(DedupIndex.loadBands(spark, dirC)), "bands artifacts differ")
+  }
+
+  test("mergePublish refuses to write into the live index") {
+    val full = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), col("text"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-idx-self").toString
+    DedupIndex.publishFrom(spark, full.limit(50), dir)
+    intercept[IllegalArgumentException] {
+      DedupIndex.mergePublish(spark, dir, full.limit(10), dir)
+    }
+  }
+}
