@@ -17,9 +17,14 @@ class CachingSpec extends AnyFunSuite {
   // (DedupOps), dedup clustering (GraphOps iterative path is exercised in
   // GraphOpsSpec; here the fixture takes the driver union-find branch),
   // global ranking (RankOps), IDF scoring (PipelineOps), IVF (VectorOps)
+  // ... plus the SharedPlans-memoized codec families (r8): the memo keys
+  // include the cache level, so the DISK_ONLY pass must REBUILD the
+  // payload/hash frames under that level rather than reuse a
+  // MEMORY_AND_DISK entry
   private val probes =
     Seq("q_text_minhash", "q_dedup_cluster", "q_roundrobin_slice",
-      "q_text_boilerplate", "q_ann_ivf")
+      "q_text_boilerplate", "q_ann_ivf", "q_image_dhash",
+      "q_audio_fingerprint")
 
   private def run(name: String): Seq[String] = {
     val rows = SparkEntry.queries(name)(spark, sf).collect().map(_.toString).toSeq

@@ -17,41 +17,47 @@ class ChaosSpec extends AnyFunSuite {
   // its whole sorted partition through the admission ledger, so their
   // determinism under first-attempt failure is exactly what makes the
   // mapPartitions formulation safe at scale
+  // ... and one CODEC-STAGE query (r8): a retried task re-runs its whole
+  // encode→decode→fingerprint partition, so bit-identical results pin
+  // that the codec stages are deterministic under Spark's retry path too
   private val ledgerQueries =
     Seq("q_dedup_exact", "q_latest_attempt", "q_checksum_verify",
-      "q_ledger_order", "q_flow_control", "q_flow_busy")
+      "q_ledger_order", "q_flow_control", "q_flow_busy",
+      "q_audio_fingerprint")
 
-  private def runAll(): Map[String, Seq[Seq[Any]]] =
-    ledgerQueries.map { q =>
-      q -> SparkEntry.queries(q)(spark, TestSpark.sf0001)
-        .collect().toSeq.map(_.toSeq)
-    }.toMap
+  // Each phase runs in a FRESH child session: the chaos gate is planned
+  // from the session conf at plan-construction time, and SharedPlans
+  // memoizes per session — reusing one session would hand the chaotic
+  // phase the clean phase's gate-less memoized codec frame, silently
+  // skipping injection for q_audio_fingerprint.
+  private def runAll(s: org.apache.spark.sql.SparkSession): Map[String, Seq[Seq[Any]]] =
+    try {
+      ledgerQueries.map { q =>
+        q -> SparkEntry.queries(q)(s, TestSpark.sf0001)
+          .collect().toSeq.map(_.toSeq)
+      }.toMap
+    } finally s.catalog.clearCache()
 
   test("ledger queries are bit-identical under full first-attempt failure") {
-    val clean = runAll()
-    spark.conf.set(Chaos.ProbConf, "1.0")
+    val clean = runAll(spark.newSession())
+    val chaoticSession = spark.newSession()
+    chaoticSession.conf.set(Chaos.ProbConf, "1.0")
     val before = Chaos.injected.get()
-    try {
-      val chaotic = runAll()
-      assert(Chaos.injected.get() > before,
-        "chaos gate engaged but injected no failures")
-      for (q <- ledgerQueries)
-        assert(chaotic(q) == clean(q), s"$q diverged under injection")
-    } finally spark.conf.unset(Chaos.ProbConf)
+    val chaotic = runAll(chaoticSession)
+    assert(Chaos.injected.get() > before,
+      "chaos gate engaged but injected no failures")
+    for (q <- ledgerQueries)
+      assert(chaotic(q) == clean(q), s"$q diverged under injection")
   }
 
   test("partial probability fails a deterministic subset and still matches") {
-    val clean = runAll()
-    spark.conf.set(Chaos.ProbConf, "0.5")
-    spark.conf.set(Chaos.SeedConf, "7")
-    try {
-      val chaotic = runAll()
-      for (q <- ledgerQueries)
-        assert(chaotic(q) == clean(q), s"$q diverged under injection")
-    } finally {
-      spark.conf.unset(Chaos.ProbConf)
-      spark.conf.unset(Chaos.SeedConf)
-    }
+    val clean = runAll(spark.newSession())
+    val chaoticSession = spark.newSession()
+    chaoticSession.conf.set(Chaos.ProbConf, "0.5")
+    chaoticSession.conf.set(Chaos.SeedConf, "7")
+    val chaotic = runAll(chaoticSession)
+    for (q <- ledgerQueries)
+      assert(chaotic(q) == clean(q), s"$q diverged under injection")
   }
 
   test("gate is an identity when disabled (no extra stage in the plan)") {
