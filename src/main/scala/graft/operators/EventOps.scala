@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Event-series analytics over the `events` stream table — the two
+  * classic shapes every telemetry/product pipeline runs that the
+  * relational family (sessionize / cohort / windows) does not yet cover:
+  * time-series GAP FILL with last-observation-carried-forward, and the
+  * ordered multi-step FUNNEL.
+  *
+  * Both are exact and engine-neutral: day indices are integer divisions
+  * of the epoch-nanos contract `Tables.events` guarantees, and value sums
+  * ride the DECIMAL(18,2) discipline (double-sum order independence —
+  * SCALING.md "Principles"). */
+object EventOps {
+  private type Q = (SparkSession, String) => DataFrame
+
+  private val NanosPerDay = 86400000000000L
+
+  /** Daily gap-fill per user: aggregate events to (user, day) rows, then
+    * materialize EVERY day of each user's own [first, last] span, marking
+    * synthesized days and carrying the last observed daily sum forward
+    * (LOCF) — the imputation step before any per-user time-series model.
+    *
+    * Scale shape: ONE exchange keys everything by user (daily agg, span
+    * agg, day explode and the LOCF window all share it — Catalyst
+    * collapses the matching partitionings); the explode is bounded by
+    * span length, never event count, and the LOCF window is partition-
+    * local per user. A mega-user is the q_scd_merge skew class (its
+    * history still aggregates to one row per day before the window). */
+  private val qGapFill: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .select(col("user_id"), expr(s"ts div $NanosPerDay").as("day"),
+        col("value"))
+      .groupBy("user_id", "day")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).as("dsum"))
+    val days = daily.groupBy("user_id")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+      .select(col("user_id"), explode(expr("sequence(d0, d1)")).as("day"))
+    val w = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    days.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        coalesce(col("n"), lit(0L)).as("n_events"),
+        col("n").isNull.as("filled"),
+        last(col("dsum"), ignoreNulls = true).over(w)
+          .cast("double").as("filled_sum"))
+      .orderBy("user_id", "day")
+  }
+
+  /** Ordered conversion funnel signup → view → click → purchase: a user
+    * reaches step k iff the steps' events exist with STRICTLY increasing
+    * timestamps (each step's anchor is the EARLIEST qualifying event —
+    * the standard unordered-window funnel definition). Emits one row per
+    * step with the users-reached count.
+    *
+    * Scale shape: each stage is a groupBy(user) min over a filtered scan
+    * plus a join whose per-user-anchor side is aggregate-tiny (one row
+    * per qualifying user — AQE broadcasts it); no per-user event arrays
+    * ever materialize, so a mega-user costs nothing beyond their scan.
+    * The alternative single-pass collect_list fold carries O(events per
+    * user) state — the jumbo-row hazard this formulation avoids. */
+  private val qEventFunnel: Q = (s, d) => {
+    // µs granularity (`ts div 1000`) so the strict > anchors compare at
+    // exactly the oracle's epoch_us precision whatever the fixture's
+    // parquet timestamp unit — the q_scd_merge discipline
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), expr("ts div 1000").as("ts"))
+    val steps = Seq("signup", "view", "click", "purchase")
+    var anchors = ev.filter(col("event_type") === steps.head)
+      .groupBy("user_id").agg(min("ts").as("t"))
+    var out = anchors.agg(count(lit(1)).as("users"))
+      .select(lit(1L).as("step"), lit(steps.head).as("step_name"), col("users"))
+    for (k <- 1 until steps.length) {
+      anchors = ev.filter(col("event_type") === steps(k))
+        .join(anchors, "user_id")
+        .filter(col("ts") > col("t"))
+        .groupBy("user_id").agg(min("ts").as("t"))
+      out = out.unionByName(anchors.agg(count(lit(1)).as("users"))
+        .select(lit((k + 1).toLong).as("step"), lit(steps(k)).as("step_name"),
+          col("users")))
+    }
+    out.orderBy("step")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_gap_fill" -> qGapFill,
+    "q_event_funnel" -> qEventFunnel,
+  )
+
+  val oracles: Map[String, String] = Map(
+    // epoch_us // 86400e6 == (epoch-nanos div 86400e9): both floor the
+    // same post-epoch instants to the same day index
+    "q_gap_fill" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day, value
+        |  FROM events),
+        |daily AS (
+        |  SELECT user_id, day, count(*) AS n,
+        |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS dsum
+        |  FROM ev GROUP BY 1, 2),
+        |spans AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+        |          FROM daily GROUP BY 1),
+        |days AS (SELECT user_id, unnest(range(d0, d1 + 1)) AS day FROM spans),
+        |j AS (SELECT days.user_id, days.day, daily.n, daily.dsum
+        |      FROM days LEFT JOIN daily USING (user_id, day))
+        |SELECT user_id, CAST(day AS BIGINT) AS day,
+        |       CAST(coalesce(n, 0) AS BIGINT) AS n_events,
+        |       n IS NULL AS filled,
+        |       CAST(last_value(dsum IGNORE NULLS) OVER (
+        |         PARTITION BY user_id ORDER BY day
+        |         ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS filled_sum
+        |FROM j ORDER BY user_id, day""".stripMargin,
+    "q_event_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |s1 AS (SELECT user_id, min(us) AS t FROM ev
+        |       WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT ev.user_id, min(us) AS t FROM ev JOIN s1 USING (user_id)
+        |       WHERE event_type = 'view' AND us > s1.t GROUP BY 1),
+        |s3 AS (SELECT ev.user_id, min(us) AS t FROM ev JOIN s2 USING (user_id)
+        |       WHERE event_type = 'click' AND us > s2.t GROUP BY 1),
+        |s4 AS (SELECT ev.user_id, min(us) AS t FROM ev JOIN s3 USING (user_id)
+        |       WHERE event_type = 'purchase' AND us > s3.t GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS step, 'signup' AS step_name,
+        |         CAST((SELECT count(*) FROM s1) AS BIGINT) AS users
+        |  UNION ALL SELECT 2, 'view', CAST((SELECT count(*) FROM s2) AS BIGINT)
+        |  UNION ALL SELECT 3, 'click', CAST((SELECT count(*) FROM s3) AS BIGINT)
+        |  UNION ALL SELECT 4, 'purchase', CAST((SELECT count(*) FROM s4) AS BIGINT))
+        |ORDER BY step""".stripMargin,
+  )
+}
