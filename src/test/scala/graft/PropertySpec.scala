@@ -193,4 +193,33 @@ class PropertySpec extends AnyFunSuite {
         toks.forall(t => Bpe.encode(t) == Vector(t))
     }, n = 200)
   }
+
+  test("WAV codec roundtrips ARBITRARY PCM16 sample arrays bit-exactly (property)") {
+    // the lossless-ness claim every audio oracle rests on, proven beyond
+    // the fixture formulas: any sample array (including extremes and
+    // empty-adjacent sizes) survives encode -> container parse unchanged
+    import graft.operators.AudioOps
+    val samplesGen = for {
+      n <- Gen.choose(1, 600)
+      xs <- Gen.listOfN(n, Gen.oneOf(
+        Gen.choose(Short.MinValue.toInt, Short.MaxValue.toInt),
+        Gen.oneOf(0, 1, -1, Short.MaxValue.toInt, Short.MinValue.toInt)))
+    } yield xs.map(_.toShort).toArray
+    check("wav-roundtrip", Prop.forAll(samplesGen) { v =>
+      val (rate, ch, out) = AudioOps.decodeWav(AudioOps.encodeWav(v))
+      rate == AudioOps.SampleRate && ch == 1 && out.sameElements(v)
+    }, n = 100)
+  }
+
+  test("audio fingerprint is invariant to silence-free amplitude sign flips only in energy ties") {
+    // fingerprint bits depend only on frame-energy ORDER: negating every
+    // sample preserves |v| and so the fingerprint, for any clip
+    import graft.operators.AudioOps
+    val samplesGen = Gen.choose(2, 12).flatMap(nf =>
+      Gen.listOfN(nf * AudioOps.FpFrameLen,
+        Gen.choose(-32767, 32767)).map(_.map(_.toShort).toArray))
+    check("fp-neg-invariant", Prop.forAll(samplesGen) { v =>
+      AudioOps.fingerprint(v) == AudioOps.fingerprint(v.map(x => (-x).toShort))
+    }, n = 100)
+  }
 }
