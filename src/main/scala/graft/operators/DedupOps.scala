@@ -336,15 +336,21 @@ object DedupOps {
     * still surface and are verification-rejected, so the observed pair
     * set only tightens. */
   /** Exact-verified near-dup pairs via the MinHash+LSH path — the shared
-    * candidate generator for q_text_minhash and the clustering operator. */
-  def nearDupPairs(s: SparkSession, d: String): DataFrame = {
-    graft.functions.GraftFunctions.register(s)
-    // ONE persisted frame (hash arrays + signature) feeds the band
-    // explode (3 subtrees) and both verify joins
-    val docs = graft.Caching.persist(
-      docHashes(s, d).withColumn("msig", expr("minhash_sig(hs)")))
-    verifyPairs(minhashCandidates(s, docs), docs)
-  }
+    * candidate generator for q_text_minhash, the clustering operator and
+    * the e2e funnel. Memoized per (session, dir) via
+    * [[graft.SharedPlans]]: those three consumers used to re-run the
+    * whole shingle→sign→band→verify pipeline once each; deterministic
+    * lineage (portable hashes, no rand()) makes handing them one frame
+    * safe. */
+  def nearDupPairs(s: SparkSession, d: String): DataFrame =
+    graft.SharedPlans.shared(s, s"neardup_pairs|$d") {
+      graft.functions.GraftFunctions.register(s)
+      // ONE persisted frame (hash arrays + signature) feeds the band
+      // explode (3 subtrees) and both verify joins
+      val docs = graft.Caching.persist(
+        docHashes(s, d).withColumn("msig", expr("minhash_sig(hs)")))
+      verifyPairs(minhashCandidates(s, docs), docs)
+    }
 
   private val qTextMinhash: Q = (s, d) =>
     nearDupPairs(s, d).orderBy("doc_a", "doc_b")
