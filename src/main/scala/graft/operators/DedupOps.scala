@@ -98,8 +98,14 @@ object DedupOps {
 
   /** Per-doc shingle-hash sets: (doc_id, hs: array<bigint>, n,
     * truncated). |hs| <= DocTokenCap - 2 by construction. */
+  /** Full-corpus per-doc hash sets, memoized per (session, dir) via
+    * [[graft.SharedPlans]]: the shingle→xxhash→collect stage is the
+    * common prefix of the MinHash, SimHash and cross-dedup pipelines —
+    * every consumer gets one persisted frame instead of re-shingling the
+    * corpus. Deterministic lineage (tokenizer + xxhash64 over text). */
   def docHashes(s: SparkSession, d: String): DataFrame =
-    docHashesOf(s, Tables.documents(s, d))
+    graft.SharedPlans.shared(s, s"doc_hashes|$d")(
+      docHashesOf(s, Tables.documents(s, d)))
 
   /** docHashes over an arbitrary documents-shaped frame. */
   def docHashesOf(s: SparkSession, docs: DataFrame): DataFrame =
