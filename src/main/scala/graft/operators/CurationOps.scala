@@ -385,7 +385,36 @@ object CurationOps {
       .orderBy("source", "rk")
   }
 
+  /** One-pass corpus profile (the "data card" report): per (source,
+    * lang) — doc count, exact token and char totals, mean doc length,
+    * and how many docs are exact duplicates of some other corpus doc
+    * (canonical fingerprint, corpus-wide). The summary every curation
+    * run publishes next to its output.
+    *
+    * Scale shape: tokenize/fingerprint are map-side projections; the
+    * only exchanges are the fingerprint df groupBy (16-byte digests) and
+    * the final (source, lang) aggregation over a bounded domain. The
+    * join back to per-doc rows is AQE-planned from the dup-digest
+    * table's runtime size (duplicate digests only — usually tiny). */
+  private val qCorpusProfile: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("source"), col("lang"), col("n_chars"),
+        size(TextRules.tokens(col("text"))).cast("long").as("ntok"),
+        Tables.fingerprint(col("text")).as("fp"))
+    val dupFps = docs.groupBy("fp").agg(count(lit(1)).as("fpn"))
+      .filter(col("fpn") >= 2)
+    docs.join(dupFps, Seq("fp"), "left")
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("ntok").as("total_tokens"),
+        sum("n_chars").as("total_chars"),
+        round(avg(col("ntok").cast("double")), 4).as("mean_tokens"),
+        sum(when(col("fpn").isNotNull, 1L).otherwise(0L)).as("dup_docs"))
+      .orderBy("source", "lang")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_corpus_profile" -> qCorpusProfile,
     "q_decontaminate" -> qDecontaminate,
     "q_bloom_decontaminate" -> qBloomDecontaminate,
     "q_gopher_repeat" -> qGopherRepeat,
@@ -407,6 +436,26 @@ object CurationOps {
     (1 to n).map(j => s"toks[i+${j - 1}]").mkString(" || ' ' || ")
 
   val oracles: Map[String, String] = Map(
+    // tokenizer mirror = q_text_tokens' proven split; fingerprint mirror
+    // = Tables.fingerprint's documented DuckDB twin
+    "q_corpus_profile" ->
+      """WITH docs AS (
+        |  SELECT source, lang, n_chars,
+        |         len(list_filter(string_split_regex(lower(text), '\W+'),
+        |             x -> x <> '')) AS ntok,
+        |         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |dup AS (SELECT fp, count(*) AS fpn FROM docs
+        |        GROUP BY 1 HAVING count(*) >= 2)
+        |SELECT source, lang,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(ntok) AS BIGINT) AS total_tokens,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |       round(avg(ntok), 4) AS mean_tokens,
+        |       CAST(sum(CASE WHEN dup.fpn IS NOT NULL THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS dup_docs
+        |FROM docs LEFT JOIN dup USING (fp)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_source_budget" ->
       s"""WITH t AS (
          |  SELECT doc_id, source,
