@@ -239,6 +239,45 @@ class PlanShapeSpec extends AnyFunSuite {
       s"more than tenant+output exchanges:\n$p")
   }
 
+  test("parquet aggregate pushdown serves MIN/MAX/COUNT from footer stats") {
+    // the 100 TB lever for whole-table profiling aggregates: with DSv2
+    // aggregate pushdown on, MIN/MAX/COUNT over an unfiltered parquet
+    // scan read row-group FOOTER STATISTICS, not data pages — the scan
+    // node advertises PushedAggregation and the result is unchanged
+    val prev = spark.conf.getOption("spark.sql.parquet.aggregatePushdown")
+    val prevV1 = spark.conf.getOption("spark.sql.sources.useV1SourceList")
+    try {
+      // pushdown lives on the DSv2 scan; parquet sits on the V1 list by
+      // default, so route it through V2 for this query
+      spark.conf.set("spark.sql.sources.useV1SourceList", "")
+      spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+      val df = spark.read.parquet(s"$sf/lineitem.parquet")
+        .agg(min(col("l_quantity")).as("mn"), max(col("l_quantity")).as("mx"),
+          count(lit(1)).as("cnt"))
+      val row = df.collect()(0)
+      val p = plan(df)
+      assert(p.contains("PushedAggregation"),
+        s"aggregate not pushed to the scan:\n$p")
+      spark.conf.set("spark.sql.parquet.aggregatePushdown", "false")
+      val direct = spark.read.parquet(s"$sf/lineitem.parquet")
+        .agg(min(col("l_quantity")), max(col("l_quantity")), count(lit(1)))
+        .collect()(0)
+      assert(row.getDouble(0) == direct.getDouble(0) &&
+        row.getDouble(1) == direct.getDouble(1) &&
+        row.getLong(2) == direct.getLong(2),
+        "footer-served aggregate differs from the data-page computation")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.parquet.aggregatePushdown", v)
+        case None => spark.conf.unset("spark.sql.parquet.aggregatePushdown")
+      }
+      prevV1 match {
+        case Some(v) => spark.conf.set("spark.sql.sources.useV1SourceList", v)
+        case None => spark.conf.unset("spark.sql.sources.useV1SourceList")
+      }
+    }
+  }
+
   test("multimodal decode stages are shuffle-free up to output ordering") {
     // generator + codec are both partition-local; above the shared
     // payload frame (InMemoryRelation — its build carries the documented
