@@ -21,7 +21,8 @@ object SparkEntry {
     CoreOps.queries ++ LedgerOps.queries ++ TextOps.queries ++
       DedupOps.queries ++ VectorOps.queries ++ MultiModalOps.queries ++
       PipelineOps.queries ++ HealthOps.queries ++ CurationOps.queries ++
-      SkewOps.queries ++ AudioOps.queries ++ EventOps.queries
+      SkewOps.queries ++ AudioOps.queries ++ EventOps.queries ++
+      LinkOps.queries ++ GraphAnalyticsOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -29,5 +30,6 @@ object SparkEntry {
     CoreOps.oracles ++ LedgerOps.oracles ++ TextOps.oracles ++
       DedupOps.oracles ++ VectorOps.oracles ++ MultiModalOps.oracles ++
       PipelineOps.oracles ++ HealthOps.oracles ++ CurationOps.oracles ++
-      SkewOps.oracles ++ AudioOps.oracles ++ EventOps.oracles
+      SkewOps.oracles ++ AudioOps.oracles ++ EventOps.oracles ++
+      LinkOps.oracles ++ GraphAnalyticsOps.oracles
 }

@@ -115,4 +115,70 @@ object GraphOps {
       }
     }
   }
+
+  /** Weighted PageRank over a directed edge list — fixed iteration count
+    * (deterministic; convergence-based stopping would make the result
+    * depend on float noise), damping `d`, dangling mass redistributed
+    * uniformly each round (the standard stochastic-matrix completion, so
+    * total rank stays 1 and the result is the true damped stationary
+    * estimate, not a leaky variant).
+    *
+    * `edges`: three columns read positionally as (src, dst, weight>0).
+    * Returns (v, r) for every vertex appearing as src or dst, PERSISTED —
+    * caller owns the release (the [[connectedComponents]] contract).
+    *
+    * Scale shape (100 TB): each round is ONE shuffle join keyed by vertex
+    * (rank × out-normalized weight, combined map-side by dst) plus a
+    * broadcast 1-row dangling-mass aggregate — no driver round trip per
+    * iteration beyond the materializing count, and state is only the
+    * (vertex, rank) frame. Hot DST vertices (celebrity nodes) are
+    * absorbed by the partial aggregation; a hot SRC vertex costs nothing
+    * (its rank is one row joined against its out-edges). Rounds are
+    * `iters`, not diameter-bounded — the caller picks the cost. */
+  def pageRank(
+      s: SparkSession,
+      edges: DataFrame,
+      iters: Int = 8,
+      damping: Double = 0.85): DataFrame = {
+    val Seq(srcC, dstC, wC) = edges.columns.toSeq.take(3)
+    val e = graft.Caching.persist(edges.select(
+      col(srcC).as("src"), col(dstC).as("dst"), col(wC).cast("double").as("w")))
+    val nodes = graft.Caching.persist(
+      e.select(col("src").as("v")).unionByName(e.select(col("dst").as("v"))).distinct())
+    val n = nodes.count().toDouble
+    val outW = graft.Caching.persist(e.groupBy("src").agg(sum("w").as("wout")))
+    val p = graft.Caching.persist(
+      e.join(outW, "src").select(col("src"), col("dst"), (col("w") / col("wout")).as("p")))
+    // Each round references the previous rank frame TWICE (dangling mass
+    // + contributions), so carrying lineage would double the logical plan
+    // per iteration — 2^iters growth that overwhelms even plan-string
+    // generation long before execution. localCheckpoint (eager) truncates
+    // lineage at each materialized round: the right trade here, unlike
+    // the persist-only discipline of [[connectedComponents]], because
+    // recovering round k through lineage would replay ALL earlier rounds
+    // anyway (iterative state, not a reusable subplan) — exactly why
+    // production PageRank implementations checkpoint every few rounds.
+    var ranks = nodes.select(col("v"), lit(1.0 / n).as("r"))
+      .localCheckpoint(true)
+    try {
+      for (_ <- 1 to iters) {
+        val dangling = ranks
+          .join(outW.select(col("src").as("v")), Seq("v"), "left_anti")
+          .agg(coalesce(sum("r"), lit(0.0)).as("dm"))
+        val contrib = p.join(ranks.withColumnRenamed("v", "src"), "src")
+          .groupBy(col("dst").as("v")).agg(sum(col("r") * col("p")).as("m"))
+        val next = nodes.join(contrib, Seq("v"), "left")
+          .crossJoin(broadcast(dangling))
+          .select(col("v"),
+            ((lit(1.0) - lit(damping)) / lit(n) + lit(damping) *
+              (coalesce(col("m"), lit(0.0)) + col("dm") / lit(n))).as("r"))
+          .localCheckpoint(true)
+        ranks.unpersist()
+        ranks = next
+      }
+      ranks
+    } finally {
+      p.unpersist(); outW.unpersist(); nodes.unpersist(); e.unpersist()
+    }
+  }
 }

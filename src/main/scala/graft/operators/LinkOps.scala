@@ -1,0 +1,190 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Record linkage: the blocked fuzzy (edit-distance) self-join that
+  * entity-resolution and catalog-cleanup pipelines run before any merge
+  * decision. Mirrors the role of the reference's prefix similarity
+  * matching (ShuffleWorker dispatch uses prefix match to group workers;
+  * this is the data-plane analogue over record strings) while the
+  * algorithm is the standard scalable one, not a translation.
+  *
+  * Algorithm (FastSS / SymSpell deletion-neighborhood blocking):
+  * candidate pairs are strings whose ≤2-deletion neighborhoods
+  * intersect. The cover lemma makes the blocking LOSSLESS for
+  * Levenshtein distance ≤ 2: every single edit (insert / delete /
+  * substitute) turning a into b admits a common string c reachable by
+  * ≤1 deletion from each side (delete the inserted char, the
+  * substituted char on both sides, or nothing), so ed(a,b) ≤ t implies
+  * N_t(a) ∩ N_t(b) ≠ ∅ where N_t is the ≤t-deletion neighborhood
+  * (proved by composing the per-edit argument; spec-pinned against a
+  * brute-force DP on crafted and randomized fixtures, including pairs
+  * whose FIRST token differs — the case naive first-token blocking
+  * loses). The converse is false, so every candidate is verified with
+  * the real banded Levenshtein before it is emitted.
+  *
+  * Scale shape (100 TB): the join runs in the DISTINCT-name signature
+  * space, never the record space — a corpus with millions of rows per
+  * name (this fixture's vocabulary names repeat ~30× per name at
+  * sf0.01 and ~300× at sf0.1) contributes each name ONCE to the
+  * quadratic-risk stage, exactly like the image near-dup family joins
+  * distinct dHashes (MultiModalOps). Neighborhood generation is a
+  * shuffle-free codegen'd projection (higher-order functions, no UDF)
+  * emitting O(len²/2) ≈ 120 keys per distinct name; the one exchange
+  * hashes those keys. A key shared by w names yields C(w,2) candidates
+  * — a flooded deletion key (short names collapsing to the same stub)
+  * is the same hazard as a flooded MinHash band and takes the same
+  * remedy: per-key width cap with star degradation + refine
+  * (DedupOps.scala width-cap pattern); at this fixture's widths the cap
+  * never engages so the query stays exactly equal to the uncapped
+  * oracle. Verification uses the THRESHOLD Levenshtein (banded DP,
+  * O(t·len) per pair instead of O(len²)).
+  */
+object LinkOps {
+  private type Q = (SparkSession, String) => DataFrame
+
+  /** ≤2-deletion neighborhood of `name` (includes the string itself and
+    * all 1-deletions), as a codegen'd HOF expression — array_distinct'd
+    * because deleting different positions of a repeated char collides. */
+  private[operators] val delKeysExpr: String =
+    """array_distinct(concat(
+      |  array(name),
+      |  CASE WHEN length(name) >= 1 THEN
+      |    transform(sequence(1, length(name)),
+      |      i -> concat(substring(name, 1, i-1), substring(name, i+1)))
+      |  ELSE slice(array(name), 1, 0) END,
+      |  CASE WHEN length(name) >= 2 THEN
+      |    transform(
+      |      filter(flatten(transform(sequence(1, length(name)),
+      |          i -> transform(sequence(1, length(name)),
+      |            j -> named_struct('i', i, 'j', j)))),
+      |        p -> p.i < p.j),
+      |      p -> concat(substring(name, 1, p.i-1),
+      |                  substring(name, p.i+1, p.j-p.i-1),
+      |                  substring(name, p.j+1)))
+      |  ELSE slice(array(name), 1, 0) END))""".stripMargin
+
+  /** All unordered pairs of distinct `name`s within Levenshtein ≤ 2.
+    * `names` must carry a `name` column; other columns are ignored.
+    * Output: (name_a < name_b, dist). */
+  private[graft] def fuzzyPairs(names: DataFrame): DataFrame = {
+    val keys = names.select(col("name"), explode(expr(delKeysExpr)).as("k"))
+    val cand = keys.as("a")
+      .join(keys.as("b"), col("a.k") === col("b.k") && col("a.name") < col("b.name"))
+      .select(col("a.name").as("name_a"), col("b.name").as("name_b"))
+      .distinct()
+    // banded DP: levenshtein(_, _, 2) returns -1 above the threshold
+    cand.withColumn("dist", levenshtein(col("name_a"), col("name_b"), 2).cast("long"))
+      .filter(col("dist") >= 0)
+  }
+
+  /** Fuzzy self-link of the part catalog by name: name-level near-match
+    * pairs with each side's record multiplicity. */
+  private val qFuzzyJoin: Q = (s, d) => {
+    val names = graft.Caching.persist(
+      Tables.part(s, d)
+        .groupBy(col("p_name").as("name"))
+        .agg(count(lit(1)).as("n_ids")))
+    fuzzyPairs(names)
+      .join(names.select(col("name").as("name_a"), col("n_ids").as("n_a")), "name_a")
+      .join(names.select(col("name").as("name_b"), col("n_ids").as("n_b")), "name_b")
+      .select(col("name_a"), col("name_b"), col("dist"), col("n_a"), col("n_b"))
+      .orderBy("name_a", "name_b")
+  }
+
+  /** End-to-end entity resolution: fuzzy name pairs → transitive closure
+    * ([[GraphOps.connectedComponents]], names keyed by their minimum
+    * record id) → per-cluster canonical election (highest record
+    * multiplicity, ties to the lexicographically smallest name — the
+    * keep-best rule stated as a deterministic total order). Emits the
+    * full name → canonical mapping with cluster size, singletons
+    * included (their own canonical) — the lookup table a catalog-merge
+    * job broadcasts.
+    *
+    * Scale shape: everything name-level until the final (broadcast)
+    * mapping; CC takes the hybrid driver/distributed path (GraphOps) and
+    * the election is one row_number window partitioned by cluster label
+    * — cluster-local, so a mega-cluster (the pathological "everything
+    * within distance 2" catalog) degrades to one partition's sort, the
+    * same bound as the dedup keep-best family. */
+  private val qEntityResolution: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val names = graft.Caching.persist(
+      Tables.part(s, d)
+        .groupBy(col("p_name").as("name"))
+        .agg(count(lit(1)).as("n_ids"), min(col("p_partkey")).as("nid")))
+    val edges = fuzzyPairs(names)
+      .join(names.select(col("name").as("name_a"), col("nid").as("u")), "name_a")
+      .join(names.select(col("name").as("name_b"), col("nid").as("v")), "name_b")
+      .select(col("u"), col("v"))
+    val labels = GraphOps.connectedComponents(s, edges)
+    val lab = names
+      .join(labels.withColumnRenamed("vertex_id", "nid"), Seq("nid"), "left")
+      .select(col("name"), col("n_ids"),
+        coalesce(col("label"), col("nid")).as("label"))
+    val elect = Window.partitionBy("label").orderBy(col("n_ids").desc, col("name"))
+    val size = Window.partitionBy("label")
+    lab
+      .withColumn("rn", row_number().over(elect))
+      .withColumn("cluster_size", count(lit(1)).over(size))
+      .withColumn("canonical", first(when(col("rn") === 1, col("name")),
+        ignoreNulls = true).over(size))
+      .select(col("name"), col("canonical"), col("cluster_size"), col("n_ids"))
+      .orderBy("name")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_fuzzy_join" -> qFuzzyJoin,
+    "q_entity_resolution" -> qEntityResolution,
+  )
+
+  val oracles: Map[String, String] = Map(
+    // the deletion blocking is lossless for dist<=2 (cover lemma, spec-
+    // pinned), so the oracle states the SEMANTIC contract directly: all
+    // distinct-name pairs within Levenshtein 2, with the length filter
+    // only as a planner hint (|len diff| <= dist is implied by <=2)
+    "q_fuzzy_join" ->
+      """WITH n AS (SELECT p_name AS name, count(*) AS n_ids FROM part GROUP BY 1)
+        |SELECT a.name AS name_a, b.name AS name_b,
+        |       CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist,
+        |       a.n_ids AS n_a, b.n_ids AS n_b
+        |FROM n a JOIN n b
+        |  ON a.name < b.name
+        | AND abs(length(a.name) - length(b.name)) <= 2
+        | AND levenshtein(a.name, b.name) <= 2
+        |ORDER BY name_a, name_b""".stripMargin,
+    // transitive closure via the recursive reach CTE (the q_dedup_cluster
+    // oracle pattern); labels = min record-id per component, matching
+    // GraphOps.connectedComponents' min-label contract
+    "q_entity_resolution" ->
+      """WITH RECURSIVE n AS (
+        |  SELECT p_name AS name, count(*) AS n_ids, min(p_partkey) AS nid
+        |  FROM part GROUP BY 1),
+        |fp AS (
+        |  SELECT a.nid AS u, b.nid AS v FROM n a JOIN n b
+        |  ON a.name < b.name
+        | AND abs(length(a.name) - length(b.name)) <= 2
+        | AND levenshtein(a.name, b.name) <= 2),
+        |edges AS (SELECT u, v FROM fp UNION ALL SELECT v, u FROM fp),
+        |reach(u, r) AS (
+        |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+        |  UNION
+        |  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.v),
+        |lab0 AS (SELECT u AS nid, min(r) AS label FROM reach GROUP BY 1),
+        |lab AS (SELECT n.name, n.n_ids, coalesce(lab0.label, n.nid) AS label
+        |        FROM n LEFT JOIN lab0 USING (nid)),
+        |canon AS (
+        |  SELECT label, name AS canonical FROM (
+        |    SELECT label, name,
+        |           row_number() OVER (PARTITION BY label
+        |                              ORDER BY n_ids DESC, name) AS rn
+        |    FROM lab) WHERE rn = 1),
+        |sizes AS (SELECT label, CAST(count(*) AS BIGINT) AS cluster_size
+        |          FROM lab GROUP BY 1)
+        |SELECT lab.name, canon.canonical, sizes.cluster_size, lab.n_ids
+        |FROM lab JOIN canon USING (label) JOIN sizes USING (label)
+        |ORDER BY name""".stripMargin,
+  )
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{EventOps, LinkOps}
+
+/** Robust-outlier semantics (median/MAD must shrug off the outlier it
+  * flags — the property mean/stddev scoring lacks) and the entity-
+  * resolution composition over the fixtures. */
+class EventOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("robustOutliers flags an injected extreme and nothing else") {
+    import spark.implicits._
+    // 20 values in a tight band + one wild spike; with the spike INSIDE
+    // the sample, median/MAD barely move, so only the spike crosses 3.5
+    val base = (1L to 20L).map(i => (i, "a", 10.0 + (i % 5) * 0.1))
+    val ev = (base :+ ((99L, "a", 500.0))).toDF("event_id", "event_type", "value")
+    val out = EventOps.robustOutliers(ev).collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(99L))
+    assert(out(0).getDouble(3) > 100) // the spike's robust z is enormous
+  }
+
+  test("mean/stddev z-scoring would mask what MAD catches (masking demo)") {
+    import spark.implicits._
+    // three co-located spikes inflate the stddev enough that a classic
+    // 3.5-sigma cut misses all of them; the MAD cut does not
+    val base = (1L to 20L).map(i => (i, "a", 10.0 + (i % 5) * 0.1))
+    val ev = (base ++ Seq((97L, "a", 300.0), (98L, "a", 305.0), (99L, "a", 310.0)))
+      .toDF("event_id", "event_type", "value")
+    val flagged = EventOps.robustOutliers(ev).collect().map(_.getLong(0)).toSet
+    assert(flagged === Set(97L, 98L, 99L))
+    val stats = ev.agg(avg("value").as("m"), stddev_pop("value").as("s")).collect()(0)
+    val (m, sd) = (stats.getDouble(0), stats.getDouble(1))
+    // classic z of the spikes stays under 3.5 — masked
+    assert(math.abs(310.0 - m) / sd < 3.5)
+  }
+
+  test("q_entity_resolution maps every distinct name once, canonical wins by multiplicity") {
+    val sf = TestSpark.sf0001
+    val out = LinkOps.queries("q_entity_resolution")(spark, sf).collect()
+    val names = Tables.part(spark, sf).select("p_name").distinct().count()
+    assert(out.length.toLong === names)            // total mapping, no dupes
+    val byCanon = out.groupBy(_.getString(1))
+    byCanon.foreach { case (canon, rows) =>
+      val members = rows.map(r => (r.getString(0), r.getLong(3)))
+      val canonMult = members.collectFirst { case (n, m) if n == canon => m }
+      assert(canonMult.nonEmpty, s"canonical $canon must be a member of its own cluster")
+      // canonical has the max multiplicity; among the tied-max names it
+      // is the lexicographically smallest (the stated election order)
+      val maxMult = members.map(_._2).max
+      assert(canonMult.get === maxMult)
+      assert(canon === members.filter(_._2 == maxMult).map(_._1).min)
+    }
+    spark.catalog.clearCache()
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{GraphAnalyticsOps, GraphOps}
+
+/** PageRank against an independent driver-side replay of the same
+  * schedule; triangle stats against hand-countable graphs (the degree
+  * orientation must count each triangle exactly once, hub or not). */
+class GraphAnalyticsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import scala.jdk.CollectionConverters._
+
+  test("pageRank matches a driver-side replay incl. dangling mass") {
+    import spark.implicits._
+    // 1 -> 2, 1 -> 3 (2x), 2 -> 3; 3 is DANGLING (no out-edges)
+    val edges = Seq((1L, 2L, 1.0), (1L, 3L, 2.0), (2L, 3L, 1.0))
+    val got = GraphOps.pageRank(spark, edges.toDF("src", "dst", "w"),
+        iters = 8, damping = 0.85)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    // independent replay: dense driver arithmetic over the same rounds
+    val nodes = Seq(1L, 2L, 3L)
+    val n = nodes.size.toDouble
+    val outW = Map(1L -> 3.0, 2L -> 1.0)
+    var r = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to 8) {
+      val dm = nodes.filterNot(outW.contains).map(r).sum
+      val in = Map(
+        2L -> r(1L) * (1.0 / 3.0),
+        3L -> (r(1L) * (2.0 / 3.0) + r(2L) * 1.0))
+      r = nodes.map(v =>
+        v -> ((1.0 - 0.85) / n + 0.85 * (in.getOrElse(v, 0.0) + dm / n))).toMap
+    }
+    nodes.foreach(v => assert(math.abs(got(v) - r(v)) < 1e-9, s"vertex $v"))
+    assert(math.abs(got.values.sum - 1.0) < 1e-9) // mass conserved
+    spark.catalog.clearCache()
+  }
+
+  test("triangleStats counts K4, a hub star, and a mixed graph exactly") {
+    import spark.implicits._
+    def stats(edges: Seq[(Long, Long)]): (Long, Long, Long, Long) = {
+      val r = GraphAnalyticsOps.triangleStats(edges.toDF("u", "v")).collect()(0)
+      spark.catalog.clearCache()
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    // K4: 4 triangles, 6 edges, wedges = 4 * C(3,2) = 12
+    assert(stats(Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L)))
+      === ((4L, 6L, 12L, 4L)))
+    // star: hub 0 with 5 leaves — 0 triangles, wedges = C(5,2) = 10
+    assert(stats(Seq((0L,1L),(0L,2L),(0L,3L),(0L,4L),(0L,5L)))
+      === ((6L, 5L, 10L, 0L)))
+    // hub + one closing edge: exactly 1 triangle regardless of hub degree
+    assert(stats(Seq((0L,1L),(0L,2L),(0L,3L),(0L,4L),(0L,5L),(1L,2L)))._4 === 1L)
+  }
+
+  test("transition probabilities row-normalize to 1 per prev type") {
+    val out = GraphAnalyticsOps.queries("q_event_transitions")(spark, TestSpark.sf0001)
+    val sums = out.groupBy("prev_type").agg(sum("p").as("sp"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(sums.nonEmpty)
+    sums.values.foreach(v => assert(math.abs(v - 1.0) < 1e-4))
+    spark.catalog.clearCache()
+  }
+
+  test("q_pagerank ranks sum to 1 over the event-type graph") {
+    val out = GraphAnalyticsOps.queries("q_pagerank")(spark, TestSpark.sf0001)
+    val rows = out.collect()
+    assert(rows.length >= 2)
+    assert(math.abs(rows.map(_.getDouble(1)).sum - 1.0) < 1e-4)
+    spark.catalog.clearCache()
+  }
+}
