@@ -167,6 +167,9 @@ object Stress {
           import graft.operators.MultiModalOps
           MultiModalOps.imageSigPairs(MultiModalOps.noiseImageSigs(s, d)).count()
         }),
+      Probe("triangle_wedge_candidates",
+        "degree-oriented wedge-join candidates (Σ C(out_deg,2)) over the part co-occurrence graph (q_triangle_count) — ~linear while order size stays constant; the orientation bound caps it at O(edges^1.5) however hubby the catalog gets",
+        graft.operators.GraphAnalyticsOps.wedgeCandidates),
     )
 
     val nDocs = sfs.map(d => Tables.documents(spark, d).count())

@@ -126,10 +126,48 @@ object EventOps {
     robustOutliers(Tables.events(s, d)
       .select(col("event_id"), col("event_type"), col("value")))
 
+  /** Top-50 session event-type paths: 30-min-gap sessionization (the
+    * q_window_session definition), each session rendered as its first-8
+    * event types joined with '>' — the "how do users actually move"
+    * report behind funnel design.
+    *
+    * Scale shape: ONE exchange keys everything by user (gap window,
+    * session-id running sum, and the per-session rank all share the
+    * user partitioning; the (user, sid) rank is a finer key of the same
+    * partition — no second exchange). The first-8 cap is applied by
+    * row_number BEFORE collect_list, so a bot mega-session contributes 8
+    * rows to the aggregate, never a jumbo array. The path table is
+    * bounded by min(sessions, |types|^8) and the top-50 is
+    * TakeOrderedAndProject — no global sort materializes. Ties at the
+    * cut break by path text: a deterministic total order, so both
+    * engines pick the same 50. */
+  private val qSessionPaths: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy("ep", "event_id")
+    val sess = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts div 1000").as("ep"))
+      .withColumn("gap", col("ep") - lag(col("ep"), 1).over(w))
+      .withColumn("ns",
+        when(col("gap").isNull || col("gap") > 1800000000L, 1).otherwise(0))
+      .withColumn("sid", sum(col("ns")).over(w))
+    val wSess = Window.partitionBy("user_id", "sid").orderBy("ep", "event_id")
+    sess
+      .withColumn("rn", row_number().over(wSess))
+      .filter(col("rn") <= 8)
+      .groupBy("user_id", "sid")
+      .agg(array_join(expr(
+        "transform(array_sort(collect_list(struct(ep, event_id, event_type))), x -> x.event_type)"),
+        ">").as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(50)
+  }
+
   val queries: Map[String, Q] = Map(
     "q_gap_fill" -> qGapFill,
     "q_event_funnel" -> qEventFunnel,
     "q_outlier_mad" -> qOutlierMad,
+    "q_session_paths" -> qSessionPaths,
   )
 
   val oracles: Map[String, String] = Map(
@@ -183,5 +221,22 @@ object EventOps {
         |FROM dev JOIN mad USING (event_type)
         |WHERE dv / (1.4826 * mad.mad) > 3.5
         |ORDER BY event_type, event_id""".stripMargin,
+    "q_session_paths" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ep FROM events),
+        |g AS (SELECT user_id, event_id, event_type, ep,
+        |             CASE WHEN ep - lag(ep) OVER w IS NULL
+        |                    OR ep - lag(ep) OVER w > 1800000000 THEN 1 ELSE 0 END AS ns
+        |      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ep, event_id)),
+        |s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ep, event_id
+        |                              ROWS UNBOUNDED PRECEDING) AS sid FROM g),
+        |capped AS (SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id, sid
+        |                                 ORDER BY ep, event_id) AS rn
+        |    FROM s) WHERE rn <= 8),
+        |p AS (SELECT user_id, sid,
+        |             array_to_string(list(event_type ORDER BY ep, event_id), '>') AS path
+        |      FROM capped GROUP BY 1, 2)
+        |SELECT path, CAST(count(*) AS BIGINT) AS n
+        |FROM p GROUP BY 1 ORDER BY n DESC, path LIMIT 50""".stripMargin,
   )
 }

@@ -76,13 +76,43 @@ object GraphAnalyticsOps {
       .orderBy("event_type")
   }
 
-  /** Exact (n_vertices, n_edges, n_wedges, n_triangles, clustering) for an
-    * undirected DISTINCT edge list with two columns read as (u, v), u ≠ v,
-    * one row per unordered pair. */
-  private[graft] def triangleStats(edges: DataFrame): DataFrame = {
+  /** Per-order distinct part pairs (o, u < v) — the co-occurrence pair
+    * stream both graph queries aggregate from; memoized because
+    * q_triangle_count (distinct edges) and q_part_rank (weighted edges)
+    * both consume it. */
+  private def orderPairs(s: SparkSession, d: String): DataFrame =
+    graft.SharedPlans.shared(s, s"order_pairs|$d") {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("pk")).distinct()
+      li.as("x").join(li.as("y"),
+          col("x.o") === col("y.o") && col("x.pk") < col("y.pk"))
+        .select(col("x.o").as("o"), col("x.pk").as("u"), col("y.pk").as("v"))
+    }
+
+  private val PartRankIters = 5
+
+  /** PageRank over the weighted part co-occurrence graph (weight = shared
+    * orders, symmetrized) — the catalog-importance rank, and the
+    * DISTRIBUTED exercise of [[GraphOps.pageRank]]: thousands of vertices
+    * and ~10⁵–10⁶ edges per round through the vertex-keyed shuffle join,
+    * vs q_pagerank's vocabulary-sized graph. */
+  private val qPartRank: Q = (s, d) => {
+    val w = orderPairs(s, d).groupBy("u", "v").agg(count(lit(1)).as("w"))
+    val edges = w.select(col("u").as("src"), col("v").as("dst"), col("w"))
+      .unionByName(w.select(col("v").as("src"), col("u").as("dst"), col("w")))
+    GraphOps.pageRank(s, edges, iters = PartRankIters, damping = Damping)
+      .select(col("v").as("p_partkey"), round(col("r"), 8).as("rank"))
+      .orderBy("p_partkey")
+  }
+
+  /** Degree-ordered orientation of an undirected distinct (u, v) edge
+    * list: each edge directed low→high in the (deg, id) total order, the
+    * head's degree carried so downstream can rank heads in the same
+    * order. Returns (a, b, db) with the degree frame alongside; both are
+    * PERSISTED and the caller owns the release. */
+  private[graft] def orientEdges(edges: DataFrame): (DataFrame, DataFrame) = {
     val Seq(uC, vC) = edges.columns.toSeq.take(2)
-    val e = graft.Caching.persist(
-      edges.select(col(uC).as("u"), col(vC).as("v")))
+    val e = edges.select(col(uC).as("u"), col(vC).as("v"))
     val deg = graft.Caching.persist(
       e.select(col("u").as("t")).unionByName(e.select(col("v").as("t")))
         .groupBy("t").agg(count(lit(1)).as("deg")))
@@ -91,12 +121,34 @@ object GraphAnalyticsOps {
       .join(deg.select(col("t").as("v"), col("deg").as("dv")), "v")
     val lt = col("du") < col("dv") ||
       (col("du") === col("dv") && col("u") < col("v"))
-    // orient low→high in (deg, id) order; carry the head's degree so the
-    // wedge join can rank heads in the same total order
     val o = graft.Caching.persist(ed.select(
       when(lt, col("u")).otherwise(col("v")).as("a"),
       when(lt, col("v")).otherwise(col("u")).as("b"),
       when(lt, col("dv")).otherwise(col("du")).as("db")))
+    (o, deg)
+  }
+
+  /** Candidate count of the wedge join — Σ C(out_deg, 2) over the
+    * oriented graph, i.e. the rows the triangle join enumerates. The
+    * scaling instrument's probe: must grow ~linearly for a constant-
+    * degree co-occurrence graph, and is O(edges^1.5) worst-case by the
+    * orientation bound regardless of hubs. */
+  private[graft] def wedgeCandidates(s: SparkSession, d: String): Long = {
+    val (o, deg) = orientEdges(orderPairs(s, d).select(col("u"), col("v")).distinct())
+    try o.groupBy("a").agg(count(lit(1)).as("od"))
+      .agg(coalesce(sum(expr("od * (od - 1) div 2")), lit(0L)))
+      .collect()(0).getLong(0)
+    finally { o.unpersist(); deg.unpersist() }
+  }
+
+  /** Exact (n_vertices, n_edges, n_wedges, n_triangles, clustering) for an
+    * undirected DISTINCT edge list with two columns read as (u, v), u ≠ v,
+    * one row per unordered pair. */
+  private[graft] def triangleStats(edges: DataFrame): DataFrame = {
+    val Seq(uC, vC) = edges.columns.toSeq.take(2)
+    val e = graft.Caching.persist(
+      edges.select(col(uC).as("u"), col(vC).as("v")))
+    val (o, deg) = orientEdges(e)
     val headLt = col("e1.db") < col("e2.db") ||
       (col("e1.db") === col("e2.db") && col("e1.b") < col("e2.b"))
     val tri = o.as("e1")
@@ -115,40 +167,35 @@ object GraphAnalyticsOps {
           .as("clustering"))
   }
 
-  private val qTriangleCount: Q = (s, d) => {
-    val li = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("pk")).distinct()
-    triangleStats(
-      li.as("x").join(li.as("y"),
-          col("x.o") === col("y.o") && col("x.pk") < col("y.pk"))
-        .select(col("x.pk").as("u"), col("y.pk").as("v")).distinct())
-  }
+  private val qTriangleCount: Q = (s, d) =>
+    triangleStats(orderPairs(s, d).select(col("u"), col("v")).distinct())
 
   val queries: Map[String, Q] = Map(
     "q_event_transitions" -> qEventTransitions,
     "q_pagerank" -> qPageRank,
+    "q_part_rank" -> qPartRank,
     "q_triangle_count" -> qTriangleCount,
   )
 
-  /** The PageRank oracle replays the exact iteration schedule as chained
+  /** The PageRank oracles replay the exact iteration schedule as chained
     * CTEs (standard SQL cannot aggregate over a recursive reference, so
     * the k rounds are unrolled — the q_bpe_train discipline). Constants
     * are written as the same arithmetic Spark evaluates ((1 - 0.85), 1/n)
-    * so both engines derive bit-identical doubles before the round(6). */
-  private def pagerankOracle(iters: Int, damping: Double): String = {
+    * so both engines derive bit-identical doubles before the rounding.
+    *
+    * `graphCtes` must define `tr(src, dst, w DOUBLE)`; `finalSelect`
+    * reads the converged `r{iters}(v, r)`. */
+  private def pagerankOracle(
+      graphCtes: String, iters: Int, damping: Double, finalSelect: String): String = {
     val sb = new StringBuilder
+    sb.append(graphCtes)
     sb.append(
-      """WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS t FROM events),
-        |lagd AS (SELECT event_type AS nxt,
-        |                lag(event_type) OVER (PARTITION BY user_id ORDER BY t, event_id) AS prev
-        |         FROM ev),
-        |tr AS (SELECT prev, nxt, CAST(count(*) AS DOUBLE) AS w
-        |       FROM lagd WHERE prev IS NOT NULL GROUP BY 1, 2),
-        |nodes AS (SELECT DISTINCT prev AS v FROM tr UNION SELECT DISTINCT nxt FROM tr),
+      """,
+        |nodes AS (SELECT DISTINCT src AS v FROM tr UNION SELECT DISTINCT dst FROM tr),
         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
-        |ow AS (SELECT prev AS src, sum(w) AS wout FROM tr GROUP BY 1),
-        |p AS (SELECT tr.prev AS src, tr.nxt AS dst, tr.w / ow.wout AS p
-        |      FROM tr JOIN ow ON tr.prev = ow.src),
+        |ow AS (SELECT src, sum(w) AS wout FROM tr GROUP BY 1),
+        |p AS (SELECT tr.src, tr.dst, tr.w / ow.wout AS p
+        |      FROM tr JOIN ow ON tr.src = ow.src),
         |r0 AS (SELECT v, 1.0 / (SELECT n FROM nn) AS r FROM nodes)""".stripMargin)
     for (k <- 1 to iters) {
       sb.append(s""",
@@ -162,7 +209,7 @@ object GraphAnalyticsOps {
         |       FROM nodes LEFT JOIN c$k ON nodes.v = c$k.v)""".stripMargin)
     }
     sb.append(s"""
-      |SELECT v AS event_type, round(r, 6) AS rank FROM r$iters ORDER BY event_type""".stripMargin)
+      |$finalSelect""".stripMargin)
     sb.toString
   }
 
@@ -177,7 +224,23 @@ object GraphAnalyticsOps {
         |SELECT prev AS prev_type, nxt AS next_type, n,
         |       round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev), 6) AS p
         |FROM tr ORDER BY prev_type, next_type""".stripMargin,
-    "q_pagerank" -> pagerankOracle(Iters, Damping),
+    "q_pagerank" -> pagerankOracle(
+      """WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS t FROM events),
+        |lagd AS (SELECT event_type AS nxt,
+        |                lag(event_type) OVER (PARTITION BY user_id ORDER BY t, event_id) AS prev
+        |         FROM ev),
+        |tr AS (SELECT prev AS src, nxt AS dst, CAST(count(*) AS DOUBLE) AS w
+        |       FROM lagd WHERE prev IS NOT NULL GROUP BY 1, 2)""".stripMargin,
+      Iters, Damping,
+      s"SELECT v AS event_type, round(r, 6) AS rank FROM r$Iters ORDER BY event_type"),
+    "q_part_rank" -> pagerankOracle(
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS pk FROM lineitem),
+        |pairs AS (SELECT x.pk AS u, y.pk AS v, CAST(count(*) AS DOUBLE) AS w
+        |          FROM li x JOIN li y ON x.o = y.o AND x.pk < y.pk GROUP BY 1, 2),
+        |tr AS (SELECT u AS src, v AS dst, w FROM pairs
+        |       UNION ALL SELECT v, u, w FROM pairs)""".stripMargin,
+      PartRankIters, Damping,
+      s"SELECT v AS p_partkey, round(r, 8) AS rank FROM r$PartRankIters ORDER BY p_partkey"),
     "q_triangle_count" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS pk FROM lineitem),
         |e AS (SELECT DISTINCT x.pk AS u, y.pk AS v

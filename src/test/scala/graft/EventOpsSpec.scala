@@ -36,6 +36,18 @@ class EventOpsSpec extends AnyFunSuite {
     assert(math.abs(310.0 - m) / sd < 3.5)
   }
 
+  test("q_session_paths path counts total the q_window_session session count") {
+    val sf = TestSpark.sf0001
+    val paths = EventOps.queries("q_session_paths")(spark, sf).collect()
+    val total = operators.CoreOps.queries("q_window_session")(spark, sf)
+      .agg(sum("n_sessions")).collect()(0).getLong(0)
+    val pathSum = paths.map(_.getLong(1)).sum
+    // below the top-50 cut every session appears in exactly one path row
+    if (paths.length < 50) assert(pathSum === total)
+    else assert(pathSum <= total)
+    spark.catalog.clearCache()
+  }
+
   test("q_entity_resolution maps every distinct name once, canonical wins by multiplicity") {
     val sf = TestSpark.sf0001
     val out = LinkOps.queries("q_entity_resolution")(spark, sf).collect()

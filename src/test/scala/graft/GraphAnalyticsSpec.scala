@@ -63,6 +63,19 @@ class GraphAnalyticsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("wedge candidates bound triangles and the q_part_rank masses sum to 1") {
+    val sf = TestSpark.sf0001
+    val wedges = GraphAnalyticsOps.wedgeCandidates(spark, sf)
+    val tri = GraphAnalyticsOps.queries("q_triangle_count")(spark, sf)
+      .collect()(0).getLong(3)
+    assert(wedges >= tri) // every triangle closes exactly one oriented wedge
+    val ranks = GraphAnalyticsOps.queries("q_part_rank")(spark, sf)
+      .collect().map(_.getDouble(1))
+    assert(ranks.nonEmpty)
+    assert(math.abs(ranks.sum - 1.0) < 1e-3)
+    spark.catalog.clearCache()
+  }
+
   test("q_pagerank ranks sum to 1 over the event-type graph") {
     val out = GraphAnalyticsOps.queries("q_pagerank")(spark, TestSpark.sf0001)
     val rows = out.collect()
