@@ -28,8 +28,15 @@ import java.nio.file.Files
   */
 object Stress {
 
+  /** `scaleOf`: the probe's own driver-table row count — the x-axis its
+    * exponent is fit against. Defaults to the documents corpus; a probe
+    * whose enumeration is driven by a different table (the lineitem-
+    * derived co-occurrence graph) must fit against THAT table, or the
+    * flat sf0.001→sf0.01 documents axis (500→500) degrades the fit into
+    * noise. */
   private case class Probe(name: String, note: String,
-      work: (SparkSession, String) => Long)
+      work: (SparkSession, String) => Long,
+      scaleOf: Option[(SparkSession, String) => Long] = None)
 
   /** Distinct df-capped shingle self-join candidates (q_ngram_jaccard's
     * enumeration, anti-join formulation). */
@@ -168,8 +175,9 @@ object Stress {
           MultiModalOps.imageSigPairs(MultiModalOps.noiseImageSigs(s, d)).count()
         }),
       Probe("triangle_wedge_candidates",
-        "degree-oriented wedge-join candidates (Σ C(out_deg,2)) over the part co-occurrence graph (q_triangle_count) — ~linear while order size stays constant; the orientation bound caps it at O(edges^1.5) however hubby the catalog gets",
-        graft.operators.GraphAnalyticsOps.wedgeCandidates),
+        "degree-oriented wedge-join candidates (Σ C(out_deg,2)) over the part co-occurrence graph (q_triangle_count), fit against LINEITEM rows (its driver table) — per-part degree plateaus once each part's order set saturates, so candidates track vertices ~linearly; the orientation bound caps the ceiling at O(edges^1.5) however hubby the catalog gets",
+        graft.operators.GraphAnalyticsOps.wedgeCandidates,
+        scaleOf = Some((s, d) => Tables.lineitem(s, d).count())),
     )
 
     val nDocs = sfs.map(d => Tables.documents(spark, d).count())
@@ -179,8 +187,11 @@ object Stress {
         spark.catalog.clearCache()
         c
       }
-      // least-squares slope of ln(count) vs ln(docs) across all SFs
-      val xs = nDocs.map(n => math.log(n.toDouble))
+      // least-squares slope of ln(count) vs ln(scale) across all SFs —
+      // scale = the probe's own driver table (documents by default)
+      val scale = p.scaleOf.map(f => sfs.map(d => f(spark, d)))
+        .getOrElse(nDocs)
+      val xs = scale.map(n => math.log(n.toDouble))
       val ys = counts.map(c => math.log(math.max(c, 1).toDouble))
       val (mx, my) = (xs.sum / xs.size, ys.sum / ys.size)
       val slope = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum /
