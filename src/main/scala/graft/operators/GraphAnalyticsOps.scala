@@ -191,19 +191,23 @@ object GraphAnalyticsOps {
     sb.append(graphCtes)
     sb.append(
       """,
-        |nodes AS (SELECT DISTINCT src AS v FROM tr UNION SELECT DISTINCT dst FROM tr),
+        |nodes AS MATERIALIZED (SELECT DISTINCT src AS v FROM tr UNION SELECT DISTINCT dst FROM tr),
         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
-        |ow AS (SELECT src, sum(w) AS wout FROM tr GROUP BY 1),
-        |p AS (SELECT tr.src, tr.dst, tr.w / ow.wout AS p
+        |ow AS MATERIALIZED (SELECT src, sum(w) AS wout FROM tr GROUP BY 1),
+        |p AS MATERIALIZED (SELECT tr.src, tr.dst, tr.w / ow.wout AS p
         |      FROM tr JOIN ow ON tr.src = ow.src),
-        |r0 AS (SELECT v, 1.0 / (SELECT n FROM nn) AS r FROM nodes)""".stripMargin)
+        |r0 AS MATERIALIZED (SELECT v, 1.0 / (SELECT n FROM nn) AS r FROM nodes)""".stripMargin)
+    // every r_k is referenced TWICE (dangling mass + contributions):
+    // without MATERIALIZED, DuckDB 1.0 inlines each reference, doubling
+    // the expanded plan per round — the identical 2^k blowup the Spark
+    // side cuts with localCheckpoint, here cut with the CTE hint
     for (k <- 1 to iters) {
       sb.append(s""",
         |d${k - 1} AS (SELECT coalesce(sum(r), 0) AS dm
         |       FROM r${k - 1} LEFT JOIN ow ON r${k - 1}.v = ow.src WHERE ow.src IS NULL),
         |c$k AS (SELECT p.dst AS v, sum(r${k - 1}.r * p.p) AS m
         |       FROM p JOIN r${k - 1} ON p.src = r${k - 1}.v GROUP BY 1),
-        |r$k AS (SELECT nodes.v,
+        |r$k AS MATERIALIZED (SELECT nodes.v,
         |         (1 - $damping) / (SELECT n FROM nn)
         |         + $damping * (coalesce(c$k.m, 0) + (SELECT dm FROM d${k - 1}) / (SELECT n FROM nn)) AS r
         |       FROM nodes LEFT JOIN c$k ON nodes.v = c$k.v)""".stripMargin)
@@ -229,27 +233,30 @@ object GraphAnalyticsOps {
         |lagd AS (SELECT event_type AS nxt,
         |                lag(event_type) OVER (PARTITION BY user_id ORDER BY t, event_id) AS prev
         |         FROM ev),
-        |tr AS (SELECT prev AS src, nxt AS dst, CAST(count(*) AS DOUBLE) AS w
+        |tr AS MATERIALIZED (SELECT prev AS src, nxt AS dst, CAST(count(*) AS DOUBLE) AS w
         |       FROM lagd WHERE prev IS NOT NULL GROUP BY 1, 2)""".stripMargin,
       Iters, Damping,
       s"SELECT v AS event_type, round(r, 6) AS rank FROM r$Iters ORDER BY event_type"),
     "q_part_rank" -> pagerankOracle(
-      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS pk FROM lineitem),
-        |pairs AS (SELECT x.pk AS u, y.pk AS v, CAST(count(*) AS DOUBLE) AS w
+      """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS pk FROM lineitem),
+        |pairs AS MATERIALIZED (SELECT x.pk AS u, y.pk AS v, CAST(count(*) AS DOUBLE) AS w
         |          FROM li x JOIN li y ON x.o = y.o AND x.pk < y.pk GROUP BY 1, 2),
-        |tr AS (SELECT u AS src, v AS dst, w FROM pairs
+        |tr AS MATERIALIZED (SELECT u AS src, v AS dst, w FROM pairs
         |       UNION ALL SELECT v, u, w FROM pairs)""".stripMargin,
       PartRankIters, Damping,
       s"SELECT v AS p_partkey, round(r, 8) AS rank FROM r$PartRankIters ORDER BY p_partkey"),
+    // li/e/deg/o all MATERIALIZED: `o` is referenced three times by the
+    // triangle join — inlined, each reference would re-run the whole
+    // lineitem self-join chain (DuckDB 1.0 inlines CTEs by default)
     "q_triangle_count" ->
-      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS pk FROM lineitem),
-        |e AS (SELECT DISTINCT x.pk AS u, y.pk AS v
+      """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS pk FROM lineitem),
+        |e AS MATERIALIZED (SELECT DISTINCT x.pk AS u, y.pk AS v
         |      FROM li x JOIN li y ON x.o = y.o AND x.pk < y.pk),
-        |deg AS (SELECT t, count(*) AS deg
+        |deg AS MATERIALIZED (SELECT t, count(*) AS deg
         |        FROM (SELECT u AS t FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
         |ed AS (SELECT e.u, e.v, du.deg AS du, dv.deg AS dv
         |       FROM e JOIN deg du ON e.u = du.t JOIN deg dv ON e.v = dv.t),
-        |o AS (SELECT CASE WHEN du < dv OR (du = dv AND u < v) THEN u ELSE v END AS a,
+        |o AS MATERIALIZED (SELECT CASE WHEN du < dv OR (du = dv AND u < v) THEN u ELSE v END AS a,
         |             CASE WHEN du < dv OR (du = dv AND u < v) THEN v ELSE u END AS b,
         |             CASE WHEN du < dv OR (du = dv AND u < v) THEN dv ELSE du END AS db
         |      FROM ed),

@@ -37,6 +37,39 @@ class GraphAnalyticsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("pageRank matches the driver replay on randomized weighted digraphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 3) {
+      val n = 5 + rnd.nextInt(8)
+      val edges = (for {
+        u <- 0L until n.toLong
+        v <- 0L until n.toLong
+        if u != v && rnd.nextDouble() < 0.3
+      } yield (u, v, (1 + rnd.nextInt(3)).toDouble)).toSeq
+      if (edges.nonEmpty) {
+        val got = GraphOps.pageRank(spark, edges.toDF("src", "dst", "w"),
+            iters = 6, damping = 0.85)
+          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+        val nn = nodes.size.toDouble
+        val outW = edges.groupBy(_._1).map { case (k, es) => k -> es.map(_._3).sum }
+        var r = nodes.map(_ -> 1.0 / nn).toMap
+        for (_ <- 1 to 6) {
+          val dm = nodes.filterNot(outW.contains).map(r).sum
+          val in = edges.groupBy(_._2).map { case (v, es) =>
+            v -> es.map(e => r(e._1) * e._3 / outW(e._1)).sum }
+          r = nodes.map(v =>
+            v -> ((1.0 - 0.85) / nn + 0.85 * (in.getOrElse(v, 0.0) + dm / nn))).toMap
+        }
+        nodes.foreach(v => assert(math.abs(got(v) - r(v)) < 1e-9,
+          s"vertex $v of graph with ${edges.length} edges"))
+        assert(math.abs(got.values.sum - 1.0) < 1e-9)
+      }
+    }
+    spark.catalog.clearCache()
+  }
+
   test("triangleStats counts K4, a hub star, and a mixed graph exactly") {
     import spark.implicits._
     def stats(edges: Seq[(Long, Long)]): (Long, Long, Long, Long) = {
