@@ -175,7 +175,7 @@ object Stress {
           MultiModalOps.imageSigPairs(MultiModalOps.noiseImageSigs(s, d)).count()
         }),
       Probe("triangle_wedge_candidates",
-        "degree-oriented wedge-join candidates (Σ C(out_deg,2)) over the part co-occurrence graph (q_triangle_count), fit against LINEITEM rows (its driver table) — per-part degree plateaus once each part's order set saturates, so candidates track vertices ~linearly; the orientation bound caps the ceiling at O(edges^1.5) however hubby the catalog gets",
+        "degree-oriented wedge space (Σ C(out_deg,2)) of the part co-occurrence graph — the enumeration BOUND of the triangle family, upper-bounding the shipped edge-iterator's Σ(d⁺a+d⁺b) intersect work (q_triangle_count); fit against LINEITEM rows (its driver table) — per-part degree plateaus once each part's order set saturates, so the space tracks vertices ~linearly, and the orientation bound caps the ceiling at O(edges^1.5) however hubby the catalog gets",
         graft.operators.GraphAnalyticsOps.wedgeCandidates,
         scaleOf = Some((s, d) => Tables.lineitem(s, d).count())),
     )

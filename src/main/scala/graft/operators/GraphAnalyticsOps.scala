@@ -31,12 +31,13 @@ import graft.Tables
   *  - Triangles: the classic quadratic hazard is a hub part appearing in
   *    everything; degree-ORDERED orientation turns the undirected graph
   *    into a DAG where every vertex's out-degree is O(sqrt(edges))
-  *    [Chiba–Nishizeki bound], so the wedge join is
+  *    [Chiba–Nishizeki bound], capping the enumeration space at
   *    sum C(out_deg, 2) = O(edges^1.5) worst-case instead of the hub's
-  *    C(deg, 2). Wedges then hash-join the oriented edge set — the
-  *    standard distributed triangle algorithm (node-iterator++). The
-  *    per-order pair explode is bounded by C(parts per order, 2), a
-  *    receipt-sized constant.
+  *    C(deg, 2). The shipped implementation is the edge-iterator inside
+  *    that bound: broadcast out-adjacency arrays, one codegen'd
+  *    intersection per oriented edge, no wedge stream ever materialized
+  *    (see [[triangleStats]]). The per-order pair explode is bounded by
+  *    C(parts per order, 2), a receipt-sized constant.
   */
 object GraphAnalyticsOps {
   private type Q = (SparkSession, String) => DataFrame
@@ -76,17 +77,31 @@ object GraphAnalyticsOps {
       .orderBy("event_type")
   }
 
-  /** Per-order distinct part pairs (o, u < v) — the co-occurrence pair
-    * stream both graph queries aggregate from; memoized because
-    * q_triangle_count (distinct edges) and q_part_rank (weighted edges)
-    * both consume it. */
-  private def orderPairs(s: SparkSession, d: String): DataFrame =
-    graft.SharedPlans.shared(s, s"order_pairs|$d") {
-      val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("pk")).distinct()
-      li.as("x").join(li.as("y"),
-          col("x.o") === col("y.o") && col("x.pk") < col("y.pk"))
-        .select(col("x.o").as("o"), col("x.pk").as("u"), col("y.pk").as("v"))
+  /** The weighted co-occurrence edge table (u < v, w = shared orders) —
+    * memoized because q_triangle_count (distinct edges = the keys) and
+    * q_part_rank (weights) both consume it, and it is the SMALL stable
+    * artifact (|E| rows) rather than the per-order pair stream (~4× more
+    * rows at this fixture's order size).
+    *
+    * Build shape: ONE exchange groups lineitem by order; pairs are then a
+    * map-side array expression over the sorted distinct item set
+    * (collect_set + sort_array, so u < v by construction — no self-join,
+    * which would shuffle the lineitem table twice and re-match per order)
+    * followed by the groupBy(u, v) count. Per-order work is
+    * C(items per order, 2) — receipt-bounded; a pathological mega-order
+    * would need a per-order item cap before the pair expansion (the
+    * q_session_paths first-8 discipline). */
+  private def cooccurEdges(s: SparkSession, d: String): DataFrame =
+    graft.SharedPlans.shared(s, s"cooccur_edges|$d") {
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("pk"))
+        .groupBy("o").agg(sort_array(collect_set(col("pk"))).as("ps"))
+        .select(explode(expr(
+          """flatten(transform(ps, (x, i) ->
+            |  transform(slice(ps, i + 2, size(ps)),
+            |    y -> struct(x AS u, y AS v))))""".stripMargin)).as("p"))
+        .groupBy(col("p.u").as("u"), col("p.v").as("v"))
+        .agg(count(lit(1)).as("w"))
     }
 
   private val PartRankIters = 5
@@ -97,7 +112,7 @@ object GraphAnalyticsOps {
     * and ~10⁵–10⁶ edges per round through the vertex-keyed shuffle join,
     * vs q_pagerank's vocabulary-sized graph. */
   private val qPartRank: Q = (s, d) => {
-    val w = orderPairs(s, d).groupBy("u", "v").agg(count(lit(1)).as("w"))
+    val w = cooccurEdges(s, d)
     val edges = w.select(col("u").as("src"), col("v").as("dst"), col("w"))
       .unionByName(w.select(col("v").as("src"), col("u").as("dst"), col("w")))
     GraphOps.pageRank(s, edges, iters = PartRankIters, damping = Damping)
@@ -134,7 +149,7 @@ object GraphAnalyticsOps {
     * degree co-occurrence graph, and is O(edges^1.5) worst-case by the
     * orientation bound regardless of hubs. */
   private[graft] def wedgeCandidates(s: SparkSession, d: String): Long = {
-    val (o, deg) = orientEdges(orderPairs(s, d).select(col("u"), col("v")).distinct())
+    val (o, deg) = orientEdges(cooccurEdges(s, d).select(col("u"), col("v")))
     try o.groupBy("a").agg(count(lit(1)).as("od"))
       .agg(coalesce(sum(expr("od * (od - 1) div 2")), lit(0L)))
       .collect()(0).getLong(0)
@@ -149,14 +164,29 @@ object GraphAnalyticsOps {
     val e = graft.Caching.persist(
       edges.select(col(uC).as("u"), col(vC).as("v")))
     val (o, deg) = orientEdges(e)
-    val headLt = col("e1.db") < col("e2.db") ||
-      (col("e1.db") === col("e2.db") && col("e1.b") < col("e2.b"))
-    val tri = o.as("e1")
-      .join(o.as("e2"), col("e1.a") === col("e2.a") && headLt)
-      .select(col("e1.b").as("x"), col("e2.b").as("y"))
-      // x precedes y in the total order, so the closing edge is x→y
-      .join(o.select(col("a").as("x"), col("b").as("y")), Seq("x", "y"))
-      .agg(count(lit(1)).as("n_triangles"))
+    // EDGE-ITERATOR formulation: triangles = Σ over oriented edges (a,b)
+    // of |N⁺(a) ∩ N⁺(b)|. Orientation makes the count exact-once: the
+    // triangle p≺q≺r is seen only at its base edge (p,q) — r sits in
+    // both out-sets there, while at (p,r) and (q,r) the third vertex
+    // precedes r and cannot be in N⁺(r). Against the wedge-join
+    // alternative (enumerate Σ C(out_deg,2) wedge ROWS, then close),
+    // this never materializes the wedge stream at all: the out-adjacency
+    // table is V rows (arrays, Σ sizes = E), BROADCAST to both sides of
+    // the edge scan, and the intersections run inside one codegen'd
+    // projection — work Σ(d⁺(a)+d⁺(b)) hash ops, zero wide intermediate
+    // (20.3s → ~2s at sf0.1). At V beyond the broadcast budget, the two
+    // adjacency attaches become co-partitioned shuffle joins on a and b
+    // — E rows shuffled twice, still no wedge materialization; the
+    // orientation bound (out-deg = O(√E)) caps per-row array size either
+    // way.
+    val adj = o.groupBy(col("a")).agg(collect_list(col("b")).as("nb"))
+    val tri = o
+      .join(broadcast(adj.select(col("a"), col("nb").as("na"))), Seq("a"))
+      .join(broadcast(adj.select(col("a").as("b"), col("nb").as("nbb"))),
+        Seq("b"), "left")
+      .select(when(col("nbb").isNull, lit(0))
+        .otherwise(size(array_intersect(col("na"), col("nbb")))).as("c"))
+      .agg(sum(col("c")).as("n_triangles"))
     val stats = deg.agg(count(lit(1)).as("n_vertices"),
       sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
     val ne = e.agg(count(lit(1)).as("n_edges"))
@@ -168,7 +198,7 @@ object GraphAnalyticsOps {
   }
 
   private val qTriangleCount: Q = (s, d) =>
-    triangleStats(orderPairs(s, d).select(col("u"), col("v")).distinct())
+    triangleStats(cooccurEdges(s, d).select(col("u"), col("v")))
 
   val queries: Map[String, Q] = Map(
     "q_event_transitions" -> qEventTransitions,
