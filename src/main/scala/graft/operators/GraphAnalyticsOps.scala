@@ -34,10 +34,13 @@ import graft.Tables
   *    [Chiba–Nishizeki bound], capping the enumeration space at
   *    sum C(out_deg, 2) = O(edges^1.5) worst-case instead of the hub's
   *    C(deg, 2). The shipped implementation is the edge-iterator inside
-  *    that bound: broadcast out-adjacency arrays, one codegen'd
+  *    that bound: size-GATED broadcast of the out-adjacency arrays
+  *    (shuffle-join fallback above the entry budget), one codegen'd
   *    intersection per oriented edge, no wedge stream ever materialized
-  *    (see [[triangleStats]]). The per-order pair explode is bounded by
-  *    C(parts per order, 2), a receipt-sized constant.
+  *    (see [[triangleStats]]). The per-order pair explode is capped at
+  *    [[CooccurItemCap]] items per order (truncation-flagged), so a
+  *    mega-order cannot go quadratic; at receipt-sized orders the cap
+  *    never engages.
   */
 object GraphAnalyticsOps {
   private type Q = (SparkSession, String) => DataFrame
@@ -83,26 +86,56 @@ object GraphAnalyticsOps {
     * artifact (|E| rows) rather than the per-order pair stream (~4× more
     * rows at this fixture's order size).
     *
-    * Build shape: ONE exchange groups lineitem by order; pairs are then a
-    * map-side array expression over the sorted distinct item set
-    * (collect_set + sort_array, so u < v by construction — no self-join,
-    * which would shuffle the lineitem table twice and re-match per order)
-    * followed by the groupBy(u, v) count. Per-order work is
-    * C(items per order, 2) — receipt-bounded; a pathological mega-order
-    * would need a per-order item cap before the pair expansion (the
-    * q_session_paths first-8 discipline). */
+    * Build shape: ONE exchange keys lineitem by order — the dense_rank
+    * cap window, the collect_set, and the groupBy(o) all share that
+    * partitioning; pairs are then a map-side array expression over the
+    * sorted distinct item set (collect_set + sort_array, so u < v by
+    * construction — no self-join, which would shuffle the lineitem table
+    * twice and re-match per order) followed by the groupBy(u, v) count.
+    * Per-order work is C(min(items, [[CooccurItemCap]]), 2): the cap is
+    * applied by dense_rank BEFORE the set is collected (the
+    * q_session_paths first-8 discipline), so a pathological mega-order
+    * contributes at most cap rows to the aggregate and C(cap, 2) pairs —
+    * never a jumbo array, never a quadratic explode. Receipt-sized
+    * orders (TPC-H max 7 items) never hit it, so the capped plan is
+    * bit-identical to the uncapped oracle at every fixture SF;
+    * [[cooccurTruncatedOrders]] is the probe that proves when it bites. */
   private def cooccurEdges(s: SparkSession, d: String): DataFrame =
     graft.SharedPlans.shared(s, s"cooccur_edges|$d") {
-      Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("pk"))
-        .groupBy("o").agg(sort_array(collect_set(col("pk"))).as("ps"))
-        .select(explode(expr(
-          """flatten(transform(ps, (x, i) ->
-            |  transform(slice(ps, i + 2, size(ps)),
-            |    y -> struct(x AS u, y AS v))))""".stripMargin)).as("p"))
-        .groupBy(col("p.u").as("u"), col("p.v").as("v"))
-        .agg(count(lit(1)).as("w"))
+      cooccurEdgesFrom(Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("pk")))
     }
+
+  /** Per-order distinct-item cap before the pair expansion. 256 caps a
+    * mega-order at C(256,2) ≈ 33k pairs — bounded map-side work — while
+    * sitting ~40× above any receipt-shaped order. */
+  private[graft] val CooccurItemCap = 256
+
+  /** Weighted co-occurrence edges from an (o, pk) item table, the
+    * per-order item set capped at `cap` by dense_rank (ties in the pk
+    * order are impossible: ranks ARE the distinct pks), truncation
+    * observable via [[cooccurTruncatedOrders]]. */
+  private[graft] def cooccurEdgesFrom(items: DataFrame,
+      cap: Int = CooccurItemCap): DataFrame = {
+    val w = Window.partitionBy("o").orderBy("pk")
+    items
+      .withColumn("dr", dense_rank().over(w))
+      .filter(col("dr") <= cap)
+      .groupBy("o").agg(sort_array(collect_set(col("pk"))).as("ps"))
+      .select(explode(expr(
+        """flatten(transform(ps, (x, i) ->
+          |  transform(slice(ps, i + 2, size(ps)),
+          |    y -> struct(x AS u, y AS v))))""".stripMargin)).as("p"))
+      .groupBy(col("p.u").as("u"), col("p.v").as("v"))
+      .agg(count(lit(1)).as("w"))
+  }
+
+  /** Number of orders whose distinct item set was truncated by `cap` —
+    * the honesty flag for the capped edge build (spec + instrument). */
+  private[graft] def cooccurTruncatedOrders(items: DataFrame,
+      cap: Int = CooccurItemCap): Long =
+    items.groupBy("o").agg(countDistinct(col("pk")).as("nd"))
+      .filter(col("nd") > cap).count()
 
   private val PartRankIters = 5
 
@@ -156,10 +189,18 @@ object GraphAnalyticsOps {
     finally { o.unpersist(); deg.unpersist() }
   }
 
+  /** Broadcast budget for the triangle adjacency table, in ENTRIES
+    * (vertices + edges — the table is V array rows whose sizes sum to E).
+    * At ~16 bytes/entry the default keeps the payload ~128 MB, well under
+    * Spark's 8 GB broadcast hard limit with headroom for task overhead. */
+  private[graft] val TriangleBroadcastEntryLimit = 8L * 1000 * 1000
+
   /** Exact (n_vertices, n_edges, n_wedges, n_triangles, clustering) for an
     * undirected DISTINCT edge list with two columns read as (u, v), u ≠ v,
-    * one row per unordered pair. */
-  private[graft] def triangleStats(edges: DataFrame): DataFrame = {
+    * one row per unordered pair. `broadcastEntryLimit` gates the adjacency
+    * broadcast (specs force the shuffle path with 0). */
+  private[graft] def triangleStats(edges: DataFrame,
+      broadcastEntryLimit: Long = TriangleBroadcastEntryLimit): DataFrame = {
     val Seq(uC, vC) = edges.columns.toSeq.take(2)
     val e = graft.Caching.persist(
       edges.select(col(uC).as("u"), col(vC).as("v")))
@@ -171,18 +212,26 @@ object GraphAnalyticsOps {
     // precedes r and cannot be in N⁺(r). Against the wedge-join
     // alternative (enumerate Σ C(out_deg,2) wedge ROWS, then close),
     // this never materializes the wedge stream at all: the out-adjacency
-    // table is V rows (arrays, Σ sizes = E), BROADCAST to both sides of
-    // the edge scan, and the intersections run inside one codegen'd
-    // projection — work Σ(d⁺(a)+d⁺(b)) hash ops, zero wide intermediate
-    // (20.3s → ~2s at sf0.1). At V beyond the broadcast budget, the two
-    // adjacency attaches become co-partitioned shuffle joins on a and b
-    // — E rows shuffled twice, still no wedge materialization; the
-    // orientation bound (out-deg = O(√E)) caps per-row array size either
-    // way.
+    // table is V rows (arrays, Σ sizes = E), broadcast to both sides of
+    // the edge scan WHEN IT FITS, and the intersections run inside one
+    // codegen'd projection — work Σ(d⁺(a)+d⁺(b)) hash ops, zero wide
+    // intermediate (20.3s → ~2s at sf0.1). The broadcast hint is GATED
+    // on the collected (V, E) counts — both cheap aggregates over the
+    // already-persisted deg/e frames (the qNgramJaccard gate pattern):
+    // above the entry budget the hint is dropped and the two adjacency
+    // attaches fall through to the planner as co-partitioned shuffle
+    // joins on a and b — E rows shuffled twice, still no wedge
+    // materialization; the orientation bound (out-deg = O(√E)) caps
+    // per-row array size either way, so a billion-edge graph never
+    // forces gigabytes through the driver.
+    val nV = deg.count()
+    val nE = e.count()
+    val adjHint: DataFrame => DataFrame =
+      if (nV + nE <= broadcastEntryLimit) df => broadcast(df) else identity
     val adj = o.groupBy(col("a")).agg(collect_list(col("b")).as("nb"))
     val tri = o
-      .join(broadcast(adj.select(col("a"), col("nb").as("na"))), Seq("a"))
-      .join(broadcast(adj.select(col("a").as("b"), col("nb").as("nbb"))),
+      .join(adjHint(adj.select(col("a"), col("nb").as("na"))), Seq("a"))
+      .join(adjHint(adj.select(col("a").as("b"), col("nb").as("nbb"))),
         Seq("b"), "left")
       .select(when(col("nbb").isNull, lit(0))
         .otherwise(size(array_intersect(col("na"), col("nbb")))).as("c"))

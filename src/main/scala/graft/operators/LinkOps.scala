@@ -36,11 +36,20 @@ import graft.Tables
   * hashes those keys. A key shared by w names yields C(w,2) candidates
   * — a flooded deletion key (short names collapsing to the same stub)
   * is the same hazard as a flooded MinHash band and takes the same
-  * remedy: per-key width cap with star degradation + refine
-  * (DedupOps.scala width-cap pattern); at this fixture's widths the cap
-  * never engages so the query stays exactly equal to the uncapped
-  * oracle. Verification uses the THRESHOLD Levenshtein (banded DP,
-  * O(t·len) per pair instead of O(len²)).
+  * remedy, NOW WIRED IN: candidate generation routes through
+  * [[DedupOps.cappedBandPairs]] with the deletion key as the bucket
+  * key, so a key wider than [[FuzzyKeyCap]] degrades to star pairing
+  * against the key's minimum name — total candidates
+  * ≤ (cap/2+1)·|key rows|, linear by construction, with a length-diff
+  * ≤ 2 gate pruning junk pairs inside the join before any exchange.
+  * Under an ENGAGED cap the blocking is no longer lossless (a pair
+  * meeting only inside a flooded key may surface only via the star
+  * rep), but every emitted pair is still verified, and the flood stays
+  * one connected component via the star — the same recall trade the
+  * LSH family documents. At this fixture's widths the cap never
+  * engages so the query stays exactly equal to the uncapped oracle.
+  * Verification uses the THRESHOLD Levenshtein (banded DP, O(t·len)
+  * per pair instead of O(len²)).
   */
 object LinkOps {
   private type Q = (SparkSession, String) => DataFrame
@@ -66,19 +75,41 @@ object LinkOps {
       |                  substring(name, p.j+1)))
       |  ELSE slice(array(name), 1, 0) END))""".stripMargin
 
-  /** All unordered pairs of distinct `name`s within Levenshtein ≤ 2.
-    * `names` must carry a `name` column; other columns are ignored.
-    * Output: (name_a < name_b, dist). */
-  private[graft] def fuzzyPairs(names: DataFrame): DataFrame = {
-    val keys = names.select(col("name"), explode(expr(delKeysExpr)).as("k"))
-    val cand = keys.as("a")
-      .join(keys.as("b"), col("a.k") === col("b.k") && col("a.name") < col("b.name"))
-      .select(col("a.name").as("name_a"), col("b.name").as("name_b"))
-      .distinct()
-    // banded DP: levenshtein(_, _, 2) returns -1 above the threshold
-    cand.withColumn("dist", levenshtein(col("name_a"), col("name_b"), 2).cast("long"))
-      .filter(col("dist") >= 0)
+  /** Per-deletion-key width cap. A flooded key (short names collapsing
+    * to the same stub) of width w would emit C(w,2) candidates; above
+    * the cap it degrades to star pairing (cappedBandPairs). Flat
+    * constant, same rationale as [[DedupOps.LshBucketCap]]: the bound
+    * is per-key, independent of corpus size. Inert at fixture widths. */
+  private[graft] val FuzzyKeyCap = 1000L
+
+  /** Deletion-neighborhood key table in cappedBandPairs' (doc_id, band,
+    * bv) shape: doc_id = the name, one synthetic band, bv = the key. */
+  private def delKeyBands(names: DataFrame): DataFrame =
+    names.select(col("name"), explode(expr(delKeysExpr)).as("bv"))
+      .select(col("name").as("doc_id"), lit(0).as("band"), col("bv"))
+
+  /** Raw candidate pairs (pre-verification) under the width cap —
+    * [[fuzzyPairs]] minus the Levenshtein gate; exposed so the flood
+    * spec and the scaling instrument can count candidates directly. */
+  private[graft] def fuzzyCandidates(names: DataFrame,
+      cap: Long = FuzzyKeyCap): DataFrame = {
+    // |len(a)-len(b)| <= 2 is NECESSARY for ed <= 2: pruning inside the
+    // join kills junk pairs before the distinct exchange and the verify
+    val lenGate = abs(length(col("x.doc_id")) - length(col("y.doc_id"))) <= 2
+    DedupOps.cappedBandPairs(delKeyBands(names), cap, lenGate)
+      .select(col("doc_a").as("name_a"), col("doc_b").as("name_b"))
   }
+
+  /** All unordered pairs of distinct `name`s within Levenshtein ≤ 2
+    * (exactly all, while the width cap stays un-engaged — see the
+    * header). `names` must carry a `name` column; other columns are
+    * ignored. Output: (name_a < name_b, dist). */
+  private[graft] def fuzzyPairs(names: DataFrame,
+      cap: Long = FuzzyKeyCap): DataFrame =
+    // banded DP: levenshtein(_, _, 2) returns -1 above the threshold
+    fuzzyCandidates(names, cap)
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b"), 2).cast("long"))
+      .filter(col("dist") >= 0)
 
   /** Fuzzy self-link of the part catalog by name: name-level near-match
     * pairs with each side's record multiplicity. */

@@ -87,6 +87,42 @@ class GraphAnalyticsSpec extends AnyFunSuite {
     assert(stats(Seq((0L,1L),(0L,2L),(0L,3L),(0L,4L),(0L,5L),(1L,2L)))._4 === 1L)
   }
 
+  test("triangleStats forced-shuffle path (broadcast gate closed) is result-identical") {
+    import spark.implicits._
+    // entry limit 0 drops the broadcast hint: the adjacency attaches must
+    // go through the planner's shuffle joins and still count exactly
+    def stats(edges: Seq[(Long, Long)]): (Long, Long, Long, Long) = {
+      val r = GraphAnalyticsOps.triangleStats(edges.toDF("u", "v"),
+        broadcastEntryLimit = 0L).collect()(0)
+      spark.catalog.clearCache()
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    assert(stats(Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L)))
+      === ((4L, 6L, 12L, 4L)))
+    assert(stats(Seq((0L,1L),(0L,2L),(0L,3L),(0L,4L),(0L,5L)))
+      === ((6L, 5L, 10L, 0L)))
+    assert(stats(Seq((0L,1L),(0L,2L),(0L,3L),(0L,4L),(0L,5L),(1L,2L)))._4 === 1L)
+  }
+
+  test("cooccurEdges caps a planted mega-order and flags the truncation") {
+    import spark.implicits._
+    // order 1: 20 distinct items (mega); order 2: a receipt-sized 3
+    val items = ((1 to 20).map(i => (1L, i.toLong)) ++
+      Seq((2L, 100L), (2L, 101L), (2L, 102L), (2L, 100L))).toDF("o", "pk")
+    val capped = GraphAnalyticsOps.cooccurEdgesFrom(items, cap = 8)
+    // mega-order contributes C(8,2)=28 pairs among its 8 LOWEST pks;
+    // order 2 contributes C(3,2)=3 — dupes collapsed by the distinct set
+    assert(capped.count() === 31L)
+    val maxPk = capped.agg(max(greatest(col("u"), col("v")))).collect()(0).getLong(0)
+    assert(maxPk === 102L) // order 2 intact
+    assert(capped.filter(col("u") <= 20 && col("v") > 8).count() === 0L)
+    assert(GraphAnalyticsOps.cooccurTruncatedOrders(items, cap = 8) === 1L)
+    // default cap is inert on the same input
+    assert(GraphAnalyticsOps.cooccurEdgesFrom(items).count() === (190L + 3L))
+    assert(GraphAnalyticsOps.cooccurTruncatedOrders(items) === 0L)
+    spark.catalog.clearCache()
+  }
+
   test("transition probabilities row-normalize to 1 per prev type") {
     val out = GraphAnalyticsOps.queries("q_event_transitions")(spark, TestSpark.sf0001)
     val sums = out.groupBy("prev_type").agg(sum("p").as("sp"))

@@ -69,6 +69,38 @@ class LinkOpsSpec extends AnyFunSuite {
     assert(pairsOf(names) === bruteOf(names))
   }
 
+  test("deletion-key width cap keeps a short-name flood linear (star degradation)") {
+    import spark.implicits._
+    // 50 names "a0".."a49"-style sharing ONE deletion key ("a", from
+    // deleting the suffix char): uncapped blocking enumerates C(50,2)
+    // candidates from that key alone
+    val flood = (0 until 50).map(i => s"a${('0' + i % 10).toChar}${('a' + i / 10).toChar}")
+      .distinct
+    val df = flood.toDF("name")
+    val uncapped = LinkOps.fuzzyCandidates(df, cap = Long.MaxValue).count()
+    val capped = LinkOps.fuzzyCandidates(df, cap = 5).count()
+    // star degradation: every hot key contributes w-1 pairs, not C(w,2)
+    assert(capped < uncapped)
+    assert(capped <= 6L * flood.length, s"capped candidates $capped not linear")
+    // every flood member still reaches the key's rep (one component via
+    // the star), and every emitted pair is genuinely verified
+    val verified = LinkOps.fuzzyPairs(df, cap = 5)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(verified.nonEmpty)
+    verified.foreach { case (a, b, d) => assert(lev(a, b) == d && d <= 2) }
+  }
+
+  test("width cap is inert at fixture key widths (capped == uncapped candidates)") {
+    import spark.implicits._
+    val names = Seq("red widget", "bed widget", "red widgets", "blue bolt",
+      "glue bolts", "a", "b", "ab", "", "aaaa", "aaab").toDF("name")
+    val def_ = LinkOps.fuzzyCandidates(names)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val raw = LinkOps.fuzzyCandidates(names, cap = Long.MaxValue)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(def_ === raw)
+  }
+
   test("q_fuzzy_join output is name-level, ordered, with multiplicities") {
     val out = operators.LinkOps.queries("q_fuzzy_join")(spark, TestSpark.sf0001)
     val rows = out.collect()
