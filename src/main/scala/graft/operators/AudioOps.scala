@@ -19,11 +19,16 @@ import graft.Tables
   * integer formula bit-for-bit and the DuckDB oracle can recompute every
   * statistic from doc_id alone (same law the PNG/GIF paths exploit).
   *
-  * Four operators cover the audio lifecycle a training-data pipeline needs:
+  * Six operators cover the audio lifecycle a training-data pipeline needs:
   *  - q_audio_meta    — container metadata + whole-clip sample stats
   *  - q_audio_frames  — windowed (64-sample) frame energies, every 2nd
   *                      frame sampled: the feature-extraction shape
   *  - q_audio_trim    — leading/trailing-silence trim, the curation ACTION
+  *  - q_audio_resample — integer-decimation sample-rate conversion
+  *                      (8 → 4 kHz, every 2nd sample)
+  *  - q_audio_resample_frac — FRACTIONAL resample (8 → 6.4 kHz, linear
+  *                      interpolation on the L=4/M=5 lattice) — the
+  *                      44.1→16 kHz shape real pipelines need
   *  - q_audio_fingerprint — sign-of-energy-delta perceptual fingerprint →
   *                      exact dup groups, the audio twin of q_image_dhash
   *
@@ -252,6 +257,60 @@ object AudioOps {
       .orderBy("doc_id")
   }
 
+  /** Fractional resample geometry: 8000 Hz → 6400 Hz is upsample L=4 /
+    * decimate M=5, so output sample j sits at input position j·5/4 —
+    * linear interpolation between the bracketing samples with quarter
+    * weights. L chosen a POWER OF TWO on purpose: the interpolated value
+    * y = ((L−r)·v[k] + r·v[k+1]) / L is an integer divided by 4, its
+    * square an integer divided by 16 — both exact in DOUBLE, and their
+    * per-clip sums stay exact (multiples of 1/16 bounded by 2^43 < 2^53),
+    * so Spark and the DuckDB oracle agree bit-for-bit with NO rounding
+    * absorbing anything. The loop runs all arithmetic in the L-scaled
+    * integer domain and divides once at the end. */
+  private[graft] val ResampleL = 4
+  private[graft] val ResampleM = 5
+  private[graft] val FracRate = 6400L
+
+  /** Linear-interpolated fractional resample stats. Output indices run
+    * while j·M ≤ L·(n−1) (an r>0 index needs v[k+1]; p ≤ 4n−4 with
+    * r>0 implies p ≤ 4n−5, so the single bound is safe). */
+  private[graft] def fracResampleStats(id: Long, v: Array[Short])
+      : (Long, Long, Long, Double, Double, Double) = {
+    val n = v.length
+    var j = 0
+    var cnt = 0L; var sumAbsQ = 0L; var sumSqQ = 0L; var maxAbsQ = 0L
+    while (n > 0 && ResampleM.toLong * j <= ResampleL.toLong * (n - 1)) {
+      val p = ResampleM * j
+      val k = p / ResampleL
+      val r = p % ResampleL
+      val w =
+        if (r == 0) ResampleL.toLong * v(k)
+        else (ResampleL - r).toLong * v(k) + r.toLong * v(k + 1)
+      val a = Math.abs(w)
+      sumAbsQ += a
+      sumSqQ += w * w
+      if (a > maxAbsQ) maxAbsQ = a
+      cnt += 1
+      j += 1
+    }
+    (id, cnt, FracRate,
+      sumAbsQ / ResampleL.toDouble,
+      sumSqQ / (ResampleL.toDouble * ResampleL),
+      maxAbsQ / ResampleL.toDouble)
+  }
+
+  private val qAudioResampleFrac: Q = (s, d) => {
+    import s.implicits._
+    wavPayloads(s, d)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(it => it.map { case (id, bytes) =>
+        fracResampleStats(id, decodeWav(bytes)._3)
+      })
+      .toDF("doc_id", "n_samples2", "sample_rate2", "sum_abs2", "sum_sq2",
+        "max_abs2")
+      .orderBy("doc_id")
+  }
+
   // ---- perceptual fingerprint dedup ----------------------------------
 
   /** Dedup fixture: waveform depends only on the CONTENT key
@@ -345,6 +404,7 @@ object AudioOps {
     "q_audio_frames" -> qAudioFrames,
     "q_audio_trim" -> qAudioTrim,
     "q_audio_resample" -> qAudioResample,
+    "q_audio_resample_frac" -> qAudioResampleFrac,
     "q_audio_fingerprint" -> qAudioFingerprint,
   )
 
@@ -430,6 +490,28 @@ object AudioOps {
          |       CAST(max(CASE WHEN i % 2 = 0 THEN abs(v) END) AS BIGINT)
          |         AS max_abs2
          |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Fractional path: replays the L=4/M=5 interpolation lattice; all
+    // sums run in the L-scaled INTEGER domain and divide once at the end
+    // (exact doubles — see the fracResampleStats scaladoc)
+    "q_audio_resample_frac" ->
+      s"""WITH $SamplesCte,
+         |dn AS (SELECT doc_id, any_value(n) AS n FROM s GROUP BY 1),
+         |o AS (SELECT doc_id, n,
+         |             unnest(range(0, ((4 * (n - 1)) // 5) + 1)) AS j
+         |      FROM dn),
+         |w AS (SELECT doc_id, j, (5 * j) // 4 AS k, (5 * j) % 4 AS r
+         |      FROM o),
+         |y AS (SELECT w.doc_id,
+         |             (4 - w.r) * a.v + w.r * coalesce(b.v, 0) AS wv
+         |      FROM w JOIN s a ON a.doc_id = w.doc_id AND a.i = w.k
+         |           LEFT JOIN s b ON b.doc_id = w.doc_id AND b.i = w.k + 1)
+         |SELECT doc_id,
+         |       CAST(count(*) AS BIGINT) AS n_samples2,
+         |       CAST(6400 AS BIGINT) AS sample_rate2,
+         |       CAST(sum(abs(wv)) AS DOUBLE) / 4.0 AS sum_abs2,
+         |       CAST(sum(wv * wv) AS DOUBLE) / 16.0 AS sum_sq2,
+         |       CAST(max(abs(wv)) AS DOUBLE) / 4.0 AS max_abs2
+         |FROM y GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // Replays the content-keyed generator + fingerprint per cid, then
     // fans out to docs; bit k of fp uses frame-energy deltas (Σ|v|).
     "q_audio_fingerprint" ->

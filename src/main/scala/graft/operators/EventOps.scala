@@ -108,12 +108,17 @@ object EventOps {
     * when a 1e-4-relative median suffices; both keep the map side a
     * streaming pass. The median/MAD frames are 5 rows → broadcast joins,
     * zero fact-side shuffle beyond the two aggregations. */
-  /** The median/MAD core over (event_id, event_type, value) rows. */
+  /** The median/MAD core over (event_id, event_type, value) rows.
+    * Types with MAD = 0 (>= 50% identical values — the score would be
+    * 0/0 or Infinity) are EXCLUDED, in both this plan and the oracle:
+    * a degenerate spread carries no outlier signal, and engines differ
+    * on zero-division semantics (Spark Infinity vs SQL NULL). */
   private[graft] def robustOutliers(ev: DataFrame, cut: Double = 3.5): DataFrame = {
     val med = ev.groupBy("event_type").agg(median(col("value")).as("med"))
     val dev = ev.join(broadcast(med), "event_type")
       .withColumn("dv", abs(col("value") - col("med")))
     val mad = dev.groupBy("event_type").agg(median(col("dv")).as("mad"))
+      .filter(col("mad") > 0)
     dev.join(broadcast(mad), "event_type")
       .withColumn("score", col("dv") / (lit(1.4826) * col("mad")))
       .filter(col("score") > cut)
@@ -215,7 +220,8 @@ object EventOps {
         |dev AS (SELECT e.event_id, e.event_type, e.value,
         |               abs(e.value - med.med) AS dv
         |        FROM events e JOIN med USING (event_type)),
-        |mad AS (SELECT event_type, median(dv) AS mad FROM dev GROUP BY 1)
+        |mad AS (SELECT event_type, median(dv) AS mad FROM dev
+        |        GROUP BY 1 HAVING median(dv) > 0)
         |SELECT dev.event_id, dev.event_type, dev.value,
         |       round(dv / (1.4826 * mad.mad), 4) AS score
         |FROM dev JOIN mad USING (event_type)

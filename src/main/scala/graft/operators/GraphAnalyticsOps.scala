@@ -258,9 +258,13 @@ object GraphAnalyticsOps {
 
   /** The PageRank oracles replay the exact iteration schedule as chained
     * CTEs (standard SQL cannot aggregate over a recursive reference, so
-    * the k rounds are unrolled — the q_bpe_train discipline). Constants
-    * are written as the same arithmetic Spark evaluates ((1 - 0.85), 1/n)
-    * so both engines derive bit-identical doubles before the rounding.
+    * the k rounds are unrolled — the q_bpe_train discipline). Numeric
+    * literals are CAST to DOUBLE before entering the arithmetic: bare
+    * SQL literals evaluate in DuckDB DECIMAL arithmetic, which differs
+    * from Spark's doubles by ~1 ulp pre-rounding (e.g. DECIMAL
+    * 1 - 0.85 = 0.15 exactly vs double 0.15000000000000002); the cast
+    * makes both engines derive the same doubles, so parity does not
+    * lean on round(6/8) absorbing the representation gap.
     *
     * `graphCtes` must define `tr(src, dst, w DOUBLE)`; `finalSelect`
     * reads the converged `r{iters}(v, r)`. */
@@ -287,8 +291,8 @@ object GraphAnalyticsOps {
         |c$k AS (SELECT p.dst AS v, sum(r${k - 1}.r * p.p) AS m
         |       FROM p JOIN r${k - 1} ON p.src = r${k - 1}.v GROUP BY 1),
         |r$k AS MATERIALIZED (SELECT nodes.v,
-        |         (1 - $damping) / (SELECT n FROM nn)
-        |         + $damping * (coalesce(c$k.m, 0) + (SELECT dm FROM d${k - 1}) / (SELECT n FROM nn)) AS r
+        |         (CAST(1 AS DOUBLE) - CAST($damping AS DOUBLE)) / (SELECT n FROM nn)
+        |         + CAST($damping AS DOUBLE) * (coalesce(c$k.m, 0) + (SELECT dm FROM d${k - 1}) / (SELECT n FROM nn)) AS r
         |       FROM nodes LEFT JOIN c$k ON nodes.v = c$k.v)""".stripMargin)
     }
     sb.append(s"""
@@ -347,7 +351,7 @@ object GraphAnalyticsOps {
         |ne AS (SELECT count(*) AS n FROM e)
         |SELECT stats.nv AS n_vertices, ne.n AS n_edges, stats.w AS n_wedges,
         |       tri.t AS n_triangles,
-        |       round(3.0 * tri.t / stats.w, 6) AS clustering
+        |       round(CAST(3.0 AS DOUBLE) * tri.t / stats.w, 6) AS clustering
         |FROM stats, ne, tri""".stripMargin,
   )
 }

@@ -80,8 +80,10 @@ object DedupIndex {
   def mergePublish(s: SparkSession, indexDir: String, newDocs: DataFrame,
       newIndexDir: String): (Long, Long) = {
     require(isPublished(s, indexDir), s"no published index at $indexDir")
-    require(new java.io.File(newIndexDir).getAbsolutePath !=
-      new java.io.File(indexDir).getAbsolutePath,
+    // canonical paths: getAbsolutePath would let a symlinked or
+    // dot-segment spelling of the live dir slip past the guard
+    require(new java.io.File(newIndexDir).getCanonicalPath !=
+      new java.io.File(indexDir).getCanonicalPath,
       "merge must publish beside the live index, not into it")
     graft.functions.GraftFunctions.register(s)
     val batch = graft.Caching.persist(

@@ -69,6 +69,28 @@ class AudioSpec extends AnyFunSuite {
     }
   }
 
+  test("fractional resample matches an independent rational-arithmetic replay") {
+    for (id <- ids) {
+      val v = AudioOps.decodeWav(AudioOps.encodeWav(AudioOps.clipSamples(id)))._3
+      val (_, n2, rate, sumAbs, sumSq, maxAbs) = AudioOps.fracResampleStats(id, v)
+      assert(rate == 6400L)
+      // expected count: output j valid while 5j <= 4(n-1)
+      val expN = (4L * (v.length - 1)) / 5 + 1
+      assert(n2 == expN, s"id=$id output count")
+      // replay the lattice independently with BigDecimal quarters
+      val ys = (0 until n2.toInt).map { j =>
+        val p = 5 * j; val k = p / 4; val r = p % 4
+        if (r == 0) BigDecimal(v(k).toInt)
+        else (BigDecimal(4 - r) * v(k) + BigDecimal(r) * v(k + 1)) / 4
+      }
+      assert(BigDecimal(sumAbs) == ys.map(_.abs).sum, s"id=$id sum_abs")
+      assert(BigDecimal(sumSq) == ys.map(y => y * y).sum, s"id=$id sum_sq")
+      assert(BigDecimal(maxAbs) == ys.map(_.abs).max, s"id=$id max_abs")
+      // interpolation stays inside the sample range
+      assert(maxAbs <= 32768.0)
+    }
+  }
+
   test("fingerprint is a pure function of the content key") {
     // same cid -> identical WAV bytes -> identical fingerprint
     val aBytes = AudioOps.encodeWav(AudioOps.fpClipSamples(AudioOps.fpCid(3L)))

@@ -21,6 +21,20 @@ class EventOpsSpec extends AnyFunSuite {
     assert(out(0).getDouble(3) > 100) // the spike's robust z is enormous
   }
 
+  test("robustOutliers drops degenerate types (MAD = 0) instead of emitting Infinity") {
+    import spark.implicits._
+    // type "c": >=50% identical values -> MAD 0; a constant type plus a
+    // deviant row must yield NO rows (not an Infinity score), while a
+    // healthy type alongside still flags its spike
+    val const = (1L to 10L).map(i => (i, "c", 42.0)) :+ ((11L, "c", 99.0))
+    val healthy = (20L to 40L).map(i => (i, "h", 10.0 + (i % 5) * 0.1)) :+ ((99L, "h", 500.0))
+    val ev = (const ++ healthy).toDF("event_id", "event_type", "value")
+    val out = EventOps.robustOutliers(ev).collect()
+    assert(out.map(_.getString(1)).forall(_ == "h"))
+    assert(out.map(_.getLong(0)).toSeq === Seq(99L))
+    assert(out.forall(r => !r.getDouble(3).isInfinite))
+  }
+
   test("mean/stddev z-scoring would mask what MAD catches (masking demo)") {
     import spark.implicits._
     // three co-located spikes inflate the stddev enough that a classic
