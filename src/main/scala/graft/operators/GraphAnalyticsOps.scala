@@ -280,19 +280,23 @@ object GraphAnalyticsOps {
         |p AS MATERIALIZED (SELECT tr.src, tr.dst, tr.w / ow.wout AS p
         |      FROM tr JOIN ow ON tr.src = ow.src),
         |r0 AS MATERIALIZED (SELECT v, 1.0 / (SELECT n FROM nn) AS r FROM nodes)""".stripMargin)
-    // every r_k is referenced TWICE (dangling mass + contributions):
-    // without MATERIALIZED, DuckDB 1.0 inlines each reference, doubling
-    // the expanded plan per round — the identical 2^k blowup the Spark
-    // side cuts with localCheckpoint, here cut with the CTE hint
+    // c_k is referenced twice (total mass + per-vertex attach) and each
+    // r_k feeds the next round: without MATERIALIZED, DuckDB 1.0 inlines
+    // every reference, re-expanding the whole chain per round — the same
+    // plan blowup the Spark side bounds with its checkpoint dial, here
+    // cut with the CTE hint
+    // dangling mass via conservation, matching GraphOps.pageRank: the
+    // update keeps Σr = 1 exactly, so dm = 1 − Σ contributions — the
+    // oracle must use the SAME formula or its doubles drift by the fp
+    // difference between (1 − Σm) and the direct dangling-rank sum
     for (k <- 1 to iters) {
       sb.append(s""",
-        |d${k - 1} AS (SELECT coalesce(sum(r), 0) AS dm
-        |       FROM r${k - 1} LEFT JOIN ow ON r${k - 1}.v = ow.src WHERE ow.src IS NULL),
-        |c$k AS (SELECT p.dst AS v, sum(r${k - 1}.r * p.p) AS m
+        |c$k AS MATERIALIZED (SELECT p.dst AS v, sum(r${k - 1}.r * p.p) AS m
         |       FROM p JOIN r${k - 1} ON p.src = r${k - 1}.v GROUP BY 1),
+        |t$k AS (SELECT coalesce(sum(m), 0) AS tm FROM c$k),
         |r$k AS MATERIALIZED (SELECT nodes.v,
         |         (CAST(1 AS DOUBLE) - CAST($damping AS DOUBLE)) / (SELECT n FROM nn)
-        |         + CAST($damping AS DOUBLE) * (coalesce(c$k.m, 0) + (SELECT dm FROM d${k - 1}) / (SELECT n FROM nn)) AS r
+        |         + CAST($damping AS DOUBLE) * (coalesce(c$k.m, 0) + (CAST(1 AS DOUBLE) - (SELECT tm FROM t$k)) / (SELECT n FROM nn)) AS r
         |       FROM nodes LEFT JOIN c$k ON nodes.v = c$k.v)""".stripMargin)
     }
     sb.append(s"""

@@ -139,7 +139,9 @@ object GraphOps {
       s: SparkSession,
       edges: DataFrame,
       iters: Int = 8,
-      damping: Double = 0.85): DataFrame = {
+      damping: Double = 0.85,
+      checkpointEvery: Int = 1): DataFrame = {
+    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
     val Seq(srcC, dstC, wC) = edges.columns.toSeq.take(3)
     val e = graft.Caching.persist(edges.select(
       col(srcC).as("src"), col(dstC).as("dst"), col(wC).cast("double").as("w")))
@@ -149,32 +151,51 @@ object GraphOps {
     val outW = graft.Caching.persist(e.groupBy("src").agg(sum("w").as("wout")))
     val p = graft.Caching.persist(
       e.join(outW, "src").select(col("src"), col("dst"), (col("w") / col("wout")).as("p")))
-    // Each round references the previous rank frame TWICE (dangling mass
-    // + contributions), so carrying lineage would double the logical plan
-    // per iteration — 2^iters growth that overwhelms even plan-string
-    // generation long before execution. localCheckpoint (eager) truncates
-    // lineage at each materialized round: the right trade here, unlike
-    // the persist-only discipline of [[connectedComponents]], because
-    // recovering round k through lineage would replay ALL earlier rounds
-    // anyway (iterative state, not a reusable subplan) — exactly why
-    // production PageRank implementations checkpoint every few rounds.
+    // LINEAGE SHAPE. A naive round references the previous rank frame
+    // TWICE (dangling-mass scan + contributions), doubling the logical
+    // plan per iteration — 2^iters growth that overwhelms plan-string
+    // generation long before execution. Here the second reference is
+    // eliminated instead: the update conserves total mass at exactly 1,
+    // so the dangling mass is 1 − Σ contributions — a 1-row aggregate
+    // over the contrib frame replaces the left_anti scan of ranks, every
+    // round references its predecessor ONCE, and the un-cut plan grows
+    // LINEARLY in rounds.
+    //
+    // CHECKPOINT DIAL, measured at sf0.1 (q_part_rank, 5 rounds over the
+    // ~2M-row symmetrized co-occurrence graph, steady-state): every-round
+    // eager localCheckpoint 8.0s; every-2nd-round with the double-
+    // reference design 11.4s (the un-cut round's aggregates really run
+    // twice — ReuseExchange does not collapse them across the broadcast
+    // subquery boundary); every-2nd-round with THIS single-reference
+    // design 12.1s (the totM broadcast subquery re-executes the fused
+    // chain); persisting each contrib to dodge that re-execution 9.4s
+    // (cache-write overhead exceeds the saved compute at this size). So
+    // the default stays 1 — materialize every round — and the dial
+    // exists for billion-edge graphs where a checkpoint write of the
+    // rank frame costs more than recomputing one fused round.
     var ranks = nodes.select(col("v"), lit(1.0 / n).as("r"))
       .localCheckpoint(true)
+    var lastCkpt = ranks
     try {
-      for (_ <- 1 to iters) {
-        val dangling = ranks
-          .join(outW.select(col("src").as("v")), Seq("v"), "left_anti")
-          .agg(coalesce(sum("r"), lit(0.0)).as("dm"))
-        val contrib = p.join(ranks.withColumnRenamed("v", "src"), "src")
-          .groupBy(col("dst").as("v")).agg(sum(col("r") * col("p")).as("m"))
+      for (k <- 1 to iters) {
+        val contrib =
+          p.join(ranks.withColumnRenamed("v", "src"), "src")
+            .groupBy(col("dst").as("v")).agg(sum(col("r") * col("p")).as("m"))
+        // dm = 1 − Σm: Σ_dst m = Σ_{non-dangling src} r, and Σ r = 1 by
+        // the update's construction, so this IS the dangling rank mass
+        val totM = contrib.agg(coalesce(sum("m"), lit(0.0)).as("tm"))
         val next = nodes.join(contrib, Seq("v"), "left")
-          .crossJoin(broadcast(dangling))
+          .crossJoin(broadcast(totM))
           .select(col("v"),
             ((lit(1.0) - lit(damping)) / lit(n) + lit(damping) *
-              (coalesce(col("m"), lit(0.0)) + col("dm") / lit(n))).as("r"))
-          .localCheckpoint(true)
-        ranks.unpersist()
-        ranks = next
+              (coalesce(col("m"), lit(0.0)) + (lit(1.0) - col("tm")) / lit(n))).as("r"))
+        if (k % checkpointEvery == 0 || k == iters) {
+          ranks = next.localCheckpoint(true)
+          lastCkpt.unpersist()
+          lastCkpt = ranks
+        } else {
+          ranks = next // lazy; rooted at lastCkpt, plan depth linear
+        }
       }
       ranks
     } finally {
