@@ -43,6 +43,26 @@ class BenchSpec extends AnyFunSuite {
     assert(m == Map("q_ok" -> 1.25, "q_ok2" -> 0.5))
   }
 
+  test("headline is lower-median at 3+ reps, min at 2, sentinel when empty") {
+    assert(Bench.headline(Nil) == -1.0)
+    assert(Bench.headline(Seq(-1.0, -1.0)) == -1.0)
+    assert(Bench.headline(Seq(0.5, 0.3)) == 0.3)
+    // 3 reps: one contention spike does NOT move the number...
+    assert(Bench.headline(Seq(0.3, 9.9, 0.32)) == 0.32)
+    // ...and one lucky fast rep does not hide a real regression
+    assert(Bench.headline(Seq(2.1, 0.3, 2.2)) == 2.1)
+    // 4 reps (after a re-measure): lower median
+    assert(Bench.headline(Seq(1.0, 2.0, 3.0, 4.0)) == 2.0)
+    // failed reps are excluded, not counted
+    assert(Bench.headline(Seq(-1.0, 0.4, 0.6)) == 0.4)
+  }
+
+  test("parsePriorQueries ignores the spread arrays in a BENCH_LOCAL line") {
+    val line = """{"metric":"total","value":1.0,"queries":{"q_a":1.5,"q_b":0.2},""" +
+      """"sf":"/x","spread":{"q_a":[1.4,9.9],"q_b":[0.1,0.3]}}"""
+    assert(Bench.parsePriorQueries(line) == Map("q_a" -> 1.5, "q_b" -> 0.2))
+  }
+
   private def tmpFile(dir: java.io.File, name: String, ageMs: Long, now: Long): java.io.File = {
     val f = new java.io.File(dir, name)
     java.nio.file.Files.write(f.toPath, "{}".getBytes("UTF-8"))
