@@ -426,7 +426,7 @@ object VectorOps {
     * that re-seeds the next round as a literal table, keeping the per-
     * round lineage flat instead of stacking LloydRounds of join trees.
     * Cells that capture no vectors die (standard k-means behavior). */
-  private def trainCentroids(s: SparkSession, e: DataFrame,
+  private[graft] def trainCentroids(s: SparkSession, e: DataFrame,
       cells: Int): DataFrame = {
     import s.implicits._
     def toDf(rows: Seq[(Int, Seq[Float])]): DataFrame =
@@ -473,7 +473,7 @@ object VectorOps {
   /** Assign every vector of `e` to its max-cosine centroid (broadcast of
     * the tiny centroid table, one map-side pass) — the shared step of the
     * IVF search and the semantic-dedup clustering. */
-  private def assignCells(e: DataFrame, cent: DataFrame): DataFrame =
+  private[graft] def assignCells(e: DataFrame, cent: DataFrame): DataFrame =
     e.join(broadcast(cent))
       .select(col("vec_id"), col("embedding"), col("cell"),
         expr("cosine_sim(embedding, centroid)").as("csim"))
@@ -679,7 +679,45 @@ object VectorOps {
         expr("array_max(q)").as("q_max"))
       .orderBy("vec_id")
 
+  /** Deterministic per-SF dir for the artifact-backed parity queries —
+    * under target/ (the build dir), versioned and pruned to 1 so bench
+    * reps do not accumulate stale versions. */
+  private def vecIndexDir(d: String, tag: String): String =
+    s"target/vec_index/${d.replaceAll("[^A-Za-z0-9._-]", "_")}_$tag"
+
+  /** ARTIFACT-BACKED cross-dedup: publish the even half as a real
+    * versioned [[graft.sources.VectorIndex]], then probe the odd half
+    * against the LOADED artifact. Produces exactly q_embed_cross_dedup's
+    * rows (shared oracle) — the publish→load→probe cycle runs inside the
+    * correctness gate, not just a spec. scheduleN pins the full-table
+    * geometry so the two plans are comparable row-for-row. */
+  private val qEmbedCrossDedupIdx: Q = (s, d) => {
+    val n = corpusSize(s, d)
+    val dir = vecIndexDir(d, "even")
+    val all = Tables.spread(s, Tables.embeddings(s, d))
+    graft.sources.VectorIndex.publishFrom(s,
+      all.filter(col("vec_id") % 2 === 0), dir, scheduleN = Some(n))
+    graft.sources.VectorIndex.pruneVersions(s, dir, keep = 1)
+    graft.sources.VectorIndex.probeBestMatch(s, dir,
+      all.filter(col("vec_id") % 2 === 1), 0.45)
+  }
+
+  /** ARTIFACT-BACKED IVF search: publish the full corpus (trains the
+    * same hash-sampled centroids as the inline path), then run the fixed
+    * 10-query top-5 against the loaded centroid + inverted-list datasets.
+    * Produces exactly q_ann_ivf's rows (shared oracle). */
+  private val qAnnIvfIdx: Q = (s, d) => {
+    val dir = vecIndexDir(d, "full")
+    graft.sources.VectorIndex.publishFrom(s,
+      Tables.spread(s, Tables.embeddings(s, d)), dir)
+    graft.sources.VectorIndex.pruneVersions(s, dir, keep = 1)
+    graft.sources.VectorIndex.searchIvf(s, dir,
+      Tables.embeddings(s, d).filter(col("vec_id") < 10), k = 5, nprobe = 2)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_embed_cross_dedup_idx" -> qEmbedCrossDedupIdx,
+    "q_ann_ivf_idx" -> qAnnIvfIdx,
     "q_knn_join" -> qKnnJoin,
     "q_hard_negatives" -> qHardNegatives,
     "q_embed_cross_dedup" -> qEmbedCrossDedup,
@@ -854,7 +892,7 @@ object VectorOps {
     |    WHERE q.vec_id < 10)
     |  WHERE rk <= 5)""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  private val baseOracles: Map[String, String] = Map(
     "q_embed_quantize" ->
       """WITH a AS (
         |  SELECT vec_id,
@@ -1026,4 +1064,12 @@ object VectorOps {
         |       round(avg(v * v) - avg(v) * avg(v), 4) AS var_r
         |FROM u GROUP BY dim ORDER BY dim""".stripMargin,
   )
+
+  /** The artifact-backed parity queries share their inline twins' oracles
+    * VERBATIM: the publish→load→probe cycle must reproduce the inline
+    * plan's rows exactly (float arrays roundtrip parquet losslessly, the
+    * geometry is pinned by scheduleN / the shared schedule functions). */
+  val oracles: Map[String, String] = baseOracles ++ Map(
+    "q_embed_cross_dedup_idx" -> baseOracles("q_embed_cross_dedup"),
+    "q_ann_ivf_idx" -> baseOracles("q_ann_ivf"))
 }

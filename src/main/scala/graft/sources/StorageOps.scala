@@ -181,16 +181,32 @@ object StorageOps {
     * version number. */
   def publishVersioned(df: DataFrame, tableDir: String): Int = {
     val spark = df.sparkSession
+    val next = nextVersion(spark, tableDir)
+    df.write.mode("errorifexists").parquet(s"$tableDir/v$next")
+    flipPointer(spark, tableDir, s"v$next")
+    next
+  }
+
+  /** Next unused version number under a versioned table/index dir. */
+  private[graft] def nextVersion(spark: SparkSession, tableDir: String): Int = {
     val root = new Path(tableDir)
     val fs: FileSystem = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val vrx = """v(\d+)""".r
-    val next = (if (fs.exists(root))
+    (if (fs.exists(root))
       fs.listStatus(root).flatMap(_.getPath.getName match {
         case vrx(n) => Some(n.toInt)
         case _ => None
       }).maxOption.getOrElse(0)
     else 0) + 1
-    df.write.mode("errorifexists").parquet(s"$tableDir/v$next")
+  }
+
+  /** Atomically point `tableDir/_current` at `version` — the shared flip
+    * step of [[publishVersioned]] and the multi-dataset index publishes
+    * ([[VectorIndex]]), store-aware on both branches. */
+  private[graft] def flipPointer(spark: SparkSession, tableDir: String,
+      version: String): Unit = {
+    val root = new Path(tableDir)
+    val fs: FileSystem = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val cur = new Path(root, "_current")
     if (isObjectStore(fs, root)) {
       // Object stores overwrite the pointer in ONE atomic PUT — readers
@@ -198,7 +214,7 @@ object StorageOps {
       // write. No rename anywhere on this branch (rename there is
       // copy+delete, or forbidden outright).
       val out = fs.create(cur, true)
-      out.write(s"v$next".getBytes("UTF-8"))
+      out.write(version.getBytes("UTF-8"))
       out.close()
     } else {
       // POSIX/HDFS: create-then-write is NOT atomic for readers (a
@@ -207,14 +223,13 @@ object StorageOps {
       // existing destination, hence delete+rename: the worst crash
       // window leaves NO pointer (readers fail loudly; every version
       // directory stays intact) — never a torn or mixed dataset.
-      val tmp = new Path(root, s"._current_tmp$next")
+      val tmp = new Path(root, s"._current_tmp_$version")
       val out = fs.create(tmp, true)
-      out.write(s"v$next".getBytes("UTF-8"))
+      out.write(version.getBytes("UTF-8"))
       out.close()
       if (fs.exists(cur)) fs.delete(cur, false)
       fs.rename(tmp, cur)
     }
-    next
   }
 
   /** Object-store-safe compaction for a VERSIONED table

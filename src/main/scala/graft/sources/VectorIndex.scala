@@ -1,0 +1,263 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.operators.VectorOps
+import graft.functions.GraftFunctions
+
+/** The published VECTOR index — the embedding family's twin of
+  * [[DedupIndex]], closing the parity gap the r8 review named: text
+  * near-dup has a real persisted index with incremental merge; the
+  * vector side re-derived hyperplane buckets and re-trained IVF
+  * centroids per session. This artifact persists both, versioned:
+  *
+  *   <dir>/v<n>/meta/       one row (n, width, probes, cap, cells)
+  *   <dir>/v<n>/buckets/    (bucket, vec_id, embedding)  — hyperplane LSH
+  *                          table, width-capped per bucket (the corpus
+  *                          side of every bucket join)
+  *   <dir>/v<n>/centroids/  (cell, centroid)             — IVF centroids
+  *   <dir>/v<n>/cells/      (cell, vec_id, embedding)    — IVF inverted
+  *                          lists (uncapped: one row per corpus vector)
+  *   <dir>/_current         pointer to the active version
+  *
+  * Version directories are IMMUTABLE; a publish writes the next v<n> and
+  * flips the one-line pointer ([[StorageOps.flipPointer]] — a single PUT
+  * on object stores), so a reader mid-probe keeps a fully consistent
+  * index and [[mergePublish]] needs no "beside the live dir" contortion:
+  * the new version IS beside the live one by construction. The pointer
+  * covers all four datasets at once — no torn meta-vs-buckets reads.
+  *
+  * SCHEDULE FREEZE — the merge-vs-rebuild contract: `meta` records the
+  * geometry (signature width, probe count, bucket cap, cell count) the
+  * index was built with, and [[mergePublish]] REUSES it — bucket keys
+  * and cell ids must stay comparable across merges, and re-deriving the
+  * width from the merged count would silently invalidate every existing
+  * key. Centroids are likewise frozen at merge (standard IVF ingest: new
+  * vectors are assigned, never re-trained). The cost is drift: when the
+  * corpus outgrows the frozen schedule ([[needsRebuild]]), a full
+  * [[publishFrom]] re-derives geometry and re-trains — the same periodic
+  * rebuild cycle [[DedupIndex]] documents.
+  *
+  * Size at 100 TB: both `buckets` and `cells` are one row per corpus
+  * vector of (int64, int64, float[dim]) — the embedding payload itself,
+  * i.e. the index is ~2× the embedding column and far under the corpus;
+  * `centroids` is cells × dim floats (driver-small); `meta` is one row.
+  * Bucketing the parquet by `bucket` / `cell` would turn each probe into
+  * a partition-pruned read; a merge is one batch job over O(batch)
+  * compute plus an O(index) copy (the [[DedupIndex.mergePublish]]
+  * economics). */
+object VectorIndex {
+
+  /** The frozen geometry + corpus count of a published index. */
+  final case class Meta(n: Long, width: Int, probes: Int, cap: Long, cells: Int)
+
+  private def ver(s: SparkSession, dir: String): String =
+    StorageOps.currentVersion(s, dir).getOrElse(
+      throw new IllegalStateException(s"no published vector index at $dir"))
+
+  /** True iff a version pointer exists and every dataset of that version
+    * committed — the reader-side gate (DedupIndex.isPublished shape). */
+  def isPublished(s: SparkSession, dir: String): Boolean =
+    StorageOps.currentVersion(s, dir).exists { v =>
+      Seq("meta", "buckets", "centroids", "cells")
+        .forall(ds => StorageOps.isCommitted(s, s"$dir/$v/$ds"))
+    }
+
+  def loadMeta(s: SparkSession, dir: String): Meta = {
+    val r = s.read.parquet(s"$dir/${ver(s, dir)}/meta").collect()(0)
+    Meta(r.getAs[Long]("n"), r.getAs[Int]("width"), r.getAs[Int]("probes"),
+      r.getAs[Long]("cap"), r.getAs[Int]("cells"))
+  }
+
+  def loadBuckets(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/${ver(s, dir)}/buckets")
+
+  def loadCentroids(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/${ver(s, dir)}/centroids")
+
+  def loadCells(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/${ver(s, dir)}/cells")
+
+  /** Build and publish a fresh index over `corpus` (vec_id, embedding —
+    * extra columns ignored). Geometry derives from `scheduleN` when
+    * given, else from the corpus count — the override exists so a caller
+    * indexing a SLICE of a table can keep the full table's schedule (the
+    * registered parity query does; production leaves it None). IVF
+    * centroids train on the deterministic phash%4 sample, exactly like
+    * the inline q_ann_ivf path. Returns the published Meta. */
+  def publishFrom(s: SparkSession, corpus: DataFrame, dir: String,
+      scheduleN: Option[Long] = None): Meta = {
+    GraftFunctions.register(s)
+    val c = graft.Caching.persist(
+      corpus.select(col("vec_id"), col("embedding")))
+    try {
+      val n = scheduleN.getOrElse(c.count())
+      val width = VectorOps.lshWidthFor(n)
+      val meta = Meta(n, width, VectorOps.LshProbes,
+        VectorOps.knnCapFor(n, width), VectorOps.ivfCellsFor(n))
+      val cent = VectorOps.trainCentroids(s,
+        c.filter(Tables.phash(col("vec_id")) % 4 === 0), meta.cells)
+      publishWith(s, c, dir, meta, cent)
+    } finally c.unpersist()
+  }
+
+  /** Publish `corpus` under an EXPLICIT geometry + centroid table — the
+    * shared final stage of [[publishFrom]] and the rebuild side of the
+    * merge-equivalence spec (merge must equal a rebuild at the frozen
+    * schedule and centroids; a free rebuild retrains). */
+  private[graft] def publishWith(s: SparkSession, corpus: DataFrame,
+      dir: String, meta: Meta, cent: DataFrame): Meta = {
+    GraftFunctions.register(s)
+    val buckets = VectorOps.cappedBuckets(corpus, meta.width, meta.cap,
+      "vec_id", "embedding")
+    val cells = VectorOps.assignCells(corpus, cent)
+      .select(col("cell"), col("vec_id"), col("embedding"))
+    writeVersion(s, dir, meta, buckets, cent, cells)
+  }
+
+  /** Write all four datasets as the next immutable version, then flip the
+    * pointer. The pointer moves only after every dataset committed. */
+  private def writeVersion(s: SparkSession, dir: String, meta: Meta,
+      buckets: DataFrame, cent: DataFrame, cells: DataFrame): Meta = {
+    import s.implicits._
+    val v = s"v${StorageOps.nextVersion(s, dir)}"
+    Seq((meta.n, meta.width, meta.probes, meta.cap, meta.cells))
+      .toDF("n", "width", "probes", "cap", "cells")
+      .write.mode("errorifexists").parquet(s"$dir/$v/meta")
+    buckets.select("bucket", "vec_id", "embedding")
+      .write.mode("errorifexists").parquet(s"$dir/$v/buckets")
+    cent.select("cell", "centroid")
+      .write.mode("errorifexists").parquet(s"$dir/$v/centroids")
+    cells.write.mode("errorifexists").parquet(s"$dir/$v/cells")
+    StorageOps.flipPointer(s, dir, v)
+    meta
+  }
+
+  /** Incremental ingest — merge a batch of (vec_id, embedding) into the
+    * published index as the next version. Geometry and centroids are
+    * FROZEN (see the header); re-submitted ids take latest-wins, batch
+    * vectors are bucketed at the frozen width and assigned to the frozen
+    * centroids, and the per-bucket width cap is re-ranked over the MERGED
+    * bucket table (the same deterministic (phash, id) rule a full rebuild
+    * applies, so merge == rebuild at frozen geometry — spec-pinned).
+    * Compute is O(batch) + the per-bucket re-rank; the unreplaced
+    * majority of rows is an O(index) copy, as in DedupIndex. */
+  def mergePublish(s: SparkSession, dir: String, batch: DataFrame): Meta = {
+    require(isPublished(s, dir), s"no published vector index at $dir")
+    GraftFunctions.register(s)
+    val m = loadMeta(s, dir)
+    val b = graft.Caching.persist(
+      batch.select(col("vec_id"), col("embedding")))
+    try {
+      val ids = b.select("vec_id")
+      val newBuckets = b.select(
+        element_at(expr(s"hyperplane_sig(embedding, ${m.width}, 0)"), 1)
+          .as("bucket"),
+        col("vec_id"), col("embedding"))
+      val mergedBuckets = loadBuckets(s, dir)
+        .join(ids, Seq("vec_id"), "left_anti")
+        .unionByName(newBuckets)
+        .withColumn("bkRank", row_number().over(Window.partitionBy("bucket")
+          .orderBy(Tables.phash(col("vec_id")), col("vec_id"))))
+        .filter(col("bkRank") <= m.cap)
+        .drop("bkRank")
+      val cent = loadCentroids(s, dir)
+      val mergedCells = graft.Caching.persist(
+        loadCells(s, dir).join(ids, Seq("vec_id"), "left_anti")
+          .unionByName(VectorOps.assignCells(b, cent)
+            .select(col("cell"), col("vec_id"), col("embedding"))))
+      try {
+        // cells is uncapped (one row per vector): its count IS the new n
+        val n2 = mergedCells.count()
+        writeVersion(s, dir, m.copy(n = n2), mergedBuckets, cent, mergedCells)
+      } finally mergedCells.unpersist()
+    } finally b.unpersist()
+  }
+
+  /** True when the corpus has outgrown the frozen geometry — the signal
+    * to schedule a full [[publishFrom]] rebuild (width or cell-count
+    * schedule would pick differently at the current count). */
+  def needsRebuild(meta: Meta): Boolean =
+    VectorOps.lshWidthFor(meta.n) != meta.width ||
+      VectorOps.ivfCellsFor(meta.n) != meta.cells
+
+  /** Delete all non-active version directories beyond the newest `keep`
+    * (the [[StorageOps.pruneVersions]] contract, applied to the index
+    * layout). Returns the pruned version names. */
+  def pruneVersions(s: SparkSession, dir: String, keep: Int): Seq[String] = {
+    require(keep >= 1, "keep must be >= 1")
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    val vrx = """v(\d+)""".r
+    val active = StorageOps.currentVersion(s, dir)
+    val stale = fs.listStatus(root).flatMap(_.getPath.getName match {
+      case vrx(n) => Some(n.toInt)
+      case _ => None
+    }).sorted(Ordering.Int.reverse).drop(keep).map(n => s"v$n")
+      .filterNot(active.contains).toSeq
+    stale.foreach(v => fs.delete(new org.apache.hadoop.fs.Path(root, v), true))
+    stale
+  }
+
+  /** Best corpus match per incoming vector against the published bucket
+    * index — the artifact-backed twin of the inline cross-dedup plan
+    * (VectorOps.embedCrossDedup): probe buckets at the frozen
+    * width/probes, exact-cosine verify against the embedding carried IN
+    * the bucket rows (no second corpus join), threshold before the
+    * ranking window so rank 1 is the best QUALIFYING match. */
+  def probeBestMatch(s: SparkSession, dir: String, incoming: DataFrame,
+      threshold: Double): DataFrame = {
+    GraftFunctions.register(s)
+    val m = loadMeta(s, dir)
+    val idx = loadBuckets(s, dir)
+    val inc = incoming
+      .select(col("vec_id").as("in_id"), col("embedding").as("ie"))
+      .select(col("in_id"), col("ie"),
+        explode(expr(s"hyperplane_sig(ie, ${m.width}, ${m.probes})"))
+          .as("qbucket"))
+    val w = Window.partitionBy("in_id")
+      .orderBy(col("sim").desc, col("match_id"))
+    idx.join(inc,
+        col("bucket") === col("qbucket") && col("vec_id") =!= col("in_id"))
+      .select(col("in_id"), col("vec_id").as("match_id"),
+        expr("cosine_sim(ie, embedding)").as("sim"))
+      .filter(col("sim") >= threshold)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("in_id").as("vec_id"), col("match_id"))
+      .orderBy("vec_id")
+  }
+
+  /** IVF top-k search against the published centroid + inverted-list
+    * datasets — the artifact-backed twin of the inline q_ann_ivf search
+    * stage: nprobe nearest cells per query by centroid cosine, exact
+    * top-k within the probed lists. */
+  def searchIvf(s: SparkSession, dir: String, queries: DataFrame, k: Int,
+      nprobe: Int): DataFrame = {
+    GraftFunctions.register(s)
+    val cent = loadCentroids(s, dir)
+    val lists = loadCells(s, dir)
+    val qcells = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .join(broadcast(cent))
+      .select(col("query_id"), col("qe"), col("cell").as("qcell"),
+        expr("cosine_sim(qe, centroid)").as("csim"))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("csim").desc, col("qcell"))))
+      .filter(col("crk") <= nprobe)
+      .select("query_id", "qe", "qcell")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    lists.join(broadcast(qcells),
+        col("cell") === col("qcell") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        expr("cosine_sim(qe, embedding)").as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("query_id", "neighbor_id", "rk")
+      .orderBy("query_id", "rk")
+  }
+}

@@ -65,4 +65,32 @@ object EmbedNearDupStream {
         expr("cosine_sim(ie, ce)").as("sim"))
       .filter(col("sim") >= threshold)
   }
+
+  /** [[nearDupAgainstCorpus]] against a PUBLISHED
+    * [[graft.sources.VectorIndex]] — the production ingest shape: width,
+    * probes and the capped bucket table all come from the loaded
+    * artifact (the bucket rows carry the corpus embedding, so the verify
+    * needs no second corpus join), and a corpus republish reaches the
+    * stream on its next restart exactly like the text twin's band-index
+    * swap. Same output schema and threshold semantics as the inline
+    * path; parity spec'd in EmbedNearDupStreamSpec. */
+  def nearDupAgainstIndex(s: SparkSession, stream: DataFrame,
+      indexDir: String, threshold: Double,
+      delay: String = "10 minutes"): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val m = graft.sources.VectorIndex.loadMeta(s, indexDir)
+    val idx = graft.sources.VectorIndex.loadBuckets(s, indexDir)
+      .select(col("bucket"), col("vec_id"), col("embedding").as("ce"))
+    stream
+      .withWatermark("ts", delay)
+      .select(col("ts"), col("vec_id").as("in_id"),
+        col("embedding").as("ie"),
+        explode(expr(s"hyperplane_sig(embedding, ${m.width}, ${m.probes})"))
+          .as("qbucket"))
+      .join(idx, col("qbucket") === col("bucket") &&
+        col("vec_id") =!= col("in_id"))
+      .select(col("ts"), col("in_id"), col("vec_id").as("corpus_id"),
+        expr("cosine_sim(ie, ce)").as("sim"))
+      .filter(col("sim") >= threshold)
+  }
 }

@@ -100,4 +100,45 @@ class EmbedNearDupStreamSpec extends AnyFunSuite {
           s"extra=${folded.toSet.diff(batch.toSet).take(5)}")
     } finally q.stop()
   }
+
+  test("streamed against a PUBLISHED VectorIndex artifact, matches equal the corpus-backed path") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+
+    // the production ingest shape: width/probes/cap and the bucket table
+    // all come from the loaded artifact, not from session-derived state
+    val d = TestSpark.sf0001
+    val all = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
+    val corpusEmb = all.filter(col("vec_id") % 2 === 0)
+    val n = all.count()
+    val width = VectorOps.lshWidthFor(n)
+    val cap = VectorOps.knnCapFor(n, width)
+    val dir = java.nio.file.Files.createTempDirectory("graft-vecidx-stream").toString
+    graft.sources.VectorIndex.publishFrom(spark, corpusEmb, dir, scheduleN = Some(n))
+
+    val incoming = all.filter(col("vec_id") % 2 === 1).collect().map { r =>
+      EmbedEv(r.getLong(0), r.getSeq[Float](1).toArray,
+        new java.sql.Timestamp(1700000000000L + r.getLong(0)))
+    }
+    def runStream(name: String, build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+        : Set[(Long, Long, Double)] = {
+      val source = MemoryStream[EmbedEv]
+      val q = build(source.toDF())
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        source.addData(incoming.toIndexedSeq: _*)
+        q.processAllAvailable()
+        spark.sql(s"SELECT in_id, corpus_id, sim FROM $name")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      } finally q.stop()
+    }
+    val viaIndex = runStream("embed_idx_stream", st =>
+      EmbedNearDupStream.nearDupAgainstIndex(spark, st, dir, threshold = 0.45))
+    val viaCorpus = runStream("embed_corpus_stream", st =>
+      EmbedNearDupStream.nearDupAgainstCorpus(spark, st, corpusEmb, width,
+        VectorOps.LshProbes, cap, threshold = 0.45))
+    assert(viaIndex.nonEmpty && viaIndex == viaCorpus,
+      s"missing=${viaCorpus.diff(viaIndex).take(5)} extra=${viaIndex.diff(viaCorpus).take(5)}")
+  }
 }

@@ -1,0 +1,120 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.VectorOps
+import graft.sources.{StorageOps, VectorIndex}
+
+/** The published vector index must be (a) gate-consistent — the pointer
+  * flips only over fully committed datasets; (b) probe-faithful — the
+  * artifact-backed probe/search reproduce the inline plans' rows exactly;
+  * (c) merge-sound — mergePublish equals a rebuild at the frozen
+  * geometry + centroids (the DedupIndexSpec contract, adapted: a FREE
+  * rebuild retrains centroids, so the equivalence target is the frozen
+  * one, which is exactly what IVF ingest promises). */
+class VectorIndexSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val d = TestSpark.sf0001
+
+  private def allEmb =
+    Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
+
+  private def bucketRows(df: DataFrame) =
+    df.select("bucket", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+  private def cellRows(df: DataFrame) =
+    df.select("cell", "vec_id").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet
+
+  test("publish -> gate -> load roundtrip with coherent meta") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vecidx").toString
+    assert(!VectorIndex.isPublished(spark, dir))
+    val m = VectorIndex.publishFrom(spark, allEmb, dir)
+    assert(VectorIndex.isPublished(spark, dir))
+    assert(VectorIndex.loadMeta(spark, dir) == m)
+    val n = allEmb.count()
+    assert(m.n == n && m.width == VectorOps.lshWidthFor(n) &&
+      m.cells == VectorOps.ivfCellsFor(n))
+    // cells carry every corpus vector exactly once; buckets at most once
+    // (the width cap may drop flooded members, inert at this SF)
+    assert(VectorIndex.loadCells(spark, dir).count() == n)
+    assert(VectorIndex.loadBuckets(spark, dir).select("vec_id")
+      .distinct().count() == n)
+    assert(VectorIndex.loadCentroids(spark, dir).count() <= m.cells)
+    spark.catalog.clearCache()
+  }
+
+  test("artifact probe equals the inline cross-dedup plan") {
+    val q = SparkEntry.queries("q_embed_cross_dedup")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val qi = SparkEntry.queries("q_embed_cross_dedup_idx")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(q.nonEmpty && qi == q)
+    spark.catalog.clearCache()
+  }
+
+  test("artifact IVF search equals the inline q_ann_ivf plan") {
+    val q = SparkEntry.queries("q_ann_ivf")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    spark.catalog.clearCache() // sharedAnn memo must not leak into _idx
+    val qi = SparkEntry.queries("q_ann_ivf_idx")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(q.nonEmpty && qi == q)
+    spark.catalog.clearCache()
+  }
+
+  test("mergePublish equals a rebuild at the frozen geometry and centroids") {
+    val full = allEmb
+    val oldCorpus = full.filter(col("vec_id") % 3 =!= 0)
+    // the batch: the missing third, plus RESUBMITTED ids with perturbed
+    // embeddings (latest-wins must replace their bucket and cell rows)
+    val resub = full.filter(col("vec_id") % 3 =!= 0 && col("vec_id") % 7 === 1)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(-x AS FLOAT))").as("embedding"))
+    val batch = full.filter(col("vec_id") % 3 === 0).unionByName(resub)
+    assert(resub.count() > 0, "no resubmitted ids - latest-wins not exercised")
+
+    val base = java.nio.file.Files.createTempDirectory("graft-vecidx-merge")
+    val dirA = s"$base/a"; val dirC = s"$base/c"
+    val m0 = VectorIndex.publishFrom(spark, oldCorpus, dirA)
+    val cent = VectorIndex.loadCentroids(spark, dirA)
+    val m1 = VectorIndex.mergePublish(spark, dirA, batch)
+    assert(VectorIndex.isPublished(spark, dirA))
+    // geometry frozen; n re-counted over the merged corpus
+    assert((m1.width, m1.probes, m1.cap, m1.cells) ==
+      ((m0.width, m0.probes, m0.cap, m0.cells)))
+    assert(m1.n == full.count())
+
+    // reference: rebuild the latest-wins union at the SAME geometry and
+    // centroids (publishWith — what the freeze contract promises)
+    val combined = oldCorpus.join(batch.select("vec_id"), Seq("vec_id"), "left_anti")
+      .unionByName(batch)
+    VectorIndex.publishWith(spark, combined, dirC, m1, cent)
+    assert(bucketRows(VectorIndex.loadBuckets(spark, dirA)) ==
+      bucketRows(VectorIndex.loadBuckets(spark, dirC)), "bucket tables differ")
+    assert(cellRows(VectorIndex.loadCells(spark, dirA)) ==
+      cellRows(VectorIndex.loadCells(spark, dirC)), "cell lists differ")
+
+    // the merge flipped to a NEW immutable version; the old one is
+    // intact and still readable (mid-probe readers keep a whole index)
+    assert(StorageOps.currentVersion(spark, dirA).contains("v2"))
+    assert(spark.read.parquet(s"$dirA/v1/cells").count() == oldCorpus.count())
+    // prune removes only non-active versions
+    assert(VectorIndex.pruneVersions(spark, dirA, keep = 1) == Seq("v1"))
+    assert(VectorIndex.isPublished(spark, dirA))
+    spark.catalog.clearCache()
+  }
+
+  test("needsRebuild flags schedule drift after merges outgrow the geometry") {
+    // frozen at a 40-vector schedule, merged to the full corpus: the
+    // width/cell schedules would now pick differently -> rebuild due
+    val dir = java.nio.file.Files.createTempDirectory("graft-vecidx-drift").toString
+    val tiny = allEmb.filter(col("vec_id") < 40)
+    val m0 = VectorIndex.publishFrom(spark, tiny, dir)
+    assert(!VectorIndex.needsRebuild(m0))
+    val m1 = VectorIndex.mergePublish(spark, dir, allEmb.filter(col("vec_id") >= 40))
+    assert(m1.width == m0.width && VectorIndex.needsRebuild(m1))
+    spark.catalog.clearCache()
+  }
+}
