@@ -174,6 +174,14 @@ object Stress {
           import graft.operators.MultiModalOps
           MultiModalOps.imageSigPairs(MultiModalOps.noiseImageSigs(s, d)).count()
         }),
+      Probe("fuzzy_join_candidates",
+        "deletion-neighborhood blocking candidates, per-key width-capped with the in-join length-diff gate (q_fuzzy_join / q_entity_resolution) — runs in DISTINCT-name space, so growth tracks the name vocabulary (which saturates as records repeat names), never the record count; fit against PART rows (its driver table)",
+        (s, d) => {
+          val names = Tables.part(s, d)
+            .groupBy(col("p_name").as("name")).agg(count(lit(1)).as("n_ids"))
+          graft.operators.LinkOps.fuzzyCandidates(names).count()
+        },
+        scaleOf = Some((s, d) => Tables.part(s, d).count())),
       Probe("triangle_wedge_candidates",
         "degree-oriented wedge space (Σ C(out_deg,2)) of the part co-occurrence graph — the enumeration BOUND of the triangle family, upper-bounding the shipped edge-iterator's Σ(d⁺a+d⁺b) intersect work (q_triangle_count); fit against LINEITEM rows (its driver table) — per-part degree plateaus once each part's order set saturates, so the space tracks vertices ~linearly, and the orientation bound caps the ceiling at O(edges^1.5) however hubby the catalog gets",
         graft.operators.GraphAnalyticsOps.wedgeCandidates,
