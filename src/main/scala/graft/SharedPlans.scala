@@ -40,4 +40,22 @@ object SharedPlans {
       df.persist(lvl) // re-arm after an external clearCache
     df
   }
+
+  private val valMemo = new java.util.WeakHashMap[SparkSession,
+    scala.collection.concurrent.TrieMap[String, Any]]()
+
+  /** Session-scoped once-memo for plain values produced by deterministic
+    * side-effecting setup — e.g. the published VectorIndex dir the
+    * artifact-backed ANN queries share: publish once per session, probe
+    * many (the production economics; the on-disk artifact outlives
+    * clearCache by construction, so unlike [[shared]] there is no cache
+    * level or re-arm). Determinism contract as above: the build must be
+    * a pure function of (session, key) and the fixture dirs. */
+  def once[T](s: SparkSession, key: String)(build: => T): T = {
+    val m = valMemo.synchronized {
+      valMemo.computeIfAbsent(s,
+        _ => scala.collection.concurrent.TrieMap.empty[String, Any])
+    }
+    m.getOrElseUpdate(key, build).asInstanceOf[T]
+  }
 }

@@ -705,19 +705,35 @@ object VectorOps {
   /** ARTIFACT-BACKED IVF search: publish the full corpus (trains the
     * same hash-sampled centroids as the inline path), then run the fixed
     * 10-query top-5 against the loaded centroid + inverted-list datasets.
-    * Produces exactly q_ann_ivf's rows (shared oracle). */
-  private val qAnnIvfIdx: Q = (s, d) => {
-    val dir = vecIndexDir(d, "full")
-    graft.sources.VectorIndex.publishFrom(s,
-      Tables.spread(s, Tables.embeddings(s, d)), dir)
-    graft.sources.VectorIndex.pruneVersions(s, dir, keep = 1)
-    graft.sources.VectorIndex.searchIvf(s, dir,
+    * Produces exactly q_ann_ivf's rows (shared oracle). The publish is
+    * memoized per session ([[graft.SharedPlans.once]]) so the LSH twin
+    * below probes the same artifact without republishing. */
+  private def fullIndexDir(s: SparkSession, d: String): String =
+    graft.SharedPlans.once(s, s"vec_index_full|$d") {
+      val dir = vecIndexDir(d, "full")
+      graft.sources.VectorIndex.publishFrom(s,
+        Tables.spread(s, Tables.embeddings(s, d)), dir)
+      graft.sources.VectorIndex.pruneVersions(s, dir, keep = 1)
+      dir
+    }
+
+  private val qAnnIvfIdx: Q = (s, d) =>
+    graft.sources.VectorIndex.searchIvf(s, fullIndexDir(s, d),
       Tables.embeddings(s, d).filter(col("vec_id") < 10), k = 5, nprobe = 2)
-  }
+
+  /** ARTIFACT-BACKED LSH search over the same published index: the fixed
+    * 10-query top-5 against the loaded bucket table at the frozen
+    * width/probes. Produces exactly q_ann_lsh's rows (shared oracle; the
+    * artifact's bucket cap is inert below an embedding flood — the
+    * q_knn_join convention). */
+  private val qAnnLshIdx: Q = (s, d) =>
+    graft.sources.VectorIndex.searchLsh(s, fullIndexDir(s, d),
+      Tables.embeddings(s, d).filter(col("vec_id") < 10), k = 5)
 
   val queries: Map[String, Q] = Map(
     "q_embed_cross_dedup_idx" -> qEmbedCrossDedupIdx,
     "q_ann_ivf_idx" -> qAnnIvfIdx,
+    "q_ann_lsh_idx" -> qAnnLshIdx,
     "q_knn_join" -> qKnnJoin,
     "q_hard_negatives" -> qHardNegatives,
     "q_embed_cross_dedup" -> qEmbedCrossDedup,
@@ -1071,5 +1087,6 @@ object VectorOps {
     * geometry is pinned by scheduleN / the shared schedule functions). */
   val oracles: Map[String, String] = baseOracles ++ Map(
     "q_embed_cross_dedup_idx" -> baseOracles("q_embed_cross_dedup"),
-    "q_ann_ivf_idx" -> baseOracles("q_ann_ivf"))
+    "q_ann_ivf_idx" -> baseOracles("q_ann_ivf"),
+    "q_ann_lsh_idx" -> baseOracles("q_ann_lsh"))
 }

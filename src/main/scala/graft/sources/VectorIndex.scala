@@ -231,6 +231,34 @@ object VectorIndex {
       .orderBy("vec_id")
   }
 
+  /** LSH top-k search against the published bucket table — the
+    * artifact-backed twin of the inline q_ann_lsh plan: each query
+    * explodes into its probe buckets at the frozen width/probes, exact
+    * cosine top-k within the probed buckets. (The artifact's bucket
+    * table is width-capped; the cap is inert except under an embedding
+    * flood — the q_knn_join convention.) */
+  def searchLsh(s: SparkSession, dir: String, queries: DataFrame,
+      k: Int): DataFrame = {
+    GraftFunctions.register(s)
+    val m = loadMeta(s, dir)
+    val idx = loadBuckets(s, dir)
+    val q = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .select(col("query_id"), col("qe"),
+        explode(expr(s"hyperplane_sig(qe, ${m.width}, ${m.probes})"))
+          .as("qbucket"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    idx.join(broadcast(q),
+        col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        expr("cosine_sim(qe, embedding)").as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("query_id", "neighbor_id", "rk")
+      .orderBy("query_id", "rk")
+  }
+
   /** IVF top-k search against the published centroid + inverted-list
     * datasets — the artifact-backed twin of the inline q_ann_ivf search
     * stage: nprobe nearest cells per query by centroid cosine, exact

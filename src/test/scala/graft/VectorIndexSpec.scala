@@ -64,6 +64,16 @@ class VectorIndexSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("artifact LSH search equals the inline q_ann_lsh plan") {
+    val q = SparkEntry.queries("q_ann_lsh")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    spark.catalog.clearCache()
+    val qi = SparkEntry.queries("q_ann_lsh_idx")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(q.nonEmpty && qi == q)
+    spark.catalog.clearCache()
+  }
+
   test("mergePublish equals a rebuild at the frozen geometry and centroids") {
     val full = allEmb
     val oldCorpus = full.filter(col("vec_id") % 3 =!= 0)
