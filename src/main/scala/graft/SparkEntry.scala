@@ -22,7 +22,7 @@ object SparkEntry {
       DedupOps.queries ++ VectorOps.queries ++ MultiModalOps.queries ++
       PipelineOps.queries ++ HealthOps.queries ++ CurationOps.queries ++
       SkewOps.queries ++ AudioOps.queries ++ EventOps.queries ++
-      LinkOps.queries ++ GraphAnalyticsOps.queries
+      LinkOps.queries ++ GraphAnalyticsOps.queries ++ VideoOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -31,5 +31,5 @@ object SparkEntry {
       DedupOps.oracles ++ VectorOps.oracles ++ MultiModalOps.oracles ++
       PipelineOps.oracles ++ HealthOps.oracles ++ CurationOps.oracles ++
       SkewOps.oracles ++ AudioOps.oracles ++ EventOps.oracles ++
-      LinkOps.oracles ++ GraphAnalyticsOps.oracles
+      LinkOps.oracles ++ GraphAnalyticsOps.oracles ++ VideoOps.oracles
 }

@@ -14,10 +14,10 @@ import graft.Tables
   * `ImageIO.read`, extracting the actual width/height and per-pixel stats.
   * PNG is lossless, so the decoded samples equal the generator's formula
   * exactly and the DuckDB oracle can recompute them from doc_id alone.
-  * The VIDEO path (frame sampling) keeps a byte-slicing stand-in for the
-  * codec — the JDK ships no video decoder — but its fan-out plumbing (one
-  * blob exploding to per-frame rows inside mapPartitions) is the real
-  * shape such a pipeline takes.
+  * The multi-frame path (q_multimodal_frames) decodes REAL animated GIFs
+  * — the only multi-frame format the JDK both writes and reads; real MP4
+  * container parse/demux lives in [[VideoOps]], with the bytes→pixels
+  * codec as the one declared FFI seam.
   *
   * Scale notes (100 TB of media): the binary column rides parquet; both
   * the encode and decode stages are embarrassingly parallel with NO

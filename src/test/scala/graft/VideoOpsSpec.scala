@@ -1,0 +1,76 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.VideoOps
+
+/** The MP4 writer must emit structurally valid ISO-BMFF (sizes tile the
+  * file exactly, mandatory boxes present in order) and the parser/demuxer
+  * must recover every field and every sample byte range exactly — the
+  * lossless-container contract the PNG/WAV paths carry, applied to the
+  * box layer (the sample payload itself is the declared FFI seam). */
+class VideoOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val ids = Seq(0L, 1L, 7L, 23L, 96L, 499L, 12345L)
+
+  test("encodeMp4 emits a structurally valid [ftyp][mdat][moov] box tree") {
+    for (id <- ids) {
+      val b = VideoOps.encodeMp4(id)
+      val top = VideoOps.boxes(b, 0, b.length)
+      assert(top.map(_._1) == List("ftyp", "mdat", "moov"), s"id=$id top boxes")
+      // box sizes tile the file exactly (boxes() requires it; also check
+      // the last payload ends at EOF)
+      assert(top.last._3 == b.length)
+      // the mdat payload is exactly the sum of the declared sample sizes
+      val mdat = top(1)
+      val expected = (0 until VideoOps.nSamples(id))
+        .map(f => VideoOps.sampleSize(id, f)).sum
+      assert(mdat._3 - mdat._2 == expected, s"id=$id mdat size")
+    }
+  }
+
+  test("parseMeta recovers every container field from the real boxes") {
+    for (id <- ids) {
+      val (brand, ts, dur, w, h, n, handler, codec) =
+        VideoOps.parseMeta(VideoOps.encodeMp4(id))
+      assert(brand == "isom" && ts == VideoOps.Timescale)
+      assert(dur == VideoOps.nSamples(id).toLong * VideoOps.sampleDur(id))
+      assert(w == VideoOps.vidWidth(id) && h == VideoOps.vidHeight(id))
+      assert(n == VideoOps.nSamples(id))
+      assert(handler == "vide" && codec == "grft")
+    }
+  }
+
+  test("demux recovers every sample's byte slice exactly via stco + stsz") {
+    for (id <- ids) {
+      val samples = VideoOps.demux(VideoOps.encodeMp4(id))
+      assert(samples.length == VideoOps.nSamples(id))
+      samples.foreach { case (f, slice) =>
+        assert(slice.toSeq == VideoOps.sampleBytes(id, f).toSeq,
+          s"id=$id sample $f bytes")
+      }
+    }
+  }
+
+  test("a foreign parser seam: corrupted size field fails loudly, not silently") {
+    val b = VideoOps.encodeMp4(5L)
+    b(0) = 0x7f.toByte // blow up the ftyp size
+    intercept[IllegalArgumentException] { VideoOps.boxes(b, 0, b.length) }
+  }
+
+  test("queries run end-to-end on sf0.001 with coherent schemas") {
+    val meta = VideoOps.queries("q_video_meta")(spark, TestSpark.sf0001).collect()
+    assert(meta.length > 0)
+    meta.foreach { r =>
+      assert(r.getString(1) == "isom" && r.getString(7) == "vide")
+      assert(r.getLong(3) == r.getLong(4) * (40 + (r.getLong(0) % 5) * 10))
+    }
+    val demux = VideoOps.queries("q_video_demux")(spark, TestSpark.sf0001).collect()
+    assert(demux.length > 0)
+    demux.foreach { r =>
+      assert(r.getLong(1) % 2 == 0) // every 2nd sample
+      assert(r.getLong(3) >= 32 && r.getLong(3) < 64)
+      assert(r.getLong(4) >= 0 && r.getLong(5) < 256 && r.getLong(6) < 256)
+    }
+    spark.catalog.clearCache()
+  }
+}
