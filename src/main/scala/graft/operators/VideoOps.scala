@@ -82,10 +82,18 @@ object VideoOps {
     * [ftyp][mdat][moov], moov's stco pointing back into the real mdat.
     * Layout puts mdat BEFORE moov so the chunk offset is independent of
     * the moov size (the classic non-faststart layout). */
-  private[graft] def encodeMp4(id: Long): Array[Byte] = {
-    val n = nSamples(id)
-    val dur = n.toLong * sampleDur(id)
-    val payload = cat((0 until n).map(f => sampleBytes(id, f)): _*)
+  private[graft] def encodeMp4(id: Long): Array[Byte] =
+    encodeMp4From(nSamples(id), sampleDur(id), vidWidth(id), vidHeight(id),
+      f => sampleBytes(id, f))
+
+  /** The writer, parameterized by geometry and a per-sample byte source —
+    * shared by the per-doc fixture above and the content-keyed dedup
+    * fixture ([[fpSampleBytes]]). */
+  private[graft] def encodeMp4From(n: Int, durPerSample: Int, width: Int,
+      height: Int, sample: Int => Array[Byte]): Array[Byte] = {
+    val dur = n.toLong * durPerSample
+    val sBytes = (0 until n).map(sample)
+    val payload = cat(sBytes: _*)
     val ftyp = box("ftyp", fourcc("isom"), be32(0x200), fourcc("isom"), fourcc("iso2"))
     val mdat = box("mdat", payload)
     val chunkOffset = ftyp.length.toLong + 8 // first payload byte of mdat
@@ -94,7 +102,7 @@ object VideoOps {
       new Array[Byte](8), UnityMatrix, new Array[Byte](24), be32(2))
     val tkhd = box("tkhd", vf(0, 7), be32(0), be32(0), be32(1), be32(0),
       be32(dur), new Array[Byte](8), be16(0), be16(0), be16(0), be16(0),
-      UnityMatrix, be32(vidWidth(id).toLong << 16), be32(vidHeight(id).toLong << 16))
+      UnityMatrix, be32(width.toLong << 16), be32(height.toLong << 16))
     val mdhd = box("mdhd", vf(0, 0), be32(0), be32(0), be32(Timescale),
       be32(dur), be16(0x55c4) /* 'und' */, be16(0))
     val hdlr = box("hdlr", vf(0, 0), be32(0), fourcc("vide"),
@@ -107,14 +115,14 @@ object VideoOps {
     }
     val sampleEntry = box("grft", new Array[Byte](6), be16(1),
       be16(0), be16(0), new Array[Byte](12),
-      be16(vidWidth(id)), be16(vidHeight(id)),
+      be16(width), be16(height),
       be32(0x00480000L), be32(0x00480000L), be32(0), be16(1),
       compressor, be16(0x0018), be16(0xffff))
     val stsd = box("stsd", vf(0, 0), be32(1), sampleEntry)
-    val stts = box("stts", vf(0, 0), be32(1), be32(n), be32(sampleDur(id)))
+    val stts = box("stts", vf(0, 0), be32(1), be32(n), be32(durPerSample))
     val stsc = box("stsc", vf(0, 0), be32(1), be32(1), be32(n), be32(1))
     val stsz = box("stsz", vf(0, 0), be32(0), be32(n),
-      cat((0 until n).map(f => be32(sampleSize(id, f))): _*))
+      cat(sBytes.map(sb => be32(sb.length)): _*))
     val stco = box("stco", vf(0, 0), be32(1), be32(chunkOffset))
     val stbl = box("stbl", stsd, stts, stsc, stsz, stco)
     val vmhd = box("vmhd", vf(0, 1), new Array[Byte](8))
@@ -250,9 +258,80 @@ object VideoOps {
       .orderBy("doc_id", "sample_idx")
   }
 
+  // ---- perceptual fingerprint dedup (the audio-family pattern) --------
+
+  /** Dedup fixture: container content depends only on the CONTENT key
+    * cid = doc_id % 48, so ~1/48 of the corpus shares each video
+    * byte-for-byte — dup groups exist at every SF (the audio fpCid
+    * trick). Distinct sample count per cid so fingerprints separate. */
+  private[graft] def fpCid(id: Long): Long = Math.floorMod(id, 48L)
+  private[graft] def fpN(cid: Long): Int = (4 + Math.floorMod(cid, 12L)).toInt
+  private[graft] def fpSize(cid: Long, f: Int): Int =
+    (32 + Math.floorMod(cid * 7 + f.toLong * 13, 32L)).toInt
+  private[graft] def fpByte(cid: Long, f: Int, k: Int): Int =
+    Math.floorMod(cid * 29 + f.toLong * 17 + k.toLong * 11, 256L).toInt
+  private[graft] def fpSampleBytes(cid: Long, f: Int): Array[Byte] =
+    Array.tabulate(fpSize(cid, f))(k => fpByte(cid, f, k).toByte)
+  private[graft] def encodeFpMp4(cid: Long): Array[Byte] =
+    encodeMp4From(fpN(cid), 40, 16, 16, f => fpSampleBytes(cid, f))
+
+  /** Sign-of-delta fingerprint over the DEMUXED per-sample byte sums —
+    * the codec-free video fingerprint (scene-energy deltas from payload
+    * bytes): bit f is set iff sample f+1 carries a larger byte sum than
+    * sample f. ≤ 14 samples → the packed BIGINT never nears the sign
+    * bit. Runs on the real demux output, so it exercises the container
+    * walk end-to-end. */
+  private[graft] def fingerprint(samples: Seq[(Int, Array[Byte])]): (Long, Long) = {
+    val sums = samples.sortBy(_._1).map { case (_, sl) =>
+      var s = 0L; var k = 0
+      while (k < sl.length) { s += sl(k) & 0xff; k += 1 }
+      s
+    }
+    var fp = 0L
+    for (f <- 0 until sums.length - 1)
+      if (sums(f + 1) > sums(f)) fp |= 1L << f
+    (fp, sums.length.toLong)
+  }
+
+  /** Per-doc fingerprint frame (doc_id, fp, n_samples) — encode the
+    * content-keyed MP4, demux it through the REAL container walk,
+    * fingerprint the sample sums. Memoized: the dedup query traverses it
+    * directly and via [[fingerprintIndex]]. */
+  private[graft] def fpFrame(s: SparkSession, d: String): DataFrame =
+    graft.SharedPlans.shared(s, s"mp4_fp_frame|$d") {
+      import s.implicits._
+      Tables.spread(s, Tables.documents(s, d).select(col("doc_id")))
+        .as[Long]
+        .mapPartitions(it => it.map { id =>
+          val (fp, n) = fingerprint(demux(encodeFpMp4(fpCid(id))))
+          (id, fp, n)
+        })
+        .toDF("doc_id", "fp", "n_samples")
+    }
+
+  /** The published fingerprint index (fp, n, rep) — the static side the
+    * dedup stream probes ([[graft.streaming.VideoDedupStream]]). */
+  private[graft] def fingerprintIndex(s: SparkSession, d: String): DataFrame =
+    fpFrame(s, d).groupBy("fp")
+      .agg(count(lit(1)).as("n"), min("doc_id").as("rep"))
+
+  /** Video-level exact dup groups by demuxed fingerprint — the video
+    * twin of q_audio_fingerprint / q_image_dhash: members of groups of
+    * ≥ 2, with group size and min-doc representative. */
+  private val qVideoFingerprint: Q = (s, d) => {
+    val groups = fingerprintIndex(s, d)
+      .filter(col("n") >= 2)
+      .select(col("fp"), col("n").as("group_size"), col("rep").as("rep_id"))
+    fpFrame(s, d).join(groups, "fp")
+      .select(col("doc_id"), col("fp"), col("n_samples"),
+        col("group_size"), col("rep_id"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_video_meta" -> qVideoMeta,
     "q_video_demux" -> qVideoDemux,
+    "q_video_fingerprint" -> qVideoFingerprint,
   )
 
   val oracles: Map[String, String] = Map(
@@ -286,5 +365,34 @@ object VideoOps {
         |       CAST((doc_id * 31 + f * 17 + (sz - 1) * 11) % 256 AS BIGINT)
         |         AS last_byte
         |FROM sums ORDER BY doc_id, sample_idx""".stripMargin,
+    // replays the content-keyed generator + sum-delta fingerprint per
+    // cid, then fans out to docs — the q_audio_fingerprint oracle shape
+    "q_video_fingerprint" ->
+      """WITH dd AS (SELECT doc_id, doc_id % 48 AS cid FROM documents),
+        |c AS (SELECT DISTINCT cid FROM dd),
+        |p AS (SELECT cid, 4 + cid % 12 AS n FROM c),
+        |sidx AS (SELECT cid, n, unnest(range(0, n)) AS f FROM p),
+        |szs AS (SELECT cid, n, f, 32 + (cid * 7 + f * 13) % 32 AS sz
+        |        FROM sidx),
+        |bytes AS (SELECT cid, n, f, k.k
+        |          FROM szs, (SELECT unnest(range(0, 64)) AS k) k
+        |          WHERE k.k < sz),
+        |e AS (SELECT cid, n, f,
+        |             sum((cid * 29 + f * 17 + k * 11) % 256) AS en
+        |      FROM bytes GROUP BY 1, 2, 3),
+        |fp AS (
+        |  SELECT a.cid, a.n,
+        |         CAST(coalesce(sum(CASE WHEN b.en > a.en
+        |                  THEN (CAST(1 AS BIGINT) << a.f) ELSE 0 END), 0)
+        |              AS BIGINT) AS fp
+        |  FROM e a JOIN e b ON a.cid = b.cid AND b.f = a.f + 1
+        |  GROUP BY a.cid, a.n),
+        |docs AS (SELECT dd.doc_id, fp.fp, fp.n FROM dd JOIN fp USING (cid)),
+        |grp AS (SELECT fp, CAST(count(*) AS BIGINT) AS group_size,
+        |               min(doc_id) AS rep_id
+        |        FROM docs GROUP BY fp HAVING count(*) >= 2)
+        |SELECT docs.doc_id, docs.fp, CAST(docs.n AS BIGINT) AS n_samples,
+        |       grp.group_size, grp.rep_id
+        |FROM docs JOIN grp USING (fp) ORDER BY docs.doc_id""".stripMargin,
   )
 }

@@ -1,0 +1,43 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.VideoOps
+
+/** Incremental (streaming) video dedup — the video leg of the multimodal
+  * dedup-stream triple (image dHash / audio fingerprint / VIDEO): each
+  * arriving MP4 payload is DEMUXED through the real container walk
+  * (stco + stsz), fingerprinted over its per-sample byte sums, and
+  * probed against the published fingerprint index with an exact-equality
+  * stream-static join — stateless, append-safe.
+  *
+  * Freshness contract (shared with every dedup twin): an arrival is
+  * checked against the corpus as of the last index publish; two NEW
+  * duplicate videos wait for the next rebuild. Whole-corpus batch parity
+  * is pinned in VideoDedupStreamSpec.
+  */
+object VideoDedupStream {
+
+  /** Matches of a watermarked video stream (`doc_id`, binary MP4
+    * `payload`, event-time `ts`) against the published fingerprint index
+    * `fps` (schema: fp, n, rep). One row per (arrival, matched group). */
+  def matchesAgainstIndex(s: SparkSession, stream: DataFrame,
+      fps: DataFrame, delay: String = "10 minutes"): DataFrame = {
+    import s.implicits._
+    val idx = fps.select(col("fp").as("cand_fp"), col("n"), col("rep"))
+    stream
+      .select(col("ts"), col("doc_id").as("in_id"), col("payload"))
+      .as[(java.sql.Timestamp, Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (ts, id, bytes) =>
+          val (fp, n) = VideoOps.fingerprint(VideoOps.demux(bytes))
+          (ts, id, fp, n)
+        }
+      }
+      .toDF("ts", "in_id", "fp", "n_samples")
+      .withWatermark("ts", delay)
+      .join(idx, col("fp") === col("cand_fp"))
+      .select(col("ts"), col("in_id"), col("fp"), col("n_samples"),
+        col("n").as("corpus_n"), col("rep").as("corpus_rep"))
+  }
+}

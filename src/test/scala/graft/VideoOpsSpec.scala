@@ -57,6 +57,20 @@ class VideoOpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { VideoOps.boxes(b, 0, b.length) }
   }
 
+  test("fingerprint is a pure function of the content key and encodes sum deltas") {
+    for (cid <- Seq(0L, 1L, 13L, 47L)) {
+      val (fp1, n1) = VideoOps.fingerprint(VideoOps.demux(VideoOps.encodeFpMp4(cid)))
+      val (fp2, n2) = VideoOps.fingerprint(VideoOps.demux(VideoOps.encodeFpMp4(cid)))
+      assert(fp1 == fp2 && n1 == n2 && n1 == VideoOps.fpN(cid))
+      // independent replay of the bit law from the byte formula
+      val sums = (0 until VideoOps.fpN(cid)).map(f =>
+        (0 until VideoOps.fpSize(cid, f)).map(k => VideoOps.fpByte(cid, f, k).toLong).sum)
+      var exp = 0L
+      for (f <- 0 until sums.length - 1) if (sums(f + 1) > sums(f)) exp |= 1L << f
+      assert(fp1 == exp, s"cid=$cid")
+    }
+  }
+
   test("queries run end-to-end on sf0.001 with coherent schemas") {
     val meta = VideoOps.queries("q_video_meta")(spark, TestSpark.sf0001).collect()
     assert(meta.length > 0)
