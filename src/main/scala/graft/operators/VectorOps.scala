@@ -692,14 +692,18 @@ object VectorOps {
     * correctness gate, not just a spec. scheduleN pins the full-table
     * geometry so the two plans are comparable row-for-row. */
   private val qEmbedCrossDedupIdx: Q = (s, d) => {
-    val n = corpusSize(s, d)
-    val dir = vecIndexDir(d, "even")
-    val all = Tables.spread(s, Tables.embeddings(s, d))
-    graft.sources.VectorIndex.publishFrom(s,
-      all.filter(col("vec_id") % 2 === 0), dir, scheduleN = Some(n))
-    graft.sources.VectorIndex.pruneVersions(s, dir, keep = 1)
+    val dir = graft.SharedPlans.once(s, s"vec_index_even|$d") {
+      val n = corpusSize(s, d)
+      val evenDir = vecIndexDir(d, "even")
+      graft.sources.VectorIndex.publishFrom(s,
+        Tables.spread(s, Tables.embeddings(s, d)).filter(col("vec_id") % 2 === 0),
+        evenDir, scheduleN = Some(n))
+      graft.sources.VectorIndex.pruneVersions(s, evenDir, keep = 1)
+      evenDir
+    }
     graft.sources.VectorIndex.probeBestMatch(s, dir,
-      all.filter(col("vec_id") % 2 === 1), 0.45)
+      Tables.spread(s, Tables.embeddings(s, d)).filter(col("vec_id") % 2 === 1),
+      0.45)
   }
 
   /** ARTIFACT-BACKED IVF search: publish the full corpus (trains the
