@@ -19,7 +19,7 @@ import graft.Tables
   * integer formula bit-for-bit and the DuckDB oracle can recompute every
   * statistic from doc_id alone (same law the PNG/GIF paths exploit).
   *
-  * Six operators cover the audio lifecycle a training-data pipeline needs:
+  * Seven operators cover the audio lifecycle a training-data pipeline needs:
   *  - q_audio_meta    — container metadata + whole-clip sample stats
   *  - q_audio_frames  — windowed (64-sample) frame energies, every 2nd
   *                      frame sampled: the feature-extraction shape
@@ -27,8 +27,11 @@ import graft.Tables
   *  - q_audio_resample — integer-decimation sample-rate conversion
   *                      (8 → 4 kHz, every 2nd sample)
   *  - q_audio_resample_frac — FRACTIONAL resample (8 → 6.4 kHz, linear
-  *                      interpolation on the L=4/M=5 lattice) — the
-  *                      44.1→16 kHz shape real pipelines need
+  *                      interpolation on the L=4/M=5 lattice, exact
+  *                      doubles via the power-of-two denominator)
+  *  - q_audio_resample_ratio — ARBITRARY-ratio resample at the
+  *                      44.1→16 kHz shape (L=160/M=441), stats in the
+  *                      L-scaled integer domain
   *  - q_audio_fingerprint — sign-of-energy-delta perceptual fingerprint →
   *                      exact dup groups, the audio twin of q_image_dhash
   *
@@ -311,6 +314,53 @@ object AudioOps {
       .orderBy("doc_id")
   }
 
+  /** ARBITRARY-ratio linear resample — the 44.1→16 kHz SHAPE real
+    * pipelines need (16000/44100 reduces to L=160 / M=441). L is not a
+    * power of two, so the exact-double trick of the 6.4 kHz path does
+    * not apply; instead the interpolated signal is carried in the
+    * L-SCALED integer domain — w = (L−r)·v[k] + r·v[k+1], never divided
+    * — so every statistic is an exact BIGINT whatever the ratio
+    * (fixed-point, documented in the *_xl column names; production
+    * divides by L on the way to float features). Bounds: |w| ≤
+    * 160·32768 < 2^23, Σw² < 2^46 — exact in int64 with headroom. */
+  private[graft] val RatioL = 160
+  private[graft] val RatioM = 441
+
+  private[graft] def ratioResampleStats(id: Long, v: Array[Short],
+      l: Int = RatioL, m: Int = RatioM): (Long, Long, Long, Long, Long) = {
+    val n = v.length
+    var j = 0
+    var cnt = 0L; var sumAbsQ = 0L; var sumSqQ = 0L; var maxAbsQ = 0L
+    while (n > 0 && m.toLong * j <= l.toLong * (n - 1)) {
+      val p = m.toLong * j
+      val k = (p / l).toInt
+      val r = (p % l).toInt
+      val w =
+        if (r == 0) l.toLong * v(k)
+        else (l - r).toLong * v(k) + r.toLong * v(k + 1)
+      val a = Math.abs(w)
+      sumAbsQ += a
+      sumSqQ += w * w
+      if (a > maxAbsQ) maxAbsQ = a
+      cnt += 1
+      j += 1
+    }
+    (id, cnt, sumAbsQ, sumSqQ, maxAbsQ)
+  }
+
+  private val qAudioResampleRatio: Q = (s, d) => {
+    import s.implicits._
+    wavPayloads(s, d)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(it => it.map { case (id, bytes) =>
+        val (i, cnt, sa, sq, ma) = ratioResampleStats(id, decodeWav(bytes)._3)
+        (i, cnt, RatioL.toLong, RatioM.toLong, sa, sq, ma)
+      })
+      .toDF("doc_id", "n_samples2", "ratio_l", "ratio_m", "sum_abs_xl",
+        "sum_sq_xl2", "max_abs_xl")
+      .orderBy("doc_id")
+  }
+
   // ---- perceptual fingerprint dedup ----------------------------------
 
   /** Dedup fixture: waveform depends only on the CONTENT key
@@ -405,6 +455,7 @@ object AudioOps {
     "q_audio_trim" -> qAudioTrim,
     "q_audio_resample" -> qAudioResample,
     "q_audio_resample_frac" -> qAudioResampleFrac,
+    "q_audio_resample_ratio" -> qAudioResampleRatio,
     "q_audio_fingerprint" -> qAudioFingerprint,
   )
 
@@ -511,6 +562,28 @@ object AudioOps {
          |       CAST(sum(abs(wv)) AS DOUBLE) / 4.0 AS sum_abs2,
          |       CAST(sum(wv * wv) AS DOUBLE) / 16.0 AS sum_sq2,
          |       CAST(max(abs(wv)) AS DOUBLE) / 4.0 AS max_abs2
+         |FROM y GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // arbitrary-ratio lattice (L=160/M=441, the 44.1->16 kHz shape) in
+    // the L-scaled INTEGER domain — no division anywhere, exact BIGINTs
+    "q_audio_resample_ratio" ->
+      s"""WITH $SamplesCte,
+         |dn AS (SELECT doc_id, any_value(n) AS n FROM s GROUP BY 1),
+         |o AS (SELECT doc_id, n,
+         |             unnest(range(0, ((160 * (n - 1)) // 441) + 1)) AS j
+         |      FROM dn),
+         |w AS (SELECT doc_id, j, (441 * j) // 160 AS k, (441 * j) % 160 AS r
+         |      FROM o),
+         |y AS (SELECT w.doc_id,
+         |             (160 - w.r) * a.v + w.r * coalesce(b.v, 0) AS wv
+         |      FROM w JOIN s a ON a.doc_id = w.doc_id AND a.i = w.k
+         |           LEFT JOIN s b ON b.doc_id = w.doc_id AND b.i = w.k + 1)
+         |SELECT doc_id,
+         |       CAST(count(*) AS BIGINT) AS n_samples2,
+         |       CAST(160 AS BIGINT) AS ratio_l,
+         |       CAST(441 AS BIGINT) AS ratio_m,
+         |       CAST(sum(abs(wv)) AS BIGINT) AS sum_abs_xl,
+         |       CAST(sum(wv * wv) AS BIGINT) AS sum_sq_xl2,
+         |       CAST(max(abs(wv)) AS BIGINT) AS max_abs_xl
          |FROM y GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // Replays the content-keyed generator + fingerprint per cid, then
     // fans out to docs; bit k of fp uses frame-energy deltas (Σ|v|).

@@ -91,6 +91,24 @@ class AudioSpec extends AnyFunSuite {
     }
   }
 
+  test("arbitrary-ratio resample matches a BigInt lattice replay (44.1->16 kHz shape)") {
+    for (id <- ids) {
+      val v = AudioOps.decodeWav(AudioOps.encodeWav(AudioOps.clipSamples(id)))._3
+      val (_, n2, sa, sq, ma) = AudioOps.ratioResampleStats(id, v)
+      val expN = (160L * (v.length - 1)) / 441 + 1
+      assert(n2 == expN, s"id=$id output count")
+      val ws = (0 until n2.toInt).map { j =>
+        val p = 441L * j; val k = (p / 160).toInt; val r = (p % 160).toInt
+        if (r == 0) BigInt(160) * v(k)
+        else BigInt(160 - r) * v(k) + BigInt(r) * v(k + 1)
+      }
+      assert(BigInt(sa) == ws.map(_.abs).sum, s"id=$id sum_abs")
+      assert(BigInt(sq) == ws.map(w => w * w).sum, s"id=$id sum_sq")
+      assert(BigInt(ma) == ws.map(_.abs).max, s"id=$id max_abs")
+      assert(ma <= 160L * 32768L)
+    }
+  }
+
   test("fingerprint is a pure function of the content key") {
     // same cid -> identical WAV bytes -> identical fingerprint
     val aBytes = AudioOps.encodeWav(AudioOps.fpClipSamples(AudioOps.fpCid(3L)))

@@ -51,6 +51,28 @@ class VideoOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("randomized geometry fuzz: write->parse->demux roundtrips byte-exactly") {
+    val rnd = new scala.util.Random(17)
+    for (_ <- 1 to 25) {
+      val n = 1 + rnd.nextInt(30)
+      val dur = 1 + rnd.nextInt(1000)
+      val w = 1 + rnd.nextInt(4096)
+      val h = 1 + rnd.nextInt(4096)
+      val payloads = Array.fill(n)(
+        Array.fill(rnd.nextInt(200))(rnd.nextInt(256).toByte))
+      val b = VideoOps.encodeMp4From(n, dur, w, h, f => payloads(f))
+      val (brand, ts, d2, pw, ph, pn, handler, codec) = VideoOps.parseMeta(b)
+      assert(brand == "isom" && ts == VideoOps.Timescale)
+      assert(d2 == n.toLong * dur && pw == w && ph == h && pn == n)
+      assert(handler == "vide" && codec == "grft")
+      val samples = VideoOps.demux(b)
+      assert(samples.length == n)
+      samples.foreach { case (f, sl) =>
+        assert(sl.toSeq == payloads(f).toSeq, s"sample $f of n=$n")
+      }
+    }
+  }
+
   test("a foreign parser seam: corrupted size field fails loudly, not silently") {
     val b = VideoOps.encodeMp4(5L)
     b(0) = 0x7f.toByte // blow up the ftyp size
