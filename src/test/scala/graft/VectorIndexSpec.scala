@@ -116,6 +116,30 @@ class VectorIndexSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("mergePublish re-ranks the frozen width cap over the merged buckets") {
+    // publish with an artificially tiny cap, then merge a batch into the
+    // same buckets: the merged table must hold <= cap members per bucket
+    // selected by the SAME (phash, id) rule a full rebuild applies
+    val dir = java.nio.file.Files.createTempDirectory("graft-vecidx-cap").toString
+    val base = allEmb.filter(col("vec_id") % 2 === 0)
+    val m0full = VectorIndex.publishFrom(spark, base, dir)
+    val tiny = m0full.copy(cap = 2L)
+    val cent = VectorIndex.loadCentroids(spark, dir)
+    VectorIndex.publishWith(spark, base, dir, tiny, cent)
+    val m1 = VectorIndex.mergePublish(spark, dir,
+      allEmb.filter(col("vec_id") % 2 === 1))
+    assert(m1.cap == 2L)
+    val widths = VectorIndex.loadBuckets(spark, dir)
+      .groupBy("bucket").count().agg(max("count")).collect()(0).getLong(0)
+    assert(widths <= 2L, s"a merged bucket holds $widths > cap members")
+    // equal to a frozen-geometry rebuild of the union (same rank rule)
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-vecidx-cap2").toString
+    VectorIndex.publishWith(spark, allEmb, dir2, m1, cent)
+    assert(bucketRows(VectorIndex.loadBuckets(spark, dir)) ==
+      bucketRows(VectorIndex.loadBuckets(spark, dir2)))
+    spark.catalog.clearCache()
+  }
+
   test("needsRebuild flags schedule drift after merges outgrow the geometry") {
     // frozen at a 40-vector schedule, merged to the full corpus: the
     // width/cell schedules would now pick differently -> rebuild due
