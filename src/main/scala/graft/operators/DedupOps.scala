@@ -556,11 +556,21 @@ object DedupOps {
     * published cluster index) downstream. */
   def crossDedupBestFromHashes(s: SparkSession, inDocs: DataFrame,
       corpDocs: DataFrame, cap: Long = LshBucketCap,
-      refine: Boolean = true): DataFrame = {
+      refine: Boolean = true): DataFrame =
+    crossDedupBestFromBands(s,
+      minhashBands(s, inDocs).withColumnRenamed("doc_id", "in_id"),
+      minhashBands(s, corpDocs), inDocs, corpDocs, cap, refine)
+
+  /** Same operator with the CORPUS BANDS supplied by the caller — the
+    * entry for a published [[graft.sources.DedupIndex]], whose band
+    * table is precomputed at publish time (re-banding the corpus per
+    * probe batch would defeat the index). `corpBands`: (doc_id, band,
+    * bv); `inBands`: (in_id, band, bv). */
+  private[graft] def crossDedupBestFromBands(s: SparkSession,
+      inBands: DataFrame, corpBands: DataFrame, inDocs: DataFrame,
+      corpDocs: DataFrame, cap: Long, refine: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(s)
-    val inBands = minhashBands(s, inDocs).withColumnRenamed("doc_id", "in_id")
-    val corpBands = minhashBands(s, corpDocs)
     val (cold, hot) = splitByWidth(corpBands, cap)
     val capped = cold.select("band", "bv", "doc_id")
       .union(hot.select(col("band"), col("bv"), col("rep").as("doc_id")))
@@ -616,6 +626,39 @@ object DedupOps {
     crossDedupBestFromHashes(s,
       all.filter(col("doc_id") % 2 === 1),
       all.filter(col("doc_id") % 2 === 0))
+      .select("doc_id", "match_id", "jaccard")
+  }
+
+  /** Cross-dedup against a PUBLISHED [[graft.sources.DedupIndex]]: the
+    * corpus bands and hash sets both come from the loaded artifact (no
+    * corpus re-shingle, no re-banding — the production ingest economics
+    * the index exists for). `inDocs` is the incoming batch's doc-hash
+    * frame. */
+  def crossDedupBestFromIndex(s: SparkSession, indexDir: String,
+      inDocs: DataFrame, cap: Long = LshBucketCap,
+      refine: Boolean = true): DataFrame = {
+    val corpDocs = graft.sources.DedupIndex.loadDocs(s, indexDir)
+    val corpBands = graft.sources.DedupIndex.loadBands(s, indexDir)
+      .select(col("doc_id"), col("band"), col("minhash").as("bv"))
+    crossDedupBestFromBands(s,
+      minhashBands(s, inDocs).withColumnRenamed("doc_id", "in_id"),
+      corpBands, inDocs, corpDocs, cap, refine)
+  }
+
+  /** ARTIFACT-BACKED cross-dedup: publish the even half as a real
+    * [[graft.sources.DedupIndex]] (once per session), then run the odd
+    * half against the LOADED artifact — q_cross_dedup's rows exactly
+    * (shared oracle), the text twin of q_embed_cross_dedup_idx. */
+  private val qCrossDedupIdx: Q = (s, d) => {
+    graft.functions.GraftFunctions.register(s)
+    val dir = graft.SharedPlans.once(s, s"dedup_index_even|$d") {
+      val p = s"target/dedup_index/${d.replaceAll("[^A-Za-z0-9._-]", "_")}_even"
+      graft.sources.DedupIndex.publishFrom(s,
+        Tables.documents(s, d).filter(col("doc_id") % 2 === 0), p)
+      p
+    }
+    crossDedupBestFromIndex(s, dir,
+      docHashes(s, d).filter(col("doc_id") % 2 === 1))
       .select("doc_id", "match_id", "jaccard")
   }
 
@@ -762,6 +805,7 @@ object DedupOps {
     "q_split_leakage" -> qSplitLeakage,
     "q_dedup_keep_best" -> qDedupKeepBest,
     "q_cross_dedup" -> qCrossDedup,
+    "q_cross_dedup_idx" -> qCrossDedupIdx,
     "q_span_dup_rate" -> qSpanDupRate,
     "q_span_trim" -> qSpanTrim,
   )
@@ -995,6 +1039,9 @@ object DedupOps {
     "q_split_leakage" -> splitLeakageSql,
     "q_dedup_keep_best" -> keepBestSql,
     "q_cross_dedup" -> crossDedupSql,
+    // the artifact-backed twin shares the inline oracle verbatim: the
+    // published index round-trips the hash sets and band keys losslessly
+    "q_cross_dedup_idx" -> crossDedupSql,
     "q_span_dup_rate" -> spanDupSql,
     "q_span_trim" -> spanTrimSql,
   )

@@ -49,6 +49,17 @@ class DedupIndexSpec extends AnyFunSuite {
       bandRows(DedupIndex.loadBands(spark, dirC)), "bands artifacts differ")
   }
 
+  test("artifact-backed cross-dedup equals the inline q_cross_dedup plan") {
+    val d = TestSpark.sf0001
+    val inline = SparkEntry.queries("q_cross_dedup")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    spark.catalog.clearCache()
+    val viaIdx = SparkEntry.queries("q_cross_dedup_idx")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(inline.nonEmpty && viaIdx == inline)
+    spark.catalog.clearCache()
+  }
+
   test("mergePublish refuses to write into the live index") {
     val full = Tables.documents(spark, TestSpark.sf0001)
       .select(col("doc_id"), col("text"))
