@@ -169,7 +169,10 @@ object GraphOps {
     // subquery boundary); every-2nd-round with THIS single-reference
     // design 12.1s (the totM broadcast subquery re-executes the fused
     // chain); persisting each contrib to dodge that re-execution 9.4s
-    // (cache-write overhead exceeds the saved compute at this size). So
+    // (cache-write overhead exceeds the saved compute at this size);
+    // driver-COLLECTED scalar mass + persisted contrib (no broadcast
+    // machinery at all) 9.0-10.1s — the broadcast subquery is not the
+    // bottleneck either. So
     // the default stays 1 — materialize every round — and the dial
     // exists for billion-edge graphs where a checkpoint write of the
     // rank frame costs more than recomputing one fused round.
