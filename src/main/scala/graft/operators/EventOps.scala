@@ -168,11 +168,50 @@ object EventOps {
       .limit(50)
   }
 
+  /** Trailing-7-day distinct users per active day — the DAU/WAU rolling
+    * reach metric. The EXACT counts are the oracle-checked output; the
+    * mergeable HLL path rides alongside as a 5% boolean gate (the
+    * q_hll_distinct convention — DuckDB cannot replay the datasketches
+    * registers, the estimate's accuracy is what is checkable).
+    *
+    * Scale shape (100 TB): the naive formulation is a day-range
+    * SELF-JOIN (anchors × trailing days — re-scans the fact slice per
+    * anchor); this plan instead EXPLODES each distinct (user, day) into
+    * the ≤ 7 anchors it contributes to — a bounded ×7 fan-out of the
+    * already-deduped user-day slice, never of raw events — semi-joins
+    * the real anchor days, and counts distinct per anchor: one hash
+    * exchange keyed (anchor, user). The HLL twin is the path that
+    * survives at full scale: per-day sketches are partial-aggregable
+    * O(kB) summaries, so the window merge (hll_union_agg over the same
+    * bounded expansion) never re-shuffles raw user ids — per-anchor
+    * state is 7 sketches instead of the day's distinct-user set. */
+  private val qRollingDistinct: Q = (s, d) => {
+    val ud = graft.Caching.persist(Tables.events(s, d)
+      .select(col("user_id"), expr(s"ts div $NanosPerDay").as("day"))
+      .distinct())
+    val anchors = ud.select(col("day").as("anchor")).distinct()
+    val exact = ud
+      .select(col("user_id"), explode(expr("sequence(day, day + 6)")).as("anchor"))
+      .join(anchors, Seq("anchor"), "left_semi")
+      .groupBy("anchor").agg(countDistinct("user_id").as("n_users_7d"))
+    val est = ud.groupBy("day").agg(expr("hll_sketch_agg(user_id)").as("sk"))
+      .select(col("sk"), explode(expr("sequence(day, day + 6)")).as("anchor"))
+      .join(anchors, Seq("anchor"), "left_semi")
+      .groupBy("anchor")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx"))
+    exact.join(est, "anchor")
+      .select(col("anchor").as("day"), col("n_users_7d"),
+        (abs(col("approx") - col("n_users_7d")) <=
+          col("n_users_7d") * 0.05).as("approx_ok"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_gap_fill" -> qGapFill,
     "q_event_funnel" -> qEventFunnel,
     "q_outlier_mad" -> qOutlierMad,
     "q_session_paths" -> qSessionPaths,
+    "q_rolling_distinct" -> qRollingDistinct,
   )
 
   val oracles: Map[String, String] = Map(
@@ -244,5 +283,16 @@ object EventOps {
         |      FROM capped GROUP BY 1, 2)
         |SELECT path, CAST(count(*) AS BIGINT) AS n
         |FROM p GROUP BY 1 ORDER BY n DESC, path LIMIT 50""".stripMargin,
+    // exact trailing-window distinct; approx_ok TRUE is the contract the
+    // Spark side must meet (the q_hll_distinct convention)
+    "q_rolling_distinct" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |                   epoch_us(ts) // 86400000000 AS day FROM events),
+        |a AS (SELECT DISTINCT day AS anchor FROM ud)
+        |SELECT CAST(a.anchor AS BIGINT) AS day,
+        |       CAST(count(DISTINCT ud.user_id) AS BIGINT) AS n_users_7d,
+        |       true AS approx_ok
+        |FROM a JOIN ud ON ud.day BETWEEN a.anchor - 6 AND a.anchor
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -50,6 +50,29 @@ class EventOpsSpec extends AnyFunSuite {
     assert(math.abs(310.0 - m) / sd < 3.5)
   }
 
+  test("q_rolling_distinct window semantics on the live fixture") {
+    val sf = TestSpark.sf0001
+    val rows = EventOps.queries("q_rolling_distinct")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // every HLL estimate inside the 5% gate, rolling >= daily distinct
+    assert(rows.forall(_.getBoolean(2)), "an HLL estimate missed the 5% gate")
+    import spark.implicits._
+    val daily = Tables.events(spark, sf)
+      .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+      .distinct().groupBy("day").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (day, n7) = (r.getLong(0), r.getLong(1))
+      assert(n7 >= daily(day), s"day $day rolling < daily")
+      val unionBound = (day - 6 to day).flatMap(daily.get).sum
+      assert(n7 <= unionBound, s"day $day rolling exceeds the union bound")
+    }
+    // the window genuinely accumulates: some day's trailing reach must
+    // exceed its single-day distinct (users arrive on different days)
+    assert(rows.exists(r => r.getLong(1) > daily(r.getLong(0))))
+    spark.catalog.clearCache()
+  }
+
   test("q_session_paths path counts total the q_window_session session count") {
     val sf = TestSpark.sf0001
     val paths = EventOps.queries("q_session_paths")(spark, sf).collect()
