@@ -138,8 +138,6 @@ object VideoOps {
   private def rd32(b: Array[Byte], o: Int): Long =
     ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
       ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
-  private def rd16(b: Array[Byte], o: Int): Int =
-    ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
   private def typAt(b: Array[Byte], o: Int): String =
     new String(b, o + 4, 4, "US-ASCII")
 
