@@ -189,7 +189,14 @@ object Bench {
           System.err.println(
             f"[bench] $n re-measure ${extra + 1}: $best%.2fs > 2x prior $p%.2fs")
           val t = timeOnce(n)
-          if (t >= 0) { reps(n) = reps(n) :+ t; best = headline(reps(n)) }
+          // min-based here ON PURPOSE (unlike the median headline): the
+          // loop only runs when the reading already exceeds 2x the prior
+          // round, i.e. the hypothesis under test is "contention
+          // phantom" — one clean rep refutes it. Folding the rep into
+          // the median instead would require BOTH extra reps clean
+          // inside the extra<2 budget, letting the r3/r4-style
+          // double-phantom survive into the artifact.
+          if (t >= 0) { reps(n) = reps(n) :+ t; best = math.min(best, t) }
           extra += 1
         }
       }

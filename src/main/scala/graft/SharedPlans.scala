@@ -56,6 +56,14 @@ object SharedPlans {
       valMemo.computeIfAbsent(s,
         _ => scala.collection.concurrent.TrieMap.empty[String, Any])
     }
-    m.getOrElseUpdate(key, build).asInstanceOf[T]
+    // build runs under the map lock: TrieMap.getOrElseUpdate may invoke
+    // a racing builder twice and discard one result, which is fine for
+    // shared()'s idempotent persists but NOT for these side-effecting
+    // publishes (two racing writeVersion calls pick the same v<n> and
+    // one dies on errorifexists). Publishes are rare and session-scoped;
+    // serializing them is the correct trade.
+    m.synchronized {
+      m.getOrElseUpdate(key, build).asInstanceOf[T]
+    }
   }
 }

@@ -175,7 +175,7 @@ object Stress {
           MultiModalOps.imageSigPairs(MultiModalOps.noiseImageSigs(s, d)).count()
         }),
       Probe("fuzzy_join_candidates",
-        "deletion-neighborhood blocking candidates, per-key width-capped with the in-join length-diff gate (q_fuzzy_join / q_entity_resolution) — runs in DISTINCT-name space, so growth tracks the name vocabulary (which saturates as records repeat names), never the record count; fit against PART rows (its driver table)",
+        "deletion-neighborhood blocking candidates, per-key width-capped (q_fuzzy_join / q_entity_resolution) — runs in DISTINCT-name space, so growth tracks the name vocabulary (which saturates as records repeat names), never the record count; fit against PART rows (its driver table)",
         (s, d) => {
           val names = Tables.part(s, d)
             .groupBy(col("p_name").as("name")).agg(count(lit(1)).as("n_ids"))

@@ -141,7 +141,10 @@ object GraphOps {
       iters: Int = 8,
       damping: Double = 0.85,
       checkpointEvery: Int = 1): DataFrame = {
-    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
+    require(checkpointEvery >= 1 && checkpointEvery <= 4,
+      "checkpointEvery must be in [1, 4]: each un-cut round embeds the " +
+        "contrib subtree twice (nodes join + total-mass aggregate), so " +
+        "plan size grows 2^checkpointEvery between cuts")
     val Seq(srcC, dstC, wC) = edges.columns.toSeq.take(3)
     val e = graft.Caching.persist(edges.select(
       col(srcC).as("src"), col(dstC).as("dst"), col(wC).cast("double").as("w")))
@@ -157,9 +160,11 @@ object GraphOps {
     // generation long before execution. Here the second reference is
     // eliminated instead: the update conserves total mass at exactly 1,
     // so the dangling mass is 1 − Σ contributions — a 1-row aggregate
-    // over the contrib frame replaces the left_anti scan of ranks, every
-    // round references its predecessor ONCE, and the un-cut plan grows
-    // LINEARLY in rounds.
+    // over the contrib frame replaces the left_anti scan of ranks. The
+    // RANK frame is now referenced once per round; contrib itself is
+    // still read twice (join + total-mass), so un-cut growth is
+    // 2^(skipped rounds) — the reason the dial below is clamped small —
+    // but each checkpointed round's plan is a single bounded tree.
     //
     // CHECKPOINT DIAL, measured at sf0.1 (q_part_rank, 5 rounds over the
     // ~2M-row symmetrized co-occurrence graph, steady-state): every-round
@@ -197,7 +202,11 @@ object GraphOps {
           lastCkpt.unpersist()
           lastCkpt = ranks
         } else {
-          ranks = next // lazy; rooted at lastCkpt, plan depth linear
+          // lazy; rooted at lastCkpt. NOT free of growth: contrib is
+          // referenced twice (join + totM), so the un-cut plan doubles
+          // per skipped round — bounded at 2^checkpointEvery (<= 16 by
+          // the clamp above), vs 2^iters without any cuts
+          ranks = next
         }
       }
       ranks

@@ -40,8 +40,9 @@ import graft.Tables
   * [[DedupOps.cappedBandPairs]] with the deletion key as the bucket
   * key, so a key wider than [[FuzzyKeyCap]] degrades to star pairing
   * against the key's minimum name — total candidates
-  * ≤ (cap/2+1)·|key rows|, linear by construction, with a length-diff
-  * ≤ 2 gate pruning junk pairs inside the join before any exchange.
+  * ≤ (cap/2+1)·|key rows|, linear by construction. (No in-join length
+  * gate: sharing a ≤2-deletion key already bounds the length diff at 2,
+  * so such a gate is provably inert — see [[fuzzyCandidates]].)
   * Under an ENGAGED cap the blocking is no longer lossless (a pair
   * meeting only inside a flooded key may surface only via the star
   * rep), but every emitted pair is still verified, and the flood stays
@@ -92,13 +93,14 @@ object LinkOps {
     * [[fuzzyPairs]] minus the Levenshtein gate; exposed so the flood
     * spec and the scaling instrument can count candidates directly. */
   private[graft] def fuzzyCandidates(names: DataFrame,
-      cap: Long = FuzzyKeyCap): DataFrame = {
-    // |len(a)-len(b)| <= 2 is NECESSARY for ed <= 2: pruning inside the
-    // join kills junk pairs before the distinct exchange and the verify
-    val lenGate = abs(length(col("x.doc_id")) - length(col("y.doc_id"))) <= 2
-    DedupOps.cappedBandPairs(delKeyBands(names), cap, lenGate)
+      cap: Long = FuzzyKeyCap): DataFrame =
+    // no pairGate: a length-diff <= 2 gate would be provably inert here —
+    // two names sharing a <=2-deletion key both have length within
+    // [len(key), len(key)+2], so their difference is bounded at 2 by
+    // construction and the banded-Levenshtein verify is the only real
+    // filter left after the blocking
+    DedupOps.cappedBandPairs(delKeyBands(names), cap)
       .select(col("doc_a").as("name_a"), col("doc_b").as("name_b"))
-  }
 
   /** All unordered pairs of distinct `name`s within Levenshtein ≤ 2
     * (exactly all, while the width cap stays un-engaged — see the

@@ -138,12 +138,13 @@ object VectorIndex {
   /** Incremental ingest — merge a batch of (vec_id, embedding) into the
     * published index as the next version. Geometry and centroids are
     * FROZEN (see the header); re-submitted ids take latest-wins, batch
-    * vectors are bucketed at the frozen width and assigned to the frozen
-    * centroids, and the per-bucket width cap is re-ranked over the MERGED
-    * bucket table (the same deterministic (phash, id) rule a full rebuild
-    * applies, so merge == rebuild at frozen geometry — spec-pinned).
-    * Compute is O(batch) + the per-bucket re-rank; the unreplaced
-    * majority of rows is an O(index) copy, as in DedupIndex. */
+    * vectors are assigned to the frozen centroids, and the capped bucket
+    * table is RE-DERIVED from the merged uncapped cell store (see the
+    * inline note: merging the stored capped rows would lose members the
+    * cap once dropped), so merge == rebuild at frozen geometry exactly —
+    * spec-pinned including an engaged-cap drain case. Compute is
+    * O(batch) + one signature pass and per-bucket rank over the O(index)
+    * rows the merge already copies, as in DedupIndex. */
   def mergePublish(s: SparkSession, dir: String, batch: DataFrame): Meta = {
     require(isPublished(s, dir), s"no published vector index at $dir")
     GraftFunctions.register(s)
@@ -152,23 +153,24 @@ object VectorIndex {
       batch.select(col("vec_id"), col("embedding")))
     try {
       val ids = b.select("vec_id")
-      val newBuckets = b.select(
-        element_at(expr(s"hyperplane_sig(embedding, ${m.width}, 0)"), 1)
-          .as("bucket"),
-        col("vec_id"), col("embedding"))
-      val mergedBuckets = loadBuckets(s, dir)
-        .join(ids, Seq("vec_id"), "left_anti")
-        .unionByName(newBuckets)
-        .withColumn("bkRank", row_number().over(Window.partitionBy("bucket")
-          .orderBy(Tables.phash(col("vec_id")), col("vec_id"))))
-        .filter(col("bkRank") <= m.cap)
-        .drop("bkRank")
       val cent = loadCentroids(s, dir)
       val mergedCells = graft.Caching.persist(
         loadCells(s, dir).join(ids, Seq("vec_id"), "left_anti")
           .unionByName(VectorOps.assignCells(b, cent)
             .select(col("cell"), col("vec_id"), col("embedding"))))
       try {
+        // The bucket table is REBUILT from the merged cells — the
+        // UNCAPPED per-vector store — not merged from the stored capped
+        // rows: a member the cap dropped at an earlier publish is absent
+        // from the stored buckets, so a merge over them could never
+        // re-admit it when a later batch drains its flooded bucket,
+        // silently diverging from the frozen-geometry rebuild the
+        // contract promises. Deriving from cells keeps merge == rebuild
+        // EXACT (same inputs, same derivation) at one extra map-side
+        // signature pass over the O(index) rows the merge already copies.
+        val mergedBuckets = VectorOps.cappedBuckets(
+          mergedCells.select(col("vec_id"), col("embedding")),
+          m.width, m.cap, "vec_id", "embedding")
         // cells is uncapped (one row per vector): its count IS the new n
         val n2 = mergedCells.count()
         writeVersion(s, dir, m.copy(n = n2), mergedBuckets, cent, mergedCells)

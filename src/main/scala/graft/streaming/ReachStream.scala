@@ -23,16 +23,22 @@ import org.apache.spark.sql.functions._
 object ReachStream {
 
   /** Per-day HLL sketch + estimate of a watermarked event stream
-    * (`user_id`, event-time `ts`). Update-mode aggregate: each
-    * micro-batch emits the refreshed (day, estimate) rows; `delay`
-    * bounds how late an event may land in its day. */
+    * (`user_id`, event-time `ts`). The grouping key is the EVENT-TIME
+    * window (`window(ts, "1 day")`, epoch-aligned under the session's
+    * pinned UTC), not a derived day integer: only the window column
+    * carries the event-time metadata the watermark engine needs, so this
+    * is what makes `delay` real — events later than it are dropped and
+    * closed days' state is EVICTED instead of growing with stream
+    * lifetime (a bare `groupBy(day_int)` silently accepts any lateness
+    * and never evicts). The day index is derived from the window start
+    * on the way out. */
   def dailyReach(s: SparkSession, stream: DataFrame,
       delay: String = "1 day"): DataFrame =
     stream
       .withWatermark("ts", delay)
-      .select(col("ts"), col("user_id"),
-        expr("CAST(unix_micros(ts) div 86400000000 AS BIGINT)").as("day"))
-      .groupBy("day")
+      .groupBy(window(col("ts"), "1 day").as("w"))
       .agg(expr("hll_sketch_agg(user_id)").as("sk"))
-      .select(col("day"), expr("hll_sketch_estimate(sk)").as("n_users_est"))
+      .select(
+        expr("CAST(unix_micros(w.start) div 86400000000 AS BIGINT)").as("day"),
+        expr("hll_sketch_estimate(sk)").as("n_users_est"))
 }

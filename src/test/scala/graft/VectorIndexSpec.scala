@@ -137,6 +137,22 @@ class VectorIndexSpec extends AnyFunSuite {
     VectorIndex.publishWith(spark, allEmb, dir2, m1, cent)
     assert(bucketRows(VectorIndex.loadBuckets(spark, dir)) ==
       bucketRows(VectorIndex.loadBuckets(spark, dir2)))
+
+    // the DRAIN case: resubmit every 4th vector with a negated embedding
+    // (most change buckets, draining flooded ones). A member the engaged
+    // cap dropped earlier must be RE-ADMITTED exactly as a rebuild would
+    // — the failure mode of merging the stored (already-truncated)
+    // bucket rows instead of re-deriving from the uncapped cell store
+    val moved = allEmb.filter(col("vec_id") % 4 === 0)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(-x AS FLOAT))").as("embedding"))
+    val m2 = VectorIndex.mergePublish(spark, dir, moved)
+    val drained = allEmb.filter(col("vec_id") % 4 =!= 0).unionByName(moved)
+    val dir3 = java.nio.file.Files.createTempDirectory("graft-vecidx-cap3").toString
+    VectorIndex.publishWith(spark, drained, dir3, m2, cent)
+    assert(bucketRows(VectorIndex.loadBuckets(spark, dir)) ==
+      bucketRows(VectorIndex.loadBuckets(spark, dir3)),
+      "merge after a bucket drain diverged from the frozen-geometry rebuild")
     spark.catalog.clearCache()
   }
 
