@@ -44,14 +44,65 @@ import graft.functions.GraftFunctions
   * vector of (int64, int64, float[dim]) — the embedding payload itself,
   * i.e. the index is ~2× the embedding column and far under the corpus;
   * `centroids` is cells × dim floats (driver-small); `meta` is one row.
-  * Bucketing the parquet by `bucket` / `cell` would turn each probe into
-  * a partition-pruned read; a merge is one batch job over O(batch)
-  * compute plus an O(index) copy (the [[DedupIndex.mergePublish]]
-  * economics). */
+  *
+  * PARTITIONED LAYOUT (r10): `buckets` is hive-partitioned by
+  * `bpart = xxhash64(bucket) mod [[BucketPartitions]]` and `cells` by
+  * `cpart = cell mod [[CellPartitions]]`, each version repartitioned by
+  * its partition column so every partition directory holds ONE file.
+  * A probe whose batch touches few buckets reads only its partitions
+  * (the search APIs derive the batch's partition set — a ≤64-value
+  * driver collect — and plant a static `isin` PartitionFilter, pinned
+  * in PlanShapeSpec); a corpus-scale batch touches every partition and
+  * skips the filter, which is also when pruning could not have helped.
+  *
+  * QUERY-BATCH HINT GATE (r10, the triangleStats convention): the
+  * search APIs broadcast the caller's batch only below
+  * [[QueryBatchBroadcastRowLimit]] — one cheap count on the batch —
+  * and fall through to the planner's shuffle join above it, so a
+  * million-query batch re-scoring run (the q_knn_join shape) never
+  * hits the 8 GB broadcast wall or a driver collect. Specs force the
+  * shuffle path with limit 0 and pin it result-identical. */
 object VectorIndex {
 
   /** The frozen geometry + corpus count of a published index. */
   final case class Meta(n: Long, width: Int, probes: Int, cap: Long, cells: Int)
+
+  /** Hash-partition counts for the published `buckets` / `cells`
+    * datasets. 64 keeps directory listings trivial while giving a
+    * small-batch probe a ~64× read cut; the partition column is a pure
+    * function of the join key, so the count is a LAYOUT constant, not
+    * frozen geometry — a rebuild may change it without invalidating
+    * keys. It also bounds writer parallelism per version (one file per
+    * partition); a corpus where one bucket-hash slice outgrows a file
+    * raises these, not the cap. */
+  private[graft] val BucketPartitions = 64
+  private[graft] val CellPartitions = 64
+
+  /** Broadcast budget for a CALLER's query batch, in rows. At ~4 KB per
+    * row (int64 + a ~1k-dim float embedding + probe fan-out) the default
+    * keeps the payload well under Spark's 8 GB broadcast hard limit —
+    * the same entry-budget discipline as
+    * [[graft.operators.GraphAnalyticsOps.TriangleBroadcastEntryLimit]].
+    * Above it the hint is dropped and the bucket/cell join falls through
+    * to the planner as a shuffle join — same rows, no driver wall. */
+  private[graft] val QueryBatchBroadcastRowLimit = 500L * 1000
+
+  private def bpartOf(bucket: org.apache.spark.sql.Column) =
+    pmod(xxhash64(bucket), lit(BucketPartitions.toLong))
+  private def cpartOf(cell: org.apache.spark.sql.Column) =
+    pmod(cell.cast("long"), lit(CellPartitions.toLong))
+
+  /** The batch's partition-value set as a static pruning filter over the
+    * partitioned index dataset — a bounded driver collect (≤ the
+    * partition count, never the batch size). Returns the scan unchanged
+    * when every partition is touched: the filter would prune nothing and
+    * its only effect would be plan noise. */
+  private def prunedScan(idx: DataFrame, keys: DataFrame,
+      partCol: String, nParts: Int): DataFrame = {
+    val parts = keys.distinct().collect().map(_.getLong(0))
+    if (parts.length < nParts) idx.filter(col(partCol).isin(parts: _*))
+    else idx
+  }
 
   private def ver(s: SparkSession, dir: String): String =
     StorageOps.currentVersion(s, dir).getOrElse(
@@ -71,13 +122,26 @@ object VectorIndex {
       r.getAs[Long]("cap"), r.getAs[Int]("cells"))
   }
 
+  /** The active bucket table, WITHOUT the layout's partition column —
+    * the reader-facing schema is (bucket, vec_id, embedding) exactly;
+    * `bpart` is derivable from `bucket` whenever a consumer wants the
+    * pruned scan (the search APIs read [[loadBucketsRaw]] instead). */
   def loadBuckets(s: SparkSession, dir: String): DataFrame =
+    loadBucketsRaw(s, dir).select("bucket", "vec_id", "embedding")
+
+  private def loadBucketsRaw(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/${ver(s, dir)}/buckets")
 
   def loadCentroids(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/${ver(s, dir)}/centroids")
+      .select("cell", "centroid")
 
+  /** The active inverted lists as (cell, vec_id, embedding) — see
+    * [[loadBuckets]] on the dropped partition column. */
   def loadCells(s: SparkSession, dir: String): DataFrame =
+    loadCellsRaw(s, dir).select("cell", "vec_id", "embedding")
+
+  private def loadCellsRaw(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/${ver(s, dir)}/cells")
 
   /** Build and publish a fresh index over `corpus` (vec_id, embedding —
@@ -118,7 +182,11 @@ object VectorIndex {
   }
 
   /** Write all four datasets as the next immutable version, then flip the
-    * pointer. The pointer moves only after every dataset committed. */
+    * pointer. The pointer moves only after every dataset committed.
+    * `buckets`/`cells` land hive-partitioned by their derived partition
+    * column, repartitioned BY that column first so each partition
+    * directory holds one file (a value hashes to exactly one task) —
+    * the canonical compacted layout every publish and merge produces. */
   private def writeVersion(s: SparkSession, dir: String, meta: Meta,
       buckets: DataFrame, cent: DataFrame, cells: DataFrame): Meta = {
     import s.implicits._
@@ -127,10 +195,17 @@ object VectorIndex {
       .toDF("n", "width", "probes", "cap", "cells")
       .write.mode("errorifexists").parquet(s"$dir/$v/meta")
     buckets.select("bucket", "vec_id", "embedding")
-      .write.mode("errorifexists").parquet(s"$dir/$v/buckets")
+      .withColumn("bpart", bpartOf(col("bucket")))
+      .repartition(col("bpart"))
+      .write.partitionBy("bpart")
+      .mode("errorifexists").parquet(s"$dir/$v/buckets")
     cent.select("cell", "centroid")
       .write.mode("errorifexists").parquet(s"$dir/$v/centroids")
-    cells.write.mode("errorifexists").parquet(s"$dir/$v/cells")
+    cells.select("cell", "vec_id", "embedding")
+      .withColumn("cpart", cpartOf(col("cell")))
+      .repartition(col("cpart"))
+      .write.partitionBy("cpart")
+      .mode("errorifexists").parquet(s"$dir/$v/cells")
     StorageOps.flipPointer(s, dir, v)
     meta
   }
