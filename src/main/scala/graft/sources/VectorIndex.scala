@@ -45,38 +45,51 @@ import graft.functions.GraftFunctions
   * i.e. the index is ~2× the embedding column and far under the corpus;
   * `centroids` is cells × dim floats (driver-small); `meta` is one row.
   *
-  * PARTITIONED LAYOUT (r10): `buckets` is hive-partitioned by
-  * `bpart = xxhash64(bucket) mod [[BucketPartitions]]` and `cells` by
-  * `cpart = cell mod [[CellPartitions]]`, each version repartitioned by
-  * its partition column so every partition directory holds ONE file.
-  * A probe whose batch touches few buckets reads only its partitions
-  * (the search APIs derive the batch's partition set — a ≤64-value
-  * driver collect — and plant a static `isin` PartitionFilter, pinned
-  * in PlanShapeSpec); a corpus-scale batch touches every partition and
-  * skips the filter, which is also when pruning could not have helped.
+  * PARTITIONED LAYOUT: `buckets` is hive-partitioned by
+  * `bpart = xxhash64(bucket) mod parts` and `cells` by
+  * `cpart = cell mod parts`, where `parts` is a per-version LAYOUT
+  * constant derived from the corpus size at publish
+  * ([[layoutPartsFor]]) and recorded in `meta`; each version is
+  * repartitioned by its partition column so every partition directory
+  * holds ONE file. The partition column is a pure function of the join
+  * key, so `parts` is layout-only, NOT frozen geometry — a merge or
+  * rebuild re-derives it at the new count without invalidating keys.
+  * A probe whose batch is below the hint gate reads only its derived
+  * partitions: [[searchLsh]]/[[searchIvf]]/[[probeBestMatch]] collect
+  * the batch's partition-value set (≤ `parts` rows, never the batch
+  * size) and plant a static `isin` filter via [[prunedScan]] that
+  * Spark turns into a PartitionFilter on the scan — pinned in
+  * PlanShapeSpec ("vector index probe prunes partitions"). A
+  * corpus-scale batch skips the derivation, which is also when pruning
+  * could not have helped.
   *
-  * QUERY-BATCH HINT GATE (r10, the triangleStats convention): the
-  * search APIs broadcast the caller's batch only below
-  * [[QueryBatchBroadcastRowLimit]] — one cheap count on the batch —
-  * and fall through to the planner's shuffle join above it, so a
-  * million-query batch re-scoring run (the q_knn_join shape) never
-  * hits the 8 GB broadcast wall or a driver collect. Specs force the
-  * shuffle path with limit 0 and pin it result-identical. */
+  * QUERY-BATCH HINT GATE (the triangleStats convention): the search
+  * APIs broadcast the caller's batch only at or below
+  * `broadcastRowLimit` (default [[QueryBatchBroadcastRowLimit]]) — one
+  * cheap count on the batch — and fall through to the planner's
+  * shuffle join above it, so a million-query batch re-scoring run (the
+  * q_knn_join shape) never hits the 8 GB broadcast wall or a driver
+  * collect. VectorIndexSpec ("limit 0 forces the shuffle path...")
+  * forces the shuffle path with limit 0 and pins it result-identical
+  * to the gated path. */
 object VectorIndex {
 
-  /** The frozen geometry + corpus count of a published index. */
-  final case class Meta(n: Long, width: Int, probes: Int, cap: Long, cells: Int)
+  /** The frozen geometry + corpus count of a published index, plus the
+    * version's LAYOUT partition count (`parts` — see the header: layout,
+    * not geometry; merges re-derive it). */
+  final case class Meta(n: Long, width: Int, probes: Int, cap: Long,
+      cells: Int, parts: Int)
 
-  /** Hash-partition counts for the published `buckets` / `cells`
-    * datasets. 64 keeps directory listings trivial while giving a
-    * small-batch probe a ~64× read cut; the partition column is a pure
-    * function of the join key, so the count is a LAYOUT constant, not
-    * frozen geometry — a rebuild may change it without invalidating
-    * keys. It also bounds writer parallelism per version (one file per
-    * partition); a corpus where one bucket-hash slice outgrows a file
-    * raises these, not the cap. */
-  private[graft] val BucketPartitions = 64
-  private[graft] val CellPartitions = 64
+  /** Hash-partition count for a version's `buckets` / `cells` layout,
+    * derived from the corpus size at publish: floor 64 (directory
+    * listings stay trivial, a small-batch probe still gets a ~64× read
+    * cut), growing one partition per ~4M vectors (~a few hundred MB of
+    * embedding payload per file at 1k dims), capped at 64k directories.
+    * One file per partition by construction (writeVersion repartitions
+    * by the partition column into `parts` tasks), so writer parallelism
+    * scales with the corpus instead of a hard-coded 64. */
+  private[graft] def layoutPartsFor(n: Long): Int =
+    math.max(64L, math.min(1L << 16, n / (4L * 1000 * 1000) + 1)).toInt
 
   /** Broadcast budget for a CALLER's query batch, in rows. At ~4 KB per
     * row (int64 + a ~1k-dim float embedding + probe fan-out) the default
@@ -87,21 +100,31 @@ object VectorIndex {
     * to the planner as a shuffle join — same rows, no driver wall. */
   private[graft] val QueryBatchBroadcastRowLimit = 500L * 1000
 
-  private def bpartOf(bucket: org.apache.spark.sql.Column) =
-    pmod(xxhash64(bucket), lit(BucketPartitions.toLong))
-  private def cpartOf(cell: org.apache.spark.sql.Column) =
-    pmod(cell.cast("long"), lit(CellPartitions.toLong))
+  private def bpartOf(bucket: org.apache.spark.sql.Column, nParts: Int) =
+    pmod(xxhash64(bucket), lit(nParts.toLong))
+  private def cpartOf(cell: org.apache.spark.sql.Column, nParts: Int) =
+    pmod(cell.cast("long"), lit(nParts.toLong))
 
   /** The batch's partition-value set as a static pruning filter over the
-    * partitioned index dataset — a bounded driver collect (≤ the
-    * partition count, never the batch size). Returns the scan unchanged
-    * when every partition is touched: the filter would prune nothing and
-    * its only effect would be plan noise. */
-  private def prunedScan(idx: DataFrame, keys: DataFrame,
+    * partitioned index dataset. `partVals` must be a single LongType
+    * column of DERIVED partition values (bpartOf/cpartOf over the batch
+    * — not the read-back partition column, whose hive-inferred type is
+    * IntegerType), so the distinct-collect is bounded by `nParts`, never
+    * the batch size. The literals are rebased to the scan column's
+    * inferred type so the `isin` stays a static partition filter (a cast
+    * around the attribute would block pruning). Returns the scan
+    * unchanged when every partition is touched: the filter would prune
+    * nothing and its only effect would be plan noise. */
+  private def prunedScan(idx: DataFrame, partVals: DataFrame,
       partCol: String, nParts: Int): DataFrame = {
-    val parts = keys.distinct().collect().map(_.getLong(0))
-    if (parts.length < nParts) idx.filter(col(partCol).isin(parts: _*))
-    else idx
+    val parts = partVals.distinct().collect().map(_.getLong(0))
+    if (parts.length < nParts) {
+      val lits: Seq[Any] = idx.schema(partCol).dataType match {
+        case org.apache.spark.sql.types.IntegerType => parts.toSeq.map(_.toInt)
+        case _ => parts.toSeq
+      }
+      idx.filter(col(partCol).isin(lits: _*))
+    } else idx
   }
 
   private def ver(s: SparkSession, dir: String): String =
@@ -119,13 +142,14 @@ object VectorIndex {
   def loadMeta(s: SparkSession, dir: String): Meta = {
     val r = s.read.parquet(s"$dir/${ver(s, dir)}/meta").collect()(0)
     Meta(r.getAs[Long]("n"), r.getAs[Int]("width"), r.getAs[Int]("probes"),
-      r.getAs[Long]("cap"), r.getAs[Int]("cells"))
+      r.getAs[Long]("cap"), r.getAs[Int]("cells"), r.getAs[Int]("parts"))
   }
 
   /** The active bucket table, WITHOUT the layout's partition column —
     * the reader-facing schema is (bucket, vec_id, embedding) exactly;
     * `bpart` is derivable from `bucket` whenever a consumer wants the
-    * pruned scan (the search APIs read [[loadBucketsRaw]] instead). */
+    * pruned scan (the search APIs read [[loadBucketsRaw]] through
+    * [[prunedScan]] and drop `bpart` after the filter). */
   def loadBuckets(s: SparkSession, dir: String): DataFrame =
     loadBucketsRaw(s, dir).select("bucket", "vec_id", "embedding")
 
@@ -160,7 +184,8 @@ object VectorIndex {
       val n = scheduleN.getOrElse(c.count())
       val width = VectorOps.lshWidthFor(n)
       val meta = Meta(n, width, VectorOps.LshProbes,
-        VectorOps.knnCapFor(n, width), VectorOps.ivfCellsFor(n))
+        VectorOps.knnCapFor(n, width), VectorOps.ivfCellsFor(n),
+        layoutPartsFor(n))
       val cent = VectorOps.trainCentroids(s,
         c.filter(Tables.phash(col("vec_id")) % 4 === 0), meta.cells)
       publishWith(s, c, dir, meta, cent)
@@ -191,19 +216,19 @@ object VectorIndex {
       buckets: DataFrame, cent: DataFrame, cells: DataFrame): Meta = {
     import s.implicits._
     val v = s"v${StorageOps.nextVersion(s, dir)}"
-    Seq((meta.n, meta.width, meta.probes, meta.cap, meta.cells))
-      .toDF("n", "width", "probes", "cap", "cells")
+    Seq((meta.n, meta.width, meta.probes, meta.cap, meta.cells, meta.parts))
+      .toDF("n", "width", "probes", "cap", "cells", "parts")
       .write.mode("errorifexists").parquet(s"$dir/$v/meta")
     buckets.select("bucket", "vec_id", "embedding")
-      .withColumn("bpart", bpartOf(col("bucket")))
-      .repartition(col("bpart"))
+      .withColumn("bpart", bpartOf(col("bucket"), meta.parts))
+      .repartition(meta.parts, col("bpart"))
       .write.partitionBy("bpart")
       .mode("errorifexists").parquet(s"$dir/$v/buckets")
     cent.select("cell", "centroid")
       .write.mode("errorifexists").parquet(s"$dir/$v/centroids")
     cells.select("cell", "vec_id", "embedding")
-      .withColumn("cpart", cpartOf(col("cell")))
-      .repartition(col("cpart"))
+      .withColumn("cpart", cpartOf(col("cell"), meta.parts))
+      .repartition(meta.parts, col("cpart"))
       .write.partitionBy("cpart")
       .mode("errorifexists").parquet(s"$dir/$v/cells")
     StorageOps.flipPointer(s, dir, v)
@@ -246,9 +271,12 @@ object VectorIndex {
         val mergedBuckets = VectorOps.cappedBuckets(
           mergedCells.select(col("vec_id"), col("embedding")),
           m.width, m.cap, "vec_id", "embedding")
-        // cells is uncapped (one row per vector): its count IS the new n
+        // cells is uncapped (one row per vector): its count IS the new n.
+        // `parts` is layout-only, so unlike the frozen geometry it is
+        // re-derived at the merged count (keys stay valid either way).
         val n2 = mergedCells.count()
-        writeVersion(s, dir, m.copy(n = n2), mergedBuckets, cent, mergedCells)
+        writeVersion(s, dir, m.copy(n = n2, parts = layoutPartsFor(n2)),
+          mergedBuckets, cent, mergedCells)
       } finally mergedCells.unpersist()
     } finally b.unpersist()
   }
@@ -284,20 +312,30 @@ object VectorIndex {
     * (VectorOps.embedCrossDedup): probe buckets at the frozen
     * width/probes, exact-cosine verify against the embedding carried IN
     * the bucket rows (no second corpus join), threshold before the
-    * ranking window so rank 1 is the best QUALIFYING match. */
+    * ranking window so rank 1 is the best QUALIFYING match. Batch at or
+    * below `broadcastRowLimit` → broadcast hint + partition-pruned index
+    * scan; above → planner shuffle join over the full index (header:
+    * QUERY-BATCH HINT GATE). */
   def probeBestMatch(s: SparkSession, dir: String, incoming: DataFrame,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      broadcastRowLimit: Long = QueryBatchBroadcastRowLimit): DataFrame = {
     GraftFunctions.register(s)
     val m = loadMeta(s, dir)
-    val idx = loadBuckets(s, dir)
-    val inc = incoming
+    val inc0 = incoming
       .select(col("vec_id").as("in_id"), col("embedding").as("ie"))
-      .select(col("in_id"), col("ie"),
+    val inc = inc0.select(col("in_id"), col("ie"),
         explode(expr(s"hyperplane_sig(ie, ${m.width}, ${m.probes})"))
           .as("qbucket"))
+    val small = inc0.count() <= broadcastRowLimit
+    val hint: DataFrame => DataFrame = if (small) broadcast else identity
+    val idx = (if (small)
+        prunedScan(loadBucketsRaw(s, dir),
+          inc.select(bpartOf(col("qbucket"), m.parts)), "bpart", m.parts)
+      else loadBucketsRaw(s, dir))
+      .select("bucket", "vec_id", "embedding")
     val w = Window.partitionBy("in_id")
       .orderBy(col("sim").desc, col("match_id"))
-    idx.join(inc,
+    idx.join(hint(inc),
         col("bucket") === col("qbucket") && col("vec_id") =!= col("in_id"))
       .select(col("in_id"), col("vec_id").as("match_id"),
         expr("cosine_sim(ie, embedding)").as("sim"))
@@ -313,20 +351,29 @@ object VectorIndex {
     * explodes into its probe buckets at the frozen width/probes, exact
     * cosine top-k within the probed buckets. (The artifact's bucket
     * table is width-capped; the cap is inert except under an embedding
-    * flood — the q_knn_join convention.) */
+    * flood — the q_knn_join convention.) Batch at or below
+    * `broadcastRowLimit` → broadcast hint + partition-pruned index scan;
+    * above → planner shuffle join over the full index. */
   def searchLsh(s: SparkSession, dir: String, queries: DataFrame,
-      k: Int): DataFrame = {
+      k: Int,
+      broadcastRowLimit: Long = QueryBatchBroadcastRowLimit): DataFrame = {
     GraftFunctions.register(s)
     val m = loadMeta(s, dir)
-    val idx = loadBuckets(s, dir)
-    val q = queries
+    val q0 = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-      .select(col("query_id"), col("qe"),
+    val q = q0.select(col("query_id"), col("qe"),
         explode(expr(s"hyperplane_sig(qe, ${m.width}, ${m.probes})"))
           .as("qbucket"))
+    val small = q0.count() <= broadcastRowLimit
+    val hint: DataFrame => DataFrame = if (small) broadcast else identity
+    val idx = (if (small)
+        prunedScan(loadBucketsRaw(s, dir),
+          q.select(bpartOf(col("qbucket"), m.parts)), "bpart", m.parts)
+      else loadBucketsRaw(s, dir))
+      .select("bucket", "vec_id", "embedding")
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id"))
-    idx.join(broadcast(q),
+    idx.join(hint(q),
         col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         expr("cosine_sim(qe, embedding)").as("sim"))
@@ -339,14 +386,21 @@ object VectorIndex {
   /** IVF top-k search against the published centroid + inverted-list
     * datasets — the artifact-backed twin of the inline q_ann_ivf search
     * stage: nprobe nearest cells per query by centroid cosine, exact
-    * top-k within the probed lists. */
+    * top-k within the probed lists. The centroid table is broadcast
+    * unconditionally — it is the INDEX side, bounded by the cell
+    * schedule (driver-small by construction), not the caller's batch.
+    * Batch at or below `broadcastRowLimit` → broadcast hint +
+    * partition-pruned inverted-list scan; above → planner shuffle join
+    * over the full lists. */
   def searchIvf(s: SparkSession, dir: String, queries: DataFrame, k: Int,
-      nprobe: Int): DataFrame = {
+      nprobe: Int,
+      broadcastRowLimit: Long = QueryBatchBroadcastRowLimit): DataFrame = {
     GraftFunctions.register(s)
+    val m = loadMeta(s, dir)
     val cent = loadCentroids(s, dir)
-    val lists = loadCells(s, dir)
-    val qcells = queries
+    val q0 = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val qcells = q0
       .join(broadcast(cent))
       .select(col("query_id"), col("qe"), col("cell").as("qcell"),
         expr("cosine_sim(qe, centroid)").as("csim"))
@@ -354,9 +408,16 @@ object VectorIndex {
         Window.partitionBy("query_id").orderBy(col("csim").desc, col("qcell"))))
       .filter(col("crk") <= nprobe)
       .select("query_id", "qe", "qcell")
+    val small = q0.count() <= broadcastRowLimit
+    val hint: DataFrame => DataFrame = if (small) broadcast else identity
+    val lists = (if (small)
+        prunedScan(loadCellsRaw(s, dir),
+          qcells.select(cpartOf(col("qcell"), m.parts)), "cpart", m.parts)
+      else loadCellsRaw(s, dir))
+      .select("cell", "vec_id", "embedding")
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id"))
-    lists.join(broadcast(qcells),
+    lists.join(hint(qcells),
         col("cell") === col("qcell") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         expr("cosine_sim(qe, embedding)").as("sim"))

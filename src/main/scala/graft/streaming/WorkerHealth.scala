@@ -37,7 +37,8 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   * The same [[step]] drives the batch operator (HealthOps.qWorkerHealth)
   * and the streaming tracker ([[track]]); batch/stream decision parity is
-  * by construction and pinned in StreamingSpec.
+  * by construction and pinned in WorkerHealthSpec ("streaming tracker
+  * matches batch q_worker_health on sf0.001").
   */
 object WorkerHealth {
 

@@ -278,6 +278,28 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("vector index probe prunes partitions on a small batch") {
+    // the published buckets/cells land hive-partitioned by a key-derived
+    // column; a below-gate batch derives its partition-value set (a
+    // bounded collect) and plants a static isin the scan turns into
+    // PartitionFilters — the 100 TB read cut for artifact-backed probes.
+    // A corpus-scale batch skips the filter (see VectorIndex header).
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-planshape-vecidx").toString
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    graft.sources.VectorIndex.publishFrom(spark, emb, dir)
+    val batch = emb.filter(col("vec_id") < 3)
+    val pLsh = plan(graft.sources.VectorIndex.searchLsh(spark, dir, batch, k = 3))
+    assert("""PartitionFilters: \[[^\]]*bpart#""".r.findFirstIn(pLsh).isDefined,
+      s"no bpart partition filter on the bucket scan:\n$pLsh")
+    val pIvf = plan(graft.sources.VectorIndex.searchIvf(
+      spark, dir, batch, k = 3, nprobe = 1))
+    assert("""PartitionFilters: \[[^\]]*cpart#""".r.findFirstIn(pIvf).isDefined,
+      s"no cpart partition filter on the inverted-list scan:\n$pIvf")
+    spark.catalog.clearCache()
+  }
+
   test("multimodal decode stages are shuffle-free up to output ordering") {
     // generator + codec are both partition-local; above the shared
     // payload frame (InMemoryRelation — its build carries the documented

@@ -156,6 +156,76 @@ class VectorIndexSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("limit 0 forces the shuffle path, result-identical to the gated path") {
+    // broadcastRowLimit = 0 closes the query-batch hint gate: the batch
+    // joins must reach the planner un-hinted — and with auto-broadcast
+    // off that is REAL (no size-based rescue at this tiny SF) — and the
+    // un-pruned full-index scan must produce exactly the gated rows.
+    val dir = java.nio.file.Files.createTempDirectory("graft-vecidx-gate").toString
+    VectorIndex.publishFrom(spark, allEmb, dir)
+    val qs = allEmb.filter(col("vec_id") < 10)
+    val odd = allEmb.filter(col("vec_id") % 2 === 1)
+    def rows(df: DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    def pairs(df: DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lshHint = rows(VectorIndex.searchLsh(spark, dir, qs, k = 5))
+    val ivfHint = rows(VectorIndex.searchIvf(spark, dir, qs, k = 5, nprobe = 2))
+    val probeHint = pairs(VectorIndex.probeBestMatch(spark, dir, odd, 0.45))
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    keys.foreach(k => spark.conf.set(k, "-1"))
+    try {
+      val lshShuf = VectorIndex.searchLsh(spark, dir, qs, k = 5,
+        broadcastRowLimit = 0L)
+      val p = lshShuf.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastHashJoin"),
+        s"batch still broadcast under limit 0:\n$p")
+      assert(lshHint.nonEmpty && rows(lshShuf) == lshHint)
+      assert(ivfHint.nonEmpty && rows(VectorIndex.searchIvf(spark, dir, qs,
+        k = 5, nprobe = 2, broadcastRowLimit = 0L)) == ivfHint)
+      assert(probeHint.nonEmpty && pairs(VectorIndex.probeBestMatch(spark,
+        dir, odd, 0.45, broadcastRowLimit = 0L)) == probeHint)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("published versions keep the hive-partitioned one-file-per-partition layout") {
+    // a publish AND a merge must both land buckets/cells hive-partitioned
+    // by the key-derived column, one data file per partition directory,
+    // values inside the version's recorded layout modulus — the invariant
+    // the pruned probe path relies on; a refactor that flattens the
+    // layout (or strands loose files beside it) must fail here
+    val dir = java.nio.file.Files.createTempDirectory("graft-vecidx-layout").toString
+    VectorIndex.publishFrom(spark, allEmb.filter(col("vec_id") % 2 === 0), dir)
+    VectorIndex.mergePublish(spark, dir, allEmb.filter(col("vec_id") % 2 === 1))
+    for (v <- Seq("v1", "v2"); ds <- Seq("buckets", "cells")) {
+      val pcol = if (ds == "buckets") "bpart=" else "cpart="
+      val parts = spark.read.parquet(s"$dir/$v/meta")
+        .collect()(0).getAs[Int]("parts")
+      val root = new java.io.File(s"$dir/$v/$ds")
+      val partDirs = root.listFiles().filter(_.isDirectory)
+        .filter(_.getName.startsWith(pcol))
+      assert(partDirs.nonEmpty, s"$v/$ds has no $pcol hive directories")
+      partDirs.foreach { pd =>
+        val files = pd.listFiles().filter(_.getName.endsWith(".parquet"))
+        assert(files.length == 1,
+          s"$v/$ds/${pd.getName} holds ${files.length} data files, want 1")
+        val value = pd.getName.stripPrefix(pcol).toLong
+        assert(value >= 0 && value < parts,
+          s"$v/$ds/${pd.getName} outside the layout modulus $parts")
+      }
+      assert(!root.listFiles().exists(f =>
+          f.isFile && f.getName.endsWith(".parquet")),
+        s"$v/$ds has data files outside partition directories")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("needsRebuild flags schedule drift after merges outgrow the geometry") {
     // frozen at a 40-vector schedule, merged to the full corpus: the
     // width/cell schedules would now pick differently -> rebuild due
