@@ -629,20 +629,35 @@ object DedupOps {
       .select("doc_id", "match_id", "jaccard")
   }
 
+  /** Probe batches at or below this doc count derive the published band
+    * index's partition-value set for a pruned scan
+    * ([[graft.sources.DedupIndex.prunedBands]] — a distinct-collect
+    * bounded by the layout modulus); above it the probe reads the full
+    * band table, which is also when it would touch every partition
+    * anyway. The VectorIndex gate convention. */
+  private[graft] val IndexProbePruneRowLimit = 500L * 1000
+
   /** Cross-dedup against a PUBLISHED [[graft.sources.DedupIndex]]: the
     * corpus bands and hash sets both come from the loaded artifact (no
     * corpus re-shingle, no re-banding — the production ingest economics
     * the index exists for). `inDocs` is the incoming batch's doc-hash
-    * frame. */
+    * frame. A batch at or below `pruneRowLimit` docs reads only the band
+    * partitions its keys touch (PartitionFilters pinned in PlanShapeSpec
+    * "dedup index probe prunes band partitions"); pruning is exact
+    * because a (band, minhash) bucket lives wholly inside one partition,
+    * so the width-cap statistics over the pruned scan are unchanged. */
   def crossDedupBestFromIndex(s: SparkSession, indexDir: String,
       inDocs: DataFrame, cap: Long = LshBucketCap,
-      refine: Boolean = true): DataFrame = {
+      refine: Boolean = true,
+      pruneRowLimit: Long = IndexProbePruneRowLimit): DataFrame = {
     val corpDocs = graft.sources.DedupIndex.loadDocs(s, indexDir)
-    val corpBands = graft.sources.DedupIndex.loadBands(s, indexDir)
+    val inBands = minhashBands(s, inDocs).withColumnRenamed("doc_id", "in_id")
+    val corpBands = (if (inDocs.count() <= pruneRowLimit)
+        graft.sources.DedupIndex.prunedBands(s, indexDir, inBands)
+      else graft.sources.DedupIndex.loadBands(s, indexDir))
       .select(col("doc_id"), col("band"), col("minhash").as("bv"))
-    crossDedupBestFromBands(s,
-      minhashBands(s, inDocs).withColumnRenamed("doc_id", "in_id"),
-      corpBands, inDocs, corpDocs, cap, refine)
+    crossDedupBestFromBands(s, inBands, corpBands, inDocs, corpDocs, cap,
+      refine)
   }
 
   /** ARTIFACT-BACKED cross-dedup: publish the even half as a real

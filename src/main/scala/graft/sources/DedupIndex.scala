@@ -9,6 +9,19 @@ import org.apache.spark.sql.functions._
   *
   *   <dir>/docs/   (doc_id, hs, n, truncated)  — per-doc shingle-hash sets
   *   <dir>/bands/  (band, minhash, doc_id)     — the MinHash band index
+  *   <dir>/meta/   (ndocs, parts)              — corpus count + the bands
+  *                                               layout modulus
+  *
+  * PARTITIONED BANDS LAYOUT (the VectorIndex convention): `bands` lands
+  * hive-partitioned by `dpart = xxhash64(band, minhash) mod parts`,
+  * repartitioned BY that column so each partition directory holds ONE
+  * file; `parts` derives from the corpus size at publish
+  * ([[layoutPartsFor]]) and is recorded in `meta`. The partition column
+  * is a pure function of the band join key, so a small probe batch can
+  * derive its partition-value set and read only those partitions
+  * ([[prunedBands]] — the read cut behind
+  * DedupOps.crossDedupBestFromIndex), while `parts` stays layout-only:
+  * a republish may change it without invalidating any key.
   *
   * Both datasets commit atomically through the Spark committer (task temp
   * dirs → rename → `_SUCCESS`), so a reader that checks [[isPublished]]
@@ -34,6 +47,39 @@ import org.apache.spark.sql.functions._
   * equal keys as proven r-minima collisions. */
 object DedupIndex {
 
+  /** Hash-partition count for a publish's `bands` layout, derived from
+    * the corpus doc count: floor 64, one more partition per ~250k docs
+    * (32 band rows each — ~8M skinny rows, ~200 MB per file), capped at
+    * 64k directories. Layout-only — NOT part of the published-key
+    * contract; a republish at a different count changes no key. */
+  private[graft] def layoutPartsFor(nDocs: Long): Int =
+    math.max(64L, math.min(1L << 16, nDocs / (250L * 1000) + 1)).toInt
+
+  private def dpartOf(band: org.apache.spark.sql.Column,
+      minhash: org.apache.spark.sql.Column, nParts: Int) =
+    pmod(xxhash64(band, minhash), lit(nParts.toLong))
+
+  /** The bands layout modulus recorded at publish. */
+  def loadParts(s: SparkSession, indexDir: String): Int =
+    s.read.parquet(s"$indexDir/meta").collect()(0).getAs[Int]("parts")
+
+  /** Write `bands` (band, minhash, doc_id) under the partitioned layout
+    * plus the `meta` record — the shared tail of [[publishFrom]] and
+    * [[mergePublish]]. `meta` commits LAST so [[isPublished]] implies a
+    * complete bands layout. */
+  private def writeBandsAndMeta(s: SparkSession, bands: DataFrame,
+      indexDir: String, nDocs: Long): Unit = {
+    import s.implicits._
+    val parts = layoutPartsFor(nDocs)
+    bands.select("band", "minhash", "doc_id")
+      .withColumn("dpart", dpartOf(col("band"), col("minhash"), parts))
+      .repartition(parts, col("dpart"))
+      .write.partitionBy("dpart")
+      .mode("overwrite").parquet(s"$indexDir/bands")
+    Seq((nDocs, parts)).toDF("ndocs", "parts")
+      .write.mode("overwrite").parquet(s"$indexDir/meta")
+  }
+
   /** Build and publish both index datasets for the corpus at `corpusDir`.
     * Overwrites any previous publish at `indexDir` (the republish cycle).
     * Returns (docRows, bandRows). */
@@ -49,10 +95,10 @@ object DedupIndex {
       graft.operators.DedupOps.docHashesOf(s, corpus))
     try {
       docs.write.mode("overwrite").parquet(s"$indexDir/docs")
-      graft.streaming.NearDupStream.bandIndex(s, docs)
-        .write.mode("overwrite").parquet(s"$indexDir/bands")
+      writeBandsAndMeta(s, graft.streaming.NearDupStream.bandIndex(s, docs),
+        indexDir, docs.count())
       (s.read.parquet(s"$indexDir/docs").count(),
-        s.read.parquet(s"$indexDir/bands").count())
+        loadBands(s, indexDir).count())
     } finally docs.unpersist()
   }
 
@@ -93,23 +139,63 @@ object DedupIndex {
       loadDocs(s, indexDir).join(batchIds, Seq("doc_id"), "left_anti")
         .unionByName(batch)
         .write.mode("overwrite").parquet(s"$newIndexDir/docs")
-      loadBands(s, indexDir).join(batchIds, Seq("doc_id"), "left_anti")
+      val mergedBands = loadBands(s, indexDir)
+        .join(batchIds, Seq("doc_id"), "left_anti")
         .unionByName(graft.streaming.NearDupStream.bandIndex(s, batch)
           .select(col("band"), col("minhash"), col("doc_id")))
-        .write.mode("overwrite").parquet(s"$newIndexDir/bands")
+      // parts is layout-only: re-derived at the merged doc count
+      writeBandsAndMeta(s, mergedBands, newIndexDir,
+        s.read.parquet(s"$newIndexDir/docs").count())
       (s.read.parquet(s"$newIndexDir/docs").count(),
-        s.read.parquet(s"$newIndexDir/bands").count())
+        loadBands(s, newIndexDir).count())
     } finally batch.unpersist()
   }
 
-  /** True iff BOTH datasets committed — the reader-side gate. */
+  /** True iff ALL datasets committed (meta writes last, so it doubles as
+    * the publish's overall marker) — the reader-side gate. */
   def isPublished(s: SparkSession, indexDir: String): Boolean =
     StorageOps.isCommitted(s, s"$indexDir/docs") &&
-      StorageOps.isCommitted(s, s"$indexDir/bands")
+      StorageOps.isCommitted(s, s"$indexDir/bands") &&
+      StorageOps.isCommitted(s, s"$indexDir/meta")
 
   def loadDocs(s: SparkSession, indexDir: String): DataFrame =
     s.read.parquet(s"$indexDir/docs")
 
+  /** The band table WITHOUT the layout's partition column — the
+    * reader-facing schema is (band, minhash, doc_id) exactly; `dpart` is
+    * derivable from (band, minhash) whenever a consumer wants the pruned
+    * scan ([[prunedBands]] reads [[loadBandsRaw]] and drops it after the
+    * filter). */
   def loadBands(s: SparkSession, indexDir: String): DataFrame =
+    loadBandsRaw(s, indexDir).select("band", "minhash", "doc_id")
+
+  private def loadBandsRaw(s: SparkSession, indexDir: String): DataFrame =
     s.read.parquet(s"$indexDir/bands")
+
+  /** The band table pruned to the partitions a probe batch's band keys
+    * touch: derives the batch's `dpart` value set at the published
+    * layout modulus (a distinct-collect bounded by `parts`, never the
+    * batch size) and plants a static `isin` the scan turns into a
+    * PartitionFilter — skipped when every partition is touched, which is
+    * when pruning could not have helped. A (band, minhash) bucket lives
+    * entirely inside one partition (the column is a pure key function),
+    * so per-bucket width statistics computed over the pruned scan are
+    * exact. `batchBands`: (band, bv) — minhash under its join alias. */
+  private[graft] def prunedBands(s: SparkSession, indexDir: String,
+      batchBands: DataFrame): DataFrame = {
+    val nParts = loadParts(s, indexDir)
+    val parts = batchBands
+      .select(dpartOf(col("band"), col("bv"), nParts).as("dpart"))
+      .distinct().collect().map(_.getLong(0))
+    val raw = loadBandsRaw(s, indexDir)
+    val pruned =
+      if (parts.length < nParts) {
+        val lits: Seq[Any] = raw.schema("dpart").dataType match {
+          case org.apache.spark.sql.types.IntegerType => parts.toSeq.map(_.toInt)
+          case _ => parts.toSeq
+        }
+        raw.filter(col("dpart").isin(lits: _*))
+      } else raw
+    pruned.select("band", "minhash", "doc_id")
+  }
 }

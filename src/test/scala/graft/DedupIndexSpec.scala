@@ -60,6 +60,58 @@ class DedupIndexSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("published bands keep the hive-partitioned one-file-per-partition layout") {
+    // publish AND merge must both land bands hive-partitioned by dpart,
+    // one data file per partition directory, values inside the recorded
+    // layout modulus — the invariant the pruned probe relies on
+    val full = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), col("text"))
+    val base = java.nio.file.Files.createTempDirectory("graft-idx-layout")
+    val dirA = s"$base/a"; val dirB = s"$base/b"
+    DedupIndex.publishFrom(spark, full.filter(col("doc_id") % 2 === 0), dirA)
+    DedupIndex.mergePublish(spark, dirA,
+      full.filter(col("doc_id") % 2 === 1), dirB)
+    for (dir <- Seq(dirA, dirB)) {
+      val parts = DedupIndex.loadParts(spark, dir)
+      val root = new java.io.File(s"$dir/bands")
+      val partDirs = root.listFiles().filter(_.isDirectory)
+        .filter(_.getName.startsWith("dpart="))
+      assert(partDirs.nonEmpty, s"$dir/bands has no dpart hive directories")
+      partDirs.foreach { pd =>
+        val files = pd.listFiles().filter(_.getName.endsWith(".parquet"))
+        assert(files.length == 1,
+          s"$dir/bands/${pd.getName} holds ${files.length} data files, want 1")
+        val value = pd.getName.stripPrefix("dpart=").toLong
+        assert(value >= 0 && value < parts,
+          s"$dir/bands/${pd.getName} outside the layout modulus $parts")
+      }
+      assert(!root.listFiles().exists(f =>
+          f.isFile && f.getName.endsWith(".parquet")),
+        s"$dir/bands has data files outside partition directories")
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("limit 0 forces the full band scan, result-identical to the pruned probe") {
+    // pruneRowLimit = 0 closes the prune gate: the probe must read the
+    // whole band table and still produce exactly the pruned path's rows
+    val d = TestSpark.sf0001
+    val dir = java.nio.file.Files.createTempDirectory("graft-idx-prune").toString
+    val all = operators.DedupOps.docHashes(spark, d)
+    DedupIndex.publishFrom(spark,
+      Tables.documents(spark, d).filter(col("doc_id") % 2 === 0), dir)
+    val batch = all.filter(col("doc_id") % 2 === 1)
+    def rows(df: DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val pruned = rows(operators.DedupOps.crossDedupBestFromIndex(
+      spark, dir, batch).select("doc_id", "match_id", "jaccard"))
+    val full = rows(operators.DedupOps.crossDedupBestFromIndex(
+      spark, dir, batch, pruneRowLimit = 0L)
+      .select("doc_id", "match_id", "jaccard"))
+    assert(pruned.nonEmpty && full == pruned)
+    spark.catalog.clearCache()
+  }
+
   test("mergePublish refuses to write into the live index") {
     val full = Tables.documents(spark, TestSpark.sf0001)
       .select(col("doc_id"), col("text"))

@@ -300,6 +300,25 @@ class PlanShapeSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("dedup index probe prunes band partitions on a small batch") {
+    // the published band table is hive-partitioned by the key-derived
+    // dpart column; a below-gate probe batch derives its partition set
+    // and the scan shows a static dpart PartitionFilter — the same read
+    // cut PlanShapeSpec pins for the vector index
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-planshape-dedupidx").toString
+    graft.sources.DedupIndex.publishFrom(spark,
+      Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+        .filter(col("doc_id") % 2 === 0), dir)
+    val batch = operators.DedupOps.docHashes(spark, sf)
+      .filter(col("doc_id") === 1)
+    val df = operators.DedupOps.crossDedupBestFromIndex(spark, dir, batch)
+    val p = plan(df)
+    assert("""PartitionFilters: \[[^\]]*dpart#""".r.findFirstIn(p).isDefined,
+      s"no dpart partition filter on the band scan:\n$p")
+    spark.catalog.clearCache()
+  }
+
   test("multimodal decode stages are shuffle-free up to output ordering") {
     // generator + codec are both partition-local; above the shared
     // payload frame (InMemoryRelation — its build carries the documented
