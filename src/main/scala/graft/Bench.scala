@@ -82,9 +82,19 @@ object Bench {
   /** Sub-this-many-seconds queries get a third timed rep: their run-to-run
     * noise (±40% has been recorded at sf0.1) is the thing round-over-round
     * adjudication keeps fighting, and a third rep costs little exactly
-    * because they are fast. Slow queries keep two reps — their signal-to-
-    * noise is already fine and a third rep of a 8s query is real wall. */
+    * because they are fast. Mid-range queries keep two reps; the SLOWEST
+    * [[SlowTailCount]] get a third rep too (below). */
   private[graft] val MedianRepCutoff = 2.0
+
+  /** The slowest this-many queries also get a third rep: the slow tail
+    * carries the widest recorded 1-rep spreads (up to 3.2× round-over-
+    * round on the codec/index families — q_multimodal_frames read
+    * [2.33, 7.40]s in one round) and those are exactly the rows
+    * regression adjudications are made on, so the median-of-3 robustness
+    * the fast queries already have is worth the ~tens of seconds of
+    * extra wall here. Queries between the cutoff and the tail keep two
+    * reps — mid-range signal-to-noise has stayed adequate. */
+  private[graft] val SlowTailCount = 10
 
   /** Headline seconds from a query's valid rep list: lower median once 3+
     * reps exist (robust to one contention hit in EITHER direction — min
@@ -179,6 +189,14 @@ object Bench {
         if (t >= 0) reps(n) = r :+ t
       }
     }
+    // the slow tail gets the same median-of-3 robustness (see
+    // SlowTailCount): third-rep the slowest still-2-rep queries
+    names.filter(n => reps(n).length == 2)
+      .sortBy(n => -reps(n).min).take(SlowTailCount)
+      .foreach { n =>
+        val t = timeOnce(n)
+        if (t >= 0) reps(n) = reps(n) :+ t
+      }
 
     val prior = loadPrior()
     val results = names.map { n =>

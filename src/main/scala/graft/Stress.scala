@@ -110,6 +110,27 @@ object Stress {
       col("vec_id") =!= col("query_id")).count()
   }
 
+  /** SF-growing linkage vocabulary: one id-seeded base-36 name (~13
+    * chars) per part row — distinct-name diversity ∝ rows, the
+    * precondition the TPC-H p_name vocabulary lacks (it saturates at 32
+    * distinct names below sf0.001) — plus a planted 1-deletion twin for
+    * every 10th key (drop the 3rd char), so the true near-miss pair
+    * population grows ∝ n/10 while uniform 36^13-space deletion-key
+    * collisions stay negligible. Same diversity-fixture design as the
+    * image noise rows (noiseImageSigs). */
+  private def linkageNameFixture(s: SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val nameOf = lower(conv(abs(xxhash64(col("p_partkey"), lit(41)))
+      .cast("string"), 10, 36))
+    val base = Tables.part(s, d).select(nameOf.as("name"))
+    val twins = Tables.part(s, d).filter(col("p_partkey") % 10 === 0)
+      .select(nameOf.as("nm"))
+      .select(concat(substring(col("nm"), 1, 2),
+        expr("substring(nm, 4)")).as("name"))
+    base.unionByName(twins)
+      .groupBy("name").agg(count(lit(1)).as("n_ids"))
+  }
+
   private def scalingMain(args: Array[String]): Unit = {
     import graft.operators.DedupOps
     val outFile = if (args.length > 1) args(1) else "SCALING.md"
@@ -175,12 +196,9 @@ object Stress {
           MultiModalOps.imageSigPairs(MultiModalOps.noiseImageSigs(s, d)).count()
         }),
       Probe("fuzzy_join_candidates",
-        "deletion-neighborhood blocking candidates, per-key width-capped (q_fuzzy_join / q_entity_resolution) — runs in DISTINCT-name space, so growth tracks the name vocabulary (which saturates as records repeat names), never the record count; fit against PART rows (its driver table)",
-        (s, d) => {
-          val names = Tables.part(s, d)
-            .groupBy(col("p_name").as("name")).agg(count(lit(1)).as("n_ids"))
-          graft.operators.LinkOps.fuzzyCandidates(names).count()
-        },
+        "deletion-neighborhood blocking candidates, per-key width-capped (q_fuzzy_join / q_entity_resolution), over an SF-GROWING id-seeded name vocabulary with planted 1-deletion twins (~n/10) — the TPC-H p_name vocabulary saturates below sf0.001 (32/32/32, exponent 0.00, a degenerate reading); id-seeded base-36 names keep distinct-name diversity ∝ rows so candidates track the planted near-miss population while uniform deletion-key collisions stay negligible; fit against PART rows (its driver table)",
+        (s, d) => graft.operators.LinkOps.fuzzyCandidates(
+          linkageNameFixture(s, d)).count(),
         scaleOf = Some((s, d) => Tables.part(s, d).count())),
       Probe("triangle_wedge_candidates",
         "degree-oriented wedge space (Σ C(out_deg,2)) of the part co-occurrence graph — the enumeration BOUND of the triangle family, upper-bounding the shipped edge-iterator's Σ(d⁺a+d⁺b) intersect work (q_triangle_count); fit against LINEITEM rows (its driver table) — per-part degree plateaus once each part's order set saturates, so the space tracks vertices ~linearly, and the orientation bound caps the ceiling at O(edges^1.5) however hubby the catalog gets",
