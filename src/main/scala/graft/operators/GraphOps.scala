@@ -177,7 +177,15 @@ object GraphOps {
     // (cache-write overhead exceeds the saved compute at this size);
     // driver-COLLECTED scalar mass + persisted contrib (no broadcast
     // machinery at all) 9.0-10.1s — the broadcast subquery is not the
-    // bottleneck either. So
+    // bottleneck either. NON-EAGER localCheckpoint(false) (r11, the
+    // last untried variant): steady-state 8.0-8.8s vs eager 7.9-9.9s
+    // over two 4-rep A/B sets — a wash inside run noise, and the lazy
+    // variant is a correctness hazard besides: lastCkpt.unpersist()
+    // runs before a lazy checkpoint has materialized, so the new
+    // round's first execution can find its parent's cached blocks
+    // gone — and a local checkpoint is by definition NOT recomputable.
+    // Eager stays. This closes the materialization A/B file: every
+    // cheaper-looking design has now been measured and refuted. So
     // the default stays 1 — materialize every round — and the dial
     // exists for billion-edge graphs where a checkpoint write of the
     // rank frame costs more than recomputing one fused round.
