@@ -436,7 +436,7 @@ object AudioOps {
     * [[fingerprintIndex]], and a per-call persist would still run the
     * codec pass once per CALL SITE — the memo hands every deriving plan
     * the same frame. */
-  private def wavPayloads0(s: SparkSession, d: String): DataFrame =
+  private[graft] def wavPayloads0(s: SparkSession, d: String): DataFrame =
     graft.SharedPlans.shared(s, s"wav_fp_frame|$d") {
       import s.implicits._
       Tables.spread(s, Tables.documents(s, d).select(col("doc_id")))

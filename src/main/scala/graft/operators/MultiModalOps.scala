@@ -510,10 +510,56 @@ object MultiModalOps {
       .agg(count(lit(1)).as("n"), min("doc_id").as("rep"))
   }
 
+  /** END-TO-END multimodal curation pipeline — the whole funnel in ONE
+    * DAG: decode → fingerprint per modality (REUSING the session-shared
+    * frames: [[imageHashes]]/[[imageSigs]], AudioOps.wavPayloads0,
+    * VideoOps.fpFrame — the codec passes run once per session however
+    * many queries consume them; PlanShapeSpec pins the reuse as
+    * InMemoryTableScans), per-modality dup verdicts (member of a >=2
+    * fingerprint group AND not its min-doc keeper — exactly the three
+    * standalone dedup queries' group rule, parity-pinned in
+    * MultiModalSpec), a cross-modality doc join, the keep/drop decision
+    * (keep = keeper-or-unique in EVERY modality), and the mix report a
+    * curation run publishes: per dup-flag combination the doc count, an
+    * id checksum, and the carried per-modality payload stats. Flags ride
+    * as BIGINT 0/1 (oracle-hash-stable across engines).
+    *
+    * Scale shape: three map-side codec stages (zero shuffle, partition-
+    * local), three fingerprint-keyed group tables (longs only, combined
+    * map-side), three doc_id-keyed 1:1 joins, one 8-row aggregate — no
+    * stage carries pixels/PCM past its own decode. */
+  private val qMultimodalPipeline: Q = (s, d) => {
+    def dup(n: org.apache.spark.sql.Column, rep: org.apache.spark.sql.Column,
+        id: org.apache.spark.sql.Column) =
+      ((n >= 2) && (rep =!= id)).cast("long")
+    val img = imageHashes(s, d).join(imageSigs(s, d), "dhash")
+      .select(col("doc_id"), dup(col("n"), col("rep"), col("doc_id")).as("img_dup"))
+    val audFp = AudioOps.wavPayloads0(s, d)
+    val aud = audFp.join(AudioOps.fingerprintIndex(s, d), "fp")
+      .select(col("doc_id"), col("n_frames"),
+        dup(col("n"), col("rep"), col("doc_id")).as("aud_dup"))
+    val vidFp = VideoOps.fpFrame(s, d)
+    val vid = vidFp.join(VideoOps.fingerprintIndex(s, d), "fp")
+      .select(col("doc_id"), col("n_samples"),
+        dup(col("n"), col("rep"), col("doc_id")).as("vid_dup"))
+    img.join(aud, "doc_id").join(vid, "doc_id")
+      .withColumn("keep",
+        (col("img_dup") === 0 && col("aud_dup") === 0 && col("vid_dup") === 0)
+          .cast("long"))
+      .groupBy("img_dup", "aud_dup", "vid_dup", "keep")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("doc_id").as("sum_doc"),
+        min("doc_id").as("min_doc"),
+        sum("n_frames").as("sum_audio_frames"),
+        sum("n_samples").as("sum_video_samples"))
+      .orderBy("img_dup", "aud_dup", "vid_dup")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_multimodal_meta" -> qMultimodalMeta,
     "q_multimodal_resize" -> qMultimodalResize,
     "q_multimodal_frames" -> qMultimodalFrames,
+    "q_multimodal_pipeline" -> qMultimodalPipeline,
     "q_image_dhash" -> qImageDhash,
     "q_image_neardup" -> qImageNeardup,
   )
@@ -659,5 +705,110 @@ object MultiModalOps {
         |FROM sig a JOIN sig b
         |  ON a.dhash < b.dhash AND bit_count(xor(a.dhash, b.dhash)) <= 3
         |ORDER BY dhash_a, dhash_b""".stripMargin,
+    // Replays all three fingerprint formulas (the q_image_dhash /
+    // q_audio_fingerprint / q_video_fingerprint oracle bodies), derives
+    // the per-modality dup verdicts, joins per doc, and aggregates the
+    // mix report. Multi-referenced CTEs are MATERIALIZED (DuckDB inlines
+    // every reference otherwise — the check.py re-execution hazard).
+    "q_multimodal_pipeline" ->
+      """WITH d AS (
+        |  SELECT doc_id, 8 + doc_id % 24 AS w, 8 + (doc_id // 3) % 24 AS h
+        |  FROM documents),
+        |bits AS (
+        |  SELECT d.doc_id, gj.j * 8 + gi.i AS k,
+        |         CASE WHEN (d.doc_id * 31 + (((gi.i + 1) * d.w) // 9) * 7
+        |                    + ((gj.j * d.h) // 8) * 13) % 256
+        |                 > (d.doc_id * 31 + ((gi.i * d.w) // 9) * 7
+        |                    + ((gj.j * d.h) // 8) * 13) % 256
+        |              THEN 1 ELSE 0 END AS b
+        |  FROM d,
+        |       (SELECT unnest(range(0, 8)) AS i) gi,
+        |       (SELECT unnest(range(0, 8)) AS j) gj),
+        |dh AS MATERIALIZED (
+        |  SELECT doc_id,
+        |         CAST(sum(CASE WHEN b = 1 THEN
+        |                CASE WHEN k = 63 THEN -9223372036854775807 - 1
+        |                     ELSE (CAST(1 AS BIGINT) << k) END
+        |              ELSE 0 END) AS BIGINT) AS dhash
+        |  FROM bits GROUP BY 1),
+        |ig AS (SELECT dhash, count(*) AS n, min(doc_id) AS rep
+        |       FROM dh GROUP BY 1),
+        |idf AS (
+        |  SELECT dh.doc_id,
+        |         CASE WHEN ig.n >= 2 AND ig.rep <> dh.doc_id
+        |              THEN 1 ELSE 0 END AS img_dup
+        |  FROM dh JOIN ig USING (dhash)),
+        |add0 AS (SELECT doc_id, doc_id % 64 AS cid FROM documents),
+        |ap AS (SELECT cid, (256 + cid * 3) // 32 AS nf
+        |       FROM (SELECT DISTINCT cid FROM add0)),
+        |asv AS (
+        |  SELECT ap.cid, ap.nf, ix.i // 32 AS fi,
+        |         (ap.cid * 6151 + ix.i * 13007) % 65536 - 32768 AS v
+        |  FROM ap, (SELECT unnest(range(0, 448)) AS i) ix
+        |  WHERE ix.i < ap.nf * 32),
+        |ae AS MATERIALIZED (
+        |  SELECT cid, nf, fi, sum(abs(v)) AS en FROM asv GROUP BY 1, 2, 3),
+        |afp AS (
+        |  SELECT a.cid, a.nf,
+        |         CAST(coalesce(sum(CASE WHEN b.en > a.en
+        |                  THEN (CAST(1 AS BIGINT) << a.fi) ELSE 0 END), 0)
+        |              AS BIGINT) AS fp
+        |  FROM ae a JOIN ae b ON a.cid = b.cid AND b.fi = a.fi + 1
+        |  GROUP BY a.cid, a.nf),
+        |adocs AS MATERIALIZED (
+        |  SELECT add0.doc_id, afp.fp, afp.nf FROM add0 JOIN afp USING (cid)),
+        |ag AS (SELECT fp, count(*) AS n, min(doc_id) AS rep
+        |       FROM adocs GROUP BY 1),
+        |adf AS (
+        |  SELECT adocs.doc_id, adocs.nf,
+        |         CASE WHEN ag.n >= 2 AND ag.rep <> adocs.doc_id
+        |              THEN 1 ELSE 0 END AS aud_dup
+        |  FROM adocs JOIN ag USING (fp)),
+        |vdd AS (SELECT doc_id, doc_id % 48 AS cid FROM documents),
+        |vp AS (SELECT cid, 4 + cid % 12 AS n
+        |       FROM (SELECT DISTINCT cid FROM vdd)),
+        |vsidx AS (SELECT cid, n, unnest(range(0, n)) AS f FROM vp),
+        |vbytes AS (
+        |  SELECT szs.cid, szs.n, szs.f, k.k
+        |  FROM (SELECT cid, n, f, 32 + (cid * 7 + f * 13) % 32 AS sz
+        |        FROM vsidx) szs,
+        |       (SELECT unnest(range(0, 64)) AS k) k
+        |  WHERE k.k < szs.sz),
+        |ve AS MATERIALIZED (
+        |  SELECT cid, n, f, sum((cid * 29 + f * 17 + k * 11) % 256) AS en
+        |  FROM vbytes GROUP BY 1, 2, 3),
+        |vfp AS (
+        |  SELECT a.cid, a.n,
+        |         CAST(coalesce(sum(CASE WHEN b.en > a.en
+        |                  THEN (CAST(1 AS BIGINT) << a.f) ELSE 0 END), 0)
+        |              AS BIGINT) AS fp
+        |  FROM ve a JOIN ve b ON a.cid = b.cid AND b.f = a.f + 1
+        |  GROUP BY a.cid, a.n),
+        |vdocs AS MATERIALIZED (
+        |  SELECT vdd.doc_id, vfp.fp, vfp.n FROM vdd JOIN vfp USING (cid)),
+        |vg AS (SELECT fp, count(*) AS n2, min(doc_id) AS rep
+        |       FROM vdocs GROUP BY 1),
+        |vdf AS (
+        |  SELECT vdocs.doc_id, vdocs.n,
+        |         CASE WHEN vg.n2 >= 2 AND vg.rep <> vdocs.doc_id
+        |              THEN 1 ELSE 0 END AS vid_dup
+        |  FROM vdocs JOIN vg USING (fp)),
+        |j AS (
+        |  SELECT idf.doc_id, idf.img_dup, adf.aud_dup, vdf.vid_dup,
+        |         adf.nf, vdf.n,
+        |         CASE WHEN idf.img_dup = 0 AND adf.aud_dup = 0
+        |                   AND vdf.vid_dup = 0
+        |              THEN 1 ELSE 0 END AS keep
+        |  FROM idf JOIN adf USING (doc_id) JOIN vdf USING (doc_id))
+        |SELECT CAST(img_dup AS BIGINT) AS img_dup,
+        |       CAST(aud_dup AS BIGINT) AS aud_dup,
+        |       CAST(vid_dup AS BIGINT) AS vid_dup,
+        |       CAST(keep AS BIGINT) AS keep,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(doc_id) AS BIGINT) AS sum_doc,
+        |       min(doc_id) AS min_doc,
+        |       CAST(sum(nf) AS BIGINT) AS sum_audio_frames,
+        |       CAST(sum(n) AS BIGINT) AS sum_video_samples
+        |FROM j GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3""".stripMargin,
   )
 }

@@ -153,4 +153,30 @@ class MultiModalSpec extends AnyFunSuite {
       assert(r.getLong(2) == MultiModalOps.imgHeight(id))
     }
   }
+
+  test("q_multimodal_pipeline mix report agrees with the standalone dedup families") {
+    // the pipeline's per-modality dup verdicts must be EXACTLY the three
+    // standalone queries' group rule (>=2 group, not the min-doc keeper):
+    // flag-marginal doc counts equal each family's non-keeper member
+    // count, the report partitions the corpus, and keep <=> no flag set
+    import org.apache.spark.sql.functions.col
+    val spark = TestSpark.spark
+    val d = TestSpark.sf0001
+    val rep = SparkEntry.queries("q_multimodal_pipeline")(spark, d).collect()
+    assert(rep.nonEmpty)
+    val total = Tables.documents(spark, d).count()
+    assert(rep.map(_.getLong(4)).sum == total, "mix report must partition the corpus")
+    def nonKeepers(q: String) = SparkEntry.queries(q)(spark, d)
+      .filter(col("doc_id") =!= col("rep_id")).count()
+    def flagged(i: Int) = rep.filter(_.getLong(i) == 1L).map(_.getLong(4)).sum
+    assert(flagged(0) == nonKeepers("q_image_dhash"), "img_dup marginal")
+    assert(flagged(1) == nonKeepers("q_audio_fingerprint"), "aud_dup marginal")
+    assert(flagged(2) == nonKeepers("q_video_fingerprint"), "vid_dup marginal")
+    rep.foreach { r =>
+      assert((r.getLong(3) == 1L) ==
+        (r.getLong(0) == 0L && r.getLong(1) == 0L && r.getLong(2) == 0L),
+        s"keep flag inconsistent in $r")
+    }
+    spark.catalog.clearCache()
+  }
 }

@@ -319,6 +319,20 @@ class PlanShapeSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("multimodal pipeline reuses the session-shared fingerprint frames") {
+    // the end-to-end funnel must consume the SharedPlans-memoized codec
+    // frames (png image-hash, wav fp, mp4 fp families), not re-run the
+    // decode per stage: every fingerprint input in the plan is an
+    // InMemoryTableScan of a persisted frame — image hashes + image sigs
+    // + audio fp (x2: rows + group table) + video fp (x2) >= 4 scans
+    val df = operators.MultiModalOps
+      .queries("q_multimodal_pipeline")(spark, sf)
+    val p = plan(df)
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 4,
+      s"pipeline not reading the shared fingerprint frames:\n$p")
+    spark.catalog.clearCache()
+  }
+
   test("multimodal decode stages are shuffle-free up to output ordering") {
     // generator + codec are both partition-local; above the shared
     // payload frame (InMemoryRelation — its build carries the documented
