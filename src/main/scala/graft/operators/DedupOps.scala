@@ -651,7 +651,14 @@ object DedupOps {
       refine: Boolean = true,
       pruneRowLimit: Long = IndexProbePruneRowLimit): DataFrame = {
     val corpDocs = graft.sources.DedupIndex.loadDocs(s, indexDir)
-    val inBands = minhashBands(s, inDocs).withColumnRenamed("doc_id", "in_id")
+    // persisted: the band frame feeds up to four subtrees (the prune
+    // derivation, candidates, the flagged probe set, the refine join) and
+    // the incoming doc-hash frame usually carries no cached msig, so an
+    // unpersisted frame would re-run the 192-permutation signature pass
+    // per subtree (the qCrossDedup persist convention; runners release
+    // via clearCache)
+    val inBands = graft.Caching.persist(
+      minhashBands(s, inDocs).withColumnRenamed("doc_id", "in_id"))
     val corpBands = (if (inDocs.count() <= pruneRowLimit)
         graft.sources.DedupIndex.prunedBands(s, indexDir, inBands)
       else graft.sources.DedupIndex.loadBands(s, indexDir))
