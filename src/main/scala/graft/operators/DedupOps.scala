@@ -48,7 +48,6 @@ import graft.Tables
   */
 object DedupOps {
   private type Q = (SparkSession, String) => DataFrame
-  private val P = 1000000007L
 
   // Cache ownership: the public operators here (nearDupPairs, and the
   // registered queries) persist() reused subplans (doc hash arrays,

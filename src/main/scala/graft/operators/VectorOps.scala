@@ -33,7 +33,6 @@ import graft.functions.GraftFunctions
   */
 object VectorOps {
   private type Q = (SparkSession, String) => DataFrame
-  private val P = 1000000007L
 
   /** Cross-query shared-result memo for the ANN result frames
     * ([[graft.SharedPlans]]): q_ann_recall compares the LSH and IVF
