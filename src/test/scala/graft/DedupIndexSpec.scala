@@ -112,6 +112,19 @@ class DedupIndexSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("an empty probe batch returns empty (the zero-literal isin edge)") {
+    // the pruned path derives an EMPTY partition set from an empty batch
+    // and must degrade to an empty (not failing) scan
+    val d = TestSpark.sf0001
+    val dir = java.nio.file.Files.createTempDirectory("graft-idx-empty").toString
+    DedupIndex.publishFrom(spark,
+      Tables.documents(spark, d).select(col("doc_id"), col("text")).limit(50), dir)
+    val none = operators.DedupOps.crossDedupBestFromIndex(spark, dir,
+      operators.DedupOps.docHashes(spark, d).filter(col("doc_id") < 0))
+    assert(none.count() == 0)
+    spark.catalog.clearCache()
+  }
+
   test("mergePublish refuses to write into the live index") {
     val full = Tables.documents(spark, TestSpark.sf0001)
       .select(col("doc_id"), col("text"))

@@ -226,6 +226,19 @@ class VectorIndexSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("empty query batches return empty from every search API") {
+    // the pruned path derives an EMPTY partition set from an empty batch
+    // and must degrade to an empty (not failing) scan — the zero-literal
+    // isin edge the gate introduced
+    val dir = java.nio.file.Files.createTempDirectory("graft-vecidx-empty").toString
+    VectorIndex.publishFrom(spark, allEmb.filter(col("vec_id") < 50), dir)
+    val none = allEmb.filter(col("vec_id") < 0)
+    assert(VectorIndex.searchLsh(spark, dir, none, k = 3).count() == 0)
+    assert(VectorIndex.searchIvf(spark, dir, none, k = 3, nprobe = 1).count() == 0)
+    assert(VectorIndex.probeBestMatch(spark, dir, none, 0.45).count() == 0)
+    spark.catalog.clearCache()
+  }
+
   test("needsRebuild flags schedule drift after merges outgrow the geometry") {
     // frozen at a 40-vector schedule, merged to the full corpus: the
     // width/cell schedules would now pick differently -> rebuild due
