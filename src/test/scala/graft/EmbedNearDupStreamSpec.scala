@@ -141,4 +141,70 @@ class EmbedNearDupStreamSpec extends AnyFunSuite {
     assert(viaIndex.nonEmpty && viaIndex == viaCorpus,
       s"missing=${viaCorpus.diff(viaIndex).take(5)} extra=${viaIndex.diff(viaCorpus).take(5)}")
   }
+
+  test("index refresh cycle: a mergePublish reaches the stream on restart") {
+    // The production cycle the artifact documents (the NearDupStream text
+    // twin's contract, on the vector side): corpus v1 is published, the
+    // stream probes it; an incremental mergePublish lands v2 beside it
+    // and flips the pointer; the RESTARTED stream sees v2 — including
+    // matches against merged-in corpus members phase 1 could not see —
+    // with geometry frozen so both phases equal the corpus-backed path
+    // at the same schedule.
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+
+    val d = TestSpark.sf0001
+    val all = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
+    val n = all.count()
+    val corpus1 = all.filter(col("vec_id") % 4 === 0)
+    val batch2 = all.filter(col("vec_id") % 4 === 2)
+    val evenAll = all.filter(col("vec_id") % 2 === 0)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-vecidx-refresh").toString
+    val m = graft.sources.VectorIndex.publishFrom(spark, corpus1, dir,
+      scheduleN = Some(n))
+
+    val odd = all.filter(col("vec_id") % 2 === 1).collect().map { r =>
+      EmbedEv(r.getLong(0), r.getSeq[Float](1).toArray,
+        new java.sql.Timestamp(1700000000000L + r.getLong(0)))
+    }.toSeq
+    def runStream(name: String,
+        build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+        : Set[(Long, Long)] = {
+      val source = MemoryStream[EmbedEv]
+      val q = build(source.toDF())
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        source.addData(odd.toIndexedSeq: _*)
+        q.processAllAvailable()
+        spark.sql(s"SELECT in_id, corpus_id FROM $name")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      } finally q.stop()
+    }
+    def corpusRef(corpus: org.apache.spark.sql.DataFrame,
+        name: String): Set[(Long, Long)] =
+      runStream(name, st =>
+        EmbedNearDupStream.nearDupAgainstCorpus(spark, st, corpus,
+          m.width, m.probes, m.cap, threshold = 0.30))
+
+    // phase 1: the full incoming replay against the v1 publish
+    val p1 = runStream("vecidx_refresh_p1", st =>
+      EmbedNearDupStream.nearDupAgainstIndex(spark, st, dir, 0.30))
+    assert(p1 == corpusRef(corpus1, "vecidx_refresh_p1c"),
+      "phase 1 must probe exactly the v1 corpus")
+
+    // rebuild-and-replay: merge lands v2, the restarted stream replays
+    graft.sources.VectorIndex.mergePublish(spark, dir, batch2)
+    val p2 = runStream("vecidx_refresh_p2", st =>
+      EmbedNearDupStream.nearDupAgainstIndex(spark, st, dir, 0.30))
+    assert(p2 == corpusRef(evenAll, "vecidx_refresh_p2c"),
+      "restarted stream must probe the merged v2 corpus")
+    // the refresh must be OBSERVABLE: frozen geometry keeps every v1
+    // match (p2 superset) and some match hits a merged-in member
+    assert(p1.subsetOf(p2), s"v1 matches lost across the merge: ${(p1 -- p2).take(5)}")
+    assert(p2.exists(_._2 % 4 == 2),
+      "fixture has no bucketed match against a merged-in corpus member")
+    spark.catalog.clearCache()
+  }
 }
