@@ -518,6 +518,123 @@ object VectorOps {
       .orderBy("query_id", "rk")
   }
 
+  // ---- product quantization (PQ) --------------------------------------
+
+  /** PQ geometry: [[PqSubspaces]] equal slices of the embedding, each
+    * encoded as the index of its nearest sub-codebook centroid (squared
+    * L2 — the PQ metric), [[PqCodebookSize]] centroids per subspace.
+    * 4 × 4-bit codes pack one fixture vector into 16 bits — a 128×
+    * compression of the 64-float embedding; a production deployment
+    * raises M and K (16 × 256 → 16 bytes per kilodim vector), which
+    * changes nothing structural: codebooks stay M·K·(dim/M) floats —
+    * driver-small however large the corpus — and training/encode keep
+    * the same two plan shapes. Training mirrors [[trainCentroids]]:
+    * phash-sampled seeds, the same fixed [[LloydRounds]] (unrolled in
+    * the oracle), with all M subspaces trained in ONE (m, cell)-keyed
+    * plan rather than M passes over the corpus. Centroids round through
+    * FLOAT between rounds (the trainCentroids convention) — the cast
+    * absorbs last-ulp accumulation-order differences, which is what
+    * keeps the DuckDB replay bit-identical. */
+  val PqSubspaces = 4
+  val PqCodebookSize = 16
+
+  /** Per-(vector, subspace) slice rows (vec_id, m, sv) — the shared
+    * input shape of PQ training and encode. Pure codegen'd projection +
+    * explode: zero shuffle. */
+  private def pqSubRows(e: DataFrame, subDim: Int): DataFrame =
+    e.select(col("vec_id"), posexplode(expr(
+        s"""transform(sequence(0, ${PqSubspaces - 1}),
+           |          m -> slice(embedding, m * $subDim + 1, $subDim))"""
+          .stripMargin)))
+      .withColumnRenamed("pos", "m")
+      .withColumnRenamed("col", "sv")
+
+  /** Squared L2 between the row's subvector and the joined sub-centroid,
+    * folded in DOUBLE position-ascending — the exact expression the
+    * oracle replays (list_sum over the same per-position squares). */
+  private def pqSqDist = expr(
+    """aggregate(zip_with(sv, pc,
+      |            (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+      |                      * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
+      |          0D, (acc, v) -> acc + v)""".stripMargin)
+
+  /** Train the M sub-codebooks over (a sample of) `e` — returns
+    * (m, cell, pc) with FLOAT centroid arrays. Seeds are the
+    * [[PqCodebookSize]] smallest-phash sample vectors sliced per
+    * subspace (one shared seed ORDER across subspaces); each Lloyd round
+    * is one broadcast-join assignment pass + one (m, cell) vector_avg
+    * exchange, collected (M·K·subDim floats — driver-small) to keep
+    * per-round lineage flat, exactly like [[trainCentroids]]. */
+  private[graft] def trainPqCodebooks(s: SparkSession, e: DataFrame,
+      subDim: Int): DataFrame = {
+    import s.implicits._
+    def toDf(rows: Seq[(Int, Int, Seq[Float])]): DataFrame =
+      rows.toDF("m", "cell", "pc")
+    val sample = e.filter(Tables.phash(col("vec_id")) % 4 === 0)
+    val seedRows = sample
+      .withColumn("hk", Tables.phash(col("vec_id")))
+      .orderBy("hk", "vec_id").limit(PqCodebookSize)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0))
+    var cent = toDf(for {
+      (emb, i) <- seedRows.zipWithIndex.toSeq
+      m <- 0 until PqSubspaces
+    } yield (m, i, emb.slice(m * subDim, (m + 1) * subDim).toSeq))
+    val samp = graft.Caching.persist(pqSubRows(sample, subDim))
+    try {
+      for (_ <- 1 to LloydRounds) {
+        cent = toDf(
+          samp.join(broadcast(cent), Seq("m"))
+            .select(col("m"), col("vec_id"), col("sv"), col("cell"),
+              pqSqDist.as("d2"))
+            .withColumn("rk", row_number().over(
+              Window.partitionBy("m", "vec_id")
+                .orderBy(col("d2").asc, col("cell"))))
+            .filter(col("rk") === 1)
+            .groupBy("m", "cell")
+            .agg(expr("transform(vector_avg(sv), x -> CAST(x AS FLOAT))")
+              .as("pc"))
+            .collect()
+            .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toSeq))
+            .toSeq)
+      }
+      cent
+    } finally samp.unpersist()
+  }
+
+  /** PQ-encode the corpus: per-subspace argmin code (squared L2, ties to
+    * the lowest cell) against the broadcast codebooks, packed
+    * little-endian (subspace m in bits [4m, 4m+4)). Integer-only output
+    * — the oracle replays the unrolled per-subspace Lloyd and packs the
+    * same argmin codes. Scale shape: codebooks broadcast (driver-small
+    * at any corpus), encode is one map-side scoring pass + one
+    * (vec_id, m)-keyed rank — a billion-vector corpus encodes in one
+    * linear pass, and the 16-bit codes are what an ADC re-scorer or a
+    * memory-resident index actually stores. */
+  private val qEmbedPq: Q = (s, d) => {
+    GraftFunctions.register(s)
+    val e = graft.Caching.persist(Tables.spread(s, Tables.embeddings(s, d)))
+    val dim = e.select(size(col("embedding")).as("n")).limit(1)
+      .collect()(0).getInt(0)
+    require(dim % PqSubspaces == 0,
+      s"embedding dim $dim not divisible into $PqSubspaces subspaces")
+    val subDim = dim / PqSubspaces
+    val books = trainPqCodebooks(s, e, subDim)
+    pqSubRows(e, subDim).join(broadcast(books), Seq("m"))
+      .select(col("vec_id"), col("m"), col("cell"), pqSqDist.as("d2"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("vec_id", "m").orderBy(col("d2").asc, col("cell"))))
+      .filter(col("rk") === 1)
+      .groupBy("vec_id")
+      .agg(
+        max(when(col("m") === 0, col("cell"))).as("c0"),
+        max(when(col("m") === 1, col("cell"))).as("c1"),
+        max(when(col("m") === 2, col("cell"))).as("c2"),
+        max(when(col("m") === 3, col("cell"))).as("c3"),
+        expr("sum(shiftleft(CAST(cell AS BIGINT), 4 * m))").as("code"))
+      .orderBy("vec_id")
+  }
+
   /** Semantic-dedup cell schedule — LINEAR, unlike the IVF search
     * schedule: cells = ceil(n / [[SemTargetCell]]) so expected occupancy
     * stays CONSTANT as the corpus grows (the SemDeDup recipe — Abbas et
@@ -742,6 +859,7 @@ object VectorOps {
     "q_embed_cross_dedup" -> qEmbedCrossDedup,
     "q_embed_neardup_lsh" -> qEmbedNeardupLsh,
     "q_embed_quantize" -> qEmbedQuantize,
+    "q_embed_pq" -> qEmbedPq,
     "q_ann_brute" -> sharedAnn("q_ann_brute", qAnnBrute),
     "q_embed_neardup" -> qEmbedNeardup,
     "q_ann_lsh" -> sharedAnn("q_ann_lsh", qAnnLsh),
@@ -911,7 +1029,78 @@ object VectorOps {
     |    WHERE q.vec_id < 10)
     |  WHERE rk <= 5)""".stripMargin
 
+  /** One PQ Lloyd round in SQL, keyed by (m, cell): argmin squared-L2
+    * assignment of the sample sub-rows against `cent`, then per-(m, cell)
+    * position-wise mean rounded through FLOAT — the exact twin of one
+    * [[trainPqCodebooks]] round. */
+  private def pqAsgnSql(cent: String): String = s"""
+    |  SELECT m, vec_id, sv, cell FROM (
+    |    SELECT s.m, s.vec_id, s.sv, c.cell,
+    |           row_number() OVER (PARTITION BY s.m, s.vec_id
+    |             ORDER BY list_sum(list_transform(range(1, len(s.sv) + 1),
+    |               k -> (s.sv[k] - CAST(c.pc[k] AS DOUBLE))
+    |                    * (s.sv[k] - CAST(c.pc[k] AS DOUBLE)))) ASC,
+    |             c.cell) AS rk
+    |    FROM psamp s JOIN $cent c ON s.m = c.m)
+    |  WHERE rk = 1""".stripMargin
+  private def pqCentSql(asgn: String): String = s"""
+    |  SELECT m, cell, list(CAST(v AS FLOAT) ORDER BY pos) AS pc FROM (
+    |    SELECT m, cell, pos, avg(x) AS v FROM (
+    |      SELECT a.m, a.cell, generate_subscripts(a.sv, 1) AS pos,
+    |             unnest(a.sv) AS x
+    |      FROM $asgn a)
+    |    GROUP BY m, cell, pos)
+    |  GROUP BY m, cell""".stripMargin
+
+  /** The unrolled PQ training + encode replay: sub-slice rows, the
+    * shared smallest-phash seed order, [[LloydRounds]] rounds, then the
+    * full-corpus argmin encode and the little-endian 4-bit pack. */
+  private def pqOracle: String = {
+    val ph = Tables.phashSql("vec_id")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+       |           FROM embeddings),
+       |sd AS (SELECT len(emb) // $PqSubspaces AS sd FROM e LIMIT 1),
+       |sub AS MATERIALIZED (
+       |  SELECT vec_id, ms.m,
+       |         list_slice(emb, ms.m * (SELECT sd FROM sd) + 1,
+       |                    (ms.m + 1) * (SELECT sd FROM sd)) AS sv
+       |  FROM e, (SELECT unnest(range(0, $PqSubspaces)) AS m) ms),
+       |seedv AS (
+       |  SELECT vec_id,
+       |         CAST(row_number() OVER (ORDER BY $ph, vec_id) AS INT) - 1
+       |           AS cell
+       |  FROM e WHERE $ph % 4 = 0
+       |  QUALIFY row_number() OVER (ORDER BY $ph, vec_id)
+       |    <= $PqCodebookSize),
+       |psamp AS MATERIALIZED (
+       |  SELECT * FROM sub WHERE $ph % 4 = 0),
+       |pseed AS (
+       |  SELECT sub.m, seedv.cell, CAST(sub.sv AS FLOAT[]) AS pc
+       |  FROM sub JOIN seedv USING (vec_id)),
+       |pa1 AS (${pqAsgnSql("pseed")}), pc1 AS MATERIALIZED (${pqCentSql("pa1")}),
+       |pa2 AS (${pqAsgnSql("pc1")}),   pc2 AS MATERIALIZED (${pqCentSql("pa2")}),
+       |pa3 AS (${pqAsgnSql("pc2")}),   pc3 AS MATERIALIZED (${pqCentSql("pa3")}),
+       |enc AS (
+       |  SELECT m, vec_id, cell FROM (
+       |    SELECT s.m, s.vec_id, c.cell,
+       |           row_number() OVER (PARTITION BY s.m, s.vec_id
+       |             ORDER BY list_sum(list_transform(range(1, len(s.sv) + 1),
+       |               k -> (s.sv[k] - CAST(c.pc[k] AS DOUBLE))
+       |                    * (s.sv[k] - CAST(c.pc[k] AS DOUBLE)))) ASC,
+       |             c.cell) AS rk
+       |    FROM sub s JOIN pc3 c ON s.m = c.m)
+       |  WHERE rk = 1)
+       |SELECT vec_id,
+       |       CAST(max(CASE WHEN m = 0 THEN cell END) AS INT) AS c0,
+       |       CAST(max(CASE WHEN m = 1 THEN cell END) AS INT) AS c1,
+       |       CAST(max(CASE WHEN m = 2 THEN cell END) AS INT) AS c2,
+       |       CAST(max(CASE WHEN m = 3 THEN cell END) AS INT) AS c3,
+       |       CAST(sum(CAST(cell AS BIGINT) << (4 * m)) AS BIGINT) AS code
+       |FROM enc GROUP BY vec_id ORDER BY vec_id""".stripMargin
+  }
+
   private val baseOracles: Map[String, String] = Map(
+    "q_embed_pq" -> pqOracle,
     "q_embed_quantize" ->
       """WITH a AS (
         |  SELECT vec_id,
