@@ -602,6 +602,23 @@ object VectorOps {
     } finally samp.unpersist()
   }
 
+  /** Session-memoized PQ geometry for corpus `d`: (subDim, codebooks).
+    * Training is deterministic (PqSpec pins retrain bit-equality), so
+    * q_embed_pq and the ADC search share ONE training per session —
+    * the [[graft.SharedPlans]] contract. */
+  private[graft] def pqBooksFor(s: SparkSession, d: String): (Int, DataFrame) = {
+    GraftFunctions.register(s)
+    val e = Tables.spread(s, Tables.embeddings(s, d))
+    val dim = e.select(size(col("embedding")).as("n")).limit(1)
+      .collect()(0).getInt(0)
+    require(dim % PqSubspaces == 0,
+      s"embedding dim $dim not divisible into $PqSubspaces subspaces")
+    val subDim = dim / PqSubspaces
+    (subDim,
+      graft.SharedPlans.shared(s, s"pq_books|$d")(
+        trainPqCodebooks(s, e, subDim)))
+  }
+
   /** PQ-encode the corpus: per-subspace argmin code (squared L2, ties to
     * the lowest cell) against the broadcast codebooks, packed
     * little-endian (subspace m in bits [4m, 4m+4)). Integer-only output
@@ -609,17 +626,12 @@ object VectorOps {
     * same argmin codes. Scale shape: codebooks broadcast (driver-small
     * at any corpus), encode is one map-side scoring pass + one
     * (vec_id, m)-keyed rank — a billion-vector corpus encodes in one
-    * linear pass, and the 16-bit codes are what an ADC re-scorer or a
-    * memory-resident index actually stores. */
+    * linear pass, and the 16-bit codes are what an ADC re-scorer
+    * ([[qEmbedPqSearch]]) or a memory-resident index actually stores. */
   private val qEmbedPq: Q = (s, d) => {
     GraftFunctions.register(s)
     val e = graft.Caching.persist(Tables.spread(s, Tables.embeddings(s, d)))
-    val dim = e.select(size(col("embedding")).as("n")).limit(1)
-      .collect()(0).getInt(0)
-    require(dim % PqSubspaces == 0,
-      s"embedding dim $dim not divisible into $PqSubspaces subspaces")
-    val subDim = dim / PqSubspaces
-    val books = trainPqCodebooks(s, e, subDim)
+    val (subDim, books) = pqBooksFor(s, d)
     pqSubRows(e, subDim).join(broadcast(books), Seq("m"))
       .select(col("vec_id"), col("m"), col("cell"), pqSqDist.as("d2"))
       .withColumn("rk", row_number().over(
@@ -633,6 +645,58 @@ object VectorOps {
         max(when(col("m") === 3, col("cell"))).as("c3"),
         expr("sum(shiftleft(CAST(cell AS BIGINT), 4 * m))").as("code"))
       .orderBy("vec_id")
+  }
+
+  /** The session-shared q_embed_pq result frame — the registered query
+    * and the ADC search below consume the same encode. */
+  private val sharedPq: Q = sharedAnn("q_embed_pq", qEmbedPq)
+
+  /** ADC (asymmetric-distance) top-5 search over the PQ codes — the
+    * consumer that makes q_embed_pq's 16-bit codes a search artifact.
+    * Per query: an M×K squared-L2 table between the query's sub-vectors
+    * and the shared codebooks, built IN-PLAN (queries × codebooks is
+    * Q·M·K rows — driver-small at any corpus) and flattened to one
+    * `lut` array per query; each corpus code row then scores as
+    * `lut[m*K + c_m]` summed in subspace order — a codegen'd array
+    * lookup over INT codes, no UDF, never touching corpus floats.
+    * Scale shape: the corpus side scans CODES only (2 bytes of payload
+    * per vector vs 256 for the raw floats), the broadcast is Q·(M·K)
+    * doubles however large the corpus, and the only shuffle is the
+    * per-query top-k rank — q_ann_brute's exact topology with a ~128×
+    * lighter scan, which is the point of PQ. Distances are the PQ
+    * metric (squared L2 to sub-centroids), so results approximate the
+    * cosine-ranked brute force; the recall@5 floor vs q_ann_brute is
+    * pinned in PqSpec (the q_ann_recall convention) and the result set
+    * itself is exact-arithmetic (oracle replays the same lookup table
+    * and m-ascending addition order). */
+  private val qEmbedPqSearch: Q = (s, d) => {
+    val (subDim, books) = pqBooksFor(s, d)
+    val codes = sharedPq(s, d)
+    val k = PqCodebookSize
+    val lut = pqSubRows(
+        Tables.embeddings(s, d).filter(col("vec_id") < 10), subDim)
+      .join(broadcast(books), Seq("m"))
+      .select(col("vec_id").as("query_id"), col("m"), col("cell"),
+        pqSqDist.as("d2"))
+      .groupBy("query_id")
+      .agg(map_from_entries(collect_list(struct(
+          (col("m") * k + col("cell")).as("key"), col("d2").as("value"))))
+        .as("lm"))
+      // dense flat array; a cell absent from the books maps to null but
+      // is also unreachable (codes are argmins over the same books)
+      .select(col("query_id"), expr(
+        s"transform(sequence(0, ${PqSubspaces * k - 1}), " +
+          "i -> element_at(lm, i))").as("lut"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc").asc, col("neighbor_id"))
+    codes.join(broadcast(lut), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        expr(s"lut[0 * $k + c0] + lut[1 * $k + c1] + " +
+          s"lut[2 * $k + c2] + lut[3 * $k + c3]").as("adc"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select("query_id", "neighbor_id", "rk")
+      .orderBy("query_id", "rk")
   }
 
   /** Semantic-dedup cell schedule — LINEAR, unlike the IVF search
@@ -859,7 +923,8 @@ object VectorOps {
     "q_embed_cross_dedup" -> qEmbedCrossDedup,
     "q_embed_neardup_lsh" -> qEmbedNeardupLsh,
     "q_embed_quantize" -> qEmbedQuantize,
-    "q_embed_pq" -> qEmbedPq,
+    "q_embed_pq" -> sharedPq,
+    "q_embed_pq_search" -> qEmbedPqSearch,
     "q_ann_brute" -> sharedAnn("q_ann_brute", qAnnBrute),
     "q_embed_neardup" -> qEmbedNeardup,
     "q_ann_lsh" -> sharedAnn("q_ann_lsh", qAnnLsh),
@@ -1054,8 +1119,9 @@ object VectorOps {
 
   /** The unrolled PQ training + encode replay: sub-slice rows, the
     * shared smallest-phash seed order, [[LloydRounds]] rounds, then the
-    * full-corpus argmin encode and the little-endian 4-bit pack. */
-  private def pqOracle: String = {
+    * full-corpus argmin encode — the shared CTE prefix of the encode
+    * oracle (q_embed_pq) and the ADC search oracle. */
+  private def pqCtes: String = {
     val ph = Tables.phashSql("vec_id")
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
        |           FROM embeddings),
@@ -1089,7 +1155,11 @@ object VectorOps {
        |                    * (s.sv[k] - CAST(c.pc[k] AS DOUBLE)))) ASC,
        |             c.cell) AS rk
        |    FROM sub s JOIN pc3 c ON s.m = c.m)
-       |  WHERE rk = 1)
+       |  WHERE rk = 1)""".stripMargin
+  }
+
+  private def pqOracle: String =
+    s"""$pqCtes
        |SELECT vec_id,
        |       CAST(max(CASE WHEN m = 0 THEN cell END) AS INT) AS c0,
        |       CAST(max(CASE WHEN m = 1 THEN cell END) AS INT) AS c1,
@@ -1097,10 +1167,50 @@ object VectorOps {
        |       CAST(max(CASE WHEN m = 3 THEN cell END) AS INT) AS c3,
        |       CAST(sum(CAST(cell AS BIGINT) << (4 * m)) AS BIGINT) AS code
        |FROM enc GROUP BY vec_id ORDER BY vec_id""".stripMargin
-  }
+
+  /** ADC search replay: per-query M×K lookup table against the trained
+    * `pc3` codebooks (the same pqSqDist squared-L2 arithmetic), then the
+    * per-code-row sum in the SAME m-ascending addition order as the
+    * engine's `lut[0]+lut[1]+lut[2]+lut[3]` expression, ranked per query
+    * with the neighbor-id tie-break. */
+  private def pqSearchOracle: String =
+    s"""$pqCtes,
+       |codes AS (
+       |  SELECT vec_id,
+       |         max(CASE WHEN m = 0 THEN cell END) AS c0,
+       |         max(CASE WHEN m = 1 THEN cell END) AS c1,
+       |         max(CASE WHEN m = 2 THEN cell END) AS c2,
+       |         max(CASE WHEN m = 3 THEN cell END) AS c3
+       |  FROM enc GROUP BY vec_id),
+       |lutd AS (
+       |  SELECT q.vec_id AS query_id, c.m, c.cell,
+       |         list_sum(list_transform(range(1, len(q.sv) + 1),
+       |           k -> (q.sv[k] - CAST(c.pc[k] AS DOUBLE))
+       |                * (q.sv[k] - CAST(c.pc[k] AS DOUBLE)))) AS d2
+       |  FROM (SELECT * FROM sub WHERE vec_id < 10) q
+       |  JOIN pc3 c ON q.m = c.m),
+       |adc AS (
+       |  SELECT l0.query_id, c.vec_id AS neighbor_id,
+       |         l0.d2 + l1.d2 + l2.d2 + l3.d2 AS dist
+       |  FROM codes c
+       |  JOIN lutd l0 ON l0.m = 0 AND l0.cell = c.c0
+       |  JOIN lutd l1 ON l1.m = 1 AND l1.cell = c.c1
+       |                AND l1.query_id = l0.query_id
+       |  JOIN lutd l2 ON l2.m = 2 AND l2.cell = c.c2
+       |                AND l2.query_id = l0.query_id
+       |  JOIN lutd l3 ON l3.m = 3 AND l3.cell = c.c3
+       |                AND l3.query_id = l0.query_id
+       |  WHERE c.vec_id <> l0.query_id)
+       |SELECT query_id, neighbor_id, rk FROM (
+       |  SELECT query_id, neighbor_id,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |           ORDER BY dist ASC, neighbor_id) AS INT) AS rk
+       |  FROM adc)
+       |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
 
   private val baseOracles: Map[String, String] = Map(
     "q_embed_pq" -> pqOracle,
+    "q_embed_pq_search" -> pqSearchOracle,
     "q_embed_quantize" ->
       """WITH a AS (
         |  SELECT vec_id,

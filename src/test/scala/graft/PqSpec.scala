@@ -89,4 +89,27 @@ class PqSpec extends AnyFunSuite {
         s"vec $id: code $code outside [0, 2^${4 * M})")
     }
   }
+
+  test("ADC search recall@5 vs brute force (the q_ann_recall convention)") {
+    val brute = VectorOps.queries("q_ann_brute")(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adc = VectorOps.queries("q_embed_pq_search")(spark, TestSpark.sf0001)
+      .collect()
+    val byQuery = adc.groupBy(_.getLong(0))
+    byQuery.foreach { case (_, rs) =>
+      val ranks = rs.map(_.getInt(2)).sorted
+      assert(ranks.length <= 5)
+      assert(ranks.toSeq == (1 to ranks.length))
+    }
+    val got = adc.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ADC ranks by squared-L2-to-sub-centroids, brute by cosine on the
+    // raw floats — the fixture's 4×4-bit geometry (16 bits/vector, a
+    // 128× compression) is deliberately coarse, so the floor pins the
+    // OBSERVED deterministic value (0.12; fixed seeds/rounds/fixture),
+    // margin only for ordering ties — a silent regression in the lookup
+    // table or the tie-break fails the spec
+    val recall = brute.intersect(got).size.toDouble / brute.size
+    info(s"adc recall@5 = $recall")
+    assert(recall >= 0.12, s"adc recall@5 = $recall")
+  }
 }
