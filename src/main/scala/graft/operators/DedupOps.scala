@@ -644,11 +644,15 @@ object DedupOps {
     * partitions its keys touch (PartitionFilters pinned in PlanShapeSpec
     * "dedup index probe prunes band partitions"); pruning is exact
     * because a (band, minhash) bucket lives wholly inside one partition,
-    * so the width-cap statistics over the pruned scan are unchanged. */
+    * so the width-cap statistics over the pruned scan are unchanged. A
+    * caller that already knows the batch bound (a per-trigger streaming
+    * probe) passes `knownBatchRows` and the gate count is skipped — the
+    * VectorIndex convention. */
   def crossDedupBestFromIndex(s: SparkSession, indexDir: String,
       inDocs: DataFrame, cap: Long = LshBucketCap,
       refine: Boolean = true,
-      pruneRowLimit: Long = IndexProbePruneRowLimit): DataFrame = {
+      pruneRowLimit: Long = IndexProbePruneRowLimit,
+      knownBatchRows: Option[Long] = None): DataFrame = {
     val corpDocs = graft.sources.DedupIndex.loadDocs(s, indexDir)
     // persisted: the band frame feeds up to four subtrees (the prune
     // derivation, candidates, the flagged probe set, the refine join) and
@@ -658,7 +662,7 @@ object DedupOps {
     // via clearCache)
     val inBands = graft.Caching.persist(
       minhashBands(s, inDocs).withColumnRenamed("doc_id", "in_id"))
-    val corpBands = (if (inDocs.count() <= pruneRowLimit)
+    val corpBands = (if (knownBatchRows.getOrElse(inDocs.count()) <= pruneRowLimit)
         graft.sources.DedupIndex.prunedBands(s, indexDir, inBands)
       else graft.sources.DedupIndex.loadBands(s, indexDir))
       .select(col("doc_id"), col("band"), col("minhash").as("bv"))

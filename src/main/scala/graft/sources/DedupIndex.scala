@@ -55,27 +55,63 @@ object DedupIndex {
   private[graft] def layoutPartsFor(nDocs: Long): Int =
     math.max(64L, math.min(1L << 16, nDocs / (250L * 1000) + 1)).toInt
 
+  /** What a [[mergePublishStats]] actually wrote, per partitioned
+    * dataset: partition directories REWRITTEN (they hold batch rows or
+    * rows of replaced ids) vs hard-copied verbatim from the live index
+    * (no decode, no shuffle). The `*FullRewrite` flags mark the O(index)
+    * fallbacks — a layout-modulus change at the merged count, or a
+    * legacy artifact missing that dataset's partition column (where the
+    * full write doubles as the upgrade to the current layout). */
+  final case class MergeStats(parts: Int, dirtyDocParts: Int,
+      copiedDocParts: Int, dirtyBandParts: Int, copiedBandParts: Int,
+      docsFullRewrite: Boolean, bandsFullRewrite: Boolean)
+
   private def dpartOf(band: org.apache.spark.sql.Column,
       minhash: org.apache.spark.sql.Column, nParts: Int) =
     pmod(xxhash64(band, minhash), lit(nParts.toLong))
 
-  /** The bands layout modulus recorded at publish. */
-  def loadParts(s: SparkSession, indexDir: String): Int =
-    s.read.parquet(s"$indexDir/meta").collect()(0).getAs[Int]("parts")
+  /** The `docs` partition value — a pure function of doc_id alone, so a
+    * replaced doc's old row and its replacement land in the SAME
+    * partition, and the dirty-partition set of a merge is derivable from
+    * the batch ids without touching the index. */
+  private def docPartOf(docId: org.apache.spark.sql.Column, nParts: Int) =
+    pmod(xxhash64(docId), lit(nParts.toLong))
 
-  /** Write `bands` (band, minhash, doc_id) under the partitioned layout
-    * plus the `meta` record — the shared tail of [[publishFrom]] and
-    * [[mergePublish]]. `meta` commits LAST so [[isPublished]] implies a
-    * complete bands layout. */
-  private def writeBandsAndMeta(s: SparkSession, bands: DataFrame,
+  /** The bands layout modulus recorded at publish; 0 for a LEGACY
+    * artifact (no `meta` dataset, or one without a `parts` field) —
+    * consumers degrade to the full scan and the next merge upgrades the
+    * layout. */
+  def loadParts(s: SparkSession, indexDir: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/meta")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return 0
+    val df = s.read.parquet(s"$indexDir/meta")
+    if (!df.schema.fieldNames.contains("parts")) 0
+    else df.collect()(0).getAs[Int]("parts")
+  }
+
+  /** Write all three datasets under the partitioned layout — the shared
+    * tail of [[publishFrom]] and the full-rewrite merge path. `meta`
+    * commits LAST so [[isPublished]] implies complete layouts. */
+  private def writeAll(s: SparkSession, docs: DataFrame, bands: DataFrame,
       indexDir: String, nDocs: Long): Unit = {
-    import s.implicits._
     val parts = layoutPartsFor(nDocs)
+    docs.select("doc_id", "hs", "n", "truncated")
+      .withColumn("dpart", docPartOf(col("doc_id"), parts))
+      .repartition(parts, col("dpart"))
+      .write.partitionBy("dpart")
+      .mode("overwrite").parquet(s"$indexDir/docs")
     bands.select("band", "minhash", "doc_id")
       .withColumn("dpart", dpartOf(col("band"), col("minhash"), parts))
       .repartition(parts, col("dpart"))
       .write.partitionBy("dpart")
       .mode("overwrite").parquet(s"$indexDir/bands")
+    writeMeta(s, indexDir, nDocs, parts)
+  }
+
+  private def writeMeta(s: SparkSession, indexDir: String, nDocs: Long,
+      parts: Int): Unit = {
+    import s.implicits._
     Seq((nDocs, parts)).toDF("ndocs", "parts")
       .write.mode("overwrite").parquet(s"$indexDir/meta")
   }
@@ -94,11 +130,9 @@ object DedupIndex {
     val docs = graft.Caching.persist(
       graft.operators.DedupOps.docHashesOf(s, corpus))
     try {
-      docs.write.mode("overwrite").parquet(s"$indexDir/docs")
-      writeBandsAndMeta(s, graft.streaming.NearDupStream.bandIndex(s, docs),
+      writeAll(s, docs, graft.streaming.NearDupStream.bandIndex(s, docs),
         indexDir, docs.count())
-      (s.read.parquet(s"$indexDir/docs").count(),
-        loadBands(s, indexDir).count())
+      (loadDocs(s, indexDir).count(), loadBands(s, indexDir).count())
     } finally docs.unpersist()
   }
 
@@ -115,16 +149,40 @@ object DedupIndex {
     * present in the batch are dropped before the union, so a re-ingested
     * (edited) document replaces its hash set and band keys.
     *
-    * Incrementality: shingling/hashing/banding run over the BATCH only —
-    * the existing corpus contributes its already-computed `docs` and
-    * `bands` rows through a broadcast-able anti-join + union, so a merge
-    * costs O(batch) compute plus an O(index) copy, never a corpus
-    * re-shingle. (At 100 TB the copy is the small index artifact, not the
-    * corpus; partitioning `bands` by band would turn the copy into a
-    * partition-level append for the unreplaced majority.)
+    * Incrementality: shingling/hashing/banding run over the BATCH only,
+    * and the write is PARTITION-LEVEL (see [[mergePublishStats]]): both
+    * layouts partition by pure key functions, so the merge rewrites only
+    * the partitions holding batch or replaced rows and hard-copies every
+    * other partition file verbatim — O(batch) compute + O(dirty)
+    * write, never a corpus re-shingle and no longer an O(index) copy.
     * Returns (docRows, bandRows) of the merged publish. */
   def mergePublish(s: SparkSession, indexDir: String, newDocs: DataFrame,
-      newIndexDir: String): (Long, Long) = {
+      newIndexDir: String): (Long, Long) =
+    mergePublishStats(s, indexDir, newDocs, newIndexDir)._1
+
+  /** [[mergePublish]] returning what was actually written.
+    *
+    * Partition-level dirty-set derivation, per dataset:
+    *   - `docs` partitions by a pure function of doc_id, so the dirty
+    *     set is derivable from the BATCH alone (a replaced doc's old row
+    *     lives in the same partition its replacement lands in) — no
+    *     index scan at all;
+    *   - `bands` partitions by a pure function of (band, minhash). A
+    *     replaced doc's old band keys re-derive from its STORED hash set
+    *     (bandIndex is a pure row function, minima are order-invariant),
+    *     read through the doc-pruned scan — so the dirty band-partition
+    *     set costs O(batch + replaced), again with no band-table scan.
+    *
+    * Dirty partitions rewrite through a partition-PRUNED read of the
+    * live index (anti-join replaced ids, union batch rows); clean
+    * partition directories hard-copy verbatim (one file each — the
+    * layout invariant). Fallbacks to the full rewrite, per dataset: the
+    * layout modulus changed at the merged count, or the live artifact
+    * predates that dataset's partition column (r11 bands-only layout,
+    * pre-r11 unpartitioned) — where the full write doubles as the
+    * upgrade. */
+  def mergePublishStats(s: SparkSession, indexDir: String,
+      newDocs: DataFrame, newIndexDir: String): ((Long, Long), MergeStats) = {
     require(isPublished(s, indexDir), s"no published index at $indexDir")
     // canonical paths: getAbsolutePath would let a symlinked or
     // dot-segment spelling of the live dir slip past the guard
@@ -136,29 +194,165 @@ object DedupIndex {
       graft.operators.DedupOps.docHashesOf(s, newDocs))
     try {
       val batchIds = batch.select(col("doc_id"))
-      loadDocs(s, indexDir).join(batchIds, Seq("doc_id"), "left_anti")
-        .unionByName(batch)
-        .write.mode("overwrite").parquet(s"$newIndexDir/docs")
-      val mergedBands = loadBands(s, indexDir)
-        .join(batchIds, Seq("doc_id"), "left_anti")
-        .unionByName(graft.streaming.NearDupStream.bandIndex(s, batch)
-          .select(col("band"), col("minhash"), col("doc_id")))
-      // parts is layout-only: re-derived at the merged doc count
-      writeBandsAndMeta(s, mergedBands, newIndexDir,
-        s.read.parquet(s"$newIndexDir/docs").count())
-      (s.read.parquet(s"$newIndexDir/docs").count(),
-        loadBands(s, newIndexDir).count())
+      val parts = loadParts(s, indexDir)
+      val docsParted = loadDocsRaw(s, indexDir).columns.contains("dpart")
+      val bandsParted = loadBandsRaw(s, indexDir).columns.contains("dpart")
+
+      // replaced ids' stored rows: via the doc-pruned scan when the docs
+      // layout allows it, else a full-scan semi-join (legacy)
+      val batchDocParts: Array[Long] =
+        if (parts > 0 && docsParted)
+          batch.select(docPartOf(col("doc_id"), parts).as("p"))
+            .distinct().collect().map(_.getLong(0))
+        else Array.empty
+      val replacedDocs = graft.Caching.persist(
+        (if (parts > 0 && docsParted)
+           prunedByVals(loadDocsRaw(s, indexDir), "dpart", batchDocParts,
+             parts)
+         else loadDocsRaw(s, indexDir))
+          .select("doc_id", "hs", "n", "truncated")
+          .join(batchIds, Seq("doc_id"), "left_semi"))
+      try {
+        val nReplaced = replacedDocs.count()
+        val nDocs2 = loadNDocs(s, indexDir) - nReplaced + batch.count()
+        val parts2 = layoutPartsFor(nDocs2)
+        val incremental = parts2 == parts && parts > 0
+
+        // ---- docs --------------------------------------------------
+        val (dirtyDoc, copiedDoc) =
+          if (incremental && docsParted) {
+            val dirtyRows = prunedByVals(loadDocsRaw(s, indexDir), "dpart",
+                batchDocParts, parts)
+              .select("doc_id", "hs", "n", "truncated")
+              .join(batchIds, Seq("doc_id"), "left_anti")
+              .unionByName(batch.select("doc_id", "hs", "n", "truncated"))
+              .withColumn("dpart", docPartOf(col("doc_id"), parts))
+            dirtyRows.repartition(math.max(1, batchDocParts.length),
+                col("dpart"))
+              .write.partitionBy("dpart")
+              .mode("overwrite").parquet(s"$newIndexDir/docs")
+            (batchDocParts.length,
+              copyCleanParts(s, s"$indexDir/docs", s"$newIndexDir/docs",
+                batchDocParts.toSet))
+          } else {
+            loadDocs(s, indexDir).join(batchIds, Seq("doc_id"), "left_anti")
+              .unionByName(batch.select("doc_id", "hs", "n", "truncated"))
+              .withColumn("dpart", docPartOf(col("doc_id"), parts2))
+              .repartition(parts2, col("dpart"))
+              .write.partitionBy("dpart")
+              .mode("overwrite").parquet(s"$newIndexDir/docs")
+            (parts2, 0)
+          }
+
+        // ---- bands -------------------------------------------------
+        val batchBands = graft.streaming.NearDupStream.bandIndex(s, batch)
+          .select(col("band"), col("minhash"), col("doc_id"))
+        val (dirtyBand, copiedBand) =
+          if (incremental && bandsParted) {
+            // replaced docs' old band keys, re-derived from stored hs
+            val replacedBands =
+              graft.streaming.NearDupStream.bandIndex(s, replacedDocs)
+                .select(col("band"), col("minhash"))
+            val dirtyBp = batchBands
+              .select(dpartOf(col("band"), col("minhash"), parts).as("p"))
+              .union(replacedBands
+                .select(dpartOf(col("band"), col("minhash"), parts)))
+              .distinct().collect().map(_.getLong(0))
+            val dirtyRows = prunedByVals(loadBandsRaw(s, indexDir), "dpart",
+                dirtyBp, parts)
+              .select("band", "minhash", "doc_id")
+              .join(batchIds, Seq("doc_id"), "left_anti")
+              .unionByName(batchBands)
+              .withColumn("dpart", dpartOf(col("band"), col("minhash"),
+                parts))
+            dirtyRows.repartition(math.max(1, dirtyBp.length), col("dpart"))
+              .write.partitionBy("dpart")
+              .mode("overwrite").parquet(s"$newIndexDir/bands")
+            (dirtyBp.length,
+              copyCleanParts(s, s"$indexDir/bands", s"$newIndexDir/bands",
+                dirtyBp.toSet))
+          } else {
+            loadBands(s, indexDir).join(batchIds, Seq("doc_id"), "left_anti")
+              .unionByName(batchBands)
+              .withColumn("dpart", dpartOf(col("band"), col("minhash"),
+                parts2))
+              .repartition(parts2, col("dpart"))
+              .write.partitionBy("dpart")
+              .mode("overwrite").parquet(s"$newIndexDir/bands")
+            (parts2, 0)
+          }
+
+        writeMeta(s, newIndexDir, nDocs2, parts2)
+        ((loadDocs(s, newIndexDir).count(), loadBands(s, newIndexDir).count()),
+          MergeStats(parts2, dirtyDoc, copiedDoc, dirtyBand, copiedBand,
+            docsFullRewrite = !(incremental && docsParted),
+            bandsFullRewrite = !(incremental && bandsParted)))
+      } finally replacedDocs.unpersist()
     } finally batch.unpersist()
   }
 
-  /** True iff ALL datasets committed (meta writes last, so it doubles as
-    * the publish's overall marker) — the reader-side gate. */
+  /** The recorded corpus count; legacy artifacts (no meta) count the doc
+    * store directly. */
+  private def loadNDocs(s: SparkSession, indexDir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/meta")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val df = s.read.parquet(s"$indexDir/meta")
+      if (df.schema.fieldNames.contains("ndocs"))
+        df.collect()(0).getAs[Long]("ndocs")
+      else loadDocs(s, indexDir).count()
+    } else loadDocs(s, indexDir).count()
+  }
+
+  /** Static partition-value pruning with rebased literals — the
+    * [[VectorIndex]] convention (hive reads the partition column back as
+    * IntegerType; casting the attribute would block pruning). */
+  private def prunedByVals(idx: DataFrame, partCol: String,
+      parts: Array[Long], nParts: Int): DataFrame = {
+    if (parts.length < nParts) {
+      val lits: Seq[Any] = idx.schema(partCol).dataType match {
+        case org.apache.spark.sql.types.IntegerType => parts.toSeq.map(_.toInt)
+        case _ => parts.toSeq
+      }
+      idx.filter(col(partCol).isin(lits: _*))
+    } else idx
+  }
+
+  /** Hard-copy every clean `dpart=<v>` partition directory — see
+    * [[MergeStats]]. Returns how many were copied. */
+  private def copyCleanParts(s: SparkSession, prevPath: String,
+      newPath: String, dirty: Set[Long]): Int = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val src = new org.apache.hadoop.fs.Path(prevPath)
+    val fs = src.getFileSystem(conf)
+    val clean = fs.listStatus(src)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("dpart=")
+        && !dirty.contains(st.getPath.getName.stripPrefix("dpart=").toLong))
+    clean.foreach { st =>
+      org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs,
+        new org.apache.hadoop.fs.Path(newPath, st.getPath.getName),
+        false, conf)
+    }
+    clean.length
+  }
+
+  /** True iff the data datasets committed (meta writes last, so its
+    * presence additionally implies complete layouts). `meta` itself is
+    * NOT required: a legacy pre-layout artifact has none and must still
+    * read (consumers then take the full-scan path — [[loadParts]] = 0 —
+    * and the next merge upgrades it). */
   def isPublished(s: SparkSession, indexDir: String): Boolean =
     StorageOps.isCommitted(s, s"$indexDir/docs") &&
-      StorageOps.isCommitted(s, s"$indexDir/bands") &&
-      StorageOps.isCommitted(s, s"$indexDir/meta")
+      StorageOps.isCommitted(s, s"$indexDir/bands")
 
+  /** The doc store WITHOUT the layout's partition column — the
+    * reader-facing schema is (doc_id, hs, n, truncated) exactly; `dpart`
+    * is derivable from doc_id whenever a consumer wants the pruned
+    * scan. */
   def loadDocs(s: SparkSession, indexDir: String): DataFrame =
+    loadDocsRaw(s, indexDir).select("doc_id", "hs", "n", "truncated")
+
+  private def loadDocsRaw(s: SparkSession, indexDir: String): DataFrame =
     s.read.parquet(s"$indexDir/docs")
 
   /** The band table WITHOUT the layout's partition column — the
@@ -184,18 +378,13 @@ object DedupIndex {
   private[graft] def prunedBands(s: SparkSession, indexDir: String,
       batchBands: DataFrame): DataFrame = {
     val nParts = loadParts(s, indexDir)
+    val raw = loadBandsRaw(s, indexDir)
+    if (nParts <= 0 || !raw.columns.contains("dpart")) // legacy: full scan
+      return raw.select("band", "minhash", "doc_id")
     val parts = batchBands
       .select(dpartOf(col("band"), col("bv"), nParts).as("dpart"))
       .distinct().collect().map(_.getLong(0))
-    val raw = loadBandsRaw(s, indexDir)
-    val pruned =
-      if (parts.length < nParts) {
-        val lits: Seq[Any] = raw.schema("dpart").dataType match {
-          case org.apache.spark.sql.types.IntegerType => parts.toSeq.map(_.toInt)
-          case _ => parts.toSeq
-        }
-        raw.filter(col("dpart").isin(lits: _*))
-      } else raw
-    pruned.select("band", "minhash", "doc_id")
+    prunedByVals(raw, "dpart", parts, nParts)
+      .select("band", "minhash", "doc_id")
   }
 }

@@ -71,14 +71,36 @@ import graft.functions.GraftFunctions
   * q_knn_join shape) never hits the 8 GB broadcast wall or a driver
   * collect. VectorIndexSpec ("limit 0 forces the shuffle path...")
   * forces the shuffle path with limit 0 and pins it result-identical
-  * to the gated path. */
+  * to the gated path. A caller that already knows its batch bound (a
+  * per-trigger streaming probe, a foreachBatch consumer) passes
+  * `knownBatchRows` and the gate count is SKIPPED; below the gate the
+  * derived batch frame is persisted for the call ([[batchFrame]]), so
+  * a gated search runs the batch lineage once, not three times. */
 object VectorIndex {
 
   /** The frozen geometry + corpus count of a published index, plus the
     * version's LAYOUT partition count (`parts` — see the header: layout,
-    * not geometry; merges re-derive it). */
+    * not geometry; merges re-derive it). `parts == 0` marks a LEGACY
+    * pre-partitioned-layout artifact (meta without a `parts` field):
+    * probes fall back to the full scan and the next merge rewrites it
+    * under the current layout. */
   final case class Meta(n: Long, width: Int, probes: Int, cap: Long,
       cells: Int, parts: Int)
+
+  /** What a [[mergePublishStats]] actually wrote, per partitioned
+    * dataset: how many partition directories were REWRITTEN (dirty — they
+    * contain batch rows or rows of replaced ids) vs hard-copied verbatim
+    * from the previous version (clean — no decode, no shuffle).
+    * `fullRewrite` marks the O(index) fallbacks: a layout-modulus change
+    * (`parts` moved at the merged count) or a legacy unpartitioned
+    * artifact. `drainRecompute` marks the bucket-membership recovery
+    * pass: a replaced id was removed from a bucket AT the frozen cap, so
+    * the capped store no longer holds the bucket's full membership and
+    * the dirty buckets rebuild from a corpus signature pass instead of
+    * the pruned stored rows (still only dirty PARTITIONS are written). */
+  final case class MergeStats(parts: Int, dirtyBucketParts: Int,
+      copiedBucketParts: Int, dirtyCellParts: Int, copiedCellParts: Int,
+      fullRewrite: Boolean, drainRecompute: Boolean)
 
   /** Hash-partition count for a version's `buckets` / `cells` layout,
     * derived from the corpus size at publish: floor 64 (directory
@@ -117,7 +139,18 @@ object VectorIndex {
     * nothing and its only effect would be plan noise. */
   private def prunedScan(idx: DataFrame, partVals: DataFrame,
       partCol: String, nParts: Int): DataFrame = {
+    if (nParts <= 0 || !idx.columns.contains(partCol)) return idx // legacy
     val parts = partVals.distinct().collect().map(_.getLong(0))
+    prunedByVals(idx, partCol, parts, nParts)
+  }
+
+  /** [[prunedScan]] with an already-collected partition-value set — the
+    * literals are rebased to the scan column's inferred type so the
+    * `isin` stays a static partition filter (a cast around the attribute
+    * would block pruning). Returns the scan unchanged when every
+    * partition is touched. */
+  private def prunedByVals(idx: DataFrame, partCol: String,
+      parts: Array[Long], nParts: Int): DataFrame = {
     if (parts.length < nParts) {
       val lits: Seq[Any] = idx.schema(partCol).dataType match {
         case org.apache.spark.sql.types.IntegerType => parts.toSeq.map(_.toInt)
@@ -126,6 +159,18 @@ object VectorIndex {
       idx.filter(col(partCol).isin(lits: _*))
     } else idx
   }
+
+  /** The probe-side frame of a gated search call. Below the gate the
+    * derived batch frame (probe explode / centroid rank) is PERSISTED so
+    * the partition-set collect and the final index join materialize the
+    * batch lineage once instead of three times (the count, when not
+    * skipped via `knownBatchRows`, runs on the cheaper pre-explode
+    * projection). The cache is left armed — the RETURNED lazy plan reads
+    * it — and is reclaimed by the session's `clearCache` like every
+    * other [[graft.Caching]] frame; above the gate nothing is persisted
+    * (a corpus-scale batch must not be pinned). */
+  private def batchFrame(small: Boolean, derived: DataFrame): DataFrame =
+    if (small) graft.Caching.persist(derived) else derived
 
   private def ver(s: SparkSession, dir: String): String =
     StorageOps.currentVersion(s, dir).getOrElse(
@@ -140,9 +185,14 @@ object VectorIndex {
     }
 
   def loadMeta(s: SparkSession, dir: String): Meta = {
-    val r = s.read.parquet(s"$dir/${ver(s, dir)}/meta").collect()(0)
+    val df = s.read.parquet(s"$dir/${ver(s, dir)}/meta")
+    val r = df.collect()(0)
+    // pre-partitioned-layout artifacts have no `parts` field: report 0
+    // (legacy) instead of crashing — probes degrade to the full scan
+    val parts =
+      if (df.schema.fieldNames.contains("parts")) r.getAs[Int]("parts") else 0
     Meta(r.getAs[Long]("n"), r.getAs[Int]("width"), r.getAs[Int]("probes"),
-      r.getAs[Long]("cap"), r.getAs[Int]("cells"), r.getAs[Int]("parts"))
+      r.getAs[Long]("cap"), r.getAs[Int]("cells"), parts)
   }
 
   /** The active bucket table, WITHOUT the layout's partition column —
@@ -237,48 +287,218 @@ object VectorIndex {
 
   /** Incremental ingest — merge a batch of (vec_id, embedding) into the
     * published index as the next version. Geometry and centroids are
-    * FROZEN (see the header); re-submitted ids take latest-wins, batch
-    * vectors are assigned to the frozen centroids, and the capped bucket
-    * table is RE-DERIVED from the merged uncapped cell store (see the
-    * inline note: merging the stored capped rows would lose members the
-    * cap once dropped), so merge == rebuild at frozen geometry exactly —
-    * spec-pinned including an engaged-cap drain case. Compute is
-    * O(batch) + one signature pass and per-bucket rank over the O(index)
-    * rows the merge already copies, as in DedupIndex. */
-  def mergePublish(s: SparkSession, dir: String, batch: DataFrame): Meta = {
+    * FROZEN (see the header); re-submitted ids take latest-wins and
+    * batch vectors are assigned to the frozen centroids, so
+    * merge == rebuild at frozen geometry exactly — spec-pinned
+    * including an engaged-cap drain case. See [[mergePublishStats]] for
+    * the partition-level cost contract. */
+  def mergePublish(s: SparkSession, dir: String, batch: DataFrame): Meta =
+    mergePublishStats(s, dir, batch)._1
+
+  /** [[mergePublish]] returning what was actually written. The merge is
+    * PARTITION-LEVEL: because `bpart`/`cpart` are pure functions of the
+    * join keys, a batch can only change the partitions that hold its own
+    * rows or rows of the ids it replaces — every other partition
+    * directory of the previous version is byte-identical in the merged
+    * result and is hard-copied verbatim (one file each, no decode, no
+    * shuffle). Per merge the engine therefore:
+    *
+    *   1. locates replaced ids with ONE skinny column scan of the cell
+    *      store (vec_id + the partition value — no embedding pages),
+    *      which also yields the exact merged count without a second scan;
+    *   2. reads the replaced ids' old rows through a partition-PRUNED
+    *      scan and re-derives their old bucket keys from the stored
+    *      embeddings (the key is a pure function of the vector — no
+    *      bucket-table scan at all);
+    *   3. rewrites only the dirty cell partitions (pruned scan ∪ batch
+    *      assignments) and the dirty bucket partitions (pruned stored
+    *      rows minus replaced plus batch, re-ranked at the frozen cap);
+    *   4. hard-copies every clean partition directory.
+    *
+    * Merge == rebuild stays EXACT: an untouched bucket's capped rows
+    * re-rank to themselves; an at-cap bucket GAINING members never needs
+    * its cap-dropped tail (dropped members rank below every stored
+    * member, so they can never re-enter a top-cap that only got more
+    * crowded); and the one case where the capped store is insufficient —
+    * a replaced id removed from a bucket AT the cap, whose dropped tail
+    * may be promoted — is detected and routed through a corpus signature
+    * pass that recovers the dirty buckets' true membership
+    * (`drainRecompute`; dirty partitions only are still all that's
+    * written). A layout-modulus change at the merged count (or a legacy
+    * unpartitioned artifact) falls back to the full rewrite
+    * (`fullRewrite`), which doubles as the artifact's upgrade path. */
+  def mergePublishStats(s: SparkSession, dir: String,
+      batch: DataFrame): (Meta, MergeStats) = {
     require(isPublished(s, dir), s"no published vector index at $dir")
     GraftFunctions.register(s)
     val m = loadMeta(s, dir)
+    val prev = s"$dir/${ver(s, dir)}"
     val b = graft.Caching.persist(
       batch.select(col("vec_id"), col("embedding")))
     try {
       val ids = b.select("vec_id")
       val cent = loadCentroids(s, dir)
-      val mergedCells = graft.Caching.persist(
-        loadCells(s, dir).join(ids, Seq("vec_id"), "left_anti")
-          .unionByName(VectorOps.assignCells(b, cent)
-            .select(col("cell"), col("vec_id"), col("embedding"))))
+      val nBatch = b.count()
+      // one skinny scan of the cell store (vec_id + cpart only): where do
+      // the replaced ids live, and how many are there — bounded collect
+      // (≤ parts rows after the groupBy)
+      val repByPart: Array[(Long, Long)] =
+        if (m.parts <= 0) Array.empty
+        else loadCellsRaw(s, dir).select(col("vec_id"), col("cpart"))
+          .join(ids, Seq("vec_id"), "left_semi")
+          .groupBy("cpart").count().collect()
+          .map(r => (r.get(0).asInstanceOf[Number].longValue, r.getLong(1)))
+      val nReplaced = repByPart.map(_._2).sum
+      val n2 = m.n - nReplaced + nBatch
+      val parts2 = layoutPartsFor(n2)
+      if (m.parts <= 0 || parts2 != m.parts) {
+        val fullMeta = mergeFullRewrite(s, dir, m, b, ids, cent)
+        return (fullMeta, MergeStats(fullMeta.parts, fullMeta.parts, 0,
+          fullMeta.parts, 0, fullRewrite = true, drainRecompute = false))
+      }
+
+      val replacedCparts = repByPart.map(_._1)
+      val batchCells = graft.Caching.persist(
+        VectorOps.assignCells(b, cent)
+          .select(col("cell"), col("vec_id"), col("embedding")))
       try {
-        // The bucket table is REBUILT from the merged cells — the
-        // UNCAPPED per-vector store — not merged from the stored capped
-        // rows: a member the cap dropped at an earlier publish is absent
-        // from the stored buckets, so a merge over them could never
-        // re-admit it when a later batch drains its flooded bucket,
-        // silently diverging from the frozen-geometry rebuild the
-        // contract promises. Deriving from cells keeps merge == rebuild
-        // EXACT (same inputs, same derivation) at one extra map-side
-        // signature pass over the O(index) rows the merge already copies.
-        val mergedBuckets = VectorOps.cappedBuckets(
-          mergedCells.select(col("vec_id"), col("embedding")),
-          m.width, m.cap, "vec_id", "embedding")
-        // cells is uncapped (one row per vector): its count IS the new n.
-        // `parts` is layout-only, so unlike the frozen geometry it is
-        // re-derived at the merged count (keys stay valid either way).
-        val n2 = mergedCells.count()
-        writeVersion(s, dir, m.copy(n = n2, parts = layoutPartsFor(n2)),
-          mergedBuckets, cent, mergedCells)
-      } finally mergedCells.unpersist()
+        // replaced ids' OLD rows, via the pruned cell scan; their old
+        // bucket keys re-derive from the stored embeddings
+        val replacedOld = prunedByVals(loadCellsRaw(s, dir), "cpart",
+            replacedCparts, m.parts)
+          .join(ids, Seq("vec_id"), "left_semi")
+          .select(col("vec_id"), col("embedding"))
+        val replacedBuckets = graft.Caching.persist(replacedOld
+          .select(col("vec_id"), bucketKeyOf(m.width).as("bucket")))
+        try {
+          val batchBuckets = b
+            .select(col("vec_id"), col("embedding"),
+              bucketKeyOf(m.width).as("bucket"))
+          val dirtyBp = batchBuckets
+            .select(bpartOf(col("bucket"), m.parts).as("p"))
+            .union(replacedBuckets.select(bpartOf(col("bucket"), m.parts)))
+            .distinct().collect().map(_.getLong(0))
+          val dirtyCp = (batchCells
+            .select(cpartOf(col("cell"), m.parts).as("p"))
+            .distinct().collect().map(_.getLong(0)) ++ replacedCparts)
+            .distinct
+          val storedDirty = prunedByVals(loadBucketsRaw(s, dir), "bpart",
+            dirtyBp, m.parts).select("bucket", "vec_id", "embedding")
+          // drain detection: is any REPLACED id's old bucket at the cap?
+          // (only then can its cap-dropped tail be promoted, and only
+          // then is the capped store's membership insufficient)
+          val drain = nReplaced > 0 && storedDirty
+            .join(replacedBuckets.select("bucket").distinct(),
+              Seq("bucket"), "left_semi")
+            .groupBy("bucket").count()
+            .filter(col("count") >= m.cap).limit(1).count() > 0
+          val dirtyBucketMembers =
+            if (!drain)
+              storedDirty.join(ids, Seq("vec_id"), "left_anti")
+                .unionByName(batchBuckets
+                  .select("bucket", "vec_id", "embedding"))
+                .select(col("vec_id"), col("embedding"))
+            else // corpus signature pass: true membership of dirty buckets
+              loadCells(s, dir).select(col("vec_id"), col("embedding"))
+                .join(ids, Seq("vec_id"), "left_anti")
+                .unionByName(b)
+                .filter(pmod(xxhash64(bucketKeyOf(m.width)),
+                  lit(m.parts.toLong)).isin(dirtyBp.toSeq: _*))
+          val newDirtyBuckets = VectorOps.cappedBuckets(dirtyBucketMembers,
+            m.width, m.cap, "vec_id", "embedding")
+          val newDirtyCells = prunedByVals(loadCellsRaw(s, dir), "cpart",
+              dirtyCp, m.parts)
+            .select("cell", "vec_id", "embedding")
+            .join(ids, Seq("vec_id"), "left_anti")
+            .unionByName(batchCells)
+
+          // write the next version: dirty partitions through the writer,
+          // clean partition directories hard-copied from the previous one
+          import s.implicits._
+          val meta2 = m.copy(n = n2)
+          val v = s"v${StorageOps.nextVersion(s, dir)}"
+          Seq((meta2.n, meta2.width, meta2.probes, meta2.cap, meta2.cells,
+              meta2.parts))
+            .toDF("n", "width", "probes", "cap", "cells", "parts")
+            .write.mode("errorifexists").parquet(s"$dir/$v/meta")
+          newDirtyBuckets.select("bucket", "vec_id", "embedding")
+            .withColumn("bpart", bpartOf(col("bucket"), m.parts))
+            .repartition(math.max(1, dirtyBp.length), col("bpart"))
+            .write.partitionBy("bpart")
+            .mode("errorifexists").parquet(s"$dir/$v/buckets")
+          val copiedB = copyCleanParts(s, s"$prev/buckets",
+            s"$dir/$v/buckets", "bpart", dirtyBp.toSet)
+          cent.select("cell", "centroid")
+            .write.mode("errorifexists").parquet(s"$dir/$v/centroids")
+          newDirtyCells.select("cell", "vec_id", "embedding")
+            .withColumn("cpart", cpartOf(col("cell"), m.parts))
+            .repartition(math.max(1, dirtyCp.length), col("cpart"))
+            .write.partitionBy("cpart")
+            .mode("errorifexists").parquet(s"$dir/$v/cells")
+          val copiedC = copyCleanParts(s, s"$prev/cells",
+            s"$dir/$v/cells", "cpart", dirtyCp.toSet)
+          StorageOps.flipPointer(s, dir, v)
+          (meta2, MergeStats(m.parts, dirtyBp.length, copiedB,
+            dirtyCp.length, copiedC,
+            fullRewrite = false, drainRecompute = drain))
+        } finally replacedBuckets.unpersist()
+      } finally batchCells.unpersist()
     } finally b.unpersist()
+  }
+
+  /** The O(index) rewrite path — the pre-partition-level merge, kept as
+    * the fallback for a layout-modulus change or a legacy unpartitioned
+    * artifact (where it doubles as the upgrade to the current layout).
+    * The bucket table is REBUILT from the merged cells — the UNCAPPED
+    * per-vector store — not merged from the stored capped rows: a member
+    * the cap dropped at an earlier publish is absent from the stored
+    * buckets, so a merge over them could never re-admit it when a later
+    * batch drains its flooded bucket, silently diverging from the
+    * frozen-geometry rebuild the contract promises. */
+  private def mergeFullRewrite(s: SparkSession, dir: String, m: Meta,
+      b: DataFrame, ids: DataFrame, cent: DataFrame): Meta = {
+    val mergedCells = graft.Caching.persist(
+      loadCells(s, dir).join(ids, Seq("vec_id"), "left_anti")
+        .unionByName(VectorOps.assignCells(b, cent)
+          .select(col("cell"), col("vec_id"), col("embedding"))))
+    try {
+      val mergedBuckets = VectorOps.cappedBuckets(
+        mergedCells.select(col("vec_id"), col("embedding")),
+        m.width, m.cap, "vec_id", "embedding")
+      // cells is uncapped (one row per vector): its count IS the new n.
+      // `parts` is layout-only, so unlike the frozen geometry it is
+      // re-derived at the merged count (keys stay valid either way).
+      val n2 = mergedCells.count()
+      writeVersion(s, dir, m.copy(n = n2, parts = layoutPartsFor(n2)),
+        mergedBuckets, cent, mergedCells)
+    } finally mergedCells.unpersist()
+  }
+
+  /** The stored bucket key of a corpus vector — probe 0 of the frozen
+    * signature, a pure function of the embedding (cappedBuckets'
+    * derivation). */
+  private def bucketKeyOf(width: Int) =
+    element_at(expr(s"hyperplane_sig(embedding, $width, 0)"), 1)
+
+  /** Hard-copy every `partCol=<v>` partition directory of `prevPath`
+    * whose value is NOT dirty into `newPath` — the file-level append for
+    * the unreplaced majority. One file per directory by the layout
+    * invariant; no decode, no task. Returns how many were copied. */
+  private def copyCleanParts(s: SparkSession, prevPath: String,
+      newPath: String, partCol: String, dirty: Set[Long]): Int = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val src = new org.apache.hadoop.fs.Path(prevPath)
+    val fs = src.getFileSystem(conf)
+    val prefix = partCol + "="
+    val clean = fs.listStatus(src)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix)
+        && !dirty.contains(st.getPath.getName.stripPrefix(prefix).toLong))
+    clean.foreach { st =>
+      org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs,
+        new org.apache.hadoop.fs.Path(newPath, st.getPath.getName),
+        false, conf)
+    }
+    clean.length
   }
 
   /** True when the corpus has outgrown the frozen geometry — the signal
@@ -318,15 +538,16 @@ object VectorIndex {
     * QUERY-BATCH HINT GATE). */
   def probeBestMatch(s: SparkSession, dir: String, incoming: DataFrame,
       threshold: Double,
-      broadcastRowLimit: Long = QueryBatchBroadcastRowLimit): DataFrame = {
+      broadcastRowLimit: Long = QueryBatchBroadcastRowLimit,
+      knownBatchRows: Option[Long] = None): DataFrame = {
     GraftFunctions.register(s)
     val m = loadMeta(s, dir)
     val inc0 = incoming
       .select(col("vec_id").as("in_id"), col("embedding").as("ie"))
-    val inc = inc0.select(col("in_id"), col("ie"),
-        explode(expr(s"hyperplane_sig(ie, ${m.width}, ${m.probes})"))
-          .as("qbucket"))
-    val small = inc0.count() <= broadcastRowLimit
+    val small = knownBatchRows.getOrElse(inc0.count()) <= broadcastRowLimit
+    val inc = batchFrame(small, inc0.select(col("in_id"), col("ie"),
+      explode(expr(s"hyperplane_sig(ie, ${m.width}, ${m.probes})"))
+        .as("qbucket")))
     val hint: DataFrame => DataFrame = if (small) broadcast else identity
     val idx = (if (small)
         prunedScan(loadBucketsRaw(s, dir),
@@ -356,15 +577,16 @@ object VectorIndex {
     * above → planner shuffle join over the full index. */
   def searchLsh(s: SparkSession, dir: String, queries: DataFrame,
       k: Int,
-      broadcastRowLimit: Long = QueryBatchBroadcastRowLimit): DataFrame = {
+      broadcastRowLimit: Long = QueryBatchBroadcastRowLimit,
+      knownBatchRows: Option[Long] = None): DataFrame = {
     GraftFunctions.register(s)
     val m = loadMeta(s, dir)
     val q0 = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-    val q = q0.select(col("query_id"), col("qe"),
-        explode(expr(s"hyperplane_sig(qe, ${m.width}, ${m.probes})"))
-          .as("qbucket"))
-    val small = q0.count() <= broadcastRowLimit
+    val small = knownBatchRows.getOrElse(q0.count()) <= broadcastRowLimit
+    val q = batchFrame(small, q0.select(col("query_id"), col("qe"),
+      explode(expr(s"hyperplane_sig(qe, ${m.width}, ${m.probes})"))
+        .as("qbucket")))
     val hint: DataFrame => DataFrame = if (small) broadcast else identity
     val idx = (if (small)
         prunedScan(loadBucketsRaw(s, dir),
@@ -394,21 +616,22 @@ object VectorIndex {
     * over the full lists. */
   def searchIvf(s: SparkSession, dir: String, queries: DataFrame, k: Int,
       nprobe: Int,
-      broadcastRowLimit: Long = QueryBatchBroadcastRowLimit): DataFrame = {
+      broadcastRowLimit: Long = QueryBatchBroadcastRowLimit,
+      knownBatchRows: Option[Long] = None): DataFrame = {
     GraftFunctions.register(s)
     val m = loadMeta(s, dir)
     val cent = loadCentroids(s, dir)
     val q0 = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-    val qcells = q0
+    val small = knownBatchRows.getOrElse(q0.count()) <= broadcastRowLimit
+    val qcells = batchFrame(small, q0
       .join(broadcast(cent))
       .select(col("query_id"), col("qe"), col("cell").as("qcell"),
         expr("cosine_sim(qe, centroid)").as("csim"))
       .withColumn("crk", row_number().over(
         Window.partitionBy("query_id").orderBy(col("csim").desc, col("qcell"))))
       .filter(col("crk") <= nprobe)
-      .select("query_id", "qe", "qcell")
-    val small = q0.count() <= broadcastRowLimit
+      .select("query_id", "qe", "qcell"))
     val hint: DataFrame => DataFrame = if (small) broadcast else identity
     val lists = (if (small)
         prunedScan(loadCellsRaw(s, dir),

@@ -125,6 +125,98 @@ class DedupIndexSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("merge rewrites only dirty partitions; the clean majority is " +
+      "hard-copied byte-identical") {
+    val full = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), col("text"))
+    val base = java.nio.file.Files.createTempDirectory("graft-idx-inc")
+    val dirA = s"$base/a"; val dirB = s"$base/b"; val dirC = s"$base/c"
+    val oldCorpus = full.filter(col("doc_id") =!= 7)
+    // a 2-doc batch: one brand-new id, one EDITED resubmission — ~96
+    // band keys (64 new + 32 replaced-old) against the 64-partition
+    // floor, 2 doc partitions; everything else must be copied
+    val batch = full.filter(col("doc_id") === 7)
+      .unionByName(full.filter(col("doc_id") === 11)
+        .select(col("doc_id"), concat(col("text"), lit(" edited")).as("text")))
+    DedupIndex.publishFrom(spark, oldCorpus, dirA)
+    val ((nd, nb), st) = DedupIndex.mergePublishStats(spark, dirA, batch, dirB)
+    assert(!st.docsFullRewrite && !st.bandsFullRewrite, st.toString)
+    assert(st.dirtyDocParts <= 2 && st.copiedDocParts > 0, st.toString)
+    assert(st.dirtyBandParts < st.parts && st.copiedBandParts > 0,
+      st.toString)
+    assert(st.dirtyBandParts + st.copiedBandParts <= st.parts)
+    // copied partition directories keep the live index's file names and
+    // bytes (a hard copy, no decode); dirty ones get fresh writer files
+    for ((ds, copiedWant) <- Seq("docs" -> st.copiedDocParts,
+        "bands" -> st.copiedBandParts)) {
+      var copied = 0
+      for (pd <- new java.io.File(s"$dirB/$ds").listFiles()
+          .filter(d => d.isDirectory && d.getName.startsWith("dpart="))) {
+        val f2 = pd.listFiles().filter(_.getName.endsWith(".parquet")).head
+        val f1 = new java.io.File(s"$dirA/$ds/${pd.getName}/${f2.getName}")
+        if (f1.isFile) {
+          copied += 1
+          assert(java.util.Arrays.equals(
+            java.nio.file.Files.readAllBytes(f1.toPath),
+            java.nio.file.Files.readAllBytes(f2.toPath)),
+            s"copied $ds/${pd.getName} not byte-identical")
+        }
+      }
+      assert(copied == copiedWant,
+        s"$ds: $copied dirs share live file names, stats say $copiedWant")
+    }
+    // and the partition-level merge still equals a full rebuild
+    val combined = oldCorpus
+      .join(batch.select("doc_id"), Seq("doc_id"), "left_anti")
+      .unionByName(batch)
+    DedupIndex.publishFrom(spark, combined, dirC)
+    assert(docRows(DedupIndex.loadDocs(spark, dirB)) ==
+      docRows(DedupIndex.loadDocs(spark, dirC)))
+    assert(bandRows(DedupIndex.loadBands(spark, dirB)) ==
+      bandRows(DedupIndex.loadBands(spark, dirC)))
+    assert((nd, nb) == (combined.count(),
+      combined.count() * graft.functions.MinHashSig.DefaultBands))
+    spark.catalog.clearCache()
+  }
+
+  test("legacy artifact (no meta, flat datasets): probes degrade to the " +
+      "full scan, a merge upgrades the layout") {
+    val d = TestSpark.sf0001
+    val full = Tables.documents(spark, d).select(col("doc_id"), col("text"))
+    val corpus = full.filter(col("doc_id") % 2 === 0)
+    val base = java.nio.file.Files.createTempDirectory("graft-idx-legacy")
+    val dir = s"$base/legacy"; val modern = s"$base/modern"
+    val upgraded = s"$base/up"; val modernMerged = s"$base/mm"
+    DedupIndex.publishFrom(spark, corpus, modern)
+    // hand-build the pre-layout artifact: same datasets, unpartitioned,
+    // no meta at all
+    DedupIndex.loadDocs(spark, modern).write.parquet(s"$dir/docs")
+    DedupIndex.loadBands(spark, modern).write.parquet(s"$dir/bands")
+    assert(DedupIndex.isPublished(spark, dir))
+    assert(DedupIndex.loadParts(spark, dir) == 0)
+    // the artifact-backed probe answers identically through the
+    // full-scan fallback
+    val probe = operators.DedupOps.docHashes(spark, d)
+      .filter(col("doc_id") % 2 === 1)
+    def rows(df: DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows(operators.DedupOps.crossDedupBestFromIndex(spark, dir, probe)
+        .select("doc_id", "match_id", "jaccard")) ==
+      rows(operators.DedupOps.crossDedupBestFromIndex(spark, modern, probe)
+        .select("doc_id", "match_id", "jaccard")))
+    // a merge takes the full-rewrite path and upgrades the layout
+    val batch = full.filter(col("doc_id") % 2 === 1)
+    val (_, st) = DedupIndex.mergePublishStats(spark, dir, batch, upgraded)
+    assert(st.docsFullRewrite && st.bandsFullRewrite, st.toString)
+    assert(DedupIndex.loadParts(spark, upgraded) == st.parts && st.parts > 0)
+    DedupIndex.mergePublish(spark, modern, batch, modernMerged)
+    assert(docRows(DedupIndex.loadDocs(spark, upgraded)) ==
+      docRows(DedupIndex.loadDocs(spark, modernMerged)))
+    assert(bandRows(DedupIndex.loadBands(spark, upgraded)) ==
+      bandRows(DedupIndex.loadBands(spark, modernMerged)))
+    spark.catalog.clearCache()
+  }
+
   test("mergePublish refuses to write into the live index") {
     val full = Tables.documents(spark, TestSpark.sf0001)
       .select(col("doc_id"), col("text"))

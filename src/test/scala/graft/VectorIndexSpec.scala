@@ -226,6 +226,34 @@ class VectorIndexSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("knownBatchRows skips the gate count with identical results on " +
+      "both sides of the gate") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vecidx-known").toString
+    VectorIndex.publishFrom(spark, allEmb, dir)
+    val qs = allEmb.filter(col("vec_id") < 10)
+    val odd = allEmb.filter(col("vec_id") % 2 === 1)
+    def rows(df: DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    def pairs(df: DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = rows(VectorIndex.searchLsh(spark, dir, qs, k = 5))
+    // a declared bound below the gate: same gated rows, no count job
+    assert(rows(VectorIndex.searchLsh(spark, dir, qs, k = 5,
+      knownBatchRows = Some(10L))) == lsh)
+    // a declared bound ABOVE the gate routes to the shuffle path — and
+    // must still produce the same rows
+    assert(rows(VectorIndex.searchLsh(spark, dir, qs, k = 5,
+      knownBatchRows = Some(VectorIndex.QueryBatchBroadcastRowLimit + 1))) ==
+      lsh)
+    assert(rows(VectorIndex.searchIvf(spark, dir, qs, k = 5, nprobe = 2,
+        knownBatchRows = Some(10L))) ==
+      rows(VectorIndex.searchIvf(spark, dir, qs, k = 5, nprobe = 2)))
+    assert(pairs(VectorIndex.probeBestMatch(spark, dir, odd, 0.45,
+        knownBatchRows = Some(1000L))) ==
+      pairs(VectorIndex.probeBestMatch(spark, dir, odd, 0.45)))
+    spark.catalog.clearCache()
+  }
+
   test("empty query batches return empty from every search API") {
     // the pruned path derives an EMPTY partition set from an empty batch
     // and must degrade to an empty (not failing) scan — the zero-literal
@@ -236,6 +264,125 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(VectorIndex.searchLsh(spark, dir, none, k = 3).count() == 0)
     assert(VectorIndex.searchIvf(spark, dir, none, k = 3, nprobe = 1).count() == 0)
     assert(VectorIndex.probeBestMatch(spark, dir, none, 0.45).count() == 0)
+    spark.catalog.clearCache()
+  }
+
+  test("merge rewrites only dirty partitions; the clean majority is " +
+      "hard-copied byte-identical") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vecidx-inc").toString
+    VectorIndex.publishFrom(spark, allEmb.filter(col("vec_id") % 2 === 0), dir)
+    val batch = allEmb.filter(col("vec_id") % 2 === 1 && col("vec_id") < 10)
+    val (m1, st) = VectorIndex.mergePublishStats(spark, dir, batch)
+    assert(!st.fullRewrite && !st.drainRecompute, st.toString)
+    assert(st.parts == m1.parts)
+    // a 5-vector batch touches at most 5 bucket and 5 cell partitions;
+    // the other ~59 of the 64-partition floor are copied, not written
+    assert(st.dirtyBucketParts < st.parts && st.copiedBucketParts > 0,
+      st.toString)
+    assert(st.dirtyCellParts < st.parts && st.copiedCellParts > 0,
+      st.toString)
+    assert(st.dirtyBucketParts + st.copiedBucketParts <= st.parts)
+    // copied partition directories keep v1's file names and bytes (a
+    // hard copy, no decode/rewrite); dirty ones get fresh writer files
+    for ((ds, copiedWant) <- Seq("buckets" -> st.copiedBucketParts,
+        "cells" -> st.copiedCellParts)) {
+      var copied = 0
+      for (pd <- new java.io.File(s"$dir/v2/$ds").listFiles()
+          .filter(d => d.isDirectory && d.getName.contains("part="))) {
+        val f2 = pd.listFiles().filter(_.getName.endsWith(".parquet")).head
+        val f1 = new java.io.File(s"$dir/v1/$ds/${pd.getName}/${f2.getName}")
+        if (f1.isFile) {
+          copied += 1
+          assert(java.util.Arrays.equals(
+            java.nio.file.Files.readAllBytes(f1.toPath),
+            java.nio.file.Files.readAllBytes(f2.toPath)),
+            s"copied $ds/${pd.getName} not byte-identical")
+        }
+      }
+      assert(copied == copiedWant,
+        s"$ds: $copied dirs share v1 file names, stats say $copiedWant")
+    }
+    // and the partition-level merge still equals the frozen rebuild
+    val dirR = java.nio.file.Files.createTempDirectory("graft-vecidx-incR").toString
+    val combined = allEmb.filter(col("vec_id") % 2 === 0).unionByName(batch)
+    VectorIndex.publishWith(spark, combined, dirR,
+      m1, VectorIndex.loadCentroids(spark, dir))
+    assert(bucketRows(VectorIndex.loadBuckets(spark, dir)) ==
+      bucketRows(VectorIndex.loadBuckets(spark, dirR)))
+    assert(cellRows(VectorIndex.loadCells(spark, dir)) ==
+      cellRows(VectorIndex.loadCells(spark, dirR)))
+    spark.catalog.clearCache()
+  }
+
+  test("a replaced id in an at-cap bucket triggers the drain recompute — " +
+      "still writing only dirty partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vecidx-drain").toString
+    val m0 = VectorIndex.publishFrom(spark, allEmb, dir)
+    val cent = VectorIndex.loadCentroids(spark, dir)
+    VectorIndex.publishWith(spark, allEmb, dir, m0.copy(cap = 2L), cent)
+    // resubmit one vector with a negated embedding: its old bucket is at
+    // the engaged cap, so its removal may promote a cap-dropped member —
+    // the one case the capped store cannot answer from pruned rows
+    val moved = allEmb.filter(col("vec_id") === 8)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(-x AS FLOAT))").as("embedding"))
+    val (m2, st) = VectorIndex.mergePublishStats(spark, dir, moved)
+    assert(st.drainRecompute && !st.fullRewrite, st.toString)
+    assert(st.dirtyBucketParts < st.parts && st.copiedBucketParts > 0,
+      st.toString)
+    val dirR = java.nio.file.Files.createTempDirectory("graft-vecidx-drainR").toString
+    val drained = allEmb.filter(col("vec_id") =!= 8).unionByName(moved)
+    VectorIndex.publishWith(spark, drained, dirR, m2, cent)
+    assert(bucketRows(VectorIndex.loadBuckets(spark, dir)) ==
+      bucketRows(VectorIndex.loadBuckets(spark, dirR)),
+      "drain recompute diverged from the frozen-geometry rebuild")
+    spark.catalog.clearCache()
+  }
+
+  test("legacy artifact (meta without parts, flat datasets): probes " +
+      "degrade to the full scan, a merge upgrades the layout") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-vecidx-legacy")
+    val dir = s"$base/legacy"; val modern = s"$base/modern"
+    val corpus = allEmb.filter(col("vec_id") % 2 === 0)
+    VectorIndex.publishFrom(spark, corpus, modern)
+    val mm = VectorIndex.loadMeta(spark, modern)
+    // hand-build the pre-r11 layout: same datasets, unpartitioned, meta
+    // without the `parts` field
+    Seq((mm.n, mm.width, mm.probes, mm.cap, mm.cells))
+      .toDF("n", "width", "probes", "cap", "cells")
+      .write.parquet(s"$dir/v1/meta")
+    VectorIndex.loadBuckets(spark, modern).write.parquet(s"$dir/v1/buckets")
+    VectorIndex.loadCentroids(spark, modern)
+      .write.parquet(s"$dir/v1/centroids")
+    VectorIndex.loadCells(spark, modern).write.parquet(s"$dir/v1/cells")
+    StorageOps.flipPointer(spark, dir, "v1")
+    assert(VectorIndex.isPublished(spark, dir))
+    val lm = VectorIndex.loadMeta(spark, dir)
+    assert(lm.parts == 0 && lm.copy(parts = mm.parts) == mm)
+    // every search API answers identically to the modern artifact
+    val qs = allEmb.filter(col("vec_id") < 10)
+    val odd = allEmb.filter(col("vec_id") % 2 === 1)
+    def rows(df: DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    def pairs(df: DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows(VectorIndex.searchLsh(spark, dir, qs, k = 5)) ==
+      rows(VectorIndex.searchLsh(spark, modern, qs, k = 5)))
+    assert(rows(VectorIndex.searchIvf(spark, dir, qs, k = 5, nprobe = 2)) ==
+      rows(VectorIndex.searchIvf(spark, modern, qs, k = 5, nprobe = 2)))
+    assert(pairs(VectorIndex.probeBestMatch(spark, dir, odd, 0.45)) ==
+      pairs(VectorIndex.probeBestMatch(spark, modern, odd, 0.45)))
+    // a merge takes the full-rewrite path and upgrades to the current
+    // partitioned layout
+    val (m2, st) = VectorIndex.mergePublishStats(spark, dir, odd)
+    assert(st.fullRewrite && m2.parts > 0)
+    assert(VectorIndex.loadMeta(spark, dir).parts == m2.parts)
+    VectorIndex.mergePublish(spark, modern, odd)
+    assert(bucketRows(VectorIndex.loadBuckets(spark, dir)) ==
+      bucketRows(VectorIndex.loadBuckets(spark, modern)))
+    assert(cellRows(VectorIndex.loadCells(spark, dir)) ==
+      cellRows(VectorIndex.loadCells(spark, modern)))
     spark.catalog.clearCache()
   }
 
