@@ -41,6 +41,21 @@ object SharedPlans {
     df
   }
 
+  /** Forget every memoized FRAME for `s`, unpersisting each. The
+    * [[once]] memo survives on purpose: it holds published-artifact
+    * dirs whose files outlive any cache clear, and re-publishing per
+    * access would change the publish-once/probe-many semantics the
+    * artifact-backed queries document. The bench calls this between
+    * timed reps — with the block cache also cleared, dropping the memo
+    * guarantees a rep rebuilds its shared subplans from scratch instead
+    * of inheriting whatever a sibling query materialized, so reps are
+    * iid and recorded spreads measure noise, not cache state.
+    * Correctness-neutral: every builder is deterministic (the [[shared]]
+    * contract), so the next access just rebuilds. */
+  def clearFrames(s: SparkSession): Unit =
+    memo.synchronized { Option(memo.remove(s)) }
+      .foreach(_.values.foreach(df => scala.util.Try(df.unpersist())))
+
   private val valMemo = new java.util.WeakHashMap[SparkSession,
     scala.collection.concurrent.TrieMap[String, Any]]()
 

@@ -51,4 +51,29 @@ class CachingSpec extends AnyFunSuite {
       assert(df.count() === 3)
     } finally spark.conf.unset(Caching.ConfKey)
   }
+
+  test("SharedPlans.clearFrames drops the frame memo (bench rep isolation) " +
+      "but keeps the once-memo") {
+    import spark.implicits._
+    var builds = 0
+    def access() = SharedPlans.shared(spark, "caching-spec-clear") {
+      builds += 1; Seq(1, 2, 3).toDF("x")
+    }
+    val a = access(); val b = access()
+    assert(builds == 1 && (a eq b), "memo must serve the same frame")
+    assert(a.storageLevel != StorageLevel.NONE)
+    var onceBuilds = 0
+    assert(SharedPlans.once(spark, "caching-spec-once") { onceBuilds += 1; 7 } == 7)
+    SharedPlans.clearFrames(spark)
+    assert(a.storageLevel == StorageLevel.NONE,
+      "clearFrames must unpersist the dropped frame")
+    val c = access()
+    assert(builds == 2 && !(a eq c),
+      "a post-clear access must rebuild from scratch")
+    assert(c.count() == 3)
+    // the once-memo (published-artifact dirs) survives the clear
+    assert(SharedPlans.once(spark, "caching-spec-once") { onceBuilds += 1; 8 } == 7)
+    assert(onceBuilds == 1)
+    spark.catalog.clearCache()
+  }
 }
