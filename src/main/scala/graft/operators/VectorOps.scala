@@ -541,7 +541,7 @@ object VectorOps {
   /** Per-(vector, subspace) slice rows (vec_id, m, sv) — the shared
     * input shape of PQ training and encode. Pure codegen'd projection +
     * explode: zero shuffle. */
-  private def pqSubRows(e: DataFrame, subDim: Int): DataFrame =
+  private[graft] def pqSubRows(e: DataFrame, subDim: Int): DataFrame =
     e.select(col("vec_id"), posexplode(expr(
         s"""transform(sequence(0, ${PqSubspaces - 1}),
            |          m -> slice(embedding, m * $subDim + 1, $subDim))"""
@@ -632,6 +632,18 @@ object VectorOps {
     GraftFunctions.register(s)
     val e = graft.Caching.persist(Tables.spread(s, Tables.embeddings(s, d)))
     val (subDim, books) = pqBooksFor(s, d)
+    pqEncode(e, books, subDim).orderBy("vec_id")
+  }
+
+  /** PQ-encode `e` (vec_id, embedding) against `books` — the shared
+    * argmin pass of q_embed_pq and the published-index codes dataset
+    * ([[graft.sources.VectorIndex]] stores exactly these rows): per
+    * subspace the squared-L2 argmin code (ties to the lowest cell)
+    * against the broadcast codebooks, plus the packed little-endian
+    * `code`. One map-side scoring pass + one (vec_id, m)-keyed rank —
+    * linear at any corpus. */
+  private[graft] def pqEncode(e: DataFrame, books: DataFrame,
+      subDim: Int): DataFrame =
     pqSubRows(e, subDim).join(broadcast(books), Seq("m"))
       .select(col("vec_id"), col("m"), col("cell"), pqSqDist.as("d2"))
       .withColumn("rk", row_number().over(
@@ -644,8 +656,6 @@ object VectorOps {
         max(when(col("m") === 2, col("cell"))).as("c2"),
         max(when(col("m") === 3, col("cell"))).as("c3"),
         expr("sum(shiftleft(CAST(cell AS BIGINT), 4 * m))").as("code"))
-      .orderBy("vec_id")
-  }
 
   /** The session-shared q_embed_pq result frame — the registered query
     * and the ADC search below consume the same encode. */
@@ -673,8 +683,29 @@ object VectorOps {
     val (subDim, books) = pqBooksFor(s, d)
     val codes = sharedPq(s, d)
     val k = PqCodebookSize
-    val lut = pqSubRows(
-        Tables.embeddings(s, d).filter(col("vec_id") < 10), subDim)
+    val lut = pqLut(
+      Tables.embeddings(s, d).filter(col("vec_id") < 10), books, subDim)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc").asc, col("neighbor_id"))
+    codes.join(broadcast(lut), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        pqAdc(k).as("adc"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select("query_id", "neighbor_id", "rk")
+      .orderBy("query_id", "rk")
+  }
+
+  /** Per-query flat ADC lookup table against `books`: one row per query
+    * vector of (query_id, lut) where `lut[m*K + c]` is the squared-L2
+    * between the query's m-th sub-vector and sub-centroid c — the
+    * broadcast side of every ADC scorer (the inline search above and
+    * the published-index [[graft.sources.VectorIndex.searchIvfPq]]).
+    * Q·(M·K) doubles however large the corpus. */
+  private[graft] def pqLut(queries: DataFrame, books: DataFrame,
+      subDim: Int): DataFrame = {
+    val k = PqCodebookSize
+    pqSubRows(queries, subDim)
       .join(broadcast(books), Seq("m"))
       .select(col("vec_id").as("query_id"), col("m"), col("cell"),
         pqSqDist.as("d2"))
@@ -687,17 +718,14 @@ object VectorOps {
       .select(col("query_id"), expr(
         s"transform(sequence(0, ${PqSubspaces * k - 1}), " +
           "i -> element_at(lm, i))").as("lut"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("adc").asc, col("neighbor_id"))
-    codes.join(broadcast(lut), col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        expr(s"lut[0 * $k + c0] + lut[1 * $k + c1] + " +
-          s"lut[2 * $k + c2] + lut[3 * $k + c3]").as("adc"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 5)
-      .select("query_id", "neighbor_id", "rk")
-      .orderBy("query_id", "rk")
   }
+
+  /** The ADC score of a code row against the joined query `lut` — four
+    * codegen'd array lookups summed in subspace order (the exact
+    * addition order the oracle replays). */
+  private[graft] def pqAdc(k: Int) =
+    expr(s"lut[0 * $k + c0] + lut[1 * $k + c1] + " +
+      s"lut[2 * $k + c2] + lut[3 * $k + c3]")
 
   /** Semantic-dedup cell schedule — LINEAR, unlike the IVF search
     * schedule: cells = ceil(n / [[SemTargetCell]]) so expected occupancy
@@ -896,13 +924,24 @@ object VectorOps {
     graft.SharedPlans.once(s, s"vec_index_full|$d") {
       val dir = vecIndexDir(d, "full")
       graft.sources.VectorIndex.publishFrom(s,
-        Tables.spread(s, Tables.embeddings(s, d)), dir)
+        Tables.spread(s, Tables.embeddings(s, d)), dir, pq = true)
       graft.sources.VectorIndex.pruneVersions(s, dir, keep = 1)
       dir
     }
 
   private val qAnnIvfIdx: Q = (s, d) =>
     graft.sources.VectorIndex.searchIvf(s, fullIndexDir(s, d),
+      Tables.embeddings(s, d).filter(col("vec_id") < 10), k = 5, nprobe = 2)
+
+  /** ARTIFACT-BACKED IVF-ADC search over the same published index's PQ
+    * pair: the fixed 10-query top-5 within the nprobe=2 probed cells,
+    * ranked by asymmetric PQ distance over the stored codes — the
+    * billion-scale layout (probed-cell CODE scan, no corpus floats).
+    * The oracle replays both trainings (the shared-sample Lloyd for the
+    * centroids, the per-subspace Lloyd for the books) and the exact ADC
+    * lookup-table arithmetic. */
+  private val qAnnIvfPqIdx: Q = (s, d) =>
+    graft.sources.VectorIndex.searchIvfPq(s, fullIndexDir(s, d),
       Tables.embeddings(s, d).filter(col("vec_id") < 10), k = 5, nprobe = 2)
 
   /** ARTIFACT-BACKED LSH search over the same published index: the fixed
@@ -917,6 +956,7 @@ object VectorOps {
   val queries: Map[String, Q] = Map(
     "q_embed_cross_dedup_idx" -> qEmbedCrossDedupIdx,
     "q_ann_ivf_idx" -> qAnnIvfIdx,
+    "q_ann_ivfpq_idx" -> qAnnIvfPqIdx,
     "q_ann_lsh_idx" -> qAnnLshIdx,
     "q_knn_join" -> qKnnJoin,
     "q_hard_negatives" -> qHardNegatives,
@@ -1387,8 +1427,52 @@ object VectorOps {
     * VERBATIM: the publish→load→probe cycle must reproduce the inline
     * plan's rows exactly (float arrays roundtrip parquet losslessly, the
     * geometry is pinned by scheduleN / the shared schedule functions). */
+  /** IVF-ADC replay: the PQ training/encode CTEs ([[pqCtes]] — `enc`)
+    * composed with the IVF training/probe CTEs ([[ivfCtes]] — `afull`,
+    * `qc`; CTE names are disjoint by construction), then the
+    * [[pqSearchOracle]] lookup-table arithmetic restricted to the
+    * probed cells via the `afull` cell of each code row. */
+  private def ivfPqIdxOracle: String =
+    s"""$pqCtes,
+       |$ivfCtes,
+       |pcodes AS (
+       |  SELECT vec_id,
+       |         max(CASE WHEN m = 0 THEN cell END) AS c0,
+       |         max(CASE WHEN m = 1 THEN cell END) AS c1,
+       |         max(CASE WHEN m = 2 THEN cell END) AS c2,
+       |         max(CASE WHEN m = 3 THEN cell END) AS c3
+       |  FROM enc GROUP BY vec_id),
+       |plutd AS (
+       |  SELECT q.vec_id AS query_id, c.m, c.cell,
+       |         list_sum(list_transform(range(1, len(q.sv) + 1),
+       |           k -> (q.sv[k] - CAST(c.pc[k] AS DOUBLE))
+       |                * (q.sv[k] - CAST(c.pc[k] AS DOUBLE)))) AS d2
+       |  FROM (SELECT * FROM sub WHERE vec_id < 10) q
+       |  JOIN pc3 c ON q.m = c.m),
+       |padc AS (
+       |  SELECT l0.query_id, c.vec_id AS neighbor_id,
+       |         l0.d2 + l1.d2 + l2.d2 + l3.d2 AS dist
+       |  FROM pcodes c
+       |  JOIN afull a ON a.vec_id = c.vec_id
+       |  JOIN qc q ON q.qcell = a.cell AND c.vec_id <> q.query_id
+       |  JOIN plutd l0 ON l0.m = 0 AND l0.cell = c.c0
+       |                AND l0.query_id = q.query_id
+       |  JOIN plutd l1 ON l1.m = 1 AND l1.cell = c.c1
+       |                AND l1.query_id = q.query_id
+       |  JOIN plutd l2 ON l2.m = 2 AND l2.cell = c.c2
+       |                AND l2.query_id = q.query_id
+       |  JOIN plutd l3 ON l3.m = 3 AND l3.cell = c.c3
+       |                AND l3.query_id = q.query_id)
+       |SELECT query_id, neighbor_id, rk FROM (
+       |  SELECT query_id, neighbor_id,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |           ORDER BY dist ASC, neighbor_id) AS INT) AS rk
+       |  FROM padc)
+       |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+
   val oracles: Map[String, String] = baseOracles ++ Map(
     "q_embed_cross_dedup_idx" -> baseOracles("q_embed_cross_dedup"),
     "q_ann_ivf_idx" -> baseOracles("q_ann_ivf"),
+    "q_ann_ivfpq_idx" -> ivfPqIdxOracle,
     "q_ann_lsh_idx" -> baseOracles("q_ann_lsh"))
 }

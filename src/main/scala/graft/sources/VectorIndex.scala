@@ -20,6 +20,12 @@ import graft.functions.GraftFunctions
   *   <dir>/v<n>/centroids/  (cell, centroid)             — IVF centroids
   *   <dir>/v<n>/cells/      (cell, vec_id, embedding)    — IVF inverted
   *                          lists (uncapped: one row per corpus vector)
+  *   <dir>/v<n>/pqbooks/    (m, cell, pc)                — OPTIONAL
+  *   <dir>/v<n>/codes/      (cell, vec_id, c0..c3)         (pq = true)
+  *                          PQ pair: frozen sub-codebooks + the argmin
+  *                          code of every corpus vector, cell-aligned
+  *                          with `cells` (same `cpart` layout) — the
+  *                          [[searchIvfPq]] ADC scan side
   *   <dir>/_current         pointer to the active version
   *
   * Version directories are IMMUTABLE; a publish writes the next v<n> and
@@ -218,6 +224,32 @@ object VectorIndex {
   private def loadCellsRaw(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/${ver(s, dir)}/cells")
 
+  /** True iff the active version ALSO carries the optional PQ pair
+    * (`pqbooks` + `codes`) — published with `pq = true`. An index
+    * without it (including every pre-PQ artifact) reports false and
+    * [[searchIvfPq]] refuses with a clear error instead of a missing-
+    * path crash; merges of a non-PQ index stay non-PQ. */
+  def hasPq(s: SparkSession, dir: String): Boolean =
+    StorageOps.currentVersion(s, dir).exists { v =>
+      Seq("pqbooks", "codes")
+        .forall(ds => StorageOps.isCommitted(s, s"$dir/$v/$ds"))
+    }
+
+  /** The frozen PQ sub-codebooks of the active version as
+    * (m, cell, pc) — driver-small (M·K·subDim floats) at any corpus. */
+  def loadPqBooks(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/${ver(s, dir)}/pqbooks").select("m", "cell", "pc")
+
+  /** The active PQ code rows as (cell, vec_id, c0..c3) — one row per
+    * corpus vector, cell-aligned with [[loadCells]] (same assignment,
+    * same `cpart` layout) so an ADC probe prunes identically to the
+    * exact IVF probe while scanning codes instead of embeddings. */
+  def loadCodes(s: SparkSession, dir: String): DataFrame =
+    loadCodesRaw(s, dir).select("cell", "vec_id", "c0", "c1", "c2", "c3")
+
+  private def loadCodesRaw(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/${ver(s, dir)}/codes")
+
   /** Build and publish a fresh index over `corpus` (vec_id, embedding —
     * extra columns ignored). Geometry derives from `scheduleN` when
     * given, else from the corpus count — the override exists so a caller
@@ -226,7 +258,7 @@ object VectorIndex {
     * centroids train on the deterministic phash%4 sample, exactly like
     * the inline q_ann_ivf path. Returns the published Meta. */
   def publishFrom(s: SparkSession, corpus: DataFrame, dir: String,
-      scheduleN: Option[Long] = None): Meta = {
+      scheduleN: Option[Long] = None, pq: Boolean = false): Meta = {
     GraftFunctions.register(s)
     val c = graft.Caching.persist(
       corpus.select(col("vec_id"), col("embedding")))
@@ -238,22 +270,48 @@ object VectorIndex {
         layoutPartsFor(n))
       val cent = VectorOps.trainCentroids(s,
         c.filter(Tables.phash(col("vec_id")) % 4 === 0), meta.cells)
-      publishWith(s, c, dir, meta, cent)
+      // PQ books train on the same phash%4 sample discipline as the
+      // centroids (trainPqCodebooks applies the filter itself), frozen
+      // at publish exactly like the centroids — merges encode against
+      // them, a rebuild retrains
+      val books =
+        if (pq) Some(VectorOps.trainPqCodebooks(s, c, subDimOf(c)))
+        else None
+      publishWith(s, c, dir, meta, cent, books)
     } finally c.unpersist()
+  }
+
+  /** `embedding` dim / PqSubspaces, from one row of `e` (the publish
+    * and merge paths re-derive it rather than persisting a fifth meta
+    * field; the books' own `pc` length is the same number). */
+  private def subDimOf(e: DataFrame): Int = {
+    val dim = e.select(size(col("embedding"))).limit(1).collect()(0).getInt(0)
+    require(dim % VectorOps.PqSubspaces == 0,
+      s"embedding dim $dim not divisible into ${VectorOps.PqSubspaces} subspaces")
+    dim / VectorOps.PqSubspaces
   }
 
   /** Publish `corpus` under an EXPLICIT geometry + centroid table — the
     * shared final stage of [[publishFrom]] and the rebuild side of the
     * merge-equivalence spec (merge must equal a rebuild at the frozen
-    * schedule and centroids; a free rebuild retrains). */
+    * schedule and centroids; a free rebuild retrains). With `pqBooks`
+    * set, the version also carries the PQ pair: the codes are the
+    * argmin encode of `corpus` against the books, cell-aligned with the
+    * inverted lists. */
   private[graft] def publishWith(s: SparkSession, corpus: DataFrame,
-      dir: String, meta: Meta, cent: DataFrame): Meta = {
+      dir: String, meta: Meta, cent: DataFrame,
+      pqBooks: Option[DataFrame] = None): Meta = {
     GraftFunctions.register(s)
     val buckets = VectorOps.cappedBuckets(corpus, meta.width, meta.cap,
       "vec_id", "embedding")
     val cells = VectorOps.assignCells(corpus, cent)
       .select(col("cell"), col("vec_id"), col("embedding"))
-    writeVersion(s, dir, meta, buckets, cent, cells)
+    val codes = pqBooks.map { books =>
+      VectorOps.pqEncode(corpus, books, subDimOf(corpus))
+        .join(cells.select("cell", "vec_id"), Seq("vec_id"))
+        .select("cell", "vec_id", "c0", "c1", "c2", "c3")
+    }
+    writeVersion(s, dir, meta, buckets, cent, cells, pqBooks, codes)
   }
 
   /** Write all four datasets as the next immutable version, then flip the
@@ -263,7 +321,9 @@ object VectorIndex {
     * directory holds one file (a value hashes to exactly one task) —
     * the canonical compacted layout every publish and merge produces. */
   private def writeVersion(s: SparkSession, dir: String, meta: Meta,
-      buckets: DataFrame, cent: DataFrame, cells: DataFrame): Meta = {
+      buckets: DataFrame, cent: DataFrame, cells: DataFrame,
+      pqBooks: Option[DataFrame] = None,
+      codes: Option[DataFrame] = None): Meta = {
     import s.implicits._
     val v = s"v${StorageOps.nextVersion(s, dir)}"
     Seq((meta.n, meta.width, meta.probes, meta.cap, meta.cells, meta.parts))
@@ -281,6 +341,13 @@ object VectorIndex {
       .repartition(meta.parts, col("cpart"))
       .write.partitionBy("cpart")
       .mode("errorifexists").parquet(s"$dir/$v/cells")
+    pqBooks.foreach(_.select("m", "cell", "pc")
+      .write.mode("errorifexists").parquet(s"$dir/$v/pqbooks"))
+    codes.foreach(_.select("cell", "vec_id", "c0", "c1", "c2", "c3")
+      .withColumn("cpart", cpartOf(col("cell"), meta.parts))
+      .repartition(meta.parts, col("cpart"))
+      .write.partitionBy("cpart")
+      .mode("errorifexists").parquet(s"$dir/$v/codes"))
     StorageOps.flipPointer(s, dir, v)
     meta
   }
@@ -338,6 +405,10 @@ object VectorIndex {
     try {
       val ids = b.select("vec_id")
       val cent = loadCentroids(s, dir)
+      // PQ books are frozen at merge exactly like the centroids: batch
+      // rows encode against them, and the merged version carries the
+      // pair forward (a non-PQ index stays non-PQ)
+      val pqB = if (hasPq(s, dir)) Some(loadPqBooks(s, dir)) else None
       val nBatch = b.count()
       // one skinny scan of the cell store (vec_id + cpart only): where do
       // the replaced ids live, and how many are there — bounded collect
@@ -352,7 +423,7 @@ object VectorIndex {
       val n2 = m.n - nReplaced + nBatch
       val parts2 = layoutPartsFor(n2)
       if (m.parts <= 0 || parts2 != m.parts) {
-        val fullMeta = mergeFullRewrite(s, dir, m, b, ids, cent)
+        val fullMeta = mergeFullRewrite(s, dir, m, b, ids, cent, pqB)
         return (fullMeta, MergeStats(fullMeta.parts, fullMeta.parts, 0,
           fullMeta.parts, 0, fullRewrite = true, drainRecompute = false))
       }
@@ -437,6 +508,26 @@ object VectorIndex {
             .mode("errorifexists").parquet(s"$dir/$v/cells")
           val copiedC = copyCleanParts(s, s"$prev/cells",
             s"$dir/$v/cells", "cpart", dirtyCp.toSet)
+          // the PQ pair rides the cells' partition bookkeeping verbatim:
+          // codes are cell-aligned and uncapped, so the dirty cparts are
+          // exactly the cells' dirty cparts and no drain case exists
+          pqB.foreach { books =>
+            books.select("m", "cell", "pc")
+              .write.mode("errorifexists").parquet(s"$dir/$v/pqbooks")
+            val batchCodes = VectorOps.pqEncode(b, books, subDimOf(b))
+              .join(batchCells.select("cell", "vec_id"), Seq("vec_id"))
+              .select("cell", "vec_id", "c0", "c1", "c2", "c3")
+            prunedByVals(loadCodesRaw(s, dir), "cpart", dirtyCp, m.parts)
+              .select("cell", "vec_id", "c0", "c1", "c2", "c3")
+              .join(ids, Seq("vec_id"), "left_anti")
+              .unionByName(batchCodes)
+              .withColumn("cpart", cpartOf(col("cell"), m.parts))
+              .repartition(math.max(1, dirtyCp.length), col("cpart"))
+              .write.partitionBy("cpart")
+              .mode("errorifexists").parquet(s"$dir/$v/codes")
+            copyCleanParts(s, s"$prev/codes", s"$dir/$v/codes",
+              "cpart", dirtyCp.toSet)
+          }
           StorageOps.flipPointer(s, dir, v)
           (meta2, MergeStats(m.parts, dirtyBp.length, copiedB,
             dirtyCp.length, copiedC,
@@ -456,7 +547,8 @@ object VectorIndex {
     * batch drains its flooded bucket, silently diverging from the
     * frozen-geometry rebuild the contract promises. */
   private def mergeFullRewrite(s: SparkSession, dir: String, m: Meta,
-      b: DataFrame, ids: DataFrame, cent: DataFrame): Meta = {
+      b: DataFrame, ids: DataFrame, cent: DataFrame,
+      pqBooks: Option[DataFrame]): Meta = {
     val mergedCells = graft.Caching.persist(
       loadCells(s, dir).join(ids, Seq("vec_id"), "left_anti")
         .unionByName(VectorOps.assignCells(b, cent)
@@ -465,12 +557,21 @@ object VectorIndex {
       val mergedBuckets = VectorOps.cappedBuckets(
         mergedCells.select(col("vec_id"), col("embedding")),
         m.width, m.cap, "vec_id", "embedding")
+      // the frozen-book re-encode over the merged corpus (codes could
+      // also be merged like cells, but this path is already O(index))
+      val codes = pqBooks.map { books =>
+        VectorOps.pqEncode(
+            mergedCells.select(col("vec_id"), col("embedding")),
+            books, subDimOf(mergedCells))
+          .join(mergedCells.select("cell", "vec_id"), Seq("vec_id"))
+          .select("cell", "vec_id", "c0", "c1", "c2", "c3")
+      }
       // cells is uncapped (one row per vector): its count IS the new n.
       // `parts` is layout-only, so unlike the frozen geometry it is
       // re-derived at the merged count (keys stay valid either way).
       val n2 = mergedCells.count()
       writeVersion(s, dir, m.copy(n = n2, parts = layoutPartsFor(n2)),
-        mergedBuckets, cent, mergedCells)
+        mergedBuckets, cent, mergedCells, pqBooks, codes)
     } finally mergedCells.unpersist()
   }
 
@@ -644,6 +745,69 @@ object VectorIndex {
         col("cell") === col("qcell") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         expr("cosine_sim(qe, embedding)").as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("query_id", "neighbor_id", "rk")
+      .orderBy("query_id", "rk")
+  }
+
+  /** IVF-ADC top-k search over the published PQ pair — the billion-scale
+    * layout (Jégou et al., "Product Quantization for Nearest Neighbor
+    * Search"): nprobe nearest cells per query by centroid cosine exactly
+    * like [[searchIvf]], then rank WITHIN the probed cells by asymmetric
+    * PQ distance over the stored 16-bit codes. The probe never touches a
+    * corpus embedding: the scan side is `codes` (four INT codes per
+    * vector instead of the float payload — the ~128× scan cut that is
+    * the point of PQ), the query side is the per-query M×K lookup table
+    * joined in as one flat array ([[VectorOps.pqLut]] — Q·(M·K) doubles
+    * however large the corpus), and the per-row score is four codegen'd
+    * array lookups. Distances are the PQ metric (squared L2 to
+    * sub-centroids), so results approximate [[searchIvf]]'s exact-cosine
+    * ranking; cell alignment with the inverted lists means the partition
+    * pruning and the gate behave identically. Requires a `pq = true`
+    * publish ([[hasPq]]) — refused, not degraded, on an index without
+    * the pair: an ADC caller wants the cheap scan, and silently falling
+    * back to the float scan would invert the cost contract. */
+  def searchIvfPq(s: SparkSession, dir: String, queries: DataFrame, k: Int,
+      nprobe: Int,
+      broadcastRowLimit: Long = QueryBatchBroadcastRowLimit,
+      knownBatchRows: Option[Long] = None): DataFrame = {
+    GraftFunctions.register(s)
+    require(hasPq(s, dir),
+      s"index at $dir has no PQ datasets (publish with pq = true)")
+    val m = loadMeta(s, dir)
+    val cent = loadCentroids(s, dir)
+    val books = loadPqBooks(s, dir)
+    val kCells = VectorOps.PqCodebookSize
+    val subDim =
+      books.select(size(col("pc"))).limit(1).collect()(0).getInt(0)
+    val q0 = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val small = knownBatchRows.getOrElse(q0.count()) <= broadcastRowLimit
+    val lut = VectorOps.pqLut(
+      q0.select(col("query_id").as("vec_id"), col("qe").as("embedding")),
+      books, subDim)
+    val qcells = batchFrame(small, q0
+      .join(broadcast(cent))
+      .select(col("query_id"), col("cell").as("qcell"),
+        expr("cosine_sim(qe, centroid)").as("csim"))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("csim").desc, col("qcell"))))
+      .filter(col("crk") <= nprobe)
+      .select("query_id", "qcell")
+      .join(lut, Seq("query_id")))
+    val hint: DataFrame => DataFrame = if (small) broadcast else identity
+    val codes = (if (small)
+        prunedScan(loadCodesRaw(s, dir),
+          qcells.select(cpartOf(col("qcell"), m.parts)), "cpart", m.parts)
+      else loadCodesRaw(s, dir))
+      .select("cell", "vec_id", "c0", "c1", "c2", "c3")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc").asc, col("neighbor_id"))
+    codes.join(hint(qcells),
+        col("cell") === col("qcell") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        VectorOps.pqAdc(kCells).as("adc"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select("query_id", "neighbor_id", "rk")

@@ -300,6 +300,30 @@ class PlanShapeSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("IVF-ADC probe prunes code partitions and never scans embeddings") {
+    // the PQ search must inherit the cells' partition pruning on the
+    // cell-aligned codes dataset AND keep its cost contract: the corpus
+    // side of the ADC join reads the codes files only — no `embedding`
+    // column (and no buckets/cells payload) anywhere in its scans
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-planshape-pqidx").toString
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    graft.sources.VectorIndex.publishFrom(spark, emb, dir, pq = true)
+    val batch = emb.filter(col("vec_id") < 3)
+    val p = plan(graft.sources.VectorIndex.searchIvfPq(
+      spark, dir, batch, k = 3, nprobe = 1))
+    assert("""PartitionFilters: \[[^\]]*cpart#""".r.findFirstIn(p).isDefined,
+      s"no cpart partition filter on the code scan:\n$p")
+    val idxScans = p.linesIterator
+      .filter(l => l.contains("Location") && l.contains(dir)).toSeq
+    assert(idxScans.exists(_.contains("/codes")),
+      s"ADC search does not scan the codes dataset:\n$p")
+    assert(!idxScans.exists(l => l.contains("/cells") || l.contains("/buckets")),
+      s"ADC search reads an embedding-payload dataset:\n$p")
+    spark.catalog.clearCache()
+  }
+
   test("dedup index probe prunes band partitions on a small batch") {
     // the published band table is hive-partitioned by the key-derived
     // dpart column; a below-gate probe batch derives its partition set

@@ -162,7 +162,7 @@ class VectorIndexSpec extends AnyFunSuite {
     // off that is REAL (no size-based rescue at this tiny SF) — and the
     // un-pruned full-index scan must produce exactly the gated rows.
     val dir = java.nio.file.Files.createTempDirectory("graft-vecidx-gate").toString
-    VectorIndex.publishFrom(spark, allEmb, dir)
+    VectorIndex.publishFrom(spark, allEmb, dir, pq = true)
     val qs = allEmb.filter(col("vec_id") < 10)
     val odd = allEmb.filter(col("vec_id") % 2 === 1)
     def rows(df: DataFrame) =
@@ -171,6 +171,7 @@ class VectorIndexSpec extends AnyFunSuite {
       df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val lshHint = rows(VectorIndex.searchLsh(spark, dir, qs, k = 5))
     val ivfHint = rows(VectorIndex.searchIvf(spark, dir, qs, k = 5, nprobe = 2))
+    val pqHint = rows(VectorIndex.searchIvfPq(spark, dir, qs, k = 5, nprobe = 2))
     val probeHint = pairs(VectorIndex.probeBestMatch(spark, dir, odd, 0.45))
     val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
       "spark.sql.adaptive.autoBroadcastJoinThreshold")
@@ -185,6 +186,8 @@ class VectorIndexSpec extends AnyFunSuite {
       assert(lshHint.nonEmpty && rows(lshShuf) == lshHint)
       assert(ivfHint.nonEmpty && rows(VectorIndex.searchIvf(spark, dir, qs,
         k = 5, nprobe = 2, broadcastRowLimit = 0L)) == ivfHint)
+      assert(pqHint.nonEmpty && rows(VectorIndex.searchIvfPq(spark, dir, qs,
+        k = 5, nprobe = 2, broadcastRowLimit = 0L)) == pqHint)
       assert(probeHint.nonEmpty && pairs(VectorIndex.probeBestMatch(spark,
         dir, odd, 0.45, broadcastRowLimit = 0L)) == probeHint)
     } finally saved.foreach {
@@ -259,10 +262,12 @@ class VectorIndexSpec extends AnyFunSuite {
     // and must degrade to an empty (not failing) scan — the zero-literal
     // isin edge the gate introduced
     val dir = java.nio.file.Files.createTempDirectory("graft-vecidx-empty").toString
-    VectorIndex.publishFrom(spark, allEmb.filter(col("vec_id") < 50), dir)
+    VectorIndex.publishFrom(spark, allEmb.filter(col("vec_id") < 50), dir,
+      pq = true)
     val none = allEmb.filter(col("vec_id") < 0)
     assert(VectorIndex.searchLsh(spark, dir, none, k = 3).count() == 0)
     assert(VectorIndex.searchIvf(spark, dir, none, k = 3, nprobe = 1).count() == 0)
+    assert(VectorIndex.searchIvfPq(spark, dir, none, k = 3, nprobe = 1).count() == 0)
     assert(VectorIndex.probeBestMatch(spark, dir, none, 0.45).count() == 0)
     spark.catalog.clearCache()
   }
@@ -383,6 +388,94 @@ class VectorIndexSpec extends AnyFunSuite {
       bucketRows(VectorIndex.loadBuckets(spark, modern)))
     assert(cellRows(VectorIndex.loadCells(spark, dir)) ==
       cellRows(VectorIndex.loadCells(spark, modern)))
+    spark.catalog.clearCache()
+  }
+
+  private def codeRows(df: DataFrame) =
+    df.select("vec_id", "c0", "c1", "c2", "c3").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getInt(4))).toSet
+
+  test("pq publish carries the codebook pair; probe-all ADC equals the " +
+      "global ADC search; a non-pq index refuses") {
+    val base = java.nio.file.Files.createTempDirectory("graft-vecidx-pq")
+    val dir = s"$base/pq"; val plain = s"$base/plain"
+    val m = VectorIndex.publishFrom(spark, allEmb, dir, pq = true)
+    assert(VectorIndex.hasPq(spark, dir))
+    // one code row per corpus vector, cell-aligned with the inverted
+    // lists (same assignment), codes within the codebook range
+    val n = allEmb.count()
+    assert(VectorIndex.loadCodes(spark, dir).count() == n)
+    assert(VectorIndex.loadCodes(spark, dir).alias("k")
+      .join(VectorIndex.loadCells(spark, dir).alias("c"), Seq("vec_id"))
+      .filter(col("k.cell") =!= col("c.cell")).count() == 0,
+      "codes not cell-aligned with the inverted lists")
+    val k = VectorOps.PqCodebookSize
+    assert(VectorIndex.loadCodes(spark, dir)
+      .filter(col("c0") < 0 || col("c0") >= k || col("c3") < 0 ||
+        col("c3") >= k).count() == 0)
+    // the stored codes ARE the argmin encode against the stored books
+    // (the q_embed_pq arithmetic — PqSpec pins training determinism)
+    val books = VectorIndex.loadPqBooks(spark, dir)
+    val subDim = books.select(size(col("pc"))).limit(1).collect()(0).getInt(0)
+    assert(codeRows(VectorIndex.loadCodes(spark, dir)) ==
+      codeRows(VectorOps.pqEncode(allEmb, books, subDim)))
+    // probing EVERY cell makes IVF-ADC the global ADC ranking — exactly
+    // the registered q_embed_pq_search rows (same books by determinism)
+    val qs = allEmb.filter(col("vec_id") < 10)
+    def rows(df: DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val probeAll = rows(VectorIndex.searchIvfPq(spark, dir, qs, k = 5,
+      nprobe = m.cells))
+    spark.catalog.clearCache() // the sharedPq memo must rebuild cleanly
+    SharedPlans.clearFrames(spark)
+    val global = rows(SparkEntry.queries("q_embed_pq_search")(spark, d))
+    assert(probeAll.nonEmpty && probeAll == global)
+    // nprobe below the cell count prunes candidates but stays a subset
+    // ranking: every (query, neighbor) it returns scored by the same ADC
+    val narrow = VectorIndex.searchIvfPq(spark, dir, qs, k = 5, nprobe = 2)
+    assert(narrow.count() > 0)
+    // a publish without pq refuses ADC search instead of degrading
+    VectorIndex.publishFrom(spark, allEmb, plain)
+    assert(!VectorIndex.hasPq(spark, plain))
+    intercept[IllegalArgumentException] {
+      VectorIndex.searchIvfPq(spark, plain, qs, k = 5, nprobe = 2)
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("mergePublish carries the pq pair: frozen-book encode, codes equal " +
+      "the frozen rebuild, layout preserved") {
+    val base = java.nio.file.Files.createTempDirectory("graft-vecidx-pqm")
+    val dir = s"$base/a"; val dirR = s"$base/r"
+    val even = allEmb.filter(col("vec_id") % 2 === 0)
+    val odd = allEmb.filter(col("vec_id") % 2 === 1)
+    VectorIndex.publishFrom(spark, even, dir, pq = true)
+    val books = VectorIndex.loadPqBooks(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2)))
+    val (m1, st) = VectorIndex.mergePublishStats(spark, dir, odd)
+    assert(!st.fullRewrite, st.toString)
+    assert(VectorIndex.hasPq(spark, dir), "merge dropped the pq pair")
+    // books frozen byte-for-byte across the merge
+    assert(VectorIndex.loadPqBooks(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2)))
+      .toSet == books.toSet)
+    // merged codes equal the frozen-geometry frozen-book rebuild
+    VectorIndex.publishWith(spark, even.unionByName(odd), dirR, m1,
+      VectorIndex.loadCentroids(spark, dir),
+      Some(VectorIndex.loadPqBooks(spark, dir)))
+    assert(codeRows(VectorIndex.loadCodes(spark, dir)) ==
+      codeRows(VectorIndex.loadCodes(spark, dirR)),
+      "merged codes diverged from the frozen rebuild")
+    // codes keep the hive layout inside the recorded modulus
+    val root = new java.io.File(s"$dir/v2/codes")
+    val partDirs = root.listFiles().filter(f =>
+      f.isDirectory && f.getName.startsWith("cpart="))
+    assert(partDirs.nonEmpty)
+    partDirs.foreach { pd =>
+      val v = pd.getName.stripPrefix("cpart=").toLong
+      assert(v >= 0 && v < m1.parts)
+    }
     spark.catalog.clearCache()
   }
 
