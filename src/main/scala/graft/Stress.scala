@@ -177,6 +177,10 @@ object Stress {
       Probe("knn_join_candidates",
         "all-pairs kNN bucket-join candidates, corpus side width-capped, pre-top-k (q_knn_join) — measured AT the production schedule (VectorOps.lshWidthFor, the registered query's own code path since r7); quadratic only at an artificially frozen width",
         knnJoinCandidates),
+      Probe("ivf_probe_candidates",
+        "probed-cell occupancy for 10 queries at nprobe=2 under the sqrt cell schedule (q_ann_ivf / q_ann_ivf_idx / the ADC twin q_ann_ivfpq_idx, whose cell-aligned codes enumerate the identical set) — expected ~0.5: occupancy ~ sqrt(50n), the sub-linear probe reading that separates an IVF search from a corpus scan; fit against EMBEDDINGS rows (its driver table)",
+        graft.operators.VectorOps.ivfProbeCandidates,
+        scaleOf = Some((s, d) => Tables.embeddings(s, d).count())),
       Probe("semantic_dedup_candidates",
         "within-cell pair candidates at the LINEAR cell schedule (q_semantic_dedup) — cells ~ n/50 keeps occupancy constant, so cell-scoped pairing stays ~linear; the IVF sqrt schedule would read ~1.5 here",
         graft.operators.VectorOps.semanticDedupCandidates),

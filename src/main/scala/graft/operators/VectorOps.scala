@@ -800,6 +800,37 @@ object VectorOps {
   /** Scaling-instrument hook ([[graft.Stress]]): the within-cell pair
     * count the semantic dedup enumerates (pre-threshold, capped) at the
     * production schedule — the quantity whose exponent must stay ~1. */
+  /** Pre-top-k candidate count of the 10-query nprobe=2 IVF probe — the
+    * scaling instrument of the IVF search family. The ADC twin
+    * (q_ann_ivfpq_idx) enumerates the IDENTICAL set: its code rows are
+    * cell-aligned with the inverted lists, so PQ changes the per-
+    * candidate payload (4 INT codes vs a float vector), never the
+    * candidate count. Candidates = Σ probed-cell occupancy; the sqrt
+    * cell schedule (ivfCellsFor: c²·50 >= n) holds expected occupancy
+    * at ~sqrt(50n), so the expected exponent is ~0.5 per fixed query
+    * set — sub-linear BY SCHEDULE, the reading that separates an IVF
+    * probe from a corpus scan. */
+  private[graft] def ivfProbeCandidates(s: SparkSession, d: String): Long = {
+    GraftFunctions.register(s)
+    val e = graft.Caching.persist(Tables.spread(s, Tables.embeddings(s, d)))
+    try {
+      val cent = trainCentroids(s,
+        e.filter(Tables.phash(col("vec_id")) % 4 === 0),
+        ivfCellsFor(corpusSize(s, d)))
+      val assigned = assignCells(e, cent)
+      val qcells = e.filter(col("vec_id") < 10).join(broadcast(cent))
+        .select(col("vec_id").as("query_id"), col("cell").as("qcell"),
+          expr("cosine_sim(embedding, centroid)").as("csim"))
+        .withColumn("crk", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("csim").desc, col("qcell"))))
+        .filter(col("crk") <= 2)
+        .select("query_id", "qcell")
+      assigned.join(broadcast(qcells),
+          col("cell") === col("qcell") && col("vec_id") =!= col("query_id"))
+        .count()
+    } finally { e.unpersist(); () }
+  }
+
   private[graft] def semanticDedupCandidates(s: SparkSession, d: String): Long = {
     GraftFunctions.register(s)
     val n = corpusSize(s, d)
@@ -953,10 +984,47 @@ object VectorOps {
     graft.sources.VectorIndex.searchLsh(s, fullIndexDir(s, d),
       Tables.embeddings(s, d).filter(col("vec_id") < 10), k = 5)
 
+  /** Index HEALTH surface, inside the correctness gate: the per-version
+    * stats an operator watches to schedule rebuilds — recorded geometry,
+    * per-dataset row counts, live-cell count, worst cell occupancy and
+    * bucket width, and the [[graft.sources.VectorIndex.needsRebuild]]
+    * drift flag. Everything reads the PUBLISHED artifact; the oracle
+    * recomputes the same numbers from the raw embeddings by replaying
+    * both schedules and the training (so a publish that wrote the wrong
+    * rows, dropped vectors, or mis-recorded its geometry fails the
+    * gate, not just a spec). All aggregates are 1-row frames cross-
+    * joined under broadcast — at any corpus size the plan is three
+    * partial-aggregated scans of the index datasets plus literals. */
+  private val qIndexStats: Q = (s, d) => {
+    import s.implicits._
+    val dir = fullIndexDir(s, d)
+    val VI = graft.sources.VectorIndex
+    val m = VI.loadMeta(s, dir)
+    val meta = Seq((m.n, m.width, m.cells, m.parts,
+        VI.needsRebuild(m), VI.hasPq(s, dir)))
+      .toDF("n", "width", "cells_sched", "parts", "needs_rebuild", "has_pq")
+    val cellAgg = VI.loadCells(s, dir).groupBy("cell").count()
+      .agg(count(lit(1)).as("live_cells"),
+        max("count").as("max_cell_occ"),
+        sum("count").as("cell_rows"))
+    val bucketAgg = VI.loadBuckets(s, dir).groupBy("bucket").count()
+      .agg(max("count").as("max_bucket_width"),
+        sum("count").as("bucket_rows"))
+    val codeAgg = VI.loadCodes(s, dir).agg(count(lit(1)).as("code_rows"))
+    meta.crossJoin(broadcast(cellAgg))
+      .crossJoin(broadcast(bucketAgg))
+      .crossJoin(broadcast(codeAgg))
+      .select(col("n"), col("width"), col("cells_sched"), col("parts"),
+        col("needs_rebuild"), col("has_pq"), col("live_cells"),
+        col("max_cell_occ"), col("cell_rows"), col("max_bucket_width"),
+        col("bucket_rows"), col("code_rows"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_embed_cross_dedup_idx" -> qEmbedCrossDedupIdx,
     "q_ann_ivf_idx" -> qAnnIvfIdx,
     "q_ann_ivfpq_idx" -> qAnnIvfPqIdx,
+    "q_index_stats" -> qIndexStats,
     "q_ann_lsh_idx" -> qAnnLshIdx,
     "q_knn_join" -> qKnnJoin,
     "q_hard_negatives" -> qHardNegatives,
@@ -1470,9 +1538,44 @@ object VectorOps {
        |  FROM padc)
        |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
 
+  /** Index-stats replay: both schedules (`nw` width, `nc` cells), the
+    * corpus bucket table (`sigt`) and the full Lloyd-trained assignment
+    * (`afull`) recomputed from the raw embeddings, aggregated to the
+    * same one-row health report the engine reads off the published
+    * artifact. `parts` is the SQL twin of layoutPartsFor; the bucket
+    * cap is inert at fixture SFs (the q_knn_join convention) so the
+    * uncapped `sigt` widths equal the artifact's; needs_rebuild is
+    * identically false for an index published at its own corpus count;
+    * has_pq is true (the shared full-index publish carries the pair). */
+  private def indexStatsOracle: String =
+    s"""WITH ${lshCtes(LshProbes)},
+       |${trainCtes(ivfNcSql)},
+       |ca AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS live_cells,
+       |         CAST(max(c) AS BIGINT) AS max_cell_occ,
+       |         CAST(sum(c) AS BIGINT) AS cell_rows
+       |  FROM (SELECT count(*) AS c FROM afull GROUP BY cell)),
+       |ba AS (
+       |  SELECT CAST(max(c) AS BIGINT) AS max_bucket_width,
+       |         CAST(sum(c) AS BIGINT) AS bucket_rows
+       |  FROM (SELECT count(*) AS c FROM sigt GROUP BY bucket))
+       |SELECT CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS n,
+       |       CAST((SELECT w FROM nw) AS INT) AS width,
+       |       CAST((SELECT c FROM nc) AS INT) AS cells_sched,
+       |       CAST(GREATEST(64, LEAST(65536,
+       |         (SELECT count(*) FROM embeddings) // 4000000 + 1))
+       |         AS INT) AS parts,
+       |       FALSE AS needs_rebuild,
+       |       TRUE AS has_pq,
+       |       live_cells, max_cell_occ, cell_rows,
+       |       max_bucket_width, bucket_rows,
+       |       CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS code_rows
+       |FROM ca, ba""".stripMargin
+
   val oracles: Map[String, String] = baseOracles ++ Map(
     "q_embed_cross_dedup_idx" -> baseOracles("q_embed_cross_dedup"),
     "q_ann_ivf_idx" -> baseOracles("q_ann_ivf"),
     "q_ann_ivfpq_idx" -> ivfPqIdxOracle,
+    "q_index_stats" -> indexStatsOracle,
     "q_ann_lsh_idx" -> baseOracles("q_ann_lsh"))
 }

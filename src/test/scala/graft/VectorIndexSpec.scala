@@ -479,6 +479,29 @@ class VectorIndexSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("q_index_stats reports coherent lifecycle numbers off the artifact") {
+    val r = SparkEntry.queries("q_index_stats")(spark, d).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    val n = allEmb.count()
+    assert(row.getAs[Long]("n") == n)
+    assert(row.getAs[Int]("width") == VectorOps.lshWidthFor(n))
+    assert(row.getAs[Int]("cells_sched") == VectorOps.ivfCellsFor(n))
+    // uncapped per-vector datasets carry the corpus exactly; the bucket
+    // cap is inert at fixture SFs so buckets do too
+    assert(row.getAs[Long]("cell_rows") == n)
+    assert(row.getAs[Long]("code_rows") == n)
+    assert(row.getAs[Long]("bucket_rows") == n)
+    assert(row.getAs[Long]("live_cells") <= row.getAs[Int]("cells_sched"))
+    // the worst cell holds at least the mean occupancy
+    assert(row.getAs[Long]("max_cell_occ") >=
+      (n + row.getAs[Long]("live_cells") - 1) / row.getAs[Long]("live_cells"))
+    // published at its own corpus count: schedules agree, no drift
+    assert(!row.getAs[Boolean]("needs_rebuild"))
+    assert(row.getAs[Boolean]("has_pq"))
+    spark.catalog.clearCache()
+  }
+
   test("needsRebuild flags schedule drift after merges outgrow the geometry") {
     // frozen at a 40-vector schedule, merged to the full corpus: the
     // width/cell schedules would now pick differently -> rebuild due
