@@ -352,8 +352,11 @@ object DedupIndex {
   def loadDocs(s: SparkSession, indexDir: String): DataFrame =
     loadDocsRaw(s, indexDir).select("doc_id", "hs", "n", "truncated")
 
+  // corpus-scale index datasets route through the chaos read gate (the
+  // VectorIndex convention: no-op frame at probability 0, retry
+  // bit-identity under injection pinned in ChaosSpec)
   private def loadDocsRaw(s: SparkSession, indexDir: String): DataFrame =
-    s.read.parquet(s"$indexDir/docs")
+    graft.Chaos.gate(s, s.read.parquet(s"$indexDir/docs"))
 
   /** The band table WITHOUT the layout's partition column — the
     * reader-facing schema is (band, minhash, doc_id) exactly; `dpart` is
@@ -364,7 +367,7 @@ object DedupIndex {
     loadBandsRaw(s, indexDir).select("band", "minhash", "doc_id")
 
   private def loadBandsRaw(s: SparkSession, indexDir: String): DataFrame =
-    s.read.parquet(s"$indexDir/bands")
+    graft.Chaos.gate(s, s.read.parquet(s"$indexDir/bands"))
 
   /** The band table pruned to the partitions a probe batch's band keys
     * touch: derives the batch's `dpart` value set at the published

@@ -209,8 +209,12 @@ object VectorIndex {
   def loadBuckets(s: SparkSession, dir: String): DataFrame =
     loadBucketsRaw(s, dir).select("bucket", "vec_id", "embedding")
 
+  // corpus-scale index datasets route through the chaos read gate
+  // (graft.Chaos — a no-op frame at the default probability 0, so
+  // pruning/pushdown pins hold; under injection the probe queries must
+  // stay bit-identical through Spark's task retries, ChaosSpec)
   private def loadBucketsRaw(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/${ver(s, dir)}/buckets")
+    graft.Chaos.gate(s, s.read.parquet(s"$dir/${ver(s, dir)}/buckets"))
 
   def loadCentroids(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/${ver(s, dir)}/centroids")
@@ -222,7 +226,7 @@ object VectorIndex {
     loadCellsRaw(s, dir).select("cell", "vec_id", "embedding")
 
   private def loadCellsRaw(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/${ver(s, dir)}/cells")
+    graft.Chaos.gate(s, s.read.parquet(s"$dir/${ver(s, dir)}/cells"))
 
   /** True iff the active version ALSO carries the optional PQ pair
     * (`pqbooks` + `codes`) — published with `pq = true`. An index
@@ -248,7 +252,7 @@ object VectorIndex {
     loadCodesRaw(s, dir).select("cell", "vec_id", "c0", "c1", "c2", "c3")
 
   private def loadCodesRaw(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/${ver(s, dir)}/codes")
+    graft.Chaos.gate(s, s.read.parquet(s"$dir/${ver(s, dir)}/codes"))
 
   /** Build and publish a fresh index over `corpus` (vec_id, embedding —
     * extra columns ignored). Geometry derives from `scheduleN` when

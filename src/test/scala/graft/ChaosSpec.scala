@@ -20,10 +20,16 @@ class ChaosSpec extends AnyFunSuite {
   // ... and one CODEC-STAGE query (r8): a retried task re-runs its whole
   // encode→decode→fingerprint partition, so bit-identical results pin
   // that the codec stages are deterministic under Spark's retry path too
+  // ... and the two ARTIFACT-BACKED probes (r12): their sessions publish
+  // the index under injection (write-stage tasks retry through the gated
+  // corpus read) and then probe it through the chaos-gated index-dataset
+  // scans (VectorIndex/DedupIndex raw loaders), so the whole
+  // publish→load→probe cycle is pinned retry-deterministic — including
+  // the ADC path's codes-only scan
   private val ledgerQueries =
     Seq("q_dedup_exact", "q_latest_attempt", "q_checksum_verify",
       "q_ledger_order", "q_flow_control", "q_flow_busy",
-      "q_audio_fingerprint")
+      "q_audio_fingerprint", "q_ann_ivfpq_idx", "q_cross_dedup_idx")
 
   // Each phase runs in a FRESH child session: the chaos gate is planned
   // from the session conf at plan-construction time, and SharedPlans
