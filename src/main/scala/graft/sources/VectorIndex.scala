@@ -771,7 +771,18 @@ object VectorIndex {
     * pruning and the gate behave identically. Requires a `pq = true`
     * publish ([[hasPq]]) — refused, not degraded, on an index without
     * the pair: an ADC caller wants the cheap scan, and silently falling
-    * back to the float scan would invert the cost contract. */
+    * back to the float scan would invert the cost contract.
+    *
+    * Known fidelity upgrade, documented not implemented: canonical
+    * IVFADC encodes the RESIDUAL (x − centroid(cell)) rather than the
+    * raw vector, which concentrates the sub-codebooks on within-cell
+    * variance and improves recall at the same code budget. The layout,
+    * merge bookkeeping and search topology here are unchanged by that
+    * swap (codes stay cell-aligned; the LUT becomes per-(query, probed
+    * cell) instead of per-query, multiplying the broadcast by nprobe);
+    * it is deferred because the raw-vector variant keeps ONE training
+    * and ONE code set shared with the inline q_embed_pq family and its
+    * oracle replay. */
   def searchIvfPq(s: SparkSession, dir: String, queries: DataFrame, k: Int,
       nprobe: Int,
       broadcastRowLimit: Long = QueryBatchBroadcastRowLimit,
