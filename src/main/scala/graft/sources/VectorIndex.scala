@@ -613,6 +613,33 @@ object VectorIndex {
     VectorOps.lshWidthFor(meta.n) != meta.width ||
       VectorOps.ivfCellsFor(meta.n) != meta.cells
 
+  /** One production ingest cycle — the loop every consumer of this
+    * artifact runs, packaged: merge `batch` in (partition-level,
+    * frozen geometry), then IF the merged corpus has outgrown the
+    * frozen schedules ([[needsRebuild]]) run the full [[publishFrom]]
+    * rebuild — re-deriving geometry, retraining centroids and (when the
+    * index carries the PQ pair) the sub-codebooks from the post-merge
+    * corpus, which lives in the uncapped `cells` dataset — and finally
+    * prune non-active versions to `keep` (default 2: the previous
+    * version stays readable for mid-probe sessions; the pointer flip
+    * already made the new one active). Returns the active [[Meta]] and
+    * whether a rebuild ran. Idempotent per batch in the latest-wins
+    * sense every merge has; crash-safe at every step boundary because
+    * each step is itself a pointer-flip publish over immutable version
+    * dirs. */
+  def maintain(s: SparkSession, dir: String, batch: DataFrame,
+      keep: Int = 2): (Meta, Boolean) = {
+    val merged = mergePublish(s, dir, batch)
+    val rebuilt =
+      if (needsRebuild(merged)) {
+        publishFrom(s, loadCells(s, dir).select("vec_id", "embedding"),
+          dir, pq = hasPq(s, dir))
+        true
+      } else false
+    pruneVersions(s, dir, keep)
+    (loadMeta(s, dir), rebuilt)
+  }
+
   /** Delete all non-active version directories beyond the newest `keep`
     * (the [[StorageOps.pruneVersions]] contract, applied to the index
     * layout). Returns the pruned version names. */

@@ -479,6 +479,37 @@ class VectorIndexSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("maintain runs the ingest loop: merge, schedule-driven rebuild, prune") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vecidx-maint").toString
+    val tiny = allEmb.filter(col("vec_id") < 40)
+    val m0 = VectorIndex.publishFrom(spark, tiny, dir, pq = true)
+    // a batch that stays inside the frozen schedules: merge only
+    val (m1, r1) = VectorIndex.maintain(spark, dir,
+      allEmb.filter(col("vec_id") >= 40 && col("vec_id") < 45))
+    assert(!r1, "rebuild ran inside the frozen schedule")
+    assert(m1.width == m0.width && m1.cells == m0.cells && m1.n == 45)
+    assert(VectorIndex.hasPq(spark, dir), "merge dropped the pq pair")
+    // a batch that outgrows them: merge THEN rebuild at the new count
+    val (m2, r2) = VectorIndex.maintain(spark, dir,
+      allEmb.filter(col("vec_id") >= 45))
+    val n = allEmb.count()
+    assert(r2, "outgrown schedule did not trigger the rebuild")
+    assert(m2.n == n && m2.width == VectorOps.lshWidthFor(n) &&
+      m2.cells == VectorOps.ivfCellsFor(n) && !VectorIndex.needsRebuild(m2))
+    assert(VectorIndex.hasPq(spark, dir), "rebuild dropped the pq pair")
+    // the rebuilt corpus is complete (cells/codes are one row per vector)
+    assert(VectorIndex.loadCells(spark, dir).count() == n)
+    assert(VectorIndex.loadCodes(spark, dir).count() == n)
+    // prune kept at most `keep` version dirs and the index stays live
+    val vdirs = new java.io.File(dir).listFiles()
+      .count(f => f.isDirectory && f.getName.matches("v\\d+"))
+    assert(vdirs <= 2, s"$vdirs version dirs survive keep = 2")
+    assert(VectorIndex.isPublished(spark, dir))
+    assert(VectorIndex.searchIvfPq(spark, dir,
+      allEmb.filter(col("vec_id") < 3), k = 3, nprobe = 2).count() > 0)
+    spark.catalog.clearCache()
+  }
+
   test("q_index_stats reports coherent lifecycle numbers off the artifact") {
     val r = SparkEntry.queries("q_index_stats")(spark, d).collect()
     assert(r.length == 1)
