@@ -901,22 +901,67 @@ object VectorOps {
     * expression work — zero shuffles; output is the per-vector checksum
     * triple, not the arrays (oracle-hashable). */
   private val qEmbedQuantize: Q = (s, d) =>
-    Tables.embeddings(s, d)
+    sq8Frame(Tables.embeddings(s, d))
       .select(col("vec_id"),
+        expr("aggregate(qv, 0L, (a, v) -> a + v)").as("q_sum"),
+        expr("array_min(qv)").as("q_min"),
+        expr("array_max(qv)").as("q_max"))
+      .orderBy("vec_id")
+
+  /** The SQ8 frame: (vec_id, amax, qv) with qv the per-vector symmetric
+    * int8 quantization (q_embed_quantize's exact portable arithmetic —
+    * floor(x·127/amax + 0.5), the all-zero vector mapping to zeros).
+    * Shared by the checksum query above and the SQ8 search below so the
+    * two cannot quantize differently. */
+  private def sq8Frame(e: DataFrame): DataFrame =
+    e.select(col("vec_id"),
         expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))")
           .as("amax"),
         col("embedding"))
-      .select(col("vec_id"),
+      .select(col("vec_id"), col("amax"),
         expr("""CASE WHEN amax = 0D
                |  THEN transform(embedding, x -> 0)
                |  ELSE transform(embedding,
                |         x -> CAST(floor(CAST(x AS DOUBLE) * 127.0D / amax + 0.5D) AS INT))
-               |END""".stripMargin).as("q"))
-      .select(col("vec_id"),
-        expr("aggregate(q, 0L, (a, v) -> a + v)").as("q_sum"),
-        expr("array_min(q)").as("q_min"),
-        expr("array_max(q)").as("q_max"))
-      .orderBy("vec_id")
+               |END""".stripMargin).as("qv"))
+
+  /** SQ8 brute-force top-5 — the scalar-quantization counterpart of the
+    * PQ family: score every (query, corpus) pair by the symmetric int8
+    * approximate dot `qamax · camax · Σ qa_i·ca_i` (the corpus is
+    * unit-normalized, so dot ≈ cosine and the ranking approximates
+    * q_ann_brute's). The integer dot is EXACT (int64 accumulation of
+    * int8×int8 terms) and the two closing multiplies are identical IEEE
+    * double ops in both engines, so the query sits inside the DuckDB
+    * gate like every other deterministic approximate path; the recall@5
+    * floor vs the float brute force is pinned in AnnSpec.
+    *
+    * Scale shape: q_ann_brute's exact topology — map-side quantization
+    * on the scan, 10 quantized queries broadcast, a codegen'd zip_with
+    * dot per pair, one per-query rank exchange — with the corpus-side
+    * payload quantized 4× (int8 semantics; parquet stores the int array
+    * dictionary/RLE-compressed, and a production variant packs it to
+    * binary). The quantization is the same one-pass expression
+    * q_embed_quantize checksums, so the search IS the consumer of that
+    * artifact. */
+  private val qAnnSq8: Q = (s, d) => {
+    val e = sq8Frame(Tables.embeddings(s, d))
+    val q = sq8Frame(Tables.embeddings(s, d).filter(col("vec_id") < 10))
+      .select(col("vec_id").as("query_id"), col("amax").as("qamax"),
+        col("qv").as("qqv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id"))
+    e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (col("qamax") * col("amax") *
+          expr("""CAST(aggregate(zip_with(qqv, qv,
+                 |  (a, b) -> CAST(a AS BIGINT) * b),
+                 |  0L, (acc, v) -> acc + v) AS DOUBLE)""".stripMargin))
+          .as("score"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select("query_id", "neighbor_id", "rk")
+      .orderBy("query_id", "rk")
+  }
 
   /** Deterministic per-SF dir for the artifact-backed parity queries —
     * under target/ (the build dir), versioned and pruned to 1 so bench
@@ -1034,6 +1079,7 @@ object VectorOps {
     "q_embed_pq" -> sharedPq,
     "q_embed_pq_search" -> qEmbedPqSearch,
     "q_ann_brute" -> sharedAnn("q_ann_brute", qAnnBrute),
+    "q_ann_sq8" -> qAnnSq8,
     "q_embed_neardup" -> qEmbedNeardup,
     "q_ann_lsh" -> sharedAnn("q_ann_lsh", qAnnLsh),
     "q_ann_ivf" -> sharedAnn("q_ann_ivf", qAnnIvf),
@@ -1319,6 +1365,37 @@ object VectorOps {
   private val baseOracles: Map[String, String] = Map(
     "q_embed_pq" -> pqOracle,
     "q_embed_pq_search" -> pqSearchOracle,
+    // the same quantization CTE as q_embed_quantize, then the exact
+    // int64 dot and the two IEEE double multiplies in the same order
+    "q_ann_sq8" ->
+      """WITH a AS (
+        |  SELECT vec_id,
+        |         list_max(list_transform(embedding,
+        |                  x -> abs(CAST(x AS DOUBLE)))) AS amax,
+        |         embedding
+        |  FROM embeddings),
+        |q8 AS (
+        |  SELECT vec_id, amax,
+        |         CASE WHEN amax = 0
+        |           THEN list_transform(embedding, x -> 0)
+        |           ELSE list_transform(embedding,
+        |                  x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / amax + 0.5) AS INT))
+        |         END AS qv
+        |  FROM a),
+        |sq AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         q.amax * c.amax * CAST(list_sum(
+        |           list_transform(range(1, len(q.qv) + 1),
+        |             k -> CAST(q.qv[k] AS BIGINT) * c.qv[k])) AS DOUBLE)
+        |           AS score
+        |  FROM (SELECT * FROM q8 WHERE vec_id < 10) q
+        |  JOIN q8 c ON c.vec_id <> q.vec_id)
+        |SELECT query_id, neighbor_id, rk FROM (
+        |  SELECT query_id, neighbor_id,
+        |         CAST(row_number() OVER (PARTITION BY query_id
+        |           ORDER BY score DESC, neighbor_id) AS INT) AS rk
+        |  FROM sq)
+        |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
     "q_embed_quantize" ->
       """WITH a AS (
         |  SELECT vec_id,

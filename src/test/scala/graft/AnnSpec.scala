@@ -38,6 +38,22 @@ class AnnSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"ivf recall@5 = $recall")
   }
 
+  test("sq8 search recall@5 vs the float brute force") {
+    // symmetric int8 quantization over a unit-normalized corpus: the
+    // approximate dot tracks cosine closely, so the int-ranked top-5
+    // should recover most of the float top-5. The floor is deliberately
+    // conservative (quantization CAN reorder near-ties); the exact row
+    // set is separately hash-pinned by the DuckDB oracle.
+    val brute = bruteSet
+    val sq8 = VectorOps.queries("q_ann_sq8")(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sq8.nonEmpty)
+    val recall = brute.intersect(sq8).size.toDouble / brute.size
+    info(s"sq8 recall@5 = $recall")
+    assert(recall >= 0.8, s"sq8 recall@5 = $recall")
+    spark.catalog.clearCache()
+  }
+
   test("lsh recall@5 pinned at two widths (the scale dial has code behind it)") {
     val brute = bruteSet
     assert(brute.nonEmpty)
