@@ -389,6 +389,11 @@ object VectorOps {
     }
     stats("ivf", sharedAnn("q_ann_ivf", qAnnIvf)(s, d))
       .unionAll(stats("lsh", sharedAnn("q_ann_lsh", qAnnLsh)(s, d)))
+      // the two quantized paths (r12) join the artifact: int8 brute
+      // force and global PQ-ADC, so all four approximate searches export
+      // their recall through the same oracle-checked row set
+      .unionAll(stats("sq8", qAnnSq8(s, d)))
+      .unionAll(stats("adc", qEmbedPqSearch(s, d)))
       .orderBy("variant")
   }
 
@@ -1275,11 +1280,17 @@ object VectorOps {
     * shared smallest-phash seed order, [[LloydRounds]] rounds, then the
     * full-corpus argmin encode — the shared CTE prefix of the encode
     * oracle (q_embed_pq) and the ADC search oracle. */
-  private def pqCtes: String = {
-    val ph = Tables.phashSql("vec_id")
+  private def pqCtes: String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
        |           FROM embeddings),
-       |sd AS (SELECT len(emb) // $PqSubspaces AS sd FROM e LIMIT 1),
+       |$pqCtesBody""".stripMargin
+
+  /** [[pqCtes]] without the leading `e` definition — the composable form
+    * for oracles that already carry `e` from [[lshCtes]] (the recall
+    * artifact). Requires CTE `e`. */
+  private def pqCtesBody: String = {
+    val ph = Tables.phashSql("vec_id")
+    s"""sd AS (SELECT len(emb) // $PqSubspaces AS sd FROM e LIMIT 1),
        |sub AS MATERIALIZED (
        |  SELECT vec_id, ms.m,
        |         list_slice(emb, ms.m * (SELECT sd FROM sd) + 1,
@@ -1327,34 +1338,40 @@ object VectorOps {
     * per-code-row sum in the SAME m-ascending addition order as the
     * engine's `lut[0]+lut[1]+lut[2]+lut[3]` expression, ranked per query
     * with the neighbor-id tie-break. */
+  /** The global-ADC CTE chain (`codes` → `lutd` → `adc`) over [[pqCtes]]'
+    * `enc`/`sub`/`pc3` — shared by the standalone search oracle and the
+    * recall artifact. */
+  private def adcCtes: String =
+    """codes AS (
+      |  SELECT vec_id,
+      |         max(CASE WHEN m = 0 THEN cell END) AS c0,
+      |         max(CASE WHEN m = 1 THEN cell END) AS c1,
+      |         max(CASE WHEN m = 2 THEN cell END) AS c2,
+      |         max(CASE WHEN m = 3 THEN cell END) AS c3
+      |  FROM enc GROUP BY vec_id),
+      |lutd AS (
+      |  SELECT q.vec_id AS query_id, c.m, c.cell,
+      |         list_sum(list_transform(range(1, len(q.sv) + 1),
+      |           k -> (q.sv[k] - CAST(c.pc[k] AS DOUBLE))
+      |                * (q.sv[k] - CAST(c.pc[k] AS DOUBLE)))) AS d2
+      |  FROM (SELECT * FROM sub WHERE vec_id < 10) q
+      |  JOIN pc3 c ON q.m = c.m),
+      |adc AS (
+      |  SELECT l0.query_id, c.vec_id AS neighbor_id,
+      |         l0.d2 + l1.d2 + l2.d2 + l3.d2 AS dist
+      |  FROM codes c
+      |  JOIN lutd l0 ON l0.m = 0 AND l0.cell = c.c0
+      |  JOIN lutd l1 ON l1.m = 1 AND l1.cell = c.c1
+      |                AND l1.query_id = l0.query_id
+      |  JOIN lutd l2 ON l2.m = 2 AND l2.cell = c.c2
+      |                AND l2.query_id = l0.query_id
+      |  JOIN lutd l3 ON l3.m = 3 AND l3.cell = c.c3
+      |                AND l3.query_id = l0.query_id
+      |  WHERE c.vec_id <> l0.query_id)""".stripMargin
+
   private def pqSearchOracle: String =
     s"""$pqCtes,
-       |codes AS (
-       |  SELECT vec_id,
-       |         max(CASE WHEN m = 0 THEN cell END) AS c0,
-       |         max(CASE WHEN m = 1 THEN cell END) AS c1,
-       |         max(CASE WHEN m = 2 THEN cell END) AS c2,
-       |         max(CASE WHEN m = 3 THEN cell END) AS c3
-       |  FROM enc GROUP BY vec_id),
-       |lutd AS (
-       |  SELECT q.vec_id AS query_id, c.m, c.cell,
-       |         list_sum(list_transform(range(1, len(q.sv) + 1),
-       |           k -> (q.sv[k] - CAST(c.pc[k] AS DOUBLE))
-       |                * (q.sv[k] - CAST(c.pc[k] AS DOUBLE)))) AS d2
-       |  FROM (SELECT * FROM sub WHERE vec_id < 10) q
-       |  JOIN pc3 c ON q.m = c.m),
-       |adc AS (
-       |  SELECT l0.query_id, c.vec_id AS neighbor_id,
-       |         l0.d2 + l1.d2 + l2.d2 + l3.d2 AS dist
-       |  FROM codes c
-       |  JOIN lutd l0 ON l0.m = 0 AND l0.cell = c.c0
-       |  JOIN lutd l1 ON l1.m = 1 AND l1.cell = c.c1
-       |                AND l1.query_id = l0.query_id
-       |  JOIN lutd l2 ON l2.m = 2 AND l2.cell = c.c2
-       |                AND l2.query_id = l0.query_id
-       |  JOIN lutd l3 ON l3.m = 3 AND l3.cell = c.c3
-       |                AND l3.query_id = l0.query_id
-       |  WHERE c.vec_id <> l0.query_id)
+       |$adcCtes
        |SELECT query_id, neighbor_id, rk FROM (
        |  SELECT query_id, neighbor_id,
        |         CAST(row_number() OVER (PARTITION BY query_id
@@ -1362,40 +1379,46 @@ object VectorOps {
        |  FROM adc)
        |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
 
+  /** The SQ8 CTE chain (`a` → `q8` → `sq` scored pairs) — shared by the
+    * standalone sq8 oracle and the recall artifact. Reads `embeddings`
+    * directly (no `e` dependency). */
+  private def sq8Ctes: String =
+    """a AS (
+      |  SELECT vec_id,
+      |         list_max(list_transform(embedding,
+      |                  x -> abs(CAST(x AS DOUBLE)))) AS amax,
+      |         embedding
+      |  FROM embeddings),
+      |q8 AS (
+      |  SELECT vec_id, amax,
+      |         CASE WHEN amax = 0
+      |           THEN list_transform(embedding, x -> 0)
+      |           ELSE list_transform(embedding,
+      |                  x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / amax + 0.5) AS INT))
+      |         END AS qv
+      |  FROM a),
+      |sq AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |         q.amax * c.amax * CAST(list_sum(
+      |           list_transform(range(1, len(q.qv) + 1),
+      |             k -> CAST(q.qv[k] AS BIGINT) * c.qv[k])) AS DOUBLE)
+      |           AS score
+      |  FROM (SELECT * FROM q8 WHERE vec_id < 10) q
+      |  JOIN q8 c ON c.vec_id <> q.vec_id)""".stripMargin
+
   private val baseOracles: Map[String, String] = Map(
     "q_embed_pq" -> pqOracle,
     "q_embed_pq_search" -> pqSearchOracle,
     // the same quantization CTE as q_embed_quantize, then the exact
     // int64 dot and the two IEEE double multiplies in the same order
     "q_ann_sq8" ->
-      """WITH a AS (
-        |  SELECT vec_id,
-        |         list_max(list_transform(embedding,
-        |                  x -> abs(CAST(x AS DOUBLE)))) AS amax,
-        |         embedding
-        |  FROM embeddings),
-        |q8 AS (
-        |  SELECT vec_id, amax,
-        |         CASE WHEN amax = 0
-        |           THEN list_transform(embedding, x -> 0)
-        |           ELSE list_transform(embedding,
-        |                  x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / amax + 0.5) AS INT))
-        |         END AS qv
-        |  FROM a),
-        |sq AS (
-        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |         q.amax * c.amax * CAST(list_sum(
-        |           list_transform(range(1, len(q.qv) + 1),
-        |             k -> CAST(q.qv[k] AS BIGINT) * c.qv[k])) AS DOUBLE)
-        |           AS score
-        |  FROM (SELECT * FROM q8 WHERE vec_id < 10) q
-        |  JOIN q8 c ON c.vec_id <> q.vec_id)
+      (s"WITH $sq8Ctes" + """
         |SELECT query_id, neighbor_id, rk FROM (
         |  SELECT query_id, neighbor_id,
         |         CAST(row_number() OVER (PARTITION BY query_id
         |           ORDER BY score DESC, neighbor_id) AS INT) AS rk
         |  FROM sq)
-        |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+        |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin),
     "q_embed_quantize" ->
       """WITH a AS (
         |  SELECT vec_id,
@@ -1521,7 +1544,22 @@ object VectorOps {
         |       CAST(count(*) AS BIGINT) AS n_near
         |FROM pairs GROUP BY vb ORDER BY vec_id""".stripMargin),
     "q_ann_recall" ->
-      (s"WITH ${lshCtes(LshProbes)}, $ivfCtes, $bruteCte" + """
+      (s"WITH ${lshCtes(LshProbes)}, $ivfCtes, $bruteCte,\n" +
+        s"$pqCtesBody,\n$adcCtes,\n$sq8Ctes," + """
+        |adcq AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |           row_number() OVER (PARTITION BY query_id
+        |             ORDER BY dist ASC, neighbor_id) AS rk
+        |    FROM adc)
+        |  WHERE rk <= 5),
+        |sq8q AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |           row_number() OVER (PARTITION BY query_id
+        |             ORDER BY score DESC, neighbor_id) AS rk
+        |    FROM sq)
+        |  WHERE rk <= 5)
         |SELECT variant, n_hits, n_brute,
         |       round(CAST(n_hits AS DOUBLE) / n_brute, 4) AS recall_at_5
         |FROM (
@@ -1536,6 +1574,18 @@ object VectorOps {
         |         CAST((SELECT count(*) FROM brutq b JOIN lshq l
         |                 ON b.query_id = l.query_id
         |                AND b.neighbor_id = l.neighbor_id) AS BIGINT),
+        |         CAST((SELECT count(*) FROM brutq) AS BIGINT)
+        |  UNION ALL
+        |  SELECT 'sq8',
+        |         CAST((SELECT count(*) FROM brutq b JOIN sq8q s8
+        |                 ON b.query_id = s8.query_id
+        |                AND b.neighbor_id = s8.neighbor_id) AS BIGINT),
+        |         CAST((SELECT count(*) FROM brutq) AS BIGINT)
+        |  UNION ALL
+        |  SELECT 'adc',
+        |         CAST((SELECT count(*) FROM brutq b JOIN adcq ad
+        |                 ON b.query_id = ad.query_id
+        |                AND b.neighbor_id = ad.neighbor_id) AS BIGINT),
         |         CAST((SELECT count(*) FROM brutq) AS BIGINT))
         |ORDER BY variant""".stripMargin),
     "q_embed_centroids" ->
