@@ -391,9 +391,11 @@ object VectorOps {
       .unionAll(stats("lsh", sharedAnn("q_ann_lsh", qAnnLsh)(s, d)))
       // the two quantized paths (r12) join the artifact: int8 brute
       // force and global PQ-ADC, so all four approximate searches export
-      // their recall through the same oracle-checked row set
-      .unionAll(stats("sq8", qAnnSq8(s, d)))
-      .unionAll(stats("adc", qEmbedPqSearch(s, d)))
+      // their recall through the same oracle-checked row set — via the
+      // SAME shared frames their standalone queries return
+      .unionAll(stats("sq8", sharedAnn("q_ann_sq8", qAnnSq8)(s, d)))
+      .unionAll(stats("adc",
+        sharedAnn("q_embed_pq_search", qEmbedPqSearch)(s, d)))
       .orderBy("variant")
   }
 
@@ -663,7 +665,14 @@ object VectorOps {
         expr("sum(shiftleft(CAST(cell AS BIGINT), 4 * m))").as("code"))
 
   /** The session-shared q_embed_pq result frame — the registered query
-    * and the ADC search below consume the same encode. */
+    * and the ADC search below consume the same encode. Unlike the other
+    * sharedAnn entries (top-5 row sets) this frame is O(corpus): one
+    * code row per vector — deliberate at fixture scale, where sharing
+    * one encode across the two consumers beats re-encoding, and ~20
+    * bytes/row keeps even sf0.1 trivial. At production scale the codes
+    * do NOT live in a session cache at all: they persist in the
+    * published index ([[graft.sources.VectorIndex]] `codes` dataset,
+    * the q_ann_ivfpq_idx path) and searches scan them from storage. */
   private val sharedPq: Q = sharedAnn("q_embed_pq", qEmbedPq)
 
   /** ADC (asymmetric-distance) top-5 search over the PQ codes — the
@@ -1060,7 +1069,13 @@ object VectorOps {
     val bucketAgg = VI.loadBuckets(s, dir).groupBy("bucket").count()
       .agg(max("count").as("max_bucket_width"),
         sum("count").as("bucket_rows"))
-    val codeAgg = VI.loadCodes(s, dir).agg(count(lit(1)).as("code_rows"))
+    // guarded on hasPq: a non-PQ artifact reports code_rows = 0 instead
+    // of crashing on the absent dataset (the monitoring surface must
+    // describe whatever index it is pointed at)
+    val codeAgg =
+      if (VI.hasPq(s, dir))
+        VI.loadCodes(s, dir).agg(count(lit(1)).as("code_rows"))
+      else Seq(0L).toDF("code_rows")
     meta.crossJoin(broadcast(cellAgg))
       .crossJoin(broadcast(bucketAgg))
       .crossJoin(broadcast(codeAgg))
@@ -1082,9 +1097,9 @@ object VectorOps {
     "q_embed_neardup_lsh" -> qEmbedNeardupLsh,
     "q_embed_quantize" -> qEmbedQuantize,
     "q_embed_pq" -> sharedPq,
-    "q_embed_pq_search" -> qEmbedPqSearch,
+    "q_embed_pq_search" -> sharedAnn("q_embed_pq_search", qEmbedPqSearch),
     "q_ann_brute" -> sharedAnn("q_ann_brute", qAnnBrute),
-    "q_ann_sq8" -> qAnnSq8,
+    "q_ann_sq8" -> sharedAnn("q_ann_sq8", qAnnSq8),
     "q_embed_neardup" -> qEmbedNeardup,
     "q_ann_lsh" -> sharedAnn("q_ann_lsh", qAnnLsh),
     "q_ann_ivf" -> sharedAnn("q_ann_ivf", qAnnIvf),

@@ -336,14 +336,23 @@ object DedupIndex {
     clean.length
   }
 
-  /** True iff the data datasets committed (meta writes last, so its
-    * presence additionally implies complete layouts). `meta` itself is
-    * NOT required: a legacy pre-layout artifact has none and must still
-    * read (consumers then take the full-scan path — [[loadParts]] = 0 —
-    * and the next merge upgrades it). */
+  /** True iff the artifact is complete: data datasets committed AND
+    * `meta` committed — meta writes LAST (after every dirty-partition
+    * write and clean-partition hard-copy), so its presence is what makes
+    * this gate imply a whole layout; a merge that crashed mid-copy
+    * leaves a meta-less partitioned dir that must read as UNPUBLISHED.
+    * The one exception is a true LEGACY pre-layout artifact (no meta by
+    * construction): it is accepted only when BOTH datasets are also
+    * unpartitioned — consumers then take the full-scan path
+    * ([[loadParts]] = 0) and the next merge upgrades it. A partitioned
+    * dataset without meta is torn, never legacy. */
   def isPublished(s: SparkSession, indexDir: String): Boolean =
     StorageOps.isCommitted(s, s"$indexDir/docs") &&
-      StorageOps.isCommitted(s, s"$indexDir/bands")
+      StorageOps.isCommitted(s, s"$indexDir/bands") && {
+        StorageOps.isCommitted(s, s"$indexDir/meta") ||
+          (!loadDocsRaw(s, indexDir).columns.contains("dpart") &&
+            !loadBandsRaw(s, indexDir).columns.contains("dpart"))
+      }
 
   /** The doc store WITHOUT the layout's partition column — the
     * reader-facing schema is (doc_id, hs, n, truncated) exactly; `dpart`

@@ -174,7 +174,13 @@ object VectorIndex {
     * projection). The cache is left armed — the RETURNED lazy plan reads
     * it — and is reclaimed by the session's `clearCache` like every
     * other [[graft.Caching]] frame; above the gate nothing is persisted
-    * (a corpus-scale batch must not be pinned). */
+    * (a corpus-scale batch must not be pinned). A caller probing in a
+    * LOOP (a foreachBatch consumer firing one gated search per trigger)
+    * inherits one armed frame per call and must reclaim between
+    * triggers — `spark.catalog.clearCache()` after consuming each
+    * result, the same obligation every Verify/Bench runner already
+    * honors — or the cache registry grows one pinned batch frame per
+    * trigger. */
   private def batchFrame(small: Boolean, derived: DataFrame): DataFrame =
     if (small) graft.Caching.persist(derived) else derived
 
@@ -286,14 +292,21 @@ object VectorIndex {
   }
 
   /** `embedding` dim / PqSubspaces, from one row of `e` (the publish
-    * and merge paths re-derive it rather than persisting a fifth meta
-    * field; the books' own `pc` length is the same number). */
+    * path re-derives it rather than persisting a fifth meta field; the
+    * books' own `pc` length is the same number). */
   private def subDimOf(e: DataFrame): Int = {
     val dim = e.select(size(col("embedding"))).limit(1).collect()(0).getInt(0)
     require(dim % VectorOps.PqSubspaces == 0,
       s"embedding dim $dim not divisible into ${VectorOps.PqSubspaces} subspaces")
     dim / VectorOps.PqSubspaces
   }
+
+  /** The sub-dimension as stored in the frozen books — the MERGE and
+    * SEARCH paths derive it here rather than from the caller's frame,
+    * which may legitimately be EMPTY (an empty ingest batch must merge
+    * as a no-op, not crash on a first-row collect). */
+  private def subDimOfBooks(books: DataFrame): Int =
+    books.select(size(col("pc"))).limit(1).collect()(0).getInt(0)
 
   /** Publish `corpus` under an EXPLICIT geometry + centroid table — the
     * shared final stage of [[publishFrom]] and the rebuild side of the
@@ -518,7 +531,7 @@ object VectorIndex {
           pqB.foreach { books =>
             books.select("m", "cell", "pc")
               .write.mode("errorifexists").parquet(s"$dir/$v/pqbooks")
-            val batchCodes = VectorOps.pqEncode(b, books, subDimOf(b))
+            val batchCodes = VectorOps.pqEncode(b, books, subDimOfBooks(books))
               .join(batchCells.select("cell", "vec_id"), Seq("vec_id"))
               .select("cell", "vec_id", "c0", "c1", "c2", "c3")
             prunedByVals(loadCodesRaw(s, dir), "cpart", dirtyCp, m.parts)
@@ -566,7 +579,7 @@ object VectorIndex {
       val codes = pqBooks.map { books =>
         VectorOps.pqEncode(
             mergedCells.select(col("vec_id"), col("embedding")),
-            books, subDimOf(mergedCells))
+            books, subDimOfBooks(books))
           .join(mergedCells.select("cell", "vec_id"), Seq("vec_id"))
           .select("cell", "vec_id", "c0", "c1", "c2", "c3")
       }
@@ -821,8 +834,7 @@ object VectorIndex {
     val cent = loadCentroids(s, dir)
     val books = loadPqBooks(s, dir)
     val kCells = VectorOps.PqCodebookSize
-    val subDim =
-      books.select(size(col("pc"))).limit(1).collect()(0).getInt(0)
+    val subDim = subDimOfBooks(books)
     val q0 = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     val small = knownBatchRows.getOrElse(q0.count()) <= broadcastRowLimit

@@ -194,6 +194,15 @@ class DedupIndexSpec extends AnyFunSuite {
     DedupIndex.loadBands(spark, modern).write.parquet(s"$dir/bands")
     assert(DedupIndex.isPublished(spark, dir))
     assert(DedupIndex.loadParts(spark, dir) == 0)
+    // the no-meta acceptance is LEGACY-ONLY: a PARTITIONED layout
+    // missing meta is a torn merge (crash between the dataset writes
+    // and the meta-last commit), and must read as unpublished
+    val torn = s"$base/torn"
+    for (ds <- Seq("docs", "bands"))
+      spark.read.parquet(s"$modern/$ds")
+        .write.partitionBy("dpart").parquet(s"$torn/$ds")
+    assert(!DedupIndex.isPublished(spark, torn),
+      "a partitioned artifact without meta passed the publish gate")
     // the artifact-backed probe answers identically through the
     // full-scan fallback
     val probe = operators.DedupOps.docHashes(spark, d)

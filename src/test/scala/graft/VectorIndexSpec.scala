@@ -467,6 +467,13 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(codeRows(VectorIndex.loadCodes(spark, dir)) ==
       codeRows(VectorIndex.loadCodes(spark, dirR)),
       "merged codes diverged from the frozen rebuild")
+    // an EMPTY ingest batch merges as a no-op on a pq index (the
+    // subDim derivation must come from the books, not the batch)
+    val before = codeRows(VectorIndex.loadCodes(spark, dir))
+    VectorIndex.mergePublish(spark, dir, allEmb.filter(col("vec_id") < 0))
+    assert(codeRows(VectorIndex.loadCodes(spark, dir)) == before,
+      "empty-batch merge changed the code rows")
+    assert(VectorIndex.hasPq(spark, dir))
     // codes keep the hive layout inside the recorded modulus
     val root = new java.io.File(s"$dir/v2/codes")
     val partDirs = root.listFiles().filter(f =>
