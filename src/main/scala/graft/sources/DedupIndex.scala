@@ -307,34 +307,20 @@ object DedupIndex {
   /** Static partition-value pruning with rebased literals — the
     * [[VectorIndex]] convention (hive reads the partition column back as
     * IntegerType; casting the attribute would block pruning). */
+  // the static-pruning filter and the clean-partition hard-copy are the
+  // SHARED index-layout utilities ([[StorageOps.prunedByVals]] /
+  // [[StorageOps.copyCleanParts]]) — one implementation for both
+  // published indexes, so the literal-rebase and copy semantics cannot
+  // silently diverge
   private def prunedByVals(idx: DataFrame, partCol: String,
-      parts: Array[Long], nParts: Int): DataFrame = {
-    if (parts.length < nParts) {
-      val lits: Seq[Any] = idx.schema(partCol).dataType match {
-        case org.apache.spark.sql.types.IntegerType => parts.toSeq.map(_.toInt)
-        case _ => parts.toSeq
-      }
-      idx.filter(col(partCol).isin(lits: _*))
-    } else idx
-  }
+      parts: Array[Long], nParts: Int): DataFrame =
+    StorageOps.prunedByVals(idx, partCol, parts, nParts)
 
   /** Hard-copy every clean `dpart=<v>` partition directory — see
     * [[MergeStats]]. Returns how many were copied. */
   private def copyCleanParts(s: SparkSession, prevPath: String,
-      newPath: String, dirty: Set[Long]): Int = {
-    val conf = s.sparkContext.hadoopConfiguration
-    val src = new org.apache.hadoop.fs.Path(prevPath)
-    val fs = src.getFileSystem(conf)
-    val clean = fs.listStatus(src)
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("dpart=")
-        && !dirty.contains(st.getPath.getName.stripPrefix("dpart=").toLong))
-    clean.foreach { st =>
-      org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs,
-        new org.apache.hadoop.fs.Path(newPath, st.getPath.getName),
-        false, conf)
-    }
-    clean.length
-  }
+      newPath: String, dirty: Set[Long]): Int =
+    StorageOps.copyCleanParts(s, prevPath, newPath, "dpart", dirty)
 
   /** True iff the artifact is complete: data datasets committed AND
     * `meta` committed — meta writes LAST (after every dirty-partition

@@ -341,6 +341,48 @@ object StorageOps {
       .write.mode("overwrite").parquet(outDir)
   }
 
+  /** Filter a hive-partitioned dataset to an already-collected
+    * partition-value set, as a STATIC pruning filter: the literals are
+    * rebased to the scan column's inferred type (hive partition dirs
+    * read back as IntegerType) so the `isin` stays a partition filter —
+    * a cast around the attribute would block pruning. Returns the scan
+    * unchanged when every partition is touched (the filter would prune
+    * nothing and only add plan noise). Shared by both published-index
+    * merge/probe paths (VectorIndex, DedupIndex). */
+  def prunedByVals(idx: org.apache.spark.sql.DataFrame, partCol: String,
+      parts: Array[Long], nParts: Int): org.apache.spark.sql.DataFrame = {
+    if (parts.length < nParts) {
+      val lits: Seq[Any] = idx.schema(partCol).dataType match {
+        case org.apache.spark.sql.types.IntegerType => parts.toSeq.map(_.toInt)
+        case _ => parts.toSeq
+      }
+      idx.filter(org.apache.spark.sql.functions.col(partCol)
+        .isin(lits: _*))
+    } else idx
+  }
+
+  /** Hard-copy every `partCol=<v>` partition directory of `prevPath`
+    * whose value is NOT dirty into `newPath` — the file-level append
+    * for a partition-level index merge's unreplaced majority (one file
+    * per directory by the writers' layout invariant; no decode, no
+    * task). Returns how many were copied. Shared by both
+    * published-index merge paths. */
+  def copyCleanParts(spark: SparkSession, prevPath: String,
+      newPath: String, partCol: String, dirty: Set[Long]): Int = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = new Path(prevPath)
+    val fs = src.getFileSystem(conf)
+    val prefix = partCol + "="
+    val clean = fs.listStatus(src)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix)
+        && !dirty.contains(st.getPath.getName.stripPrefix(prefix).toLong))
+    clean.foreach { st =>
+      org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs,
+        new Path(newPath, st.getPath.getName), false, conf)
+    }
+    clean.length
+  }
+
   /** Delete child dirs of `root` whose mtime is older than retentionMs
     * (ShuffleDataDirClear.java semantics); returns the deleted paths. */
   def cleanExpired(spark: SparkSession, root: String,

@@ -150,21 +150,11 @@ object VectorIndex {
     prunedByVals(idx, partCol, parts, nParts)
   }
 
-  /** [[prunedScan]] with an already-collected partition-value set — the
-    * literals are rebased to the scan column's inferred type so the
-    * `isin` stays a static partition filter (a cast around the attribute
-    * would block pruning). Returns the scan unchanged when every
-    * partition is touched. */
+  /** [[prunedScan]] with an already-collected partition-value set —
+    * [[StorageOps.prunedByVals]], the shared static-pruning filter. */
   private def prunedByVals(idx: DataFrame, partCol: String,
-      parts: Array[Long], nParts: Int): DataFrame = {
-    if (parts.length < nParts) {
-      val lits: Seq[Any] = idx.schema(partCol).dataType match {
-        case org.apache.spark.sql.types.IntegerType => parts.toSeq.map(_.toInt)
-        case _ => parts.toSeq
-      }
-      idx.filter(col(partCol).isin(lits: _*))
-    } else idx
-  }
+      parts: Array[Long], nParts: Int): DataFrame =
+    StorageOps.prunedByVals(idx, partCol, parts, nParts)
 
   /** The probe-side frame of a gated search call. Below the gate the
     * derived batch frame (probe explode / centroid rank) is PERSISTED so
@@ -598,26 +588,11 @@ object VectorIndex {
   private def bucketKeyOf(width: Int) =
     element_at(expr(s"hyperplane_sig(embedding, $width, 0)"), 1)
 
-  /** Hard-copy every `partCol=<v>` partition directory of `prevPath`
-    * whose value is NOT dirty into `newPath` — the file-level append for
-    * the unreplaced majority. One file per directory by the layout
-    * invariant; no decode, no task. Returns how many were copied. */
+  /** [[StorageOps.copyCleanParts]] — the shared file-level append for
+    * the unreplaced majority. */
   private def copyCleanParts(s: SparkSession, prevPath: String,
-      newPath: String, partCol: String, dirty: Set[Long]): Int = {
-    val conf = s.sparkContext.hadoopConfiguration
-    val src = new org.apache.hadoop.fs.Path(prevPath)
-    val fs = src.getFileSystem(conf)
-    val prefix = partCol + "="
-    val clean = fs.listStatus(src)
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix)
-        && !dirty.contains(st.getPath.getName.stripPrefix(prefix).toLong))
-    clean.foreach { st =>
-      org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs,
-        new org.apache.hadoop.fs.Path(newPath, st.getPath.getName),
-        false, conf)
-    }
-    clean.length
-  }
+      newPath: String, partCol: String, dirty: Set[Long]): Int =
+    StorageOps.copyCleanParts(s, prevPath, newPath, partCol, dirty)
 
   /** True when the corpus has outgrown the frozen geometry — the signal
     * to schedule a full [[publishFrom]] rebuild (width or cell-count
