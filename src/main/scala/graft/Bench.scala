@@ -161,11 +161,22 @@ object Bench {
     // timed rep pays publish+probe while later reps probe only — the
     // non-iid first-rep outlier behind r11's recorded [2.46, 5.66]
     // q_cross_dedup_idx spread. Pre-paying the publish here makes every
-    // timed rep measure the same thing: the probe.
+    // timed rep measure the same thing: the probe. The CODEC families
+    // (image/audio/video) warm for a third reason: their first run pays
+    // ImageIO / headless / codec class-loading and JIT that no clearCache
+    // can reintroduce — the cold-codec first rep behind r12's [0.94,
+    // 2.81] q_image_dhash spread. A warmup failure is LOGGED, not
+    // swallowed: a silently-reverted pre-pay would put the publish cost
+    // back into the first timed rep — exactly the non-iid outlier this
+    // warmup exists to eliminate — with nothing in the output to explain
+    // the recorded spread.
     for (w <- Seq("q_repartition_count", "q_text_minhash", "q_ann_ivf",
         "q_ann_ivf_idx", "q_ann_lsh_idx", "q_cross_dedup_idx",
-        "q_embed_cross_dedup_idx"))
-      try run(w) catch { case _: Throwable => () }
+        "q_embed_cross_dedup_idx",
+        "q_image_dhash", "q_audio_fingerprint", "q_video_fingerprint"))
+      try run(w) catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup $w FAILED: ${e.getMessage}")
+      }
     spark.catalog.clearCache()
     SharedPlans.clearFrames(spark)
 
@@ -191,20 +202,28 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
     // two interleaved passes over the whole suite, then a third rep for
     // the sub-cutoff queries (median-of-3: a single contention hit can no
-    // longer move the recorded number in either direction)
+    // longer move the recorded number in either direction).
+    // OBSERVABILITY queries run ONE rep: they are correctness-gated
+    // health/recall floors, not pipeline stages — nobody adjudicates a
+    // regression on their timing, and the expensive ones (q_ann_recall =
+    // 4 searches + brute force) were costing the gate ~3 reps × 6 s each
+    // for a number no decision reads. Coverage is unchanged: Verify still
+    // oracle-checks them every round.
+    val observability = SparkEntry.ObservabilityQueries
     val pass1 = names.map(n => n -> timeOnce(n)).toMap
     val pass2 = names.map { n =>
-      n -> (if (pass1(n) < 0) pass1(n) else timeOnce(n))
+      n -> (if (pass1(n) < 0 || observability(n)) pass1(n) else timeOnce(n))
     }.toMap
     val reps = scala.collection.mutable.Map[String, List[Double]]()
     names.foreach { n =>
       reps(n) =
         if (pass1(n) < 0 || pass2(n) < 0) Nil
+        else if (observability(n)) List(pass1(n))
         else List(pass1(n), pass2(n))
     }
     names.foreach { n =>
       val r = reps(n)
-      if (r.nonEmpty && r.min < MedianRepCutoff) {
+      if (r.nonEmpty && !observability(n) && r.min < MedianRepCutoff) {
         val t = timeOnce(n)
         if (t >= 0) reps(n) = r :+ t
       }

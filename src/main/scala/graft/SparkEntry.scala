@@ -24,6 +24,14 @@ object SparkEntry {
       SkewOps.queries ++ AudioOps.queries ++ EventOps.queries ++
       LinkOps.queries ++ GraphAnalyticsOps.queries ++ VideoOps.queries
 
+  /** Pure-OBSERVABILITY queries: oracle-checked health/recall floors (the
+    * correctness gate pins their VALUES every round) whose timings no
+    * regression adjudication reads — [[Bench]] runs them once instead of
+    * 2-3 reps, trimming gate wall-clock with zero coverage loss. */
+  val ObservabilityQueries: Set[String] =
+    Set("q_ann_recall", "q_index_stats", "q_dedup_index_stats",
+      "q_embed_diagnostics")
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

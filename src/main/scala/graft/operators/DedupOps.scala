@@ -674,17 +674,52 @@ object DedupOps {
     * [[graft.sources.DedupIndex]] (once per session), then run the odd
     * half against the LOADED artifact — q_cross_dedup's rows exactly
     * (shared oracle), the text twin of q_embed_cross_dedup_idx. */
-  private val qCrossDedupIdx: Q = (s, d) => {
-    graft.functions.GraftFunctions.register(s)
-    val dir = graft.SharedPlans.once(s, s"dedup_index_even|$d") {
+  /** The session-shared even-half index publish — probed by
+    * q_cross_dedup_idx and read by the q_dedup_index_stats health
+    * surface (publish once, consume many: the production economics). */
+  private def evenIndexDir(s: SparkSession, d: String): String =
+    graft.SharedPlans.once(s, s"dedup_index_even|$d") {
       val p = s"target/dedup_index/${d.replaceAll("[^A-Za-z0-9._-]", "_")}_even"
       graft.sources.DedupIndex.publishFrom(s,
         Tables.documents(s, d).filter(col("doc_id") % 2 === 0), p)
       p
     }
-    crossDedupBestFromIndex(s, dir,
+
+  private val qCrossDedupIdx: Q = (s, d) => {
+    graft.functions.GraftFunctions.register(s)
+    crossDedupBestFromIndex(s, evenIndexDir(s, d),
       docHashes(s, d).filter(col("doc_id") % 2 === 1))
       .select("doc_id", "match_id", "jaccard")
+  }
+
+  /** Text-index HEALTH surface, inside the correctness gate — the
+    * [[graft.sources.DedupIndex]] twin of q_index_stats: recorded corpus
+    * count and layout modulus, per-dataset row counts, shingle-set size
+    * aggregates, truncation count, and the
+    * [[graft.sources.DedupIndex.needsRebuild]] drift flag, all read off
+    * the PUBLISHED artifact (three 1-row aggregates under broadcast at
+    * any corpus size). The oracle recomputes every column from the raw
+    * documents by replaying the shingle pipeline and the layout
+    * schedule. Per-(band, minhash) occupancy is deliberately NOT here:
+    * band values are xxhash64-derived with no portable SQL twin — those
+    * invariants are spec-pinned engine-side instead (DedupIndexSpec). */
+  private val qDedupIndexStats: Q = (s, d) => {
+    import s.implicits._
+    val dir = evenIndexDir(s, d)
+    val DI = graft.sources.DedupIndex
+    val meta = Seq((DI.loadNDocs(s, dir), DI.loadParts(s, dir),
+        DI.needsRebuild(s, dir)))
+      .toDF("ndocs", "parts", "needs_rebuild")
+    val docAgg = DI.loadDocs(s, dir).agg(
+      count(lit(1)).as("doc_rows"),
+      sum("n").as("sum_shingles"),
+      max("n").as("max_shingles"),
+      sum(when(col("truncated"), 1L).otherwise(0L)).as("n_truncated"))
+    val bandAgg = DI.loadBands(s, dir).agg(count(lit(1)).as("band_rows"))
+    meta.crossJoin(broadcast(docAgg)).crossJoin(broadcast(bandAgg))
+      .select(col("ndocs"), col("parts"), col("needs_rebuild"),
+        col("doc_rows"), col("sum_shingles"), col("max_shingles"),
+        col("n_truncated"), col("band_rows"))
   }
 
   /** The dedup ACTION a curation pipeline actually executes: for every
@@ -831,9 +866,40 @@ object DedupOps {
     "q_dedup_keep_best" -> qDedupKeepBest,
     "q_cross_dedup" -> qCrossDedup,
     "q_cross_dedup_idx" -> qCrossDedupIdx,
+    "q_dedup_index_stats" -> qDedupIndexStats,
     "q_span_dup_rate" -> qSpanDupRate,
     "q_span_trim" -> qSpanTrim,
   )
+
+  /** q_dedup_index_stats replay: the shingle pipeline (tokenize →
+    * DocTokenCap prefix → distinct word-3-grams) over the even-half
+    * corpus, aggregated to the same one-row health report; `parts` is
+    * the layoutPartsFor twin, needs_rebuild identically false for an
+    * index published at its own corpus count, band_rows = 32 bands per
+    * indexed doc (the MinHashSig band count). */
+  private val dedupIndexStatsSql =
+    s"""WITH t AS (
+       |  SELECT doc_id, (list_filter(string_split_regex(lower(text), '\\W+'),
+       |                              x -> x <> '')) AS toks
+       |  FROM documents WHERE doc_id % 2 = 0),
+       |g AS (
+       |  SELECT doc_id, len(toks) > $DocTokenCap AS truncated,
+       |         len(list_distinct(list_transform(
+       |           range(0, least(len(toks), $DocTokenCap) - 2),
+       |           i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])))
+       |           AS n
+       |  FROM t WHERE len(toks) >= 3)
+       |SELECT CAST(count(*) AS BIGINT) AS ndocs,
+       |       CAST(GREATEST(64, LEAST(65536, count(*) // 250000 + 1))
+       |         AS INT) AS parts,
+       |       FALSE AS needs_rebuild,
+       |       CAST(count(*) AS BIGINT) AS doc_rows,
+       |       CAST(sum(n) AS BIGINT) AS sum_shingles,
+       |       CAST(max(n) AS BIGINT) AS max_shingles,
+       |       CAST(sum(CASE WHEN truncated THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_truncated,
+       |       CAST(count(*) * 32 AS BIGINT) AS band_rows
+       |FROM g""".stripMargin
 
   /** Exact ground-truth pair SQL — all three sketches must converge to it
     * (their candidate recall at J>=0.8 is ~1 by construction). The token
@@ -1067,6 +1133,7 @@ object DedupOps {
     // the artifact-backed twin shares the inline oracle verbatim: the
     // published index round-trips the hash sets and band keys losslessly
     "q_cross_dedup_idx" -> crossDedupSql,
+    "q_dedup_index_stats" -> dedupIndexStatsSql,
     "q_span_dup_rate" -> spanDupSql,
     "q_span_trim" -> spanTrimSql,
   )

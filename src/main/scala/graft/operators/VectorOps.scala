@@ -396,6 +396,11 @@ object VectorOps {
       .unionAll(stats("sq8", sharedAnn("q_ann_sq8", qAnnSq8)(s, d)))
       .unionAll(stats("adc",
         sharedAnn("q_embed_pq_search", qEmbedPqSearch)(s, d)))
+      // the two-stage refine (r13) floors the accuracy/IO dial's upper
+      // end: ADC short-list, exact re-rank — via the SAME shared frame
+      // its standalone query returns
+      .unionAll(stats("refine",
+        sharedAnn("q_ann_ivfpq_refine", qAnnIvfPqRefine)(s, d)))
       .orderBy("variant")
   }
 
@@ -1034,6 +1039,23 @@ object VectorOps {
     graft.sources.VectorIndex.searchIvfPq(s, fullIndexDir(s, d),
       Tables.embeddings(s, d).filter(col("vec_id") < 10), k = 5, nprobe = 2)
 
+  /** ADC short-list size for the registered two-stage refine search —
+    * literal in both engines (the oracle replays the same cut). 10× the
+    * result k: the standard refine budget (Jégou et al. report R = 10·k
+    * as the knee of the recall/IO curve). */
+  val AdcRefineK = 50
+
+  /** ARTIFACT-BACKED two-stage IVFADC + REFINE search over the same
+    * published PQ pair: the fixed 10-query top-5, ADC-short-listed to
+    * [[AdcRefineK]] within the nprobe=2 probed cells, then exact-cosine
+    * re-ranked from the stored floats — the accuracy/IO dial between
+    * q_ann_ivfpq_idx (pure ADC) and q_ann_ivf_idx (exact). The oracle
+    * replays both trainings, the ADC lookup-table cut, and the re-rank. */
+  private val qAnnIvfPqRefine: Q = (s, d) =>
+    graft.sources.VectorIndex.searchIvfPqRefine(s, fullIndexDir(s, d),
+      Tables.embeddings(s, d).filter(col("vec_id") < 10), k = 5, nprobe = 2,
+      refineK = AdcRefineK)
+
   /** ARTIFACT-BACKED LSH search over the same published index: the fixed
     * 10-query top-5 against the loaded bucket table at the frozen
     * width/probes. Produces exactly q_ann_lsh's rows (shared oracle; the
@@ -1089,6 +1111,7 @@ object VectorOps {
     "q_embed_cross_dedup_idx" -> qEmbedCrossDedupIdx,
     "q_ann_ivf_idx" -> qAnnIvfIdx,
     "q_ann_ivfpq_idx" -> qAnnIvfPqIdx,
+    "q_ann_ivfpq_refine" -> sharedAnn("q_ann_ivfpq_refine", qAnnIvfPqRefine),
     "q_index_stats" -> qIndexStats,
     "q_ann_lsh_idx" -> qAnnLshIdx,
     "q_knn_join" -> qKnnJoin,
@@ -1560,7 +1583,8 @@ object VectorOps {
         |FROM pairs GROUP BY vb ORDER BY vec_id""".stripMargin),
     "q_ann_recall" ->
       (s"WITH ${lshCtes(LshProbes)}, $ivfCtes, $bruteCte,\n" +
-        s"$pqCtesBody,\n$adcCtes,\n$sq8Ctes," + """
+        s"$pqCtesBody,\n$adcCtes,\n$sq8Ctes,\n" +
+        s"$ivfAdcCtes,\n${refineCtes(AdcRefineK)}," + """
         |adcq AS (
         |  SELECT query_id, neighbor_id FROM (
         |    SELECT query_id, neighbor_id,
@@ -1601,6 +1625,12 @@ object VectorOps {
         |         CAST((SELECT count(*) FROM brutq b JOIN adcq ad
         |                 ON b.query_id = ad.query_id
         |                AND b.neighbor_id = ad.neighbor_id) AS BIGINT),
+        |         CAST((SELECT count(*) FROM brutq) AS BIGINT)
+        |  UNION ALL
+        |  SELECT 'refine',
+        |         CAST((SELECT count(*) FROM brutq b JOIN refq rf
+        |                 ON b.query_id = rf.query_id
+        |                AND b.neighbor_id = rf.neighbor_id) AS BIGINT),
         |         CAST((SELECT count(*) FROM brutq) AS BIGINT))
         |ORDER BY variant""".stripMargin),
     "q_embed_centroids" ->
@@ -1642,37 +1672,45 @@ object VectorOps {
     * `qc`; CTE names are disjoint by construction), then the
     * [[pqSearchOracle]] lookup-table arithmetic restricted to the
     * probed cells via the `afull` cell of each code row. */
+  /** The IVF-scoped ADC CTE chain (`pcodes` → `plutd` → `padc`): per-code
+    * lookup-table distances restricted to the probed cells — shared by
+    * the standalone q_ann_ivfpq_idx oracle, the refine oracle, and the
+    * recall artifact's refine leg. Requires `enc`/`sub`/`pc3` (from
+    * [[pqCtesBody]]) and `afull`/`qc` (from [[ivfCtes]]). */
+  private def ivfAdcCtes: String =
+    """pcodes AS (
+      |  SELECT vec_id,
+      |         max(CASE WHEN m = 0 THEN cell END) AS c0,
+      |         max(CASE WHEN m = 1 THEN cell END) AS c1,
+      |         max(CASE WHEN m = 2 THEN cell END) AS c2,
+      |         max(CASE WHEN m = 3 THEN cell END) AS c3
+      |  FROM enc GROUP BY vec_id),
+      |plutd AS (
+      |  SELECT q.vec_id AS query_id, c.m, c.cell,
+      |         list_sum(list_transform(range(1, len(q.sv) + 1),
+      |           k -> (q.sv[k] - CAST(c.pc[k] AS DOUBLE))
+      |                * (q.sv[k] - CAST(c.pc[k] AS DOUBLE)))) AS d2
+      |  FROM (SELECT * FROM sub WHERE vec_id < 10) q
+      |  JOIN pc3 c ON q.m = c.m),
+      |padc AS MATERIALIZED (
+      |  SELECT l0.query_id, c.vec_id AS neighbor_id,
+      |         l0.d2 + l1.d2 + l2.d2 + l3.d2 AS dist
+      |  FROM pcodes c
+      |  JOIN afull a ON a.vec_id = c.vec_id
+      |  JOIN qc q ON q.qcell = a.cell AND c.vec_id <> q.query_id
+      |  JOIN plutd l0 ON l0.m = 0 AND l0.cell = c.c0
+      |                AND l0.query_id = q.query_id
+      |  JOIN plutd l1 ON l1.m = 1 AND l1.cell = c.c1
+      |                AND l1.query_id = q.query_id
+      |  JOIN plutd l2 ON l2.m = 2 AND l2.cell = c.c2
+      |                AND l2.query_id = q.query_id
+      |  JOIN plutd l3 ON l3.m = 3 AND l3.cell = c.c3
+      |                AND l3.query_id = q.query_id)""".stripMargin
+
   private def ivfPqIdxOracle: String =
     s"""$pqCtes,
        |$ivfCtes,
-       |pcodes AS (
-       |  SELECT vec_id,
-       |         max(CASE WHEN m = 0 THEN cell END) AS c0,
-       |         max(CASE WHEN m = 1 THEN cell END) AS c1,
-       |         max(CASE WHEN m = 2 THEN cell END) AS c2,
-       |         max(CASE WHEN m = 3 THEN cell END) AS c3
-       |  FROM enc GROUP BY vec_id),
-       |plutd AS (
-       |  SELECT q.vec_id AS query_id, c.m, c.cell,
-       |         list_sum(list_transform(range(1, len(q.sv) + 1),
-       |           k -> (q.sv[k] - CAST(c.pc[k] AS DOUBLE))
-       |                * (q.sv[k] - CAST(c.pc[k] AS DOUBLE)))) AS d2
-       |  FROM (SELECT * FROM sub WHERE vec_id < 10) q
-       |  JOIN pc3 c ON q.m = c.m),
-       |padc AS (
-       |  SELECT l0.query_id, c.vec_id AS neighbor_id,
-       |         l0.d2 + l1.d2 + l2.d2 + l3.d2 AS dist
-       |  FROM pcodes c
-       |  JOIN afull a ON a.vec_id = c.vec_id
-       |  JOIN qc q ON q.qcell = a.cell AND c.vec_id <> q.query_id
-       |  JOIN plutd l0 ON l0.m = 0 AND l0.cell = c.c0
-       |                AND l0.query_id = q.query_id
-       |  JOIN plutd l1 ON l1.m = 1 AND l1.cell = c.c1
-       |                AND l1.query_id = q.query_id
-       |  JOIN plutd l2 ON l2.m = 2 AND l2.cell = c.c2
-       |                AND l2.query_id = q.query_id
-       |  JOIN plutd l3 ON l3.m = 3 AND l3.cell = c.c3
-       |                AND l3.query_id = q.query_id)
+       |$ivfAdcCtes
        |SELECT query_id, neighbor_id, rk FROM (
        |  SELECT query_id, neighbor_id,
        |         CAST(row_number() OVER (PARTITION BY query_id
@@ -1680,18 +1718,64 @@ object VectorOps {
        |  FROM padc)
        |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
 
+  /** The refine replay over [[ivfAdcCtes]]' `padc`: ADC short-list of
+    * `refineK` per query, then the exact-cosine re-rank from the raw
+    * embeddings — the SQL twin of
+    * [[graft.sources.VectorIndex.searchIvfPqRefine]]'s two stages. */
+  private def refineCtes(refineK: Int): String =
+    s"""refc AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |           row_number() OVER (PARTITION BY query_id
+       |             ORDER BY dist ASC, neighbor_id) AS ark
+       |    FROM padc)
+       |  WHERE ark <= $refineK),
+       |refq AS (
+       |  SELECT query_id, neighbor_id, CAST(rk AS INT) AS rk FROM (
+       |    SELECT r.query_id, r.neighbor_id,
+       |           row_number() OVER (PARTITION BY r.query_id
+       |             ORDER BY list_cosine_similarity(q.emb, c.emb) DESC,
+       |                      r.neighbor_id) AS rk
+       |    FROM refc r
+       |    JOIN e q ON q.vec_id = r.query_id
+       |    JOIN e c ON c.vec_id = r.neighbor_id)
+       |  WHERE rk <= 5)""".stripMargin
+
+  private def ivfPqRefineOracle: String =
+    s"""$pqCtes,
+       |$ivfCtes,
+       |$ivfAdcCtes,
+       |${refineCtes(AdcRefineK)}
+       |SELECT query_id, neighbor_id, rk FROM refq
+       |ORDER BY query_id, rk""".stripMargin
+
   /** Index-stats replay: both schedules (`nw` width, `nc` cells), the
-    * corpus bucket table (`sigt`) and the full Lloyd-trained assignment
-    * (`afull`) recomputed from the raw embeddings, aggregated to the
-    * same one-row health report the engine reads off the published
-    * artifact. `parts` is the SQL twin of layoutPartsFor; the bucket
-    * cap is inert at fixture SFs (the q_knn_join convention) so the
-    * uncapped `sigt` widths equal the artifact's; needs_rebuild is
-    * identically false for an index published at its own corpus count;
-    * has_pq is true (the shared full-index publish carries the pair). */
+    * corpus bucket table (`sigt`) CAPPED at the published bucket budget
+    * (`bcap` — the knnCapFor twin, ranked by the same phash order the
+    * engine's cappedBuckets applies, so the replay derives the
+    * artifact's actual bucket rows rather than assuming the cap inert),
+    * and the full Lloyd-trained assignment (`afull`) recomputed from the
+    * raw embeddings, aggregated to the same one-row health report the
+    * engine reads off the published artifact. `parts` is the SQL twin of
+    * layoutPartsFor; needs_rebuild is identically false for an index
+    * published at its own corpus count; has_pq is true (the shared
+    * full-index publish carries the pair — a registered-query constant,
+    * like the probe count). */
   private def indexStatsOracle: String =
     s"""WITH ${lshCtes(LshProbes)},
        |${trainCtes(ivfNcSql)},
+       |bcap AS (
+       |  SELECT 64 * GREATEST($LshTargetBucket,
+       |           ((SELECT count(*) FROM embeddings)
+       |             + (CAST(1 AS BIGINT) << (SELECT w FROM nw)) - 1)
+       |           >> (SELECT w FROM nw)) AS cap),
+       |sigcap AS (
+       |  SELECT vec_id, bucket FROM (
+       |    SELECT vec_id, bucket,
+       |           row_number() OVER (PARTITION BY bucket
+       |             ORDER BY ${Tables.phashSql("vec_id")}, vec_id) AS bkr
+       |    FROM sigt)
+       |  WHERE bkr <= (SELECT cap FROM bcap)),
        |ca AS (
        |  SELECT CAST(count(*) AS BIGINT) AS live_cells,
        |         CAST(max(c) AS BIGINT) AS max_cell_occ,
@@ -1700,7 +1784,7 @@ object VectorOps {
        |ba AS (
        |  SELECT CAST(max(c) AS BIGINT) AS max_bucket_width,
        |         CAST(sum(c) AS BIGINT) AS bucket_rows
-       |  FROM (SELECT count(*) AS c FROM sigt GROUP BY bucket))
+       |  FROM (SELECT count(*) AS c FROM sigcap GROUP BY bucket))
        |SELECT CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS n,
        |       CAST((SELECT w FROM nw) AS INT) AS width,
        |       CAST((SELECT c FROM nc) AS INT) AS cells_sched,
@@ -1718,6 +1802,7 @@ object VectorOps {
     "q_embed_cross_dedup_idx" -> baseOracles("q_embed_cross_dedup"),
     "q_ann_ivf_idx" -> baseOracles("q_ann_ivf"),
     "q_ann_ivfpq_idx" -> ivfPqIdxOracle,
+    "q_ann_ivfpq_refine" -> ivfPqRefineOracle,
     "q_index_stats" -> indexStatsOracle,
     "q_ann_lsh_idx" -> baseOracles("q_ann_lsh"))
 }

@@ -291,9 +291,101 @@ object DedupIndex {
     } finally batch.unpersist()
   }
 
+  // ---- versioned-root lifecycle (the VectorIndex convention) ---------
+  // A maintained text index lives under ONE root: <root>/v<n>/{docs,
+  // bands,meta} + <root>/_current. mergePublish's "publish beside, never
+  // into" contract becomes automatic — the next version IS beside the
+  // live one — and consumers resolve through the pointer instead of
+  // being handed a new directory name per merge.
+
+  /** Publish `corpus` as the root's next immutable version and flip the
+    * pointer. Returns (docRows, bandRows) of the published version. */
+  def publishVersionedFrom(s: SparkSession, corpus: DataFrame,
+      root: String): (Long, Long) = {
+    val v = s"v${StorageOps.nextVersion(s, root)}"
+    val counts = publishFrom(s, corpus, s"$root/$v")
+    StorageOps.flipPointer(s, root, v)
+    counts
+  }
+
+  /** The active version's index directory under a versioned root. */
+  def currentDir(s: SparkSession, root: String): String =
+    s"$root/${StorageOps.currentVersion(s, root).getOrElse(
+      throw new IllegalStateException(s"no published dedup index at $root"))}"
+
+  /** [[isPublished]] through the version pointer. */
+  def isPublishedVersioned(s: SparkSession, root: String): Boolean =
+    StorageOps.currentVersion(s, root)
+      .exists(v => isPublished(s, s"$root/$v"))
+
+  /** True when the corpus count has drifted off the published layout
+    * modulus — the signal that the next merge pays the O(index) full
+    * rewrite ([[MergeStats]] `*FullRewrite`), so an operator can schedule
+    * it deliberately (off-peak) instead of discovering it inside an
+    * ingest. A legacy artifact (parts = 0) always needs the rebuild —
+    * the rewrite doubles as its layout upgrade. */
+  def needsRebuild(s: SparkSession, indexDir: String): Boolean = {
+    val parts = loadParts(s, indexDir)
+    parts <= 0 || parts != layoutPartsFor(loadNDocs(s, indexDir))
+  }
+
+  /** One production ingest cycle on a versioned root — the text twin of
+    * [[VectorIndex.maintain]]: merge `newDocs` into the live version as
+    * the next version (partition-level; a layout drift or legacy
+    * artifact takes the full rewrite INSIDE the merge, which IS this
+    * index's rebuild — nothing retrains), flip the pointer, prune
+    * non-active versions to `keep` (default 2: the previous version
+    * stays readable for mid-probe sessions). Crash-safe at each step:
+    * versions are immutable, the pointer flips last, and a crashed merge
+    * leaves a meta-less next version that [[isPublished]] rejects.
+    * Returns the merged (docRows, bandRows) and the [[MergeStats]]
+    * (whose `*FullRewrite` flags report whether the rebuild ran). */
+  def maintain(s: SparkSession, root: String, newDocs: DataFrame,
+      keep: Int = 2): ((Long, Long), MergeStats) = {
+    val live = currentDir(s, root)
+    val v = s"v${StorageOps.nextVersion(s, root)}"
+    val (counts, stats) = mergePublishStats(s, live, newDocs, s"$root/$v")
+    StorageOps.flipPointer(s, root, v)
+    compactIfFragmented(s, root)
+    StorageOps.pruneVersions(s, root, keep)
+    (counts, stats)
+  }
+
+  /** Small-file compaction hook in the [[maintain]] cycle — the
+    * [[VectorIndex.compactIfFragmented]] twin: if either partitioned
+    * dataset of the ACTIVE version holds more than one data file in any
+    * partition directory, republish the version compacted (same rows,
+    * same recorded count, the canonical one-file-per-partition layout)
+    * as the next version and flip. This library's writers keep the
+    * invariant by construction; the hook covers foreign/legacy
+    * artifacts. Returns whether a compaction version was published. */
+  def compactIfFragmented(s: SparkSession, root: String): Boolean = {
+    val live = currentDir(s, root)
+    if (!Seq("docs", "bands").exists(ds => fragmented(s, s"$live/$ds")))
+      return false
+    val v = s"v${StorageOps.nextVersion(s, root)}"
+    writeAll(s, loadDocs(s, live), loadBands(s, live), s"$root/$v",
+      loadNDocs(s, live))
+    StorageOps.flipPointer(s, root, v)
+    true
+  }
+
+  /** True iff any partition directory of the dataset holds more than one
+    * data file (one FS listing, no data read). */
+  private def fragmented(s: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists { st =>
+      st.isDirectory && st.getPath.getName.contains("=") &&
+        fs.listStatus(st.getPath).count(f => f.isFile &&
+          !f.getPath.getName.startsWith("_") &&
+          !f.getPath.getName.startsWith(".")) > 1
+    }
+  }
+
   /** The recorded corpus count; legacy artifacts (no meta) count the doc
     * store directly. */
-  private def loadNDocs(s: SparkSession, indexDir: String): Long = {
+  private[graft] def loadNDocs(s: SparkSession, indexDir: String): Long = {
     val p = new org.apache.hadoop.fs.Path(s"$indexDir/meta")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) {
@@ -384,5 +476,25 @@ object DedupIndex {
       .distinct().collect().map(_.getLong(0))
     prunedByVals(raw, "dpart", parts, nParts)
       .select("band", "minhash", "doc_id")
+  }
+
+  /** The doc store pruned to the partitions a given doc_id set touches —
+    * the VERIFY-join twin of [[prunedBands]]: `docs` partitions by a pure
+    * function of doc_id, so a candidate set's hash-array rows live in a
+    * derivable partition subset. `ids` carries one doc_id column (first
+    * column is used); the distinct-collect is bounded by the layout
+    * modulus, never the candidate count. Legacy artifacts degrade to the
+    * full scan. */
+  private[graft] def prunedDocs(s: SparkSession, indexDir: String,
+      ids: DataFrame): DataFrame = {
+    val nParts = loadParts(s, indexDir)
+    val raw = loadDocsRaw(s, indexDir)
+    if (nParts <= 0 || !raw.columns.contains("dpart")) // legacy: full scan
+      return raw.select("doc_id", "hs", "n", "truncated")
+    val parts = ids
+      .select(docPartOf(col(ids.columns.head), nParts).as("dpart"))
+      .distinct().collect().map(_.getLong(0))
+    prunedByVals(raw, "dpart", parts, nParts)
+      .select("doc_id", "hs", "n", "truncated")
   }
 }

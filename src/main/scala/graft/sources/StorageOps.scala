@@ -365,7 +365,16 @@ object StorageOps {
     * whose value is NOT dirty into `newPath` — the file-level append
     * for a partition-level index merge's unreplaced majority (one file
     * per directory by the writers' layout invariant; no decode, no
-    * task). Returns how many were copied. Shared by both
+    * task). A directory whose suffix does not parse as a partition
+    * value (a foreign dir sharing the `partCol=` prefix) is skipped,
+    * not crashed on. The copies fan out across a driver-side thread
+    * pool sized to the host — at the 64k-directory layout ceiling the
+    * wall-clock is bounded by store throughput, not 64k serial
+    * round-trips (each copy is an independent dir pair; Hadoop
+    * FileSystem instances are thread-safe for concurrent use). A real
+    * deployment on an object store would instead issue server-side
+    * COPY requests — same fan-out shape, no byte movement through the
+    * driver. Returns how many were copied. Shared by both
     * published-index merge paths. */
   def copyCleanParts(spark: SparkSession, prevPath: String,
       newPath: String, partCol: String, dirty: Set[Long]): Int = {
@@ -374,12 +383,16 @@ object StorageOps {
     val fs = src.getFileSystem(conf)
     val prefix = partCol + "="
     val clean = fs.listStatus(src)
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix)
-        && !dirty.contains(st.getPath.getName.stripPrefix(prefix).toLong))
-    clean.foreach { st =>
-      org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs,
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
+      .filter(st => st.getPath.getName.stripPrefix(prefix).toLongOption
+        .exists(v => !dirty.contains(v)))
+    val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    java.util.Arrays.stream(clean).parallel().forEach { st =>
+      try org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs,
         new Path(newPath, st.getPath.getName), false, conf)
+      catch { case t: Throwable => failure.compareAndSet(null, t) }
     }
+    Option(failure.get()).foreach(throw _)
     clean.length
   }
 

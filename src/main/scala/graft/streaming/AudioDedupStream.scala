@@ -54,4 +54,43 @@ object AudioDedupStream {
       .select(col("ts"), col("in_id"), col("fp"), col("n_frames"),
         col("n").as("corpus_n"), col("rep").as("corpus_rep"))
   }
+
+  /** One microbatch's matches against a PUBLISHED
+    * [[graft.sources.FingerprintIndex]] through the partition-pruned
+    * group scan — the corpus-scale production probe (the lazy
+    * stream-static join above re-reads the caller's whole group table
+    * per trigger): decode+fingerprint runs in the same mapPartitions
+    * codec stage, then the batch's fingerprint set derives its `fpart`
+    * partition values (bounded collect) and the index contributes only
+    * those partitions. Loan-patterned like every sibling probe: the
+    * decoded batch frame is pinned only while `consume` runs. Output
+    * schema matches [[matchesAgainstIndex]]. */
+  def probeIndexBatch[T](s: SparkSession, microbatch: DataFrame,
+      indexDir: String)(consume: DataFrame => T): T = {
+    import s.implicits._
+    val fps = graft.Caching.persist(microbatch
+      .select(col("ts"), col("doc_id").as("in_id"), col("payload"))
+      .as[(java.sql.Timestamp, Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (ts, id, bytes) =>
+          val (fp, nf) = AudioOps.fingerprint(AudioOps.decodeWav(bytes)._3)
+          (ts, id, fp, nf)
+        }
+      }
+      .toDF("ts", "in_id", "fp", "n_frames"))
+    try {
+      val idx = graft.sources.FingerprintIndex.prunedGroups(s, indexDir,
+          fps.select("fp"))
+        .select(col("fp").as("cand_fp"), col("n"), col("rep"))
+      consume(idx.join(broadcast(fps), col("fp") === col("cand_fp"))
+        .select(col("ts"), col("in_id"), col("fp"), col("n_frames"),
+          col("n").as("corpus_n"), col("rep").as("corpus_rep")))
+    } finally fps.unpersist()
+  }
+
+  /** `writeStream.foreachBatch` body routing every trigger through
+    * [[probeIndexBatch]] — parity with the lazy join is spec-pinned. */
+  def foreachBatchProbe(s: SparkSession, indexDir: String)
+      (sink: DataFrame => Unit): (DataFrame, Long) => Unit =
+    (microbatch, _) => probeIndexBatch(s, microbatch, indexDir)(sink)
 }

@@ -73,7 +73,14 @@ object EmbedNearDupStream {
     * needs no second corpus join), and a corpus republish reaches the
     * stream on its next restart exactly like the text twin's band-index
     * swap. Same output schema and threshold semantics as the inline
-    * path; parity spec'd in EmbedNearDupStreamSpec. */
+    * path; parity spec'd in EmbedNearDupStreamSpec.
+    *
+    * SCALE NOTE: this lazy stream-static join re-plans the full bucket
+    * scan per trigger — correct, but at a 100 TB corpus every microbatch
+    * reads the whole artifact. The production entry point at that scale
+    * is [[foreachBatchProbe]], which routes each trigger through the
+    * gated batch search so the scan is pruned to the microbatch's
+    * derived partitions. */
   def nearDupAgainstIndex(s: SparkSession, stream: DataFrame,
       indexDir: String, threshold: Double,
       delay: String = "10 minutes"): DataFrame = {
@@ -93,4 +100,49 @@ object EmbedNearDupStream {
         expr("cosine_sim(ie, ce)").as("sim"))
       .filter(col("sim") >= threshold)
   }
+
+  /** One microbatch's verified matches through the PARTITION-PRUNED
+    * gated batch search ([[graft.sources.VectorIndex.matchesAbove]]) —
+    * the per-trigger unit of [[foreachBatchProbe]], loan-patterned:
+    * `consume` runs while the microbatch frame is pinned (one count +
+    * one probe over it, never a re-derive), and the pin is RELEASED on
+    * exit — a long-running stream holds no cache growth across
+    * triggers. The probe passes `knownBatchRows` = the microbatch
+    * count, so the search derives its `bpart` partition set from the
+    * (tiny) batch and reads ONLY those index partitions: per-trigger
+    * read cost is O(microbatch × partitions touched), not O(corpus) —
+    * the same partition-range read discipline the reference applies to
+    * its per-reducer fetches (Ors2ShuffleManager.scala:213-262). Output
+    * schema matches [[nearDupAgainstIndex]]: (ts, in_id, corpus_id,
+    * sim). */
+  def probeIndexBatch[T](s: SparkSession, microbatch: DataFrame,
+      indexDir: String, threshold: Double)(consume: DataFrame => T): T = {
+    val b = graft.Caching.persist(
+      microbatch.select(col("ts"), col("vec_id"), col("embedding")))
+    try {
+      val n = b.count()
+      val matches = graft.sources.VectorIndex.matchesAbove(s, indexDir,
+        b.select(col("vec_id"), col("embedding")), threshold,
+        knownBatchRows = Some(n))
+      // ts rides back via a microbatch-sized broadcast join (the search
+      // APIs keep the (vec_id, embedding) contract; event time is the
+      // stream's concern)
+      consume(matches
+        .join(broadcast(b.select(col("vec_id").as("in_id"), col("ts"))),
+          Seq("in_id"))
+        .select(col("ts"), col("in_id"), col("corpus_id"), col("sim")))
+    } finally b.unpersist()
+  }
+
+  /** The production streaming probe at corpus scale: a
+    * `writeStream.foreachBatch` body that runs each trigger through
+    * [[probeIndexBatch]] — partition-pruned gated search, no per-trigger
+    * full-index scan, no gate-count job, no cache residue — and hands
+    * the trigger's matches to `sink` (idempotent by batchId under
+    * Spark's foreachBatch replay contract, as usual). Result parity
+    * with the lazy [[nearDupAgainstIndex]] join is spec-pinned. */
+  def foreachBatchProbe(s: SparkSession, indexDir: String,
+      threshold: Double)(sink: DataFrame => Unit): (DataFrame, Long) => Unit =
+    (microbatch, _) =>
+      probeIndexBatch(s, microbatch, indexDir, threshold)(sink)
 }

@@ -89,4 +89,57 @@ object ImageDedupStream {
         expr("CAST(bit_count(dh ^ cand) AS BIGINT)").as("hamming"),
         col("n").as("corpus_n"), col("rep").as("corpus_rep"))
   }
+
+  /** One microbatch's matches against a PUBLISHED banded
+    * [[graft.sources.FingerprintIndex]] through the partition-pruned
+    * band scan — the corpus-scale production probe: decode+dHash runs in
+    * the same mapPartitions codec stage, the batch's 4 band keys per
+    * arrival derive the `ipart` partition set (bounded collect), and the
+    * index contributes only those partitions. Within one trigger a pair
+    * meeting in several bands folds to one row (distinct — the job the
+    * lazy path's watermark dedup state did per horizon; cross-trigger
+    * re-emission is the sink's idempotence concern). Loan-patterned;
+    * output schema matches [[matchesAgainstIndex]]. */
+  def probeIndexBatch[T](s: SparkSession, microbatch: DataFrame,
+      indexDir: String, maxHamming: Int = 3)(consume: DataFrame => T): T = {
+    import s.implicits._
+    require(maxHamming <= 3,
+      s"4x16-bit banding is only pigeonhole-exact for hamming <= 3, got $maxHamming")
+    val dh = graft.Caching.persist(microbatch
+      .select(col("ts"), col("doc_id").as("in_id"), col("payload"))
+      .as[(java.sql.Timestamp, Long, Array[Byte])]
+      .mapPartitions { it =>
+        MultiModalOps.ensureHeadless()
+        it.map { case (ts, id, bytes) => (ts, id, MultiModalOps.dhashPng(bytes)) }
+      }
+      .toDF("ts", "in_id", "dh"))
+    try {
+      val keys = dh.select(explode(expr(bandsExpr("dh"))).as("p"))
+        .select(col("p.band").as("band"), col("p.bv").as("bv"))
+      val idx = graft.sources.FingerprintIndex.prunedBands(s, indexDir, keys)
+        .select(col("band"), col("bv"), col("dhash").as("cand"),
+          col("n"), col("rep"))
+      val probes = dh
+        .select(col("ts"), col("in_id"), col("dh"),
+          explode(expr(bandsExpr("dh"))).as("p"))
+        .select(col("ts"), col("in_id"), col("dh"),
+          col("p.band").as("pband"), col("p.bv").as("pbv"))
+      consume(idx.join(broadcast(probes),
+          col("pband") === col("band") && col("pbv") === col("bv") &&
+            expr("bit_count(dh ^ cand)") <= maxHamming)
+        .select(col("ts"), col("in_id"), col("dh"), col("cand"),
+          col("n"), col("rep"))
+        .distinct()
+        .select(col("ts"), col("in_id"), col("dh").as("in_dhash"),
+          col("cand").as("corpus_dhash"),
+          expr("CAST(bit_count(dh ^ cand) AS BIGINT)").as("hamming"),
+          col("n").as("corpus_n"), col("rep").as("corpus_rep")))
+    } finally dh.unpersist()
+  }
+
+  /** `writeStream.foreachBatch` body routing every trigger through
+    * [[probeIndexBatch]] — parity with the lazy join is spec-pinned. */
+  def foreachBatchProbe(s: SparkSession, indexDir: String,
+      maxHamming: Int = 3)(sink: DataFrame => Unit): (DataFrame, Long) => Unit =
+    (microbatch, _) => probeIndexBatch(s, microbatch, indexDir, maxHamming)(sink)
 }

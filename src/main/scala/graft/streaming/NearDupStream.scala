@@ -207,4 +207,75 @@ object NearDupStream {
       .withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark("doc_a", "doc_b")
   }
+
+  /** One microbatch's verified corpus matches through the
+    * PARTITION-PRUNED index scans — the text twin of
+    * [[EmbedNearDupStream.probeIndexBatch]], and the corpus-scale
+    * replacement for [[nearDupAgainstIndex]]'s lazy join (which re-plans
+    * a FULL band-table scan per trigger): candidates come from
+    * [[graft.sources.DedupIndex.prunedBands]] (the microbatch's 32 band
+    * keys derive a static `dpart` PartitionFilter), and the exact-Jaccard
+    * verification reads the doc store through
+    * [[graft.sources.DedupIndex.prunedDocs]] pruned to the CANDIDATES'
+    * id partitions — per trigger the artifact contributes
+    * O(partitions touched), never O(corpus). Loan-patterned like the
+    * vector twin: the microbatch's shingle/signature frame and the
+    * candidate set are pinned only while `consume` runs.
+    *
+    * `microbatch`: (docId, text, tsUs) rows. Output schema matches
+    * [[nearDupAgainstIndex]]: (doc_a, doc_b, jaccard, ts); within one
+    * trigger each pair emits once (the candidate set is distinct-folded
+    * across bands). CROSS-trigger re-emission of a pair — the job the
+    * lazy path's watermark dedup state did — is the sink's concern under
+    * foreachBatch's standard idempotent-by-batchId contract. */
+  def probeIndexBatch[T](s: SparkSession, microbatch: DataFrame,
+      indexDir: String)(consume: DataFrame => T): T = {
+    graft.functions.GraftFunctions.register(s)
+    val q = graft.Caching.persist(microbatch
+      .select(col("docId").as("q_id"), col("tsUs"),
+        graft.operators.TextRules.tokens(col("text")).as("toks"))
+      .select(col("q_id"), col("tsUs"), shingleHashes(col("toks")).as("q_hs"))
+      .filter(size(col("q_hs")) > 0)
+      .withColumn("q_n", size(col("q_hs")).cast("long")))
+    try {
+      val inBands = q
+        .select(col("q_id"), posexplode(expr("minhash_sig(q_hs)")))
+        .select(col("q_id"), col("pos").as("band"), col("col").as("minhash"))
+      val index = graft.sources.DedupIndex.prunedBands(s, indexDir,
+        inBands.select(col("band"), col("minhash").as("bv")))
+      // distinct collapses multi-band meetings BEFORE the verify join —
+      // each surviving pair is Jaccard-scored exactly once
+      val cands = graft.Caching.persist(
+        index.join(broadcast(inBands), Seq("band", "minhash"))
+          .filter(col("doc_id") =!= col("q_id"))
+          .select(col("q_id"), col("doc_id").as("c_id")).distinct())
+      try {
+        val corp = graft.sources.DedupIndex.prunedDocs(s, indexDir,
+            cands.select(col("c_id")))
+          .select(col("doc_id").as("c_id"), col("hs").as("c_hs"),
+            col("n").as("c_n"))
+        consume(corp
+          .join(broadcast(cands), Seq("c_id"))
+          .join(broadcast(q.select(col("q_id"), col("tsUs"), col("q_hs"),
+            col("q_n"))), Seq("q_id"))
+          .withColumn("inter",
+            size(array_intersect(col("q_hs"), col("c_hs"))).cast("long"))
+          .withColumn("jaccard", col("inter").cast("double") /
+            (col("q_n") + col("c_n") - col("inter")))
+          .filter(col("jaccard") >= 0.8)
+          .select(least(col("q_id"), col("c_id")).as("doc_a"),
+            greatest(col("q_id"), col("c_id")).as("doc_b"),
+            col("jaccard"), timestamp_micros(col("tsUs")).as("ts")))
+      } finally cands.unpersist()
+    } finally q.unpersist()
+  }
+
+  /** The production streaming probe at corpus scale: a
+    * `writeStream.foreachBatch` body routing every trigger through
+    * [[probeIndexBatch]] — pruned band + doc scans, no per-trigger
+    * full-index read, no cache residue. Parity with the lazy
+    * [[nearDupAgainstIndex]] pair set is spec-pinned. */
+  def foreachBatchProbe(s: SparkSession, indexDir: String)
+      (sink: DataFrame => Unit): (DataFrame, Long) => Unit =
+    (microbatch, _) => probeIndexBatch(s, microbatch, indexDir)(sink)
 }

@@ -40,4 +40,38 @@ object VideoDedupStream {
       .select(col("ts"), col("in_id"), col("fp"), col("n_samples"),
         col("n").as("corpus_n"), col("rep").as("corpus_rep"))
   }
+
+  /** One microbatch's matches against a PUBLISHED
+    * [[graft.sources.FingerprintIndex]] through the partition-pruned
+    * group scan — the [[AudioDedupStream.probeIndexBatch]] twin on the
+    * MP4 demux fingerprint. Loan-patterned; output schema matches
+    * [[matchesAgainstIndex]]. */
+  def probeIndexBatch[T](s: SparkSession, microbatch: DataFrame,
+      indexDir: String)(consume: DataFrame => T): T = {
+    import s.implicits._
+    val fps = graft.Caching.persist(microbatch
+      .select(col("ts"), col("doc_id").as("in_id"), col("payload"))
+      .as[(java.sql.Timestamp, Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (ts, id, bytes) =>
+          val (fp, n) = VideoOps.fingerprint(VideoOps.demux(bytes))
+          (ts, id, fp, n)
+        }
+      }
+      .toDF("ts", "in_id", "fp", "n_samples"))
+    try {
+      val idx = graft.sources.FingerprintIndex.prunedGroups(s, indexDir,
+          fps.select("fp"))
+        .select(col("fp").as("cand_fp"), col("n"), col("rep"))
+      consume(idx.join(broadcast(fps), col("fp") === col("cand_fp"))
+        .select(col("ts"), col("in_id"), col("fp"), col("n_samples"),
+          col("n").as("corpus_n"), col("rep").as("corpus_rep")))
+    } finally fps.unpersist()
+  }
+
+  /** `writeStream.foreachBatch` body routing every trigger through
+    * [[probeIndexBatch]] — parity with the lazy join is spec-pinned. */
+  def foreachBatchProbe(s: SparkSession, indexDir: String)
+      (sink: DataFrame => Unit): (DataFrame, Long) => Unit =
+    (microbatch, _) => probeIndexBatch(s, microbatch, indexDir)(sink)
 }

@@ -226,6 +226,109 @@ class DedupIndexSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("versioned root: maintain merges, flips the pointer, prunes old versions") {
+    val full = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), col("text"))
+    val base = java.nio.file.Files.createTempDirectory("graft-idx-maint")
+    val root = s"$base/root"; val ref = s"$base/ref"
+    DedupIndex.publishVersionedFrom(spark, full.filter(col("doc_id") % 3 === 0), root)
+    assert(DedupIndex.isPublishedVersioned(spark, root))
+    val v1 = DedupIndex.currentDir(spark, root)
+    // an index published at its own corpus count carries no drift
+    assert(!DedupIndex.needsRebuild(spark, v1))
+
+    val (_, st2) = DedupIndex.maintain(spark, root,
+      full.filter(col("doc_id") % 3 === 1))
+    val v2 = DedupIndex.currentDir(spark, root)
+    assert(v2 != v1, "maintain did not flip the pointer")
+    assert(!st2.docsFullRewrite && !st2.bandsFullRewrite,
+      s"fixture-scale maintain took the O(index) path: $st2")
+
+    val ((nd3, nb3), _) = DedupIndex.maintain(spark, root,
+      full.filter(col("doc_id") % 3 === 2))
+    val v3 = DedupIndex.currentDir(spark, root)
+    // keep = 2: the active version plus one predecessor survive the prune
+    val vdirs = new java.io.File(root).listFiles()
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+      .map(f => s"$root/${f.getName}").toSet
+    assert(vdirs == Set(v2, v3), s"prune kept $vdirs, want {$v2, $v3}")
+
+    // two maintain cycles == a from-scratch publish of the whole corpus
+    DedupIndex.publishFrom(spark, full, ref)
+    assert(docRows(DedupIndex.loadDocs(spark, v3)) ==
+      docRows(DedupIndex.loadDocs(spark, ref)))
+    assert(bandRows(DedupIndex.loadBands(spark, v3)) ==
+      bandRows(DedupIndex.loadBands(spark, ref)))
+    assert((nd3, nb3) == (full.count(),
+      full.count() * graft.functions.MinHashSig.DefaultBands))
+    // legacy artifacts always report drift (the rewrite is their upgrade)
+    val legacy = s"$base/legacy"
+    DedupIndex.loadDocs(spark, ref).write.parquet(s"$legacy/docs")
+    DedupIndex.loadBands(spark, ref).write.parquet(s"$legacy/bands")
+    assert(DedupIndex.needsRebuild(spark, legacy))
+    spark.catalog.clearCache()
+  }
+
+  test("health stats: the non-portable band-occupancy invariants hold") {
+    // q_dedup_index_stats' oracle replays every PORTABLE column from raw
+    // docs; the xxhash64-derived per-(band, minhash) occupancy has no SQL
+    // twin, so its invariants pin here: 32 band rows per indexed doc,
+    // bucket widths within [1, ndocs], and the planted duplicate pairs
+    // colliding in at least one bucket of width >= 2
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-idx-health").toString
+    DedupIndex.publishFrom(spark,
+      Tables.documents(spark, TestSpark.sf0001)
+        .select(col("doc_id"), col("text")), dir)
+    val ndocs = DedupIndex.loadNDocs(spark, dir)
+    assert(ndocs == DedupIndex.loadDocs(spark, dir).count())
+    val widths = DedupIndex.loadBands(spark, dir)
+      .groupBy("band", "minhash").count()
+    val (wMax, rows) = {
+      val r = widths.agg(max("count"), sum("count")).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    assert(rows == ndocs * graft.functions.MinHashSig.DefaultBands)
+    assert(wMax >= 2 && wMax <= ndocs,
+      s"max bucket width $wMax outside [2, $ndocs]")
+    spark.catalog.clearCache()
+  }
+
+  test("maintain's compaction hook restores one file per partition, rows intact") {
+    val full = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), col("text"))
+    val root = s"${java.nio.file.Files.createTempDirectory("graft-idx-compact")}/root"
+    DedupIndex.publishVersionedFrom(spark, full, root)
+    val live = DedupIndex.currentDir(spark, root)
+    val rows0 = docRows(DedupIndex.loadDocs(spark, live))
+    // fragment one docs partition the way a foreign writer would: split
+    // its single file into two
+    val pd = new java.io.File(s"$live/docs").listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("dpart="))
+      .maxBy(d => d.listFiles().map(_.length()).sum)
+    val frag = spark.read.parquet(pd.toString).repartition(2)
+    val tmp = s"${pd}__frag"
+    frag.write.parquet(tmp)
+    org.apache.hadoop.fs.FileUtil.fullyDelete(pd)
+    new java.io.File(tmp).renameTo(pd)
+    assert(pd.listFiles().count(f => f.getName.endsWith(".parquet")) == 2)
+
+    assert(DedupIndex.compactIfFragmented(spark, root),
+      "hook did not detect the fragmented partition")
+    val compacted = DedupIndex.currentDir(spark, root)
+    assert(compacted != live)
+    for (ds <- Seq("docs", "bands");
+        d <- new java.io.File(s"$compacted/$ds").listFiles()
+          if d.isDirectory && d.getName.startsWith("dpart="))
+      assert(d.listFiles().count(f => f.getName.endsWith(".parquet")) <= 1,
+        s"$ds/${d.getName} still fragmented after compaction")
+    assert(docRows(DedupIndex.loadDocs(spark, compacted)) == rows0,
+      "compaction changed the doc rows")
+    // and a healthy version is a no-op
+    assert(!DedupIndex.compactIfFragmented(spark, root))
+    spark.catalog.clearCache()
+  }
+
   test("mergePublish refuses to write into the live index") {
     val full = Tables.documents(spark, TestSpark.sf0001)
       .select(col("doc_id"), col("text"))

@@ -142,6 +142,71 @@ class EmbedNearDupStreamSpec extends AnyFunSuite {
       s"missing=${viaCorpus.diff(viaIndex).take(5)} extra=${viaIndex.diff(viaCorpus).take(5)}")
   }
 
+  test("foreachBatch pruned probe equals the lazy index join, cache slots bounded") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+
+    // the corpus-scale production path: every trigger routes through the
+    // gated partition-pruned batch search (knownBatchRows, no full scan).
+    // Result parity with the lazy stream-static join over the same
+    // artifact, fed in several microbatches to exercise repeated triggers;
+    // the armed batch-frame registry must stay bounded (one slot), not
+    // grow one pinned frame per trigger (the r12 advice leak).
+    val d = TestSpark.sf0001
+    val all = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
+    val corpusEmb = all.filter(col("vec_id") % 2 === 0)
+    val n = all.count()
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-vecidx-feb").toString
+    graft.sources.VectorIndex.publishFrom(spark, corpusEmb, dir,
+      scheduleN = Some(n))
+
+    val incoming = all.filter(col("vec_id") % 2 === 1).collect().map { r =>
+      EmbedEv(r.getLong(0), r.getSeq[Float](1).toArray,
+        new java.sql.Timestamp(1700000000000L + r.getLong(0)))
+    }
+    val lazySource = MemoryStream[EmbedEv]
+    val lazyQ = EmbedNearDupStream.nearDupAgainstIndex(spark,
+        lazySource.toDF(), dir, threshold = 0.45)
+      .writeStream.format("memory").queryName("feb_lazy")
+      .outputMode("append").start()
+    val viaLazy = try {
+      lazySource.addData(incoming.toIndexedSeq: _*)
+      lazyQ.processAllAvailable()
+      spark.sql("SELECT in_id, corpus_id, sim FROM feb_lazy")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    } finally lazyQ.stop()
+
+    val buf = scala.collection.mutable.Set[(Long, Long, Double)]()
+    val slotCounts = scala.collection.mutable.ListBuffer[Int]()
+    val source = MemoryStream[EmbedEv]
+    val q = source.toDF().writeStream
+      .foreachBatch(EmbedNearDupStream.foreachBatchProbe(spark, dir, 0.45) {
+        out => buf.synchronized {
+          buf ++= out.collect()
+            .map(r => (r.getAs[Long]("in_id"), r.getAs[Long]("corpus_id"),
+              r.getAs[Double]("sim")))
+        }
+      })
+      .start()
+    try {
+      incoming.grouped(incoming.length / 3 + 1).foreach { b =>
+        source.addData(b.toIndexedSeq: _*)
+        q.processAllAvailable()
+        slotCounts += graft.sources.VectorIndex.armedSlotCount(spark)
+      }
+    } finally q.stop()
+    assert(buf.nonEmpty && buf.toSet == viaLazy,
+      s"missing=${viaLazy.diff(buf.toSet).take(5)} extra=${buf.toSet.diff(viaLazy).take(5)}")
+    // the armed batch-frame registry must not grow with trigger count:
+    // every trigger reuses the ONE keyed slot (other suites may have
+    // armed other dirs' slots in this shared session — growth, not the
+    // absolute count, is the leak observable)
+    assert(slotCounts.distinct.size == 1,
+      s"armed slots grew across triggers: $slotCounts")
+    spark.catalog.clearCache()
+  }
+
   test("index refresh cycle: a mergePublish reaches the stream on restart") {
     // The production cycle the artifact documents (the NearDupStream text
     // twin's contract, on the vector side): corpus v1 is published, the

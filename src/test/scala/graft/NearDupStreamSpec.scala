@@ -127,6 +127,48 @@ class NearDupStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("foreachBatch pruned probe equals the batch pair set over the published index") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+
+    // the corpus-scale production path: each trigger probes the published
+    // DedupIndex through the PRUNED band + doc scans (plan pinned in
+    // PlanShapeSpec); streaming the whole corpus against its own index in
+    // several microbatches must recover exactly the batch MinHash pair set
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-dedupidx-feb").toString
+    graft.sources.DedupIndex.publish(spark, TestSpark.sf0001, dir)
+    val batchPairs = DedupOps.nearDupPairs(spark, TestSpark.sf0001)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batchPairs.nonEmpty, "fixture must contain near-dup pairs")
+
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id").as("docId"), col("lang"), col("text"),
+        (col("doc_id") * 1000000L).as("tsUs"))
+      .as[TimedDoc].collect()
+    val buf = scala.collection.mutable.Set[(Long, Long)]()
+    val source = MemoryStream[TimedDoc]
+    val q = source.toDS().toDF().writeStream
+      .foreachBatch(graft.streaming.NearDupStream.foreachBatchProbe(spark, dir) {
+        out => buf.synchronized {
+          buf ++= out.collect()
+            .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+        }
+      })
+      .start()
+    try {
+      docs.sortBy(d => d.docId * 2654435761L % 1000000007L)
+        .grouped(docs.length / 3 + 1).foreach { b =>
+          source.addData(b.toIndexedSeq: _*)
+          q.processAllAvailable()
+        }
+    } finally q.stop()
+    assert(buf.toSet == batchPairs,
+      s"probe-only: ${(buf.toSet -- batchPairs).take(5)}; batch-only: ${(batchPairs -- buf.toSet).take(5)}")
+    spark.catalog.clearCache()
+  }
+
   test("stream-stream slot cap bounds an in-window flood of near-identical docs") {
     // 400 near-identical docs arrive in one window: uncapped, every
     // (band, bv) bucket holds all 400 and the join enumerates

@@ -324,6 +324,89 @@ class PlanShapeSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("streaming index probes prune partitions per microbatch") {
+    // the foreachBatch production path (EmbedNearDupStream/NearDupStream
+    // .probeIndexBatch) must route each trigger through the gated batch
+    // searches: the per-trigger plan shows the static key-derived
+    // PartitionFilters instead of a full artifact scan — the r12 verdict's
+    // one live 100 TB weak spot, closed
+    val vdir = java.nio.file.Files
+      .createTempDirectory("graft-planshape-vecstream").toString
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    graft.sources.VectorIndex.publishFrom(spark, emb, vdir)
+    val micro = emb.filter(col("vec_id") < 3)
+      .withColumn("ts", lit(new java.sql.Timestamp(1700000000000L)))
+    graft.streaming.EmbedNearDupStream
+      .probeIndexBatch(spark, micro, vdir, 0.3) { out =>
+        val p = plan(out)
+        assert("""PartitionFilters: \[[^\]]*bpart#""".r.findFirstIn(p).isDefined,
+          s"per-trigger vector probe does not prune bucket partitions:\n$p")
+      }
+    val ddir = java.nio.file.Files
+      .createTempDirectory("graft-planshape-dedupstream").toString
+    graft.sources.DedupIndex.publishFrom(spark,
+      Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+        .filter(col("doc_id") % 2 === 0), ddir)
+    // ONE odd doc with a planted even near-dup (5 ~ 450 at J=0.98 in the
+    // fixture): the candidate set is NON-empty (an empty candidate set
+    // constant-folds the verify subtree away — nothing to pin) and the
+    // microbatch's 32 band keys touch a strict partition subset (a
+    // corpus-scale batch touches all partitions, where the no-op filter
+    // is the correct plan)
+    val microDocs = Tables.documents(spark, sf)
+      .filter(col("doc_id") === 5)
+      .select(col("doc_id").as("docId"), col("text"),
+        (col("doc_id") * 1000000L).as("tsUs"))
+    graft.streaming.NearDupStream
+      .probeIndexBatch(spark, microDocs, ddir) { out =>
+        val p = plan(out)
+        // BOTH index scans prune: the band scan (candidates) and the doc
+        // store (exact-Jaccard verify rows)
+        val prunedScans =
+          """PartitionFilters: \[[^\]]*dpart#""".r.findAllIn(p).size
+        assert(prunedScans >= 2,
+          s"per-trigger text probe prunes $prunedScans/2 index scans:\n$p")
+        assert(out.limit(1).count() > 0, "probe found no verified match")
+      }
+    spark.catalog.clearCache()
+  }
+
+  test("fingerprint index probes prune partitions per microbatch") {
+    import spark.implicits._
+    // audio (exact-fp groups, fpart layout): one arrival's fingerprint
+    // derives one partition out of the 64-floor layout
+    val adir = java.nio.file.Files
+      .createTempDirectory("graft-planshape-fpidx-a").toString
+    graft.sources.FingerprintIndex.publishGroups(spark,
+      operators.AudioOps.fingerprintIndex(spark, sf), adir)
+    val amb = Seq((new java.sql.Timestamp(1700000000000L), 1L,
+        operators.AudioOps.encodeWav(
+          operators.AudioOps.fpClipSamples(operators.AudioOps.fpCid(1L)))))
+      .toDF("ts", "doc_id", "payload")
+    graft.streaming.AudioDedupStream.probeIndexBatch(spark, amb, adir) { out =>
+      val p = plan(out)
+      assert("""PartitionFilters: \[[^\]]*fpart#""".r.findFirstIn(p).isDefined,
+        s"no fpart partition filter on the group scan:\n$p")
+      assert(out.limit(1).count() > 0, "arrival missed its own group")
+    }
+    // image (banded sigs, ipart layout): one arrival's 4 band keys
+    val idir = java.nio.file.Files
+      .createTempDirectory("graft-planshape-fpidx-i").toString
+    graft.sources.FingerprintIndex.publishBandedSigs(spark,
+      operators.MultiModalOps.imageSigs(spark, sf), idir)
+    val imb = Seq((new java.sql.Timestamp(1700000000000L), 1L,
+        operators.MultiModalOps.encodePng(1L)))
+      .toDF("ts", "doc_id", "payload")
+    graft.streaming.ImageDedupStream.probeIndexBatch(spark, imb, idir) { out =>
+      val p = plan(out)
+      assert("""PartitionFilters: \[[^\]]*ipart#""".r.findFirstIn(p).isDefined,
+        s"no ipart partition filter on the banded scan:\n$p")
+      assert(out.limit(1).count() > 0, "arrival missed its own signature")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("dedup index probe prunes band partitions on a small batch") {
     // the published band table is hive-partitioned by the key-derived
     // dpart column; a below-gate probe batch derives its partition set

@@ -172,7 +172,11 @@ class VectorIndexSpec extends AnyFunSuite {
     val lshHint = rows(VectorIndex.searchLsh(spark, dir, qs, k = 5))
     val ivfHint = rows(VectorIndex.searchIvf(spark, dir, qs, k = 5, nprobe = 2))
     val pqHint = rows(VectorIndex.searchIvfPq(spark, dir, qs, k = 5, nprobe = 2))
+    val refHint = rows(VectorIndex.searchIvfPqRefine(spark, dir, qs, k = 5,
+      nprobe = 2))
     val probeHint = pairs(VectorIndex.probeBestMatch(spark, dir, odd, 0.45))
+    val matchHint = pairs(VectorIndex.matchesAbove(spark, dir, odd, 0.45)
+      .select("in_id", "corpus_id"))
     val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
       "spark.sql.adaptive.autoBroadcastJoinThreshold")
     val saved = keys.map(k => k -> spark.conf.getOption(k)).toMap
@@ -188,8 +192,23 @@ class VectorIndexSpec extends AnyFunSuite {
         k = 5, nprobe = 2, broadcastRowLimit = 0L)) == ivfHint)
       assert(pqHint.nonEmpty && rows(VectorIndex.searchIvfPq(spark, dir, qs,
         k = 5, nprobe = 2, broadcastRowLimit = 0L)) == pqHint)
+      assert(refHint.nonEmpty && rows(VectorIndex.searchIvfPqRefine(spark,
+        dir, qs, k = 5, nprobe = 2, broadcastRowLimit = 0L)) == refHint)
       assert(probeHint.nonEmpty && pairs(VectorIndex.probeBestMatch(spark,
         dir, odd, 0.45, broadcastRowLimit = 0L)) == probeHint)
+      assert(matchHint.nonEmpty && pairs(VectorIndex.matchesAbove(spark,
+        dir, odd, 0.45, broadcastRowLimit = 0L)
+        .select("in_id", "corpus_id")) == matchHint)
+      // matchesAbove is probeBestMatch without the rank-1 fold: folding
+      // its rows to (max sim, min id) per incoming must reproduce the
+      // best-match pairs exactly
+      val folded = VectorIndex.matchesAbove(spark, dir, odd, 0.45)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1)
+        .map { case (in, rs) => (in, rs.minBy(t => (-t._3, t._2))._2) }
+        .toSet
+      assert(folded == probeHint, "matchesAbove fold diverged from probeBestMatch")
     } finally saved.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None) => spark.conf.unset(k)
@@ -514,6 +533,42 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(VectorIndex.isPublished(spark, dir))
     assert(VectorIndex.searchIvfPq(spark, dir,
       allEmb.filter(col("vec_id") < 3), k = 3, nprobe = 2).count() > 0)
+    spark.catalog.clearCache()
+  }
+
+  test("maintain's compaction hook restores one file per partition, rows intact") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-vecidx-compact").toString
+    VectorIndex.publishFrom(spark, allEmb, dir)
+    val v = StorageOps.currentVersion(spark, dir).get
+    def bucketSet = VectorIndex.loadBuckets(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows0 = bucketSet
+    // fragment one bucket partition the way a foreign writer would
+    val pd = new java.io.File(s"$dir/$v/buckets").listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("bpart="))
+      .maxBy(d => d.listFiles().map(_.length()).sum)
+    val frag = spark.read.parquet(pd.toString).repartition(2)
+    val tmp = s"${pd}__frag"
+    frag.write.parquet(tmp)
+    org.apache.hadoop.fs.FileUtil.fullyDelete(pd)
+    new java.io.File(tmp).renameTo(pd)
+    assert(pd.listFiles().count(f => f.getName.endsWith(".parquet")) == 2)
+    // a maintain cycle (empty batch: pure hygiene pass) detects the
+    // fragmentation — the clean-partition hard-copy preserves it into the
+    // merged version — and publishes the compacted version
+    VectorIndex.maintain(spark, dir,
+      allEmb.filter(col("vec_id") < 0), keep = 1)
+    val v2 = StorageOps.currentVersion(spark, dir).get
+    assert(v2 != v)
+    for (ds <- Seq("buckets", "cells");
+        d <- new java.io.File(s"$dir/$v2/$ds").listFiles()
+          if d.isDirectory && d.getName.contains("="))
+      assert(d.listFiles().count(f => f.getName.endsWith(".parquet")) <= 1,
+        s"$ds/${d.getName} still fragmented after the maintain cycle")
+    assert(bucketSet == rows0, "compaction changed the bucket rows")
+    // a healthy version is a no-op
+    assert(!VectorIndex.compactIfFragmented(spark, dir))
     spark.catalog.clearCache()
   }
 
