@@ -119,6 +119,159 @@ object FingerprintIndex {
     } finally g.unpersist()
   }
 
+  /** What a [[mergeGroups]]/[[mergeBandedSigs]] actually wrote: partition
+    * directories REWRITTEN (they hold batch fingerprints) vs hard-copied
+    * verbatim; `fullRewrite` marks the O(index) fallback (layout modulus
+    * moved at the merged group count). */
+  final case class MergeStats(parts: Int, dirtyParts: Int, copiedParts: Int,
+      fullRewrite: Boolean)
+
+  /** Incremental ingest for the exact-equality shape — merge a batch of
+    * ARRIVALS (doc_id, fp) into the published group table as the next
+    * version: per fingerprint `n` grows by the batch count and `rep`
+    * keeps the minimum doc id (the groupBy the batch pipeline publishes,
+    * applied incrementally). PARTITION-LEVEL like both sibling indexes:
+    * `fpart` is a pure function of fp, so only the partitions holding
+    * batch fingerprints change — they rewrite from a PRUNED scan of the
+    * live groups full-outer-merged with the batch aggregates; the clean
+    * majority hard-copies byte-identically. A layout-modulus change at
+    * the merged count falls back to the full rewrite. Merge == rebuild
+    * is exact (counts are associative, min is order-free) — spec-pinned
+    * against a from-scratch publish of the union. Contract: arrivals are
+    * NEW corpus members (the dedup-stream admission shape — exact
+    * re-ingests were already routed by the probe); this index keeps
+    * group aggregates, not memberships, so a re-submitted doc_id would
+    * count twice. */
+  def mergeGroups(s: SparkSession, dir: String,
+      arrivals: DataFrame): (Long, MergeStats) = {
+    require(isPublished(s, dir), s"no published fingerprint index at $dir")
+    val prev = s"$dir/${ver(s, dir)}"
+    val parts = loadParts(s, dir)
+    val b = graft.Caching.persist(arrivals
+      .groupBy("fp").agg(count(lit(1)).as("bn"), min("doc_id").as("brep")))
+    try {
+      val dirtyFp: Array[Long] = b
+        .select(fpartOf(col("fp"), parts).as("p"))
+        .distinct().collect().map(_.getLong(0))
+      // merged group count: old + batch fps that are NEW (absent from the
+      // dirty partitions' stored groups — a bounded pruned read)
+      val oldN = s.read.parquet(s"$prev/meta").collect()(0)
+        .getAs[Long]("ngroups")
+      val stored = StorageOps.prunedByVals(loadGroupsRaw(s, dir), "fpart",
+        dirtyFp, parts)
+      val newFps = b.join(stored.select("fp"), Seq("fp"), "left_anti").count()
+      val n2 = oldN + newFps
+      if (layoutPartsFor(n2) != parts) {
+        // O(index) fallback: merged table rewritten at the new modulus
+        val merged = loadGroups(s, dir)
+          .join(b, Seq("fp"), "full_outer")
+          .select(col("fp"),
+            (coalesce(col("n"), lit(0L)) + coalesce(col("bn"), lit(0L)))
+              .as("n"),
+            least(col("rep"), col("brep")).as("rep"))
+        publishGroups(s, merged, dir)
+        val p2 = loadParts(s, dir)
+        return (n2, MergeStats(p2, p2, 0, fullRewrite = true))
+      }
+      val dirtyRows = stored.select("fp", "n", "rep")
+        .join(b, Seq("fp"), "full_outer")
+        .select(col("fp"),
+          (coalesce(col("n"), lit(0L)) + coalesce(col("bn"), lit(0L)))
+            .as("n"),
+          least(col("rep"), col("brep")).as("rep"))
+        .withColumn("fpart", fpartOf(col("fp"), parts))
+      val v = s"v${StorageOps.nextVersion(s, dir)}"
+      dirtyRows.repartition(math.max(1, dirtyFp.length), col("fpart"))
+        .write.partitionBy("fpart")
+        .mode("errorifexists").parquet(s"$dir/$v/groups")
+      val copied = StorageOps.copyCleanParts(s, s"$prev/groups",
+        s"$dir/$v/groups", "fpart", dirtyFp.toSet)
+      writeMeta(s, s"$dir/$v", n2, parts)
+      StorageOps.flipPointer(s, dir, v)
+      (n2, MergeStats(parts, dirtyFp.length, copied, fullRewrite = false))
+    } finally b.unpersist()
+  }
+
+  /** Incremental ingest for the banded shape — merge arrivals
+    * (doc_id, dhash) into the published banded table: an affected
+    * signature's FOUR band rows (all pure functions of the dhash)
+    * refresh together, so the dirty `ipart` set derives from the batch's
+    * distinct signatures alone; clean partitions hard-copy. Fallback and
+    * merge == rebuild contract as [[mergeGroups]]. */
+  def mergeBandedSigs(s: SparkSession, dir: String,
+      arrivals: DataFrame): (Long, MergeStats) = {
+    require(isPublished(s, dir), s"no published fingerprint index at $dir")
+    val prev = s"$dir/${ver(s, dir)}"
+    val parts = loadParts(s, dir)
+    val b = graft.Caching.persist(arrivals
+      .groupBy("dhash").agg(count(lit(1)).as("bn"), min("doc_id").as("brep")))
+    try {
+      val dirtyIp: Array[Long] = b
+        .select(col("dhash"), explode(expr(bandsExpr("dhash"))).as("k"))
+        .select(ipartOf(col("k.band"), col("k.bv"), parts).as("p"))
+        .distinct().collect().map(_.getLong(0))
+      val oldN = s.read.parquet(s"$prev/meta").collect()(0)
+        .getAs[Long]("ngroups")
+      val stored = StorageOps.prunedByVals(loadBandsRaw(s, dir), "ipart",
+        dirtyIp, parts)
+      // a signature's 4 band rows live in the dirty partitions by
+      // construction, so the distinct-dhash read here is complete
+      val newSigs = b.join(stored.select("dhash").distinct(),
+        Seq("dhash"), "left_anti").count()
+      val n2 = oldN + newSigs
+      if (layoutPartsFor(n2) != parts) {
+        val merged = loadBands(s, dir)
+          .select("dhash", "n", "rep").distinct()
+          .join(b, Seq("dhash"), "full_outer")
+          .select(col("dhash"),
+            (coalesce(col("n"), lit(0L)) + coalesce(col("bn"), lit(0L)))
+              .as("n"),
+            least(col("rep"), col("brep")).as("rep"))
+        publishBandedSigs(s, merged, dir)
+        val p2 = loadParts(s, dir)
+        return (n2, MergeStats(p2, p2, 0, fullRewrite = true))
+      }
+      // refreshed rows for the BATCH signatures only (all 4 band rows —
+      // their keys define the dirty set, so every refreshed row lands in
+      // a dirty partition by construction); a bystander signature that
+      // merely shares a dirty partition keeps its stored rows verbatim
+      // through `untouched` (its clean-partition rows hard-copy), so no
+      // row is written twice. least() skips nulls, so a brand-new
+      // signature takes the batch rep and an updated one the minimum.
+      val affected = b.join(
+          stored.select("dhash", "n", "rep").distinct(),
+          Seq("dhash"), "left_outer")
+        .select(col("dhash"),
+          (coalesce(col("n"), lit(0L)) + col("bn")).as("n"),
+          least(col("rep"), col("brep")).as("rep"))
+      val refreshed = affected
+        .select(col("dhash"), col("n"), col("rep"),
+          explode(expr(bandsExpr("dhash"))).as("k"))
+        .select(col("k.band").as("band"), col("k.bv").as("bv"),
+          col("dhash"), col("n"), col("rep"))
+        .withColumn("ipart", ipartOf(col("band"), col("bv"), parts))
+      val untouched = stored
+        .join(b.select("dhash"), Seq("dhash"), "left_anti")
+        .select(col("band"), col("bv"), col("dhash"), col("n"), col("rep"))
+        .withColumn("ipart", ipartOf(col("band"), col("bv"), parts))
+      val v = s"v${StorageOps.nextVersion(s, dir)}"
+      refreshed.unionByName(untouched)
+        .repartition(math.max(1, dirtyIp.length), col("ipart"))
+        .write.partitionBy("ipart")
+        .mode("errorifexists").parquet(s"$dir/$v/bands")
+      val copied = StorageOps.copyCleanParts(s, s"$prev/bands",
+        s"$dir/$v/bands", "ipart", dirtyIp.toSet)
+      writeMeta(s, s"$dir/$v", n2, parts)
+      StorageOps.flipPointer(s, dir, v)
+      (n2, MergeStats(parts, dirtyIp.length, copied, fullRewrite = false))
+    } finally b.unpersist()
+  }
+
+  /** Drop all non-active versions beyond the newest `keep` —
+    * [[StorageOps.pruneVersions]] applied to this layout. */
+  def pruneVersions(s: SparkSession, dir: String, keep: Int): Seq[String] =
+    StorageOps.pruneVersions(s, dir, keep)
+
   /** The active group table, reader-facing schema (fp, n, rep). */
   def loadGroups(s: SparkSession, dir: String): DataFrame =
     loadGroupsRaw(s, dir).select("fp", "n", "rep")

@@ -227,10 +227,22 @@ object NearDupStream {
     * trigger each pair emits once (the candidate set is distinct-folded
     * across bands). CROSS-trigger re-emission of a pair — the job the
     * lazy path's watermark dedup state did — is the sink's concern under
-    * foreachBatch's standard idempotent-by-batchId contract. */
+    * foreachBatch's standard idempotent-by-batchId contract.
+    *
+    * `indexDir` may be a flat published index OR a VERSIONED ROOT
+    * ([[graft.sources.DedupIndex.publishVersionedFrom]]): a root
+    * resolves through its `_current` pointer PER TRIGGER, so a
+    * maintain/republish reaches the stream on its next microbatch — no
+    * restart, the freshness upgrade over the lazy join's load-once
+    * static side (the vector and fingerprint probes get the same
+    * behavior for free: their loaders resolve the pointer per call). */
   def probeIndexBatch[T](s: SparkSession, microbatch: DataFrame,
       indexDir: String)(consume: DataFrame => T): T = {
     graft.functions.GraftFunctions.register(s)
+    val dir =
+      if (graft.sources.DedupIndex.isPublishedVersioned(s, indexDir))
+        graft.sources.DedupIndex.currentDir(s, indexDir)
+      else indexDir
     val q = graft.Caching.persist(microbatch
       .select(col("docId").as("q_id"), col("tsUs"),
         graft.operators.TextRules.tokens(col("text")).as("toks"))
@@ -241,7 +253,7 @@ object NearDupStream {
       val inBands = q
         .select(col("q_id"), posexplode(expr("minhash_sig(q_hs)")))
         .select(col("q_id"), col("pos").as("band"), col("col").as("minhash"))
-      val index = graft.sources.DedupIndex.prunedBands(s, indexDir,
+      val index = graft.sources.DedupIndex.prunedBands(s, dir,
         inBands.select(col("band"), col("minhash").as("bv")))
       // distinct collapses multi-band meetings BEFORE the verify join —
       // each surviving pair is Jaccard-scored exactly once
@@ -250,7 +262,7 @@ object NearDupStream {
           .filter(col("doc_id") =!= col("q_id"))
           .select(col("q_id"), col("doc_id").as("c_id")).distinct())
       try {
-        val corp = graft.sources.DedupIndex.prunedDocs(s, indexDir,
+        val corp = graft.sources.DedupIndex.prunedDocs(s, dir,
             cands.select(col("c_id")))
           .select(col("doc_id").as("c_id"), col("hs").as("c_hs"),
             col("n").as("c_n"))

@@ -1,0 +1,162 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.sources.FingerprintIndex
+
+/** The fingerprint index carries the family's shared contracts: a
+  * partition-level merge indistinguishable from a from-scratch publish of
+  * the union, the clean-majority hard-copy, and the one-file-per-partition
+  * layout the pruned probes rely on. */
+class FingerprintIndexSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val d = TestSpark.sf0001
+
+  private def groupRows(df: DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+  private def bandRows(df: DataFrame) =
+    df.select("band", "bv", "dhash", "n", "rep").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+
+  test("groups merge equals a from-scratch publish; clean majority hard-copied") {
+    val arrivals = operators.AudioOps.wavPayloads0(spark, d)
+      .select("doc_id", "fp")
+    val even = arrivals.filter(col("doc_id") % 2 === 0)
+    val odd = arrivals.filter(col("doc_id") % 2 === 1)
+    def groupsOf(a: DataFrame) = a.groupBy("fp")
+      .agg(count(lit(1)).as("n"), min("doc_id").as("rep"))
+    val base = java.nio.file.Files.createTempDirectory("graft-fpidx-merge")
+    val dir = s"$base/idx"; val ref = s"$base/ref"
+    FingerprintIndex.publishGroups(spark, groupsOf(even), dir)
+    val prev = s"$dir/${graft.sources.StorageOps.currentVersion(spark, dir).get}"
+    // the merge must hit BOTH shapes: fps new to the index and fps whose
+    // existing group grows (the fixture's dup groups cross parity)
+    val (n2, st) = FingerprintIndex.mergeGroups(spark, dir, odd)
+    assert(!st.fullRewrite, st.toString)
+    assert(st.dirtyParts < st.parts && st.copiedParts > 0, st.toString)
+    assert(st.dirtyParts + st.copiedParts <= st.parts)
+    FingerprintIndex.publishGroups(spark, groupsOf(arrivals), ref)
+    assert(groupRows(FingerprintIndex.loadGroups(spark, dir)) ==
+      groupRows(FingerprintIndex.loadGroups(spark, ref)),
+      "merged groups differ from the from-scratch publish")
+    assert(n2 == FingerprintIndex.loadGroups(spark, ref).count())
+    // copied partition dirs keep the previous version's bytes
+    val cur = s"$dir/${graft.sources.StorageOps.currentVersion(spark, dir).get}"
+    var copied = 0
+    for (pd <- new java.io.File(s"$cur/groups").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("fpart="))) {
+      val f2 = pd.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val f1 = new java.io.File(s"$prev/groups/${pd.getName}/${f2.getName}")
+      if (f1.isFile) {
+        copied += 1
+        assert(java.util.Arrays.equals(
+          java.nio.file.Files.readAllBytes(f1.toPath),
+          java.nio.file.Files.readAllBytes(f2.toPath)),
+          s"copied groups/${pd.getName} not byte-identical")
+      }
+    }
+    assert(copied == st.copiedParts,
+      s"$copied dirs share live file names, stats say ${st.copiedParts}")
+    spark.catalog.clearCache()
+  }
+
+  test("banded merge equals a from-scratch publish of the union") {
+    val arrivals = operators.MultiModalOps.imageHashes(spark, d)
+      .select(col("doc_id"), col("dhash"))
+    val even = arrivals.filter(col("doc_id") % 2 === 0)
+    val odd = arrivals.filter(col("doc_id") % 2 === 1)
+    def sigsOf(a: DataFrame) = a.groupBy("dhash")
+      .agg(count(lit(1)).as("n"), min("doc_id").as("rep"))
+    val base = java.nio.file.Files.createTempDirectory("graft-fpidx-band")
+    val dir = s"$base/idx"; val ref = s"$base/ref"
+    FingerprintIndex.publishBandedSigs(spark, sigsOf(even), dir)
+    val (n2, st) = FingerprintIndex.mergeBandedSigs(spark, dir, odd)
+    assert(!st.fullRewrite, st.toString)
+    assert(st.copiedParts > 0 && st.dirtyParts + st.copiedParts <= st.parts,
+      st.toString)
+    FingerprintIndex.publishBandedSigs(spark, sigsOf(arrivals), ref)
+    assert(bandRows(FingerprintIndex.loadBands(spark, dir)) ==
+      bandRows(FingerprintIndex.loadBands(spark, ref)),
+      "merged banded table differs from the from-scratch publish")
+    assert(n2 == sigsOf(arrivals).count())
+    spark.catalog.clearCache()
+  }
+
+  test("published layout: one file per partition, values inside the modulus") {
+    val arrivals = operators.AudioOps.wavPayloads0(spark, d)
+      .select("doc_id", "fp")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-fpidx-layout").toString
+    FingerprintIndex.publishGroups(spark,
+      arrivals.groupBy("fp")
+        .agg(count(lit(1)).as("n"), min("doc_id").as("rep")), dir)
+    val cur = s"$dir/${graft.sources.StorageOps.currentVersion(spark, dir).get}"
+    val partDirs = new java.io.File(s"$cur/groups").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("fpart="))
+    assert(partDirs.nonEmpty)
+    partDirs.foreach { pd =>
+      assert(pd.listFiles().count(_.getName.endsWith(".parquet")) == 1,
+        s"${pd.getName} holds more than one data file")
+      val v = pd.getName.stripPrefix("fpart=").toLong
+      assert(v >= 0 && v < 64, s"${pd.getName} outside the 64-floor modulus")
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("a mergeGroups republish reaches the foreachBatch probe on the NEXT trigger") {
+    // the streaming freshness upgrade the per-call pointer resolution
+    // buys: no restart between triggers, yet trigger 2 sees the merged
+    // corpus (matches a group that did not exist at trigger 1)
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val arrivals = operators.AudioOps.wavPayloads0(spark, d)
+      .select("doc_id", "fp").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // a dup group, ALL of whose members are excluded from the v1 corpus:
+    // trigger 1 provably misses, and the merge re-introduces the group
+    val dupFp = arrivals.groupBy(_._2).filter(_._2.length >= 2)
+      .keys.minOption.getOrElse(fail("fixture holds no dup group"))
+    val members = arrivals.filter(_._2 == dupFp).map(_._1).sorted
+    val probeId = members.head
+    val corpusIds = members.tail
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-fpidx-refresh").toString
+    val all = operators.AudioOps.wavPayloads0(spark, d).select("doc_id", "fp")
+    FingerprintIndex.publishGroups(spark,
+      all.filter(!col("doc_id").isin(members.map(Long.box).toSeq: _*))
+        .groupBy("fp").agg(count(lit(1)).as("n"), min("doc_id").as("rep")),
+      dir)
+    val buf = scala.collection.mutable.Set[(Long, Long)]()
+    val source = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[AudioEv]
+    val q = source.toDF().writeStream
+      .foreachBatch(graft.streaming.AudioDedupStream
+        .foreachBatchProbe(spark, dir) { out =>
+          buf.synchronized {
+            buf ++= out.collect()
+              .map(r => (r.getAs[Long]("in_id"), r.getAs[Long]("fp")))
+          }
+        })
+      .start()
+    try {
+      def ev(id: Long) = AudioEv(id,
+        operators.AudioOps.encodeWav(
+          operators.AudioOps.fpClipSamples(operators.AudioOps.fpCid(id))),
+        new java.sql.Timestamp(1700000000000L + id))
+      source.addData(ev(probeId))
+      q.processAllAvailable()
+      assert(!buf.exists(_._1 == probeId),
+        "trigger 1 matched a group the v1 corpus does not hold")
+      // the republish lands BETWEEN triggers; no restart
+      FingerprintIndex.mergeGroups(spark, dir,
+        all.filter(col("doc_id").isin(corpusIds.map(Long.box).toSeq: _*)))
+      source.addData(ev(probeId))
+      q.processAllAvailable()
+      assert(buf.contains((probeId, dupFp)),
+        "trigger 2 did not see the merged-in group")
+    } finally q.stop()
+    spark.catalog.clearCache()
+  }
+}

@@ -169,6 +169,49 @@ class NearDupStreamSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("versioned-root probe picks up a maintain republish on the NEXT trigger") {
+    // the freshness upgrade per-trigger pointer resolution buys: the
+    // fixture's planted pair 5 ~ 450 (J=0.98) is split — v1 holds the
+    // even corpus WITHOUT 450, a maintain merges 450 in BETWEEN triggers,
+    // and the un-restarted stream's next trigger finds the pair
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val full = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), col("text"))
+    val root = s"${java.nio.file.Files.createTempDirectory("graft-dedupidx-vroot")}/root"
+    graft.sources.DedupIndex.publishVersionedFrom(spark,
+      full.filter(col("doc_id") % 2 === 0 && col("doc_id") =!= 450), root)
+
+    val probeDoc = Tables.documents(spark, TestSpark.sf0001)
+      .filter(col("doc_id") === 5)
+      .select(col("doc_id").as("docId"), col("lang"), col("text"),
+        (col("doc_id") * 1000000L).as("tsUs"))
+      .as[TimedDoc].collect()
+    val buf = scala.collection.mutable.Set[(Long, Long)]()
+    val source = MemoryStream[TimedDoc]
+    val q = source.toDS().toDF().writeStream
+      .foreachBatch(graft.streaming.NearDupStream.foreachBatchProbe(spark, root) {
+        out => buf.synchronized {
+          buf ++= out.collect()
+            .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+        }
+      })
+      .start()
+    try {
+      source.addData(probeDoc.toIndexedSeq: _*)
+      q.processAllAvailable()
+      assert(!buf.contains((5L, 450L)),
+        "trigger 1 matched a doc the v1 corpus does not hold")
+      graft.sources.DedupIndex.maintain(spark, root,
+        full.filter(col("doc_id") === 450))
+      source.addData(probeDoc.toIndexedSeq: _*)
+      q.processAllAvailable()
+      assert(buf.contains((5L, 450L)),
+        "trigger 2 did not see the maintained-in corpus member")
+    } finally q.stop()
+    spark.catalog.clearCache()
+  }
+
   test("stream-stream slot cap bounds an in-window flood of near-identical docs") {
     // 400 near-identical docs arrive in one window: uncapped, every
     // (band, bv) bucket holds all 400 and the join enumerates
