@@ -272,6 +272,24 @@ object FingerprintIndex {
   def pruneVersions(s: SparkSession, dir: String, keep: Int): Seq[String] =
     StorageOps.pruneVersions(s, dir, keep)
 
+  /** One production ingest cycle — the family's maintain shape
+    * ([[VectorIndex.maintain]]/[[DedupIndex.maintain]]) on the
+    * fingerprint artifact: merge the arrivals in (partition-level; a
+    * modulus drift takes the full rewrite inside the merge, which IS
+    * this index's rebuild — nothing retrains), then prune non-active
+    * versions to `keep`. `banded` selects the image shape
+    * ([[mergeBandedSigs]] over (doc_id, dhash)) vs the exact shape
+    * ([[mergeGroups]] over (doc_id, fp)). Returns the merged group
+    * count and the [[MergeStats]]. */
+  def maintain(s: SparkSession, dir: String, arrivals: DataFrame,
+      banded: Boolean = false, keep: Int = 2): (Long, MergeStats) = {
+    val out =
+      if (banded) mergeBandedSigs(s, dir, arrivals)
+      else mergeGroups(s, dir, arrivals)
+    pruneVersions(s, dir, keep)
+    out
+  }
+
   /** The active group table, reader-facing schema (fp, n, rep). */
   def loadGroups(s: SparkSession, dir: String): DataFrame =
     loadGroupsRaw(s, dir).select("fp", "n", "rep")

@@ -207,6 +207,52 @@ class EmbedNearDupStreamSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("foreachBatch probe picks up a mergePublish on the NEXT trigger (no restart)") {
+    // the freshness upgrade over the lazy join's load-once static side:
+    // the probe resolves the _current pointer per trigger (VectorIndex
+    // loaders bind the version per call), so a merge landing BETWEEN
+    // microbatches is visible to the very next one
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val d = TestSpark.sf0001
+    val all = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
+    val n = all.count()
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-vecidx-livefresh").toString
+    graft.sources.VectorIndex.publishFrom(spark,
+      all.filter(col("vec_id") % 4 === 0), dir, scheduleN = Some(n))
+
+    val odd = all.filter(col("vec_id") % 2 === 1).collect().map { r =>
+      EmbedEv(r.getLong(0), r.getSeq[Float](1).toArray,
+        new java.sql.Timestamp(1700000000000L + r.getLong(0)))
+    }
+    val buf = scala.collection.mutable.Set[(Long, Long)]()
+    val source = MemoryStream[EmbedEv]
+    val q = source.toDF().writeStream
+      .foreachBatch(EmbedNearDupStream.foreachBatchProbe(spark, dir, 0.30) {
+        out => buf.synchronized {
+          buf ++= out.collect()
+            .map(r => (r.getAs[Long]("in_id"), r.getAs[Long]("corpus_id")))
+        }
+      })
+      .start()
+    try {
+      source.addData(odd.toIndexedSeq: _*)
+      q.processAllAvailable()
+      assert(!buf.exists(_._2 % 4 == 2),
+        "trigger 1 matched a corpus member the v1 publish does not hold")
+      val before = buf.toSet
+      graft.sources.VectorIndex.mergePublish(spark, dir,
+        all.filter(col("vec_id") % 4 === 2))
+      source.addData(odd.toIndexedSeq: _*)
+      q.processAllAvailable()
+      assert(before.subsetOf(buf.toSet), "v1 matches lost across the merge")
+      assert(buf.exists(_._2 % 4 == 2),
+        "trigger 2 did not see the merged-in corpus members")
+    } finally q.stop()
+    spark.catalog.clearCache()
+  }
+
   test("index refresh cycle: a mergePublish reaches the stream on restart") {
     // The production cycle the artifact documents (the NearDupStream text
     // twin's contract, on the vector side): corpus v1 is published, the

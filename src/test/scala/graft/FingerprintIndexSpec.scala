@@ -105,6 +105,29 @@ class FingerprintIndexSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("maintain merges and prunes to keep") {
+    val arrivals = operators.AudioOps.wavPayloads0(spark, d)
+      .select("doc_id", "fp")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-fpidx-maint").toString
+    def groupsOf(a: DataFrame) = a.groupBy("fp")
+      .agg(count(lit(1)).as("n"), min("doc_id").as("rep"))
+    FingerprintIndex.publishGroups(spark,
+      groupsOf(arrivals.filter(col("doc_id") % 3 === 0)), dir)
+    FingerprintIndex.maintain(spark, dir,
+      arrivals.filter(col("doc_id") % 3 === 1))
+    val (n3, _) = FingerprintIndex.maintain(spark, dir,
+      arrivals.filter(col("doc_id") % 3 === 2))
+    assert(n3 == groupsOf(arrivals).count())
+    assert(groupRows(FingerprintIndex.loadGroups(spark, dir)) ==
+      groupRows(groupsOf(arrivals)
+        .select(col("fp"), col("n"), col("rep"))))
+    val vdirs = new java.io.File(dir).listFiles()
+      .count(f => f.isDirectory && f.getName.matches("v\\d+"))
+    assert(vdirs <= 2, s"$vdirs version dirs survive keep = 2")
+    spark.catalog.clearCache()
+  }
+
   test("a mergeGroups republish reaches the foreachBatch probe on the NEXT trigger") {
     // the streaming freshness upgrade the per-call pointer resolution
     // buys: no restart between triggers, yet trigger 2 sees the merged

@@ -321,6 +321,22 @@ class PlanShapeSpec extends AnyFunSuite {
       s"ADC search does not scan the codes dataset:\n$p")
     assert(!idxScans.exists(l => l.contains("/cells") || l.contains("/buckets")),
       s"ADC search reads an embedding-payload dataset:\n$p")
+    // the two-stage refine keeps the cost contract: candidate generation
+    // on the pruned codes scan, the float re-rank on the pruned cells
+    // scan — BOTH index scans carry the static cpart filter, and the
+    // bucket payload is never touched
+    val pr = plan(graft.sources.VectorIndex.searchIvfPqRefine(
+      spark, dir, batch, k = 3, nprobe = 1, refineK = 10))
+    val prScans = pr.linesIterator
+      .filter(l => l.contains("Location") && l.contains(dir)).toSeq
+    assert(prScans.exists(_.contains("/codes")) &&
+      prScans.exists(_.contains("/cells")),
+      s"refine search missing a stage scan:\n$pr")
+    assert(!prScans.exists(_.contains("/buckets")),
+      s"refine search reads the bucket dataset:\n$pr")
+    assert("""PartitionFilters: \[[^\]]*cpart#""".r
+        .findAllIn(pr).size >= 2,
+      s"refine stages not both partition-pruned:\n$pr")
     spark.catalog.clearCache()
   }
 
