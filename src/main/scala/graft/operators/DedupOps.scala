@@ -386,6 +386,38 @@ object DedupOps {
         sum(col("vertex_id") - col("label")).as("id_span"))
       .orderBy("rep_id")
 
+  /** CROSS-MODAL duplicate clustering — the joint keep/drop decision a
+    * curation pipeline actually makes: a document is a duplicate if its
+    * TEXT near-dups another (verified Jaccard >= 0.8 over the MinHash
+    * candidates) OR its EMBEDDING does (verified cosine >= 0.45 over the
+    * hyperplane-LSH candidates — the SemDeDup-style semantic twin), and
+    * both edge sets feed ONE connected-components labeling, so a
+    * paraphrase chain (A ~text B ~embedding C) collapses into one cluster
+    * that neither single-modality clustering sees. Ids identify across
+    * the modality tables (doc_id = vec_id — the corpus contract). Plan:
+    * the two pair miners are the SAME subplans their standalone queries
+    * run (the shingle table and the verified text pair set come from the
+    * session-shared frames), one distinct-union of two small pair sets,
+    * and the size-gated CC — no new corpus-scale stage anywhere. The
+    * oracle replays both legs exactly (shared CTE fragments — the text
+    * leg and the embedding leg are the same SQL the standalone oracles
+    * run) and the transitive closure over their union. */
+  private val qCrossModalCluster: Q = (s, d) => {
+    import graft.operators.{VectorOps => V}
+    val n = Tables.embeddings(s, d).count()
+    val width = V.lshWidthFor(n)
+    val text = nearDupPairs(s, d).select(col("doc_a"), col("doc_b"))
+    val emb = V.embedNeardupLsh(s, d, width, V.LshProbes,
+        V.knnCapFor(n, width), 0.45)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val labels = GraphOps.connectedComponents(s,
+      text.unionByName(emb).distinct())
+    labels.groupBy(col("label").as("rep_id"))
+      .agg(count(lit(1)).as("cluster_size"),
+        sum(col("vertex_id") - col("label")).as("id_span"))
+      .orderBy("rep_id")
+  }
+
   /** Train/val/test bucket count and boundaries for [[qSplitLeakage]]:
     * bucket = phash(rep) mod 10, 0-7 train / 8 val / 9 test. */
   val SplitBuckets = 10L
@@ -866,10 +898,31 @@ object DedupOps {
     "q_dedup_keep_best" -> qDedupKeepBest,
     "q_cross_dedup" -> qCrossDedup,
     "q_cross_dedup_idx" -> qCrossDedupIdx,
+    "q_cross_modal_cluster" -> qCrossModalCluster,
     "q_dedup_index_stats" -> qDedupIndexStats,
     "q_span_dup_rate" -> qSpanDupRate,
     "q_span_trim" -> qSpanTrim,
   )
+
+  /** Cross-modal cluster replay: the shared text-pair fragment, the
+    * shared embedding-pair fragment ([[VectorOps.embedPairCtes]] — the
+    * SAME SQL the q_embed_neardup_lsh oracle runs), the union edge set
+    * in both directions, and the shared CC tail. CTE names are disjoint
+    * by construction (the text leg's `pairs`/`good` vs the embedding
+    * leg's `ecand`/`egood`; the CC tail's join alias avoids `e`). */
+  private val crossModalClusterSql =
+    s"""WITH RECURSIVE $textPairsBody,
+       |${VectorOps.embedPairCtes},
+       |edges AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM good
+       |  UNION SELECT doc_b, doc_a FROM good
+       |  UNION SELECT vec_a, vec_b FROM egood
+       |  UNION SELECT vec_b, vec_a FROM egood),
+       |$ccTail
+       |SELECT label AS rep_id,
+       |       CAST(count(*) AS BIGINT) AS cluster_size,
+       |       CAST(sum(doc_id - label) AS BIGINT) AS id_span
+       |FROM labels GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** q_dedup_index_stats replay: the shingle pipeline (tokenize →
     * DocTokenCap prefix → distinct word-3-grams) over the even-half
@@ -929,8 +982,11 @@ object DedupOps {
     * min-reachable component label per clustered doc. Feeds both the
     * cluster rollup (q_dedup_cluster) and the keep-best selection
     * (q_dedup_keep_best). */
-  private val clusterLabelsCte =
-    s"""WITH RECURSIVE toks AS (
+  /** The exact text-pair ground truth as a composable CTE fragment
+    * ending in `good(doc_a, doc_b)` — shared by the three CC-based
+    * oracles and the cross-modal cluster oracle's text leg. */
+  private def textPairsBody =
+    s"""toks AS (
       |  SELECT doc_id, (list_filter(string_split_regex(lower(text), '\\W+'),
       |                             x -> x <> ''))[:$DocTokenCap] AS t
       |  FROM documents),
@@ -946,15 +1002,25 @@ object DedupOps {
       |  SELECT doc_a, doc_b FROM pairs
       |  JOIN sizes sa ON doc_a = sa.doc_id
       |  JOIN sizes sb ON doc_b = sb.doc_id
-      |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8),
+      |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8)"""
+      .stripMargin
+
+  /** Transitive closure + min-reachable label over an `edges(u, v)` CTE
+    * the caller supplies — the shared CC tail. */
+  private def ccTail =
+    """reach(u, r) AS (
+      |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      |  UNION
+      |  SELECT e2.u, reach.r FROM edges e2 JOIN reach ON reach.u = e2.v),
+      |labels AS (SELECT u AS doc_id, min(r) AS label FROM reach GROUP BY 1)"""
+      .stripMargin
+
+  private val clusterLabelsCte =
+    s"""WITH RECURSIVE $textPairsBody,
       |edges AS (
       |  SELECT doc_a AS u, doc_b AS v FROM good
       |  UNION ALL SELECT doc_b, doc_a FROM good),
-      |reach(u, r) AS (
-      |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
-      |  UNION
-      |  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.v),
-      |labels AS (SELECT u AS doc_id, min(r) AS label FROM reach GROUP BY 1)""".stripMargin
+      |$ccTail""".stripMargin
 
   /** Connected components over the exact pair graph via a recursive CTE
     * (transitive closure, then min-reachable label per vertex). */
@@ -1133,6 +1199,7 @@ object DedupOps {
     // the artifact-backed twin shares the inline oracle verbatim: the
     // published index round-trips the hash sets and band keys losslessly
     "q_cross_dedup_idx" -> crossDedupSql,
+    "q_cross_modal_cluster" -> crossModalClusterSql,
     "q_dedup_index_stats" -> dedupIndexStatsSql,
     "q_span_dup_rate" -> spanDupSql,
     "q_span_trim" -> spanTrimSql,

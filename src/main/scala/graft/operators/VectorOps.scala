@@ -1279,6 +1279,25 @@ object VectorOps {
     |  WHERE rk <= 5)""".stripMargin
   }
 
+  /** The bucketed embedding near-dup PAIR replay as a composable CTE
+    * chain ending in `egood(vec_a, vec_b)` — the verified (cosine >=
+    * 0.45) unordered pair set of the whole-corpus LSH self-join. Shared
+    * by the q_embed_neardup_lsh oracle and the cross-modal cluster
+    * oracle's embedding leg ([[DedupOps]]), so the two replays cannot
+    * drift. Self-contained (brings its own `e` via [[lshCtes]]). */
+  private[graft] def embedPairCtes: String =
+    s"""${lshCtes(LshProbes, queryFilter = "")},
+       |ecand AS (
+       |  SELECT DISTINCT least(c.vec_id, q.query_id) AS vec_a,
+       |                  greatest(c.vec_id, q.query_id) AS vec_b
+       |  FROM qprobe q JOIN sigt c
+       |    ON c.bucket = q.qbucket AND c.vec_id <> q.query_id),
+       |egood AS (
+       |  SELECT p.vec_a, p.vec_b FROM ecand p
+       |  JOIN e a ON a.vec_id = p.vec_a
+       |  JOIN e b ON b.vec_id = p.vec_b
+       |  WHERE list_cosine_similarity(a.emb, b.emb) >= 0.45)""".stripMargin
+
   /** Exact top-5 per query as a CTE (`brutq`); requires CTE `e`. */
   private def bruteCte: String = """
     |brutq AS (
@@ -1502,17 +1521,8 @@ object VectorOps {
     // and thresholded; the Spark-side corpus bucket cap is inert at test
     // SFs so the uncapped replay matches
     "q_embed_neardup_lsh" ->
-      (s"WITH ${lshCtes(LshProbes, queryFilter = "")}," + """
-        |pairs AS (
-        |  SELECT DISTINCT least(c.vec_id, q.query_id) AS vec_a,
-        |                  greatest(c.vec_id, q.query_id) AS vec_b
-        |  FROM qprobe q JOIN sigt c
-        |    ON c.bucket = q.qbucket AND c.vec_id <> q.query_id)
-        |SELECT p.vec_a, p.vec_b
-        |FROM pairs p
-        |JOIN e a ON a.vec_id = p.vec_a
-        |JOIN e b ON b.vec_id = p.vec_b
-        |WHERE list_cosine_similarity(a.emb, b.emb) >= 0.45
+      (s"WITH $embedPairCtes\n" + """
+        |SELECT vec_a, vec_b FROM egood
         |ORDER BY 1, 2""".stripMargin),
     // every vector is a query (no filter); top-3; the Spark-side corpus
     // bucket cap is inert at test SFs so the uncapped replay matches

@@ -271,6 +271,57 @@ class DedupSpec extends AnyFunSuite {
     assert(res.head._2 % 2 == 0, "match must come from the corpus side")
   }
 
+  test("cross-modal cluster equals a local union-find over the union pair graph") {
+    // independent replay: collect both modalities' verified pair sets
+    // (each already oracle-checked on its own), run a plain union-find,
+    // and compare the labeled clusters row for row
+    import graft.operators.VectorOps
+    val d = TestSpark.sf0001
+    val text = DedupOps.nearDupPairs(spark, d).select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val n = Tables.embeddings(spark, d).count()
+    val w = VectorOps.lshWidthFor(n)
+    val emb = VectorOps.embedNeardupLsh(spark, d, w, VectorOps.LshProbes,
+        VectorOps.knnCapFor(n, w), 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(text.nonEmpty && emb.nonEmpty, "a modality's pair set is empty - vacuous")
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElseUpdate(r, r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    (text ++ emb).foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val members = parent.keys.toSeq.groupBy(find)
+    val expected = members.map { case (_, ms) =>
+      val label = ms.min
+      (label, ms.size.toLong, ms.map(_ - label).sum)
+    }.toSet
+    val got = SparkEntry.queries("q_cross_modal_cluster")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected,
+      s"missing=${expected.diff(got).take(3)} extra=${got.diff(expected).take(3)}")
+    // the union must be doing cross-modal WORK on this fixture: at least
+    // one cluster merges an edge only text found with one only the
+    // embedding leg found (otherwise the operator is vacuously a copy of
+    // one modality)
+    val textSet = text.toSet; val embSet = emb.toSet
+    val crossMerged = members.values.exists { ms =>
+      val mset = ms.toSet
+      def hasExclusive(ps: Set[(Long, Long)], other: Set[(Long, Long)]) =
+        ps.exists(p => mset(p._1) && mset(p._2) && !other(p))
+      hasExclusive(textSet, embSet) && hasExclusive(embSet, textSet)
+    }
+    assert(crossMerged,
+      "no cluster joins a text-only edge with an embedding-only edge")
+    spark.catalog.clearCache()
+  }
+
   test("keep-best: longest cluster member kept, singletons absent") {
     import spark.implicits._
     val base = (0 until 40).map(i => s"tok${i * 7 % 13} word$i item${i % 5}").mkString(" ")
