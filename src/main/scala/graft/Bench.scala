@@ -32,6 +32,13 @@ import org.apache.spark.sql.SparkSession
   *     so no rep inherits a sibling's materialized subplan and no first
   *     rep pays a setup cost later reps skip. Recorded spreads measure
   *     noise, not cache state.
+  *   - adjudicable record (r14): every query gets at least TWO
+  *     interleaved reps — including the observability set, whose r13
+  *     single-rep policy put one un-voted contention spike straight
+  *     into the headline — and the output line carries a LIKE-FOR-LIKE
+  *     companion (`lfl` = this round's sum over the queries present in
+  *     the prior record, beside `lfl_prior`), so host inflation and
+  *     registry growth separate without forensic reconstruction.
   */
 object Bench {
   /** Extract the per-query seconds map from a prior BENCH artifact.
@@ -199,26 +206,37 @@ object Bench {
       elapsed
     }
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    val names0 = SparkEntry.queries.keys.toSeq.sorted
+    // Local-iteration knob: SPARK_GRAFT_BENCH_ONLY=q_a,q_b restricts the
+    // timed set — the targeted quiet-host A/B instrument (e.g. the
+    // multimodal-family host-inflation adjudication). The round driver
+    // never sets it, so round records always cover the full registry.
+    val names = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case Some(f) =>
+        val keep = f.split(",").map(_.trim).toSet
+        names0.filter(keep)
+      case None => names0
+    }
     // two interleaved passes over the whole suite, then a third rep for
     // the sub-cutoff queries (median-of-3: a single contention hit can no
     // longer move the recorded number in either direction).
-    // OBSERVABILITY queries run ONE rep: they are correctness-gated
-    // health/recall floors, not pipeline stages — nobody adjudicates a
-    // regression on their timing, and the expensive ones (q_ann_recall =
-    // 4 searches + brute force) were costing the gate ~3 reps × 6 s each
-    // for a number no decision reads. Coverage is unchanged: Verify still
-    // oracle-checks them every round.
+    // OBSERVABILITY queries get MIN-OF-2 but never a third rep: they are
+    // correctness-gated health/recall floors, not pipeline stages, so
+    // their timings deserve no median-of-3 budget — but r13 proved ONE
+    // rep is not adjudicable either (q_ann_recall's single un-voted
+    // 21.4 s rep on a spiking host added 15 s to the headline with no
+    // plan change behind it). Two interleaved reps give every recorded
+    // number at least one vote against a transient; coverage is
+    // unchanged — Verify still oracle-checks them every round.
     val observability = SparkEntry.ObservabilityQueries
     val pass1 = names.map(n => n -> timeOnce(n)).toMap
     val pass2 = names.map { n =>
-      n -> (if (pass1(n) < 0 || observability(n)) pass1(n) else timeOnce(n))
+      n -> (if (pass1(n) < 0) pass1(n) else timeOnce(n))
     }.toMap
     val reps = scala.collection.mutable.Map[String, List[Double]]()
     names.foreach { n =>
       reps(n) =
         if (pass1(n) < 0 || pass2(n) < 0) Nil
-        else if (observability(n)) List(pass1(n))
         else List(pass1(n), pass2(n))
     }
     names.foreach { n =>
@@ -269,7 +287,20 @@ object Bench {
       .mkString("{", ",", "}")
     // -1.0 failure sentinels must not deflate the headline total
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // LIKE-FOR-LIKE companion: the headline total moves with BOTH plan
+    // changes and registry growth, so round-over-round adjudication kept
+    // needing forensic reconstruction (r13). `lfl` sums only the queries
+    // present in the PRIOR round's record, next to the prior's sum over
+    // the same keys — host inflation reads directly off lfl/lfl_prior
+    // while new queries' cost reads off (total - lfl). Empty prior (first
+    // round, or a same-round re-run inside the skip window) → omitted.
+    val lflKeys = results.filter { case (k, v) =>
+      v >= 0 && prior.get(k).exists(_ > 0) }.map(_._1)
+    val lfl = lflKeys.map(k => results.toMap.apply(k)).sum
+    val lflPrior = lflKeys.map(prior).sum
+    val lflJson = if (lflKeys.isEmpty) ""
+      else s""","lfl":${num(lfl)},"lfl_prior":${num(lflPrior)},"lfl_n":${lflKeys.size}"""
+    val line = s"""{"metric":"total","value":${num(total)},"unit":"sec"$lflJson,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // The round driver stores only a TAIL window of stdout (~2 kB), so the
     // head of the big line — the total plus the alphabetically-first
@@ -296,7 +327,7 @@ object Bench {
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
       .map { case (k, v) => "\"" + k + "\":" + num(v) }.mkString("{", ",", "}")
     val failed = results.count(_._2 < 0)
-    println(s"""{"metric":"bench_summary","total":${num(total)},"n":${results.size},"failed":$failed,"slowest":$slowest,"sf":"$sfDir"}""")
+    println(s"""{"metric":"bench_summary","total":${num(total)},"n":${results.size},"failed":$failed$lflJson,"slowest":$slowest,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -29,7 +29,8 @@ object SparkEntry {
     * regression adjudication reads — [[Bench]] runs them once instead of
     * 2-3 reps, trimming gate wall-clock with zero coverage loss. */
   val ObservabilityQueries: Set[String] =
-    Set("q_ann_recall", "q_index_stats", "q_dedup_index_stats",
+    Set("q_ann_recall", "q_ann_recall_sampled", "q_index_stats",
+      "q_dedup_index_stats", "q_fingerprint_index_stats",
       "q_embed_diagnostics")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

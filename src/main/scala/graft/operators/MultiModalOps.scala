@@ -555,6 +555,58 @@ object MultiModalOps {
       .orderBy("img_dup", "aud_dup", "vid_dup")
   }
 
+  /** The session-shared published fingerprint index over the corpus's
+    * distinct image signatures — probed by the q_dedup_index_stats-style
+    * health query below and available to the codec-stream specs (publish
+    * once, consume many: the production economics, the
+    * DedupOps.evenIndexDir convention). Versions accumulate across
+    * sessions at the fixed root, so the publish prunes to the newest 2
+    * like every maintain cycle. */
+  private[graft] def fpIndexDir(s: SparkSession, d: String): String =
+    graft.SharedPlans.once(s, s"fp_index|$d") {
+      val p = s"target/fp_index/${d.replaceAll("[^A-Za-z0-9._-]", "_")}"
+      graft.sources.FingerprintIndex.publishBandedSigs(s, imageSigs(s, d), p)
+      graft.sources.FingerprintIndex.pruneVersions(s, p, keep = 2)
+      p
+    }
+
+  /** Fingerprint-index HEALTH surface, inside the correctness gate —
+    * completing the index-health family (q_index_stats /
+    * q_dedup_index_stats / THIS): recorded distinct-signature count and
+    * layout modulus, the [[graft.sources.FingerprintIndex.needsRebuild]]
+    * drift flag (an operator running the codec-stream ingest path sees a
+    * coming modulus migration in the gate instead of discovering it as a
+    * silent full-rewrite merge), per-dataset row counts and group-size
+    * aggregates — all read off the PUBLISHED artifact (1-row aggregates
+    * under broadcast at any corpus size). The oracle recomputes every
+    * column from the raw documents by replaying the dHash generator
+    * formula and the layout schedule. Per-(band, bv) / per-`ipart`
+    * occupancy is deliberately NOT here: band values and partition keys
+    * are xxhash64-derived with no portable SQL twin — those invariants
+    * are spec-pinned engine-side instead (FingerprintIndexSpec). Mirrors
+    * the reference's worker health reporting
+    * (ShuffleWorkerStatusManager.java:75-130). */
+  private val qFingerprintIndexStats: Q = (s, d) => {
+    import s.implicits._
+    val dir = fpIndexDir(s, d)
+    val FI = graft.sources.FingerprintIndex
+    val meta = Seq((FI.loadNGroups(s, dir), FI.loadParts(s, dir),
+        FI.needsRebuild(s, dir)))
+      .toDF("ngroups", "parts", "needs_rebuild")
+    // the distinct fold recovers the signature table from its 4x band
+    // explosion — a skinny exchange over (dhash, n, rep) triples
+    val sigs = FI.loadBands(s, dir).select("dhash", "n", "rep").distinct()
+    val sigAgg = sigs.agg(
+      count(lit(1)).as("n_sigs"),
+      sum("n").as("sum_members"),
+      max("n").as("max_members"))
+    val bandAgg = FI.loadBands(s, dir).agg(count(lit(1)).as("band_rows"))
+    meta.crossJoin(broadcast(sigAgg)).crossJoin(broadcast(bandAgg))
+      .select(col("ngroups"), col("parts"), col("needs_rebuild"),
+        col("n_sigs"), col("sum_members"), col("max_members"),
+        col("band_rows"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_multimodal_meta" -> qMultimodalMeta,
     "q_multimodal_resize" -> qMultimodalResize,
@@ -562,7 +614,39 @@ object MultiModalOps {
     "q_multimodal_pipeline" -> qMultimodalPipeline,
     "q_image_dhash" -> qImageDhash,
     "q_image_neardup" -> qImageNeardup,
+    "q_fingerprint_index_stats" -> qFingerprintIndexStats,
   )
+
+  /** Shared dHash replay fragment — the generator formula (dims from
+    * doc_id, 9x8 grid samples) packed to the signed 64-bit signature
+    * (bit 63 via the signed-min literal so the packed BIGINT matches
+    * Scala's `1L << 63` two's-complement exactly). CTEs `d` → `bits` →
+    * `dh` (doc_id, dhash); consumed verbatim by the q_image_dhash /
+    * q_image_neardup / q_fingerprint_index_stats oracles so the replay
+    * can never fork. A `def` so object-init order cannot null it. */
+  private def dhashCtes: String =
+    """d AS (
+      |  SELECT doc_id,
+      |         8 + doc_id % 24 AS w,
+      |         8 + (doc_id // 3) % 24 AS h
+      |  FROM documents),
+      |bits AS (
+      |  SELECT d.doc_id, gj.j * 8 + gi.i AS k,
+      |         CASE WHEN (d.doc_id * 31 + (((gi.i + 1) * d.w) // 9) * 7
+      |                    + ((gj.j * d.h) // 8) * 13) % 256
+      |                 > (d.doc_id * 31 + ((gi.i * d.w) // 9) * 7
+      |                    + ((gj.j * d.h) // 8) * 13) % 256
+      |              THEN 1 ELSE 0 END AS b
+      |  FROM d,
+      |       (SELECT unnest(range(0, 8)) AS i) gi,
+      |       (SELECT unnest(range(0, 8)) AS j) gj),
+      |dh AS (
+      |  SELECT doc_id,
+      |         CAST(sum(CASE WHEN b = 1 THEN
+      |                CASE WHEN k = 63 THEN -9223372036854775807 - 1
+      |                     ELSE (CAST(1 AS BIGINT) << k) END
+      |              ELSE 0 END) AS BIGINT) AS dhash
+      |  FROM bits GROUP BY 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // The oracle recomputes the generator's formula: dims from doc_id,
@@ -645,58 +729,16 @@ object MultiModalOps {
         |FROM px GROUP BY doc_id, fi, nf, w, h
         |ORDER BY doc_id, frame_idx""".stripMargin,
     "q_image_dhash" ->
-      """WITH d AS (
-        |  SELECT doc_id,
-        |         8 + doc_id % 24 AS w,
-        |         8 + (doc_id // 3) % 24 AS h
-        |  FROM documents),
-        |bits AS (
-        |  SELECT d.doc_id, gj.j * 8 + gi.i AS k,
-        |         CASE WHEN (d.doc_id * 31 + (((gi.i + 1) * d.w) // 9) * 7
-        |                    + ((gj.j * d.h) // 8) * 13) % 256
-        |                 > (d.doc_id * 31 + ((gi.i * d.w) // 9) * 7
-        |                    + ((gj.j * d.h) // 8) * 13) % 256
-        |              THEN 1 ELSE 0 END AS b
-        |  FROM d,
-        |       (SELECT unnest(range(0, 8)) AS i) gi,
-        |       (SELECT unnest(range(0, 8)) AS j) gj),
-        |dh AS (
-        |  SELECT doc_id,
-        |         CAST(sum(CASE WHEN b = 1 THEN
-        |                CASE WHEN k = 63 THEN -9223372036854775807 - 1
-        |                     ELSE (CAST(1 AS BIGINT) << k) END
-        |              ELSE 0 END) AS BIGINT) AS dhash
-        |  FROM bits GROUP BY 1),
+      (s"WITH $dhashCtes," + """
         |grp AS (SELECT dhash, CAST(count(*) AS BIGINT) AS group_size,
         |               min(doc_id) AS rep_id
         |        FROM dh GROUP BY 1 HAVING count(*) >= 2)
         |SELECT dh.doc_id, dh.dhash, grp.group_size, grp.rep_id
-        |FROM dh JOIN grp USING (dhash) ORDER BY dh.doc_id""".stripMargin,
+        |FROM dh JOIN grp USING (dhash) ORDER BY dh.doc_id""".stripMargin),
     // All-pairs over DISTINCT signatures (the banded Spark join is exact
     // for hamming <= 3 by pigeonhole, so brute force is a fair oracle).
     "q_image_neardup" ->
-      """WITH d AS (
-        |  SELECT doc_id,
-        |         8 + doc_id % 24 AS w,
-        |         8 + (doc_id // 3) % 24 AS h
-        |  FROM documents),
-        |bits AS (
-        |  SELECT d.doc_id, gj.j * 8 + gi.i AS k,
-        |         CASE WHEN (d.doc_id * 31 + (((gi.i + 1) * d.w) // 9) * 7
-        |                    + ((gj.j * d.h) // 8) * 13) % 256
-        |                 > (d.doc_id * 31 + ((gi.i * d.w) // 9) * 7
-        |                    + ((gj.j * d.h) // 8) * 13) % 256
-        |              THEN 1 ELSE 0 END AS b
-        |  FROM d,
-        |       (SELECT unnest(range(0, 8)) AS i) gi,
-        |       (SELECT unnest(range(0, 8)) AS j) gj),
-        |dh AS (
-        |  SELECT doc_id,
-        |         CAST(sum(CASE WHEN b = 1 THEN
-        |                CASE WHEN k = 63 THEN -9223372036854775807 - 1
-        |                     ELSE (CAST(1 AS BIGINT) << k) END
-        |              ELSE 0 END) AS BIGINT) AS dhash
-        |  FROM bits GROUP BY 1),
+      (s"WITH $dhashCtes," + """
         |sig AS (SELECT dhash, CAST(count(*) AS BIGINT) AS n, min(doc_id) AS rep
         |        FROM dh GROUP BY 1)
         |SELECT a.dhash AS dhash_a, b.dhash AS dhash_b,
@@ -704,7 +746,29 @@ object MultiModalOps {
         |       a.n AS n_a, b.n AS n_b, a.rep AS rep_a, b.rep AS rep_b
         |FROM sig a JOIN sig b
         |  ON a.dhash < b.dhash AND bit_count(xor(a.dhash, b.dhash)) <= 3
-        |ORDER BY dhash_a, dhash_b""".stripMargin,
+        |ORDER BY dhash_a, dhash_b""".stripMargin),
+    // Replays the dHash pipeline, folds to the distinct-signature table,
+    // and recomputes the artifact's recorded meta from the layout
+    // schedule: parts = GREATEST(64, LEAST(65536, n // 4M + 1)) is the
+    // SQL twin of FingerprintIndex.layoutPartsFor, needs_rebuild is that
+    // same comparison at publish time (identically false — the publish
+    // derived parts from this exact count), and band_rows = 4 rows per
+    // distinct signature by the 4x16-bit explosion.
+    "q_fingerprint_index_stats" ->
+      (s"WITH $dhashCtes," + """
+        |sig AS (SELECT dhash, CAST(count(*) AS BIGINT) AS n
+        |        FROM dh GROUP BY 1),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_sigs,
+        |               CAST(sum(n) AS BIGINT) AS sum_members,
+        |               CAST(max(n) AS BIGINT) AS max_members
+        |        FROM sig)
+        |SELECT n_sigs AS ngroups,
+        |       CAST(GREATEST(64, LEAST(65536, n_sigs // 4000000 + 1))
+        |         AS INT) AS parts,
+        |       FALSE AS needs_rebuild,
+        |       n_sigs, sum_members, max_members,
+        |       CAST(4 * n_sigs AS BIGINT) AS band_rows
+        |FROM agg""".stripMargin),
     // Replays all three fingerprint formulas (the q_image_dhash /
     // q_audio_fingerprint / q_video_fingerprint oracle bodies), derives
     // the per-modality dup verdicts, joins per doc, and aggregates the

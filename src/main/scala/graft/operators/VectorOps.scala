@@ -367,15 +367,40 @@ object VectorOps {
     * approximate family is no longer outside the correctness gate.
     * Output: per variant, |approx ∩ brute| / |brute| over the 10 fixed
     * queries' top-5 sets. */
-  private val qAnnRecall: Q = (s, d) => {
-    // ALL THREE result frames come from the cross-query shared cache
+  /** How many queries the SAMPLED recall variant audits (of the fixture's
+    * 10) — one literal shared by the Spark cut and the oracle replay. */
+  val RecallSampleN = 5
+
+  /** The recall artifact, with the audit's cost as a DIAL: `sampleN`
+    * restricts the recall computation to the first N query ids under the
+    * deterministic phash order ([[graft.Tables.phash]] — portable, so
+    * the oracle replays the same cut). At corpus scale a recall audit
+    * samples its queries rather than re-scoring the full query set; the
+    * fixture default (None = all 10 queries) is unchanged. The sample
+    * derives from brute's own distinct query ids (a handful of rows —
+    * the window is driver-trivial), so both the numerator and the
+    * denominator see exactly the same cut. */
+  private[graft] def annRecall(s: SparkSession, d: String,
+      sampleN: Option[Int]): DataFrame = {
+    // ALL result frames come from the cross-query shared cache
     // ([[sharedAnn]]): the brute subplan feeds both variants' semi joins
     // plus the denominators, and the LSH/IVF outputs are the SAME
     // persisted frames the standalone q_ann_lsh / q_ann_ivf queries
     // return — the recall artifact no longer re-executes either
     // approximate subplan (r7 note closed).
-    val brute = sharedAnn("q_ann_brute", qAnnBrute)(s, d)
+    val brute0 = sharedAnn("q_ann_brute", qAnnBrute)(s, d)
       .select("query_id", "neighbor_id")
+    val brute = sampleN match {
+      case None => brute0
+      case Some(nq) =>
+        val ids = brute0.select("query_id").distinct()
+          .withColumn("ph", graft.Tables.phash(col("query_id")))
+          .withColumn("srk", row_number().over(
+            Window.orderBy(col("ph"), col("query_id"))))
+          .filter(col("srk") <= nq)
+          .select("query_id")
+        brute0.join(broadcast(ids), Seq("query_id"), "left_semi")
+    }
     def stats(name: String, approx: DataFrame): DataFrame = {
       // 1-row aggregates; the crossJoin is a broadcast of one row
       val hits = brute.join(approx.select("query_id", "neighbor_id"),
@@ -403,6 +428,15 @@ object VectorOps {
         sharedAnn("q_ann_ivfpq_refine", qAnnIvfPqRefine)(s, d)))
       .orderBy("variant")
   }
+
+  private val qAnnRecall: Q = (s, d) => annRecall(s, d, None)
+
+  /** The sampled recall audit — [[annRecall]] at [[RecallSampleN]]
+    * queries. Same five variants, same shared frames; the 100 TB story
+    * for the audit itself: recall is estimated over a deterministic
+    * query sample instead of re-scoring every query. */
+  private val qAnnRecallSampled: Q = (s, d) =>
+    annRecall(s, d, Some(RecallSampleN))
 
   /** IVF cell-count schedule: cells grow ~sqrt(n) with the corpus (the
     * standard IVF sizing — search cost per query is
@@ -1128,6 +1162,7 @@ object VectorOps {
     "q_ann_ivf" -> sharedAnn("q_ann_ivf", qAnnIvf),
     "q_semantic_dedup" -> qSemanticDedup,
     "q_ann_recall" -> qAnnRecall,
+    "q_ann_recall_sampled" -> qAnnRecallSampled,
     "q_embed_centroids" -> qEmbedCentroids,
     "q_embed_diagnostics" -> qEmbedDiagnostics,
   )
@@ -1591,58 +1626,8 @@ object VectorOps {
         |SELECT vb AS vec_id, CAST(min(ra) AS BIGINT) AS rep_id,
         |       CAST(count(*) AS BIGINT) AS n_near
         |FROM pairs GROUP BY vb ORDER BY vec_id""".stripMargin),
-    "q_ann_recall" ->
-      (s"WITH ${lshCtes(LshProbes)}, $ivfCtes, $bruteCte,\n" +
-        s"$pqCtesBody,\n$adcCtes,\n$sq8Ctes,\n" +
-        s"$ivfAdcCtes,\n${refineCtes(AdcRefineK)}," + """
-        |adcq AS (
-        |  SELECT query_id, neighbor_id FROM (
-        |    SELECT query_id, neighbor_id,
-        |           row_number() OVER (PARTITION BY query_id
-        |             ORDER BY dist ASC, neighbor_id) AS rk
-        |    FROM adc)
-        |  WHERE rk <= 5),
-        |sq8q AS (
-        |  SELECT query_id, neighbor_id FROM (
-        |    SELECT query_id, neighbor_id,
-        |           row_number() OVER (PARTITION BY query_id
-        |             ORDER BY score DESC, neighbor_id) AS rk
-        |    FROM sq)
-        |  WHERE rk <= 5)
-        |SELECT variant, n_hits, n_brute,
-        |       round(CAST(n_hits AS DOUBLE) / n_brute, 4) AS recall_at_5
-        |FROM (
-        |  SELECT 'ivf' AS variant,
-        |         CAST((SELECT count(*) FROM brutq b JOIN ivfq v
-        |                 ON b.query_id = v.query_id
-        |                AND b.neighbor_id = v.neighbor_id) AS BIGINT)
-        |           AS n_hits,
-        |         CAST((SELECT count(*) FROM brutq) AS BIGINT) AS n_brute
-        |  UNION ALL
-        |  SELECT 'lsh',
-        |         CAST((SELECT count(*) FROM brutq b JOIN lshq l
-        |                 ON b.query_id = l.query_id
-        |                AND b.neighbor_id = l.neighbor_id) AS BIGINT),
-        |         CAST((SELECT count(*) FROM brutq) AS BIGINT)
-        |  UNION ALL
-        |  SELECT 'sq8',
-        |         CAST((SELECT count(*) FROM brutq b JOIN sq8q s8
-        |                 ON b.query_id = s8.query_id
-        |                AND b.neighbor_id = s8.neighbor_id) AS BIGINT),
-        |         CAST((SELECT count(*) FROM brutq) AS BIGINT)
-        |  UNION ALL
-        |  SELECT 'adc',
-        |         CAST((SELECT count(*) FROM brutq b JOIN adcq ad
-        |                 ON b.query_id = ad.query_id
-        |                AND b.neighbor_id = ad.neighbor_id) AS BIGINT),
-        |         CAST((SELECT count(*) FROM brutq) AS BIGINT)
-        |  UNION ALL
-        |  SELECT 'refine',
-        |         CAST((SELECT count(*) FROM brutq b JOIN refq rf
-        |                 ON b.query_id = rf.query_id
-        |                AND b.neighbor_id = rf.neighbor_id) AS BIGINT),
-        |         CAST((SELECT count(*) FROM brutq) AS BIGINT))
-        |ORDER BY variant""".stripMargin),
+    "q_ann_recall" -> annRecallSql(None),
+    "q_ann_recall_sampled" -> annRecallSql(Some(RecallSampleN)),
     "q_embed_centroids" ->
       """WITH u AS (
         |  SELECT label, generate_subscripts(embedding, 1) AS pos,
@@ -1807,6 +1792,64 @@ object VectorOps {
        |       max_bucket_width, bucket_rows,
        |       CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS code_rows
        |FROM ca, ba""".stripMargin
+
+  /** The recall artifact's oracle, parameterized by the sampled cut —
+    * the five variant legs' CTE chains are shared VERBATIM with the full
+    * oracle (never fork a replay): with `sampleN` set, a `samp` CTE
+    * replays the engine's deterministic phash-ordered query sample and
+    * every leg's numerator/denominator joins through it. A `def` (not a
+    * val) on purpose: it interpolates fragment vals and object-init
+    * order must not matter. */
+  private def annRecallSql(sampleN: Option[Int]): String = {
+    val sampCte = sampleN.map { n =>
+      s""",
+         |recall_samp AS (
+         |  SELECT query_id FROM (
+         |    SELECT query_id,
+         |           row_number() OVER (
+         |             ORDER BY ${Tables.phashSql("query_id")}, query_id)
+         |             AS srk
+         |    FROM (SELECT DISTINCT query_id FROM brutq))
+         |  WHERE srk <= $n)""".stripMargin
+    }.getOrElse("")
+    val bj = if (sampleN.isDefined)
+      " JOIN recall_samp sm ON sm.query_id = b.query_id" else ""
+    val nBrute = if (sampleN.isDefined)
+      "(SELECT count(*) FROM brutq JOIN recall_samp USING (query_id))"
+    else "(SELECT count(*) FROM brutq)"
+    val union = Seq(("adc", "adcq", "ad"), ("ivf", "ivfq", "v"),
+        ("lsh", "lshq", "l"), ("refine", "refq", "rf"), ("sq8", "sq8q", "s8"))
+      .map { case (name, cte, a) =>
+        s"""  SELECT '$name' AS variant,
+           |         CAST((SELECT count(*) FROM brutq b$bj JOIN $cte $a
+           |                 ON b.query_id = $a.query_id
+           |                AND b.neighbor_id = $a.neighbor_id) AS BIGINT)
+           |           AS n_hits,
+           |         CAST($nBrute AS BIGINT) AS n_brute""".stripMargin
+      }.mkString("\n  UNION ALL\n")
+    s"WITH ${lshCtes(LshProbes)}, $ivfCtes, $bruteCte,\n" +
+      s"$pqCtesBody,\n$adcCtes,\n$sq8Ctes,\n" +
+      s"$ivfAdcCtes,\n${refineCtes(AdcRefineK)}," + s"""
+        |adcq AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |           row_number() OVER (PARTITION BY query_id
+        |             ORDER BY dist ASC, neighbor_id) AS rk
+        |    FROM adc)
+        |  WHERE rk <= 5),
+        |sq8q AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |           row_number() OVER (PARTITION BY query_id
+        |             ORDER BY score DESC, neighbor_id) AS rk
+        |    FROM sq)
+        |  WHERE rk <= 5)$sampCte
+        |SELECT variant, n_hits, n_brute,
+        |       round(CAST(n_hits AS DOUBLE) / n_brute, 4) AS recall_at_5
+        |FROM (
+        |$union)
+        |ORDER BY variant""".stripMargin
+  }
 
   val oracles: Map[String, String] = baseOracles ++ Map(
     "q_embed_cross_dedup_idx" -> baseOracles("q_embed_cross_dedup"),

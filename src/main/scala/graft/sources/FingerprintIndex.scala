@@ -66,20 +66,51 @@ object FingerprintIndex {
           StorageOps.isCommitted(s, s"$dir/$v/bands"))
     }
 
-  private def loadParts(s: SparkSession, dir: String): Int =
+  /** The active version's layout modulus (q_dedup_index_stats-style
+    * health reads want it alongside [[loadNGroups]]). */
+  def loadParts(s: SparkSession, dir: String): Int =
     s.read.parquet(s"$dir/${ver(s, dir)}/meta")
       .collect()(0).getAs[Int]("parts")
 
+  /** The active version's recorded distinct-fingerprint count. */
+  def loadNGroups(s: SparkSession, dir: String): Long =
+    s.read.parquet(s"$dir/${ver(s, dir)}/meta")
+      .collect()(0).getAs[Long]("ngroups")
+
+  /** The foreachBatch batchId recorded by the last applied merge — the
+    * replay guard's memory. None for a publish (no batch) or an artifact
+    * written before the `last_batch` column existed. */
+  def lastAppliedBatch(s: SparkSession, dir: String): Option[Long] = {
+    val df = s.read.parquet(s"$dir/${ver(s, dir)}/meta")
+    if (!df.schema.fieldNames.contains("last_batch")) None
+    else Option(df.collect()(0).getAs[Long]("last_batch")).filter(_ >= 0)
+  }
+
+  /** True when the distinct-fingerprint count has drifted off the
+    * published layout modulus — the signal that the next merge pays the
+    * O(index) full rewrite ([[MergeStats.fullRewrite]]), surfaced so an
+    * operator can schedule it deliberately (off-peak) instead of
+    * discovering it inside an ingest. The DedupIndex.needsRebuild twin;
+    * read by q_fingerprint_index_stats. */
+  def needsRebuild(s: SparkSession, dir: String): Boolean = {
+    val parts = loadParts(s, dir)
+    parts <= 0 || parts != layoutPartsFor(loadNGroups(s, dir))
+  }
+
   private def writeMeta(s: SparkSession, vdir: String, nGroups: Long,
-      parts: Int): Unit = {
+      parts: Int, lastBatch: Long = -1L): Unit = {
     import s.implicits._
-    Seq((nGroups, parts)).toDF("ngroups", "parts")
+    Seq((nGroups, parts, lastBatch)).toDF("ngroups", "parts", "last_batch")
       .write.mode("errorifexists").parquet(s"$vdir/meta")
   }
 
   /** Publish an exact-equality group table (fp, n, rep — extra columns
-    * ignored) as the next version. Returns the published group count. */
-  def publishGroups(s: SparkSession, groups: DataFrame, dir: String): Long = {
+    * ignored) as the next version. Returns the published group count.
+    * `lastBatch` records the foreachBatch batchId when the publish is a
+    * merge fallback inside a batch-driven ingest (see [[mergeGroups]]'s
+    * replay guard); a plain corpus publish leaves it unset. */
+  def publishGroups(s: SparkSession, groups: DataFrame, dir: String,
+      lastBatch: Long = -1L): Long = {
     val g = graft.Caching.persist(groups.select("fp", "n", "rep"))
     try {
       val nGroups = g.count()
@@ -89,7 +120,7 @@ object FingerprintIndex {
         .repartition(parts, col("fpart"))
         .write.partitionBy("fpart")
         .mode("errorifexists").parquet(s"$dir/$v/groups")
-      writeMeta(s, s"$dir/$v", nGroups, parts)
+      writeMeta(s, s"$dir/$v", nGroups, parts, lastBatch)
       StorageOps.flipPointer(s, dir, v)
       nGroups
     } finally g.unpersist()
@@ -99,7 +130,7 @@ object FingerprintIndex {
     * image shape: 4 band rows per distinct signature, partitioned by the
     * band key. Returns the published (distinct-signature) count. */
   def publishBandedSigs(s: SparkSession, sigs: DataFrame,
-      dir: String): Long = {
+      dir: String, lastBatch: Long = -1L): Long = {
     val g = graft.Caching.persist(sigs.select("dhash", "n", "rep"))
     try {
       val nGroups = g.count()
@@ -113,7 +144,7 @@ object FingerprintIndex {
         .repartition(parts, col("ipart"))
         .write.partitionBy("ipart")
         .mode("errorifexists").parquet(s"$dir/$v/bands")
-      writeMeta(s, s"$dir/$v", nGroups, parts)
+      writeMeta(s, s"$dir/$v", nGroups, parts, lastBatch)
       StorageOps.flipPointer(s, dir, v)
       nGroups
     } finally g.unpersist()
@@ -141,10 +172,23 @@ object FingerprintIndex {
     * NEW corpus members (the dedup-stream admission shape — exact
     * re-ingests were already routed by the probe); this index keeps
     * group aggregates, not memberships, so a re-submitted doc_id would
-    * count twice. */
+    * count twice.
+    *
+    * REPLAY GUARD: a foreachBatch caller passes the trigger's `batchId`;
+    * it is recorded in the published meta, and a merge re-submitting the
+    * SAME batchId (Spark's standard crash-replay of the last
+    * uncommitted trigger) is a NO-OP returning the live count — without
+    * it, a crashed trigger that re-runs maintain would double-count
+    * every group the batch touched, permanently and undetectably
+    * (unlike DedupIndex's latest-wins merge, group counts are not
+    * idempotent). Callers outside foreachBatch may omit it and own
+    * at-most-once submission themselves. */
   def mergeGroups(s: SparkSession, dir: String,
-      arrivals: DataFrame): (Long, MergeStats) = {
+      arrivals: DataFrame, batchId: Option[Long] = None): (Long, MergeStats) = {
     require(isPublished(s, dir), s"no published fingerprint index at $dir")
+    if (batchId.isDefined && lastAppliedBatch(s, dir) == batchId)
+      return (loadNGroups(s, dir),
+        MergeStats(loadParts(s, dir), 0, 0, fullRewrite = false))
     val prev = s"$dir/${ver(s, dir)}"
     val parts = loadParts(s, dir)
     val b = graft.Caching.persist(arrivals
@@ -169,7 +213,7 @@ object FingerprintIndex {
             (coalesce(col("n"), lit(0L)) + coalesce(col("bn"), lit(0L)))
               .as("n"),
             least(col("rep"), col("brep")).as("rep"))
-        publishGroups(s, merged, dir)
+        publishGroups(s, merged, dir, batchId.getOrElse(-1L))
         val p2 = loadParts(s, dir)
         return (n2, MergeStats(p2, p2, 0, fullRewrite = true))
       }
@@ -186,7 +230,7 @@ object FingerprintIndex {
         .mode("errorifexists").parquet(s"$dir/$v/groups")
       val copied = StorageOps.copyCleanParts(s, s"$prev/groups",
         s"$dir/$v/groups", "fpart", dirtyFp.toSet)
-      writeMeta(s, s"$dir/$v", n2, parts)
+      writeMeta(s, s"$dir/$v", n2, parts, batchId.getOrElse(-1L))
       StorageOps.flipPointer(s, dir, v)
       (n2, MergeStats(parts, dirtyFp.length, copied, fullRewrite = false))
     } finally b.unpersist()
@@ -196,11 +240,15 @@ object FingerprintIndex {
     * (doc_id, dhash) into the published banded table: an affected
     * signature's FOUR band rows (all pure functions of the dhash)
     * refresh together, so the dirty `ipart` set derives from the batch's
-    * distinct signatures alone; clean partitions hard-copy. Fallback and
-    * merge == rebuild contract as [[mergeGroups]]. */
+    * distinct signatures alone; clean partitions hard-copy. Fallback,
+    * merge == rebuild contract, and the `batchId` REPLAY GUARD as
+    * [[mergeGroups]]. */
   def mergeBandedSigs(s: SparkSession, dir: String,
-      arrivals: DataFrame): (Long, MergeStats) = {
+      arrivals: DataFrame, batchId: Option[Long] = None): (Long, MergeStats) = {
     require(isPublished(s, dir), s"no published fingerprint index at $dir")
+    if (batchId.isDefined && lastAppliedBatch(s, dir) == batchId)
+      return (loadNGroups(s, dir),
+        MergeStats(loadParts(s, dir), 0, 0, fullRewrite = false))
     val prev = s"$dir/${ver(s, dir)}"
     val parts = loadParts(s, dir)
     val b = graft.Caching.persist(arrivals
@@ -227,7 +275,7 @@ object FingerprintIndex {
             (coalesce(col("n"), lit(0L)) + coalesce(col("bn"), lit(0L)))
               .as("n"),
             least(col("rep"), col("brep")).as("rep"))
-        publishBandedSigs(s, merged, dir)
+        publishBandedSigs(s, merged, dir, batchId.getOrElse(-1L))
         val p2 = loadParts(s, dir)
         return (n2, MergeStats(p2, p2, 0, fullRewrite = true))
       }
@@ -261,7 +309,7 @@ object FingerprintIndex {
         .mode("errorifexists").parquet(s"$dir/$v/bands")
       val copied = StorageOps.copyCleanParts(s, s"$prev/bands",
         s"$dir/$v/bands", "ipart", dirtyIp.toSet)
-      writeMeta(s, s"$dir/$v", n2, parts)
+      writeMeta(s, s"$dir/$v", n2, parts, batchId.getOrElse(-1L))
       StorageOps.flipPointer(s, dir, v)
       (n2, MergeStats(parts, dirtyIp.length, copied, fullRewrite = false))
     } finally b.unpersist()
@@ -280,12 +328,19 @@ object FingerprintIndex {
     * versions to `keep`. `banded` selects the image shape
     * ([[mergeBandedSigs]] over (doc_id, dhash)) vs the exact shape
     * ([[mergeGroups]] over (doc_id, fp)). Returns the merged group
-    * count and the [[MergeStats]]. */
+    * count and the [[MergeStats]].
+    *
+    * A foreachBatch ingest pipeline MUST pass its trigger's `batchId`:
+    * foreachBatch's standard failure mode is batch replay, and this
+    * index's group counts are not idempotent under re-merge — the
+    * recorded batchId turns a replayed trigger into a no-op (see
+    * [[mergeGroups]]'s replay-guard contract). */
   def maintain(s: SparkSession, dir: String, arrivals: DataFrame,
-      banded: Boolean = false, keep: Int = 2): (Long, MergeStats) = {
+      banded: Boolean = false, keep: Int = 2,
+      batchId: Option[Long] = None): (Long, MergeStats) = {
     val out =
-      if (banded) mergeBandedSigs(s, dir, arrivals)
-      else mergeGroups(s, dir, arrivals)
+      if (banded) mergeBandedSigs(s, dir, arrivals, batchId)
+      else mergeGroups(s, dir, arrivals, batchId)
     pruneVersions(s, dir, keep)
     out
   }

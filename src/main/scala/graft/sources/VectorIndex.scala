@@ -172,7 +172,19 @@ object VectorIndex {
     * lineage uncached; `clearCache` still reclaims everything early.
     * Above the gate nothing is persisted (a corpus-scale batch must not
     * be pinned). Sessions are weak keys — a stopped session's slots
-    * become collectable. */
+    * become collectable.
+    *
+    * Swap ordering: the PREVIOUS frame unpersists BEFORE the new one
+    * persists, and is skipped entirely when the two frames share the
+    * same cache entry (Spark's CacheManager matches canonicalized
+    * plans, so a stream replaying an identical batch re-derives the
+    * SAME entry — unpersisting the old frame after persisting the new
+    * one would evict that shared entry and leave the just-armed frame
+    * silently uncached). SINGLE WRITER PER SLOT is assumed: two
+    * concurrent gated calls through the same (API, dir) slot may still
+    * unpersist each other's frame mid-consume — results stay correct
+    * (the plan recomputes), only the pin is lost; serialize per-slot
+    * probes if the pin matters. */
   private val armedBatchFrames = new java.util.WeakHashMap[SparkSession,
     scala.collection.concurrent.TrieMap[String, DataFrame]]()
 
@@ -184,9 +196,16 @@ object VectorIndex {
         armedBatchFrames.computeIfAbsent(derived.sparkSession,
           _ => scala.collection.concurrent.TrieMap.empty[String, DataFrame])
       }
+      m.remove(slot).foreach { old =>
+        // sameResult = canonicalized comparison: catches a replayed
+        // batch whose rebuilt frame differs only by expression ids
+        val sameEntry = scala.util.Try(
+          old.queryExecution.analyzed
+            .sameResult(derived.queryExecution.analyzed)).getOrElse(false)
+        if (!sameEntry) scala.util.Try(old.unpersist())
+      }
       val frame = graft.Caching.persist(derived)
       m.put(slot, frame)
-        .foreach(old => scala.util.Try(old.unpersist()))
       frame
     }
 

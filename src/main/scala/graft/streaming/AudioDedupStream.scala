@@ -34,7 +34,15 @@ object AudioDedupStream {
   /** Matches of a watermarked audio stream (`doc_id`, binary WAV
     * `payload`, event-time `ts`) against the published fingerprint index
     * `fps` (schema: fp, n, rep). Emits one row per (arrival, matched
-    * fingerprint group) with the group's size and representative. */
+    * fingerprint group) with the group's size and representative.
+    *
+    * Kept for small/fixture corpora and the parity specs; at corpus
+    * scale the per-trigger cost is a FULL scan of the caller-held group
+    * table — route production streams through
+    * [[foreachBatchProbe]]/[[probeIndexBatch]] instead. */
+  @deprecated("lazy stream-static join re-scans the full group table per " +
+    "trigger; at corpus scale use foreachBatchProbe/probeIndexBatch " +
+    "(partition-pruned published-index probe)", "0.1.0")
   def matchesAgainstIndex(s: SparkSession, stream: DataFrame,
       fps: DataFrame, delay: String = "10 minutes"): DataFrame = {
     import s.implicits._
@@ -64,9 +72,19 @@ object AudioDedupStream {
     * partition values (bounded collect) and the index contributes only
     * those partitions. Loan-patterned like every sibling probe: the
     * decoded batch frame is pinned only while `consume` runs. Output
-    * schema matches [[matchesAgainstIndex]]. */
+    * schema matches [[matchesAgainstIndex]].
+    *
+    * BROADCAST GATE (the VectorIndex search convention): the decoded
+    * batch frame is broadcast only at or below `broadcastRowLimit` — a
+    * backlog catch-up trigger falls through to the planner's shuffle
+    * join over the full index instead of hitting Spark's broadcast
+    * limits. A caller that knows its batch bound passes `knownBatchRows`
+    * and the gate count is skipped. */
   def probeIndexBatch[T](s: SparkSession, microbatch: DataFrame,
-      indexDir: String)(consume: DataFrame => T): T = {
+      indexDir: String,
+      broadcastRowLimit: Long =
+        graft.sources.VectorIndex.QueryBatchBroadcastRowLimit,
+      knownBatchRows: Option[Long] = None)(consume: DataFrame => T): T = {
     import s.implicits._
     val fps = graft.Caching.persist(microbatch
       .select(col("ts"), col("doc_id").as("in_id"), col("payload"))
@@ -79,10 +97,17 @@ object AudioDedupStream {
       }
       .toDF("ts", "in_id", "fp", "n_frames"))
     try {
-      val idx = graft.sources.FingerprintIndex.prunedGroups(s, indexDir,
-          fps.select("fp"))
+      val small =
+        knownBatchRows.getOrElse(fps.count()) <= broadcastRowLimit
+      val hint: DataFrame => DataFrame = if (small) broadcast else identity
+      // a corpus-scale batch touches every partition anyway: skip the
+      // pruning derivation along with the broadcast hint
+      val idx = (if (small)
+          graft.sources.FingerprintIndex.prunedGroups(s, indexDir,
+            fps.select("fp"))
+        else graft.sources.FingerprintIndex.loadGroups(s, indexDir))
         .select(col("fp").as("cand_fp"), col("n"), col("rep"))
-      consume(idx.join(broadcast(fps), col("fp") === col("cand_fp"))
+      consume(idx.join(hint(fps), col("fp") === col("cand_fp"))
         .select(col("ts"), col("in_id"), col("fp"), col("n_frames"),
           col("n").as("corpus_n"), col("rep").as("corpus_rep")))
     } finally fps.unpersist()

@@ -80,7 +80,11 @@ object EmbedNearDupStream {
     * reads the whole artifact. The production entry point at that scale
     * is [[foreachBatchProbe]], which routes each trigger through the
     * gated batch search so the scan is pruned to the microbatch's
-    * derived partitions. */
+    * derived partitions. Kept for small/fixture corpora and the parity
+    * specs. */
+  @deprecated("lazy stream-static join re-scans the full bucket table per " +
+    "trigger; at corpus scale use foreachBatchProbe/probeIndexBatch " +
+    "(partition-pruned gated batch search)", "0.1.0")
   def nearDupAgainstIndex(s: SparkSession, stream: DataFrame,
       indexDir: String, threshold: Double,
       delay: String = "10 minutes"): DataFrame = {
@@ -124,11 +128,17 @@ object EmbedNearDupStream {
       val matches = graft.sources.VectorIndex.matchesAbove(s, indexDir,
         b.select(col("vec_id"), col("embedding")), threshold,
         knownBatchRows = Some(n))
-      // ts rides back via a microbatch-sized broadcast join (the search
-      // APIs keep the (vec_id, embedding) contract; event time is the
-      // stream's concern)
+      // ts rides back via a microbatch-sized join (the search APIs keep
+      // the (vec_id, embedding) contract; event time is the stream's
+      // concern) — broadcast only under the same gate the search itself
+      // applies, so a backlog catch-up trigger cannot smuggle a
+      // corpus-scale frame past the broadcast limit here either
+      val hint: DataFrame => DataFrame =
+        if (n <= graft.sources.VectorIndex.QueryBatchBroadcastRowLimit)
+          broadcast
+        else identity
       consume(matches
-        .join(broadcast(b.select(col("vec_id").as("in_id"), col("ts"))),
+        .join(hint(b.select(col("vec_id").as("in_id"), col("ts"))),
           Seq("in_id"))
         .select(col("ts"), col("in_id"), col("corpus_id"), col("sim")))
     } finally b.unpersist()

@@ -38,18 +38,26 @@ import graft.operators.MultiModalOps
   */
 object ImageDedupStream {
 
+  // ONE band derivation for probe and artifact: a local copy here could
+  // drift from the published banded index's split and silently miss
+  // hamming<=3 matches, so the stream delegates to the index's expr.
   private def bandsExpr(c: String) =
-    s"""transform(sequence(0, 3),
-       |          j -> struct(j AS band,
-       |                      shiftrightunsigned($c, j * 16) & 65535 AS bv))"""
-      .stripMargin
+    graft.sources.FingerprintIndex.bandsExpr(c)
 
   /** Matches of a watermarked image stream (`doc_id`, binary `payload`,
     * event-time `ts`) against the published signature index `sigs`
     * ([[MultiModalOps.imageSigs]] schema: dhash, n, rep). Emits one row
     * per (arrival, matched corpus signature) with the hamming distance
     * and the group's size/representative — hamming 0 = exact perceptual
-    * dup of an existing group. */
+    * dup of an existing group.
+    *
+    * Kept for small/fixture corpora and the parity specs; at corpus
+    * scale the per-trigger cost is a FULL scan of the caller-held
+    * signature table — route production streams through
+    * [[foreachBatchProbe]]/[[probeIndexBatch]] instead. */
+  @deprecated("lazy stream-static join re-scans the full signature table " +
+    "per trigger; at corpus scale use foreachBatchProbe/probeIndexBatch " +
+    "(partition-pruned published-index probe)", "0.1.0")
   def matchesAgainstIndex(s: SparkSession, stream: DataFrame,
       sigs: DataFrame, maxHamming: Int = 3,
       delay: String = "10 minutes"): DataFrame = {
@@ -99,9 +107,20 @@ object ImageDedupStream {
     * meeting in several bands folds to one row (distinct — the job the
     * lazy path's watermark dedup state did per horizon; cross-trigger
     * re-emission is the sink's idempotence concern). Loan-patterned;
-    * output schema matches [[matchesAgainstIndex]]. */
+    * output schema matches [[matchesAgainstIndex]].
+    *
+    * BROADCAST GATE (the VectorIndex search convention): the decoded
+    * batch frame is broadcast only at or below `broadcastRowLimit` — a
+    * backlog catch-up trigger (one huge first microbatch after downtime)
+    * falls through to the planner's shuffle join over the full index
+    * instead of failing on Spark's broadcast limits or OOMing the
+    * driver. A caller that already knows its batch bound passes
+    * `knownBatchRows` and the gate count is skipped. */
   def probeIndexBatch[T](s: SparkSession, microbatch: DataFrame,
-      indexDir: String, maxHamming: Int = 3)(consume: DataFrame => T): T = {
+      indexDir: String, maxHamming: Int = 3,
+      broadcastRowLimit: Long =
+        graft.sources.VectorIndex.QueryBatchBroadcastRowLimit,
+      knownBatchRows: Option[Long] = None)(consume: DataFrame => T): T = {
     import s.implicits._
     require(maxHamming <= 3,
       s"4x16-bit banding is only pigeonhole-exact for hamming <= 3, got $maxHamming")
@@ -114,9 +133,16 @@ object ImageDedupStream {
       }
       .toDF("ts", "in_id", "dh"))
     try {
+      val small =
+        knownBatchRows.getOrElse(dh.count()) <= broadcastRowLimit
+      val hint: DataFrame => DataFrame = if (small) broadcast else identity
       val keys = dh.select(explode(expr(bandsExpr("dh"))).as("p"))
         .select(col("p.band").as("band"), col("p.bv").as("bv"))
-      val idx = graft.sources.FingerprintIndex.prunedBands(s, indexDir, keys)
+      // a corpus-scale batch touches every partition anyway: skip the
+      // pruning derivation along with the broadcast hint
+      val idx = (if (small)
+          graft.sources.FingerprintIndex.prunedBands(s, indexDir, keys)
+        else graft.sources.FingerprintIndex.loadBands(s, indexDir))
         .select(col("band"), col("bv"), col("dhash").as("cand"),
           col("n"), col("rep"))
       val probes = dh
@@ -124,7 +150,7 @@ object ImageDedupStream {
           explode(expr(bandsExpr("dh"))).as("p"))
         .select(col("ts"), col("in_id"), col("dh"),
           col("p.band").as("pband"), col("p.bv").as("pbv"))
-      consume(idx.join(broadcast(probes),
+      consume(idx.join(hint(probes),
           col("pband") === col("band") && col("pbv") === col("bv") &&
             expr("bit_count(dh ^ cand)") <= maxHamming)
         .select(col("ts"), col("in_id"), col("dh"), col("cand"),

@@ -162,15 +162,24 @@ object NearDupStream {
     * `horizon`. `corpus` is DedupOps.docHashes output; `horizon` should
     * cover the index republish period so a pair cannot re-emit between
     * rebuilds. */
+  @scala.annotation.nowarn("cat=deprecation") // intentional delegation:
+  // this inline variant shares the lazy join's scale caveat and scaladoc
   def nearDupAgainstCorpus(s: SparkSession, docs: Dataset[TimedDoc],
       corpus: DataFrame, horizon: String = "30 days"): DataFrame =
     nearDupAgainstIndex(s, docs, bandIndex(s, corpus), corpus, horizon)
 
-  /** The same stream-static join over PRE-BUILT index artifacts — the
-    * production entry point, fed by `sources.DedupIndex.publish`'s
-    * parquet datasets (band index + hash arrays) instead of an in-query
-    * signature build. `bands` is (band, minhash, doc_id); `corpusDocs`
-    * carries (doc_id, hs, n). */
+  /** The same stream-static join over PRE-BUILT index artifacts, fed by
+    * `sources.DedupIndex.publish`'s parquet datasets (band index + hash
+    * arrays) instead of an in-query signature build. `bands` is
+    * (band, minhash, doc_id); `corpusDocs` carries (doc_id, hs, n).
+    *
+    * Kept for small/fixture corpora and the parity specs; at corpus
+    * scale the per-trigger cost is a FULL scan of both caller-held
+    * tables — route production streams through
+    * [[foreachBatchProbe]]/[[probeIndexBatch]] instead. */
+  @deprecated("lazy stream-static join re-scans the full band and doc " +
+    "tables per trigger; at corpus scale use foreachBatchProbe/" +
+    "probeIndexBatch (partition-pruned published-index probe)", "0.1.0")
   def nearDupAgainstIndex(s: SparkSession, docs: Dataset[TimedDoc],
       bands: DataFrame, corpusDocs: DataFrame,
       horizon: String = "30 days"): DataFrame = {
@@ -235,9 +244,21 @@ object NearDupStream {
     * maintain/republish reaches the stream on its next microbatch — no
     * restart, the freshness upgrade over the lazy join's load-once
     * static side (the vector and fingerprint probes get the same
-    * behavior for free: their loaders resolve the pointer per call). */
+    * behavior for free: their loaders resolve the pointer per call).
+    *
+    * BROADCAST GATE (the VectorIndex search convention): the microbatch
+    * frame, its band keys, and the candidate set are broadcast only at
+    * or below `broadcastRowLimit` — a backlog catch-up trigger (one
+    * huge first microbatch after downtime) falls through to the
+    * planner's shuffle joins over the full index instead of failing on
+    * Spark's broadcast limits or OOMing the driver. A caller that knows
+    * its batch bound passes `knownBatchRows` and the gate count is
+    * skipped. */
   def probeIndexBatch[T](s: SparkSession, microbatch: DataFrame,
-      indexDir: String)(consume: DataFrame => T): T = {
+      indexDir: String,
+      broadcastRowLimit: Long =
+        graft.sources.VectorIndex.QueryBatchBroadcastRowLimit,
+      knownBatchRows: Option[Long] = None)(consume: DataFrame => T): T = {
     graft.functions.GraftFunctions.register(s)
     val dir =
       if (graft.sources.DedupIndex.isPublishedVersioned(s, indexDir))
@@ -250,25 +271,34 @@ object NearDupStream {
       .filter(size(col("q_hs")) > 0)
       .withColumn("q_n", size(col("q_hs")).cast("long")))
     try {
+      val small =
+        knownBatchRows.getOrElse(q.count()) <= broadcastRowLimit
+      val hint: DataFrame => DataFrame = if (small) broadcast else identity
       val inBands = q
         .select(col("q_id"), posexplode(expr("minhash_sig(q_hs)")))
         .select(col("q_id"), col("pos").as("band"), col("col").as("minhash"))
-      val index = graft.sources.DedupIndex.prunedBands(s, dir,
-        inBands.select(col("band"), col("minhash").as("bv")))
+      // a corpus-scale batch touches every partition anyway: skip the
+      // pruning derivations along with the broadcast hints
+      val index = (if (small)
+          graft.sources.DedupIndex.prunedBands(s, dir,
+            inBands.select(col("band"), col("minhash").as("bv")))
+        else graft.sources.DedupIndex.loadBands(s, dir))
       // distinct collapses multi-band meetings BEFORE the verify join —
       // each surviving pair is Jaccard-scored exactly once
       val cands = graft.Caching.persist(
-        index.join(broadcast(inBands), Seq("band", "minhash"))
+        index.join(hint(inBands), Seq("band", "minhash"))
           .filter(col("doc_id") =!= col("q_id"))
           .select(col("q_id"), col("doc_id").as("c_id")).distinct())
       try {
-        val corp = graft.sources.DedupIndex.prunedDocs(s, dir,
-            cands.select(col("c_id")))
+        val corp = (if (small)
+            graft.sources.DedupIndex.prunedDocs(s, dir,
+              cands.select(col("c_id")))
+          else graft.sources.DedupIndex.loadDocs(s, dir))
           .select(col("doc_id").as("c_id"), col("hs").as("c_hs"),
             col("n").as("c_n"))
         consume(corp
-          .join(broadcast(cands), Seq("c_id"))
-          .join(broadcast(q.select(col("q_id"), col("tsUs"), col("q_hs"),
+          .join(hint(cands), Seq("c_id"))
+          .join(hint(q.select(col("q_id"), col("tsUs"), col("q_hs"),
             col("q_n"))), Seq("q_id"))
           .withColumn("inter",
             size(array_intersect(col("q_hs"), col("c_hs"))).cast("long"))

@@ -20,7 +20,15 @@ object VideoDedupStream {
 
   /** Matches of a watermarked video stream (`doc_id`, binary MP4
     * `payload`, event-time `ts`) against the published fingerprint index
-    * `fps` (schema: fp, n, rep). One row per (arrival, matched group). */
+    * `fps` (schema: fp, n, rep). One row per (arrival, matched group).
+    *
+    * Kept for small/fixture corpora and the parity specs; at corpus
+    * scale the per-trigger cost is a FULL scan of the caller-held group
+    * table — route production streams through
+    * [[foreachBatchProbe]]/[[probeIndexBatch]] instead. */
+  @deprecated("lazy stream-static join re-scans the full group table per " +
+    "trigger; at corpus scale use foreachBatchProbe/probeIndexBatch " +
+    "(partition-pruned published-index probe)", "0.1.0")
   def matchesAgainstIndex(s: SparkSession, stream: DataFrame,
       fps: DataFrame, delay: String = "10 minutes"): DataFrame = {
     import s.implicits._
@@ -45,9 +53,15 @@ object VideoDedupStream {
     * [[graft.sources.FingerprintIndex]] through the partition-pruned
     * group scan — the [[AudioDedupStream.probeIndexBatch]] twin on the
     * MP4 demux fingerprint. Loan-patterned; output schema matches
-    * [[matchesAgainstIndex]]. */
+    * [[matchesAgainstIndex]]. Broadcast gate semantics identical to the
+    * audio twin: the batch frame is broadcast (and the index pruned)
+    * only at or below `broadcastRowLimit`; a backlog catch-up trigger
+    * falls through to the shuffle join over the full index. */
   def probeIndexBatch[T](s: SparkSession, microbatch: DataFrame,
-      indexDir: String)(consume: DataFrame => T): T = {
+      indexDir: String,
+      broadcastRowLimit: Long =
+        graft.sources.VectorIndex.QueryBatchBroadcastRowLimit,
+      knownBatchRows: Option[Long] = None)(consume: DataFrame => T): T = {
     import s.implicits._
     val fps = graft.Caching.persist(microbatch
       .select(col("ts"), col("doc_id").as("in_id"), col("payload"))
@@ -60,10 +74,15 @@ object VideoDedupStream {
       }
       .toDF("ts", "in_id", "fp", "n_samples"))
     try {
-      val idx = graft.sources.FingerprintIndex.prunedGroups(s, indexDir,
-          fps.select("fp"))
+      val small =
+        knownBatchRows.getOrElse(fps.count()) <= broadcastRowLimit
+      val hint: DataFrame => DataFrame = if (small) broadcast else identity
+      val idx = (if (small)
+          graft.sources.FingerprintIndex.prunedGroups(s, indexDir,
+            fps.select("fp"))
+        else graft.sources.FingerprintIndex.loadGroups(s, indexDir))
         .select(col("fp").as("cand_fp"), col("n"), col("rep"))
-      consume(idx.join(broadcast(fps), col("fp") === col("cand_fp"))
+      consume(idx.join(hint(fps), col("fp") === col("cand_fp"))
         .select(col("ts"), col("in_id"), col("fp"), col("n_samples"),
           col("n").as("corpus_n"), col("rep").as("corpus_rep")))
     } finally fps.unpersist()

@@ -127,4 +127,31 @@ class ImageDedupStreamSpec extends AnyFunSuite {
       s"missing=${lazySet.diff(buf.toSet).take(3)} extra=${buf.toSet.diff(lazySet).take(3)}")
     spark.catalog.clearCache()
   }
+
+  test("probe broadcast gate: limit 0 forces the shuffle path, result-identical") {
+    // the banded probe above the broadcast gate (forced with limit 0)
+    // takes the shuffle join over the FULL banded scan and must produce
+    // the identical match set — the backlog-catch-up trigger safety
+    import spark.implicits._
+    val d = TestSpark.sf0001
+    val docIds = spark.read.parquet(s"$d/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-fpidx-gate").toString
+    graft.sources.FingerprintIndex.publishBandedSigs(spark,
+      MultiModalOps.imageSigs(spark, d), dir)
+    val microbatch = docIds.map(id => ImgEv(id, MultiModalOps.encodePng(id),
+      new java.sql.Timestamp(1700000000000L + id))).toSeq.toDF()
+    def matchesWith(limit: Long): Set[(Long, Long, Long)] =
+      ImageDedupStream.probeIndexBatch(spark, microbatch, dir,
+        broadcastRowLimit = limit) { out =>
+        out.collect().map(r => (r.getAs[Long]("in_id"),
+          r.getAs[Long]("corpus_dhash"), r.getAs[Long]("hamming"))).toSet
+      }
+    val gated = matchesWith(graft.sources.VectorIndex.QueryBatchBroadcastRowLimit)
+    val shuffled = matchesWith(0L)
+    assert(gated.nonEmpty && shuffled == gated,
+      s"shuffle-path matches differ: ${(gated -- shuffled).take(3)} / ${(shuffled -- gated).take(3)}")
+    spark.catalog.clearCache()
+  }
 }

@@ -169,6 +169,30 @@ class NearDupStreamSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("probe broadcast gate: limit 0 forces the shuffle path, result-identical") {
+    // the VectorIndexSpec convention applied to the text probe: a batch
+    // above the broadcast gate (forced with limit 0) must take the
+    // shuffle joins over the FULL index scans and still produce the
+    // identical verified pair set — the backlog-catch-up trigger safety
+    // the r13 ADVICE asked for
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-dedupidx-gate").toString
+    graft.sources.DedupIndex.publish(spark, TestSpark.sf0001, dir)
+    val microbatch = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id").as("docId"), col("text"),
+        (col("doc_id") * 1000000L).as("tsUs"))
+    def pairsWith(limit: Long): Set[(Long, Long)] =
+      graft.streaming.NearDupStream.probeIndexBatch(spark, microbatch, dir,
+        broadcastRowLimit = limit) { out =>
+        out.collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+      }
+    val gated = pairsWith(graft.sources.VectorIndex.QueryBatchBroadcastRowLimit)
+    val shuffled = pairsWith(0L)
+    assert(gated.nonEmpty && shuffled == gated,
+      s"shuffle-path pairs differ: ${(gated -- shuffled).take(3)} / ${(shuffled -- gated).take(3)}")
+    spark.catalog.clearCache()
+  }
+
   test("versioned-root probe picks up a maintain republish on the NEXT trigger") {
     // the freshness upgrade per-trigger pointer resolution buys: the
     // fixture's planted pair 5 ~ 450 (J=0.98) is split — v1 holds the
