@@ -577,8 +577,11 @@ object MultiModalOps {
     * drift flag (an operator running the codec-stream ingest path sees a
     * coming modulus migration in the gate instead of discovering it as a
     * silent full-rewrite merge), per-dataset row counts and group-size
-    * aggregates — all read off the PUBLISHED artifact (1-row aggregates
-    * under broadcast at any corpus size). The oracle recomputes every
+    * aggregates — all read off the PUBLISHED artifact: one skinny
+    * shuffle folds the 4x band explosion back to the signature table
+    * (three int64s per row, O(distinct signatures) — far under the
+    * corpus), then 1-row aggregates under broadcast. The oracle
+    * recomputes every
     * column from the raw documents by replaying the dHash generator
     * formula and the layout schedule. Per-(band, bv) / per-`ipart`
     * occupancy is deliberately NOT here: band values and partition keys

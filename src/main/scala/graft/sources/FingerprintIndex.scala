@@ -320,11 +320,50 @@ object FingerprintIndex {
   def pruneVersions(s: SparkSession, dir: String, keep: Int): Seq[String] =
     StorageOps.pruneVersions(s, dir, keep)
 
+  /** Small-file compaction hook in the [[maintain]] cycle — the
+    * [[DedupIndex.compactIfFragmented]]/VectorIndex twin, completing the
+    * family's lifecycle symmetry: if the active version's partitioned
+    * dataset holds more than one data file in any partition directory,
+    * republish it compacted (same rows, same recorded count and
+    * `last_batch`, the canonical one-file-per-partition layout) as the
+    * next version and flip. This library's writers keep the invariant by
+    * construction (dirty writes repartition BY the partition column,
+    * clean partitions hard-copy single files); the hook covers
+    * foreign/legacy artifacts. Returns whether a compaction version was
+    * published. */
+  def compactIfFragmented(s: SparkSession, dir: String): Boolean = {
+    val v = ver(s, dir)
+    val banded = StorageOps.isCommitted(s, s"$dir/$v/bands")
+    val ds = if (banded) "bands" else "groups"
+    if (!fragmented(s, s"$dir/$v/$ds")) return false
+    val lastBatch = lastAppliedBatch(s, dir).getOrElse(-1L)
+    if (banded)
+      publishBandedSigs(s,
+        loadBands(s, dir).select("dhash", "n", "rep").distinct(),
+        dir, lastBatch)
+    else publishGroups(s, loadGroups(s, dir), dir, lastBatch)
+    true
+  }
+
+  /** True iff any partition directory of the dataset holds more than one
+    * data file (one FS listing, no data read). */
+  private def fragmented(s: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists { st =>
+      st.isDirectory && st.getPath.getName.contains("=") &&
+        fs.listStatus(st.getPath).count(f => f.isFile &&
+          !f.getPath.getName.startsWith("_") &&
+          !f.getPath.getName.startsWith(".")) > 1
+    }
+  }
+
   /** One production ingest cycle — the family's maintain shape
     * ([[VectorIndex.maintain]]/[[DedupIndex.maintain]]) on the
     * fingerprint artifact: merge the arrivals in (partition-level; a
     * modulus drift takes the full rewrite inside the merge, which IS
-    * this index's rebuild — nothing retrains), then prune non-active
+    * this index's rebuild — nothing retrains), run the
+    * [[compactIfFragmented]] hygiene hook, then prune non-active
     * versions to `keep`. `banded` selects the image shape
     * ([[mergeBandedSigs]] over (doc_id, dhash)) vs the exact shape
     * ([[mergeGroups]] over (doc_id, fp)). Returns the merged group
@@ -341,6 +380,7 @@ object FingerprintIndex {
     val out =
       if (banded) mergeBandedSigs(s, dir, arrivals, batchId)
       else mergeGroups(s, dir, arrivals, batchId)
+    compactIfFragmented(s, dir)
     pruneVersions(s, dir, keep)
     out
   }

@@ -162,6 +162,50 @@ class FingerprintIndexSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("compaction hook restores one file per partition, rows and batchId intact") {
+    // the DedupIndex/VectorIndex hygiene-hook twin, completing the
+    // family's lifecycle symmetry on the fingerprint artifact
+    val arrivals = operators.AudioOps.wavPayloads0(spark, d)
+      .select("doc_id", "fp")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-fpidx-compact").toString
+    FingerprintIndex.publishGroups(spark,
+      arrivals.filter(col("doc_id") % 2 === 0)
+        .groupBy("fp").agg(count(lit(1)).as("n"), min("doc_id").as("rep")),
+      dir)
+    FingerprintIndex.mergeGroups(spark, dir,
+      arrivals.filter(col("doc_id") % 2 === 1), batchId = Some(9L))
+    val live = s"$dir/${graft.sources.StorageOps.currentVersion(spark, dir).get}"
+    val rows0 = groupRows(FingerprintIndex.loadGroups(spark, dir))
+    // fragment one partition the way a foreign writer would: split its
+    // single file into two
+    val pd = new java.io.File(s"$live/groups").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("fpart="))
+      .maxBy(f => f.listFiles().map(_.length()).sum)
+    val frag = spark.read.parquet(pd.toString).repartition(2)
+    val tmp = s"${pd}__frag"
+    frag.write.parquet(tmp)
+    org.apache.hadoop.fs.FileUtil.fullyDelete(pd)
+    new java.io.File(tmp).renameTo(pd)
+    assert(pd.listFiles().count(_.getName.endsWith(".parquet")) == 2)
+
+    assert(FingerprintIndex.compactIfFragmented(spark, dir),
+      "hook did not detect the fragmented partition")
+    val compacted = s"$dir/${graft.sources.StorageOps.currentVersion(spark, dir).get}"
+    assert(compacted != live)
+    for (p <- new java.io.File(s"$compacted/groups").listFiles()
+        if p.isDirectory && p.getName.startsWith("fpart="))
+      assert(p.listFiles().count(_.getName.endsWith(".parquet")) <= 1,
+        s"groups/${p.getName} still fragmented after compaction")
+    assert(groupRows(FingerprintIndex.loadGroups(spark, dir)) == rows0,
+      "compaction changed the group rows")
+    assert(FingerprintIndex.lastAppliedBatch(spark, dir).contains(9L),
+      "compaction dropped the replay guard's recorded batchId")
+    // and a healthy version is a no-op
+    assert(!FingerprintIndex.compactIfFragmented(spark, dir))
+    spark.catalog.clearCache()
+  }
+
   test("health surface invariants: layout drift flag and xxhash64 partition occupancy") {
     // the q_fingerprint_index_stats columns DuckDB cannot replay
     // (xxhash64-derived partition values) are pinned here engine-side —
