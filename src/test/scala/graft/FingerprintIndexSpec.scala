@@ -235,6 +235,42 @@ class FingerprintIndexSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("needsRebuild flags count drift; the next merge takes the rebuild and clears it") {
+    // the drift signal's TRUE branch: parts stays faithful to the
+    // physical layout while the recorded group count outgrows the
+    // schedule (the state a long merge-only ingest reaches). The fixture
+    // cannot grow 252M+ real groups, so the count is drifted in meta
+    // directly — layout and readers stay consistent because parts is
+    // untouched.
+    import spark.implicits._
+    val arrivals = operators.AudioOps.wavPayloads0(spark, d)
+      .select("doc_id", "fp")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-fpidx-drift").toString
+    FingerprintIndex.publishGroups(spark,
+      arrivals.groupBy("fp")
+        .agg(count(lit(1)).as("n"), min("doc_id").as("rep")), dir)
+    assert(!FingerprintIndex.needsRebuild(spark, dir))
+    val cur = s"$dir/${graft.sources.StorageOps.currentVersion(spark, dir).get}"
+    val parts = FingerprintIndex.loadParts(spark, dir)
+    val drifted = 500L * 1000 * 1000 // layoutPartsFor = 126 > the 64 floor
+    val tmp = s"$cur/meta__drift"
+    Seq((drifted, parts, -1L)).toDF("ngroups", "parts", "last_batch")
+      .write.parquet(tmp)
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(s"$cur/meta"))
+    new java.io.File(tmp).renameTo(new java.io.File(s"$cur/meta"))
+    assert(FingerprintIndex.needsRebuild(spark, dir),
+      "drifted count not flagged")
+    // the operator schedules the rebuild = just runs the next merge: the
+    // modulus moves at the merged count, the full rewrite recounts the
+    // real corpus, and the flag clears
+    val (_, st) = FingerprintIndex.mergeGroups(spark, dir, arrivals.limit(1))
+    assert(st.fullRewrite, s"drifted merge did not take the rebuild: $st")
+    assert(!FingerprintIndex.needsRebuild(spark, dir),
+      "rebuild did not clear the drift flag")
+    spark.catalog.clearCache()
+  }
+
   test("a mergeGroups republish reaches the foreachBatch probe on the NEXT trigger") {
     // the streaming freshness upgrade the per-call pointer resolution
     // buys: no restart between triggers, yet trigger 2 sees the merged

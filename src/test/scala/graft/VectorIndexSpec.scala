@@ -505,6 +505,43 @@ class VectorIndexSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("armed batch frame survives a same-plan re-arm (replayed batch keeps its pin)") {
+    // the r13 ADVICE hazard: the slot swap used to persist the NEW frame
+    // and then unpersist the OLD one — when a stream replays an identical
+    // batch the two frames share one canonicalized cache entry, so the
+    // late unpersist evicted the entry the just-armed frame relies on.
+    // Pinned through a canonicalized-twin lookup: df.storageLevel resolves
+    // the cache by plan equivalence, so a twin of the probe's derived
+    // frame observes the slot entry from outside.
+    import org.apache.spark.storage.StorageLevel
+    graft.functions.GraftFunctions.register(spark)
+    spark.catalog.clearCache()
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-vecidx-rearm").toString
+    VectorIndex.publishFrom(spark, allEmb, dir)
+    val m = VectorIndex.loadMeta(spark, dir)
+    // rebuilt per call — the replayed-microbatch shape (same plan, fresh
+    // DataFrame object and expression ids)
+    def batch = allEmb.filter(col("vec_id") < 20)
+    def derivedTwin = batch
+      .select(col("vec_id").as("in_id"), col("embedding").as("ie"))
+      .select(col("in_id"), col("ie"),
+        expr(s"explode(hyperplane_sig(ie, ${m.width}, ${m.probes}))")
+          .as("qbucket"))
+    def probe(): Unit = VectorIndex.matchesAbove(spark, dir, batch, 0.30,
+      knownBatchRows = Some(1)).write.format("noop").mode("overwrite").save()
+    probe()
+    assert(derivedTwin.storageLevel != StorageLevel.NONE,
+      "gated probe did not arm its batch frame")
+    val slots = VectorIndex.armedSlotCount(spark)
+    probe()
+    assert(derivedTwin.storageLevel != StorageLevel.NONE,
+      "same-plan re-arm evicted the shared cache entry (unpersist-after-persist ordering)")
+    assert(VectorIndex.armedSlotCount(spark) == slots,
+      "re-arm grew the slot registry")
+    spark.catalog.clearCache()
+  }
+
   test("maintain runs the ingest loop: merge, schedule-driven rebuild, prune") {
     val dir = java.nio.file.Files.createTempDirectory("graft-vecidx-maint").toString
     val tiny = allEmb.filter(col("vec_id") < 40)
