@@ -415,11 +415,11 @@ object MultiModalOps {
     * candidate set the scaling instrument counts (it grows with DISTINCT
     * signatures, not docs). */
   private[graft] def imageSigPairs(sigs: DataFrame): DataFrame = {
-    val bands = sigs.select(col("dhash"), explode(expr(
-      """transform(sequence(0, 3),
-        |          j -> struct(j AS band,
-        |                      shiftrightunsigned(dhash, j * 16) & 65535 AS bv))"""
-        .stripMargin)).as("b"))
+    // ONE band derivation engine-wide (the ImageDedupStream fix, applied
+    // to the batch pair miner too): a drifted local copy would break the
+    // pigeonhole-exactness contract silently
+    val bands = sigs.select(col("dhash"),
+        explode(expr(graft.sources.FingerprintIndex.bandsExpr("dhash"))).as("b"))
       .select(col("dhash"), col("b.band").as("band"), col("b.bv").as("bv"))
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
