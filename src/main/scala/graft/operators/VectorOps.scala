@@ -47,13 +47,21 @@ object VectorOps {
   private def cosine(a: String, b: String): Column =
     expr(s"cosine_sim($a, $b)")
 
-  /** Exact brute-force top-5 neighbors for queries vec_id < 10. */
-  private val qAnnBrute: Q = (s, d) => {
+  /** The fixed ANN query-set predicate every search leg shares. The
+    * SAMPLED recall artifact narrows it with an id cut BEFORE the
+    * searches — per-query independence (every leg's scoring, probing and
+    * ranking partitions by query_id) makes cut-before-search row-equal
+    * to cut-after, so the oracles need no second replay while the
+    * engine's audit cost becomes proportional to the sample. */
+  private val AnnQueryPred: Column = col("vec_id") < 10
+
+  /** Exact brute-force top-5 neighbors for the `qpred` query set. */
+  private def annBruteQ(qpred: Column): Q = (s, d) => {
     GraftFunctions.register(s)
     // spread: Q×N scoring parallelizes across the corpus side
     val e = Tables.spread(s,
       Tables.embeddings(s, d).select(col("vec_id"), col("embedding")))
-    val q = e.filter(col("vec_id") < 10)
+    val q = e.filter(qpred)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id"))
@@ -65,6 +73,8 @@ object VectorOps {
       .select("query_id", "neighbor_id", "rk")
       .orderBy("query_id", "rk")
   }
+
+  private val qAnnBrute: Q = annBruteQ(AnnQueryPred)
 
   /** GROUND-TRUTH BASELINE ONLY: cap on the all-pairs corpus size. The
     * deliberately unblocked O(n²) pair join below exists to calibrate the
@@ -149,14 +159,15 @@ object VectorOps {
     * Exact top-5 within the probed buckets. Deterministic, so oracled
     * exactly (DuckDB rebuilds the buckets); recall pinned in AnnSpec at
     * two widths and exported via q_ann_recall. */
-  def annLsh(s: SparkSession, d: String, width: Int, probes: Int): DataFrame = {
+  def annLsh(s: SparkSession, d: String, width: Int, probes: Int,
+      qpred: Column = AnnQueryPred): DataFrame = {
     GraftFunctions.register(s)
     // spread BEFORE the signature: `width` projections per row
     val e = Tables.spread(s, Tables.embeddings(s, d))
       .select(col("vec_id"), col("embedding"),
         element_at(expr(s"hyperplane_sig(embedding, $width, 0)"), 1)
           .as("bucket"))
-    val q = Tables.embeddings(s, d).filter(col("vec_id") < 10)
+    val q = Tables.embeddings(s, d).filter(qpred)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
       .select(col("query_id"), col("qe"),
         explode(expr(s"hyperplane_sig(qe, $width, $probes)")).as("qbucket"))
@@ -372,35 +383,43 @@ object VectorOps {
   val RecallSampleN = 5
 
   /** The recall artifact, with the audit's cost as a DIAL: `sampleN`
-    * restricts the recall computation to the first N query ids under the
+    * restricts the audit to the first N query ids under the
     * deterministic phash order ([[graft.Tables.phash]] — portable, so
-    * the oracle replays the same cut). At corpus scale a recall audit
-    * samples its queries rather than re-scoring the full query set; the
-    * fixture default (None = all 10 queries) is unchanged. The sample
-    * derives from brute's own distinct query ids (a handful of rows —
-    * the window is driver-trivial), so both the numerator and the
-    * denominator see exactly the same cut. */
+    * the oracle replays the same cut AFTER its full-leg replay). The cut
+    * is applied BEFORE the searches: every leg's scoring, probing and
+    * ranking partitions by query_id, so cutting the query set is
+    * row-equal to cutting results while the query-proportional work
+    * (brute Q×N scoring, probe fan-out, LUTs, re-ranks) shrinks with the
+    * sample — the corpus-side stages (signatures, training, assignment)
+    * are query-independent and priced once either way. At corpus scale a
+    * recall audit samples its queries rather than re-scoring the query
+    * universe; the fixture default (None = all 10 queries, the shared
+    * frames) is unchanged. */
   private[graft] def annRecall(s: SparkSession, d: String,
       sampleN: Option[Int]): DataFrame = {
     // ALL result frames come from the cross-query shared cache
-    // ([[sharedAnn]]): the brute subplan feeds both variants' semi joins
-    // plus the denominators, and the LSH/IVF outputs are the SAME
-    // persisted frames the standalone q_ann_lsh / q_ann_ivf queries
-    // return — the recall artifact no longer re-executes either
-    // approximate subplan (r7 note closed).
-    val brute0 = sharedAnn("q_ann_brute", qAnnBrute)(s, d)
-      .select("query_id", "neighbor_id")
-    val brute = sampleN match {
-      case None => brute0
+    // ([[sharedAnn]]): the brute subplan feeds the variants' semi joins
+    // plus the denominators, and the leg outputs are the SAME persisted
+    // frames the standalone queries return (the sampled variant shares
+    // under its own @sN keys) — the recall artifact never re-executes a
+    // subplan it already holds (r7 note closed).
+    val qpred = sampleN match {
+      case None => AnnQueryPred
       case Some(nq) =>
-        val ids = brute0.select("query_id").distinct()
-          .withColumn("ph", graft.Tables.phash(col("query_id")))
-          .withColumn("srk", row_number().over(
-            Window.orderBy(col("ph"), col("query_id"))))
-          .filter(col("srk") <= nq)
-          .select("query_id")
-        brute0.join(broadcast(ids), Seq("query_id"), "left_semi")
+        // the sampled id set (bounded collect: the fixture query set is
+        // 10 ids); deterministic, so the @sN share keys stay stable
+        val ids = Tables.embeddings(s, d).filter(AnnQueryPred)
+          .select(col("vec_id"))
+          .withColumn("ph", Tables.phash(col("vec_id")))
+          .orderBy(col("ph"), col("vec_id")).limit(nq)
+          .collect().map(_.getLong(0)).toSeq
+        AnnQueryPred && col("vec_id").isin(ids.map(Long.box): _*)
     }
+    val tag = sampleN.fold("")(n => s"@s$n")
+    def leg(name: String, build: Column => Q): DataFrame =
+      sharedAnn(s"$name$tag", build(qpred))(s, d)
+    val brute = leg("q_ann_brute", annBruteQ)
+      .select("query_id", "neighbor_id")
     def stats(name: String, approx: DataFrame): DataFrame = {
       // 1-row aggregates; the crossJoin is a broadcast of one row
       val hits = brute.join(approx.select("query_id", "neighbor_id"),
@@ -412,20 +431,20 @@ object VectorOps {
           round(col("n_hits").cast("double") / col("n_brute"), 4)
             .as("recall_at_5"))
     }
-    stats("ivf", sharedAnn("q_ann_ivf", qAnnIvf)(s, d))
-      .unionAll(stats("lsh", sharedAnn("q_ann_lsh", qAnnLsh)(s, d)))
+    stats("ivf", leg("q_ann_ivf", annIvfQ))
+      .unionAll(stats("lsh", leg("q_ann_lsh",
+        p => (s2, d2) => annLsh(s2, d2, lshWidthFor(corpusSize(s2, d2)),
+          LshProbes, p))))
       // the two quantized paths (r12) join the artifact: int8 brute
       // force and global PQ-ADC, so all four approximate searches export
       // their recall through the same oracle-checked row set — via the
       // SAME shared frames their standalone queries return
-      .unionAll(stats("sq8", sharedAnn("q_ann_sq8", qAnnSq8)(s, d)))
-      .unionAll(stats("adc",
-        sharedAnn("q_embed_pq_search", qEmbedPqSearch)(s, d)))
+      .unionAll(stats("sq8", leg("q_ann_sq8", annSq8Q)))
+      .unionAll(stats("adc", leg("q_embed_pq_search", embedPqSearchQ)))
       // the two-stage refine (r13) floors the accuracy/IO dial's upper
       // end: ADC short-list, exact re-rank — via the SAME shared frame
       // its standalone query returns
-      .unionAll(stats("refine",
-        sharedAnn("q_ann_ivfpq_refine", qAnnIvfPqRefine)(s, d)))
+      .unionAll(stats("refine", leg("q_ann_ivfpq_refine", annIvfPqRefineQ)))
       .orderBy("variant")
   }
 
@@ -527,7 +546,7 @@ object VectorOps {
       .filter(col("rk") === 1)
       .select("vec_id", "embedding", "cell")
 
-  private val qAnnIvf: Q = (s, d) => {
+  private def annIvfQ(qpred: Column): Q = (s, d) => {
     GraftFunctions.register(s)
     // spread: assignment scoring does heavy per-row work off the
     // single-split fixture; persisted because the corpus feeds centroid
@@ -544,7 +563,7 @@ object VectorOps {
     // assign every vector to its nearest centroid (cosine, broadcast table)
     val assigned = assignCells(e, cent)
     // nprobe=2: each query searches its two nearest cells
-    val qcells = e.filter(col("vec_id") < 10).join(broadcast(cent))
+    val qcells = e.filter(qpred).join(broadcast(cent))
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         col("cell").as("qcell"),
         expr("cosine_sim(embedding, centroid)").as("csim"))
@@ -563,6 +582,8 @@ object VectorOps {
       .select("query_id", "neighbor_id", "rk")
       .orderBy("query_id", "rk")
   }
+
+  private val qAnnIvf: Q = annIvfQ(AnnQueryPred)
 
   // ---- product quantization (PQ) --------------------------------------
 
@@ -732,12 +753,12 @@ object VectorOps {
     * pinned in PqSpec (the q_ann_recall convention) and the result set
     * itself is exact-arithmetic (oracle replays the same lookup table
     * and m-ascending addition order). */
-  private val qEmbedPqSearch: Q = (s, d) => {
+  private def embedPqSearchQ(qpred: Column): Q = (s, d) => {
     val (subDim, books) = pqBooksFor(s, d)
     val codes = sharedPq(s, d)
     val k = PqCodebookSize
     val lut = pqLut(
-      Tables.embeddings(s, d).filter(col("vec_id") < 10), books, subDim)
+      Tables.embeddings(s, d).filter(qpred), books, subDim)
     val w = Window.partitionBy("query_id")
       .orderBy(col("adc").asc, col("neighbor_id"))
     codes.join(broadcast(lut), col("vec_id") =!= col("query_id"))
@@ -748,6 +769,8 @@ object VectorOps {
       .select("query_id", "neighbor_id", "rk")
       .orderBy("query_id", "rk")
   }
+
+  private val qEmbedPqSearch: Q = embedPqSearchQ(AnnQueryPred)
 
   /** Per-query flat ADC lookup table against `books`: one row per query
     * vector of (query_id, lut) where `lut[m*K + c]` is the squared-L2
@@ -996,9 +1019,9 @@ object VectorOps {
     * binary). The quantization is the same one-pass expression
     * q_embed_quantize checksums, so the search IS the consumer of that
     * artifact. */
-  private val qAnnSq8: Q = (s, d) => {
+  private def annSq8Q(qpred: Column): Q = (s, d) => {
     val e = sq8Frame(Tables.embeddings(s, d))
-    val q = sq8Frame(Tables.embeddings(s, d).filter(col("vec_id") < 10))
+    val q = sq8Frame(Tables.embeddings(s, d).filter(qpred))
       .select(col("vec_id").as("query_id"), col("amax").as("qamax"),
         col("qv").as("qqv"))
     val w = Window.partitionBy("query_id")
@@ -1015,6 +1038,8 @@ object VectorOps {
       .select("query_id", "neighbor_id", "rk")
       .orderBy("query_id", "rk")
   }
+
+  private val qAnnSq8: Q = annSq8Q(AnnQueryPred)
 
   /** Deterministic per-SF dir for the artifact-backed parity queries —
     * under target/ (the build dir), versioned and pruned to 1 so bench
@@ -1085,10 +1110,12 @@ object VectorOps {
     * re-ranked from the stored floats — the accuracy/IO dial between
     * q_ann_ivfpq_idx (pure ADC) and q_ann_ivf_idx (exact). The oracle
     * replays both trainings, the ADC lookup-table cut, and the re-rank. */
-  private val qAnnIvfPqRefine: Q = (s, d) =>
+  private def annIvfPqRefineQ(qpred: Column): Q = (s, d) =>
     graft.sources.VectorIndex.searchIvfPqRefine(s, fullIndexDir(s, d),
-      Tables.embeddings(s, d).filter(col("vec_id") < 10), k = 5, nprobe = 2,
+      Tables.embeddings(s, d).filter(qpred), k = 5, nprobe = 2,
       refineK = AdcRefineK)
+
+  private val qAnnIvfPqRefine: Q = annIvfPqRefineQ(AnnQueryPred)
 
   /** ARTIFACT-BACKED LSH search over the same published index: the fixed
     * 10-query top-5 against the loaded bucket table at the frozen
