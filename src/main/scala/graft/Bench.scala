@@ -179,7 +179,7 @@ object Bench {
     // the recorded spread.
     for (w <- Seq("q_repartition_count", "q_text_minhash", "q_ann_ivf",
         "q_ann_ivf_idx", "q_ann_lsh_idx", "q_cross_dedup_idx",
-        "q_embed_cross_dedup_idx",
+        "q_embed_cross_dedup_idx", "q_fingerprint_index_stats",
         "q_image_dhash", "q_audio_fingerprint", "q_video_fingerprint"))
       try run(w) catch { case e: Throwable =>
         System.err.println(s"[bench] warmup $w FAILED: ${e.getMessage}")
@@ -211,12 +211,26 @@ object Bench {
     // timed set — the targeted quiet-host A/B instrument (e.g. the
     // multimodal-family host-inflation adjudication). The round driver
     // never sets it, so round records always cover the full registry.
-    val names = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
-      case Some(f) =>
-        val keep = f.split(",").map(_.trim).toSet
-        names0.filter(keep)
+    // A restricted run must NOT become the next run's prior baseline: it
+    // writes its record to BENCH_PARTIAL.json instead of
+    // BENCH_LOCAL.json (which selectPrior prefers — a partial prior
+    // would silently disable the 2x re-measure pass for every query
+    // outside the subset AND clobber the committed sf0.1 record).
+    // Unknown names fail loudly — a typo'd A/B that silently times
+    // nothing would read as "the query got fast".
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { keep =>
+      val unknown = keep -- names0.toSet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names not in the registry: ${unknown.mkString(", ")}")
+    }
+    val names = only match {
+      case Some(keep) => names0.filter(keep)
       case None => names0
     }
+    val recordFile =
+      if (only.isDefined) "BENCH_PARTIAL.json" else "BENCH_LOCAL.json"
     // two interleaved passes over the whole suite, then a third rep for
     // the sub-cutoff queries (median-of-3: a single contention hit can no
     // longer move the recorded number in either direction).
@@ -247,8 +261,12 @@ object Bench {
       }
     }
     // the slow tail gets the same median-of-3 robustness (see
-    // SlowTailCount): third-rep the slowest still-2-rep queries
-    names.filter(n => reps(n).length == 2)
+    // SlowTailCount): third-rep the slowest still-2-rep queries.
+    // Observability queries stay at min-of-2 here too — they'd otherwise
+    // monopolize the fixed SlowTailCount budget (the recall pair IS the
+    // slow tail) and displace real pipeline queries from the median-of-3
+    // robustness regressions are adjudicated on.
+    names.filter(n => reps(n).length == 2 && !observability(n))
       .sortBy(n => -reps(n).min).take(SlowTailCount)
       .foreach { n =>
         val t = timeOnce(n)
@@ -294,9 +312,10 @@ object Bench {
     // the same keys — host inflation reads directly off lfl/lfl_prior
     // while new queries' cost reads off (total - lfl). Empty prior (first
     // round, or a same-round re-run inside the skip window) → omitted.
-    val lflKeys = results.filter { case (k, v) =>
-      v >= 0 && prior.get(k).exists(_ > 0) }.map(_._1)
-    val lfl = lflKeys.map(k => results.toMap.apply(k)).sum
+    val lflPairs = results.filter { case (k, v) =>
+      v >= 0 && prior.get(k).exists(_ > 0) }
+    val lflKeys = lflPairs.map(_._1)
+    val lfl = lflPairs.map(_._2).sum
     val lflPrior = lflKeys.map(prior).sum
     val lflJson = if (lflKeys.isEmpty) ""
       else s""","lfl":${num(lfl)},"lfl_prior":${num(lflPrior)},"lfl_n":${lflKeys.size}"""
@@ -319,10 +338,10 @@ object Bench {
       .mkString("{", ",", "}")
     val localLine = line.stripSuffix("}") + s""","spread":$spread}"""
     try java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_LOCAL.json"),
+      java.nio.file.Paths.get(recordFile),
       (localLine + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>
-      System.err.println(s"[bench] BENCH_LOCAL.json write failed: ${e.getMessage}")
+      System.err.println(s"[bench] $recordFile write failed: ${e.getMessage}")
     }
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
       .map { case (k, v) => "\"" + k + "\":" + num(v) }.mkString("{", ",", "}")

@@ -26,8 +26,10 @@ object SparkEntry {
 
   /** Pure-OBSERVABILITY queries: oracle-checked health/recall floors (the
     * correctness gate pins their VALUES every round) whose timings no
-    * regression adjudication reads — [[Bench]] runs them once instead of
-    * 2-3 reps, trimming gate wall-clock with zero coverage loss. */
+    * regression adjudication reads — [[Bench]] caps them at MIN-OF-2
+    * interleaved reps (r13's single rep proved un-adjudicable: one
+    * contention spike landed in the headline un-voted; a third rep would
+    * waste the slow-tail budget on numbers no decision reads). */
   val ObservabilityQueries: Set[String] =
     Set("q_ann_recall", "q_ann_recall_sampled", "q_index_stats",
       "q_dedup_index_stats", "q_fingerprint_index_stats",

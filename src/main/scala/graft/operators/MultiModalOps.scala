@@ -593,8 +593,8 @@ object MultiModalOps {
     import s.implicits._
     val dir = fpIndexDir(s, d)
     val FI = graft.sources.FingerprintIndex
-    val meta = Seq((FI.loadNGroups(s, dir), FI.loadParts(s, dir),
-        FI.needsRebuild(s, dir)))
+    val (ng, parts0) = FI.loadCounts(s, dir) // ONE meta read for all three
+    val meta = Seq((ng, parts0, FI.needsRebuildFor(ng, parts0)))
       .toDF("ngroups", "parts", "needs_rebuild")
     // the distinct fold recovers the signature table from its 4x band
     // explosion — a skinny exchange over (dhash, n, rep) triples

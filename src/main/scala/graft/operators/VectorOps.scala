@@ -1362,7 +1362,7 @@ object VectorOps {
 
   /** Exact top-5 per query as a CTE (`brutq`); requires CTE `e`. */
   private def bruteCte: String = """
-    |brutq AS (
+    |brutq AS MATERIALIZED (
     |  SELECT query_id, neighbor_id FROM (
     |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
     |           row_number() OVER (PARTITION BY q.vec_id
@@ -1830,7 +1830,7 @@ object VectorOps {
   private def annRecallSql(sampleN: Option[Int]): String = {
     val sampCte = sampleN.map { n =>
       s""",
-         |recall_samp AS (
+         |recall_samp AS MATERIALIZED (
          |  SELECT query_id FROM (
          |    SELECT query_id,
          |           row_number() OVER (

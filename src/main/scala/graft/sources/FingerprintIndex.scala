@@ -66,16 +66,23 @@ object FingerprintIndex {
           StorageOps.isCommitted(s, s"$dir/$v/bands"))
     }
 
+  /** The active version's (ngroups, parts) in ONE meta read — health
+    * surfaces want both plus the drift flag, and the per-field helpers
+    * below would each re-read the 1-row parquet (5 driver jobs where one
+    * suffices). */
+  def loadCounts(s: SparkSession, dir: String): (Long, Int) = {
+    val r = s.read.parquet(s"$dir/${ver(s, dir)}/meta").collect()(0)
+    (r.getAs[Long]("ngroups"), r.getAs[Int]("parts"))
+  }
+
   /** The active version's layout modulus (q_dedup_index_stats-style
     * health reads want it alongside [[loadNGroups]]). */
   def loadParts(s: SparkSession, dir: String): Int =
-    s.read.parquet(s"$dir/${ver(s, dir)}/meta")
-      .collect()(0).getAs[Int]("parts")
+    loadCounts(s, dir)._2
 
   /** The active version's recorded distinct-fingerprint count. */
   def loadNGroups(s: SparkSession, dir: String): Long =
-    s.read.parquet(s"$dir/${ver(s, dir)}/meta")
-      .collect()(0).getAs[Long]("ngroups")
+    loadCounts(s, dir)._1
 
   /** The foreachBatch batchId recorded by the last applied merge — the
     * replay guard's memory. None for a publish (no batch) or an artifact
@@ -93,9 +100,14 @@ object FingerprintIndex {
     * discovering it inside an ingest. The DedupIndex.needsRebuild twin;
     * read by q_fingerprint_index_stats. */
   def needsRebuild(s: SparkSession, dir: String): Boolean = {
-    val parts = loadParts(s, dir)
-    parts <= 0 || parts != layoutPartsFor(loadNGroups(s, dir))
+    val (nGroups, parts) = loadCounts(s, dir)
+    needsRebuildFor(nGroups, parts)
   }
+
+  /** The drift predicate on already-read counts — health queries compute
+    * it off their single meta read. */
+  private[graft] def needsRebuildFor(nGroups: Long, parts: Int): Boolean =
+    parts <= 0 || parts != layoutPartsFor(nGroups)
 
   private def writeMeta(s: SparkSession, vdir: String, nGroups: Long,
       parts: Int, lastBatch: Long = -1L): Unit = {
@@ -329,8 +341,13 @@ object FingerprintIndex {
     * next version and flip. This library's writers keep the invariant by
     * construction (dirty writes repartition BY the partition column,
     * clean partitions hard-copy single files); the hook covers
-    * foreign/legacy artifacts. Returns whether a compaction version was
-    * published. */
+    * foreign/legacy artifacts. COST, stated: proving a version healthy
+    * lists every partition directory (up to the 64k layout cap — the
+    * same per-maintain price the sibling indexes pay). On an object
+    * store where per-trigger LIST calls matter, run this hook on its
+    * own hygiene cadence instead of inside every [[maintain]];
+    * maintain already skips it when a replayed batch wrote nothing.
+    * Returns whether a compaction version was published. */
   def compactIfFragmented(s: SparkSession, dir: String): Boolean = {
     val v = ver(s, dir)
     val banded = StorageOps.isCommitted(s, s"$dir/$v/bands")
@@ -380,8 +397,13 @@ object FingerprintIndex {
     val out =
       if (banded) mergeBandedSigs(s, dir, arrivals, batchId)
       else mergeGroups(s, dir, arrivals, batchId)
-    compactIfFragmented(s, dir)
-    pruneVersions(s, dir, keep)
+    // a replay no-op wrote nothing: skip the compaction probe's
+    // per-partition listing and the prune listing entirely
+    val (_, st) = out
+    if (st.dirtyParts > 0 || st.fullRewrite) {
+      compactIfFragmented(s, dir)
+      pruneVersions(s, dir, keep)
+    }
     out
   }
 

@@ -128,6 +128,19 @@ object VectorIndex {
     * to the planner as a shuffle join — same rows, no driver wall. */
   private[graft] val QueryBatchBroadcastRowLimit = 500L * 1000
 
+  /** The query-batch hint gate as ONE shared decision: (small, hint).
+    * `count` is by-name — it runs only when the caller did not pass
+    * `knownBatchRows`. Every gated search here AND every streaming
+    * probe (text + three codec streams) derives its gate through this
+    * helper, so the semantics cannot drift between the probes — the
+    * bandsExpr lesson applied to the gate itself. */
+  private[graft] def batchGate(knownBatchRows: Option[Long],
+      count: => Long, limit: Long = QueryBatchBroadcastRowLimit)
+      : (Boolean, DataFrame => DataFrame) = {
+    val small = knownBatchRows.getOrElse(count) <= limit
+    (small, if (small) broadcast else identity)
+  }
+
   private def bpartOf(bucket: org.apache.spark.sql.Column, nParts: Int) =
     pmod(xxhash64(bucket), lit(nParts.toLong))
   private def cpartOf(cell: org.apache.spark.sql.Column, nParts: Int) =
@@ -749,12 +762,11 @@ object VectorIndex {
     val m = loadMeta(s, dir)
     val inc0 = incoming
       .select(col("vec_id").as("in_id"), col("embedding").as("ie"))
-    val small = knownBatchRows.getOrElse(inc0.count()) <= broadcastRowLimit
+    val (small, hint) = batchGate(knownBatchRows, inc0.count(), broadcastRowLimit)
     val inc = batchFrame(s"probeBestMatch|$dir", small,
       inc0.select(col("in_id"), col("ie"),
       explode(expr(s"hyperplane_sig(ie, ${m.width}, ${m.probes})"))
         .as("qbucket")))
-    val hint: DataFrame => DataFrame = if (small) broadcast else identity
     val idx = (if (small)
         prunedScan(loadBucketsRaw(s, dir),
           inc.select(bpartOf(col("qbucket"), m.parts)), "bpart", m.parts)
@@ -795,12 +807,11 @@ object VectorIndex {
     val m = loadMeta(s, dir)
     val inc0 = incoming
       .select(col("vec_id").as("in_id"), col("embedding").as("ie"))
-    val small = knownBatchRows.getOrElse(inc0.count()) <= broadcastRowLimit
+    val (small, hint) = batchGate(knownBatchRows, inc0.count(), broadcastRowLimit)
     val inc = batchFrame(s"matchesAbove|$dir", small,
       inc0.select(col("in_id"), col("ie"),
         explode(expr(s"hyperplane_sig(ie, ${m.width}, ${m.probes})"))
           .as("qbucket")))
-    val hint: DataFrame => DataFrame = if (small) broadcast else identity
     val idx = (if (small)
         prunedScan(loadBucketsRaw(s, dir),
           inc.select(bpartOf(col("qbucket"), m.parts)), "bpart", m.parts)
@@ -829,12 +840,11 @@ object VectorIndex {
     val m = loadMeta(s, dir)
     val q0 = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-    val small = knownBatchRows.getOrElse(q0.count()) <= broadcastRowLimit
+    val (small, hint) = batchGate(knownBatchRows, q0.count(), broadcastRowLimit)
     val q = batchFrame(s"searchLsh|$dir", small,
       q0.select(col("query_id"), col("qe"),
       explode(expr(s"hyperplane_sig(qe, ${m.width}, ${m.probes})"))
         .as("qbucket")))
-    val hint: DataFrame => DataFrame = if (small) broadcast else identity
     val idx = (if (small)
         prunedScan(loadBucketsRaw(s, dir),
           q.select(bpartOf(col("qbucket"), m.parts)), "bpart", m.parts)
@@ -870,7 +880,7 @@ object VectorIndex {
     val cent = loadCentroids(s, dir)
     val q0 = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-    val small = knownBatchRows.getOrElse(q0.count()) <= broadcastRowLimit
+    val (small, hint) = batchGate(knownBatchRows, q0.count(), broadcastRowLimit)
     val qcells = batchFrame(s"searchIvf|$dir", small, q0
       .join(broadcast(cent))
       .select(col("query_id"), col("qe"), col("cell").as("qcell"),
@@ -879,7 +889,6 @@ object VectorIndex {
         Window.partitionBy("query_id").orderBy(col("csim").desc, col("qcell"))))
       .filter(col("crk") <= nprobe)
       .select("query_id", "qe", "qcell"))
-    val hint: DataFrame => DataFrame = if (small) broadcast else identity
     val lists = (if (small)
         prunedScan(loadCellsRaw(s, dir),
           qcells.select(cpartOf(col("qcell"), m.parts)), "cpart", m.parts)
@@ -939,7 +948,7 @@ object VectorIndex {
     val subDim = subDimOfBooks(books)
     val q0 = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-    val small = knownBatchRows.getOrElse(q0.count()) <= broadcastRowLimit
+    val (small, hint) = batchGate(knownBatchRows, q0.count(), broadcastRowLimit)
     val lut = VectorOps.pqLut(
       q0.select(col("query_id").as("vec_id"), col("qe").as("embedding")),
       books, subDim)
@@ -952,7 +961,6 @@ object VectorIndex {
       .filter(col("crk") <= nprobe)
       .select("query_id", "qcell")
       .join(lut, Seq("query_id")))
-    val hint: DataFrame => DataFrame = if (small) broadcast else identity
     val codes = (if (small)
         prunedScan(loadCodesRaw(s, dir),
           qcells.select(cpartOf(col("qcell"), m.parts)), "cpart", m.parts)
@@ -1000,7 +1008,7 @@ object VectorIndex {
     val subDim = subDimOfBooks(books)
     val q0 = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-    val small = knownBatchRows.getOrElse(q0.count()) <= broadcastRowLimit
+    val (small, hint) = batchGate(knownBatchRows, q0.count(), broadcastRowLimit)
     val lut = VectorOps.pqLut(
       q0.select(col("query_id").as("vec_id"), col("qe").as("embedding")),
       books, subDim)
@@ -1015,7 +1023,6 @@ object VectorIndex {
       .filter(col("crk") <= nprobe)
       .select("query_id", "qe", "qcell")
       .join(lut, Seq("query_id")))
-    val hint: DataFrame => DataFrame = if (small) broadcast else identity
     val codes = (if (small)
         prunedScan(loadCodesRaw(s, dir),
           qcells.select(cpartOf(col("qcell"), m.parts)), "cpart", m.parts)

@@ -97,9 +97,8 @@ object AudioDedupStream {
       }
       .toDF("ts", "in_id", "fp", "n_frames"))
     try {
-      val small =
-        knownBatchRows.getOrElse(fps.count()) <= broadcastRowLimit
-      val hint: DataFrame => DataFrame = if (small) broadcast else identity
+      val (small, hint) = graft.sources.VectorIndex.batchGate(
+        knownBatchRows, fps.count(), broadcastRowLimit)
       // a corpus-scale batch touches every partition anyway: skip the
       // pruning derivation along with the broadcast hint
       val idx = (if (small)

@@ -133,10 +133,7 @@ object EmbedNearDupStream {
       // concern) — broadcast only under the same gate the search itself
       // applies, so a backlog catch-up trigger cannot smuggle a
       // corpus-scale frame past the broadcast limit here either
-      val hint: DataFrame => DataFrame =
-        if (n <= graft.sources.VectorIndex.QueryBatchBroadcastRowLimit)
-          broadcast
-        else identity
+      val (_, hint) = graft.sources.VectorIndex.batchGate(Some(n), n)
       consume(matches
         .join(hint(b.select(col("vec_id").as("in_id"), col("ts"))),
           Seq("in_id"))

@@ -133,9 +133,8 @@ object ImageDedupStream {
       }
       .toDF("ts", "in_id", "dh"))
     try {
-      val small =
-        knownBatchRows.getOrElse(dh.count()) <= broadcastRowLimit
-      val hint: DataFrame => DataFrame = if (small) broadcast else identity
+      val (small, hint) = graft.sources.VectorIndex.batchGate(
+        knownBatchRows, dh.count(), broadcastRowLimit)
       val keys = dh.select(explode(expr(bandsExpr("dh"))).as("p"))
         .select(col("p.band").as("band"), col("p.bv").as("bv"))
       // a corpus-scale batch touches every partition anyway: skip the

@@ -271,9 +271,8 @@ object NearDupStream {
       .filter(size(col("q_hs")) > 0)
       .withColumn("q_n", size(col("q_hs")).cast("long")))
     try {
-      val small =
-        knownBatchRows.getOrElse(q.count()) <= broadcastRowLimit
-      val hint: DataFrame => DataFrame = if (small) broadcast else identity
+      val (small, hint) = graft.sources.VectorIndex.batchGate(
+        knownBatchRows, q.count(), broadcastRowLimit)
       val inBands = q
         .select(col("q_id"), posexplode(expr("minhash_sig(q_hs)")))
         .select(col("q_id"), col("pos").as("band"), col("col").as("minhash"))

@@ -74,9 +74,8 @@ object VideoDedupStream {
       }
       .toDF("ts", "in_id", "fp", "n_samples"))
     try {
-      val small =
-        knownBatchRows.getOrElse(fps.count()) <= broadcastRowLimit
-      val hint: DataFrame => DataFrame = if (small) broadcast else identity
+      val (small, hint) = graft.sources.VectorIndex.batchGate(
+        knownBatchRows, fps.count(), broadcastRowLimit)
       val idx = (if (small)
           graft.sources.FingerprintIndex.prunedGroups(s, indexDir,
             fps.select("fp"))
