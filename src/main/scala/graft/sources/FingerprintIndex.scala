@@ -93,6 +93,34 @@ object FingerprintIndex {
     else Option(df.collect()(0).getAs[Long]("last_batch")).filter(_ >= 0)
   }
 
+  /** The replay-guard decision on a submitted batchId vs the recorded
+    * last applied one. foreachBatch batchIds are MONOTONIC, so only two
+    * stale shapes exist and they mean different things:
+    *
+    *   - `== last`: Spark's standard crash-replay of the last
+    *     uncommitted trigger — the merge already landed, so the
+    *     re-submission is a silent NO-OP (returns true);
+    *   - `< last`: an out-of-order re-submission no foreachBatch ever
+    *     produces — the caller is confused (a manual retry of an OLDER
+    *     batch), and silently applying it would double-count while
+    *     silently dropping it could LOSE a batch that was never applied.
+    *     Rejected loudly.
+    *
+    * A fresh (`> last`) or unguarded (None) submission returns false and
+    * the merge proceeds. */
+  private def replayedBatch(s: SparkSession, dir: String,
+      batchId: Option[Long]): Boolean =
+    (batchId, lastAppliedBatch(s, dir)) match {
+      case (Some(b), Some(last)) if b == last => true
+      case (Some(b), Some(last)) if b < last =>
+        throw new IllegalArgumentException(
+          s"out-of-order batchId $b: the index at $dir already applied " +
+            s"batch $last — foreachBatch ids are monotonic, so an older " +
+            "re-submission is a caller bug (it was either already merged, " +
+            "or skipping it lost data); rebuild from the corpus instead")
+      case _ => false
+    }
+
   /** True when the distinct-fingerprint count has drifted off the
     * published layout modulus — the signal that the next merge pays the
     * O(index) full rewrite ([[MergeStats.fullRewrite]]), surfaced so an
@@ -193,12 +221,22 @@ object FingerprintIndex {
     * it, a crashed trigger that re-runs maintain would double-count
     * every group the batch touched, permanently and undetectably
     * (unlike DedupIndex's latest-wins merge, group counts are not
-    * idempotent). Callers outside foreachBatch may omit it and own
-    * at-most-once submission themselves. */
+    * idempotent). A batchId OLDER than the recorded one is REJECTED, not
+    * no-op'd ([[replayedBatch]] — foreachBatch ids are monotonic, so an
+    * out-of-order re-submission is a caller bug either way). Callers
+    * outside foreachBatch may omit it and own at-most-once submission
+    * themselves.
+    *
+    * An EMPTY arrivals batch returns the live counts WITHOUT publishing:
+    * the merged table would be byte-identical, so writing a version for
+    * it would only accumulate pointless O(index) clean-copies past the
+    * prune budget (every maintain gate keys off dirtyParts == 0 meaning
+    * "nothing written" — this early-return makes that implication
+    * exact). */
   def mergeGroups(s: SparkSession, dir: String,
       arrivals: DataFrame, batchId: Option[Long] = None): (Long, MergeStats) = {
     require(isPublished(s, dir), s"no published fingerprint index at $dir")
-    if (batchId.isDefined && lastAppliedBatch(s, dir) == batchId)
+    if (replayedBatch(s, dir, batchId))
       return (loadNGroups(s, dir),
         MergeStats(loadParts(s, dir), 0, 0, fullRewrite = false))
     val prev = s"$dir/${ver(s, dir)}"
@@ -209,6 +247,9 @@ object FingerprintIndex {
       val dirtyFp: Array[Long] = b
         .select(fpartOf(col("fp"), parts).as("p"))
         .distinct().collect().map(_.getLong(0))
+      if (dirtyFp.isEmpty)
+        return (loadNGroups(s, dir),
+          MergeStats(parts, 0, 0, fullRewrite = false))
       // merged group count: old + batch fps that are NEW (absent from the
       // dirty partitions' stored groups — a bounded pruned read)
       val oldN = s.read.parquet(s"$prev/meta").collect()(0)
@@ -253,12 +294,13 @@ object FingerprintIndex {
     * signature's FOUR band rows (all pure functions of the dhash)
     * refresh together, so the dirty `ipart` set derives from the batch's
     * distinct signatures alone; clean partitions hard-copy. Fallback,
-    * merge == rebuild contract, and the `batchId` REPLAY GUARD as
-    * [[mergeGroups]]. */
+    * merge == rebuild contract, the `batchId` REPLAY GUARD (equal
+    * replays no-op, older re-submissions reject), and the empty-batch
+    * no-publish early-return as [[mergeGroups]]. */
   def mergeBandedSigs(s: SparkSession, dir: String,
       arrivals: DataFrame, batchId: Option[Long] = None): (Long, MergeStats) = {
     require(isPublished(s, dir), s"no published fingerprint index at $dir")
-    if (batchId.isDefined && lastAppliedBatch(s, dir) == batchId)
+    if (replayedBatch(s, dir, batchId))
       return (loadNGroups(s, dir),
         MergeStats(loadParts(s, dir), 0, 0, fullRewrite = false))
     val prev = s"$dir/${ver(s, dir)}"
@@ -270,6 +312,9 @@ object FingerprintIndex {
         .select(col("dhash"), explode(expr(bandsExpr("dhash"))).as("k"))
         .select(ipartOf(col("k.band"), col("k.bv"), parts).as("p"))
         .distinct().collect().map(_.getLong(0))
+      if (dirtyIp.isEmpty)
+        return (loadNGroups(s, dir),
+          MergeStats(parts, 0, 0, fullRewrite = false))
       val oldN = s.read.parquet(s"$prev/meta").collect()(0)
         .getAs[Long]("ngroups")
       val stored = StorageOps.prunedByVals(loadBandsRaw(s, dir), "ipart",
@@ -397,7 +442,9 @@ object FingerprintIndex {
     val out =
       if (banded) mergeBandedSigs(s, dir, arrivals, batchId)
       else mergeGroups(s, dir, arrivals, batchId)
-    // a replay no-op wrote nothing: skip the compaction probe's
+    // a replay no-op or an empty batch wrote nothing (the merges
+    // early-return before publishing in both cases, so dirtyParts == 0
+    // really means no new version exists): skip the compaction probe's
     // per-partition listing and the prune listing entirely
     val (_, st) = out
     if (st.dirtyParts > 0 || st.fullRewrite) {

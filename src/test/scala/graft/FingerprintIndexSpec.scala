@@ -159,6 +159,66 @@ class FingerprintIndexSpec extends AnyFunSuite {
       batchId = Some(43L))
     assert(st3.dirtyParts > 0, "new batchId did not apply")
     assert(FingerprintIndex.lastAppliedBatch(spark, dir).contains(43L))
+    // an OLDER batchId is an out-of-order re-submission no foreachBatch
+    // produces: silently applying it would double-count, silently
+    // dropping it could lose a never-applied batch — so it REJECTS
+    // (r14 verdict #5: the guard's window is "any id <= last", not just
+    // the last id), and the index is untouched by the attempt
+    val before = groupRows(FingerprintIndex.loadGroups(spark, dir))
+    val ex = intercept[IllegalArgumentException] {
+      FingerprintIndex.mergeGroups(spark, dir, extra, batchId = Some(41L))
+    }
+    assert(ex.getMessage.contains("out-of-order"), ex.getMessage)
+    assert(FingerprintIndex.lastAppliedBatch(spark, dir).contains(43L))
+    assert(groupRows(FingerprintIndex.loadGroups(spark, dir)) == before,
+      "a rejected out-of-order batch changed the group table")
+    // the same contract holds through maintain and on the banded shape
+    intercept[IllegalArgumentException] {
+      FingerprintIndex.maintain(spark, dir, extra, batchId = Some(1L))
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("empty arrivals batch publishes no new version (ADVICE r14: " +
+      "no O(index) copy, no version accumulation past keep)") {
+    val arrivals = operators.AudioOps.wavPayloads0(spark, d)
+      .select("doc_id", "fp")
+    def versionDirs(root: String) =
+      Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+        .count(f => f.isDirectory && f.getName.matches("v\\d+"))
+    val base = java.nio.file.Files.createTempDirectory("graft-fpidx-empty")
+    val dir = s"$base/groups"; val bdir = s"$base/bands"
+    FingerprintIndex.publishGroups(spark,
+      arrivals.groupBy("fp")
+        .agg(count(lit(1)).as("n"), min("doc_id").as("rep")), dir)
+    val n0 = FingerprintIndex.loadNGroups(spark, dir)
+    val rows0 = groupRows(FingerprintIndex.loadGroups(spark, dir))
+    // repeated empty triggers (a quiet ingest hour): each must be a full
+    // no-op — the pre-fix behavior published a fresh version per trigger
+    // (dirtyParts == 0 but every partition hard-copied), unboundedly
+    for (b <- 10L to 12L) {
+      val (n, st) = FingerprintIndex.maintain(spark, dir,
+        arrivals.limit(0), batchId = Some(b))
+      assert(n == n0 && st.dirtyParts == 0 && st.copiedParts == 0 &&
+        !st.fullRewrite, s"empty batch $b wrote something: $st")
+    }
+    assert(versionDirs(dir) == 1,
+      s"${versionDirs(dir)} version dirs after 3 empty triggers (want 1)")
+    assert(groupRows(FingerprintIndex.loadGroups(spark, dir)) == rows0)
+    // an empty batch is NOT an applied merge: it records no batchId, so
+    // the next real batch is unconstrained by the quiet hour's ids
+    assert(FingerprintIndex.lastAppliedBatch(spark, dir).isEmpty)
+    // banded shape, same contract
+    val sigs = operators.MultiModalOps.imageHashes(spark, d)
+      .select(col("doc_id"), col("dhash"))
+    FingerprintIndex.publishBandedSigs(spark,
+      sigs.groupBy("dhash")
+        .agg(count(lit(1)).as("n"), min("doc_id").as("rep")), bdir)
+    val (nb, stb) = FingerprintIndex.maintain(spark, bdir,
+      sigs.limit(0), banded = true)
+    assert(nb == FingerprintIndex.loadNGroups(spark, bdir) &&
+      stb.dirtyParts == 0 && stb.copiedParts == 0 && !stb.fullRewrite)
+    assert(versionDirs(bdir) == 1)
     spark.catalog.clearCache()
   }
 
