@@ -31,8 +31,8 @@ object SparkEntry {
     * contention spike landed in the headline un-voted; a third rep would
     * waste the slow-tail budget on numbers no decision reads). */
   val ObservabilityQueries: Set[String] =
-    Set("q_ann_recall", "q_ann_recall_sampled", "q_index_stats",
-      "q_dedup_index_stats", "q_fingerprint_index_stats",
+    Set("q_ann_recall", "q_ann_recall_sampled", "q_ann_recall_idx",
+      "q_index_stats", "q_dedup_index_stats", "q_fingerprint_index_stats",
       "q_embed_diagnostics")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -395,8 +395,34 @@ object VectorOps {
     * recall audit samples its queries rather than re-scoring the query
     * universe; the fixture default (None = all 10 queries, the shared
     * frames) is unchanged. */
+  /** The deterministic sampled-query cut the recall audits share: the
+    * first `nq` ids of `basePred` (default [[AnnQueryPred]]) under the
+    * portable phash order (bounded collect — the fixture query set is 10
+    * ids; at corpus scale the query UNIVERSE predicate is already a
+    * sample). One derivation for the inline artifact
+    * (q_ann_recall_sampled) and the published-index audit
+    * (q_ann_recall_idx), so the two can never cut different query sets;
+    * the oracle's `recall_samp` CTE replays the same order. */
+  private def sampledQueryPred(s: SparkSession, d: String, nq: Int,
+      basePred: Column = AnnQueryPred): Column = {
+    val ids = Tables.embeddings(s, d).filter(basePred)
+      .select(col("vec_id"))
+      .withColumn("ph", Tables.phash(col("vec_id")))
+      .orderBy(col("ph"), col("vec_id")).limit(nq)
+      .collect().map(_.getLong(0)).toSeq
+    basePred && col("vec_id").isin(ids.map(Long.box): _*)
+  }
+
+  /** `basePred`/`keyTag` exist for the DIAL INSTRUMENT
+    * ([[graft.tools.RecallDialAB]]): a measurement run widens the query
+    * universe past the registered 10-id fixture to make the sampled
+    * variant's query-proportional saving visible, and must share its
+    * frames under keys DISJOINT from the registered queries' (same
+    * SharedPlans name + different predicate would silently hand one run
+    * the other's rows). Registered entries always use the defaults. */
   private[graft] def annRecall(s: SparkSession, d: String,
-      sampleN: Option[Int]): DataFrame = {
+      sampleN: Option[Int], basePred: Column = AnnQueryPred,
+      keyTag: String = ""): DataFrame = {
     // ALL result frames come from the cross-query shared cache
     // ([[sharedAnn]]): the brute subplan feeds the variants' semi joins
     // plus the denominators, and the leg outputs are the SAME persisted
@@ -404,18 +430,10 @@ object VectorOps {
     // under its own @sN keys) — the recall artifact never re-executes a
     // subplan it already holds (r7 note closed).
     val qpred = sampleN match {
-      case None => AnnQueryPred
-      case Some(nq) =>
-        // the sampled id set (bounded collect: the fixture query set is
-        // 10 ids); deterministic, so the @sN share keys stay stable
-        val ids = Tables.embeddings(s, d).filter(AnnQueryPred)
-          .select(col("vec_id"))
-          .withColumn("ph", Tables.phash(col("vec_id")))
-          .orderBy(col("ph"), col("vec_id")).limit(nq)
-          .collect().map(_.getLong(0)).toSeq
-        AnnQueryPred && col("vec_id").isin(ids.map(Long.box): _*)
+      case None => basePred
+      case Some(nq) => sampledQueryPred(s, d, nq, basePred)
     }
-    val tag = sampleN.fold("")(n => s"@s$n")
+    val tag = keyTag + sampleN.fold("")(n => s"@s$n")
     def leg(name: String, build: Column => Q): DataFrame =
       sharedAnn(s"$name$tag", build(qpred))(s, d)
     val brute = leg("q_ann_brute", annBruteQ)
@@ -456,6 +474,28 @@ object VectorOps {
     * query sample instead of re-scoring every query. */
   private val qAnnRecallSampled: Q = (s, d) =>
     annRecall(s, d, Some(RecallSampleN))
+
+  /** Sampled recall measured against the PUBLISHED vector index (r14
+    * verdict #1) — [[graft.sources.VectorIndex.recallAudit]] pointed at
+    * the same full-corpus artifact the `*_idx` searches probe, at
+    * [[RecallSampleN]] deterministically-sampled queries. This is the
+    * gate signal [[annRecall]] cannot give: annRecall audits the INLINE
+    * legs (and the refine leg's fresh publish), while a production
+    * artifact that has absorbed many frozen-quantizer merges can drift
+    * to lower recall with `needsRebuild` still false — this query reads
+    * THAT artifact's delivered recall@5, ground-truthed against the
+    * corpus the artifact itself holds. Variants are the artifact's four
+    * production searches (ivf, lsh, ivfadc, refine); the oracle replays
+    * training + every search leg from the raw embeddings, which equals
+    * the artifact's content for a just-published index — so the gate
+    * proves the MEASUREMENT exact, and in production the same code
+    * emits the drift signal (IngestCycleSpec additionally floors it
+    * across a live maintain swap). */
+  private val qAnnRecallIdx: Q = (s, d) =>
+    graft.sources.VectorIndex.recallAudit(s, fullIndexDir(s, d),
+      Tables.embeddings(s, d).filter(sampledQueryPred(s, d, RecallSampleN)),
+      k = 5, nprobe = 2, refineK = AdcRefineK,
+      shareTag = Some(s"s$RecallSampleN"))
 
   /** IVF cell-count schedule: cells grow ~sqrt(n) with the corpus (the
     * standard IVF sizing — search cost per query is
@@ -1190,6 +1230,7 @@ object VectorOps {
     "q_semantic_dedup" -> qSemanticDedup,
     "q_ann_recall" -> qAnnRecall,
     "q_ann_recall_sampled" -> qAnnRecallSampled,
+    "q_ann_recall_idx" -> qAnnRecallIdx,
     "q_embed_centroids" -> qEmbedCentroids,
     "q_embed_diagnostics" -> qEmbedDiagnostics,
   )
@@ -1655,6 +1696,10 @@ object VectorOps {
         |FROM pairs GROUP BY vb ORDER BY vec_id""".stripMargin),
     "q_ann_recall" -> annRecallSql(None),
     "q_ann_recall_sampled" -> annRecallSql(Some(RecallSampleN)),
+    // the published-index audit: same builder, the artifact's four
+    // production legs (a just-published full-corpus artifact makes the
+    // raw-embedding replay exact — the q_ann_*_idx convention)
+    "q_ann_recall_idx" -> annRecallSql(Some(RecallSampleN), IdxRecallVariants),
     "q_embed_centroids" ->
       """WITH u AS (
         |  SELECT label, generate_subscripts(embedding, 1) AS pos,
@@ -1820,14 +1865,32 @@ object VectorOps {
        |       CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS code_rows
        |FROM ca, ba""".stripMargin
 
-  /** The recall artifact's oracle, parameterized by the sampled cut —
-    * the five variant legs' CTE chains are shared VERBATIM with the full
-    * oracle (never fork a replay): with `sampleN` set, a `samp` CTE
-    * replays the engine's deterministic phash-ordered query sample and
-    * every leg's numerator/denominator joins through it. A `def` (not a
-    * val) on purpose: it interpolates fragment vals and object-init
-    * order must not matter. */
-  private def annRecallSql(sampleN: Option[Int]): String = {
+  /** The INLINE recall artifact's five variant legs — (variant name,
+    * top-k CTE, alias). A `def` like every composable oracle fragment:
+    * object-init order must not matter (a `val` referenced from the
+    * earlier-initialized oracle map would silently be null). */
+  private def InlineRecallVariants = Seq(("adc", "adcq", "ad"),
+    ("ivf", "ivfq", "v"), ("lsh", "lshq", "l"), ("refine", "refq", "rf"),
+    ("sq8", "sq8q", "s8"))
+
+  /** The PUBLISHED-index audit's four legs (q_ann_recall_idx): the
+    * artifact's production searches. `ivfadcq` is the IVF-scoped ADC
+    * top-5 (the q_ann_ivfpq_idx result set); there is no sq8 artifact
+    * search, and the global-ADC leg (`adcq`) is inline-only. */
+  private def IdxRecallVariants = Seq(("ivf", "ivfq", "v"),
+    ("ivfadc", "ivfadcq", "iq"), ("lsh", "lshq", "l"), ("refine", "refq", "rf"))
+
+  /** The recall artifacts' oracle, parameterized by the sampled cut and
+    * the variant-leg set — every leg's CTE chain is shared VERBATIM
+    * across the full oracle, the sampled oracle and the published-index
+    * oracle (never fork a replay): with `sampleN` set, a `recall_samp`
+    * CTE replays the engine's deterministic phash-ordered query sample
+    * and every leg's numerator/denominator joins through it; an
+    * unreferenced leg CTE (e.g. `sq8q` under [[IdxRecallVariants]]) is
+    * never evaluated by DuckDB. A `def` (not a val) on purpose: it
+    * interpolates fragment vals and object-init order must not matter. */
+  private def annRecallSql(sampleN: Option[Int],
+      variants: Seq[(String, String, String)] = InlineRecallVariants): String = {
     val sampCte = sampleN.map { n =>
       s""",
          |recall_samp AS MATERIALIZED (
@@ -1844,8 +1907,7 @@ object VectorOps {
     val nBrute = if (sampleN.isDefined)
       "(SELECT count(*) FROM brutq JOIN recall_samp USING (query_id))"
     else "(SELECT count(*) FROM brutq)"
-    val union = Seq(("adc", "adcq", "ad"), ("ivf", "ivfq", "v"),
-        ("lsh", "lshq", "l"), ("refine", "refq", "rf"), ("sq8", "sq8q", "s8"))
+    val union = variants
       .map { case (name, cte, a) =>
         s"""  SELECT '$name' AS variant,
            |         CAST((SELECT count(*) FROM brutq b$bj JOIN $cte $a
@@ -1870,6 +1932,13 @@ object VectorOps {
         |           row_number() OVER (PARTITION BY query_id
         |             ORDER BY score DESC, neighbor_id) AS rk
         |    FROM sq)
+        |  WHERE rk <= 5),
+        |ivfadcq AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |           row_number() OVER (PARTITION BY query_id
+        |             ORDER BY dist ASC, neighbor_id) AS rk
+        |    FROM padc)
         |  WHERE rk <= 5)$sampCte
         |SELECT variant, n_hits, n_brute,
         |       round(CAST(n_hits AS DOUBLE) / n_brute, 4) AS recall_at_5

@@ -1054,4 +1054,84 @@ object VectorIndex {
       .select("query_id", "neighbor_id", "rk")
       .orderBy("query_id", "rk")
   }
+
+  /** Recall@k SELF-CHECK of the published artifact — the operational
+    * question the count-schedule [[needsRebuild]] flag cannot answer:
+    * "what recall does the index IN PRODUCTION deliver right now?" The
+    * vector index merges with FROZEN centroids, hyperplane width and PQ
+    * codebooks, so repeated [[maintain]] cycles on a drifting corpus can
+    * degrade search quality with zero layout signal (the reference's
+    * worker SELF-CHECK analog — health is checked, not just counted:
+    * ShuffleWorkerStatusManager.java:90-130). This audit measures it
+    * directly, entirely against the artifact:
+    *
+    *   - GROUND TRUTH is exact-cosine top-k over the artifact's OWN
+    *     uncapped `cells` floats — the corpus the index actually holds
+    *     after every merge, not the fixture the caller remembers;
+    *   - the approximate legs are the artifact's production searches at
+    *     their production parameters: [[searchLsh]], [[searchIvf]], and
+    *     (when the PQ pair is published) [[searchIvfPq]] (`ivfadc`) +
+    *     [[searchIvfPqRefine]] (`refine`).
+    *
+    * Output: one row per variant — (variant, n_hits, n_brute,
+    * recall_at_<k>). Cost contract at 100 TB: the brute baseline is
+    * O(|queries| × corpus) — the audit's irreducible price — so callers
+    * SAMPLE queries (the q_ann_recall_sampled dial: recall is estimated
+    * over a deterministic query sample, never the query universe); the
+    * approximate legs are partition-pruned probes. `shareTag` (when set)
+    * memoizes the brute baseline and each leg via [[graft.SharedPlans]]
+    * under keys qualified by the ACTIVE VERSION — a maintain pointer
+    * flip naturally invalidates the audit's frames — so the 2×4
+    * references to the brute frame in the stats rows execute it once.
+    * The tag must uniquely identify (queries, k, nprobe, refineK) for
+    * the session; None skips persistence entirely (spec-friendly: adds
+    * no pinned RDDs). */
+  def recallAudit(s: SparkSession, dir: String, queries: DataFrame, k: Int,
+      nprobe: Int, refineK: Int = 50,
+      shareTag: Option[String] = None): DataFrame = {
+    GraftFunctions.register(s)
+    val vkey = s"$dir/${ver(s, dir)}"
+    def leg(name: String)(build: => DataFrame): DataFrame = shareTag match {
+      case Some(tag) =>
+        graft.SharedPlans.shared(s, s"recall_idx:$tag:$name|$vkey")(build)
+      case None => build
+    }
+    val q = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val brute = leg("brute") {
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("sim").desc, col("neighbor_id"))
+      Tables.spread(s, loadCells(s, dir).select("vec_id", "embedding"))
+        .join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          expr("cosine_sim(qe, embedding)").as("sim"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= k)
+        .select("query_id", "neighbor_id")
+    }
+    def stats(name: String, approx: DataFrame): DataFrame = {
+      // 1-row aggregates; the crossJoin broadcasts one row (the inline
+      // q_ann_recall stats shape)
+      val hits = brute.join(approx.select("query_id", "neighbor_id"),
+          Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+      val total = brute.agg(count(lit(1)).as("n_brute"))
+      hits.crossJoin(total)
+        .select(lit(name).as("variant"), col("n_hits"), col("n_brute"),
+          round(col("n_hits").cast("double") / col("n_brute"), 4)
+            .as(s"recall_at_$k"))
+    }
+    val base =
+      stats("ivf", leg("ivf")(searchIvf(s, dir, queries, k, nprobe)))
+        .unionAll(stats("lsh", leg("lsh")(searchLsh(s, dir, queries, k))))
+    val all =
+      if (hasPq(s, dir))
+        base
+          .unionAll(stats("ivfadc",
+            leg("ivfadc")(searchIvfPq(s, dir, queries, k, nprobe))))
+          .unionAll(stats("refine", leg("refine")(
+            searchIvfPqRefine(s, dir, queries, k, nprobe, refineK))))
+      else base
+    all.orderBy("variant")
+  }
 }

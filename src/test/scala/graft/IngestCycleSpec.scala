@@ -126,6 +126,20 @@ class IngestCycleSpec extends AnyFunSuite {
     graft.sources.VectorIndex.publishFrom(spark,
       all.filter(col("vec_id") =!= fresh), dir)
 
+    // recall floor across the maintain swap (r15 verdict #1): the
+    // artifact's delivered recall@5 — ground-truthed against the corpus
+    // the artifact itself holds — measured on the live v1, and again on
+    // the maintained version below. shareTag = None: no persisted
+    // frames, so the cache-flatness assertions see only the stream's
+    val auditQ = all.filter(col("vec_id") < 10)
+    def recallOf(): Map[String, Double] =
+      graft.sources.VectorIndex.recallAudit(spark, dir, auditQ,
+        k = 5, nprobe = 2)
+        .collect()
+        .map(r => r.getAs[String]("variant") -> r.getAs[Double]("recall_at_5"))
+        .toMap
+    val recallV1 = recallOf()
+
     val odd = oddQ.collect().map { r =>
       EmbedEv(r.getLong(0), r.getSeq[Float](1).toArray,
         new java.sql.Timestamp(1700000000000L + r.getLong(0)))
@@ -164,6 +178,23 @@ class IngestCycleSpec extends AnyFunSuite {
       assert(trig.head.subsetOf(trig.last),
         s"v1 matches lost across the maintain swap: ${trig.head -- trig.last}")
     } finally q.stop()
+    // the maintained artifact must still DELIVER: recall@5 over the
+    // post-swap version, per variant, floored both absolutely and
+    // against the pre-maintain reading — the production "did last
+    // night's maintain hurt recall" check the count-schedule
+    // needsRebuild flag cannot make. One merged-in member can shift the
+    // ground-truth top-5 sets by a hit or two (25 brute rows here), so
+    // the relative floor allows 0.08 = 2 flipped hits.
+    val recallV2 = recallOf()
+    info(s"recall v1=$recallV1 v2=$recallV2")
+    assert(recallV2.keySet == recallV1.keySet, s"$recallV1 vs $recallV2")
+    for ((variant, r1) <- recallV1) {
+      val r2 = recallV2(variant)
+      assert(r2 >= r1 - 0.08,
+        s"maintain degraded $variant recall: $r1 -> $r2")
+    }
+    assert(recallV2("ivf") >= 0.5,
+      s"ivf recall@5 below the fixture floor: ${recallV2("ivf")}")
     assert(versionDirs(dir) <= 2, s"${versionDirs(dir)} versions survive keep = 2")
     assert(slots.distinct.size == 1, s"armed slots grew across the swap: $slots")
     assert(pins.distinct.size == 1, s"pinned RDDs grew across the swap: $pins")
