@@ -39,6 +39,14 @@ import org.apache.spark.sql.SparkSession
   *     companion (`lfl` = this round's sum over the queries present in
   *     the prior record, beside `lfl_prior`), so host inflation and
   *     registry growth separate without forensic reconstruction.
+  *   - split headline (r15): `value` sums PIPELINE queries only; the
+  *     observability set (health/recall audits) sums into its own
+  *     `observability` key — the audits' cost grows with every audit
+  *     added and their timings feed no regression decision, so they no
+  *     longer move the number adjudications read. Both priors name
+  *     their source file+mtime (`prior_src`/`lfl_src`), and the lfl
+  *     baseline prefers the prior ROUND's BENCH_r*.json over a
+  *     same-round BENCH_LOCAL refresh ([[selectLflPrior]]).
   */
 object Bench {
   /** Extract the per-query seconds map from a prior BENCH artifact.
@@ -72,7 +80,8 @@ object Bench {
     * Rounds are hours apart, so 30 min cleanly separates the two cases. */
   private[graft] val SameRoundWindowMs: Long = 30L * 60 * 1000
 
-  /** Pick the prior-round artifact from candidate files. Preference order:
+  /** Pick the RE-MEASURE prior artifact from candidate files. Preference
+    * order:
     *   1. BENCH_LOCAL.json — this program's own full-line record of the
     *      latest completed run (never tail-truncated, all queries present);
     *   2. the highest-numbered BENCH_r*.json (driver wrapper, tail window).
@@ -82,14 +91,30 @@ object Bench {
   private[graft] def selectPrior(files: Seq[java.io.File], nowMs: Long): Option[java.io.File] = {
     val aged = files.filter(f => nowMs - f.lastModified() >= SameRoundWindowMs)
     val local = aged.find(_.getName == "BENCH_LOCAL.json")
+    local.orElse(highestDriver(aged))
+  }
+
+  private def highestDriver(aged: Seq[java.io.File]): Option[java.io.File] = {
     val rx = """BENCH_r(\d+)\.json""".r
-    val driver = aged
-      .flatMap(f => f.getName match {
-        case rx(n) => Some((n.toInt, f))
-        case _ => None
-      })
-      .sortBy(-_._1).headOption.map(_._2)
-    local.orElse(driver)
+    aged.flatMap(f => f.getName match {
+      case rx(n) => Some((n.toInt, f))
+      case _ => None
+    }).sortBy(-_._1).headOption.map(_._2)
+  }
+
+  /** Pick the LIKE-FOR-LIKE companion's baseline: the REVERSED preference
+    * — highest-numbered BENCH_r*.json first, BENCH_LOCAL.json only as the
+    * fallback (r14 verdict #2). The two priors serve different questions:
+    * the 2x re-measure wants the freshest complete full-precision record
+    * of this host's steady state (BENCH_LOCAL), while lfl/lfl_prior
+    * exists for CROSS-ROUND adjudication — keying it off a same-round
+    * BENCH_LOCAL refresh that happens to be >30 min old (exactly what
+    * r14's driver record did: lfl_prior = its own final 222.5 s refresh,
+    * not r13's 245 s) silently answers "vs my own last run" when the
+    * reader needs "vs the prior ROUND". Same aged-file filter. */
+  private[graft] def selectLflPrior(files: Seq[java.io.File], nowMs: Long): Option[java.io.File] = {
+    val aged = files.filter(f => nowMs - f.lastModified() >= SameRoundWindowMs)
+    highestDriver(aged).orElse(aged.find(_.getName == "BENCH_LOCAL.json"))
   }
 
   /** Sub-this-many-seconds queries get a third timed rep: their run-to-run
@@ -120,23 +145,36 @@ object Bench {
     else v.head
   }
 
-  /** Latest prior-round artifact: SPARK_GRAFT_PRIOR_BENCH if set (explicit
-    * pin, no same-round filtering), else [[selectPrior]] over the working
+  /** The baseline's provenance string for the output line —
+    * "<name>@<mtime ISO-8601 UTC>": which FILE a ratio keys off, so the
+    * r14 ambiguity (lfl_prior silently bound to the same round's own
+    * BENCH_LOCAL refresh) reads directly off the record instead of
+    * needing mtime forensics. */
+  private def srcOf(f: java.io.File): String =
+    f.getName + "@" + java.time.Instant.ofEpochMilli(f.lastModified())
+      .toString.takeWhile(_ != '.').stripSuffix("Z") + "Z"
+
+  /** A prior artifact resolved to (per-query seconds, provenance).
+    * SPARK_GRAFT_PRIOR_BENCH if set (explicit pin, no same-round
+    * filtering, pins BOTH priors), else `select` over the working
     * directory. */
-  private def loadPrior(): Map[String, Double] = {
+  private def loadPrior(select: (Seq[java.io.File], Long) => Option[java.io.File])
+      : (Map[String, Double], Option[String]) = {
     val explicit = sys.env.get("SPARK_GRAFT_PRIOR_BENCH")
       .map(new java.io.File(_)).filter(_.isFile)
     val latest = explicit.orElse {
       val cands = Option(new java.io.File(".").listFiles())
         .getOrElse(Array.empty[java.io.File]).toSeq
-      selectPrior(cands, System.currentTimeMillis())
+      select(cands, System.currentTimeMillis())
     }
     latest match {
-      case None => Map.empty
+      case None => (Map.empty, None)
       case Some(f) =>
-        try parsePriorQueries(
-          new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
-        catch { case _: Throwable => Map.empty }
+        val m =
+          try parsePriorQueries(
+            new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+          catch { case _: Throwable => Map.empty[String, Double] }
+        (m, if (m.isEmpty) None else Some(srcOf(f)))
     }
   }
 
@@ -273,7 +311,7 @@ object Bench {
         if (t >= 0) reps(n) = reps(n) :+ t
       }
 
-    val prior = loadPrior()
+    val (prior, priorSrc) = loadPrior(selectPrior)
     val results = names.map { n =>
       var best = headline(reps(n))
       prior.get(n).filter(_ > 0).foreach { p =>
@@ -303,23 +341,38 @@ object Bench {
     def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.4f", v)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
-    // -1.0 failure sentinels must not deflate the headline total
-    val total = results.map(_._2).filter(_ >= 0).sum
+    // -1.0 failure sentinels must not deflate the headline total. The
+    // OBSERVABILITY rows (health/recall audits — correctness-gated
+    // values, timings no regression decision reads) are summed into
+    // their own ledger key instead of the headline (r14 verdict #4):
+    // `value` now moves only with PIPELINE plans, so a new audit query
+    // can never read as a perf regression; the per-query map still
+    // carries every row.
+    val total = results.collect {
+      case (k, v) if v >= 0 && !observability(k) => v }.sum
+    val obsTotal = results.collect {
+      case (k, v) if v >= 0 && observability(k) => v }.sum
     // LIKE-FOR-LIKE companion: the headline total moves with BOTH plan
     // changes and registry growth, so round-over-round adjudication kept
     // needing forensic reconstruction (r13). `lfl` sums only the queries
-    // present in the PRIOR round's record, next to the prior's sum over
+    // present in the PRIOR ROUND's record, next to the prior's sum over
     // the same keys — host inflation reads directly off lfl/lfl_prior
-    // while new queries' cost reads off (total - lfl). Empty prior (first
-    // round, or a same-round re-run inside the skip window) → omitted.
+    // while new queries' cost reads off (total - lfl). The lfl baseline
+    // PREFERS the driver's BENCH_r*.json over BENCH_LOCAL ([[
+    // selectLflPrior]]) and names its source in `lfl_src`, so the ratio
+    // is provably cross-round. Empty prior (first round, or a same-round
+    // re-run inside the skip window) → omitted.
+    val (lflBase, lflSrc) = loadPrior(selectLflPrior)
     val lflPairs = results.filter { case (k, v) =>
-      v >= 0 && prior.get(k).exists(_ > 0) }
+      v >= 0 && lflBase.get(k).exists(_ > 0) }
     val lflKeys = lflPairs.map(_._1)
     val lfl = lflPairs.map(_._2).sum
-    val lflPrior = lflKeys.map(prior).sum
+    val lflPrior = lflKeys.map(lflBase).sum
     val lflJson = if (lflKeys.isEmpty) ""
-      else s""","lfl":${num(lfl)},"lfl_prior":${num(lflPrior)},"lfl_n":${lflKeys.size}"""
-    val line = s"""{"metric":"total","value":${num(total)},"unit":"sec"$lflJson,"queries":$qs,"sf":"$sfDir"}"""
+      else s""","lfl":${num(lfl)},"lfl_prior":${num(lflPrior)},"lfl_n":${lflKeys.size}""" +
+        lflSrc.fold("")(src => s""","lfl_src":"$src"""")
+    val srcJson = priorSrc.fold("")(src => s""","prior_src":"$src"""")
+    val line = s"""{"metric":"total","value":${num(total)},"unit":"sec","observability":${num(obsTotal)}$lflJson$srcJson,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // The round driver stores only a TAIL window of stdout (~2 kB), so the
     // head of the big line — the total plus the alphabetically-first
@@ -346,7 +399,7 @@ object Bench {
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
       .map { case (k, v) => "\"" + k + "\":" + num(v) }.mkString("{", ",", "}")
     val failed = results.count(_._2 < 0)
-    println(s"""{"metric":"bench_summary","total":${num(total)},"n":${results.size},"failed":$failed$lflJson,"slowest":$slowest,"sf":"$sfDir"}""")
+    println(s"""{"metric":"bench_summary","total":${num(total)},"observability":${num(obsTotal)},"n":${results.size},"failed":$failed$lflJson,"slowest":$slowest,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

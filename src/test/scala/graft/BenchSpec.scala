@@ -107,4 +107,27 @@ class BenchSpec extends AnyFunSuite {
     val noise = tmpFile(dir, "CORRECTNESS_r06.json", old, now)
     assert(Bench.selectPrior(Seq(r4, noise, r6), now).contains(r6))
   }
+
+  test("selectLflPrior prefers the driver record over an aged same-round " +
+      "BENCH_LOCAL refresh (the r14 provenance ambiguity)") {
+    // r14's driver record compared itself to its OWN final BENCH_LOCAL
+    // refresh (committed >30 min before the driver ran, so the aged
+    // filter passed it) instead of r13's record: the like-for-like
+    // companion must key off the prior ROUND whenever one exists
+    val dir = java.nio.file.Files.createTempDirectory("benchspec").toFile
+    val now = System.currentTimeMillis()
+    val old = 6L * 60 * 60 * 1000
+    val local = tmpFile(dir, "BENCH_LOCAL.json", 40L * 60 * 1000, now)
+    val r14 = tmpFile(dir, "BENCH_r14.json", old, now)
+    assert(Bench.selectLflPrior(Seq(local, r14), now).contains(r14))
+    // same-round filtering still applies to the driver records
+    assert(r14.setLastModified(now - 60 * 1000))
+    assert(Bench.selectLflPrior(Seq(local, r14), now).contains(local))
+    // and BENCH_LOCAL remains the fallback when no driver record exists
+    assert(Bench.selectLflPrior(Seq(local), now).contains(local))
+    // while the RE-MEASURE prior keeps preferring the full-precision
+    // complete local record (the two priors answer different questions)
+    assert(r14.setLastModified(now - old))
+    assert(Bench.selectPrior(Seq(local, r14), now).contains(local))
+  }
 }
