@@ -657,25 +657,55 @@ object VectorIndex {
     VectorOps.lshWidthFor(meta.n) != meta.width ||
       VectorOps.ivfCellsFor(meta.n) != meta.cells
 
+  /** The QUALITY gate a [[maintain]] caller can arm beside the layout
+    * one: after the merge, [[recallAudit]] runs over `queries` (a
+    * SAMPLED set — the audit's brute baseline is O(|queries| x corpus))
+    * against the freshly-merged artifact, and if ANY production search
+    * variant's recall@`k` lands below `floor`, maintain retrains — the
+    * frozen-quantizer drift [[needsRebuild]]'s count-schedule predicate
+    * cannot see, acted on in the same cycle that detected it. `floor`
+    * applies to the MINIMUM across the artifact's variants (an index is
+    * only as good as the search path a consumer actually uses; a caller
+    * gating a single path audits that path's row directly instead). */
+  final case class RecallProbe(queries: DataFrame, floor: Double,
+      k: Int = 5, nprobe: Int = 2, refineK: Int = 50)
+
   /** One production ingest cycle — the loop every consumer of this
     * artifact runs, packaged: merge `batch` in (partition-level,
     * frozen geometry), then IF the merged corpus has outgrown the
-    * frozen schedules ([[needsRebuild]]) run the full [[publishFrom]]
-    * rebuild — re-deriving geometry, retraining centroids and (when the
+    * frozen schedules ([[needsRebuild]]) — or, with `recallProbe`
+    * armed, IF the merged artifact's audited recall@k fell below the
+    * probe's floor ([[RecallProbe]]: the observe-then-act close of the
+    * q_ann_recall_idx drift signal) — run the full [[publishFrom]]
+    * rebuild: re-deriving geometry, retraining centroids and (when the
     * index carries the PQ pair) the sub-codebooks from the post-merge
     * corpus, which lives in the uncapped `cells` dataset — and finally
     * prune non-active versions to `keep` (default 2: the previous
     * version stays readable for mid-probe sessions; the pointer flip
     * already made the new one active). Returns the active [[Meta]] and
-    * whether a rebuild ran. Idempotent per batch in the latest-wins
-    * sense every merge has; crash-safe at every step boundary because
-    * each step is itself a pointer-flip publish over immutable version
-    * dirs. */
+    * whether a rebuild ran. At most ONE rebuild per cycle, and the
+    * schedule check short-circuits the audit (a schedule-driven rebuild
+    * retrains anyway, so the audit's brute scan would be spent on a
+    * version about to be replaced). Idempotent per batch in the
+    * latest-wins sense every merge has; crash-safe at every step
+    * boundary because each step is itself a pointer-flip publish over
+    * immutable version dirs. */
   def maintain(s: SparkSession, dir: String, batch: DataFrame,
-      keep: Int = 2): (Meta, Boolean) = {
+      keep: Int = 2, recallProbe: Option[RecallProbe] = None): (Meta, Boolean) = {
     val merged = mergePublish(s, dir, batch)
+    def recallBelowFloor: Boolean = recallProbe.exists { p =>
+      val r = recallAudit(s, dir, p.queries, p.k, p.nprobe, p.refineK)
+        .agg(min(col(s"recall_at_${p.k}"))).collect()(0)
+      // a null minimum means ZERO brute rows — an empty probe query set
+      // audits nothing, and silently skipping the gate the caller armed
+      // would defeat its purpose
+      require(!r.isNullAt(0),
+        s"recall probe on $dir produced no rows: the probe query set is " +
+          "empty (or matched no corpus) — sample real query vectors")
+      r.getDouble(0) < p.floor
+    }
     val rebuilt =
-      if (needsRebuild(merged)) {
+      if (needsRebuild(merged) || recallBelowFloor) {
         publishFrom(s, loadCells(s, dir).select("vec_id", "embedding"),
           dir, pq = hasPq(s, dir))
         true
@@ -1118,7 +1148,11 @@ object VectorIndex {
       val total = brute.agg(count(lit(1)).as("n_brute"))
       hits.crossJoin(total)
         .select(lit(name).as("variant"), col("n_hits"), col("n_brute"),
-          round(col("n_hits").cast("double") / col("n_brute"), 4)
+          // NULL (not an ANSI divide-by-zero) when the brute baseline is
+          // empty, so a misconfigured audit surfaces as "no rows" at the
+          // caller's null check instead of a mid-plan arithmetic error
+          when(col("n_brute") > 0,
+            round(col("n_hits").cast("double") / col("n_brute"), 4))
             .as(s"recall_at_$k"))
     }
     val base =

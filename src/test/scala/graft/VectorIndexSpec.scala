@@ -573,6 +573,42 @@ class VectorIndexSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("maintain's recall probe gates the rebuild on audited quality, " +
+      "not just the count schedule") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-vecidx-recallgate").toString
+    val tiny = allEmb.filter(col("vec_id") < 40)
+    val m0 = VectorIndex.publishFrom(spark, tiny, dir, pq = true)
+    val probeQ = allEmb.filter(col("vec_id") < 5)
+    def gate(floor: Double) = VectorIndex.RecallProbe(probeQ, floor)
+    // an in-schedule merge with a satisfiable floor: NO rebuild — the
+    // audit ran and passed (recall@5 of any variant is > 0 here)
+    val (m1, r1) = VectorIndex.maintain(spark, dir,
+      allEmb.filter(col("vec_id") >= 40 && col("vec_id") < 43),
+      recallProbe = Some(gate(0.0)))
+    assert(!r1, "a passing recall audit triggered a rebuild")
+    assert(m1.width == m0.width && m1.cells == m0.cells && m1.n == 43)
+    // an in-schedule merge with an unreachable floor: the quality gate
+    // trips the SAME retrain path the schedule gate uses — geometry is
+    // re-derived at the true merged count, quantizers retrain, pq stays
+    val (m2, r2) = VectorIndex.maintain(spark, dir,
+      allEmb.filter(col("vec_id") >= 43 && col("vec_id") < 46),
+      recallProbe = Some(gate(1.01)))
+    assert(r2, "a failing recall audit did not trigger the rebuild")
+    assert(m2.n == 46 && !VectorIndex.needsRebuild(m2))
+    assert(VectorIndex.hasPq(spark, dir), "recall-gated rebuild dropped pq")
+    assert(VectorIndex.loadCells(spark, dir).count() == 46)
+    // an EMPTY probe query set fails loudly instead of silently passing
+    val ex = intercept[IllegalArgumentException] {
+      VectorIndex.maintain(spark, dir,
+        allEmb.filter(col("vec_id") >= 46 && col("vec_id") < 47),
+        recallProbe = Some(VectorIndex.RecallProbe(
+          allEmb.filter(col("vec_id") < 0), 0.5)))
+    }
+    assert(ex.getMessage.contains("probe query set"), ex.getMessage)
+    spark.catalog.clearCache()
+  }
+
   test("maintain's compaction hook restores one file per partition, rows intact") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft-vecidx-compact").toString
