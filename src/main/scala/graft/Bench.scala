@@ -216,7 +216,8 @@ object Bench {
     // warmup exists to eliminate — with nothing in the output to explain
     // the recorded spread.
     for (w <- Seq("q_repartition_count", "q_text_minhash", "q_ann_ivf",
-        "q_ann_ivf_idx", "q_ann_lsh_idx", "q_cross_dedup_idx",
+        "q_ann_ivf_idx", "q_ann_lsh_idx", "q_ann_ivfpq_res_idx",
+        "q_cross_dedup_idx",
         "q_embed_cross_dedup_idx", "q_fingerprint_index_stats",
         "q_image_dhash", "q_audio_fingerprint", "q_video_fingerprint"))
       try run(w) catch { case e: Throwable =>

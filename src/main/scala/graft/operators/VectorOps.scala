@@ -843,6 +843,61 @@ object VectorOps {
     expr(s"lut[0 * $k + c0] + lut[1 * $k + c1] + " +
       s"lut[2 * $k + c2] + lut[3 * $k + c3]")
 
+  /** RESIDUAL frame (vec_id, embedding) of cell-assigned vectors against
+    * their assigned centroid — the canonical-IVFADC encoding input
+    * (Jégou et al. §V-A: quantize x − q1(x), concentrating the
+    * sub-codebooks on within-cell variance). The residual rounds through
+    * FLOAT (the trainCentroids convention): the float round-trip absorbs
+    * nothing here (float − float widened to double is exact; the cast
+    * back is one deterministic rounding) but pins the stored value to
+    * one bit pattern BOTH engines compute — the oracle replays
+    * `CAST(emb[k] - CAST(c[k] AS DOUBLE) AS FLOAT)` identically. The
+    * frame then feeds the UNCHANGED PQ machinery ([[trainPqCodebooks]] /
+    * [[pqEncode]]): residual mode swaps the input, never the algorithm.
+    * `cells`: (cell, vec_id, embedding); `cent`: (cell, centroid). */
+  private[graft] def residualFrame(cells: DataFrame,
+      cent: DataFrame): DataFrame =
+    cells.join(broadcast(cent), Seq("cell"))
+      .select(col("vec_id"),
+        residualExpr("embedding", "centroid").as("embedding"))
+
+  /** The ONE residual derivation both the corpus side ([[residualFrame]])
+    * and the query side (searchIvfPq's per-probed-cell subtraction)
+    * compute — forking it would let the two sides round differently. */
+  private[graft] def residualExpr(v: String, c: String): Column =
+    expr(s"""zip_with($v, $c,
+            |        (x, y) -> CAST(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)
+            |                       AS FLOAT))""".stripMargin)
+
+  /** Per-(query, probed-cell) flat ADC lookup table — the residual-mode
+    * twin of [[pqLut]]: residual books are trained against per-cell
+    * residuals, so the query side must subtract the PROBED cell's
+    * centroid before the table builds, making the LUT keyed by
+    * (query_id, qcell) instead of query alone (the nprobe-× broadcast
+    * the searchIvfPq scaladoc priced for this upgrade: Q·nprobe·(M·K)
+    * doubles however large the corpus). `q`: (query_id, qcell,
+    * embedding = the per-cell query residual). */
+  private[graft] def pqLutPerCell(q: DataFrame, books: DataFrame,
+      subDim: Int): DataFrame = {
+    val k = PqCodebookSize
+    q.select(col("query_id"), col("qcell"), posexplode(expr(
+        s"""transform(sequence(0, ${PqSubspaces - 1}),
+           |          m -> slice(embedding, m * $subDim + 1, $subDim))"""
+          .stripMargin)))
+      .withColumnRenamed("pos", "m")
+      .withColumnRenamed("col", "sv")
+      .join(broadcast(books), Seq("m"))
+      .select(col("query_id"), col("qcell"), col("m"), col("cell"),
+        pqSqDist.as("d2"))
+      .groupBy("query_id", "qcell")
+      .agg(map_from_entries(collect_list(struct(
+          (col("m") * k + col("cell")).as("key"), col("d2").as("value"))))
+        .as("lm"))
+      .select(col("query_id"), col("qcell"), expr(
+        s"transform(sequence(0, ${PqSubspaces * k - 1}), " +
+          "i -> element_at(lm, i))").as("lut"))
+  }
+
   /** Semantic-dedup cell schedule — LINEAR, unlike the IVF search
     * schedule: cells = ceil(n / [[SemTargetCell]]) so expected occupancy
     * stays CONSTANT as the corpus grows (the SemDeDup recipe — Abbas et
@@ -1138,6 +1193,38 @@ object VectorOps {
     graft.sources.VectorIndex.searchIvfPq(s, fullIndexDir(s, d),
       Tables.embeddings(s, d).filter(col("vec_id") < 10), k = 5, nprobe = 2)
 
+  /** The RESIDUAL-encoded twin of [[fullIndexDir]]'s artifact: published
+    * once per session with `pqResidual = true`, so its books/codes are
+    * trained over x − centroid(cell(x)) (canonical IVFADC). A separate
+    * artifact ON PURPOSE — the raw-encoded index keeps its training
+    * shared with the inline q_embed_pq family, and the two code sets
+    * are not interchangeable (books and codes are a matched pair). */
+  private def resIndexDir(s: SparkSession, d: String): String =
+    graft.SharedPlans.once(s, s"vec_index_res|$d") {
+      val dir = vecIndexDir(d, "res")
+      graft.sources.VectorIndex.publishFrom(s,
+        Tables.spread(s, Tables.embeddings(s, d)), dir, pq = true,
+        pqResidual = true)
+      graft.sources.VectorIndex.pruneVersions(s, dir, keep = 1)
+      dir
+    }
+
+  /** ARTIFACT-BACKED RESIDUAL IVF-ADC search — the canonical-IVFADC
+    * upgrade the searchIvfPq scaladoc deferred until r15, inside the
+    * correctness gate: the fixed 10-query top-5 within nprobe=2 probed
+    * cells, ranked by asymmetric PQ distance where the codes quantize
+    * per-cell RESIDUALS and the per-(query, probed cell) lookup table
+    * subtracts the probed centroid from the query first. The oracle
+    * replays BOTH trainings (shared-sample Lloyd for the centroids,
+    * then the SAME unrolled per-subspace Lloyd pointed at the residual
+    * frame — pqCtesBodyOver("eres"), never a forked replay) and the
+    * per-cell lookup-table arithmetic. searchIvfPq itself branches on
+    * the artifact's recorded mode, so this entry exercises exactly the
+    * code path a residual-index consumer runs. */
+  private val qAnnIvfPqResIdx: Q = (s, d) =>
+    graft.sources.VectorIndex.searchIvfPq(s, resIndexDir(s, d),
+      Tables.embeddings(s, d).filter(col("vec_id") < 10), k = 5, nprobe = 2)
+
   /** ADC short-list size for the registered two-stage refine search —
     * literal in both engines (the oracle replays the same cut). 10× the
     * result k: the standard refine budget (Jégou et al. report R = 10·k
@@ -1212,6 +1299,7 @@ object VectorOps {
     "q_embed_cross_dedup_idx" -> qEmbedCrossDedupIdx,
     "q_ann_ivf_idx" -> qAnnIvfIdx,
     "q_ann_ivfpq_idx" -> qAnnIvfPqIdx,
+    "q_ann_ivfpq_res_idx" -> qAnnIvfPqResIdx,
     "q_ann_ivfpq_refine" -> sharedAnn("q_ann_ivfpq_refine", qAnnIvfPqRefine),
     "q_index_stats" -> qIndexStats,
     "q_ann_lsh_idx" -> qAnnLshIdx,
@@ -1448,19 +1536,26 @@ object VectorOps {
   /** [[pqCtes]] without the leading `e` definition — the composable form
     * for oracles that already carry `e` from [[lshCtes]] (the recall
     * artifact). Requires CTE `e`. */
-  private def pqCtesBody: String = {
+  private def pqCtesBody: String = pqCtesBodyOver("e")
+
+  /** [[pqCtesBody]] over an arbitrary (vec_id, emb) source relation —
+    * the PQ replay is a pure function of its input frame, so the
+    * RESIDUAL oracle (q_ann_ivfpq_res_idx) reuses the whole unrolled
+    * training/encode chain VERBATIM by pointing `src` at the residual
+    * CTE instead of the raw `e` (never fork a replay). */
+  private def pqCtesBodyOver(src: String): String = {
     val ph = Tables.phashSql("vec_id")
-    s"""sd AS (SELECT len(emb) // $PqSubspaces AS sd FROM e LIMIT 1),
+    s"""sd AS (SELECT len(emb) // $PqSubspaces AS sd FROM $src LIMIT 1),
        |sub AS MATERIALIZED (
        |  SELECT vec_id, ms.m,
        |         list_slice(emb, ms.m * (SELECT sd FROM sd) + 1,
        |                    (ms.m + 1) * (SELECT sd FROM sd)) AS sv
-       |  FROM e, (SELECT unnest(range(0, $PqSubspaces)) AS m) ms),
+       |  FROM $src, (SELECT unnest(range(0, $PqSubspaces)) AS m) ms),
        |seedv AS (
        |  SELECT vec_id,
        |         CAST(row_number() OVER (ORDER BY $ph, vec_id) AS INT) - 1
        |           AS cell
-       |  FROM e WHERE $ph % 4 = 0
+       |  FROM $src WHERE $ph % 4 = 0
        |  QUALIFY row_number() OVER (ORDER BY $ph, vec_id)
        |    <= $PqCodebookSize),
        |psamp AS MATERIALIZED (
@@ -1785,6 +1880,72 @@ object VectorOps {
        |  FROM padc)
        |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
 
+  /** RESIDUAL IVF-ADC replay (q_ann_ivfpq_res_idx): the IVF training
+    * chain ([[ivfCtes]] — `c3` centroids, `afull` assignment, `qc`
+    * probes), a residual frame `eres` = x − centroid(cell(x)) rounded
+    * through FLOAT exactly like the engine's
+    * [[graft.operators.VectorOps.residualExpr]] (the only new
+    * arithmetic), then the UNCHANGED unrolled PQ training/encode chain
+    * pointed at it ([[pqCtesBodyOver]]("eres")), and the per-(query,
+    * probed cell) lookup table: the query's residual against each
+    * probed centroid, sliced and scored by the same squared-L2, summed
+    * in the same m-ascending order. */
+  private def ivfPqResIdxOracle: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+       |           FROM embeddings),
+       |$ivfCtes,
+       |eres AS MATERIALIZED (
+       |  SELECT a.vec_id,
+       |         list_transform(range(1, len(a.emb) + 1),
+       |           k -> CAST(CAST(a.emb[k] - CAST(c.c[k] AS DOUBLE)
+       |                          AS FLOAT) AS DOUBLE)) AS emb
+       |  FROM afull a JOIN c3 c USING (cell)),
+       |${pqCtesBodyOver("eres")},
+       |rescodes AS (
+       |  SELECT vec_id,
+       |         max(CASE WHEN m = 0 THEN cell END) AS c0,
+       |         max(CASE WHEN m = 1 THEN cell END) AS c1,
+       |         max(CASE WHEN m = 2 THEN cell END) AS c2,
+       |         max(CASE WHEN m = 3 THEN cell END) AS c3
+       |  FROM enc GROUP BY vec_id),
+       |qres AS (
+       |  SELECT q.query_id, q.qcell,
+       |         list_transform(range(1, len(q.qe) + 1),
+       |           k -> CAST(CAST(q.qe[k] - CAST(c.c[k] AS DOUBLE)
+       |                          AS FLOAT) AS DOUBLE)) AS emb
+       |  FROM qc q JOIN c3 c ON c.cell = q.qcell),
+       |qsubres AS (
+       |  SELECT query_id, qcell, ms.m,
+       |         list_slice(emb, ms.m * (SELECT sd FROM sd) + 1,
+       |                    (ms.m + 1) * (SELECT sd FROM sd)) AS sv
+       |  FROM qres, (SELECT unnest(range(0, $PqSubspaces)) AS m) ms),
+       |rlut AS MATERIALIZED (
+       |  SELECT s.query_id, s.qcell, c.m, c.cell,
+       |         list_sum(list_transform(range(1, len(s.sv) + 1),
+       |           k -> (s.sv[k] - CAST(c.pc[k] AS DOUBLE))
+       |                * (s.sv[k] - CAST(c.pc[k] AS DOUBLE)))) AS d2
+       |  FROM qsubres s JOIN pc3 c ON s.m = c.m),
+       |radc AS (
+       |  SELECT q.query_id, cd.vec_id AS neighbor_id,
+       |         l0.d2 + l1.d2 + l2.d2 + l3.d2 AS dist
+       |  FROM rescodes cd
+       |  JOIN afull a ON a.vec_id = cd.vec_id
+       |  JOIN qc q ON q.qcell = a.cell AND cd.vec_id <> q.query_id
+       |  JOIN rlut l0 ON l0.m = 0 AND l0.cell = cd.c0
+       |               AND l0.query_id = q.query_id AND l0.qcell = q.qcell
+       |  JOIN rlut l1 ON l1.m = 1 AND l1.cell = cd.c1
+       |               AND l1.query_id = q.query_id AND l1.qcell = q.qcell
+       |  JOIN rlut l2 ON l2.m = 2 AND l2.cell = cd.c2
+       |               AND l2.query_id = q.query_id AND l2.qcell = q.qcell
+       |  JOIN rlut l3 ON l3.m = 3 AND l3.cell = cd.c3
+       |               AND l3.query_id = q.query_id AND l3.qcell = q.qcell)
+       |SELECT query_id, neighbor_id, rk FROM (
+       |  SELECT query_id, neighbor_id,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |           ORDER BY dist ASC, neighbor_id) AS INT) AS rk
+       |  FROM radc)
+       |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+
   /** The refine replay over [[ivfAdcCtes]]' `padc`: ADC short-list of
     * `refineK` per query, then the exact-cosine re-rank from the raw
     * embeddings — the SQL twin of
@@ -1951,6 +2112,7 @@ object VectorOps {
     "q_embed_cross_dedup_idx" -> baseOracles("q_embed_cross_dedup"),
     "q_ann_ivf_idx" -> baseOracles("q_ann_ivf"),
     "q_ann_ivfpq_idx" -> ivfPqIdxOracle,
+    "q_ann_ivfpq_res_idx" -> ivfPqResIdxOracle,
     "q_ann_ivfpq_refine" -> ivfPqRefineOracle,
     "q_index_stats" -> indexStatsOracle,
     "q_ann_lsh_idx" -> baseOracles("q_ann_lsh"))

@@ -293,6 +293,22 @@ object VectorIndex {
 
   /** The frozen PQ sub-codebooks of the active version as
     * (m, cell, pc) — driver-small (M·K·subDim floats) at any corpus. */
+  /** True iff the active version's PQ pair is RESIDUAL-encoded (books
+    * trained and codes computed over x − centroid(cell(x)) instead of
+    * the raw vectors). Read from the `pqres` meta column; artifacts
+    * written before the column existed are raw-encoded — report false,
+    * like the legacy `parts` handling in [[loadMeta]]. The flag decides
+    * the SEARCH-side lookup-table construction ([[searchIvfPq]] /
+    * [[searchIvfPqRefine]]: per-(query, probed cell) residual LUT vs
+    * per-query LUT) and the merge/rebuild encode input — codes and
+    * books are a matched pair, so the flag rides the meta, not the
+    * caller's memory. */
+  def pqResidual(s: SparkSession, dir: String): Boolean = {
+    val df = s.read.parquet(s"$dir/${ver(s, dir)}/meta")
+    df.schema.fieldNames.contains("pqres") &&
+      df.collect()(0).getAs[Boolean]("pqres")
+  }
+
   def loadPqBooks(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/${ver(s, dir)}/pqbooks").select("m", "cell", "pc")
 
@@ -314,8 +330,10 @@ object VectorIndex {
     * centroids train on the deterministic phash%4 sample, exactly like
     * the inline q_ann_ivf path. Returns the published Meta. */
   def publishFrom(s: SparkSession, corpus: DataFrame, dir: String,
-      scheduleN: Option[Long] = None, pq: Boolean = false): Meta = {
+      scheduleN: Option[Long] = None, pq: Boolean = false,
+      pqResidual: Boolean = false): Meta = {
     GraftFunctions.register(s)
+    require(!pqResidual || pq, "pqResidual requires pq = true")
     val c = graft.Caching.persist(
       corpus.select(col("vec_id"), col("embedding")))
     try {
@@ -329,11 +347,20 @@ object VectorIndex {
       // PQ books train on the same phash%4 sample discipline as the
       // centroids (trainPqCodebooks applies the filter itself), frozen
       // at publish exactly like the centroids — merges encode against
-      // them, a rebuild retrains
+      // them, a rebuild retrains. RESIDUAL mode trains them on the
+      // x − centroid(cell(x)) frame instead of the raw vectors
+      // ([[VectorOps.residualFrame]]): canonical IVFADC, same machinery.
       val books =
-        if (pq) Some(VectorOps.trainPqCodebooks(s, c, subDimOf(c)))
-        else None
-      publishWith(s, c, dir, meta, cent, books)
+        if (!pq) None
+        else if (pqResidual)
+          Some(VectorOps.trainPqCodebooks(s,
+            VectorOps.residualFrame(
+              VectorOps.assignCells(c, cent)
+                .select(col("cell"), col("vec_id"), col("embedding")),
+              cent),
+            subDimOf(c)))
+        else Some(VectorOps.trainPqCodebooks(s, c, subDimOf(c)))
+      publishWith(s, c, dir, meta, cent, books, pqResidual)
     } finally c.unpersist()
   }
 
@@ -363,18 +390,22 @@ object VectorIndex {
     * inverted lists. */
   private[graft] def publishWith(s: SparkSession, corpus: DataFrame,
       dir: String, meta: Meta, cent: DataFrame,
-      pqBooks: Option[DataFrame] = None): Meta = {
+      pqBooks: Option[DataFrame] = None,
+      pqResidual: Boolean = false): Meta = {
     GraftFunctions.register(s)
     val buckets = VectorOps.cappedBuckets(corpus, meta.width, meta.cap,
       "vec_id", "embedding")
     val cells = VectorOps.assignCells(corpus, cent)
       .select(col("cell"), col("vec_id"), col("embedding"))
     val codes = pqBooks.map { books =>
-      VectorOps.pqEncode(corpus, books, subDimOf(corpus))
+      val encodeInput =
+        if (pqResidual) VectorOps.residualFrame(cells, cent) else corpus
+      VectorOps.pqEncode(encodeInput, books, subDimOf(corpus))
         .join(cells.select("cell", "vec_id"), Seq("vec_id"))
         .select("cell", "vec_id", "c0", "c1", "c2", "c3")
     }
-    writeVersion(s, dir, meta, buckets, cent, cells, pqBooks, codes)
+    writeVersion(s, dir, meta, buckets, cent, cells, pqBooks, codes,
+      pqResidual)
   }
 
   /** Write all four datasets as the next immutable version, then flip the
@@ -386,11 +417,15 @@ object VectorIndex {
   private def writeVersion(s: SparkSession, dir: String, meta: Meta,
       buckets: DataFrame, cent: DataFrame, cells: DataFrame,
       pqBooks: Option[DataFrame] = None,
-      codes: Option[DataFrame] = None): Meta = {
+      codes: Option[DataFrame] = None,
+      pqRes: Boolean = false): Meta = {
     import s.implicits._
     val v = s"v${StorageOps.nextVersion(s, dir)}"
-    Seq((meta.n, meta.width, meta.probes, meta.cap, meta.cells, meta.parts))
-      .toDF("n", "width", "probes", "cap", "cells", "parts")
+    // `pqres` marks residual-encoded books/codes (see [[pqResidual]]);
+    // artifacts written before the column existed read as raw-encoded
+    Seq((meta.n, meta.width, meta.probes, meta.cap, meta.cells, meta.parts,
+        pqRes))
+      .toDF("n", "width", "probes", "cap", "cells", "parts", "pqres")
       .write.mode("errorifexists").parquet(s"$dir/$v/meta")
     buckets.select("bucket", "vec_id", "embedding")
       .withColumn("bpart", bpartOf(col("bucket"), meta.parts))
@@ -550,10 +585,11 @@ object VectorIndex {
           // clean partition directories hard-copied from the previous one
           import s.implicits._
           val meta2 = m.copy(n = n2)
+          val pqRes = pqB.isDefined && pqResidual(s, dir)
           val v = s"v${StorageOps.nextVersion(s, dir)}"
           Seq((meta2.n, meta2.width, meta2.probes, meta2.cap, meta2.cells,
-              meta2.parts))
-            .toDF("n", "width", "probes", "cap", "cells", "parts")
+              meta2.parts, pqRes))
+            .toDF("n", "width", "probes", "cap", "cells", "parts", "pqres")
             .write.mode("errorifexists").parquet(s"$dir/$v/meta")
           newDirtyBuckets.select("bucket", "vec_id", "embedding")
             .withColumn("bpart", bpartOf(col("bucket"), m.parts))
@@ -577,7 +613,13 @@ object VectorIndex {
           pqB.foreach { books =>
             books.select("m", "cell", "pc")
               .write.mode("errorifexists").parquet(s"$dir/$v/pqbooks")
-            val batchCodes = VectorOps.pqEncode(b, books, subDimOfBooks(books))
+            // residual books encode residual batch vectors (frozen
+            // centroids are already in hand via batchCells) — the pair
+            // contract: codes always match the books' training frame
+            val encodeInput =
+              if (pqRes) VectorOps.residualFrame(batchCells, cent) else b
+            val batchCodes = VectorOps
+              .pqEncode(encodeInput, books, subDimOfBooks(books))
               .join(batchCells.select("cell", "vec_id"), Seq("vec_id"))
               .select("cell", "vec_id", "c0", "c1", "c2", "c3")
             prunedByVals(loadCodesRaw(s, dir), "cpart", dirtyCp, m.parts)
@@ -612,6 +654,7 @@ object VectorIndex {
   private def mergeFullRewrite(s: SparkSession, dir: String, m: Meta,
       b: DataFrame, ids: DataFrame, cent: DataFrame,
       pqBooks: Option[DataFrame]): Meta = {
+    val pqRes = pqBooks.isDefined && pqResidual(s, dir)
     val mergedCells = graft.Caching.persist(
       loadCells(s, dir).join(ids, Seq("vec_id"), "left_anti")
         .unionByName(VectorOps.assignCells(b, cent)
@@ -621,11 +664,13 @@ object VectorIndex {
         mergedCells.select(col("vec_id"), col("embedding")),
         m.width, m.cap, "vec_id", "embedding")
       // the frozen-book re-encode over the merged corpus (codes could
-      // also be merged like cells, but this path is already O(index))
+      // also be merged like cells, but this path is already O(index));
+      // residual books re-encode residuals against the frozen centroids
       val codes = pqBooks.map { books =>
-        VectorOps.pqEncode(
-            mergedCells.select(col("vec_id"), col("embedding")),
-            books, subDimOfBooks(books))
+        val encodeInput =
+          if (pqRes) VectorOps.residualFrame(mergedCells, cent)
+          else mergedCells.select(col("vec_id"), col("embedding"))
+        VectorOps.pqEncode(encodeInput, books, subDimOfBooks(books))
           .join(mergedCells.select("cell", "vec_id"), Seq("vec_id"))
           .select("cell", "vec_id", "c0", "c1", "c2", "c3")
       }
@@ -634,7 +679,7 @@ object VectorIndex {
       // re-derived at the merged count (keys stay valid either way).
       val n2 = mergedCells.count()
       writeVersion(s, dir, m.copy(n = n2, parts = layoutPartsFor(n2)),
-        mergedBuckets, cent, mergedCells, pqBooks, codes)
+        mergedBuckets, cent, mergedCells, pqBooks, codes, pqRes)
     } finally mergedCells.unpersist()
   }
 
@@ -707,7 +752,8 @@ object VectorIndex {
     val rebuilt =
       if (needsRebuild(merged) || recallBelowFloor) {
         publishFrom(s, loadCells(s, dir).select("vec_id", "embedding"),
-          dir, pq = hasPq(s, dir))
+          dir, pq = hasPq(s, dir),
+          pqResidual = hasPq(s, dir) && pqResidual(s, dir))
         true
       } else false
     compactIfFragmented(s, dir)
@@ -752,7 +798,8 @@ object VectorIndex {
     writeVersion(s, dir, loadMeta(s, dir),
       loadBuckets(s, dir), loadCentroids(s, dir), loadCells(s, dir),
       if (pq) Some(loadPqBooks(s, dir)) else None,
-      if (pq) Some(loadCodes(s, dir)) else None)
+      if (pq) Some(loadCodes(s, dir)) else None,
+      pq && pqResidual(s, dir))
     true
   }
 
@@ -954,16 +1001,25 @@ object VectorIndex {
     * the pair: an ADC caller wants the cheap scan, and silently falling
     * back to the float scan would invert the cost contract.
     *
-    * Known fidelity upgrade, documented not implemented: canonical
-    * IVFADC encodes the RESIDUAL (x − centroid(cell)) rather than the
-    * raw vector, which concentrates the sub-codebooks on within-cell
-    * variance and improves recall at the same code budget. The layout,
-    * merge bookkeeping and search topology here are unchanged by that
-    * swap (codes stay cell-aligned; the LUT becomes per-(query, probed
-    * cell) instead of per-query, multiplying the broadcast by nprobe);
-    * it is deferred because the raw-vector variant keeps ONE training
-    * and ONE code set shared with the inline q_embed_pq family and its
-    * oracle replay. */
+    * RESIDUAL mode (r15 — the canonical IVFADC of Jégou et al. §V-A,
+    * previously documented as deferred): an index published with
+    * `pqResidual = true` trains its books and computes its codes over
+    * x − centroid(cell(x)) instead of the raw vectors, concentrating
+    * the sub-codebooks on within-cell variance — better recall at the
+    * same 16-bit code budget. The layout and merge bookkeeping are
+    * UNCHANGED (codes stay cell-aligned, dirty-partition accounting
+    * identical); the only search-side difference is the lookup table,
+    * which becomes per-(query, probed cell) — the query's residual
+    * against each probed centroid ([[VectorOps.pqLutPerCell]]) —
+    * multiplying the broadcast by nprobe: Q·nprobe·(M·K) doubles,
+    * still driver-small at any corpus. The mode is recorded in meta
+    * (`pqres`, [[pqResidual]]) because books and codes are a matched
+    * pair; this search branches on it transparently, so consumers (the
+    * recall audit included) never pass a flag. The raw-vector default
+    * keeps ONE training and ONE code set shared with the inline
+    * q_embed_pq family and its oracle replay; the residual artifact
+    * (q_ann_ivfpq_res_idx) carries its own full oracle — the same
+    * unrolled Lloyd replay pointed at a residual input frame. */
   def searchIvfPq(s: SparkSession, dir: String, queries: DataFrame, k: Int,
       nprobe: Int,
       broadcastRowLimit: Long = QueryBatchBroadcastRowLimit,
@@ -979,18 +1035,29 @@ object VectorIndex {
     val q0 = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     val (small, hint) = batchGate(knownBatchRows, q0.count(), broadcastRowLimit)
-    val lut = VectorOps.pqLut(
-      q0.select(col("query_id").as("vec_id"), col("qe").as("embedding")),
-      books, subDim)
-    val qcells = batchFrame(s"searchIvfPq|$dir", small, q0
+    // the probed-cell ranking keeps the matched centroid alongside: the
+    // RESIDUAL branch below subtracts it per probed cell
+    val ranked = q0
       .join(broadcast(cent))
-      .select(col("query_id"), col("cell").as("qcell"),
-        expr("cosine_sim(qe, centroid)").as("csim"))
+      .select(col("query_id"), col("qe"), col("cell").as("qcell"),
+        col("centroid"), expr("cosine_sim(qe, centroid)").as("csim"))
       .withColumn("crk", row_number().over(
         Window.partitionBy("query_id").orderBy(col("csim").desc, col("qcell"))))
       .filter(col("crk") <= nprobe)
-      .select("query_id", "qcell")
-      .join(lut, Seq("query_id")))
+    // residual artifact → per-(query, probed cell) LUT over the query's
+    // residual against THAT cell's centroid ([[VectorOps.pqLutPerCell]]);
+    // raw artifact → the per-query LUT, joined to every probed cell
+    val withLut =
+      if (pqResidual(s, dir))
+        VectorOps.pqLutPerCell(
+          ranked.select(col("query_id"), col("qcell"),
+            VectorOps.residualExpr("qe", "centroid").as("embedding")),
+          books, subDim)
+      else ranked.select("query_id", "qcell")
+        .join(VectorOps.pqLut(
+          q0.select(col("query_id").as("vec_id"), col("qe").as("embedding")),
+          books, subDim), Seq("query_id"))
+    val qcells = batchFrame(s"searchIvfPq|$dir", small, withLut)
     val codes = (if (small)
         prunedScan(loadCodesRaw(s, dir),
           qcells.select(cpartOf(col("qcell"), m.parts)), "cpart", m.parts)
@@ -1039,20 +1106,29 @@ object VectorIndex {
     val q0 = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     val (small, hint) = batchGate(knownBatchRows, q0.count(), broadcastRowLimit)
-    val lut = VectorOps.pqLut(
-      q0.select(col("query_id").as("vec_id"), col("qe").as("embedding")),
-      books, subDim)
     // qe rides along (unlike searchIvfPq): the refine stage needs the
     // query floats for the exact re-rank
-    val qcells = batchFrame(s"searchIvfPqRefine|$dir", small, q0
+    val ranked = q0
       .join(broadcast(cent))
       .select(col("query_id"), col("qe"), col("cell").as("qcell"),
-        expr("cosine_sim(qe, centroid)").as("csim"))
+        col("centroid"), expr("cosine_sim(qe, centroid)").as("csim"))
       .withColumn("crk", row_number().over(
         Window.partitionBy("query_id").orderBy(col("csim").desc, col("qcell"))))
       .filter(col("crk") <= nprobe)
-      .select("query_id", "qe", "qcell")
-      .join(lut, Seq("query_id")))
+    // residual vs raw LUT, exactly as in [[searchIvfPq]]; the refine
+    // stage itself is mode-blind (exact cosine over stored floats)
+    val withLut =
+      if (pqResidual(s, dir))
+        ranked.select("query_id", "qe", "qcell")
+          .join(VectorOps.pqLutPerCell(
+            ranked.select(col("query_id"), col("qcell"),
+              VectorOps.residualExpr("qe", "centroid").as("embedding")),
+            books, subDim), Seq("query_id", "qcell"))
+      else ranked.select("query_id", "qe", "qcell")
+        .join(VectorOps.pqLut(
+          q0.select(col("query_id").as("vec_id"), col("qe").as("embedding")),
+          books, subDim), Seq("query_id"))
+    val qcells = batchFrame(s"searchIvfPqRefine|$dir", small, withLut)
     val codes = (if (small)
         prunedScan(loadCodesRaw(s, dir),
           qcells.select(cpartOf(col("qcell"), m.parts)), "cpart", m.parts)

@@ -505,6 +505,61 @@ class VectorIndexSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("residual pq: mode recorded in meta, load-bearing codes, merge " +
+      "equals the frozen residual rebuild, rebuild preserves the mode") {
+    val base = java.nio.file.Files.createTempDirectory("graft-vecidx-res")
+    val dir = s"$base/a"; val dirR = s"$base/r"; val raw = s"$base/raw"
+    val even = allEmb.filter(col("vec_id") % 2 === 0)
+    val odd = allEmb.filter(col("vec_id") % 2 === 1)
+    VectorIndex.publishFrom(spark, even, dir, pq = true, pqResidual = true)
+    VectorIndex.publishFrom(spark, even, raw, pq = true)
+    // the mode is recorded, and a raw (or legacy) artifact reads false
+    assert(VectorIndex.pqResidual(spark, dir), "residual flag not recorded")
+    assert(!VectorIndex.pqResidual(spark, raw), "raw artifact read residual")
+    // the mode is load-bearing: residual codes differ from raw codes
+    // over the same corpus, books and geometry schedules
+    assert(codeRows(VectorIndex.loadCodes(spark, dir)) !=
+      codeRows(VectorIndex.loadCodes(spark, raw)),
+      "residual encode produced the raw codes — the mode did nothing")
+    // partition-level merge: books and centroids frozen, merged codes
+    // equal a from-scratch frozen-book RESIDUAL encode of the union
+    val books0 = VectorIndex.loadPqBooks(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2)))
+    val (m1, st) = VectorIndex.mergePublishStats(spark, dir, odd)
+    assert(!st.fullRewrite, st.toString)
+    assert(VectorIndex.pqResidual(spark, dir), "merge dropped the mode")
+    assert(VectorIndex.loadPqBooks(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2)))
+      .toSet == books0.toSet, "merge retrained the frozen residual books")
+    VectorIndex.publishWith(spark, even.unionByName(odd), dirR, m1,
+      VectorIndex.loadCentroids(spark, dir),
+      Some(VectorIndex.loadPqBooks(spark, dir)), pqResidual = true)
+    assert(codeRows(VectorIndex.loadCodes(spark, dir)) ==
+      codeRows(VectorIndex.loadCodes(spark, dirR)),
+      "merged residual codes diverged from the frozen rebuild")
+    // both ADC searches run the residual branch end-to-end
+    val q = allEmb.filter(col("vec_id") < 5)
+    assert(VectorIndex.searchIvfPq(spark, dir, q, k = 3, nprobe = 2)
+      .count() > 0)
+    assert(VectorIndex.searchIvfPqRefine(spark, dir, q, k = 3, nprobe = 2,
+      refineK = 30).count() > 0)
+    // the recall audit reads the residual artifact transparently, and a
+    // forced retrain (recall floor 1.01) PRESERVES the mode — the
+    // rebuild re-derives everything from the artifact, not caller flags
+    val audit = VectorIndex.recallAudit(spark, dir, q, k = 5, nprobe = 2)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    info(s"residual artifact recall@5: $audit")
+    assert(audit.keySet == Set("ivf", "lsh", "ivfadc", "refine"))
+    val (_, rebuilt) = VectorIndex.maintain(spark, dir,
+      allEmb.filter(col("vec_id") < 0),
+      recallProbe = Some(VectorIndex.RecallProbe(q, floor = 1.01)))
+    assert(rebuilt, "the unreachable floor did not force the retrain")
+    assert(VectorIndex.pqResidual(spark, dir) &&
+      VectorIndex.hasPq(spark, dir),
+      "the recall-gated rebuild dropped the residual mode")
+    spark.catalog.clearCache()
+  }
+
   test("armed batch frame survives a same-plan re-arm (replayed batch keeps its pin)") {
     // the r13 ADVICE hazard: the slot swap used to persist the NEW frame
     // and then unpersist the OLD one — when a stream replays an identical
