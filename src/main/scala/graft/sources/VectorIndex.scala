@@ -1035,12 +1035,16 @@ object VectorIndex {
     val q0 = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     val (small, hint) = batchGate(knownBatchRows, q0.count(), broadcastRowLimit)
-    // the probed-cell ranking keeps the matched centroid alongside: the
-    // RESIDUAL branch below subtracts it per probed cell
+    val res = pqResidual(s, dir)
+    // the probed-cell ranking; in RESIDUAL mode the matched centroid
+    // rides along (the branch below subtracts it per probed cell) — the
+    // raw branch never carries the float array through the per-query
+    // ranking exchange it does not need
     val ranked = q0
       .join(broadcast(cent))
-      .select(col("query_id"), col("qe"), col("cell").as("qcell"),
-        col("centroid"), expr("cosine_sim(qe, centroid)").as("csim"))
+      .select((Seq(col("query_id"), col("qe"), col("cell").as("qcell")) ++
+        (if (res) Seq(col("centroid")) else Nil) :+
+        expr("cosine_sim(qe, centroid)").as("csim")): _*)
       .withColumn("crk", row_number().over(
         Window.partitionBy("query_id").orderBy(col("csim").desc, col("qcell"))))
       .filter(col("crk") <= nprobe)
@@ -1048,7 +1052,7 @@ object VectorIndex {
     // residual against THAT cell's centroid ([[VectorOps.pqLutPerCell]]);
     // raw artifact → the per-query LUT, joined to every probed cell
     val withLut =
-      if (pqResidual(s, dir))
+      if (res)
         VectorOps.pqLutPerCell(
           ranked.select(col("query_id"), col("qcell"),
             VectorOps.residualExpr("qe", "centroid").as("embedding")),
@@ -1106,19 +1110,22 @@ object VectorIndex {
     val q0 = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     val (small, hint) = batchGate(knownBatchRows, q0.count(), broadcastRowLimit)
+    val res = pqResidual(s, dir)
     // qe rides along (unlike searchIvfPq): the refine stage needs the
-    // query floats for the exact re-rank
+    // query floats for the exact re-rank; the centroid only in RESIDUAL
+    // mode (the raw ranking exchange never carries the unused array)
     val ranked = q0
       .join(broadcast(cent))
-      .select(col("query_id"), col("qe"), col("cell").as("qcell"),
-        col("centroid"), expr("cosine_sim(qe, centroid)").as("csim"))
+      .select((Seq(col("query_id"), col("qe"), col("cell").as("qcell")) ++
+        (if (res) Seq(col("centroid")) else Nil) :+
+        expr("cosine_sim(qe, centroid)").as("csim")): _*)
       .withColumn("crk", row_number().over(
         Window.partitionBy("query_id").orderBy(col("csim").desc, col("qcell"))))
       .filter(col("crk") <= nprobe)
     // residual vs raw LUT, exactly as in [[searchIvfPq]]; the refine
     // stage itself is mode-blind (exact cosine over stored floats)
     val withLut =
-      if (pqResidual(s, dir))
+      if (res)
         ranked.select("query_id", "qe", "qcell")
           .join(VectorOps.pqLutPerCell(
             ranked.select(col("query_id"), col("qcell"),
