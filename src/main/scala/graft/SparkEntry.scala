@@ -32,6 +32,7 @@ object SparkEntry {
     * waste the slow-tail budget on numbers no decision reads). */
   val ObservabilityQueries: Set[String] =
     Set("q_ann_recall", "q_ann_recall_sampled", "q_ann_recall_idx",
+      "q_ann_recall_res_idx",
       "q_index_stats", "q_dedup_index_stats", "q_fingerprint_index_stats",
       "q_embed_diagnostics")
 

@@ -497,6 +497,23 @@ object VectorOps {
       k = 5, nprobe = 2, refineK = AdcRefineK,
       shareTag = Some(s"s$RecallSampleN"))
 
+  /** The RESIDUAL artifact's recall audit — the same
+    * [[graft.sources.VectorIndex.recallAudit]] pointed at the
+    * residual-encoded index (recallAudit and the searches branch on the
+    * recorded mode transparently), so the measured residual-vs-raw ADC
+    * gain sits INSIDE the gate as oracle-checked rows every round
+    * rather than in a one-off measurement: compare this entry's
+    * `ivfadc` row against q_ann_recall_idx's on the same sampled query
+    * set. ivf/lsh rows are identical across the two artifacts (same
+    * geometry and corpus; the PQ pair is the only difference) — a
+    * divergence there would itself be a publish bug, which is exactly
+    * why they stay in the row set. */
+  private val qAnnRecallResIdx: Q = (s, d) =>
+    graft.sources.VectorIndex.recallAudit(s, resIndexDir(s, d),
+      Tables.embeddings(s, d).filter(sampledQueryPred(s, d, RecallSampleN)),
+      k = 5, nprobe = 2, refineK = AdcRefineK,
+      shareTag = Some(s"res_s$RecallSampleN"))
+
   /** IVF cell-count schedule: cells grow ~sqrt(n) with the corpus (the
     * standard IVF sizing — search cost per query is
     * cells + nprobe·n/cells, minimized at cells ≈ sqrt(n·nprobe)), here
@@ -1319,6 +1336,7 @@ object VectorOps {
     "q_ann_recall" -> qAnnRecall,
     "q_ann_recall_sampled" -> qAnnRecallSampled,
     "q_ann_recall_idx" -> qAnnRecallIdx,
+    "q_ann_recall_res_idx" -> qAnnRecallResIdx,
     "q_embed_centroids" -> qEmbedCentroids,
     "q_embed_diagnostics" -> qEmbedDiagnostics,
   )
@@ -1795,6 +1813,9 @@ object VectorOps {
     // production legs (a just-published full-corpus artifact makes the
     // raw-embedding replay exact — the q_ann_*_idx convention)
     "q_ann_recall_idx" -> annRecallSql(Some(RecallSampleN), IdxRecallVariants),
+    // the residual artifact's audit: shared legs verbatim, residual ADC
+    // chain from the standalone q_ann_ivfpq_res_idx oracle
+    "q_ann_recall_res_idx" -> annRecallResSql(Some(RecallSampleN)),
     "q_embed_centroids" ->
       """WITH u AS (
         |  SELECT label, generate_subscripts(embedding, 1) AS pos,
@@ -1890,11 +1911,13 @@ object VectorOps {
     * probed cell) lookup table: the query's residual against each
     * probed centroid, sliced and scored by the same squared-L2, summed
     * in the same m-ascending order. */
-  private def ivfPqResIdxOracle: String =
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
-       |           FROM embeddings),
-       |$ivfCtes,
-       |eres AS MATERIALIZED (
+  /** The residual ADC CTE chain (`eres` → trained residual books →
+    * `rescodes`/`qres`/`qsubres`/`rlut` → `radc` scored pairs) —
+    * composable over [[ivfCtes]]' `afull`/`c3`/`qc`, shared VERBATIM by
+    * the standalone residual oracle and the residual recall artifact
+    * (never fork a replay). */
+  private def resAdcCtes: String =
+    s"""eres AS MATERIALIZED (
        |  SELECT a.vec_id,
        |         list_transform(range(1, len(a.emb) + 1),
        |           k -> CAST(CAST(a.emb[k] - CAST(c.c[k] AS DOUBLE)
@@ -1938,7 +1961,13 @@ object VectorOps {
        |  JOIN rlut l2 ON l2.m = 2 AND l2.cell = cd.c2
        |               AND l2.query_id = q.query_id AND l2.qcell = q.qcell
        |  JOIN rlut l3 ON l3.m = 3 AND l3.cell = cd.c3
-       |               AND l3.query_id = q.query_id AND l3.qcell = q.qcell)
+       |               AND l3.query_id = q.query_id AND l3.qcell = q.qcell)""".stripMargin
+
+  private def ivfPqResIdxOracle: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+       |           FROM embeddings),
+       |$ivfCtes,
+       |$resAdcCtes
        |SELECT query_id, neighbor_id, rk FROM (
        |  SELECT query_id, neighbor_id,
        |         CAST(row_number() OVER (PARTITION BY query_id
@@ -1946,17 +1975,18 @@ object VectorOps {
        |  FROM radc)
        |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
 
-  /** The refine replay over [[ivfAdcCtes]]' `padc`: ADC short-list of
-    * `refineK` per query, then the exact-cosine re-rank from the raw
-    * embeddings — the SQL twin of
+  /** The refine replay over an ADC pair-distance CTE (`src`, default
+    * [[ivfAdcCtes]]' `padc`; the residual recall oracle points it at
+    * `radc`): ADC short-list of `refineK` per query, then the
+    * exact-cosine re-rank from the raw embeddings — the SQL twin of
     * [[graft.sources.VectorIndex.searchIvfPqRefine]]'s two stages. */
-  private def refineCtes(refineK: Int): String =
+  private def refineCtes(refineK: Int, src: String = "padc"): String =
     s"""refc AS (
        |  SELECT query_id, neighbor_id FROM (
        |    SELECT query_id, neighbor_id,
        |           row_number() OVER (PARTITION BY query_id
        |             ORDER BY dist ASC, neighbor_id) AS ark
-       |    FROM padc)
+       |    FROM $src)
        |  WHERE ark <= $refineK),
        |refq AS (
        |  SELECT query_id, neighbor_id, CAST(rk AS INT) AS rk FROM (
@@ -2050,8 +2080,14 @@ object VectorOps {
     * unreferenced leg CTE (e.g. `sq8q` under [[IdxRecallVariants]]) is
     * never evaluated by DuckDB. A `def` (not a val) on purpose: it
     * interpolates fragment vals and object-init order must not matter. */
-  private def annRecallSql(sampleN: Option[Int],
-      variants: Seq[(String, String, String)] = InlineRecallVariants): String = {
+  /** The recall oracles' shared TAIL — the deterministic sampled-query
+    * cut (`recall_samp` over brutq, the engine's phash order) and the
+    * per-variant hit/denominator union + final select. Factored out so
+    * the inline builder and the residual builder count hits through ONE
+    * piece of SQL. The caller's CTE list must end WITHOUT a trailing
+    * comma (the cut CTE carries its own leading one). */
+  private def recallUnionSql(sampleN: Option[Int],
+      variants: Seq[(String, String, String)]): String = {
     val sampCte = sampleN.map { n =>
       s""",
          |recall_samp AS MATERIALIZED (
@@ -2077,6 +2113,16 @@ object VectorOps {
            |           AS n_hits,
            |         CAST($nBrute AS BIGINT) AS n_brute""".stripMargin
       }.mkString("\n  UNION ALL\n")
+    s"""$sampCte
+       |SELECT variant, n_hits, n_brute,
+       |       round(CAST(n_hits AS DOUBLE) / n_brute, 4) AS recall_at_5
+       |FROM (
+       |$union)
+       |ORDER BY variant""".stripMargin
+  }
+
+  private def annRecallSql(sampleN: Option[Int],
+      variants: Seq[(String, String, String)] = InlineRecallVariants): String = {
     s"WITH ${lshCtes(LshProbes)}, $ivfCtes, $bruteCte,\n" +
       s"$pqCtesBody,\n$adcCtes,\n$sq8Ctes,\n" +
       s"$ivfAdcCtes,\n${refineCtes(AdcRefineK)}," + s"""
@@ -2100,12 +2146,29 @@ object VectorOps {
         |           row_number() OVER (PARTITION BY query_id
         |             ORDER BY dist ASC, neighbor_id) AS rk
         |    FROM padc)
-        |  WHERE rk <= 5)$sampCte
-        |SELECT variant, n_hits, n_brute,
-        |       round(CAST(n_hits AS DOUBLE) / n_brute, 4) AS recall_at_5
-        |FROM (
-        |$union)
-        |ORDER BY variant""".stripMargin
+        |  WHERE rk <= 5)""".stripMargin +
+      recallUnionSql(sampleN, variants)
+  }
+
+  /** The RESIDUAL artifact's recall oracle (q_ann_recall_res_idx): the
+    * shared ivf/lsh/brute legs (identical to the raw artifact's — same
+    * geometry, same corpus), then the residual ADC chain
+    * ([[resAdcCtes]], shared VERBATIM with the standalone residual
+    * oracle) with its top-5 (`ivfadcq` over `radc`) and its refine
+    * ([[refineCtes]] pointed at `radc`), counted through the SAME
+    * [[recallUnionSql]] tail. No raw PQ chain in this WITH list — the
+    * residual chain reuses its CTE names. */
+  private def annRecallResSql(sampleN: Option[Int]): String = {
+    s"WITH ${lshCtes(LshProbes)}, $ivfCtes, $bruteCte,\n" +
+      s"$resAdcCtes,\n${refineCtes(AdcRefineK, "radc")}," + s"""
+        |ivfadcq AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |           row_number() OVER (PARTITION BY query_id
+        |             ORDER BY dist ASC, neighbor_id) AS rk
+        |    FROM radc)
+        |  WHERE rk <= 5)""".stripMargin +
+      recallUnionSql(sampleN, IdxRecallVariants)
   }
 
   val oracles: Map[String, String] = baseOracles ++ Map(
