@@ -404,12 +404,19 @@ object VectorOps {
     * (q_ann_recall_idx), so the two can never cut different query sets;
     * the oracle's `recall_samp` CTE replays the same order. */
   private def sampledQueryPred(s: SparkSession, d: String, nq: Int,
-      basePred: Column = AnnQueryPred): Column = {
-    val ids = Tables.embeddings(s, d).filter(basePred)
+      basePred: Column = AnnQueryPred, memo: Boolean = true): Column = {
+    def derive = Tables.embeddings(s, d).filter(basePred)
       .select(col("vec_id"))
       .withColumn("ph", Tables.phash(col("vec_id")))
       .orderBy(col("ph"), col("vec_id")).limit(nq)
       .collect().map(_.getLong(0)).toSeq
+    // the three registered recall audits cut the SAME deterministic id
+    // set — session-memoized so the tiny collect runs once, not once per
+    // audit (r15 review). The dial instrument's custom basePred bypasses
+    // the memo (memo = false via annRecall's keyTag).
+    val ids =
+      if (memo) graft.SharedPlans.once(s, s"ann_sample_ids|$d|$nq")(derive)
+      else derive
     basePred && col("vec_id").isin(ids.map(Long.box): _*)
   }
 
@@ -431,7 +438,8 @@ object VectorOps {
     // subplan it already holds (r7 note closed).
     val qpred = sampleN match {
       case None => basePred
-      case Some(nq) => sampledQueryPred(s, d, nq, basePred)
+      case Some(nq) =>
+        sampledQueryPred(s, d, nq, basePred, memo = keyTag.isEmpty)
     }
     val tag = keyTag + sampleN.fold("")(n => s"@s$n")
     def leg(name: String, build: Column => Q): DataFrame =

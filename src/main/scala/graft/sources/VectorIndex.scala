@@ -91,7 +91,7 @@ object VectorIndex {
     * probes fall back to the full scan and the next merge rewrites it
     * under the current layout. */
   final case class Meta(n: Long, width: Int, probes: Int, cap: Long,
-      cells: Int, parts: Int)
+      cells: Int, parts: Int, pqres: Boolean = false)
 
   /** What a [[mergePublishStats]] actually wrote, per partitioned
     * dataset: how many partition directories were REWRITTEN (dirty — they
@@ -249,8 +249,13 @@ object VectorIndex {
     // (legacy) instead of crashing — probes degrade to the full scan
     val parts =
       if (df.schema.fieldNames.contains("parts")) r.getAs[Int]("parts") else 0
+    // pre-residual artifacts have no `pqres` field: raw-encoded (same
+    // legacy convention as `parts`) — ONE meta read serves geometry,
+    // layout AND encode mode, so the searches never pay a second scan
+    val pqres = df.schema.fieldNames.contains("pqres") &&
+      r.getAs[Boolean]("pqres")
     Meta(r.getAs[Long]("n"), r.getAs[Int]("width"), r.getAs[Int]("probes"),
-      r.getAs[Long]("cap"), r.getAs[Int]("cells"), parts)
+      r.getAs[Long]("cap"), r.getAs[Int]("cells"), parts, pqres)
   }
 
   /** The active bucket table, WITHOUT the layout's partition column —
@@ -295,19 +300,17 @@ object VectorIndex {
     * (m, cell, pc) — driver-small (M·K·subDim floats) at any corpus. */
   /** True iff the active version's PQ pair is RESIDUAL-encoded (books
     * trained and codes computed over x − centroid(cell(x)) instead of
-    * the raw vectors). Read from the `pqres` meta column; artifacts
-    * written before the column existed are raw-encoded — report false,
-    * like the legacy `parts` handling in [[loadMeta]]. The flag decides
-    * the SEARCH-side lookup-table construction ([[searchIvfPq]] /
-    * [[searchIvfPqRefine]]: per-(query, probed cell) residual LUT vs
-    * per-query LUT) and the merge/rebuild encode input — codes and
-    * books are a matched pair, so the flag rides the meta, not the
-    * caller's memory. */
-  def pqResidual(s: SparkSession, dir: String): Boolean = {
-    val df = s.read.parquet(s"$dir/${ver(s, dir)}/meta")
-    df.schema.fieldNames.contains("pqres") &&
-      df.collect()(0).getAs[Boolean]("pqres")
-  }
+    * the raw vectors). Carried as [[Meta.pqres]] (artifacts written
+    * before the column existed read raw, like the legacy `parts`
+    * handling); the flag decides the SEARCH-side lookup-table
+    * construction ([[searchIvfPq]] / [[searchIvfPqRefine]]: per-(query,
+    * probed cell) residual LUT vs per-query LUT) and the merge/rebuild
+    * encode input — codes and books are a matched pair, so the flag
+    * rides the meta, not the caller's memory. This helper is a
+    * convenience read; paths that already hold a Meta use its field
+    * (no second meta scan). */
+  def pqResidual(s: SparkSession, dir: String): Boolean =
+    loadMeta(s, dir).pqres
 
   def loadPqBooks(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/${ver(s, dir)}/pqbooks").select("m", "cell", "pc")
@@ -341,26 +344,33 @@ object VectorIndex {
       val width = VectorOps.lshWidthFor(n)
       val meta = Meta(n, width, VectorOps.LshProbes,
         VectorOps.knnCapFor(n, width), VectorOps.ivfCellsFor(n),
-        layoutPartsFor(n))
+        layoutPartsFor(n), pqres = pq && pqResidual)
       val cent = VectorOps.trainCentroids(s,
         c.filter(Tables.phash(col("vec_id")) % 4 === 0), meta.cells)
-      // PQ books train on the same phash%4 sample discipline as the
-      // centroids (trainPqCodebooks applies the filter itself), frozen
-      // at publish exactly like the centroids — merges encode against
-      // them, a rebuild retrains. RESIDUAL mode trains them on the
-      // x − centroid(cell(x)) frame instead of the raw vectors
-      // ([[VectorOps.residualFrame]]): canonical IVFADC, same machinery.
-      val books =
-        if (!pq) None
-        else if (pqResidual)
-          Some(VectorOps.trainPqCodebooks(s,
-            VectorOps.residualFrame(
-              VectorOps.assignCells(c, cent)
-                .select(col("cell"), col("vec_id"), col("embedding")),
-              cent),
-            subDimOf(c)))
-        else Some(VectorOps.trainPqCodebooks(s, c, subDimOf(c)))
-      publishWith(s, c, dir, meta, cent, books, pqResidual)
+      // the cell assignment (corpus × centroids argmin) is computed ONCE
+      // and persisted: residual book training reads it here and the
+      // publish's cells dataset + residual encode reuse it below —
+      // without the handoff a residual publish paid the assignment and
+      // the zip_with subtraction twice (r15 review)
+      val cells = graft.Caching.persist(
+        VectorOps.assignCells(c, cent)
+          .select(col("cell"), col("vec_id"), col("embedding")))
+      try {
+        // PQ books train on the same phash%4 sample discipline as the
+        // centroids (trainPqCodebooks applies the filter itself), frozen
+        // at publish exactly like the centroids — merges encode against
+        // them, a rebuild retrains. RESIDUAL mode trains them on the
+        // x − centroid(cell(x)) frame instead of the raw vectors
+        // ([[VectorOps.residualFrame]]): canonical IVFADC, same
+        // machinery.
+        val books =
+          if (!pq) None
+          else if (pqResidual)
+            Some(VectorOps.trainPqCodebooks(s,
+              VectorOps.residualFrame(cells, cent), subDimOf(c)))
+          else Some(VectorOps.trainPqCodebooks(s, c, subDimOf(c)))
+        publishWith(s, c, dir, meta, cent, books, Some(cells))
+      } finally cells.unpersist()
     } finally c.unpersist()
   }
 
@@ -391,21 +401,24 @@ object VectorIndex {
   private[graft] def publishWith(s: SparkSession, corpus: DataFrame,
       dir: String, meta: Meta, cent: DataFrame,
       pqBooks: Option[DataFrame] = None,
-      pqResidual: Boolean = false): Meta = {
+      cellsPre: Option[DataFrame] = None): Meta = {
     GraftFunctions.register(s)
     val buckets = VectorOps.cappedBuckets(corpus, meta.width, meta.cap,
       "vec_id", "embedding")
-    val cells = VectorOps.assignCells(corpus, cent)
-      .select(col("cell"), col("vec_id"), col("embedding"))
+    // `cellsPre`: a caller that already assigned (and persisted) the
+    // cells hands them in — publishFrom's residual path trains books on
+    // the same frame. The encode mode follows meta.pqres: books and
+    // codes are a matched pair recorded in the version's meta.
+    val cells = cellsPre.getOrElse(VectorOps.assignCells(corpus, cent)
+      .select(col("cell"), col("vec_id"), col("embedding")))
     val codes = pqBooks.map { books =>
       val encodeInput =
-        if (pqResidual) VectorOps.residualFrame(cells, cent) else corpus
+        if (meta.pqres) VectorOps.residualFrame(cells, cent) else corpus
       VectorOps.pqEncode(encodeInput, books, subDimOf(corpus))
         .join(cells.select("cell", "vec_id"), Seq("vec_id"))
         .select("cell", "vec_id", "c0", "c1", "c2", "c3")
     }
-    writeVersion(s, dir, meta, buckets, cent, cells, pqBooks, codes,
-      pqResidual)
+    writeVersion(s, dir, meta, buckets, cent, cells, pqBooks, codes)
   }
 
   /** Write all four datasets as the next immutable version, then flip the
@@ -417,14 +430,13 @@ object VectorIndex {
   private def writeVersion(s: SparkSession, dir: String, meta: Meta,
       buckets: DataFrame, cent: DataFrame, cells: DataFrame,
       pqBooks: Option[DataFrame] = None,
-      codes: Option[DataFrame] = None,
-      pqRes: Boolean = false): Meta = {
+      codes: Option[DataFrame] = None): Meta = {
     import s.implicits._
     val v = s"v${StorageOps.nextVersion(s, dir)}"
     // `pqres` marks residual-encoded books/codes (see [[pqResidual]]);
     // artifacts written before the column existed read as raw-encoded
     Seq((meta.n, meta.width, meta.probes, meta.cap, meta.cells, meta.parts,
-        pqRes))
+        meta.pqres))
       .toDF("n", "width", "probes", "cap", "cells", "parts", "pqres")
       .write.mode("errorifexists").parquet(s"$dir/$v/meta")
     buckets.select("bucket", "vec_id", "embedding")
@@ -585,7 +597,7 @@ object VectorIndex {
           // clean partition directories hard-copied from the previous one
           import s.implicits._
           val meta2 = m.copy(n = n2)
-          val pqRes = pqB.isDefined && pqResidual(s, dir)
+          val pqRes = pqB.isDefined && m.pqres
           val v = s"v${StorageOps.nextVersion(s, dir)}"
           Seq((meta2.n, meta2.width, meta2.probes, meta2.cap, meta2.cells,
               meta2.parts, pqRes))
@@ -654,7 +666,7 @@ object VectorIndex {
   private def mergeFullRewrite(s: SparkSession, dir: String, m: Meta,
       b: DataFrame, ids: DataFrame, cent: DataFrame,
       pqBooks: Option[DataFrame]): Meta = {
-    val pqRes = pqBooks.isDefined && pqResidual(s, dir)
+    val pqRes = pqBooks.isDefined && m.pqres
     val mergedCells = graft.Caching.persist(
       loadCells(s, dir).join(ids, Seq("vec_id"), "left_anti")
         .unionByName(VectorOps.assignCells(b, cent)
@@ -678,8 +690,9 @@ object VectorIndex {
       // `parts` is layout-only, so unlike the frozen geometry it is
       // re-derived at the merged count (keys stay valid either way).
       val n2 = mergedCells.count()
-      writeVersion(s, dir, m.copy(n = n2, parts = layoutPartsFor(n2)),
-        mergedBuckets, cent, mergedCells, pqBooks, codes, pqRes)
+      writeVersion(s, dir,
+        m.copy(n = n2, parts = layoutPartsFor(n2), pqres = pqRes),
+        mergedBuckets, cent, mergedCells, pqBooks, codes)
     } finally mergedCells.unpersist()
   }
 
@@ -752,8 +765,7 @@ object VectorIndex {
     val rebuilt =
       if (needsRebuild(merged) || recallBelowFloor) {
         publishFrom(s, loadCells(s, dir).select("vec_id", "embedding"),
-          dir, pq = hasPq(s, dir),
-          pqResidual = hasPq(s, dir) && pqResidual(s, dir))
+          dir, pq = hasPq(s, dir), pqResidual = merged.pqres)
         true
       } else false
     compactIfFragmented(s, dir)
@@ -798,8 +810,7 @@ object VectorIndex {
     writeVersion(s, dir, loadMeta(s, dir),
       loadBuckets(s, dir), loadCentroids(s, dir), loadCells(s, dir),
       if (pq) Some(loadPqBooks(s, dir)) else None,
-      if (pq) Some(loadCodes(s, dir)) else None,
-      pq && pqResidual(s, dir))
+      if (pq) Some(loadCodes(s, dir)) else None)
     true
   }
 
@@ -1035,7 +1046,7 @@ object VectorIndex {
     val q0 = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     val (small, hint) = batchGate(knownBatchRows, q0.count(), broadcastRowLimit)
-    val res = pqResidual(s, dir)
+    val res = m.pqres
     // the probed-cell ranking; in RESIDUAL mode the matched centroid
     // rides along (the branch below subtracts it per probed cell) — the
     // raw branch never carries the float array through the per-query
@@ -1110,7 +1121,7 @@ object VectorIndex {
     val q0 = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     val (small, hint) = batchGate(knownBatchRows, q0.count(), broadcastRowLimit)
-    val res = pqResidual(s, dir)
+    val res = m.pqres
     // qe rides along (unlike searchIvfPq): the refine stage needs the
     // query floats for the exact re-rank; the centroid only in RESIDUAL
     // mode (the raw ranking exchange never carries the unused array)
@@ -1126,11 +1137,15 @@ object VectorIndex {
     // stage itself is mode-blind (exact cosine over stored floats)
     val withLut =
       if (res)
-        ranked.select("query_id", "qe", "qcell")
-          .join(VectorOps.pqLutPerCell(
-            ranked.select(col("query_id"), col("qcell"),
-              VectorOps.residualExpr("qe", "centroid").as("embedding")),
-            books, subDim), Seq("query_id", "qcell"))
+        // the LUT frame consumes `ranked` ONCE; qe reattaches from the
+        // cheap base query frame (a pure function of query_id), so the
+        // centroid join + per-query window ranking is not planned twice
+        // on either side of a self-join (r15 review)
+        VectorOps.pqLutPerCell(
+          ranked.select(col("query_id"), col("qcell"),
+            VectorOps.residualExpr("qe", "centroid").as("embedding")),
+          books, subDim)
+          .join(q0, Seq("query_id"))
       else ranked.select("query_id", "qe", "qcell")
         .join(VectorOps.pqLut(
           q0.select(col("query_id").as("vec_id"), col("qe").as("embedding")),
@@ -1222,33 +1237,41 @@ object VectorIndex {
         .filter(col("rk") <= k)
         .select("query_id", "neighbor_id")
     }
-    def stats(name: String, approx: DataFrame): DataFrame = {
-      // 1-row aggregates; the crossJoin broadcasts one row (the inline
-      // q_ann_recall stats shape)
-      val hits = brute.join(approx.select("query_id", "neighbor_id"),
-          Seq("query_id", "neighbor_id"), "left_semi")
-        .agg(count(lit(1)).as("n_hits"))
-      val total = brute.agg(count(lit(1)).as("n_brute"))
-      hits.crossJoin(total)
-        .select(lit(name).as("variant"), col("n_hits"), col("n_brute"),
-          // NULL (not an ANSI divide-by-zero) when the brute baseline is
-          // empty, so a misconfigured audit surfaces as "no rows" at the
-          // caller's null check instead of a mid-plan arithmetic error
-          when(col("n_brute") > 0,
-            round(col("n_hits").cast("double") / col("n_brute"), 4))
-            .as(s"recall_at_$k"))
-    }
-    val base =
-      stats("ivf", leg("ivf")(searchIvf(s, dir, queries, k, nprobe)))
-        .unionAll(stats("lsh", leg("lsh")(searchLsh(s, dir, queries, k))))
-    val all =
-      if (hasPq(s, dir))
-        base
-          .unionAll(stats("ivfadc",
-            leg("ivfadc")(searchIvfPq(s, dir, queries, k, nprobe))))
-          .unionAll(stats("refine", leg("refine")(
-            searchIvfPqRefine(s, dir, queries, k, nprobe, refineK))))
-      else base
-    all.orderBy("variant")
+    val legs: Seq[(String, DataFrame)] =
+      Seq("ivf" -> leg("ivf")(searchIvf(s, dir, queries, k, nprobe)),
+        "lsh" -> leg("lsh")(searchLsh(s, dir, queries, k))) ++
+      (if (hasPq(s, dir))
+        Seq("ivfadc" -> leg("ivfadc")(searchIvfPq(s, dir, queries, k, nprobe)),
+          "refine" -> leg("refine")(
+            searchIvfPqRefine(s, dir, queries, k, nprobe, refineK)))
+      else Nil)
+    // ONE hit-counting pass over the UNION of the legs: the brute
+    // baseline subplan appears exactly twice in the collected plan (the
+    // 1-row denominator + the semi join) instead of twice PER VARIANT —
+    // without a shareTag the un-persisted O(|queries| x corpus) brute
+    // scan would otherwise re-execute 2x4 times (r15 review; the
+    // maintain recall gate runs exactly this un-shared path every
+    // ingest cycle). A variant with zero hits keeps its row through the
+    // left join + fill.
+    import s.implicits._
+    val approxAll = legs.map { case (name, df) =>
+      df.select(lit(name).as("variant"), col("query_id"), col("neighbor_id"))
+    }.reduce(_.unionAll(_))
+    val hits = approxAll
+      .join(brute, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("variant").agg(count(lit(1)).as("n_hits"))
+    val total = brute.agg(count(lit(1)).as("n_brute"))
+    legs.map(_._1).toDF("variant")
+      .join(hits, Seq("variant"), "left_outer")
+      .na.fill(0L, Seq("n_hits"))
+      .crossJoin(broadcast(total))
+      .select(col("variant"), col("n_hits"), col("n_brute"),
+        // NULL (not an ANSI divide-by-zero) when the brute baseline is
+        // empty, so a misconfigured audit surfaces as "no rows" at the
+        // caller's null check instead of a mid-plan arithmetic error
+        when(col("n_brute") > 0,
+          round(col("n_hits").cast("double") / col("n_brute"), 4))
+          .as(s"recall_at_$k"))
+      .orderBy("variant")
   }
 }

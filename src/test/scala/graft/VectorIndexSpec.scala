@@ -531,9 +531,12 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(VectorIndex.loadPqBooks(spark, dir)
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2)))
       .toSet == books0.toSet, "merge retrained the frozen residual books")
+    // m1 carries pqres = true (the mode rides the Meta, not a caller
+    // flag), so the frozen rebuild encodes residuals
+    assert(m1.pqres, "merge returned a Meta without the residual mode")
     VectorIndex.publishWith(spark, even.unionByName(odd), dirR, m1,
       VectorIndex.loadCentroids(spark, dir),
-      Some(VectorIndex.loadPqBooks(spark, dir)), pqResidual = true)
+      Some(VectorIndex.loadPqBooks(spark, dir)))
     assert(codeRows(VectorIndex.loadCodes(spark, dir)) ==
       codeRows(VectorIndex.loadCodes(spark, dirR)),
       "merged residual codes diverged from the frozen rebuild")
