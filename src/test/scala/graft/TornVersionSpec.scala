@@ -3,13 +3,14 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.sources.{FingerprintIndex, StorageOps, VectorIndex}
+import graft.sources.{DedupIndex, FingerprintIndex, StorageOps, VectorIndex}
 
-/** Torn-version CRASH RECOVERY for the two index families that lacked it
-  * (r15 verdict #3; DedupIndexSpec pins the third): a publish or merge
-  * that dies between its dataset writes and the meta/pointer commit
-  * leaves a PARTIAL version directory — the recovery path a production
-  * ingest eventually takes. The contract, per family:
+/** Torn-version CRASH RECOVERY for all three index families (r15
+  * verdict #3; DedupIndexSpec separately pins the torn-READ gate — a
+  * partitioned dir without meta reads as unpublished): a publish or
+  * merge that dies between its dataset writes and the meta/pointer
+  * commit leaves a PARTIAL version directory — the recovery path a
+  * production ingest eventually takes. The contract, per family:
   *
   *   - INVISIBLE: the pointer never moved, so readers keep the previous
   *     version — same rows, [[FingerprintIndex.isPublished]]/
@@ -88,6 +89,31 @@ class TornVersionSpec extends AnyFunSuite {
     assert(groupRows(FingerprintIndex.loadGroups(spark, dir)) ==
       groupRows(FingerprintIndex.loadGroups(spark, ref)),
       "recovered merge result diverged from a from-scratch publish")
+    spark.catalog.clearCache()
+  }
+
+  test("text dedup index: torn version is invisible, skipped, pruned; " +
+      "recovered index holds the full merged corpus") {
+    val full = Tables.documents(spark, d).select(col("doc_id"), col("text"))
+    val root = s"${java.nio.file.Files
+      .createTempDirectory("graft-torn-text")}/root"
+    DedupIndex.publishVersionedFrom(spark,
+      full.filter(col("doc_id") % 3 === 0), root)
+    assertTornRecovery(root,
+      published = () => DedupIndex.isPublishedVersioned(spark, root),
+      rows = () => DedupIndex
+        .loadDocs(spark, DedupIndex.currentDir(spark, root)).count(),
+      // the crash window: the docs dataset landed, bands/meta did not
+      writeTorn = () => spark.read.parquet(s"$root/v1/docs")
+        .write.parquet(s"$root/v2/docs"),
+      maintain1 = () => DedupIndex.maintain(spark, root,
+        full.filter(col("doc_id") % 3 === 1)),
+      maintain2 = () => DedupIndex.maintain(spark, root,
+        full.filter(col("doc_id") % 3 === 2)))
+    assert(DedupIndex
+      .loadDocs(spark, DedupIndex.currentDir(spark, root)).count() ==
+      full.count(),
+      "recovered index lost corpus members across the torn-version cycle")
     spark.catalog.clearCache()
   }
 
