@@ -413,9 +413,13 @@ object VectorOps {
     // the three registered recall audits cut the SAME deterministic id
     // set — session-memoized so the tiny collect runs once, not once per
     // audit (r15 review). The dial instrument's custom basePred bypasses
-    // the memo (memo = false via annRecall's keyTag).
+    // the memo (memo = false via annRecall's keyTag); the key additionally
+    // folds the predicate's canonical string in, so a future memoized call
+    // with a non-default basePred can never be handed another predicate's
+    // cached id set (r15 ADVICE).
     val ids =
-      if (memo) graft.SharedPlans.once(s, s"ann_sample_ids|$d|$nq")(derive)
+      if (memo) graft.SharedPlans.once(s,
+        s"ann_sample_ids|$d|$nq|$basePred")(derive)
       else derive
     basePred && col("vec_id").isin(ids.map(Long.box): _*)
   }
@@ -652,30 +656,64 @@ object VectorOps {
 
   // ---- product quantization (PQ) --------------------------------------
 
-  /** PQ geometry: [[PqSubspaces]] equal slices of the embedding, each
-    * encoded as the index of its nearest sub-codebook centroid (squared
-    * L2 — the PQ metric), [[PqCodebookSize]] centroids per subspace.
-    * 4 × 4-bit codes pack one fixture vector into 16 bits — a 128×
-    * compression of the 64-float embedding; a production deployment
-    * raises M and K (16 × 256 → 16 bytes per kilodim vector), which
-    * changes nothing structural: codebooks stay M·K·(dim/M) floats —
-    * driver-small however large the corpus — and training/encode keep
-    * the same two plan shapes. Training mirrors [[trainCentroids]]:
-    * phash-sampled seeds, the same fixed [[LloydRounds]] (unrolled in
-    * the oracle), with all M subspaces trained in ONE (m, cell)-keyed
-    * plan rather than M passes over the corpus. Centroids round through
-    * FLOAT between rounds (the trainCentroids convention) — the cast
-    * absorbs last-ulp accumulation-order differences, which is what
-    * keeps the DuckDB replay bit-identical. */
-  val PqSubspaces = 4
-  val PqCodebookSize = 16
+  /** PQ geometry: M = [[pqSubspacesFor]](dim) equal slices of the
+    * embedding, each encoded as the index of its nearest sub-codebook
+    * centroid (squared L2 — the PQ metric), K = [[pqCodebookFor]](n)
+    * centroids per subspace. Both knobs are SCHEDULES, not constants
+    * (r15 verdict #2): the fixture's 64-dim vectors slice into 8
+    * 8-dim sub-vectors, and K climbs the power-of-two ladder with the
+    * corpus toward the canonical 8-bit subquantizer — codebooks stay
+    * M·K·(dim/M) floats, driver-small however large the corpus, and
+    * training/encode keep the same two plan shapes at every budget.
+    * Training mirrors [[trainCentroids]]: phash-sampled seeds, the same
+    * fixed [[LloydRounds]] (unrolled in the oracle), with all M
+    * subspaces trained in ONE (m, cell)-keyed plan rather than M passes
+    * over the corpus. Centroids round through FLOAT between rounds (the
+    * trainCentroids convention) — the cast absorbs last-ulp
+    * accumulation-order differences, which is what keeps the DuckDB
+    * replay bit-identical. */
+  val PqTargetSubDim = 8
+  val PqMaxSubspaces = 16
+  val PqMinCodebook = 16
+  val PqMaxCodebook = 256
+  val PqTrainPerCentroid = 8L
 
-  /** Per-(vector, subspace) slice rows (vec_id, m, sv) — the shared
-    * input shape of PQ training and encode. Pure codegen'd projection +
-    * explode: zero shuffle. */
-  private[graft] def pqSubRows(e: DataFrame, subDim: Int): DataFrame =
+  /** PQ subspace count from the embedding dimension — scheduled BY CODE
+    * like every other geometry knob (the r15 verdict #2 rule: "width
+    * grows with the corpus by code, not by advice"): the divisor m of
+    * `dim` (m <= [[PqMaxSubspaces]]) whose sub-vector width dim/m lands
+    * closest to the canonical [[PqTargetSubDim]] (Jégou et al. train
+    * 8-16-dim subquantizers), ties to the smaller m. Integer-exact —
+    * the oracle's `nm` CTE ranks the same divisors by the same key, so
+    * the engines cannot disagree at a divisor boundary. dim 64 → m = 8
+    * (8-dim sub-vectors); dim 128 → 16. */
+  def pqSubspacesFor(dim: Int): Int =
+    (1 to math.min(dim, PqMaxSubspaces)).filter(dim % _ == 0)
+      .minBy(m => (math.abs(dim / m - PqTargetSubDim), m))
+
+  /** PQ sub-codebook size from the corpus count: the largest power-of-
+    * two K in [[[PqMinCodebook]], [[PqMaxCodebook]]] whose Lloyd
+    * training keeps at least [[PqTrainPerCentroid]] sample vectors per
+    * sub-centroid (the phash%4 sample is n/4 rows, so the predicate is
+    * K · [[PqTrainPerCentroid]] · 4 <= n). K reaches the canonical
+    * 8-bit subquantizer (256) once the corpus affords it — n >= 8192 —
+    * and floors at 16 below; the oracle's `nk` CTE searches the same
+    * power-of-two ladder against the same count. Replaces the fixed
+    * 4-bit budget whose 0.04-0.08 ADC recall floor the r15 verdict
+    * flagged. */
+  def pqCodebookFor(n: Long): Int = {
+    var k = PqMaxCodebook
+    while (k > PqMinCodebook && k * PqTrainPerCentroid * 4 > n) k >>= 1
+    k
+  }
+
+  /** Per-(vector, subspace) slice rows (vec_id, m, sv) at the given
+    * subspace count — the shared input shape of PQ training and encode.
+    * Pure codegen'd projection + explode: zero shuffle. */
+  private[graft] def pqSubRows(e: DataFrame, subDim: Int,
+      nm: Int): DataFrame =
     e.select(col("vec_id"), posexplode(expr(
-        s"""transform(sequence(0, ${PqSubspaces - 1}),
+        s"""transform(sequence(0, ${nm - 1}),
            |          m -> slice(embedding, m * $subDim + 1, $subDim))"""
           .stripMargin)))
       .withColumnRenamed("pos", "m")
@@ -690,29 +728,29 @@ object VectorOps {
       |                      * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
       |          0D, (acc, v) -> acc + v)""".stripMargin)
 
-  /** Train the M sub-codebooks over (a sample of) `e` — returns
-    * (m, cell, pc) with FLOAT centroid arrays. Seeds are the
-    * [[PqCodebookSize]] smallest-phash sample vectors sliced per
-    * subspace (one shared seed ORDER across subspaces); each Lloyd round
-    * is one broadcast-join assignment pass + one (m, cell) vector_avg
-    * exchange, collected (M·K·subDim floats — driver-small) to keep
-    * per-round lineage flat, exactly like [[trainCentroids]]. */
+  /** Train the `nm` sub-codebooks over (a sample of) `e` — returns
+    * (m, cell, pc) with FLOAT centroid arrays. Seeds are the `nk`
+    * smallest-phash sample vectors sliced per subspace (one shared seed
+    * ORDER across subspaces); each Lloyd round is one broadcast-join
+    * assignment pass + one (m, cell) vector_avg exchange, collected
+    * (M·K·subDim floats — driver-small) to keep per-round lineage flat,
+    * exactly like [[trainCentroids]]. */
   private[graft] def trainPqCodebooks(s: SparkSession, e: DataFrame,
-      subDim: Int): DataFrame = {
+      subDim: Int, nm: Int, nk: Int): DataFrame = {
     import s.implicits._
     def toDf(rows: Seq[(Int, Int, Seq[Float])]): DataFrame =
       rows.toDF("m", "cell", "pc")
     val sample = e.filter(Tables.phash(col("vec_id")) % 4 === 0)
     val seedRows = sample
       .withColumn("hk", Tables.phash(col("vec_id")))
-      .orderBy("hk", "vec_id").limit(PqCodebookSize)
+      .orderBy("hk", "vec_id").limit(nk)
       .select("embedding").collect()
       .map(_.getSeq[Float](0))
     var cent = toDf(for {
       (emb, i) <- seedRows.zipWithIndex.toSeq
-      m <- 0 until PqSubspaces
+      m <- 0 until nm
     } yield (m, i, emb.slice(m * subDim, (m + 1) * subDim).toSeq))
-    val samp = graft.Caching.persist(pqSubRows(sample, subDim))
+    val samp = graft.Caching.persist(pqSubRows(sample, subDim, nm))
     try {
       for (_ <- 1 to LloydRounds) {
         cent = toDf(
@@ -734,71 +772,84 @@ object VectorOps {
     } finally samp.unpersist()
   }
 
-  /** Session-memoized PQ geometry for corpus `d`: (subDim, codebooks).
-    * Training is deterministic (PqSpec pins retrain bit-equality), so
-    * q_embed_pq and the ADC search share ONE training per session —
-    * the [[graft.SharedPlans]] contract. */
-  private[graft] def pqBooksFor(s: SparkSession, d: String): (Int, DataFrame) = {
+  /** Session-memoized PQ geometry for corpus `d`:
+    * (subDim, M, K, codebooks) at the SCHEDULED budget
+    * ([[pqSubspacesFor]](dim), [[pqCodebookFor]](n)). Training is
+    * deterministic (PqSpec pins retrain bit-equality), so q_embed_pq
+    * and the ADC search share ONE training per session — the
+    * [[graft.SharedPlans]] contract. */
+  private[graft] def pqBooksFor(
+      s: SparkSession, d: String): (Int, Int, Int, DataFrame) = {
     GraftFunctions.register(s)
     val e = Tables.spread(s, Tables.embeddings(s, d))
     val dim = e.select(size(col("embedding")).as("n")).limit(1)
       .collect()(0).getInt(0)
-    require(dim % PqSubspaces == 0,
-      s"embedding dim $dim not divisible into $PqSubspaces subspaces")
-    val subDim = dim / PqSubspaces
-    (subDim,
+    val nm = pqSubspacesFor(dim)
+    val nk = pqCodebookFor(corpusSize(s, d))
+    val subDim = dim / nm
+    (subDim, nm, nk,
       graft.SharedPlans.shared(s, s"pq_books|$d")(
-        trainPqCodebooks(s, e, subDim)))
+        trainPqCodebooks(s, e, subDim, nm, nk)))
   }
 
-  /** PQ-encode the corpus: per-subspace argmin code (squared L2, ties to
-    * the lowest cell) against the broadcast codebooks, packed
-    * little-endian (subspace m in bits [4m, 4m+4)). Integer-only output
-    * — the oracle replays the unrolled per-subspace Lloyd and packs the
-    * same argmin codes. Scale shape: codebooks broadcast (driver-small
-    * at any corpus), encode is one map-side scoring pass + one
-    * (vec_id, m)-keyed rank — a billion-vector corpus encodes in one
-    * linear pass, and the 16-bit codes are what an ADC re-scorer
-    * ([[qEmbedPqSearch]]) or a memory-resident index actually stores. */
+  /** PQ-encode the corpus at the scheduled budget: per-subspace argmin
+    * code (squared L2, ties to the lowest cell) against the broadcast
+    * codebooks, presented as the portable `cs` string (codes joined
+    * m-ascending, 'c0:c1:…') — the oracle replays the unrolled
+    * per-subspace Lloyd and string-aggregates the same argmin codes.
+    * Scale shape: codebooks broadcast (driver-small at any corpus),
+    * encode is one map-side scoring pass + one (vec_id, m)-keyed rank —
+    * a billion-vector corpus encodes in one linear pass, and the
+    * M·log2(K)-bit codes are what an ADC re-scorer ([[qEmbedPqSearch]])
+    * or the published index's `codes` dataset actually stores. */
   private val qEmbedPq: Q = (s, d) => {
     GraftFunctions.register(s)
-    val e = graft.Caching.persist(Tables.spread(s, Tables.embeddings(s, d)))
-    val (subDim, books) = pqBooksFor(s, d)
-    pqEncode(e, books, subDim).orderBy("vec_id")
+    sharedPqCodes(s, d)
+      .select(col("vec_id"),
+        expr("array_join(transform(code, c -> CAST(c AS STRING)), ':')")
+          .as("cs"))
+      .orderBy("vec_id")
   }
 
   /** PQ-encode `e` (vec_id, embedding) against `books` — the shared
     * argmin pass of q_embed_pq and the published-index codes dataset
     * ([[graft.sources.VectorIndex]] stores exactly these rows): per
     * subspace the squared-L2 argmin code (ties to the lowest cell)
-    * against the broadcast codebooks, plus the packed little-endian
-    * `code`. One map-side scoring pass + one (vec_id, m)-keyed rank —
-    * linear at any corpus. */
+    * against the broadcast codebooks, assembled m-ascending into the
+    * `code` array (array_sort over (m, cell) structs — m is the leading
+    * struct field, so the sort IS the subspace order). One map-side
+    * scoring pass + one (vec_id, m)-keyed rank — linear at any corpus
+    * and any (M, K) budget. */
   private[graft] def pqEncode(e: DataFrame, books: DataFrame,
-      subDim: Int): DataFrame =
-    pqSubRows(e, subDim).join(broadcast(books), Seq("m"))
+      subDim: Int, nm: Int): DataFrame =
+    pqSubRows(e, subDim, nm).join(broadcast(books), Seq("m"))
       .select(col("vec_id"), col("m"), col("cell"), pqSqDist.as("d2"))
       .withColumn("rk", row_number().over(
         Window.partitionBy("vec_id", "m").orderBy(col("d2").asc, col("cell"))))
       .filter(col("rk") === 1)
       .groupBy("vec_id")
-      .agg(
-        max(when(col("m") === 0, col("cell"))).as("c0"),
-        max(when(col("m") === 1, col("cell"))).as("c1"),
-        max(when(col("m") === 2, col("cell"))).as("c2"),
-        max(when(col("m") === 3, col("cell"))).as("c3"),
-        expr("sum(shiftleft(CAST(cell AS BIGINT), 4 * m))").as("code"))
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(m, cell))), s -> s.cell)")
+        .as("code"))
 
-  /** The session-shared q_embed_pq result frame — the registered query
-    * and the ADC search below consume the same encode. Unlike the other
-    * sharedAnn entries (top-5 row sets) this frame is O(corpus): one
-    * code row per vector — deliberate at fixture scale, where sharing
-    * one encode across the two consumers beats re-encoding, and ~20
-    * bytes/row keeps even sf0.1 trivial. At production scale the codes
-    * do NOT live in a session cache at all: they persist in the
-    * published index ([[graft.sources.VectorIndex]] `codes` dataset,
-    * the q_ann_ivfpq_idx path) and searches scan them from storage. */
-  private val sharedPq: Q = sharedAnn("q_embed_pq", qEmbedPq)
+  /** The session-shared encode frame (vec_id, code) — the registered
+    * q_embed_pq presentation and the ADC search below consume the same
+    * encode. Unlike the other sharedAnn entries (top-5 row sets) this
+    * frame is O(corpus): one code row per vector — deliberate at
+    * fixture scale, where sharing one encode across the two consumers
+    * beats re-encoding, and ~20 bytes/row keeps even sf0.1 trivial. At
+    * production scale the codes do NOT live in a session cache at all:
+    * they persist in the published index ([[graft.sources.VectorIndex]]
+    * `codes` dataset, the q_ann_ivfpq_idx path) and searches scan them
+    * from storage. */
+  private def sharedPqCodes(s: SparkSession, d: String): DataFrame =
+    sharedAnn("pq_codes", (s2, d2) => {
+      GraftFunctions.register(s2)
+      val e = graft.Caching.persist(
+        Tables.spread(s2, Tables.embeddings(s2, d2)))
+      val (subDim, nm, _, books) = pqBooksFor(s2, d2)
+      pqEncode(e, books, subDim, nm)
+    })(s, d)
 
   /** ADC (asymmetric-distance) top-5 search over the PQ codes — the
     * consumer that makes q_embed_pq's 16-bit codes a search artifact.
@@ -819,16 +870,15 @@ object VectorOps {
     * itself is exact-arithmetic (oracle replays the same lookup table
     * and m-ascending addition order). */
   private def embedPqSearchQ(qpred: Column): Q = (s, d) => {
-    val (subDim, books) = pqBooksFor(s, d)
-    val codes = sharedPq(s, d)
-    val k = PqCodebookSize
+    val (subDim, nm, nk, books) = pqBooksFor(s, d)
+    val codes = sharedPqCodes(s, d)
     val lut = pqLut(
-      Tables.embeddings(s, d).filter(qpred), books, subDim)
+      Tables.embeddings(s, d).filter(qpred), books, subDim, nm, nk)
     val w = Window.partitionBy("query_id")
       .orderBy(col("adc").asc, col("neighbor_id"))
     codes.join(broadcast(lut), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        pqAdc(k).as("adc"))
+        pqAdc(nm, nk).as("adc"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 5)
       .select("query_id", "neighbor_id", "rk")
@@ -844,29 +894,29 @@ object VectorOps {
     * the published-index [[graft.sources.VectorIndex.searchIvfPq]]).
     * Q·(M·K) doubles however large the corpus. */
   private[graft] def pqLut(queries: DataFrame, books: DataFrame,
-      subDim: Int): DataFrame = {
-    val k = PqCodebookSize
-    pqSubRows(queries, subDim)
+      subDim: Int, nm: Int, nk: Int): DataFrame =
+    pqSubRows(queries, subDim, nm)
       .join(broadcast(books), Seq("m"))
       .select(col("vec_id").as("query_id"), col("m"), col("cell"),
         pqSqDist.as("d2"))
       .groupBy("query_id")
       .agg(map_from_entries(collect_list(struct(
-          (col("m") * k + col("cell")).as("key"), col("d2").as("value"))))
+          (col("m") * nk + col("cell")).as("key"), col("d2").as("value"))))
         .as("lm"))
       // dense flat array; a cell absent from the books maps to null but
       // is also unreachable (codes are argmins over the same books)
       .select(col("query_id"), expr(
-        s"transform(sequence(0, ${PqSubspaces * k - 1}), " +
+        s"transform(sequence(0, ${nm * nk - 1}), " +
           "i -> element_at(lm, i))").as("lut"))
-  }
 
-  /** The ADC score of a code row against the joined query `lut` — four
-    * codegen'd array lookups summed in subspace order (the exact
-    * addition order the oracle replays). */
-  private[graft] def pqAdc(k: Int) =
-    expr(s"lut[0 * $k + c0] + lut[1 * $k + c1] + " +
-      s"lut[2 * $k + c2] + lut[3 * $k + c3]")
+  /** The ADC score of a `code`-array row against the joined query `lut`
+    * — M codegen'd array lookups summed LITERALLY in subspace order
+    * (the expression is generated at plan time from the known budget,
+    * so whole-stage codegen sees a flat left-associated sum — the exact
+    * addition order the oracle replays; no per-row HOF fold). */
+  private[graft] def pqAdc(nm: Int, nk: Int) =
+    expr((0 until nm)
+      .map(i => s"lut[$i * $nk + code[$i]]").mkString(" + "))
 
   /** RESIDUAL frame (vec_id, embedding) of cell-assigned vectors against
     * their assigned centroid — the canonical-IVFADC encoding input
@@ -903,10 +953,9 @@ object VectorOps {
     * doubles however large the corpus). `q`: (query_id, qcell,
     * embedding = the per-cell query residual). */
   private[graft] def pqLutPerCell(q: DataFrame, books: DataFrame,
-      subDim: Int): DataFrame = {
-    val k = PqCodebookSize
+      subDim: Int, nm: Int, nk: Int): DataFrame =
     q.select(col("query_id"), col("qcell"), posexplode(expr(
-        s"""transform(sequence(0, ${PqSubspaces - 1}),
+        s"""transform(sequence(0, ${nm - 1}),
            |          m -> slice(embedding, m * $subDim + 1, $subDim))"""
           .stripMargin)))
       .withColumnRenamed("pos", "m")
@@ -916,12 +965,11 @@ object VectorOps {
         pqSqDist.as("d2"))
       .groupBy("query_id", "qcell")
       .agg(map_from_entries(collect_list(struct(
-          (col("m") * k + col("cell")).as("key"), col("d2").as("value"))))
+          (col("m") * nk + col("cell")).as("key"), col("d2").as("value"))))
         .as("lm"))
       .select(col("query_id"), col("qcell"), expr(
-        s"transform(sequence(0, ${PqSubspaces * k - 1}), " +
+        s"transform(sequence(0, ${nm * nk - 1}), " +
           "i -> element_at(lm, i))").as("lut"))
-  }
 
   /** Semantic-dedup cell schedule — LINEAR, unlike the IVF search
     * schedule: cells = ceil(n / [[SemTargetCell]]) so expected occupancy
@@ -1197,8 +1245,14 @@ object VectorOps {
   private def fullIndexDir(s: SparkSession, d: String): String =
     graft.SharedPlans.once(s, s"vec_index_full|$d") {
       val dir = vecIndexDir(d, "full")
+      // gtProbe = the audits' deterministic sampled query set: the
+      // publish stores the exact ground truth beside the index (a pass
+      // it is already paying), so q_ann_recall_idx and every armed
+      // maintain cycle read it instead of re-scanning the corpus
       graft.sources.VectorIndex.publishFrom(s,
-        Tables.spread(s, Tables.embeddings(s, d)), dir, pq = true)
+        Tables.spread(s, Tables.embeddings(s, d)), dir, pq = true,
+        gtProbe = Some(Tables.embeddings(s, d)
+          .filter(sampledQueryPred(s, d, RecallSampleN))))
       graft.sources.VectorIndex.pruneVersions(s, dir, keep = 1)
       dir
     }
@@ -1229,7 +1283,9 @@ object VectorOps {
       val dir = vecIndexDir(d, "res")
       graft.sources.VectorIndex.publishFrom(s,
         Tables.spread(s, Tables.embeddings(s, d)), dir, pq = true,
-        pqResidual = true)
+        pqResidual = true,
+        gtProbe = Some(Tables.embeddings(s, d)
+          .filter(sampledQueryPred(s, d, RecallSampleN))))
       graft.sources.VectorIndex.pruneVersions(s, dir, keep = 1)
       dir
     }
@@ -1294,9 +1350,16 @@ object VectorOps {
     val dir = fullIndexDir(s, d)
     val VI = graft.sources.VectorIndex
     val m = VI.loadMeta(s, dir)
+    // the recorded PQ budget joins the health surface (r16): the oracle
+    // recomputes both schedules from the raw table, so an engine/oracle
+    // disagreement at a divisor or ladder boundary fails the gate here
+    // by name, not just as a code-hash mismatch downstream
+    val (pqM, pqK) =
+      if (VI.hasPq(s, dir)) VI.pqBudget(m) else (0, 0)
     val meta = Seq((m.n, m.width, m.cells, m.parts,
-        VI.needsRebuild(m), VI.hasPq(s, dir)))
-      .toDF("n", "width", "cells_sched", "parts", "needs_rebuild", "has_pq")
+        VI.needsRebuild(m), VI.hasPq(s, dir), pqM, pqK))
+      .toDF("n", "width", "cells_sched", "parts", "needs_rebuild",
+        "has_pq", "pq_m", "pq_k")
     val cellAgg = VI.loadCells(s, dir).groupBy("cell").count()
       .agg(count(lit(1)).as("live_cells"),
         max("count").as("max_cell_occ"),
@@ -1315,9 +1378,9 @@ object VectorOps {
       .crossJoin(broadcast(bucketAgg))
       .crossJoin(broadcast(codeAgg))
       .select(col("n"), col("width"), col("cells_sched"), col("parts"),
-        col("needs_rebuild"), col("has_pq"), col("live_cells"),
-        col("max_cell_occ"), col("cell_rows"), col("max_bucket_width"),
-        col("bucket_rows"), col("code_rows"))
+        col("needs_rebuild"), col("has_pq"), col("pq_m"), col("pq_k"),
+        col("live_cells"), col("max_cell_occ"), col("cell_rows"),
+        col("max_bucket_width"), col("bucket_rows"), col("code_rows"))
   }
 
   val queries: Map[String, Q] = Map(
@@ -1333,7 +1396,7 @@ object VectorOps {
     "q_embed_cross_dedup" -> qEmbedCrossDedup,
     "q_embed_neardup_lsh" -> qEmbedNeardupLsh,
     "q_embed_quantize" -> qEmbedQuantize,
-    "q_embed_pq" -> sharedPq,
+    "q_embed_pq" -> qEmbedPq,
     "q_embed_pq_search" -> sharedAnn("q_embed_pq_search", qEmbedPqSearch),
     "q_ann_brute" -> sharedAnn("q_ann_brute", qAnnBrute),
     "q_ann_sq8" -> sharedAnn("q_ann_sq8", qAnnSq8),
@@ -1571,19 +1634,39 @@ object VectorOps {
     * CTE instead of the raw `e` (never fork a replay). */
   private def pqCtesBodyOver(src: String): String = {
     val ph = Tables.phashSql("vec_id")
-    s"""sd AS (SELECT len(emb) // $PqSubspaces AS sd FROM $src LIMIT 1),
+    // nm/nk replay the engine's schedules from the SAME inputs (dim and
+    // corpus count), so the two engines cannot disagree at a divisor or
+    // power-of-two boundary: nm = the divisor of dim closest to the
+    // target sub-width (ties low), nk = the largest ladder K whose Lloyd
+    // sample affords PqTrainPerCentroid rows per centroid (floored)
+    s"""pqdim AS (SELECT len(emb) AS dim FROM $src LIMIT 1),
+       |nm AS (
+       |  SELECT m FROM (
+       |    SELECT m, row_number() OVER (
+       |        ORDER BY abs((SELECT dim FROM pqdim) // m - $PqTargetSubDim)
+       |          ASC, m ASC) AS mrk
+       |    FROM (SELECT unnest(range(1, ${PqMaxSubspaces + 1})) AS m)
+       |    WHERE (SELECT dim FROM pqdim) % m = 0)
+       |  WHERE mrk = 1),
+       |nk AS (
+       |  SELECT max(k) AS k
+       |  FROM (SELECT unnest([16, 32, 64, 128, 256]) AS k)
+       |  WHERE k * ${PqTrainPerCentroid * 4} <= (SELECT count(*) FROM $src)
+       |     OR k = $PqMinCodebook),
+       |sd AS (SELECT (SELECT dim FROM pqdim) // (SELECT m FROM nm) AS sd),
        |sub AS MATERIALIZED (
        |  SELECT vec_id, ms.m,
        |         list_slice(emb, ms.m * (SELECT sd FROM sd) + 1,
        |                    (ms.m + 1) * (SELECT sd FROM sd)) AS sv
-       |  FROM $src, (SELECT unnest(range(0, $PqSubspaces)) AS m) ms),
+       |  FROM $src,
+       |       (SELECT unnest(range(0, (SELECT m FROM nm))) AS m) ms),
        |seedv AS (
        |  SELECT vec_id,
        |         CAST(row_number() OVER (ORDER BY $ph, vec_id) AS INT) - 1
        |           AS cell
        |  FROM $src WHERE $ph % 4 = 0
        |  QUALIFY row_number() OVER (ORDER BY $ph, vec_id)
-       |    <= $PqCodebookSize),
+       |    <= (SELECT k FROM nk)),
        |psamp AS MATERIALIZED (
        |  SELECT * FROM sub WHERE $ph % 4 = 0),
        |pseed AS (
@@ -1607,11 +1690,7 @@ object VectorOps {
   private def pqOracle: String =
     s"""$pqCtes
        |SELECT vec_id,
-       |       CAST(max(CASE WHEN m = 0 THEN cell END) AS INT) AS c0,
-       |       CAST(max(CASE WHEN m = 1 THEN cell END) AS INT) AS c1,
-       |       CAST(max(CASE WHEN m = 2 THEN cell END) AS INT) AS c2,
-       |       CAST(max(CASE WHEN m = 3 THEN cell END) AS INT) AS c3,
-       |       CAST(sum(CAST(cell AS BIGINT) << (4 * m)) AS BIGINT) AS code
+       |       string_agg(CAST(cell AS VARCHAR), ':' ORDER BY m) AS cs
        |FROM enc GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
   /** ADC search replay: per-query M×K lookup table against the trained
@@ -1623,14 +1702,7 @@ object VectorOps {
     * `enc`/`sub`/`pc3` — shared by the standalone search oracle and the
     * recall artifact. */
   private def adcCtes: String =
-    """codes AS (
-      |  SELECT vec_id,
-      |         max(CASE WHEN m = 0 THEN cell END) AS c0,
-      |         max(CASE WHEN m = 1 THEN cell END) AS c1,
-      |         max(CASE WHEN m = 2 THEN cell END) AS c2,
-      |         max(CASE WHEN m = 3 THEN cell END) AS c3
-      |  FROM enc GROUP BY vec_id),
-      |lutd AS (
+    """lutd AS (
       |  SELECT q.vec_id AS query_id, c.m, c.cell,
       |         list_sum(list_transform(range(1, len(q.sv) + 1),
       |           k -> (q.sv[k] - CAST(c.pc[k] AS DOUBLE))
@@ -1638,17 +1710,12 @@ object VectorOps {
       |  FROM (SELECT * FROM sub WHERE vec_id < 10) q
       |  JOIN pc3 c ON q.m = c.m),
       |adc AS (
-      |  SELECT l0.query_id, c.vec_id AS neighbor_id,
-      |         l0.d2 + l1.d2 + l2.d2 + l3.d2 AS dist
-      |  FROM codes c
-      |  JOIN lutd l0 ON l0.m = 0 AND l0.cell = c.c0
-      |  JOIN lutd l1 ON l1.m = 1 AND l1.cell = c.c1
-      |                AND l1.query_id = l0.query_id
-      |  JOIN lutd l2 ON l2.m = 2 AND l2.cell = c.c2
-      |                AND l2.query_id = l0.query_id
-      |  JOIN lutd l3 ON l3.m = 3 AND l3.cell = c.c3
-      |                AND l3.query_id = l0.query_id
-      |  WHERE c.vec_id <> l0.query_id)""".stripMargin
+      |  SELECT l.query_id, c.vec_id AS neighbor_id,
+      |         list_sum(list(l.d2 ORDER BY l.m)) AS dist
+      |  FROM enc c
+      |  JOIN lutd l ON l.m = c.m AND l.cell = c.cell
+      |  WHERE c.vec_id <> l.query_id
+      |  GROUP BY l.query_id, c.vec_id)""".stripMargin
 
   private def pqSearchOracle: String =
     s"""$pqCtes,
@@ -1869,14 +1936,7 @@ object VectorOps {
     * recall artifact's refine leg. Requires `enc`/`sub`/`pc3` (from
     * [[pqCtesBody]]) and `afull`/`qc` (from [[ivfCtes]]). */
   private def ivfAdcCtes: String =
-    """pcodes AS (
-      |  SELECT vec_id,
-      |         max(CASE WHEN m = 0 THEN cell END) AS c0,
-      |         max(CASE WHEN m = 1 THEN cell END) AS c1,
-      |         max(CASE WHEN m = 2 THEN cell END) AS c2,
-      |         max(CASE WHEN m = 3 THEN cell END) AS c3
-      |  FROM enc GROUP BY vec_id),
-      |plutd AS (
+    """plutd AS (
       |  SELECT q.vec_id AS query_id, c.m, c.cell,
       |         list_sum(list_transform(range(1, len(q.sv) + 1),
       |           k -> (q.sv[k] - CAST(c.pc[k] AS DOUBLE))
@@ -1884,19 +1944,14 @@ object VectorOps {
       |  FROM (SELECT * FROM sub WHERE vec_id < 10) q
       |  JOIN pc3 c ON q.m = c.m),
       |padc AS MATERIALIZED (
-      |  SELECT l0.query_id, c.vec_id AS neighbor_id,
-      |         l0.d2 + l1.d2 + l2.d2 + l3.d2 AS dist
-      |  FROM pcodes c
+      |  SELECT q.query_id, c.vec_id AS neighbor_id,
+      |         list_sum(list(l.d2 ORDER BY l.m)) AS dist
+      |  FROM enc c
       |  JOIN afull a ON a.vec_id = c.vec_id
       |  JOIN qc q ON q.qcell = a.cell AND c.vec_id <> q.query_id
-      |  JOIN plutd l0 ON l0.m = 0 AND l0.cell = c.c0
-      |                AND l0.query_id = q.query_id
-      |  JOIN plutd l1 ON l1.m = 1 AND l1.cell = c.c1
-      |                AND l1.query_id = q.query_id
-      |  JOIN plutd l2 ON l2.m = 2 AND l2.cell = c.c2
-      |                AND l2.query_id = q.query_id
-      |  JOIN plutd l3 ON l3.m = 3 AND l3.cell = c.c3
-      |                AND l3.query_id = q.query_id)""".stripMargin
+      |  JOIN plutd l ON l.m = c.m AND l.cell = c.cell
+      |               AND l.query_id = q.query_id
+      |  GROUP BY q.query_id, c.vec_id)""".stripMargin
 
   private def ivfPqIdxOracle: String =
     s"""$pqCtes,
@@ -1932,13 +1987,6 @@ object VectorOps {
        |                          AS FLOAT) AS DOUBLE)) AS emb
        |  FROM afull a JOIN c3 c USING (cell)),
        |${pqCtesBodyOver("eres")},
-       |rescodes AS (
-       |  SELECT vec_id,
-       |         max(CASE WHEN m = 0 THEN cell END) AS c0,
-       |         max(CASE WHEN m = 1 THEN cell END) AS c1,
-       |         max(CASE WHEN m = 2 THEN cell END) AS c2,
-       |         max(CASE WHEN m = 3 THEN cell END) AS c3
-       |  FROM enc GROUP BY vec_id),
        |qres AS (
        |  SELECT q.query_id, q.qcell,
        |         list_transform(range(1, len(q.qe) + 1),
@@ -1949,7 +1997,8 @@ object VectorOps {
        |  SELECT query_id, qcell, ms.m,
        |         list_slice(emb, ms.m * (SELECT sd FROM sd) + 1,
        |                    (ms.m + 1) * (SELECT sd FROM sd)) AS sv
-       |  FROM qres, (SELECT unnest(range(0, $PqSubspaces)) AS m) ms),
+       |  FROM qres,
+       |       (SELECT unnest(range(0, (SELECT m FROM nm))) AS m) ms),
        |rlut AS MATERIALIZED (
        |  SELECT s.query_id, s.qcell, c.m, c.cell,
        |         list_sum(list_transform(range(1, len(s.sv) + 1),
@@ -1958,18 +2007,13 @@ object VectorOps {
        |  FROM qsubres s JOIN pc3 c ON s.m = c.m),
        |radc AS (
        |  SELECT q.query_id, cd.vec_id AS neighbor_id,
-       |         l0.d2 + l1.d2 + l2.d2 + l3.d2 AS dist
-       |  FROM rescodes cd
+       |         list_sum(list(l.d2 ORDER BY l.m)) AS dist
+       |  FROM enc cd
        |  JOIN afull a ON a.vec_id = cd.vec_id
        |  JOIN qc q ON q.qcell = a.cell AND cd.vec_id <> q.query_id
-       |  JOIN rlut l0 ON l0.m = 0 AND l0.cell = cd.c0
-       |               AND l0.query_id = q.query_id AND l0.qcell = q.qcell
-       |  JOIN rlut l1 ON l1.m = 1 AND l1.cell = cd.c1
-       |               AND l1.query_id = q.query_id AND l1.qcell = q.qcell
-       |  JOIN rlut l2 ON l2.m = 2 AND l2.cell = cd.c2
-       |               AND l2.query_id = q.query_id AND l2.qcell = q.qcell
-       |  JOIN rlut l3 ON l3.m = 3 AND l3.cell = cd.c3
-       |               AND l3.query_id = q.query_id AND l3.qcell = q.qcell)""".stripMargin
+       |  JOIN rlut l ON l.m = cd.m AND l.cell = cd.cell
+       |              AND l.query_id = q.query_id AND l.qcell = q.qcell
+       |  GROUP BY q.query_id, cd.vec_id)""".stripMargin
 
   private def ivfPqResIdxOracle: String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
@@ -2030,6 +2074,21 @@ object VectorOps {
   private def indexStatsOracle: String =
     s"""WITH ${lshCtes(LshProbes)},
        |${trainCtes(ivfNcSql)},
+       |pqdim AS (SELECT len(embedding) AS dim FROM embeddings LIMIT 1),
+       |nm AS (
+       |  SELECT m FROM (
+       |    SELECT m, row_number() OVER (
+       |        ORDER BY abs((SELECT dim FROM pqdim) // m - $PqTargetSubDim)
+       |          ASC, m ASC) AS mrk
+       |    FROM (SELECT unnest(range(1, ${PqMaxSubspaces + 1})) AS m)
+       |    WHERE (SELECT dim FROM pqdim) % m = 0)
+       |  WHERE mrk = 1),
+       |nk AS (
+       |  SELECT max(k) AS k
+       |  FROM (SELECT unnest([16, 32, 64, 128, 256]) AS k)
+       |  WHERE k * ${PqTrainPerCentroid * 4}
+       |          <= (SELECT count(*) FROM embeddings)
+       |     OR k = $PqMinCodebook),
        |bcap AS (
        |  SELECT 64 * GREATEST($LshTargetBucket,
        |           ((SELECT count(*) FROM embeddings)
@@ -2059,6 +2118,8 @@ object VectorOps {
        |         AS INT) AS parts,
        |       FALSE AS needs_rebuild,
        |       TRUE AS has_pq,
+       |       CAST((SELECT m FROM nm) AS INT) AS pq_m,
+       |       CAST((SELECT k FROM nk) AS INT) AS pq_k,
        |       live_cells, max_cell_occ, cell_rows,
        |       max_bucket_width, bucket_rows,
        |       CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS code_rows

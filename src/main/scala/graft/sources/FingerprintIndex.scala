@@ -117,9 +117,43 @@ object FingerprintIndex {
           s"out-of-order batchId $b: the index at $dir already applied " +
             s"batch $last — foreachBatch ids are monotonic, so an older " +
             "re-submission is a caller bug (it was either already merged, " +
-            "or skipping it lost data); rebuild from the corpus instead")
+            "or skipping it lost data). After a DELIBERATE streaming " +
+            "checkpoint reset (ids restart at 0), run " +
+            "clearLastAppliedBatch once before restarting the stream")
       case _ => false
     }
+
+  /** CHECKPOINT-RESET RECOVERY (r15 ADVICE): clear the recorded
+    * last-applied batchId by publishing the ACTIVE version's data
+    * verbatim (file-level hard copies, no decode, no shuffle) under a
+    * fresh meta with `last_batch` unset. The replay guard rejects any
+    * batchId older than the recorded one — correct for true
+    * out-of-order re-submissions, but a DELIBERATE streaming
+    * checkpoint reset restarts foreachBatch ids at 0, which would
+    * hard-fail every merge until ids climb past the old record. This
+    * helper is the sanctioned escape: run it once, after the reset and
+    * BEFORE the stream restarts, instead of rebuilding the index from
+    * the corpus. The operator owns not double-applying data across the
+    * reset (exactly the at-most-once contract an unguarded caller has).
+    * Returns false (no new version) when no batchId was recorded. */
+  def clearLastAppliedBatch(s: SparkSession, dir: String): Boolean = {
+    require(isPublished(s, dir), s"no published fingerprint index at $dir")
+    if (lastAppliedBatch(s, dir).isEmpty) return false
+    val prev = s"$dir/${ver(s, dir)}"
+    val (nGroups, parts) = loadCounts(s, dir)
+    val v = s"v${StorageOps.nextVersion(s, dir)}"
+    for ((ds, pc) <- Seq("groups" -> "fpart", "bands" -> "ipart"))
+      if (StorageOps.isCommitted(s, s"$prev/$ds")) {
+        StorageOps.copyCleanParts(s, s"$prev/$ds", s"$dir/$v/$ds", pc,
+          Set.empty)
+        val marker = new org.apache.hadoop.fs.Path(s"$dir/$v/$ds/_SUCCESS")
+        marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .create(marker, true).close()
+      }
+    writeMeta(s, s"$dir/$v", nGroups, parts)
+    StorageOps.flipPointer(s, dir, v)
+    true
+  }
 
   /** True when the distinct-fingerprint count has drifted off the
     * published layout modulus — the signal that the next merge pays the

@@ -84,6 +84,8 @@ import graft.functions.GraftFunctions
   * a gated search runs the batch lineage once, not three times. */
 object VectorIndex {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** The frozen geometry + corpus count of a published index, plus the
     * version's LAYOUT partition count (`parts` — see the header: layout,
     * not geometry; merges re-derive it). `parts == 0` marks a LEGACY
@@ -91,7 +93,17 @@ object VectorIndex {
     * probes fall back to the full scan and the next merge rewrites it
     * under the current layout. */
   final case class Meta(n: Long, width: Int, probes: Int, cap: Long,
-      cells: Int, parts: Int, pqres: Boolean = false)
+      cells: Int, parts: Int, pqres: Boolean = false,
+      pqm: Int = 0, pqk: Int = 0)
+
+  /** The effective PQ budget (M subspaces, K sub-centroids) of a
+    * published PQ pair: the SCHEDULED budget recorded at publish
+    * (`pqm`/`pqk` — frozen across merges exactly like the centroids:
+    * codes and books are a matched pair, so the budget rides the meta,
+    * not a caller's schedule call at the CURRENT count), or the fixed
+    * (4, 16) every pre-schedule artifact was built with. */
+  def pqBudget(m: Meta): (Int, Int) =
+    if (m.pqm > 0) (m.pqm, m.pqk) else (4, 16)
 
   /** What a [[mergePublishStats]] actually wrote, per partitioned
     * dataset: how many partition directories were REWRITTEN (dirty — they
@@ -254,8 +266,14 @@ object VectorIndex {
     // layout AND encode mode, so the searches never pay a second scan
     val pqres = df.schema.fieldNames.contains("pqres") &&
       r.getAs[Boolean]("pqres")
+    // pre-schedule artifacts have no recorded PQ budget: 0 marks legacy
+    // and [[pqBudget]] maps it to the fixed (4, 16) they were built with
+    val (pqm, pqk) =
+      if (df.schema.fieldNames.contains("pqm"))
+        (r.getAs[Int]("pqm"), r.getAs[Int]("pqk"))
+      else (0, 0)
     Meta(r.getAs[Long]("n"), r.getAs[Int]("width"), r.getAs[Int]("probes"),
-      r.getAs[Long]("cap"), r.getAs[Int]("cells"), parts, pqres)
+      r.getAs[Long]("cap"), r.getAs[Int]("cells"), parts, pqres, pqm, pqk)
   }
 
   /** The active bucket table, WITHOUT the layout's partition column —
@@ -315,15 +333,99 @@ object VectorIndex {
   def loadPqBooks(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/${ver(s, dir)}/pqbooks").select("m", "cell", "pc")
 
-  /** The active PQ code rows as (cell, vec_id, c0..c3) — one row per
-    * corpus vector, cell-aligned with [[loadCells]] (same assignment,
-    * same `cpart` layout) so an ADC probe prunes identically to the
-    * exact IVF probe while scanning codes instead of embeddings. */
-  def loadCodes(s: SparkSession, dir: String): DataFrame =
-    loadCodesRaw(s, dir).select("cell", "vec_id", "c0", "c1", "c2", "c3")
+  /** The active PQ code rows as (cell, vec_id, code: array<int>) — one
+    * row per corpus vector, cell-aligned with [[loadCells]] (same
+    * assignment, same `cpart` layout) so an ADC probe prunes identically
+    * to the exact IVF probe while scanning codes instead of embeddings.
+    * Pre-schedule artifacts stored four fixed columns (c0..c3); the
+    * reader normalizes them to the array so every consumer sees ONE
+    * schema (a merge of such an artifact upgrades the stored layout —
+    * see [[mergePublishStats]]'s legacy route). */
+  def loadCodes(s: SparkSession, dir: String): DataFrame = {
+    val raw = loadCodesRaw(s, dir)
+    if (raw.schema.fieldNames.contains("code"))
+      raw.select("cell", "vec_id", "code")
+    else raw.select(col("cell"), col("vec_id"),
+      array(col("c0"), col("c1"), col("c2"), col("c3")).as("code"))
+  }
 
   private def loadCodesRaw(s: SparkSession, dir: String): DataFrame =
     graft.Chaos.gate(s, s.read.parquet(s"$dir/${ver(s, dir)}/codes"))
+
+  /** The searches' code scan: partition-pruned below the batch gate,
+    * normalized to the (cell, vec_id, code) array schema either way
+    * (legacy c0..c3 artifacts included — the array build is a pure
+    * projection AFTER the partition filter, so pruning is unaffected). */
+  private def codesScan(s: SparkSession, dir: String, small: Boolean,
+      qcells: DataFrame, m: Meta): DataFrame = {
+    val raw = (if (small)
+        prunedScan(loadCodesRaw(s, dir),
+          qcells.select(cpartOf(col("qcell"), m.parts)), "cpart", m.parts)
+      else loadCodesRaw(s, dir))
+    if (raw.schema.fieldNames.contains("code"))
+      raw.select("cell", "vec_id", "code")
+    else raw.select(col("cell"), col("vec_id"),
+      array(col("c0"), col("c1"), col("c2"), col("c3")).as("code"))
+  }
+
+  /** Depth (rows per probe query) of the stored recall ground truth —
+    * audits at any k <= GtDepth read the store instead of re-scanning
+    * the corpus. 16 gives 3× headroom over the registered k = 5 while
+    * keeping the dataset driver-trivial (|probe| × 16 rows). The depth
+    * is a write-time constant, not frozen geometry: the store holds the
+    * exact top-GtDepth at every version by construction (merges refill
+    * dirty queries to full depth), so a future constant change simply
+    * takes effect at the next publish. */
+  val GtDepth = 16
+
+  /** True iff the active version carries the OPTIONAL recall
+    * ground-truth pair (`gtq` probe queries + `gt` exact top lists) —
+    * published via `publishFrom(gtProbe = ...)`. Without it,
+    * [[recallAudit]] falls back to the live brute scan. */
+  def hasGt(s: SparkSession, dir: String): Boolean =
+    StorageOps.currentVersion(s, dir).exists { v =>
+      Seq("gt", "gtq").forall(ds => StorageOps.isCommitted(s, s"$dir/$v/$ds"))
+    }
+
+  /** The stored ground-truth PROBE QUERIES (query_id, embedding) —
+    * sampled-small by the [[recallAudit]] cost contract. Maintenance
+    * keeps the embeddings synced with the artifact corpus (latest-wins
+    * on a merge that replaces a probe query's own vector), so this
+    * frame always scores against what the index actually holds. */
+  def loadGtq(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/${ver(s, dir)}/gtq").select("query_id", "embedding")
+
+  /** The stored exact-cosine top-[[GtDepth]] neighbor lists
+    * (query_id, neighbor_id, sim, rk) over the artifact's own corpus,
+    * self-excluded, ranked by (sim desc, neighbor_id) — exactly the
+    * audit's brute ordering. Computed ONCE at publish/rebuild (when a
+    * full corpus pass is already being paid) and maintained
+    * INCREMENTALLY at merge (new-batch × probe scoring only), so the
+    * armed [[maintain]] recall gate stops costing O(sample × corpus)
+    * per ingest cycle — the reference analog: worker health is judged
+    * on the heartbeat delta, not a full rescan
+    * (ShuffleWorkerStatusManager.java:90-130). */
+  def loadGt(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/${ver(s, dir)}/gt")
+      .select("query_id", "neighbor_id", "sim", "rk")
+
+  /** Exact-cosine top-`depth` of every probe query against `corpus`
+    * (vec_id, embedding), self-excluded, ranked by (sim desc,
+    * neighbor_id) — the one definition of ground truth every consumer
+    * (publish, merge refill, [[recallAudit]]'s live fallback) shares.
+    * `gtq` is broadcast: sampled-small by contract. */
+  private def bruteGt(gtq: DataFrame, corpus: DataFrame,
+      depth: Int): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    corpus.select(col("vec_id"), col("embedding"))
+      .join(broadcast(gtq.select(col("query_id"), col("embedding").as("qe"))),
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        expr("cosine_sim(qe, embedding)").as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= depth)
+  }
 
   /** Build and publish a fresh index over `corpus` (vec_id, embedding —
     * extra columns ignored). Geometry derives from `scheduleN` when
@@ -334,7 +436,8 @@ object VectorIndex {
     * the inline q_ann_ivf path. Returns the published Meta. */
   def publishFrom(s: SparkSession, corpus: DataFrame, dir: String,
       scheduleN: Option[Long] = None, pq: Boolean = false,
-      pqResidual: Boolean = false): Meta = {
+      pqResidual: Boolean = false,
+      gtProbe: Option[DataFrame] = None): Meta = {
     GraftFunctions.register(s)
     require(!pqResidual || pq, "pqResidual requires pq = true")
     val c = graft.Caching.persist(
@@ -342,9 +445,16 @@ object VectorIndex {
     try {
       val n = scheduleN.getOrElse(c.count())
       val width = VectorOps.lshWidthFor(n)
+      // the PQ budget is scheduled HERE and recorded in meta (frozen
+      // across merges like every other geometry knob — books and codes
+      // are a matched pair, so merges must encode at the publish budget,
+      // not whatever the schedule would pick at the merged count)
+      val (pqm, pqk) =
+        if (pq) (VectorOps.pqSubspacesFor(dimOf(c)), VectorOps.pqCodebookFor(n))
+        else (0, 0)
       val meta = Meta(n, width, VectorOps.LshProbes,
         VectorOps.knnCapFor(n, width), VectorOps.ivfCellsFor(n),
-        layoutPartsFor(n), pqres = pq && pqResidual)
+        layoutPartsFor(n), pqres = pq && pqResidual, pqm = pqm, pqk = pqk)
       val cent = VectorOps.trainCentroids(s,
         c.filter(Tables.phash(col("vec_id")) % 4 === 0), meta.cells)
       // the cell assignment (corpus × centroids argmin) is computed ONCE
@@ -367,22 +477,17 @@ object VectorIndex {
           if (!pq) None
           else if (pqResidual)
             Some(VectorOps.trainPqCodebooks(s,
-              VectorOps.residualFrame(cells, cent), subDimOf(c)))
-          else Some(VectorOps.trainPqCodebooks(s, c, subDimOf(c)))
-        publishWith(s, c, dir, meta, cent, books, Some(cells))
+              VectorOps.residualFrame(cells, cent), dimOf(c) / pqm, pqm, pqk))
+          else Some(VectorOps.trainPqCodebooks(s, c, dimOf(c) / pqm, pqm, pqk))
+        publishWith(s, c, dir, meta, cent, books, Some(cells), gtProbe)
       } finally cells.unpersist()
     } finally c.unpersist()
   }
 
-  /** `embedding` dim / PqSubspaces, from one row of `e` (the publish
-    * path re-derives it rather than persisting a fifth meta field; the
-    * books' own `pc` length is the same number). */
-  private def subDimOf(e: DataFrame): Int = {
-    val dim = e.select(size(col("embedding"))).limit(1).collect()(0).getInt(0)
-    require(dim % VectorOps.PqSubspaces == 0,
-      s"embedding dim $dim not divisible into ${VectorOps.PqSubspaces} subspaces")
-    dim / VectorOps.PqSubspaces
-  }
+  /** `embedding` dimension from one row of `e` — the publish path's
+    * input to the [[VectorOps.pqSubspacesFor]] schedule. */
+  private def dimOf(e: DataFrame): Int =
+    e.select(size(col("embedding"))).limit(1).collect()(0).getInt(0)
 
   /** The sub-dimension as stored in the frozen books — the MERGE and
     * SEARCH paths derive it here rather than from the caller's frame,
@@ -401,7 +506,8 @@ object VectorIndex {
   private[graft] def publishWith(s: SparkSession, corpus: DataFrame,
       dir: String, meta: Meta, cent: DataFrame,
       pqBooks: Option[DataFrame] = None,
-      cellsPre: Option[DataFrame] = None): Meta = {
+      cellsPre: Option[DataFrame] = None,
+      gtProbe: Option[DataFrame] = None): Meta = {
     GraftFunctions.register(s)
     val buckets = VectorOps.cappedBuckets(corpus, meta.width, meta.cap,
       "vec_id", "embedding")
@@ -414,11 +520,18 @@ object VectorIndex {
     val codes = pqBooks.map { books =>
       val encodeInput =
         if (meta.pqres) VectorOps.residualFrame(cells, cent) else corpus
-      VectorOps.pqEncode(encodeInput, books, subDimOf(corpus))
+      val (nm, _) = pqBudget(meta)
+      VectorOps.pqEncode(encodeInput, books, subDimOfBooks(books), nm)
         .join(cells.select("cell", "vec_id"), Seq("vec_id"))
-        .select("cell", "vec_id", "c0", "c1", "c2", "c3")
+        .select("cell", "vec_id", "code")
     }
-    writeVersion(s, dir, meta, buckets, cent, cells, pqBooks, codes)
+    // the recall ground truth is computed HERE, at publish — the one
+    // moment a full corpus pass is already being paid (r15 verdict #1);
+    // merges maintain it incrementally from then on
+    val gtq = gtProbe.map(
+      _.select(col("vec_id").as("query_id"), col("embedding")))
+    writeVersion(s, dir, meta, buckets, cent, cells, pqBooks, codes,
+      gtq, gtq.map(g => bruteGt(g, corpus, GtDepth)))
   }
 
   /** Write all four datasets as the next immutable version, then flip the
@@ -430,14 +543,18 @@ object VectorIndex {
   private def writeVersion(s: SparkSession, dir: String, meta: Meta,
       buckets: DataFrame, cent: DataFrame, cells: DataFrame,
       pqBooks: Option[DataFrame] = None,
-      codes: Option[DataFrame] = None): Meta = {
+      codes: Option[DataFrame] = None,
+      gtq: Option[DataFrame] = None,
+      gt: Option[DataFrame] = None): Meta = {
     import s.implicits._
     val v = s"v${StorageOps.nextVersion(s, dir)}"
     // `pqres` marks residual-encoded books/codes (see [[pqResidual]]);
-    // artifacts written before the column existed read as raw-encoded
+    // `pqm`/`pqk` record the scheduled PQ budget; artifacts written
+    // before either column existed read as raw-encoded / (4, 16)
     Seq((meta.n, meta.width, meta.probes, meta.cap, meta.cells, meta.parts,
-        meta.pqres))
-      .toDF("n", "width", "probes", "cap", "cells", "parts", "pqres")
+        meta.pqres, meta.pqm, meta.pqk))
+      .toDF("n", "width", "probes", "cap", "cells", "parts", "pqres",
+        "pqm", "pqk")
       .write.mode("errorifexists").parquet(s"$dir/$v/meta")
     buckets.select("bucket", "vec_id", "embedding")
       .withColumn("bpart", bpartOf(col("bucket"), meta.parts))
@@ -453,11 +570,17 @@ object VectorIndex {
       .mode("errorifexists").parquet(s"$dir/$v/cells")
     pqBooks.foreach(_.select("m", "cell", "pc")
       .write.mode("errorifexists").parquet(s"$dir/$v/pqbooks"))
-    codes.foreach(_.select("cell", "vec_id", "c0", "c1", "c2", "c3")
+    codes.foreach(_.select("cell", "vec_id", "code")
       .withColumn("cpart", cpartOf(col("cell"), meta.parts))
       .repartition(meta.parts, col("cpart"))
       .write.partitionBy("cpart")
       .mode("errorifexists").parquet(s"$dir/$v/codes"))
+    // the optional ground-truth pair: |probe| and |probe| x GtDepth rows
+    // — single-file datasets at any corpus size (the probe is sampled)
+    gtq.foreach(_.select("query_id", "embedding").coalesce(1)
+      .write.mode("errorifexists").parquet(s"$dir/$v/gtq"))
+    gt.foreach(_.select("query_id", "neighbor_id", "sim", "rk").coalesce(1)
+      .write.mode("errorifexists").parquet(s"$dir/$v/gt"))
     StorageOps.flipPointer(s, dir, v)
     meta
   }
@@ -532,7 +655,13 @@ object VectorIndex {
       val nReplaced = repByPart.map(_._2).sum
       val n2 = m.n - nReplaced + nBatch
       val parts2 = layoutPartsFor(n2)
-      if (m.parts <= 0 || parts2 != m.parts) {
+      // a pre-schedule PQ artifact (no recorded budget) stores codes as
+      // fixed c0..c3 columns: partition-level merging would mix schemas
+      // (dirty partitions in the array layout beside hard-copied legacy
+      // files), so it takes the full rewrite — which doubles as the
+      // upgrade to the array layout, exactly like the legacy-parts path
+      if (m.parts <= 0 || parts2 != m.parts ||
+          (pqB.isDefined && m.pqm == 0)) {
         val fullMeta = mergeFullRewrite(s, dir, m, b, ids, cent, pqB)
         return (fullMeta, MergeStats(fullMeta.parts, fullMeta.parts, 0,
           fullMeta.parts, 0, fullRewrite = true, drainRecompute = false))
@@ -594,14 +723,19 @@ object VectorIndex {
             .unionByName(batchCells)
 
           // write the next version: dirty partitions through the writer,
-          // clean partition directories hard-copied from the previous one
+          // clean partition directories hard-copied from the previous one.
+          // `pqres` demotes to false when meta said residual but no books
+          // loaded (degenerate artifact); the returned Meta carries the
+          // SAME demotion — persisted and in-memory metas must never
+          // diverge (mergeFullRewrite already did this; r15 ADVICE).
           import s.implicits._
-          val meta2 = m.copy(n = n2)
           val pqRes = pqB.isDefined && m.pqres
+          val meta2 = m.copy(n = n2, pqres = pqRes)
           val v = s"v${StorageOps.nextVersion(s, dir)}"
           Seq((meta2.n, meta2.width, meta2.probes, meta2.cap, meta2.cells,
-              meta2.parts, pqRes))
-            .toDF("n", "width", "probes", "cap", "cells", "parts", "pqres")
+              meta2.parts, meta2.pqres, meta2.pqm, meta2.pqk))
+            .toDF("n", "width", "probes", "cap", "cells", "parts", "pqres",
+              "pqm", "pqk")
             .write.mode("errorifexists").parquet(s"$dir/$v/meta")
           newDirtyBuckets.select("bucket", "vec_id", "embedding")
             .withColumn("bpart", bpartOf(col("bucket"), m.parts))
@@ -630,12 +764,15 @@ object VectorIndex {
             // contract: codes always match the books' training frame
             val encodeInput =
               if (pqRes) VectorOps.residualFrame(batchCells, cent) else b
+            // this path only runs for budget-recorded artifacts (legacy
+            // c0..c3 stores routed to the full rewrite above), so the
+            // stored schema is the code array
             val batchCodes = VectorOps
-              .pqEncode(encodeInput, books, subDimOfBooks(books))
+              .pqEncode(encodeInput, books, subDimOfBooks(books), m.pqm)
               .join(batchCells.select("cell", "vec_id"), Seq("vec_id"))
-              .select("cell", "vec_id", "c0", "c1", "c2", "c3")
+              .select("cell", "vec_id", "code")
             prunedByVals(loadCodesRaw(s, dir), "cpart", dirtyCp, m.parts)
-              .select("cell", "vec_id", "c0", "c1", "c2", "c3")
+              .select("cell", "vec_id", "code")
               .join(ids, Seq("vec_id"), "left_anti")
               .unionByName(batchCodes)
               .withColumn("cpart", cpartOf(col("cell"), m.parts))
@@ -645,6 +782,7 @@ object VectorIndex {
             copyCleanParts(s, s"$prev/codes", s"$dir/$v/codes",
               "cpart", dirtyCp.toSet)
           }
+          mergeGt(s, dir, v, b, ids)
           StorageOps.flipPointer(s, dir, v)
           (meta2, MergeStats(m.parts, dirtyBp.length, copiedB,
             dirtyCp.length, copiedC,
@@ -678,22 +816,103 @@ object VectorIndex {
       // the frozen-book re-encode over the merged corpus (codes could
       // also be merged like cells, but this path is already O(index));
       // residual books re-encode residuals against the frozen centroids
+      // the frozen budget rides the rewrite: (4, 16) for a legacy store
+      // — whose codes dataset this path upgrades to the array layout,
+      // recording the budget in meta from here on — else the recorded one
+      val (nm, nk) = pqBudget(m)
       val codes = pqBooks.map { books =>
         val encodeInput =
           if (pqRes) VectorOps.residualFrame(mergedCells, cent)
           else mergedCells.select(col("vec_id"), col("embedding"))
-        VectorOps.pqEncode(encodeInput, books, subDimOfBooks(books))
+        VectorOps.pqEncode(encodeInput, books, subDimOfBooks(books), nm)
           .join(mergedCells.select("cell", "vec_id"), Seq("vec_id"))
-          .select("cell", "vec_id", "c0", "c1", "c2", "c3")
+          .select("cell", "vec_id", "code")
       }
       // cells is uncapped (one row per vector): its count IS the new n.
       // `parts` is layout-only, so unlike the frozen geometry it is
       // re-derived at the merged count (keys stay valid either way).
       val n2 = mergedCells.count()
+      // the gt pair rides the full rewrite at full-rescore cost — this
+      // path is already O(index), and the probe set is sampled-small
+      val gtq2 = if (hasGt(s, dir)) Some(refreshedGtq(s, dir, b)) else None
       writeVersion(s, dir,
-        m.copy(n = n2, parts = layoutPartsFor(n2), pqres = pqRes),
-        mergedBuckets, cent, mergedCells, pqBooks, codes)
+        m.copy(n = n2, parts = layoutPartsFor(n2), pqres = pqRes,
+          pqm = if (pqBooks.isDefined) nm else 0,
+          pqk = if (pqBooks.isDefined) nk else 0),
+        mergedBuckets, cent, mergedCells, pqBooks, codes,
+        gtq2, gtq2.map(g =>
+          bruteGt(g, mergedCells.select("vec_id", "embedding"), GtDepth)))
     } finally mergedCells.unpersist()
+  }
+
+  /** The stored probe queries with latest-wins embedding refresh against
+    * a merge batch — a probe query whose OWN vector the batch replaces
+    * keeps auditing the vector the index actually holds. */
+  private def refreshedGtq(s: SparkSession, dir: String,
+      b: DataFrame): DataFrame =
+    loadGtq(s, dir)
+      .join(b.select(col("vec_id").as("query_id"),
+        col("embedding").as("new_e")), Seq("query_id"), "left_outer")
+      .select(col("query_id"),
+        coalesce(col("new_e"), col("embedding")).as("embedding"))
+
+  /** GROUND-TRUTH MAINTENANCE for the partition-level merge — the gt
+    * twin of the buckets' drain logic, applied BEFORE the version `v`
+    * flips live. Exactness argument:
+    *
+    *   - a stored top-[[GtDepth]] list is the exact prefix of the old
+    *     corpus ordering, so every UNSTORED old vector ranks below all
+    *     of its rows;
+    *   - a merge can only promote BATCH vectors into a list (scored
+    *     here: O(|probe| × batch) — the incremental cost) …
+    *   - … UNLESS it REMOVES a stored row (a replaced id was a stored
+    *     neighbor) or replaces the probe query's own vector: those
+    *     queries' prefixes are no longer exact, and they RESCORE against
+    *     the merged corpus (the drain analog — rare, O(dirty × corpus),
+    *     and only the affected queries pay it).
+    *
+    * A batch id absent from every stored list needs no removal handling:
+    * its old vector ranked below depth (removing it cannot change the
+    * prefix) and its new vector enters through the batch scoring. */
+  private def mergeGt(s: SparkSession, dir: String, v: String,
+      b: DataFrame, ids: DataFrame): Unit = {
+    if (!hasGt(s, dir)) return
+    val gtq2 = refreshedGtq(s, dir, b)
+    val gt = loadGt(s, dir)
+    // bounded collect: dirty queries <= the sampled probe size
+    val dirtyQ = gt
+      .join(ids.select(col("vec_id").as("neighbor_id")),
+        Seq("neighbor_id"), "left_semi")
+      .select("query_id")
+      .union(gt.select("query_id").join(ids.select(col("vec_id")
+        .as("query_id")), Seq("query_id"), "left_semi"))
+      .distinct().collect().map(_.getLong(0))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    val qClean = if (dirtyQ.isEmpty) gtq2
+      else gtq2.filter(!col("query_id").isin(dirtyQ.map(Long.box): _*))
+    val keptClean = (if (dirtyQ.isEmpty) gt
+      else gt.filter(!col("query_id").isin(dirtyQ.map(Long.box): _*)))
+      .select("query_id", "neighbor_id", "sim")
+    val batchScored = b
+      .join(broadcast(qClean.select(col("query_id"),
+        col("embedding").as("qe"))), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        expr("cosine_sim(qe, embedding)").as("sim"))
+    val cleanGt = keptClean.unionByName(batchScored)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= GtDepth)
+    val newGt = if (dirtyQ.isEmpty) cleanGt else {
+      val qDirty = gtq2.filter(col("query_id").isin(dirtyQ.map(Long.box): _*))
+      val mergedCorpus = loadCells(s, dir).select("vec_id", "embedding")
+        .join(ids, Seq("vec_id"), "left_anti")
+        .unionByName(b.select("vec_id", "embedding"))
+      cleanGt.unionByName(bruteGt(qDirty, mergedCorpus, GtDepth))
+    }
+    newGt.select("query_id", "neighbor_id", "sim", "rk").coalesce(1)
+      .write.mode("errorifexists").parquet(s"$dir/$v/gt")
+    gtq2.select("query_id", "embedding").coalesce(1)
+      .write.mode("errorifexists").parquet(s"$dir/$v/gtq")
   }
 
   /** The stored bucket key of a corpus vector — probe 0 of the frozen
@@ -717,16 +936,32 @@ object VectorIndex {
 
   /** The QUALITY gate a [[maintain]] caller can arm beside the layout
     * one: after the merge, [[recallAudit]] runs over `queries` (a
-    * SAMPLED set — the audit's brute baseline is O(|queries| x corpus))
-    * against the freshly-merged artifact, and if ANY production search
-    * variant's recall@`k` lands below `floor`, maintain retrains — the
-    * frozen-quantizer drift [[needsRebuild]]'s count-schedule predicate
-    * cannot see, acted on in the same cycle that detected it. `floor`
-    * applies to the MINIMUM across the artifact's variants (an index is
-    * only as good as the search path a consumer actually uses; a caller
-    * gating a single path audits that path's row directly instead). */
+    * SAMPLED set; against an artifact published with `gtProbe` the
+    * baseline reads the stored ground truth — otherwise it is a brute
+    * O(|queries| x corpus) scan) against the freshly-merged artifact,
+    * and if any ARMED search variant's recall@`k` lands below `floor`,
+    * maintain retrains — the frozen-quantizer drift [[needsRebuild]]'s
+    * count-schedule predicate cannot see, acted on in the same cycle
+    * that detected it.
+    *
+    * `variants` selects WHICH production paths the floor applies to
+    * (the minimum over the armed subset): default empty = all published
+    * variants — but a consumer that only ever searches through refine
+    * should arm `Set("refine")`, so an LSH sag cannot trip a retrain
+    * nobody would benefit from. Arming a variant the artifact does not
+    * publish (e.g. "ivfadc" on a non-PQ index, or a typo) fails loudly
+    * at the audit's empty-probe check rather than silently passing.
+    *
+    * `failUnrecovered` is the caller policy for a floor the retrain
+    * CANNOT satisfy: after a rebuild with this probe armed, maintain
+    * re-audits the rebuilt artifact once, and if the armed minimum is
+    * still below the floor it either throws (true) or logs a warning
+    * (false, default) — so a permanently-failing gate is observable
+    * instead of a silent full retrain every cycle (r15 ADVICE). */
   final case class RecallProbe(queries: DataFrame, floor: Double,
-      k: Int = 5, nprobe: Int = 2, refineK: Int = 50)
+      k: Int = 5, nprobe: Int = 2, refineK: Int = 50,
+      variants: Set[String] = Set.empty,
+      failUnrecovered: Boolean = false)
 
   /** One production ingest cycle — the loop every consumer of this
     * artifact runs, packaged: merge `batch` in (partition-level,
@@ -751,21 +986,54 @@ object VectorIndex {
   def maintain(s: SparkSession, dir: String, batch: DataFrame,
       keep: Int = 2, recallProbe: Option[RecallProbe] = None): (Meta, Boolean) = {
     val merged = mergePublish(s, dir, batch)
-    def recallBelowFloor: Boolean = recallProbe.exists { p =>
-      val r = recallAudit(s, dir, p.queries, p.k, p.nprobe, p.refineK)
-        .agg(min(col(s"recall_at_${p.k}"))).collect()(0)
-      // a null minimum means ZERO brute rows — an empty probe query set
-      // audits nothing, and silently skipping the gate the caller armed
-      // would defeat its purpose
+    def auditedMin(p: RecallProbe): Double = {
+      val audit = recallAudit(s, dir, p.queries, p.k, p.nprobe, p.refineK)
+      val armed = if (p.variants.isEmpty) audit
+        else audit.filter(col("variant").isin(p.variants.toSeq: _*))
+      val r = armed.agg(min(col(s"recall_at_${p.k}"))).collect()(0)
+      // a null minimum means ZERO audited rows — an empty probe query
+      // set (or an armed variant the artifact does not publish) audits
+      // nothing, and silently skipping the gate the caller armed would
+      // defeat its purpose
       require(!r.isNullAt(0),
         s"recall probe on $dir produced no rows: the probe query set is " +
-          "empty (or matched no corpus) — sample real query vectors")
-      r.getDouble(0) < p.floor
+          "empty (or matched no corpus), or none of the armed variants " +
+          s"${p.variants.mkString("{", ",", "}")} is published by this " +
+          "artifact — sample real query vectors and arm published paths")
+      r.getDouble(0)
     }
+    val recallTripped = !needsRebuild(merged) &&
+      recallProbe.exists(p => auditedMin(p) < p.floor)
     val rebuilt =
-      if (needsRebuild(merged) || recallBelowFloor) {
+      if (needsRebuild(merged) || recallTripped) {
+        // the rebuild re-derives the gt pair too: from the artifact's
+        // own probe set when it carries one, else (first rebuild under
+        // an armed probe) from the probe's queries — so an armed cycle
+        // becomes incremental from its first retrain onward
+        val gtProbe =
+          if (hasGt(s, dir)) Some(loadGtq(s, dir)
+            .select(col("query_id").as("vec_id"), col("embedding")))
+          else recallProbe.map(_.queries)
         publishFrom(s, loadCells(s, dir).select("vec_id", "embedding"),
-          dir, pq = hasPq(s, dir), pqResidual = merged.pqres)
+          dir, pq = hasPq(s, dir), pqResidual = merged.pqres,
+          gtProbe = gtProbe)
+        // a floor the retrain cannot satisfy must be OBSERVABLE, not a
+        // silent O(corpus) publish on every subsequent cycle: re-audit
+        // the rebuilt artifact once and surface per caller policy
+        recallProbe.foreach { p =>
+          val after = auditedMin(p)
+          if (after < p.floor) {
+            val msg = s"recall floor ${p.floor} not restored by the " +
+              s"retrain at $dir: post-rebuild min recall@${p.k} over " +
+              s"${if (p.variants.isEmpty) "all variants"
+                else p.variants.mkString(",")} = $after — the floor " +
+              "is unreachable for this corpus/geometry, and every " +
+              "further armed maintain cycle will retrain again; lower " +
+              "the floor, arm fewer variants, or raise the search budget"
+            if (p.failUnrecovered) throw new IllegalStateException(msg)
+            else log.warn(msg)
+          }
+        }
         true
       } else false
     compactIfFragmented(s, dir)
@@ -807,10 +1075,15 @@ object VectorIndex {
       fragmented(s, s"$dir/$v/$ds")) ||
       (pq && fragmented(s, s"$dir/$v/codes"))
     if (!frag) return false
+    val gt = hasGt(s, dir)
     writeVersion(s, dir, loadMeta(s, dir),
       loadBuckets(s, dir), loadCentroids(s, dir), loadCells(s, dir),
       if (pq) Some(loadPqBooks(s, dir)) else None,
-      if (pq) Some(loadCodes(s, dir)) else None)
+      if (pq) Some(loadCodes(s, dir)) else None,
+      // the gt pair copies VERBATIM — compaction is a layout move, and
+      // recomputing ground truth here would be a pointless corpus scan
+      if (gt) Some(loadGtq(s, dir)) else None,
+      if (gt) Some(loadGt(s, dir)) else None)
     true
   }
 
@@ -1041,7 +1314,7 @@ object VectorIndex {
     val m = loadMeta(s, dir)
     val cent = loadCentroids(s, dir)
     val books = loadPqBooks(s, dir)
-    val kCells = VectorOps.PqCodebookSize
+    val (nm, nk) = pqBudget(m)
     val subDim = subDimOfBooks(books)
     val q0 = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
@@ -1067,23 +1340,19 @@ object VectorIndex {
         VectorOps.pqLutPerCell(
           ranked.select(col("query_id"), col("qcell"),
             VectorOps.residualExpr("qe", "centroid").as("embedding")),
-          books, subDim)
+          books, subDim, nm, nk)
       else ranked.select("query_id", "qcell")
         .join(VectorOps.pqLut(
           q0.select(col("query_id").as("vec_id"), col("qe").as("embedding")),
-          books, subDim), Seq("query_id"))
+          books, subDim, nm, nk), Seq("query_id"))
     val qcells = batchFrame(s"searchIvfPq|$dir", small, withLut)
-    val codes = (if (small)
-        prunedScan(loadCodesRaw(s, dir),
-          qcells.select(cpartOf(col("qcell"), m.parts)), "cpart", m.parts)
-      else loadCodesRaw(s, dir))
-      .select("cell", "vec_id", "c0", "c1", "c2", "c3")
+    val codes = codesScan(s, dir, small, qcells, m)
     val w = Window.partitionBy("query_id")
       .orderBy(col("adc").asc, col("neighbor_id"))
     codes.join(hint(qcells),
         col("cell") === col("qcell") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        VectorOps.pqAdc(kCells).as("adc"))
+        VectorOps.pqAdc(nm, nk).as("adc"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select("query_id", "neighbor_id", "rk")
@@ -1116,7 +1385,7 @@ object VectorIndex {
     val m = loadMeta(s, dir)
     val cent = loadCentroids(s, dir)
     val books = loadPqBooks(s, dir)
-    val kCells = VectorOps.PqCodebookSize
+    val (nm, nk) = pqBudget(m)
     val subDim = subDimOfBooks(books)
     val q0 = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
@@ -1144,25 +1413,21 @@ object VectorIndex {
         VectorOps.pqLutPerCell(
           ranked.select(col("query_id"), col("qcell"),
             VectorOps.residualExpr("qe", "centroid").as("embedding")),
-          books, subDim)
+          books, subDim, nm, nk)
           .join(q0, Seq("query_id"))
       else ranked.select("query_id", "qe", "qcell")
         .join(VectorOps.pqLut(
           q0.select(col("query_id").as("vec_id"), col("qe").as("embedding")),
-          books, subDim), Seq("query_id"))
+          books, subDim, nm, nk), Seq("query_id"))
     val qcells = batchFrame(s"searchIvfPqRefine|$dir", small, withLut)
-    val codes = (if (small)
-        prunedScan(loadCodesRaw(s, dir),
-          qcells.select(cpartOf(col("qcell"), m.parts)), "cpart", m.parts)
-      else loadCodesRaw(s, dir))
-      .select("cell", "vec_id", "c0", "c1", "c2", "c3")
+    val codes = codesScan(s, dir, small, qcells, m)
     val wAdc = Window.partitionBy("query_id")
       .orderBy(col("adc").asc, col("neighbor_id"))
     val cand = codes
       .join(hint(qcells.drop("qe")),
         col("cell") === col("qcell") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        VectorOps.pqAdc(kCells).as("adc"))
+        VectorOps.pqAdc(nm, nk).as("adc"))
       .withColumn("ark", row_number().over(wAdc))
       .filter(col("ark") <= refineK)
       .select("query_id", "neighbor_id")
@@ -1214,6 +1479,25 @@ object VectorIndex {
     * The tag must uniquely identify (queries, k, nprobe, refineK) for
     * the session; None skips persistence entirely (spec-friendly: adds
     * no pinned RDDs). */
+  /** True iff [[recallAudit]] at (`q`, `k`) can read the stored ground
+    * truth: the artifact carries the pair, k is within the stored
+    * depth, and the caller's query ID SET equals the stored probe's
+    * (two anti-join emptiness probes over sampled-small frames — the
+    * check costs nothing next to even one approximate leg). Embeddings
+    * are matched BY CONTRACT, not compared: maintenance keeps gtq
+    * synced with the artifact corpus, and audit callers sample their
+    * queries from that same corpus. A corpus smaller than k+1 needs no
+    * special case — the stored lists and the live scan both yield
+    * n−1 rows per query. */
+  private[graft] def storedGtUsable(s: SparkSession, dir: String,
+      q: DataFrame, k: Int): Boolean =
+    k <= GtDepth && hasGt(s, dir) && {
+      val gtq = loadGtq(s, dir).select("query_id")
+      val qid = q.select("query_id")
+      qid.join(gtq, Seq("query_id"), "left_anti").limit(1).count() == 0 &&
+        gtq.join(qid, Seq("query_id"), "left_anti").limit(1).count() == 0
+    }
+
   def recallAudit(s: SparkSession, dir: String, queries: DataFrame, k: Int,
       nprobe: Int, refineK: Int = 50,
       shareTag: Option[String] = None): DataFrame = {
@@ -1226,16 +1510,27 @@ object VectorIndex {
     }
     val q = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    // STORED-GT FAST PATH (r15 verdict #1): when the artifact carries
+    // the maintained ground-truth pair for exactly this query set, the
+    // brute baseline is a |probe| × k parquet read instead of an
+    // O(|queries| × corpus) scan — the cost moved to publish time and
+    // to the incremental per-merge refresh. The live scan stays as the
+    // fallback for gt-less artifacts and foreign query sets.
     val brute = leg("brute") {
-      val w = Window.partitionBy("query_id")
-        .orderBy(col("sim").desc, col("neighbor_id"))
-      Tables.spread(s, loadCells(s, dir).select("vec_id", "embedding"))
-        .join(broadcast(q), col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          expr("cosine_sim(qe, embedding)").as("sim"))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= k)
-        .select("query_id", "neighbor_id")
+      if (storedGtUsable(s, dir, q, k))
+        loadGt(s, dir).filter(col("rk") <= k)
+          .select("query_id", "neighbor_id")
+      else {
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("sim").desc, col("neighbor_id"))
+        Tables.spread(s, loadCells(s, dir).select("vec_id", "embedding"))
+          .join(broadcast(q), col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            expr("cosine_sim(qe, embedding)").as("sim"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= k)
+          .select("query_id", "neighbor_id")
+      }
     }
     val legs: Seq[(String, DataFrame)] =
       Seq("ivf" -> leg("ivf")(searchIvf(s, dir, queries, k, nprobe)),

@@ -176,6 +176,24 @@ class FingerprintIndexSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       FingerprintIndex.maintain(spark, dir, extra, batchId = Some(1L))
     }
+    // CHECKPOINT-RESET RECOVERY (r15 ADVICE): after a deliberate reset
+    // (foreachBatch ids restart at 0), clearLastAppliedBatch publishes
+    // the same data under an unset batchId — rows byte-identical, and
+    // the restarted stream's batch 0 applies instead of hard-failing
+    assert(FingerprintIndex.clearLastAppliedBatch(spark, dir),
+      "recorded batchId was not cleared")
+    assert(FingerprintIndex.lastAppliedBatch(spark, dir).isEmpty)
+    assert(groupRows(FingerprintIndex.loadGroups(spark, dir)) == before,
+      "clearLastAppliedBatch changed the group table")
+    val (_, st4) = FingerprintIndex.mergeGroups(spark, dir,
+      arrivals.limit(2), batchId = Some(0L))
+    assert(st4.dirtyParts > 0, "post-reset batch 0 did not apply")
+    assert(FingerprintIndex.lastAppliedBatch(spark, dir).contains(0L))
+    // a second clear is a no-version no-op only when nothing is recorded
+    // (idempotence is NOT promised — but absence is)
+    FingerprintIndex.clearLastAppliedBatch(spark, dir)
+    assert(!FingerprintIndex.clearLastAppliedBatch(spark, dir),
+      "a clear with nothing recorded published a pointless version")
     spark.catalog.clearCache()
   }
 

@@ -123,15 +123,21 @@ class IngestCycleSpec extends AnyFunSuite {
 
     val dir = java.nio.file.Files
       .createTempDirectory("graft-cycle-vec").toString
+    // gtProbe at publish (r16): the armed maintain below and both
+    // recallOf() readings run off the STORED ground truth — the cycle's
+    // audit pays |probe| × batch at merge, never a corpus scan
+    val auditQ = all.filter(col("vec_id") < 10)
     graft.sources.VectorIndex.publishFrom(spark,
-      all.filter(col("vec_id") =!= fresh), dir)
+      all.filter(col("vec_id") =!= fresh), dir, gtProbe = Some(auditQ))
 
     // recall floor across the maintain swap (r15 verdict #1): the
     // artifact's delivered recall@5 — ground-truthed against the corpus
     // the artifact itself holds — measured on the live v1, and again on
     // the maintained version below. shareTag = None: no persisted
     // frames, so the cache-flatness assertions see only the stream's
-    val auditQ = all.filter(col("vec_id") < 10)
+    assert(graft.sources.VectorIndex.storedGtUsable(spark, dir,
+      auditQ.select(col("vec_id").as("query_id"), col("embedding")), 5),
+      "the armed cycle's audit is not reading the stored ground truth")
     def recallOf(): Map[String, Double] =
       graft.sources.VectorIndex.recallAudit(spark, dir, auditQ,
         k = 5, nprobe = 2)

@@ -411,9 +411,8 @@ class VectorIndexSpec extends AnyFunSuite {
   }
 
   private def codeRows(df: DataFrame) =
-    df.select("vec_id", "c0", "c1", "c2", "c3").collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
-        r.getInt(4))).toSet
+    df.select("vec_id", "code").collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1).toList)).toSet
 
   test("pq publish carries the codebook pair; probe-all ADC equals the " +
       "global ADC search; a non-pq index refuses") {
@@ -429,16 +428,20 @@ class VectorIndexSpec extends AnyFunSuite {
       .join(VectorIndex.loadCells(spark, dir).alias("c"), Seq("vec_id"))
       .filter(col("k.cell") =!= col("c.cell")).count() == 0,
       "codes not cell-aligned with the inverted lists")
-    val k = VectorOps.PqCodebookSize
+    // the recorded budget matches the schedules at the publish count,
+    // and every code sits inside it
+    val (nm, nk) = VectorIndex.pqBudget(m)
+    assert(nm == VectorOps.pqSubspacesFor(64) &&
+      nk == VectorOps.pqCodebookFor(n), s"recorded budget ($nm, $nk)")
     assert(VectorIndex.loadCodes(spark, dir)
-      .filter(col("c0") < 0 || col("c0") >= k || col("c3") < 0 ||
-        col("c3") >= k).count() == 0)
+      .filter(expr(s"exists(code, c -> c < 0 OR c >= $nk)") ||
+        size(col("code")) =!= nm).count() == 0)
     // the stored codes ARE the argmin encode against the stored books
     // (the q_embed_pq arithmetic — PqSpec pins training determinism)
     val books = VectorIndex.loadPqBooks(spark, dir)
     val subDim = books.select(size(col("pc"))).limit(1).collect()(0).getInt(0)
     assert(codeRows(VectorIndex.loadCodes(spark, dir)) ==
-      codeRows(VectorOps.pqEncode(allEmb, books, subDim)))
+      codeRows(VectorOps.pqEncode(allEmb, books, subDim, nm)))
     // probing EVERY cell makes IVF-ADC the global ADC ranking — exactly
     // the registered q_embed_pq_search rows (same books by determinism)
     val qs = allEmb.filter(col("vec_id") < 10)
