@@ -852,7 +852,8 @@ object VectorOps {
     })(s, d)
 
   /** ADC (asymmetric-distance) top-5 search over the PQ codes — the
-    * consumer that makes q_embed_pq's 16-bit codes a search artifact.
+    * consumer that makes q_embed_pq's scheduled-budget codes a search
+    * artifact.
     * Per query: an M×K squared-L2 table between the query's sub-vectors
     * and the shared codebooks, built IN-PLAN (queries × codebooks is
     * Q·M·K rows — driver-small at any corpus) and flattened to one

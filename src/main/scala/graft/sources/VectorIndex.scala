@@ -21,7 +21,7 @@ import graft.functions.GraftFunctions
   *   <dir>/v<n>/cells/      (cell, vec_id, embedding)    — IVF inverted
   *                          lists (uncapped: one row per corpus vector)
   *   <dir>/v<n>/pqbooks/    (m, cell, pc)                — OPTIONAL
-  *   <dir>/v<n>/codes/      (cell, vec_id, c0..c3)         (pq = true)
+  *   <dir>/v<n>/codes/      (cell, vec_id, code[M])       (pq = true)
   *                          PQ pair: frozen sub-codebooks + the argmin
   *                          code of every corpus vector, cell-aligned
   *                          with `cells` (same `cpart` layout) — the
@@ -1271,13 +1271,14 @@ object VectorIndex {
     * layout (Jégou et al., "Product Quantization for Nearest Neighbor
     * Search"): nprobe nearest cells per query by centroid cosine exactly
     * like [[searchIvf]], then rank WITHIN the probed cells by asymmetric
-    * PQ distance over the stored 16-bit codes. The probe never touches a
-    * corpus embedding: the scan side is `codes` (four INT codes per
-    * vector instead of the float payload — the ~128× scan cut that is
+    * PQ distance over the stored codes at the artifact's recorded
+    * (M, K) budget ([[pqBudget]]). The probe never touches a corpus
+    * embedding: the scan side is `codes` (M small ints per vector
+    * instead of the float payload — the order-of-100× scan cut that is
     * the point of PQ), the query side is the per-query M×K lookup table
     * joined in as one flat array ([[VectorOps.pqLut]] — Q·(M·K) doubles
-    * however large the corpus), and the per-row score is four codegen'd
-    * array lookups. Distances are the PQ metric (squared L2 to
+    * however large the corpus), and the per-row score is M codegen'd
+    * array lookups generated literally at plan time. Distances are the PQ metric (squared L2 to
     * sub-centroids), so results approximate [[searchIvf]]'s exact-cosine
     * ranking; cell alignment with the inverted lists means the partition
     * pruning and the gate behave identically. Requires a `pq = true`
@@ -1289,8 +1290,10 @@ object VectorIndex {
     * previously documented as deferred): an index published with
     * `pqResidual = true` trains its books and computes its codes over
     * x − centroid(cell(x)) instead of the raw vectors, concentrating
-    * the sub-codebooks on within-cell variance — better recall at the
-    * same 16-bit code budget. The layout and merge bookkeeping are
+    * the sub-codebooks on within-cell variance — better recall when
+    * the code budget is scarce (measured: it doubled recall at the old
+    * 16-bit budget and stops paying at the scheduled 40-bit one —
+    * SCALING.md r16 row). The layout and merge bookkeeping are
     * UNCHANGED (codes stay cell-aligned, dirty-partition accounting
     * identical); the only search-side difference is the lookup table,
     * which becomes per-(query, probed cell) — the query's residual
