@@ -95,6 +95,54 @@ object DedupOps {
             |         i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))
             |  ELSE array() END""".stripMargin)).as("shingle"))
 
+  /** PORTABLE MinHash probe bands for a deterministic doc sample —
+    * the text index's precision-drift instrument (r15 verdict #5):
+    * (doc_id, band, pbv) rows at the production banding parameters
+    * (r = 6 rows/band, 32 bands — [[graft.functions.MinHashSig]]'s
+    * defaults, same permutation family a_j = (2j+1)·K mod P with offset
+    * j·B) but over a PORTABLE per-shingle base hash (md5-derived int60,
+    * `conv(substring(md5(shingle), 1, 15), 16, 10)`) instead of the
+    * production xxhash64 — band values with a DuckDB twin, so banded-
+    * candidate PRECISION sits inside the correctness gate, which the
+    * xxhash64 keys (documented as having no portable SQL twin) never
+    * could. The production and portable bandings share (r, b), the
+    * permutation family and the corpus, so their collision statistics
+    * are the same random variable — the portable probe IS a valid drift
+    * instrument for the production index, and the xxhash64 keys' own
+    * invariants stay spec-pinned engine-side as before. The band value
+    * is the ':'-joined string of the 6 minima (no int64 packing — the
+    * polynomial pack wraps, which has no SQL twin either).
+    *
+    * Cost shape: the sample is `phash(doc_id) % mod == 0` (mod from
+    * [[graft.sources.DedupIndex.probeModFor]] — targets ~500 docs
+    * however large the corpus), shingling + 192 affine minima are one
+    * map-side pass over the sampled docs and ONE (doc_id) exchange —
+    * O(corpus/mod), priced at publish, maintained incrementally at
+    * merge (batch-sampled docs only). */
+  private[graft] def portableProbeBands(s: SparkSession, docs: DataFrame,
+      mod: Long): DataFrame = {
+    val P = 1000000007L; val K = 2654435761L; val B = 40503L
+    val sh = shinglesOf(s,
+        docs.filter(Tables.phash(col("doc_id")) % mod === 0))
+      .select(col("doc_id"),
+        expr("CAST(conv(substring(md5(shingle), 1, 15), 16, 10) AS BIGINT)")
+          .mod(P).as("pre"))
+    val aggs = (0 until 192).map { j =>
+      val a = ((2L * j + 1) * K) % P
+      val c = j * B
+      // a, pre < P ~ 1e9: a*pre + c < 2^63, no wrap in either engine
+      min(expr(s"($a * pre + $c) % $P")).as(s"m$j")
+    }
+    val sig = sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val bandCols = (0 until 32).map { b =>
+      concat_ws(":",
+        (0 until 6).map(r => col(s"m${b * 6 + r}").cast("string")): _*)
+    }
+    sig.select(col("doc_id"), posexplode(array(bandCols: _*)))
+      .select(col("doc_id"), col("pos").cast("int").as("band"),
+        col("col").as("pbv"))
+  }
+
   /** Per-doc shingle-hash sets: (doc_id, hs: array<bigint>, n,
     * truncated). |hs| <= DocTokenCap - 2 by construction. */
   /** Full-corpus per-doc hash sets, memoized per (session, dir) via
@@ -734,7 +782,11 @@ object DedupOps {
     * documents by replaying the shingle pipeline and the layout
     * schedule. Per-(band, minhash) occupancy is deliberately NOT here:
     * band values are xxhash64-derived with no portable SQL twin — those
-    * invariants are spec-pinned engine-side instead (DedupIndexSpec). */
+    * invariants are spec-pinned engine-side instead (DedupIndexSpec).
+    * PRECISION, the banded index's quality failure mode, IS here (r16):
+    * the artifact's sampled PORTABLE probe bands make banded-candidate
+    * precision oracle-checkable — see the inline note below and
+    * [[graft.operators.DedupOps.portableProbeBands]]. */
   private val qDedupIndexStats: Q = (s, d) => {
     import s.implicits._
     val dir = evenIndexDir(s, d)
@@ -748,10 +800,40 @@ object DedupOps {
       max("n").as("max_shingles"),
       sum(when(col("truncated"), 1L).otherwise(0L)).as("n_truncated"))
     val bandAgg = DI.loadBands(s, dir).agg(count(lit(1)).as("band_rows"))
+    // PRECISION DRIFT (r15 verdict #5 — the quality failure mode of a
+    // banded index is precision collapse as buckets fill, which none of
+    // the row counts above can see): candidate pairs of SAMPLED docs
+    // sharing a stored portable band value, exact-Jaccard verified
+    // against the doc store — verified/candidates is the artifact's
+    // banded-candidate precision, inside the DuckDB gate because the
+    // probe's band values are portable by construction
+    // (DedupIndex.loadProbe scaladoc). The pair join is probe x probe:
+    // both sides of a portable candidate must carry portable keys, and
+    // the sampled self-join is the same collision statistic the full
+    // banding draws from.
+    val probe = DI.loadProbe(s, dir)
+    val cand = graft.Caching.persist(
+      probe.alias("a").join(probe.alias("b"),
+          col("a.band") === col("b.band") && col("a.pbv") === col("b.pbv") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct())
+    val pAgg = probe.agg(countDistinct("doc_id").as("probe_docs"))
+    val cAgg = cand.agg(count(lit(1)).as("probe_candidates"))
+    val vAgg = verifyPairs(cand, DI.loadDocs(s, dir))
+      .agg(count(lit(1)).as("probe_verified"))
     meta.crossJoin(broadcast(docAgg)).crossJoin(broadcast(bandAgg))
+      .crossJoin(broadcast(pAgg)).crossJoin(broadcast(cAgg))
+      .crossJoin(broadcast(vAgg))
       .select(col("ndocs"), col("parts"), col("needs_rebuild"),
         col("doc_rows"), col("sum_shingles"), col("max_shingles"),
-        col("n_truncated"), col("band_rows"))
+        col("n_truncated"), col("band_rows"),
+        col("probe_docs"), col("probe_candidates"), col("probe_verified"),
+        // NULL (not an ANSI divide error) when the sampled probe found
+        // no candidates — the recall audit's failure-order convention
+        when(col("probe_candidates") > 0,
+          round(col("probe_verified").cast("double") /
+            col("probe_candidates"), 4)).as("probe_precision"))
   }
 
   /** The dedup ACTION a curation pipeline actually executes: for every
@@ -935,13 +1017,55 @@ object DedupOps {
        |  SELECT doc_id, (list_filter(string_split_regex(lower(text), '\\W+'),
        |                              x -> x <> '')) AS toks
        |  FROM documents WHERE doc_id % 2 = 0),
-       |g AS (
+       |g AS MATERIALIZED (
        |  SELECT doc_id, len(toks) > $DocTokenCap AS truncated,
        |         len(list_distinct(list_transform(
        |           range(0, least(len(toks), $DocTokenCap) - 2),
        |           i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])))
        |           AS n
-       |  FROM t WHERE len(toks) >= 3)
+       |  FROM t WHERE len(toks) >= 3),
+       |pm AS (SELECT GREATEST(1, count(*) // 500) AS pm FROM g),
+       |sdoc AS (SELECT doc_id FROM g
+       |         WHERE ${Tables.phashSql("doc_id")} % (SELECT pm FROM pm)
+       |               = 0),
+       |ssh AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id,
+       |         ('0x' || substr(md5(shingle), 1, 15))::BIGINT
+       |           % 1000000007 AS pre
+       |  FROM (
+       |    SELECT tt.doc_id,
+       |           tt.tk[i] || ' ' || tt.tk[i+1] || ' ' || tt.tk[i+2]
+       |             AS shingle
+       |    FROM (SELECT t.doc_id, toks[:$DocTokenCap] AS tk
+       |          FROM t JOIN sdoc USING (doc_id)) tt,
+       |         LATERAL (SELECT unnest(range(1, len(tt.tk) - 1)) AS i) gg)),
+       |perm AS (SELECT j, ((2 * j + 1) * 2654435761) % 1000000007 AS a,
+       |                j * 40503 AS c
+       |         FROM (SELECT unnest(range(0, 192)) AS j)),
+       |pmin AS (
+       |  SELECT doc_id, j, min((a * pre + c) % 1000000007) AS mv
+       |  FROM ssh, perm GROUP BY doc_id, j),
+       |pband AS MATERIALIZED (
+       |  SELECT doc_id, j // 6 AS band,
+       |         string_agg(CAST(mv AS VARCHAR), ':' ORDER BY j) AS pbv
+       |  FROM pmin GROUP BY doc_id, j // 6),
+       |cand AS MATERIALIZED (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM pband a JOIN pband b
+       |    ON a.band = b.band AND a.pbv = b.pbv AND a.doc_id < b.doc_id),
+       |psz AS (SELECT doc_id, count(*) AS n FROM ssh GROUP BY 1),
+       |iv AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS inter
+       |  FROM cand c
+       |  JOIN ssh x ON x.doc_id = c.doc_a
+       |  JOIN ssh y ON y.doc_id = c.doc_b AND y.pre = x.pre
+       |  GROUP BY 1, 2),
+       |pver AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS v
+       |  FROM iv
+       |  JOIN psz sa ON iv.doc_a = sa.doc_id
+       |  JOIN psz sb ON iv.doc_b = sb.doc_id
+       |  WHERE CAST(iv.inter AS DOUBLE) / (sa.n + sb.n - iv.inter) >= 0.8)
        |SELECT CAST(count(*) AS BIGINT) AS ndocs,
        |       CAST(GREATEST(64, LEAST(65536, count(*) // 250000 + 1))
        |         AS INT) AS parts,
@@ -951,7 +1075,16 @@ object DedupOps {
        |       CAST(max(n) AS BIGINT) AS max_shingles,
        |       CAST(sum(CASE WHEN truncated THEN 1 ELSE 0 END) AS BIGINT)
        |         AS n_truncated,
-       |       CAST(count(*) * 32 AS BIGINT) AS band_rows
+       |       CAST(count(*) * 32 AS BIGINT) AS band_rows,
+       |       CAST((SELECT count(DISTINCT doc_id) FROM pband) AS BIGINT)
+       |         AS probe_docs,
+       |       CAST((SELECT count(*) FROM cand) AS BIGINT)
+       |         AS probe_candidates,
+       |       (SELECT v FROM pver) AS probe_verified,
+       |       CASE WHEN (SELECT count(*) FROM cand) > 0
+       |            THEN round(CAST((SELECT v FROM pver) AS DOUBLE)
+       |                       / (SELECT count(*) FROM cand), 4)
+       |       END AS probe_precision
        |FROM g""".stripMargin
 
   /** Exact ground-truth pair SQL — all three sketches must converge to it

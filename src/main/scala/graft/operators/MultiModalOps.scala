@@ -583,10 +583,12 @@ object MultiModalOps {
     * corpus), then 1-row aggregates under broadcast. The oracle
     * recomputes every
     * column from the raw documents by replaying the dHash generator
-    * formula and the layout schedule. Per-(band, bv) / per-`ipart`
-    * occupancy is deliberately NOT here: band values and partition keys
-    * are xxhash64-derived with no portable SQL twin — those invariants
-    * are spec-pinned engine-side instead (FingerprintIndexSpec). Mirrors
+    * formula and the layout schedule. Per-`ipart` occupancy is
+    * deliberately NOT here: partition keys are xxhash64-derived with no
+    * portable SQL twin — those invariants are spec-pinned engine-side
+    * instead (FingerprintIndexSpec). The BAND VALUES themselves are
+    * portable (16-bit dHash chunks), which is what lets the r16
+    * precision probe below sit fully inside the gate. Mirrors
     * the reference's worker health reporting
     * (ShuffleWorkerStatusManager.java:75-130). */
   private val qFingerprintIndexStats: Q = (s, d) => {
@@ -604,10 +606,39 @@ object MultiModalOps {
       sum("n").as("sum_members"),
       max("n").as("max_members"))
     val bandAgg = FI.loadBands(s, dir).agg(count(lit(1)).as("band_rows"))
+    // PRECISION DRIFT (r15 verdict #5): this family's band keys ARE
+    // portable (16-bit chunks of the dHash — pure arithmetic), so the
+    // probe runs probe x CORPUS against the stored bands, the production
+    // probing shape: a deterministic signature sample (phash over the
+    // rep doc id, ~500 sigs however large the index) joins the band
+    // table on its own keys, candidates are distinct foreign signatures
+    // sharing a band, verification is the production hamming <= 3 gate.
+    // Precision collapse as the 16-bit bucket space saturates (the
+    // SCALING.md dHash note) is exactly what this reads. Partition
+    // pruning applies as in every probe (band keys -> ipart).
+    val probeMod = math.max(1L, ng / 500)
+    val bands = FI.loadBands(s, dir)
+    val probe = bands.filter(graft.Tables.phash(col("rep")) % probeMod === 0)
+    val cand = graft.Caching.persist(
+      probe.alias("p").join(bands.alias("c"),
+          col("p.band") === col("c.band") && col("p.bv") === col("c.bv") &&
+            col("p.dhash") =!= col("c.dhash"))
+        .select(col("p.dhash").as("pd"), col("c.dhash").as("cd"))
+        .distinct())
+    val pAgg = probe.agg(countDistinct("dhash").as("probe_sigs"))
+    val cAgg = cand.agg(
+      count(lit(1)).as("probe_candidates"),
+      coalesce(sum(expr("CAST(bit_count(pd ^ cd) <= 3 AS BIGINT)")), lit(0L))
+        .as("probe_verified"))
     meta.crossJoin(broadcast(sigAgg)).crossJoin(broadcast(bandAgg))
+      .crossJoin(broadcast(pAgg)).crossJoin(broadcast(cAgg))
       .select(col("ngroups"), col("parts"), col("needs_rebuild"),
         col("n_sigs"), col("sum_members"), col("max_members"),
-        col("band_rows"))
+        col("band_rows"),
+        col("probe_sigs"), col("probe_candidates"), col("probe_verified"),
+        when(col("probe_candidates") > 0,
+          round(col("probe_verified").cast("double") /
+            col("probe_candidates"), 4)).as("probe_precision"))
   }
 
   val queries: Map[String, Q] = Map(
@@ -758,19 +789,48 @@ object MultiModalOps {
     // derived parts from this exact count), and band_rows = 4 rows per
     // distinct signature by the 4x16-bit explosion.
     "q_fingerprint_index_stats" ->
-      (s"WITH $dhashCtes," + """
-        |sig AS (SELECT dhash, CAST(count(*) AS BIGINT) AS n
+      (s"WITH $dhashCtes," + s"""
+        |sig AS MATERIALIZED (
+        |        SELECT dhash, CAST(count(*) AS BIGINT) AS n,
+        |               min(doc_id) AS rep
         |        FROM dh GROUP BY 1),
         |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_sigs,
         |               CAST(sum(n) AS BIGINT) AS sum_members,
         |               CAST(max(n) AS BIGINT) AS max_members
-        |        FROM sig)
+        |        FROM sig),
+        |fpm AS (SELECT GREATEST(1, (SELECT n_sigs FROM agg) // 500) AS pm),
+        |allb AS MATERIALIZED (
+        |  SELECT s.dhash, s.rep, bj.j AS band,
+        |         (s.dhash >> (bj.j * 16)) & 65535 AS bv
+        |  FROM sig s, (SELECT unnest(range(0, 4)) AS j) bj),
+        |pcand AS MATERIALIZED (
+        |  SELECT DISTINCT p.dhash AS pd, c.dhash AS cd
+        |  FROM (SELECT * FROM allb
+        |        WHERE ${graft.Tables.phashSql("rep")}
+        |                % (SELECT pm FROM fpm) = 0) p
+        |  JOIN allb c ON p.band = c.band AND p.bv = c.bv
+        |             AND p.dhash <> c.dhash)
         |SELECT n_sigs AS ngroups,
         |       CAST(GREATEST(64, LEAST(65536, n_sigs // 4000000 + 1))
         |         AS INT) AS parts,
         |       FALSE AS needs_rebuild,
         |       n_sigs, sum_members, max_members,
-        |       CAST(4 * n_sigs AS BIGINT) AS band_rows
+        |       CAST(4 * n_sigs AS BIGINT) AS band_rows,
+        |       CAST((SELECT count(DISTINCT dhash) FROM allb
+        |             WHERE ${graft.Tables.phashSql("rep")}
+        |                     % (SELECT pm FROM fpm) = 0) AS BIGINT)
+        |         AS probe_sigs,
+        |       CAST((SELECT count(*) FROM pcand) AS BIGINT)
+        |         AS probe_candidates,
+        |       CAST((SELECT coalesce(sum(CASE WHEN
+        |                bit_count(xor(pd, cd)) <= 3 THEN 1 ELSE 0 END), 0)
+        |             FROM pcand) AS BIGINT) AS probe_verified,
+        |       CASE WHEN (SELECT count(*) FROM pcand) > 0
+        |            THEN round(CAST((SELECT coalesce(sum(CASE WHEN
+        |                   bit_count(xor(pd, cd)) <= 3 THEN 1 ELSE 0 END), 0)
+        |                 FROM pcand) AS DOUBLE)
+        |                 / (SELECT count(*) FROM pcand), 4)
+        |       END AS probe_precision
         |FROM agg""".stripMargin),
     // Replays all three fingerprint formulas (the q_image_dhash /
     // q_audio_fingerprint / q_video_fingerprint oracle bodies), derives

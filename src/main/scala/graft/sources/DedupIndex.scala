@@ -55,6 +55,18 @@ object DedupIndex {
   private[graft] def layoutPartsFor(nDocs: Long): Int =
     math.max(64L, math.min(1L << 16, nDocs / (250L * 1000) + 1)).toInt
 
+  /** Probe-sample modulus for the PRECISION instrument
+    * ([[graft.operators.DedupOps.portableProbeBands]]): targets ~500
+    * sampled docs whatever the corpus size (mod 1 below 500 docs — at
+    * fixture scale the probe IS the corpus, which is what makes its
+    * precision reading statistically meaningful there). FROZEN at
+    * publish and recorded in meta (`probemod`): merges lack the
+    * replaced docs' text, so they can only maintain the sample the
+    * publish chose; the periodic full republish re-derives it — the
+    * same freeze-then-rebuild contract as the banding geometry. */
+  private[graft] def probeModFor(nDocs: Long): Long =
+    math.max(1L, nDocs / 500)
+
   /** What a [[mergePublishStats]] actually wrote, per partitioned
     * dataset: partition directories REWRITTEN (they hold batch rows or
     * rows of replaced ids) vs hard-copied verbatim from the live index
@@ -94,7 +106,8 @@ object DedupIndex {
     * tail of [[publishFrom]] and the full-rewrite merge path. `meta`
     * commits LAST so [[isPublished]] implies complete layouts. */
   private def writeAll(s: SparkSession, docs: DataFrame, bands: DataFrame,
-      indexDir: String, nDocs: Long): Unit = {
+      indexDir: String, nDocs: Long,
+      probe: Option[DataFrame] = None, probeMod: Long = 0): Unit = {
     val parts = layoutPartsFor(nDocs)
     docs.select("doc_id", "hs", "n", "truncated")
       .withColumn("dpart", docPartOf(col("doc_id"), parts))
@@ -106,13 +119,17 @@ object DedupIndex {
       .repartition(parts, col("dpart"))
       .write.partitionBy("dpart")
       .mode("overwrite").parquet(s"$indexDir/bands")
-    writeMeta(s, indexDir, nDocs, parts)
+    // the sampled precision-probe bands: ~500 docs x 32 rows — a single
+    // file at any corpus size; meta still commits LAST
+    probe.foreach(_.select("doc_id", "band", "pbv").coalesce(1)
+      .write.mode("overwrite").parquet(s"$indexDir/probe"))
+    writeMeta(s, indexDir, nDocs, parts, probeMod)
   }
 
   private def writeMeta(s: SparkSession, indexDir: String, nDocs: Long,
-      parts: Int): Unit = {
+      parts: Int, probeMod: Long): Unit = {
     import s.implicits._
-    Seq((nDocs, parts)).toDF("ndocs", "parts")
+    Seq((nDocs, parts, probeMod)).toDF("ndocs", "parts", "probemod")
       .write.mode("overwrite").parquet(s"$indexDir/meta")
   }
 
@@ -130,8 +147,15 @@ object DedupIndex {
     val docs = graft.Caching.persist(
       graft.operators.DedupOps.docHashesOf(s, corpus))
     try {
+      val nDocs = docs.count()
+      // the precision probe is derived HERE, while the corpus TEXT is in
+      // hand (the index stores hash sets only) — its sample modulus
+      // freezes into meta and merges maintain the sampled rows
+      val probeMod = probeModFor(nDocs)
       writeAll(s, docs, graft.streaming.NearDupStream.bandIndex(s, docs),
-        indexDir, docs.count())
+        indexDir, nDocs,
+        Some(graft.operators.DedupOps.portableProbeBands(s, corpus,
+          probeMod)), probeMod)
       (loadDocs(s, indexDir).count(), loadBands(s, indexDir).count())
     } finally docs.unpersist()
   }
@@ -282,7 +306,22 @@ object DedupIndex {
             (parts2, 0)
           }
 
-        writeMeta(s, newIndexDir, nDocs2, parts2)
+        // ---- precision probe (r16) ----------------------------------
+        // maintained at the FROZEN sample modulus: replaced sampled docs
+        // drop their stored rows, batch-sampled docs re-derive from the
+        // batch text — O(batch/mod) compute, one small file. A legacy
+        // artifact (probemod = 0 / no probe dataset) stays probe-less
+        // until its next full publish.
+        val probeMod = loadProbeMod(s, indexDir)
+        if (probeMod > 0) {
+          loadProbe(s, indexDir)
+            .join(batchIds, Seq("doc_id"), "left_anti")
+            .unionByName(graft.operators.DedupOps
+              .portableProbeBands(s, newDocs, probeMod))
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$newIndexDir/probe")
+        }
+        writeMeta(s, newIndexDir, nDocs2, parts2, probeMod)
         ((loadDocs(s, newIndexDir).count(), loadBands(s, newIndexDir).count()),
           MergeStats(parts2, dirtyDoc, copiedDoc, dirtyBand, copiedBand,
             docsFullRewrite = !(incremental && docsParted),
@@ -364,8 +403,11 @@ object DedupIndex {
     if (!Seq("docs", "bands").exists(ds => fragmented(s, s"$live/$ds")))
       return false
     val v = s"v${StorageOps.nextVersion(s, root)}"
+    val pm = loadProbeMod(s, live)
     writeAll(s, loadDocs(s, live), loadBands(s, live), s"$root/$v",
-      loadNDocs(s, live))
+      loadNDocs(s, live),
+      // the probe copies VERBATIM — compaction is a layout move
+      if (pm > 0) Some(loadProbe(s, live)) else None, pm)
     StorageOps.flipPointer(s, root, v)
     true
   }
@@ -452,6 +494,28 @@ object DedupIndex {
     * filter). */
   def loadBands(s: SparkSession, indexDir: String): DataFrame =
     loadBandsRaw(s, indexDir).select("band", "minhash", "doc_id")
+
+  /** The frozen probe-sample modulus recorded at publish; 0 for a
+    * legacy artifact (no `probemod` meta field) — no probe dataset,
+    * precision unreadable until the next full publish. */
+  def loadProbeMod(s: SparkSession, indexDir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/meta")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return 0
+    val df = s.read.parquet(s"$indexDir/meta")
+    if (!df.schema.fieldNames.contains("probemod")) 0
+    else df.collect()(0).getAs[Long]("probemod")
+  }
+
+  /** The sampled PORTABLE probe bands (doc_id, band, pbv) — see
+    * [[graft.operators.DedupOps.portableProbeBands]]. Sampled-small:
+    * ~500 docs x 32 band rows at any corpus size. */
+  def loadProbe(s: SparkSession, indexDir: String): DataFrame =
+    s.read.parquet(s"$indexDir/probe").select("doc_id", "band", "pbv")
+
+  def hasProbe(s: SparkSession, indexDir: String): Boolean =
+    loadProbeMod(s, indexDir) > 0 &&
+      StorageOps.isCommitted(s, s"$indexDir/probe")
 
   private def loadBandsRaw(s: SparkSession, indexDir: String): DataFrame =
     graft.Chaos.gate(s, s.read.parquet(s"$indexDir/bands"))

@@ -20,6 +20,56 @@ class FingerprintIndexSpec extends AnyFunSuite {
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4))).toSet
 
+  /** The q_fingerprint_index_stats precision computation, inline:
+    * probe x corpus banded candidates (probeMod 1 at these sizes),
+    * verified at the production hamming <= 3 gate. */
+  private def bandedPrecision(dir: String): (Long, Long) = {
+    val bands = FingerprintIndex.loadBands(spark, dir)
+    val cand = bands.alias("p").join(bands.alias("c"),
+        col("p.band") === col("c.band") && col("p.bv") === col("c.bv") &&
+          col("p.dhash") =!= col("c.dhash"))
+      .select(col("p.dhash").as("pd"), col("c.dhash").as("cd")).distinct()
+    (cand.count(),
+      cand.filter(expr("bit_count(pd ^ cd) <= 3")).count())
+  }
+
+  test("precision probe reads banded saturation: a planted band flood " +
+      "collapses the verified-match rate (r15 verdict #5)") {
+    import spark.implicits._
+    // CLEAN corpus: 50 twin pairs (one bit apart — true near-dups that
+    // share three of four bands) and no cross-pair band collisions: the
+    // same value i sits in every 16-bit band of d_i, so distinct i never
+    // collide. Candidates = the twins only -> precision 1.0.
+    def spread(i: Long): Long =
+      i | (i << 16) | (i << 32) | (i << 48)
+    val clean = (1L to 50L).flatMap { i =>
+      Seq((spread(i), 1L, i), (spread(i) ^ 1L, 1L, i + 1000L))
+    }
+    // the FLOOD: 50 signatures that share one band value (the saturated
+    // bucket) while their other 48 bits make every pair hamming >> 3 —
+    // banded candidates that never verify, exactly the precision
+    // collapse a filling 16-bit bucket space produces
+    val flood = (1L to 50L).map { j =>
+      (0xBEEFL | ((j + 1000) << 16) | ((j * 37 + 7) << 32) |
+        ((j * 101 + 13) << 48), 1L, j + 2000L)
+    }
+    val base = java.nio.file.Files.createTempDirectory("graft-fpidx-prec")
+    val dirClean = s"$base/clean"; val dirFlood = s"$base/flood"
+    FingerprintIndex.publishBandedSigs(spark,
+      clean.toDF("dhash", "n", "rep"), dirClean)
+    FingerprintIndex.publishBandedSigs(spark,
+      (clean ++ flood).toDF("dhash", "n", "rep"), dirFlood)
+    val (c0, v0) = bandedPrecision(dirClean)
+    val (c1, v1) = bandedPrecision(dirFlood)
+    info(s"clean $v0/$c0, flooded $v1/$c1")
+    assert(c0 > 0 && v0 == c0, "clean corpus must read precision 1.0")
+    assert(v1 == v0, "the flood added no true matches by construction")
+    assert(c1 > c0 + 100, "the flood did not saturate a band bucket")
+    assert(v1.toDouble / c1 < 0.5 * v0.toDouble / c0,
+      "the precision instrument did not register the band flood")
+    spark.catalog.clearCache()
+  }
+
   test("groups merge equals a from-scratch publish; clean majority hard-copied") {
     val arrivals = operators.AudioOps.wavPayloads0(spark, d)
       .select("doc_id", "fp")
