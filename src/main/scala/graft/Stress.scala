@@ -134,8 +134,14 @@ object Stress {
   private def scalingMain(args: Array[String]): Unit = {
     import graft.operators.DedupOps
     val outFile = if (args.length > 1) args(1) else "SCALING.md"
+    // extra scale points beyond the driver's three decades — in practice
+    // the graft.tools.ScaleGen synthetic decade (distribution-matched,
+    // never replicated; see its scaladoc), appended after the fixtures
+    // so the fit gains an upper decade where the exponents matter
+    val extra = args.drop(2).toSeq.filter(p => new java.io.File(p).isDirectory)
     val sfs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
-      "/root/testdata/sf0.1").filter(p => new java.io.File(p).isDirectory)
+      "/root/testdata/sf0.1").filter(p => new java.io.File(p).isDirectory) ++
+      extra
     // an exponent needs at least two scale points; with one the slope
     // divides by zero and every row would read NaN — which the verdict
     // rule's `> 1.3` silently never flags. Fail loudly instead.
@@ -239,7 +245,12 @@ object Stress {
     sb ++= "candidate exponent is what decides survival at 100 TB. An\n"
     sb ++= "exponent ~1 means enumeration grows linearly with the corpus;\n"
     sb ++= "~2 means an all-pairs blowup. The RETIRED row keeps the r5\n"
-    sb ++= "nibble-band SimHash design as the instrument's positive control.\n\n"
+    sb ++= "nibble-band SimHash design as the instrument's positive control.\n"
+    if (extra.nonEmpty)
+      sb ++= ("Columns beyond sf0.1 are graft.tools.ScaleGen SYNTHETIC\n" +
+        "decades — distribution-matched to the source fixture, control-\n" +
+        "validated at factor 1 (see the r16 note above the table).\n")
+    sb ++= "\n"
     sb ++= ("| probe | " + sfs.map(_.split('/').last).mkString(" | ") +
       " | exponent | note |\n")
     sb ++= ("|---|" + sfs.map(_ => "---|").mkString + "---|---|\n")

@@ -33,9 +33,11 @@ case class MinHashSig(child: Expression,
     bands: Int = MinHashSig.DefaultBands) extends UnaryExpression {
   require(rows > 0 && bands > 0 && rows * bands <= 4096,
     s"rows*bands must be in [1, 4096], got $rows x $bands")
-  private val P = 1000000007L
-  private val K = 2654435761L
-  private val B = 40503L
+  private val P = MinHashSig.P
+  // independent per-permutation multipliers/offsets, precomputed once
+  // per expression instance (rows*bands <= 4096 longs)
+  private val permAs = Array.tabulate(rows * bands)(MinHashSig.permA)
+  private val permCs = Array.tabulate(rows * bands)(MinHashSig.permC)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -73,8 +75,8 @@ case class MinHashSig(child: Expression,
       var r = 0
       while (r < rows) {
         val perm = b * rows + r
-        val a = ((2L * perm + 1) * K) % P
-        val c = perm * B
+        val a = permAs(perm)
+        val c = permCs(perm)
         var m = Long.MaxValue
         var i = 0
         while (i < n) {
@@ -99,6 +101,8 @@ case class MinHashSig(child: Expression,
       val r = ctx.freshName("r")
       val i = ctx.freshName("i")
       val perm = ctx.freshName("perm")
+      val aArr = ctx.addReferenceObj("minhashPermA", permAs, "long[]")
+      val cArr = ctx.addReferenceObj("minhashPermC", permCs, "long[]")
       val a = ctx.freshName("a")
       val c = ctx.freshName("c")
       val m = ctx.freshName("m")
@@ -122,8 +126,8 @@ case class MinHashSig(child: Expression,
          |  long $packed = 0L;
          |  for (int $r = 0; $r < $rows; $r++) {
          |    int $perm = $b * $rows + $r;
-         |    long $a = ((2L * $perm + 1) * ${K}L) % ${P}L;
-         |    long $c = (long) $perm * ${B}L;
+         |    long $a = $aArr[$perm];
+         |    long $c = $cArr[$perm];
          |    long $m = Long.MAX_VALUE;
          |    for (int $i = 0; $i < $n; $i++) {
          |      long $v = ($a * $pre[$i] + $c) % ${P}L;
@@ -148,4 +152,24 @@ object MinHashSig {
     * scaladoc. Raise `rows` as the corpus grows. */
   val DefaultRows = 6
   val DefaultBands = 32
+
+  val P = 1000000007L
+
+  /** splitmix64 finalizer — the per-permutation constant derivation.
+    * Deterministic and engine-neutral: consumers that need a portable
+    * twin (the precision probe's banding, its DuckDB oracle) interpolate
+    * the RESULTING constants as literals rather than replaying this. */
+  private def mix64(x0: Long): Long = {
+    var z = x0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Permutation j's multiplier in [1, P-1] — INDEPENDENT draws (see the
+    * class scaladoc on why the retired linear family was a defect). */
+  def permA(j: Int): Long = (mix64(j.toLong * 2 + 1) & Long.MaxValue) % (P - 1) + 1
+
+  /** Permutation j's offset in [0, P-1]. */
+  def permC(j: Int): Long = (mix64(j.toLong * 2 + 2) & Long.MaxValue) % P
 }

@@ -121,15 +121,15 @@ object DedupOps {
     * merge (batch-sampled docs only). */
   private[graft] def portableProbeBands(s: SparkSession, docs: DataFrame,
       mod: Long): DataFrame = {
-    val P = 1000000007L; val K = 2654435761L; val B = 40503L
+    val P = graft.functions.MinHashSig.P
     val sh = shinglesOf(s,
         docs.filter(Tables.phash(col("doc_id")) % mod === 0))
       .select(col("doc_id"),
         expr("CAST(conv(substring(md5(shingle), 1, 15), 16, 10) AS BIGINT)")
           .mod(P).as("pre"))
     val aggs = (0 until 192).map { j =>
-      val a = ((2L * j + 1) * K) % P
-      val c = j * B
+      val a = graft.functions.MinHashSig.permA(j)
+      val c = graft.functions.MinHashSig.permC(j)
       // a, pre < P ~ 1e9: a*pre + c < 2^63, no wrap in either engine
       min(expr(s"($a * pre + $c) % $P")).as(s"m$j")
     }
@@ -1039,9 +1039,9 @@ object DedupOps {
        |    FROM (SELECT t.doc_id, toks[:$DocTokenCap] AS tk
        |          FROM t JOIN sdoc USING (doc_id)) tt,
        |         LATERAL (SELECT unnest(range(1, len(tt.tk) - 1)) AS i) gg)),
-       |perm AS (SELECT j, ((2 * j + 1) * 2654435761) % 1000000007 AS a,
-       |                j * 40503 AS c
-       |         FROM (SELECT unnest(range(0, 192)) AS j)),
+       |perm AS (SELECT * FROM (VALUES
+       |${(0 until 192).map(j => s"(${j}, ${graft.functions.MinHashSig.permA(j)}, ${graft.functions.MinHashSig.permC(j)})").mkString(",\n")})
+       |  AS pc(j, a, c)),
        |pmin AS (
        |  SELECT doc_id, j, min((a * pre + c) % 1000000007) AS mv
        |  FROM ssh, perm GROUP BY doc_id, j),

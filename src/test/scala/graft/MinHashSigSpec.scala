@@ -12,17 +12,18 @@ import graft.functions.GraftFunctions
   * bigint by design, which is safe for a JOIN KEY). */
 class MinHashSigSpec extends AnyFunSuite {
   private lazy val spark = { val s = TestSpark.spark; GraftFunctions.register(s); s }
-  private val P = 1000000007L
-  private val K = 2654435761L
-  private val B = 40503L
+  private val P = graft.functions.MinHashSig.P
 
+  // the reference shares only the per-permutation CONSTANTS with the
+  // expression (like P itself); the minhash/pack computation is written
+  // independently of the expression's codegen
   private def reference(hs: Seq[Long], rows: Int, bands: Int): Seq[Long] = {
     val pre = hs.map(h => ((h % P) + P) % P)
     (0 until bands).map { b =>
       (0 until rows).foldLeft(0L) { (packed, r) =>
         val perm = b * rows + r
-        val a = ((2L * perm + 1) * K) % P
-        val c = perm * B
+        val a = graft.functions.MinHashSig.permA(perm)
+        val c = graft.functions.MinHashSig.permC(perm)
         packed * P + pre.map(hp => (a * hp + c) % P).min
       }
     }
