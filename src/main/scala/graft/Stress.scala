@@ -138,7 +138,13 @@ object Stress {
     // the graft.tools.ScaleGen synthetic decade (distribution-matched,
     // never replicated; see its scaladoc), appended after the fixtures
     // so the fit gains an upper decade where the exponents matter
-    val extra = args.drop(2).toSeq.filter(p => new java.io.File(p).isDirectory)
+    val extra = args.drop(2).toSeq
+    // unlike the built-in fixture list (legitimately optional), an
+    // EXPLICITLY requested scale point must exist — silently dropping a
+    // mistyped path would regenerate the table without the decade the
+    // caller asked for, with no sign anything was lost
+    extra.foreach(p => require(new java.io.File(p).isDirectory,
+      s"extra scale dir does not exist: $p"))
     val sfs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
       "/root/testdata/sf0.1").filter(p => new java.io.File(p).isDirectory) ++
       extra

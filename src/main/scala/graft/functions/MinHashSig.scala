@@ -11,14 +11,26 @@ import org.apache.spark.sql.types._
   * k packs its `rows` minima by polynomial accumulation (v = v*P + m,
   * 64-bit wrap; equal bands always pack equal, a wrap collision can only
   * ADD a candidate, never lose one, and candidates are exact-verified
-  * downstream). Permutation j = k*rows + i is a_j = (2j+1)*K mod P with
-  * offset j*B. The expression-only formulation (transform→array_min per
-  * permutation) allocates one temporary array per permutation per
-  * document; this loop allocates one output array, which is what the
-  * signature stage costs at 10^9 documents.
+  * downstream). Permutation j = k*rows + i is the affine map
+  * a_j·x + c_j mod P with INDEPENDENT splitmix-derived constants
+  * ([[MinHashSig.permA]]/[[MinHashSig.permC]]). Independence across the
+  * rows of a band is LOAD-BEARING, not hygiene: the retired r15 family
+  * a_j = (2j+1)·K mod P, c_j = j·B is linear in j, so every shingle's
+  * hash advances on an arithmetic progression across consecutive
+  * permutations — h_j(x) = h_0(x) + j·(2Kx + B) mod P — and a shingle
+  * whose hash AND step are both small stays the minimum for every row
+  * of a band at once. One shared shingle then collides the whole band
+  * with probability ~J instead of J^rows, which the r16 synthetic-
+  * decade instrument measured as candidate exponent 1.43 (SCALING.md);
+  * with independent constants it re-measures at 1.00. The
+  * expression-only formulation (transform→array_min per permutation)
+  * allocates one temporary array per permutation per document; this
+  * loop allocates one output array, which is what the signature stage
+  * costs at 10^9 documents.
   *
   * Why rows-per-band is a parameter: a pair with Jaccard J collides in
-  * a band with probability J^rows, so the background candidate rate is
+  * a band with probability J^rows (GIVEN the per-row independence
+  * above), so the background candidate rate is
   * bands·J_bg^rows·C(n,2). For any FIXED rows that term is quadratic in
   * n; it stays sub-linear only while J_bg^rows < 1/n, i.e. rows must
   * grow ~ln(n)/ln(1/J_bg) — the same O(log n) scaling law as

@@ -99,8 +99,9 @@ object DedupOps {
     * the text index's precision-drift instrument (r15 verdict #5):
     * (doc_id, band, pbv) rows at the production banding parameters
     * (r = 6 rows/band, 32 bands — [[graft.functions.MinHashSig]]'s
-    * defaults, same permutation family a_j = (2j+1)·K mod P with offset
-    * j·B) but over a PORTABLE per-shingle base hash (md5-derived int60,
+    * defaults, and the SAME independent per-permutation constants,
+    * [[graft.functions.MinHashSig.permA]]/[[graft.functions.MinHashSig.permC]])
+    * but over a PORTABLE per-shingle base hash (md5-derived int60,
     * `conv(substring(md5(shingle), 1, 15), 16, 10)`) instead of the
     * production xxhash64 — band values with a DuckDB twin, so banded-
     * candidate PRECISION sits inside the correctness gate, which the
@@ -1028,10 +1029,8 @@ object DedupOps {
        |sdoc AS (SELECT doc_id FROM g
        |         WHERE ${Tables.phashSql("doc_id")} % (SELECT pm FROM pm)
        |               = 0),
-       |ssh AS MATERIALIZED (
-       |  SELECT DISTINCT doc_id,
-       |         ('0x' || substr(md5(shingle), 1, 15))::BIGINT
-       |           % 1000000007 AS pre
+       |vsh AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, shingle
        |  FROM (
        |    SELECT tt.doc_id,
        |           tt.tk[i] || ' ' || tt.tk[i+1] || ' ' || tt.tk[i+2]
@@ -1039,6 +1038,11 @@ object DedupOps {
        |    FROM (SELECT t.doc_id, toks[:$DocTokenCap] AS tk
        |          FROM t JOIN sdoc USING (doc_id)) tt,
        |         LATERAL (SELECT unnest(range(1, len(tt.tk) - 1)) AS i) gg)),
+       |ssh AS MATERIALIZED (
+       |  SELECT doc_id,
+       |         ('0x' || substr(md5(shingle), 1, 15))::BIGINT
+       |           % 1000000007 AS pre
+       |  FROM vsh),
        |perm AS (SELECT * FROM (VALUES
        |${(0 until 192).map(j => s"(${j}, ${graft.functions.MinHashSig.permA(j)}, ${graft.functions.MinHashSig.permC(j)})").mkString(",\n")})
        |  AS pc(j, a, c)),
@@ -1053,12 +1057,12 @@ object DedupOps {
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM pband a JOIN pband b
        |    ON a.band = b.band AND a.pbv = b.pbv AND a.doc_id < b.doc_id),
-       |psz AS (SELECT doc_id, count(*) AS n FROM ssh GROUP BY 1),
+       |psz AS (SELECT doc_id, count(*) AS n FROM vsh GROUP BY 1),
        |iv AS (
        |  SELECT c.doc_a, c.doc_b, count(*) AS inter
        |  FROM cand c
-       |  JOIN ssh x ON x.doc_id = c.doc_a
-       |  JOIN ssh y ON y.doc_id = c.doc_b AND y.pre = x.pre
+       |  JOIN vsh x ON x.doc_id = c.doc_a
+       |  JOIN vsh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
        |  GROUP BY 1, 2),
        |pver AS (
        |  SELECT CAST(count(*) AS BIGINT) AS v

@@ -614,8 +614,12 @@ object MultiModalOps {
     // table on its own keys, candidates are distinct foreign signatures
     // sharing a band, verification is the production hamming <= 3 gate.
     // Precision collapse as the 16-bit bucket space saturates (the
-    // SCALING.md dHash note) is exactly what this reads. Partition
-    // pruning applies as in every probe (band keys -> ipart).
+    // SCALING.md dHash note) is exactly what this reads. The corpus
+    // side deliberately reads the FULL band table: this 1-row health
+    // query's sibling aggregates (band_rows, the sig fold) scan it all
+    // anyway, so an ipart-pruned probe join would save nothing here —
+    // a standalone precision probe at corpus scale would prune on the
+    // sampled keys' ipart values like every search does.
     val probeMod = math.max(1L, ng / 500)
     val bands = FI.loadBands(s, dir)
     val probe = bands.filter(graft.Tables.phash(col("rep")) % probeMod === 0)

@@ -67,6 +67,40 @@ object DedupIndex {
   private[graft] def probeModFor(nDocs: Long): Long =
     math.max(1L, nDocs / 500)
 
+  /** The MinHash permutation-family GENERATION this artifact's band
+    * values were derived under — recorded in meta so a probe can never
+    * silently join new-family band keys against old-family stored ones
+    * (a recall collapse with no error). 2 = the r16 independent
+    * splitmix constants; 1 (or a meta without the field) = the retired
+    * linear family. A family-mismatched artifact REFUSES probes loudly
+    * ([[requireCurrentBandFamily]]) and upgrades through the next
+    * merge: its bands REBUILD from the stored hash sets (hs is
+    * family-independent xxhash64 of shingles), its docs/probe datasets
+    * merge normally. */
+  val BandFamily = 2
+
+  /** The artifact's recorded band family; 1 for any artifact published
+    * before the field existed (the retired linear family). */
+  def loadBandFamily(s: SparkSession, indexDir: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/meta")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return 1
+    val df = s.read.parquet(s"$indexDir/meta")
+    if (!df.schema.fieldNames.contains("bandfam")) 1
+    else df.collect()(0).getAs[Int]("bandfam")
+  }
+
+  private def requireCurrentBandFamily(s: SparkSession,
+      indexDir: String): Unit = {
+    val fam = loadBandFamily(s, indexDir)
+    require(fam == BandFamily,
+      s"band index at $indexDir was published under permutation family " +
+        s"$fam (current: $BandFamily) — its stored band values can never " +
+        "match keys derived by this build, so probing it would silently " +
+        "miss every cross near-dup; merge a batch (the bands rebuild " +
+        "from the stored hash sets) or republish from the corpus")
+  }
+
   /** What a [[mergePublishStats]] actually wrote, per partitioned
     * dataset: partition directories REWRITTEN (they hold batch rows or
     * rows of replaced ids) vs hard-copied verbatim from the live index
@@ -129,7 +163,8 @@ object DedupIndex {
   private def writeMeta(s: SparkSession, indexDir: String, nDocs: Long,
       parts: Int, probeMod: Long): Unit = {
     import s.implicits._
-    Seq((nDocs, parts, probeMod)).toDF("ndocs", "parts", "probemod")
+    Seq((nDocs, parts, probeMod, BandFamily))
+      .toDF("ndocs", "parts", "probemod", "bandfam")
       .write.mode("overwrite").parquet(s"$indexDir/meta")
   }
 
@@ -241,6 +276,11 @@ object DedupIndex {
         val nDocs2 = loadNDocs(s, indexDir) - nReplaced + batch.count()
         val parts2 = layoutPartsFor(nDocs2)
         val incremental = parts2 == parts && parts > 0
+        // a family-mismatched artifact's stored band VALUES are unusable
+        // (old permutation constants): neither the incremental path nor
+        // the row-merging fallback may touch them — the bands rebuild
+        // from the merged DOC HASH SETS below (hs is family-independent)
+        val famOk = loadBandFamily(s, indexDir) == BandFamily
 
         // ---- docs --------------------------------------------------
         val (dirtyDoc, copiedDoc) =
@@ -272,7 +312,22 @@ object DedupIndex {
         val batchBands = graft.streaming.NearDupStream.bandIndex(s, batch)
           .select(col("band"), col("minhash"), col("doc_id"))
         val (dirtyBand, copiedBand) =
-          if (incremental && bandsParted) {
+          if (!famOk) {
+            // the family upgrade: re-derive EVERY band row from the
+            // merged doc store (one signature pass — the same cost the
+            // original publish paid), never merging old-family values
+            val mergedDocs = loadDocs(s, indexDir)
+              .join(batchIds, Seq("doc_id"), "left_anti")
+              .unionByName(batch.select("doc_id", "hs", "n", "truncated"))
+            graft.streaming.NearDupStream.bandIndex(s, mergedDocs)
+              .select(col("band"), col("minhash"), col("doc_id"))
+              .withColumn("dpart", dpartOf(col("band"), col("minhash"),
+                parts2))
+              .repartition(parts2, col("dpart"))
+              .write.partitionBy("dpart")
+              .mode("overwrite").parquet(s"$newIndexDir/bands")
+            (parts2, 0)
+          } else if (incremental && bandsParted) {
             // replaced docs' old band keys, re-derived from stored hs
             val replacedBands =
               graft.streaming.NearDupStream.bandIndex(s, replacedDocs)
@@ -312,7 +367,13 @@ object DedupIndex {
         // batch text — O(batch/mod) compute, one small file. A legacy
         // artifact (probemod = 0 / no probe dataset) stays probe-less
         // until its next full publish.
-        val probeMod = loadProbeMod(s, indexDir)
+        // the probe is family-derived too (portableProbeBands shares the
+        // permutation constants): merging old-family stored rows with
+        // new-family batch rows would corrupt the instrument, and the
+        // replaced docs' TEXT (needed to re-derive) is gone — a
+        // family-upgrading merge therefore DROPS the probe (probemod 0)
+        // until the next full publish re-derives it
+        val probeMod = if (famOk) loadProbeMod(s, indexDir) else 0L
         if (probeMod > 0) {
           loadProbe(s, indexDir)
             .join(batchIds, Seq("doc_id"), "left_anti")
@@ -325,7 +386,7 @@ object DedupIndex {
         ((loadDocs(s, newIndexDir).count(), loadBands(s, newIndexDir).count()),
           MergeStats(parts2, dirtyDoc, copiedDoc, dirtyBand, copiedBand,
             docsFullRewrite = !(incremental && docsParted),
-            bandsFullRewrite = !(incremental && bandsParted)))
+            bandsFullRewrite = !famOk || !(incremental && bandsParted)))
       } finally replacedDocs.unpersist()
     } finally batch.unpersist()
   }
@@ -492,8 +553,10 @@ object DedupIndex {
     * derivable from (band, minhash) whenever a consumer wants the pruned
     * scan ([[prunedBands]] reads [[loadBandsRaw]] and drops it after the
     * filter). */
-  def loadBands(s: SparkSession, indexDir: String): DataFrame =
+  def loadBands(s: SparkSession, indexDir: String): DataFrame = {
+    requireCurrentBandFamily(s, indexDir)
     loadBandsRaw(s, indexDir).select("band", "minhash", "doc_id")
+  }
 
   /** The frozen probe-sample modulus recorded at publish; 0 for a
     * legacy artifact (no `probemod` meta field) — no probe dataset,
@@ -531,6 +594,7 @@ object DedupIndex {
     * exact. `batchBands`: (band, bv) — minhash under its join alias. */
   private[graft] def prunedBands(s: SparkSession, indexDir: String,
       batchBands: DataFrame): DataFrame = {
+    requireCurrentBandFamily(s, indexDir)
     val nParts = loadParts(s, indexDir)
     val raw = loadBandsRaw(s, indexDir)
     if (nParts <= 0 || !raw.columns.contains("dpart")) // legacy: full scan

@@ -341,13 +341,19 @@ object VectorIndex {
     * reader normalizes them to the array so every consumer sees ONE
     * schema (a merge of such an artifact upgrades the stored layout —
     * see [[mergePublishStats]]'s legacy route). */
-  def loadCodes(s: SparkSession, dir: String): DataFrame = {
-    val raw = loadCodesRaw(s, dir)
+  def loadCodes(s: SparkSession, dir: String): DataFrame =
+    normalizeCodes(loadCodesRaw(s, dir))
+
+  /** The ONE legacy-schema normalization (pre-schedule c0..c3 columns →
+    * the code array) — shared by [[loadCodes]] and the searches' pruned
+    * scan so a future layout generation cannot drift between the load
+    * path and the search path. A pure projection: applied AFTER any
+    * partition filter, pruning unaffected. */
+  private def normalizeCodes(raw: DataFrame): DataFrame =
     if (raw.schema.fieldNames.contains("code"))
       raw.select("cell", "vec_id", "code")
     else raw.select(col("cell"), col("vec_id"),
       array(col("c0"), col("c1"), col("c2"), col("c3")).as("code"))
-  }
 
   private def loadCodesRaw(s: SparkSession, dir: String): DataFrame =
     graft.Chaos.gate(s, s.read.parquet(s"$dir/${ver(s, dir)}/codes"))
@@ -357,16 +363,11 @@ object VectorIndex {
     * (legacy c0..c3 artifacts included — the array build is a pure
     * projection AFTER the partition filter, so pruning is unaffected). */
   private def codesScan(s: SparkSession, dir: String, small: Boolean,
-      qcells: DataFrame, m: Meta): DataFrame = {
-    val raw = (if (small)
+      qcells: DataFrame, m: Meta): DataFrame =
+    normalizeCodes(if (small)
         prunedScan(loadCodesRaw(s, dir),
           qcells.select(cpartOf(col("qcell"), m.parts)), "cpart", m.parts)
       else loadCodesRaw(s, dir))
-    if (raw.schema.fieldNames.contains("code"))
-      raw.select("cell", "vec_id", "code")
-    else raw.select(col("cell"), col("vec_id"),
-      array(col("c0"), col("c1"), col("c2"), col("c3")).as("code"))
-  }
 
   /** Depth (rows per probe query) of the stored recall ground truth —
     * audits at any k <= GtDepth read the store instead of re-scanning

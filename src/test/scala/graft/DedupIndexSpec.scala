@@ -58,6 +58,49 @@ class DedupIndexSpec extends AnyFunSuite {
     assert(probeRows(dirB) == probeRows(dirC), "probe artifacts differ")
   }
 
+  test("band-family guard: a pre-r16 artifact refuses probes loudly and " +
+      "a merge upgrades its bands from the stored hash sets") {
+    import spark.implicits._
+    val full = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), col("text"))
+    val base = java.nio.file.Files.createTempDirectory("graft-idx-fam")
+    val dir = s"$base/old"; val dirB = s"$base/up"; val dirC = s"$base/ref"
+    DedupIndex.publishFrom(spark, full.filter(col("doc_id") % 3 =!= 0), dir)
+    // simulate a pre-family artifact: rewrite meta WITHOUT bandfam —
+    // the stored band values then read as the retired linear family's
+    val (nd, pt, pm) = (DedupIndex.loadNDocs(spark, dir),
+      DedupIndex.loadParts(spark, dir), DedupIndex.loadProbeMod(spark, dir))
+    Seq((nd, pt, pm)).toDF("ndocs", "parts", "probemod")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+    assert(DedupIndex.loadBandFamily(spark, dir) == 1)
+    // probing old-family band values with new-family keys would
+    // silently miss every match — it must refuse instead
+    val ex = intercept[IllegalArgumentException] {
+      DedupIndex.loadBands(spark, dir).count()
+    }
+    assert(ex.getMessage.contains("permutation family"), ex.getMessage)
+    intercept[IllegalArgumentException] {
+      DedupIndex.prunedBands(spark, dir,
+        spark.range(1).selectExpr("id AS band", "id AS bv"))
+    }
+    // the merge upgrades: bands rebuild from the family-independent
+    // stored hash sets and equal a from-scratch publish of the union
+    val batch = full.filter(col("doc_id") % 3 === 0)
+    val (_, st) = DedupIndex.mergePublishStats(spark, dir, batch, dirB)
+    assert(st.bandsFullRewrite, "family upgrade did not rewrite bands")
+    assert(DedupIndex.loadBandFamily(spark, dirB) == DedupIndex.BandFamily)
+    DedupIndex.publishFrom(spark, full, dirC)
+    assert(bandRows(DedupIndex.loadBands(spark, dirB)) ==
+      bandRows(DedupIndex.loadBands(spark, dirC)),
+      "upgraded bands differ from the from-scratch publish")
+    // the probe was family-derived too: the upgrading merge drops it
+    // (probemod 0) rather than mixing families; the next full publish
+    // re-derives it
+    assert(DedupIndex.loadProbeMod(spark, dirB) == 0)
+    assert(DedupIndex.hasProbe(spark, dirC))
+    spark.catalog.clearCache()
+  }
+
   test("precision probe: portable bands verify against the doc store " +
       "above the fixture floor (r15 verdict #5)") {
     val base = java.nio.file.Files.createTempDirectory("graft-idx-prec")
@@ -244,15 +287,20 @@ class DedupIndexSpec extends AnyFunSuite {
     assert(!DedupIndex.isPublished(spark, torn),
       "a partitioned artifact without meta passed the publish gate")
     // the artifact-backed probe answers identically through the
-    // full-scan fallback
+    // full-scan fallback — OBSOLETE since the r16 band-family guard: a
+    // meta-less artifact's permutation family is UNKNOWN (it reads as
+    // the retired one), so probing it must refuse loudly instead of
+    // silently joining incomparable band keys; the merge below is the
+    // sanctioned path back to a probeable artifact
     val probe = operators.DedupOps.docHashes(spark, d)
       .filter(col("doc_id") % 2 === 1)
     def rows(df: DataFrame) = df
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    assert(rows(operators.DedupOps.crossDedupBestFromIndex(spark, dir, probe)
-        .select("doc_id", "match_id", "jaccard")) ==
-      rows(operators.DedupOps.crossDedupBestFromIndex(spark, modern, probe)
-        .select("doc_id", "match_id", "jaccard")))
+    val exLegacy = intercept[IllegalArgumentException] {
+      operators.DedupOps.crossDedupBestFromIndex(spark, dir, probe).count()
+    }
+    assert(exLegacy.getMessage.contains("permutation family"),
+      exLegacy.getMessage)
     // a merge takes the full-rewrite path and upgrades the layout
     val batch = full.filter(col("doc_id") % 2 === 1)
     val (_, st) = DedupIndex.mergePublishStats(spark, dir, batch, upgraded)
@@ -263,6 +311,14 @@ class DedupIndexSpec extends AnyFunSuite {
       docRows(DedupIndex.loadDocs(spark, modernMerged)))
     assert(bandRows(DedupIndex.loadBands(spark, upgraded)) ==
       bandRows(DedupIndex.loadBands(spark, modernMerged)))
+    // and the upgraded artifact is probeable again, answering like its
+    // always-modern twin
+    assert(rows(operators.DedupOps
+        .crossDedupBestFromIndex(spark, upgraded, probe)
+        .select("doc_id", "match_id", "jaccard")) ==
+      rows(operators.DedupOps
+        .crossDedupBestFromIndex(spark, modernMerged, probe)
+        .select("doc_id", "match_id", "jaccard")))
     spark.catalog.clearCache()
   }
 
