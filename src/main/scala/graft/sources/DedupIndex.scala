@@ -9,8 +9,13 @@ import org.apache.spark.sql.functions._
   *
   *   <dir>/docs/   (doc_id, hs, n, truncated)  — per-doc shingle-hash sets
   *   <dir>/bands/  (band, minhash, doc_id)     — the MinHash band index
-  *   <dir>/meta/   (ndocs, parts)              — corpus count + the bands
-  *                                               layout modulus
+  *   <dir>/probe/  (doc_id, band, pbv)         — sampled PORTABLE probe
+  *                                               bands (the precision
+  *                                               instrument, r16)
+  *   <dir>/meta/   (ndocs, parts, probemod,    — corpus count, bands
+  *                  bandfam)                      layout modulus, frozen
+  *                                               probe-sample modulus,
+  *                                               permutation family
   *
   * PARTITIONED BANDS LAYOUT (the VectorIndex convention): `bands` lands
   * hive-partitioned by `dpart = xxhash64(band, minhash) mod parts`,
