@@ -102,19 +102,24 @@ object Bench {
     }).sortBy(-_._1).headOption.map(_._2)
   }
 
-  /** Pick the LIKE-FOR-LIKE companion's baseline: the REVERSED preference
-    * — highest-numbered BENCH_r*.json first, BENCH_LOCAL.json only as the
-    * fallback (r14 verdict #2). The two priors serve different questions:
-    * the 2x re-measure wants the freshest complete full-precision record
-    * of this host's steady state (BENCH_LOCAL), while lfl/lfl_prior
-    * exists for CROSS-ROUND adjudication — keying it off a same-round
-    * BENCH_LOCAL refresh that happens to be >30 min old (exactly what
-    * r14's driver record did: lfl_prior = its own final 222.5 s refresh,
-    * not r13's 245 s) silently answers "vs my own last run" when the
-    * reader needs "vs the prior ROUND". Same aged-file filter. */
+  /** Pick the LIKE-FOR-LIKE companion's baseline. r14-r16 keyed this off
+    * the driver's BENCH_r*.json to guarantee a cross-round ratio — but
+    * that wrapper stores only a ~2 kB stdout TAIL, so lfl covered just
+    * the alphabetically-last ~65 queries and whole-family regressions
+    * (r16's multimodal question) fell outside the adjudicable set. The
+    * committed BENCH_LOCAL.json carries the FULL per-query map of the
+    * prior round's final refresh, so it is now PREFERRED (r16 verdict
+    * #3: lfl_n 65 → full registry); the driver wrapper stays as the
+    * fallback for a checkout without a committed local record. Cross-
+    * round validity is preserved by the same aged-file filter (a
+    * same-round refresh inside [[SameRoundWindowMs]] is skipped — the
+    * r14 failure mode) plus the committed record's repo discipline:
+    * BENCH_LOCAL.json is only ever committed as the round's final
+    * sf0.1 record, and `lfl_src` names file@mtime so the reader can
+    * verify which baseline answered. */
   private[graft] def selectLflPrior(files: Seq[java.io.File], nowMs: Long): Option[java.io.File] = {
     val aged = files.filter(f => nowMs - f.lastModified() >= SameRoundWindowMs)
-    highestDriver(aged).orElse(aged.find(_.getName == "BENCH_LOCAL.json"))
+    aged.find(_.getName == "BENCH_LOCAL.json").orElse(highestDriver(aged))
   }
 
   /** Sub-this-many-seconds queries get a third timed rep: their run-to-run

@@ -161,9 +161,44 @@ case class MinHashSig(child: Expression,
 object MinHashSig {
   /** r=6 rows/band × b=32 bands = 192 permutations — the S-curve sits at
     * J* = (1/32)^(1/6) ≈ 0.56; sized per the scaling law in the class
-    * scaladoc. Raise `rows` as the corpus grows. */
+    * scaladoc. Raise `rows` as the corpus grows — [[famRows]] is that
+    * dial packaged as a discrete escalation ladder. */
   val DefaultRows = 6
   val DefaultBands = 32
+
+  /** Highest band family the escalation ladder supports: family 5 =
+    * 15×272 = 4080 permutations, the last rung under the 4096 cap.
+    * An armed precision floor that is still tripped at MaxFamily
+    * surfaces loudly instead of escalating further. */
+  val MaxFamily = 5
+
+  /** The PRECISION-ESCALATION geometry ladder (band family >= 2;
+    * family 1 is the retired linear-constants family, refused by every
+    * index reader). Family f bands with (famRows(f), famBands(f)) over
+    * the same independent permutation stream: rows grow by 3 per rung —
+    * the "rows must grow ~log n" scaling law of the class scaladoc,
+    * applied when a measured precision floor trips instead of on a
+    * corpus-count schedule — and bands re-derive so the miss
+    * probability at J = 0.8 stays pinned at family 2's
+    * (1 − 0.8^6)^32 ≈ 6e-5: an escalation that restored candidate
+    * precision by silently paying recall would be the exact
+    * silent-quality-collapse failure mode the floor exists to stop. */
+  def famRows(fam: Int): Int = {
+    require(fam >= 2 && fam <= MaxFamily,
+      s"band family must be in [2, $MaxFamily], got $fam")
+    DefaultRows + 3 * (fam - 2)
+  }
+
+  /** Bands for family `fam` — smallest count holding the J=0.8 miss
+    * probability at or under family 2's pinned value (exactly 32 at
+    * family 2 by construction; the 1e-9 slack absorbs the float
+    * division landing an ulp above the exact integer). */
+  def famBands(fam: Int): Int = {
+    val r = famRows(fam)
+    val lnMissTarget =
+      DefaultBands * math.log(1 - math.pow(0.8, DefaultRows))
+    math.ceil(lnMissTarget / math.log(1 - math.pow(0.8, r)) - 1e-9).toInt
+  }
 
   val P = 1000000007L
 

@@ -121,27 +121,58 @@ object DedupOps {
     * O(corpus/mod), priced at publish, maintained incrementally at
     * merge (batch-sampled docs only). */
   private[graft] def portableProbeBands(s: SparkSession, docs: DataFrame,
+      mod: Long): DataFrame =
+    probeBandsFromPres(s, probePres(s, docs, mod),
+      graft.sources.DedupIndex.BandFamily)
+
+  /** The probe's FAMILY-INDEPENDENT base layer — what the published
+    * artifact actually stores (r17): per sampled doc, the portable
+    * per-shingle base hashes (doc_id, pre), pre = md5-int60 mod P.
+    * Deriving band values is a pure function of (pres, band family)
+    * ([[probeBandsFromPres]]), so a precision-floor escalation can
+    * re-read the probe at the NEXT family in the same maintain cycle —
+    * without this split the probe was stored as family-derived (band,
+    * pbv) rows, and any family change orphaned the instrument until
+    * the next full publish (text is gone by merge time; `pre` is the
+    * only family-free portable form that survives). */
+  private[graft] def probePres(s: SparkSession, docs: DataFrame,
       mod: Long): DataFrame = {
     val P = graft.functions.MinHashSig.P
-    val sh = shinglesOf(s,
-        docs.filter(Tables.phash(col("doc_id")) % mod === 0))
+    shinglesOf(s, docs.filter(Tables.phash(col("doc_id")) % mod === 0))
       .select(col("doc_id"),
         expr("CAST(conv(substring(md5(shingle), 1, 15), 16, 10) AS BIGINT)")
           .mod(P).as("pre"))
-    val aggs = (0 until 192).map { j =>
-      val a = graft.functions.MinHashSig.permA(j)
-      val c = graft.functions.MinHashSig.permC(j)
-      // a, pre < P ~ 1e9: a*pre + c < 2^63, no wrap in either engine
-      min(expr(s"($a * pre + $c) % $P")).as(s"m$j")
-    }
-    val sig = sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-    val bandCols = (0 until 32).map { b =>
-      concat_ws(":",
-        (0 until 6).map(r => col(s"m${b * 6 + r}").cast("string")): _*)
-    }
-    sig.select(col("doc_id"), posexplode(array(bandCols: _*)))
-      .select(col("doc_id"), col("pos").cast("int").as("band"),
-        col("col").as("pbv"))
+  }
+
+  /** (doc_id, band, pbv) probe bands derived from stored portable base
+    * hashes at band family `fam` — (famRows(fam), famBands(fam))
+    * geometry over the SAME independent permutation constants the
+    * production [[graft.functions.MinHashSig]] uses, with the minima
+    * ':'-joined (no int64 packing — the polynomial pack wraps, which
+    * has no SQL twin). Physical shape: the sampled pres cross a
+    * BROADCAST permutation table, map-side partial-agg'd down to one
+    * (doc, permutation) minimum each — ~500 docs × shingles ×
+    * permutations generated rows but only docs × permutations rows ever
+    * shuffle, so even the family-5 rung (4080 permutations) stays a
+    * seconds-scale probe derivation. */
+  private[graft] def probeBandsFromPres(s: SparkSession, pres: DataFrame,
+      fam: Int): DataFrame = {
+    import s.implicits._
+    val MH = graft.functions.MinHashSig
+    val (rows, bands) = (MH.famRows(fam), MH.famBands(fam))
+    val P = MH.P
+    val perms = (0 until rows * bands)
+      .map(j => (j, MH.permA(j), MH.permC(j))).toDF("j", "pa", "pc")
+    pres.crossJoin(broadcast(perms))
+      .groupBy(col("doc_id"), col("j"))
+      // pa, pre < P ~ 1e9: pa*pre + pc < 2^63, no wrap in either engine
+      .agg(min(expr(s"(pa * pre + pc) % $P")).as("m"))
+      .groupBy(col("doc_id"),
+        expr(s"CAST(j DIV $rows AS INT)").as("band"))
+      .agg(collect_list(struct(col("j"), col("m"))).as("ms"))
+      .select(col("doc_id"), col("band"),
+        array_join(transform(array_sort(col("ms")),
+          x => x.getField("m").cast("string")), ":").as("pbv"))
   }
 
   /** Per-doc shingle-hash sets: (doc_id, hs: array<bigint>, n,
@@ -365,10 +396,22 @@ object DedupOps {
     * carry a precomputed `msig` column (the query-level cache does, so
     * the 192-permutation pass runs once, not once per consuming
     * subtree). */
-  private def minhashBands(s: SparkSession, docs: DataFrame): DataFrame = {
+  /** `fam` (default: the publish family) selects the banding geometry —
+    * a probe against a precision-ESCALATED artifact must derive its keys
+    * at the artifact's recorded family or silently match nothing; the
+    * cached `msig` column is family-2-derived, so any other family
+    * ignores it and signs at (famRows, famBands) explicitly. */
+  private def minhashBands(s: SparkSession, docs: DataFrame,
+      fam: Int = graft.sources.DedupIndex.BandFamily): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    (if (docs.columns.contains("msig")) docs
-     else docs.withColumn("msig", expr("minhash_sig(hs)")))
+    val MH = graft.functions.MinHashSig
+    val signed =
+      if (fam == graft.sources.DedupIndex.BandFamily) {
+        if (docs.columns.contains("msig")) docs
+        else docs.withColumn("msig", expr("minhash_sig(hs)"))
+      } else docs.withColumn("msig",
+        expr(s"minhash_sig(hs, ${MH.famRows(fam)}, ${MH.famBands(fam)})"))
+    signed
       .select(col("doc_id"), posexplode(col("msig")))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bv")
@@ -735,6 +778,10 @@ object DedupOps {
       pruneRowLimit: Long = IndexProbePruneRowLimit,
       knownBatchRows: Option[Long] = None): DataFrame = {
     val corpDocs = graft.sources.DedupIndex.loadDocs(s, indexDir)
+    // the batch signs at the ARTIFACT's recorded band family — against a
+    // precision-escalated index, family-2 keys would silently miss every
+    // cross near-dup (the exact failure requireUsableBandFamily guards)
+    val fam = graft.sources.DedupIndex.loadBandFamily(s, indexDir)
     // persisted: the band frame feeds up to four subtrees (the prune
     // derivation, candidates, the flagged probe set, the refine join) and
     // the incoming doc-hash frame usually carries no cached msig, so an
@@ -742,7 +789,7 @@ object DedupOps {
     // per subtree (the qCrossDedup persist convention; runners release
     // via clearCache)
     val inBands = graft.Caching.persist(
-      minhashBands(s, inDocs).withColumnRenamed("doc_id", "in_id"))
+      minhashBands(s, inDocs, fam).withColumnRenamed("doc_id", "in_id"))
     val corpBands = (if (knownBatchRows.getOrElse(inDocs.count()) <= pruneRowLimit)
         graft.sources.DedupIndex.prunedBands(s, indexDir, inBands)
       else graft.sources.DedupIndex.loadBands(s, indexDir))
@@ -812,29 +859,43 @@ object DedupOps {
     // both sides of a portable candidate must carry portable keys, and
     // the sampled self-join is the same collision statistic the full
     // banding draws from.
-    val probe = DI.loadProbe(s, dir)
-    val cand = graft.Caching.persist(
-      probe.alias("a").join(probe.alias("b"),
-          col("a.band") === col("b.band") && col("a.pbv") === col("b.pbv") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct())
-    val pAgg = probe.agg(countDistinct("doc_id").as("probe_docs"))
-    val cAgg = cand.agg(count(lit(1)).as("probe_candidates"))
-    val vAgg = verifyPairs(cand, DI.loadDocs(s, dir))
-      .agg(count(lit(1)).as("probe_verified"))
+    // The probe read is the shared engine-side instrument
+    // ([[graft.sources.DedupIndex.probePrecision]] — the same statistic
+    // the maintain precision gate acts on), computed EAGERLY so its
+    // persisted candidate frame releases before this query's plan ever
+    // executes (r16 ADVICE: the lazy formulation pinned an RDD per
+    // health-query invocation for the session lifetime). A probe-less
+    // artifact (mergePublishStats can legitimately produce one:
+    // probemod 0 after a pre-r17 merge, or a legacy publish) degrades
+    // to NULL probe columns instead of throwing (r16 ADVICE).
+    //
+    // ORACLE VALIDITY, stated: the DuckDB twin re-derives the probe
+    // sample from the live corpus at probeModFor(ndocs), while the
+    // engine reads the FROZEN probemod — the two agree exactly when the
+    // artifact is a fresh publish of that corpus (this query's
+    // evenIndexDir is, every session); against a long-maintained
+    // artifact whose corpus count drifted past a modulus step the
+    // oracle would sample differently, and only the engine-side reading
+    // is authoritative.
+    val ps: Option[graft.sources.ProbeStats] =
+      if (DI.hasProbe(s, dir)) Some(DI.probePrecision(s, dir)) else None
+    val (pdC, pcC, pvC, ppC) = ps match {
+      case Some(p) =>
+        (lit(p.probeDocs), lit(p.candidates), lit(p.verified),
+          // NULL (not an ANSI divide error) when the sampled probe found
+          // no candidates — the recall audit's failure-order convention
+          when(lit(p.candidates) > 0,
+            round(lit(p.verified).cast("double") / lit(p.candidates), 4)))
+      case None =>
+        (lit(null).cast("long"), lit(null).cast("long"),
+          lit(null).cast("long"), lit(null).cast("double"))
+    }
     meta.crossJoin(broadcast(docAgg)).crossJoin(broadcast(bandAgg))
-      .crossJoin(broadcast(pAgg)).crossJoin(broadcast(cAgg))
-      .crossJoin(broadcast(vAgg))
       .select(col("ndocs"), col("parts"), col("needs_rebuild"),
         col("doc_rows"), col("sum_shingles"), col("max_shingles"),
         col("n_truncated"), col("band_rows"),
-        col("probe_docs"), col("probe_candidates"), col("probe_verified"),
-        // NULL (not an ANSI divide error) when the sampled probe found
-        // no candidates — the recall audit's failure-order convention
-        when(col("probe_candidates") > 0,
-          round(col("probe_verified").cast("double") /
-            col("probe_candidates"), 4)).as("probe_precision"))
+        pdC.as("probe_docs"), pcC.as("probe_candidates"),
+        pvC.as("probe_verified"), ppC.as("probe_precision"))
   }
 
   /** The dedup ACTION a curation pipeline actually executes: for every

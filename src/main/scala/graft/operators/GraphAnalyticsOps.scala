@@ -285,18 +285,27 @@ object GraphAnalyticsOps {
     // every reference, re-expanding the whole chain per round — the same
     // plan blowup the Spark side bounds with its checkpoint dial, here
     // cut with the CTE hint
-    // dangling mass via conservation, matching GraphOps.pageRank: the
-    // update keeps Σr = 1 exactly, so dm = 1 − Σ contributions — the
-    // oracle must use the SAME formula or its doubles drift by the fp
-    // difference between (1 − Σm) and the direct dangling-rank sum
+    // DANGLING MASS follows GraphOps.pageRank's active form (the r17 A/B
+    // dial): the direct dangling-rank sum over r_{k-1}, or conservation
+    // (dm = 1 − Σ contributions). The oracle must use the SAME formula
+    // as the engine or their doubles drift by the fp difference between
+    // the two summation shapes.
+    val direct = GraphOps.PageRankDanglingFromRanks
     for (k <- 1 to iters) {
+      val tk = if (direct)
+        s"""t$k AS (SELECT coalesce(sum(r), 0) AS dm FROM r${k - 1}
+           |       WHERE v NOT IN (SELECT src FROM ow)),""".stripMargin
+      else
+        s"t$k AS (SELECT coalesce(sum(m), 0) AS tm FROM c$k),"
+      val dmExpr = if (direct) s"(SELECT dm FROM t$k)"
+      else s"(CAST(1 AS DOUBLE) - (SELECT tm FROM t$k))"
       sb.append(s""",
         |c$k AS MATERIALIZED (SELECT p.dst AS v, sum(r${k - 1}.r * p.p) AS m
         |       FROM p JOIN r${k - 1} ON p.src = r${k - 1}.v GROUP BY 1),
-        |t$k AS (SELECT coalesce(sum(m), 0) AS tm FROM c$k),
+        |$tk
         |r$k AS MATERIALIZED (SELECT nodes.v,
         |         (CAST(1 AS DOUBLE) - CAST($damping AS DOUBLE)) / (SELECT n FROM nn)
-        |         + CAST($damping AS DOUBLE) * (coalesce(c$k.m, 0) + (CAST(1 AS DOUBLE) - (SELECT tm FROM t$k)) / (SELECT n FROM nn)) AS r
+        |         + CAST($damping AS DOUBLE) * (coalesce(c$k.m, 0) + $dmExpr / (SELECT n FROM nn)) AS r
         |       FROM nodes LEFT JOIN c$k ON nodes.v = c$k.v)""".stripMargin)
     }
     sb.append(s"""

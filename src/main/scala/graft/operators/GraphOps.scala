@@ -135,12 +135,28 @@ object GraphOps {
     * absorbed by the partial aggregation; a hot SRC vertex costs nothing
     * (its rank is one row joined against its out-edges). Rounds are
     * `iters`, not diameter-bounded — the caller picks the cost. */
+  /** `danglingFromRanks` (r17 A/B dial): compute the per-round dangling
+    * mass as the DIRECT sum of dangling vertices' ranks (an anti-join of
+    * the checkpointed rank frame against the non-dangling src set)
+    * instead of mass conservation over contrib (1 − Σm). The two are
+    * mathematically equal; physically the conservation form's 1-row
+    * aggregate is a broadcast subquery OVER THE CONTRIB SUBTREE, which
+    * ReuseExchange does not collapse into the join's copy — so every
+    * round executes the full |E|-row contribution shuffle TWICE. The
+    * direct form reads the (checkpointed, |V|-row) rank frame twice
+    * instead — a cache read — at the price of re-introducing the double
+    * rank reference on UN-cut rounds (bounded by the checkpointEvery
+    * clamp exactly like contrib's own double reference). Oracle parity:
+    * the DuckDB replay must use the same formula — the two differ by
+    * float-summation shape ([[graft.operators.GraphAnalyticsOps]]
+    * pagerankOracle switches with this dial's default). */
   def pageRank(
       s: SparkSession,
       edges: DataFrame,
       iters: Int = 8,
       damping: Double = 0.85,
-      checkpointEvery: Int = 1): DataFrame = {
+      checkpointEvery: Int = 1,
+      danglingFromRanks: Boolean = PageRankDanglingFromRanks): DataFrame = {
     require(checkpointEvery >= 1 && checkpointEvery <= 4,
       "checkpointEvery must be in [1, 4]: each un-cut round embeds the " +
         "contrib subtree twice (nodes join + total-mass aggregate), so " +
@@ -189,6 +205,10 @@ object GraphOps {
     // the default stays 1 — materialize every round — and the dial
     // exists for billion-edge graphs where a checkpoint write of the
     // rank frame costs more than recomputing one fused round.
+    // the non-dangling src set, only needed by the direct dangling form
+    val srcs = if (danglingFromRanks)
+      graft.Caching.persist(outW.select(col("src").as("v")))
+    else null
     var ranks = nodes.select(col("v"), lit(1.0 / n).as("r"))
       .localCheckpoint(true)
     var lastCkpt = ranks
@@ -197,14 +217,27 @@ object GraphOps {
         val contrib =
           p.join(ranks.withColumnRenamed("v", "src"), "src")
             .groupBy(col("dst").as("v")).agg(sum(col("r") * col("p")).as("m"))
-        // dm = 1 − Σm: Σ_dst m = Σ_{non-dangling src} r, and Σ r = 1 by
-        // the update's construction, so this IS the dangling rank mass
-        val totM = contrib.agg(coalesce(sum("m"), lit(0.0)).as("tm"))
-        val next = nodes.join(contrib, Seq("v"), "left")
-          .crossJoin(broadcast(totM))
-          .select(col("v"),
-            ((lit(1.0) - lit(damping)) / lit(n) + lit(damping) *
-              (coalesce(col("m"), lit(0.0)) + (lit(1.0) - col("tm")) / lit(n))).as("r"))
+        val next = if (danglingFromRanks) {
+          // direct form: dm = Σ_{dangling v} r_v off the checkpointed
+          // rank frame — contrib executes ONCE per round
+          val dangl = ranks.join(srcs, Seq("v"), "left_anti")
+            .agg(coalesce(sum("r"), lit(0.0)).as("dm"))
+          nodes.join(contrib, Seq("v"), "left")
+            .crossJoin(broadcast(dangl))
+            .select(col("v"),
+              ((lit(1.0) - lit(damping)) / lit(n) + lit(damping) *
+                (coalesce(col("m"), lit(0.0)) + col("dm") / lit(n))).as("r"))
+        } else {
+          // conservation form: dm = 1 − Σm (Σ_dst m = Σ_{non-dangling} r
+          // and Σ r = 1 by the update's construction) — rank frame read
+          // once, contrib read twice (join + this broadcast subquery)
+          val totM = contrib.agg(coalesce(sum("m"), lit(0.0)).as("tm"))
+          nodes.join(contrib, Seq("v"), "left")
+            .crossJoin(broadcast(totM))
+            .select(col("v"),
+              ((lit(1.0) - lit(damping)) / lit(n) + lit(damping) *
+                (coalesce(col("m"), lit(0.0)) + (lit(1.0) - col("tm")) / lit(n))).as("r"))
+        }
         if (k % checkpointEvery == 0 || k == iters) {
           ranks = next.localCheckpoint(true)
           lastCkpt.unpersist()
@@ -219,7 +252,28 @@ object GraphOps {
       }
       ranks
     } finally {
+      if (srcs != null) srcs.unpersist()
       p.unpersist(); outW.unpersist(); nodes.unpersist(); e.unpersist()
     }
   }
+
+  /** Library default for [[pageRank]]'s dangling-mass form — switchable
+    * for A/B measurement via SPARK_GRAFT_PR_DANGLING=conserve|ranks
+    * (ProfileQ runs); the committed default is the measured winner and
+    * the PageRank oracles follow it (same formula, or the two engines'
+    * doubles drift by the fp difference between (1 − Σm) and the direct
+    * dangling-rank sum).
+    *
+    * MEASURED r17 (q_part_rank, sf0.1, 4 ProfileQ reps each, first rep
+    * dropped as JIT warmup): conserve 10.0-10.6s vs ranks 10.3-12.8s —
+    * the hypothesized win (contrib's broadcast-subquery copy re-executes
+    * the |E|-row shuffle) does not materialize; the conservation form
+    * stays default. This was the last unmeasured design in the
+    * checkpoint-dial A/B file (see the dial scaladoc above): every
+    * alternative — every-2nd-round cuts (11.4/12.1s), persisted contrib
+    * (9.4s), collected scalar mass (9.0-10.1s), non-eager checkpoints
+    * (wash + unsafe), and now the direct dangling sum — has been
+    * measured against the committed default and refuted. */
+  private[graft] def PageRankDanglingFromRanks: Boolean =
+    sys.env.getOrElse("SPARK_GRAFT_PR_DANGLING", "conserve") == "ranks"
 }

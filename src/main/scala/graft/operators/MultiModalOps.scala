@@ -620,29 +620,23 @@ object MultiModalOps {
     // anyway, so an ipart-pruned probe join would save nothing here —
     // a standalone precision probe at corpus scale would prune on the
     // sampled keys' ipart values like every search does.
-    val probeMod = math.max(1L, ng / 500)
-    val bands = FI.loadBands(s, dir)
-    val probe = bands.filter(graft.Tables.phash(col("rep")) % probeMod === 0)
-    val cand = graft.Caching.persist(
-      probe.alias("p").join(bands.alias("c"),
-          col("p.band") === col("c.band") && col("p.bv") === col("c.bv") &&
-            col("p.dhash") =!= col("c.dhash"))
-        .select(col("p.dhash").as("pd"), col("c.dhash").as("cd"))
-        .distinct())
-    val pAgg = probe.agg(countDistinct("dhash").as("probe_sigs"))
-    val cAgg = cand.agg(
-      count(lit(1)).as("probe_candidates"),
-      coalesce(sum(expr("CAST(bit_count(pd ^ cd) <= 3 AS BIGINT)")), lit(0L))
-        .as("probe_verified"))
+    // the shared engine-side instrument ([[graft.sources
+    // .FingerprintIndex.probePrecision]] — the same statistic the
+    // maintain precision gate acts on), computed EAGERLY so its
+    // persisted candidate frame releases before this query's plan
+    // executes (r16 ADVICE: the lazy formulation pinned an RDD per
+    // health-query invocation for the session lifetime)
+    val ps = FI.probePrecision(s, dir)
     meta.crossJoin(broadcast(sigAgg)).crossJoin(broadcast(bandAgg))
-      .crossJoin(broadcast(pAgg)).crossJoin(broadcast(cAgg))
       .select(col("ngroups"), col("parts"), col("needs_rebuild"),
         col("n_sigs"), col("sum_members"), col("max_members"),
         col("band_rows"),
-        col("probe_sigs"), col("probe_candidates"), col("probe_verified"),
-        when(col("probe_candidates") > 0,
-          round(col("probe_verified").cast("double") /
-            col("probe_candidates"), 4)).as("probe_precision"))
+        lit(ps.probeDocs).as("probe_sigs"),
+        lit(ps.candidates).as("probe_candidates"),
+        lit(ps.verified).as("probe_verified"),
+        when(lit(ps.candidates) > 0,
+          round(lit(ps.verified).cast("double") /
+            lit(ps.candidates), 4)).as("probe_precision"))
   }
 
   val queries: Map[String, Q] = Map(

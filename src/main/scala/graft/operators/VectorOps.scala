@@ -1375,13 +1375,26 @@ object VectorOps {
       if (VI.hasPq(s, dir))
         VI.loadCodes(s, dir).agg(count(lit(1)).as("code_rows"))
       else Seq(0L).toDF("code_rows")
+    // LSH bucket-candidate precision (r16 verdict #6): the hyperplane
+    // path's quality-drift instrument, read eagerly off the artifact
+    // ([[graft.sources.VectorIndex.lshProbePrecision]]) and published
+    // as oracle-checked columns — bucket assignment and the cosine
+    // verify both replay portably, so the whole probe sits inside the
+    // DuckDB gate like the banded families' probes do
+    val lp = VI.lshProbePrecision(s, dir)
     meta.crossJoin(broadcast(cellAgg))
       .crossJoin(broadcast(bucketAgg))
       .crossJoin(broadcast(codeAgg))
       .select(col("n"), col("width"), col("cells_sched"), col("parts"),
         col("needs_rebuild"), col("has_pq"), col("pq_m"), col("pq_k"),
         col("live_cells"), col("max_cell_occ"), col("cell_rows"),
-        col("max_bucket_width"), col("bucket_rows"), col("code_rows"))
+        col("max_bucket_width"), col("bucket_rows"), col("code_rows"),
+        lit(lp.probeDocs).as("lsh_probe_vecs"),
+        lit(lp.candidates).as("lsh_probe_candidates"),
+        lit(lp.verified).as("lsh_probe_verified"),
+        when(lit(lp.candidates) > 0,
+          round(lit(lp.verified).cast("double") / lit(lp.candidates), 4))
+          .as("lsh_probe_precision"))
   }
 
   val queries: Map[String, Q] = Map(
@@ -2110,7 +2123,21 @@ object VectorOps {
        |ba AS (
        |  SELECT CAST(max(c) AS BIGINT) AS max_bucket_width,
        |         CAST(sum(c) AS BIGINT) AS bucket_rows
-       |  FROM (SELECT count(*) AS c FROM sigcap GROUP BY bucket))
+       |  FROM (SELECT count(*) AS c FROM sigcap GROUP BY bucket)),
+       |lpm AS (SELECT GREATEST(1,
+       |          (SELECT count(*) FROM embeddings) // 500) AS m),
+       |lprobe AS MATERIALIZED (
+       |  SELECT sc.vec_id, sc.bucket, e.emb
+       |  FROM sigcap sc JOIN e USING (vec_id)
+       |  WHERE ${Tables.phashSql("sc.vec_id")} % (SELECT m FROM lpm) = 0),
+       |la AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS lsh_probe_candidates,
+       |         CAST(COALESCE(SUM(CASE WHEN
+       |             list_cosine_similarity(a.emb, b.emb)
+       |               >= ${graft.sources.VectorIndex.LshProbeCos}
+       |           THEN 1 ELSE 0 END), 0) AS BIGINT) AS lsh_probe_verified
+       |  FROM lprobe a JOIN lprobe b
+       |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
        |SELECT CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS n,
        |       CAST((SELECT w FROM nw) AS INT) AS width,
        |       CAST((SELECT c FROM nc) AS INT) AS cells_sched,
@@ -2123,8 +2150,15 @@ object VectorOps {
        |       CAST((SELECT k FROM nk) AS INT) AS pq_k,
        |       live_cells, max_cell_occ, cell_rows,
        |       max_bucket_width, bucket_rows,
-       |       CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS code_rows
-       |FROM ca, ba""".stripMargin
+       |       CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS code_rows,
+       |       CAST((SELECT count(*) FROM lprobe) AS BIGINT)
+       |         AS lsh_probe_vecs,
+       |       lsh_probe_candidates, lsh_probe_verified,
+       |       CASE WHEN lsh_probe_candidates > 0
+       |            THEN round(CAST(lsh_probe_verified AS DOUBLE)
+       |                   / lsh_probe_candidates, 4)
+       |       END AS lsh_probe_precision
+       |FROM ca, ba, la""".stripMargin
 
   /** The INLINE recall artifact's five variant legs — (variant name,
     * top-k CTE, alias). A `def` like every composable oracle fragment:

@@ -9,13 +9,19 @@ import org.apache.spark.sql.functions._
   *
   *   <dir>/docs/   (doc_id, hs, n, truncated)  — per-doc shingle-hash sets
   *   <dir>/bands/  (band, minhash, doc_id)     — the MinHash band index
-  *   <dir>/probe/  (doc_id, band, pbv)         — sampled PORTABLE probe
-  *                                               bands (the precision
-  *                                               instrument, r16)
+  *   <dir>/probe/  (doc_id, pre)               — sampled docs' PORTABLE
+  *                                               per-shingle base hashes
+  *                                               (the precision
+  *                                               instrument, r16; stored
+  *                                               FAMILY-FREE since r17 —
+  *                                               band values derive on
+  *                                               read at the artifact's
+  *                                               recorded family)
   *   <dir>/meta/   (ndocs, parts, probemod,    — corpus count, bands
   *                  bandfam)                      layout modulus, frozen
   *                                               probe-sample modulus,
-  *                                               permutation family
+  *                                               band family (geometry
+  *                                               rung)
   *
   * PARTITIONED BANDS LAYOUT (the VectorIndex convention): `bands` lands
   * hive-partitioned by `dpart = xxhash64(band, minhash) mod parts`,
@@ -72,16 +78,20 @@ object DedupIndex {
   private[graft] def probeModFor(nDocs: Long): Long =
     math.max(1L, nDocs / 500)
 
-  /** The MinHash permutation-family GENERATION this artifact's band
-    * values were derived under — recorded in meta so a probe can never
-    * silently join new-family band keys against old-family stored ones
-    * (a recall collapse with no error). 2 = the r16 independent
-    * splitmix constants; 1 (or a meta without the field) = the retired
-    * linear family. A family-mismatched artifact REFUSES probes loudly
-    * ([[requireCurrentBandFamily]]) and upgrades through the next
-    * merge: its bands REBUILD from the stored hash sets (hs is
-    * family-independent xxhash64 of shingles), its docs/probe datasets
-    * merge normally. */
+  /** The BAND FAMILY this artifact's band values were derived under —
+    * recorded in meta so a probe can never silently join keys from one
+    * geometry against stored values from another (a recall collapse
+    * with no error). 1 (or a meta without the field) = the retired r15
+    * LINEAR permutation constants, refused by every reader and upgraded
+    * through the next merge (bands REBUILD from the stored hash sets —
+    * hs is family-independent xxhash64 of shingles). 2 = the publish
+    * default: independent splitmix constants at (6 rows, 32 bands).
+    * 3..[[graft.functions.MinHashSig.MaxFamily]] = the PRECISION
+    * ESCALATION ladder (r17): each rung re-bands the same constants at
+    * a deeper (rows, bands) geometry — [[escalateBandFamily]], the
+    * actuator a tripped [[PrecisionProbe]] floor fires. Readers derive
+    * their probe keys at [[loadBandFamily]]; only family-1 (and
+    * unknown future) artifacts refuse ([[requireUsableBandFamily]]). */
   val BandFamily = 2
 
   /** The artifact's recorded band family; 1 for any artifact published
@@ -95,15 +105,17 @@ object DedupIndex {
     else df.collect()(0).getAs[Int]("bandfam")
   }
 
-  private def requireCurrentBandFamily(s: SparkSession,
+  private def requireUsableBandFamily(s: SparkSession,
       indexDir: String): Unit = {
     val fam = loadBandFamily(s, indexDir)
-    require(fam == BandFamily,
-      s"band index at $indexDir was published under permutation family " +
-        s"$fam (current: $BandFamily) — its stored band values can never " +
-        "match keys derived by this build, so probing it would silently " +
-        "miss every cross near-dup; merge a batch (the bands rebuild " +
-        "from the stored hash sets) or republish from the corpus")
+    require(fam >= BandFamily && fam <= graft.functions.MinHashSig.MaxFamily,
+      s"band index at $indexDir was published under band family $fam " +
+        s"(this build derives families $BandFamily.." +
+        s"${graft.functions.MinHashSig.MaxFamily}) — its stored band " +
+        "values can never match keys derived by this build, so probing " +
+        "it would silently miss every cross near-dup; merge a batch " +
+        "(the bands rebuild from the stored hash sets) or republish " +
+        "from the corpus")
   }
 
   /** What a [[mergePublishStats]] actually wrote, per partitioned
@@ -146,7 +158,8 @@ object DedupIndex {
     * commits LAST so [[isPublished]] implies complete layouts. */
   private def writeAll(s: SparkSession, docs: DataFrame, bands: DataFrame,
       indexDir: String, nDocs: Long,
-      probe: Option[DataFrame] = None, probeMod: Long = 0): Unit = {
+      probe: Option[DataFrame] = None, probeMod: Long = 0,
+      fam: Int = BandFamily): Unit = {
     val parts = layoutPartsFor(nDocs)
     docs.select("doc_id", "hs", "n", "truncated")
       .withColumn("dpart", docPartOf(col("doc_id"), parts))
@@ -158,17 +171,18 @@ object DedupIndex {
       .repartition(parts, col("dpart"))
       .write.partitionBy("dpart")
       .mode("overwrite").parquet(s"$indexDir/bands")
-    // the sampled precision-probe bands: ~500 docs x 32 rows — a single
-    // file at any corpus size; meta still commits LAST
-    probe.foreach(_.select("doc_id", "band", "pbv").coalesce(1)
+    // the sampled probe base hashes: ~500 docs x shingles — a single
+    // file at any corpus size, written VERBATIM (compaction passes a
+    // stored frame through unchanged); meta still commits LAST
+    probe.foreach(_.coalesce(1)
       .write.mode("overwrite").parquet(s"$indexDir/probe"))
-    writeMeta(s, indexDir, nDocs, parts, probeMod)
+    writeMeta(s, indexDir, nDocs, parts, probeMod, fam)
   }
 
   private def writeMeta(s: SparkSession, indexDir: String, nDocs: Long,
-      parts: Int, probeMod: Long): Unit = {
+      parts: Int, probeMod: Long, fam: Int = BandFamily): Unit = {
     import s.implicits._
-    Seq((nDocs, parts, probeMod, BandFamily))
+    Seq((nDocs, parts, probeMod, fam))
       .toDF("ndocs", "parts", "probemod", "bandfam")
       .write.mode("overwrite").parquet(s"$indexDir/meta")
   }
@@ -188,14 +202,16 @@ object DedupIndex {
       graft.operators.DedupOps.docHashesOf(s, corpus))
     try {
       val nDocs = docs.count()
-      // the precision probe is derived HERE, while the corpus TEXT is in
-      // hand (the index stores hash sets only) — its sample modulus
-      // freezes into meta and merges maintain the sampled rows
+      // the precision probe's BASE HASHES are derived HERE, while the
+      // corpus TEXT is in hand (the index stores hash sets only) — its
+      // sample modulus freezes into meta and merges maintain the
+      // sampled rows; band values derive on read at the artifact's
+      // family, which is what lets an escalation re-probe in-cycle
       val probeMod = probeModFor(nDocs)
       writeAll(s, docs, graft.streaming.NearDupStream.bandIndex(s, docs),
         indexDir, nDocs,
-        Some(graft.operators.DedupOps.portableProbeBands(s, corpus,
-          probeMod)), probeMod)
+        Some(graft.operators.DedupOps.probePres(s, corpus, probeMod)),
+        probeMod)
       (loadDocs(s, indexDir).count(), loadBands(s, indexDir).count())
     } finally docs.unpersist()
   }
@@ -281,11 +297,16 @@ object DedupIndex {
         val nDocs2 = loadNDocs(s, indexDir) - nReplaced + batch.count()
         val parts2 = layoutPartsFor(nDocs2)
         val incremental = parts2 == parts && parts > 0
-        // a family-mismatched artifact's stored band VALUES are unusable
-        // (old permutation constants): neither the incremental path nor
-        // the row-merging fallback may touch them — the bands rebuild
-        // from the merged DOC HASH SETS below (hs is family-independent)
-        val famOk = loadBandFamily(s, indexDir) == BandFamily
+        // a family-1 (retired linear constants) or unknown-future
+        // artifact's stored band VALUES are unusable: neither the
+        // incremental path nor the row-merging fallback may touch them —
+        // the bands rebuild from the merged DOC HASH SETS below (hs is
+        // family-independent). A usable family (2..MaxFamily, including
+        // precision-ESCALATED rungs) merges at ITS OWN geometry: batch
+        // rows sign at `fam`, and the merged meta re-records it.
+        val fam = loadBandFamily(s, indexDir)
+        val famOk = fam >= BandFamily &&
+          fam <= graft.functions.MinHashSig.MaxFamily
 
         // ---- docs --------------------------------------------------
         val (dirtyDoc, copiedDoc) =
@@ -314,7 +335,8 @@ object DedupIndex {
           }
 
         // ---- bands -------------------------------------------------
-        val batchBands = graft.streaming.NearDupStream.bandIndex(s, batch)
+        val batchBands = graft.streaming.NearDupStream
+          .bandIndex(s, batch, if (famOk) fam else BandFamily)
           .select(col("band"), col("minhash"), col("doc_id"))
         val (dirtyBand, copiedBand) =
           if (!famOk) {
@@ -333,9 +355,10 @@ object DedupIndex {
               .mode("overwrite").parquet(s"$newIndexDir/bands")
             (parts2, 0)
           } else if (incremental && bandsParted) {
-            // replaced docs' old band keys, re-derived from stored hs
+            // replaced docs' old band keys, re-derived from stored hs at
+            // the artifact's own family (this branch implies famOk)
             val replacedBands =
-              graft.streaming.NearDupStream.bandIndex(s, replacedDocs)
+              graft.streaming.NearDupStream.bandIndex(s, replacedDocs, fam)
                 .select(col("band"), col("minhash"))
             val dirtyBp = batchBands
               .select(dpartOf(col("band"), col("minhash"), parts).as("p"))
@@ -366,28 +389,27 @@ object DedupIndex {
             (parts2, 0)
           }
 
-        // ---- precision probe (r16) ----------------------------------
+        // ---- precision probe ----------------------------------------
         // maintained at the FROZEN sample modulus: replaced sampled docs
         // drop their stored rows, batch-sampled docs re-derive from the
-        // batch text — O(batch/mod) compute, one small file. A legacy
-        // artifact (probemod = 0 / no probe dataset) stays probe-less
-        // until its next full publish.
-        // the probe is family-derived too (portableProbeBands shares the
-        // permutation constants): merging old-family stored rows with
-        // new-family batch rows would corrupt the instrument, and the
-        // replaced docs' TEXT (needed to re-derive) is gone — a
-        // family-upgrading merge therefore DROPS the probe (probemod 0)
-        // until the next full publish re-derives it
-        val probeMod = if (famOk) loadProbeMod(s, indexDir) else 0L
+        // batch text — O(batch/mod) compute, one small file. The stored
+        // layer is the FAMILY-FREE base hashes (r17), so the probe
+        // survives family upgrades and escalations verbatim; only a
+        // pre-r17 artifact (probe stored as family-derived band values —
+        // hasProbe rejects its schema) or a probe-less legacy stays
+        // probe-less (probemod 0) until its next full publish.
+        val probeMod =
+          if (hasProbe(s, indexDir)) loadProbeMod(s, indexDir) else 0L
         if (probeMod > 0) {
-          loadProbe(s, indexDir)
+          loadProbePres(s, indexDir)
             .join(batchIds, Seq("doc_id"), "left_anti")
             .unionByName(graft.operators.DedupOps
-              .portableProbeBands(s, newDocs, probeMod))
+              .probePres(s, newDocs, probeMod))
             .coalesce(1).write.mode("overwrite")
             .parquet(s"$newIndexDir/probe")
         }
-        writeMeta(s, newIndexDir, nDocs2, parts2, probeMod)
+        writeMeta(s, newIndexDir, nDocs2, parts2, probeMod,
+          if (famOk) fam else BandFamily)
         ((loadDocs(s, newIndexDir).count(), loadBands(s, newIndexDir).count()),
           MergeStats(parts2, dirtyDoc, copiedDoc, dirtyBand, copiedBand,
             docsFullRewrite = !(incremental && docsParted),
@@ -446,14 +468,117 @@ object DedupIndex {
     * Returns the merged (docRows, bandRows) and the [[MergeStats]]
     * (whose `*FullRewrite` flags report whether the rebuild ran). */
   def maintain(s: SparkSession, root: String, newDocs: DataFrame,
-      keep: Int = 2): ((Long, Long), MergeStats) = {
+      keep: Int = 2,
+      precisionProbe: Option[PrecisionProbe] = None): ((Long, Long), MergeStats) = {
     val live = currentDir(s, root)
     val v = s"v${StorageOps.nextVersion(s, root)}"
     val (counts, stats) = mergePublishStats(s, live, newDocs, s"$root/$v")
     StorageOps.flipPointer(s, root, v)
+    // PRECISION GATE (r16 verdict #2 — the observe-then-act close of
+    // the q_dedup_index_stats drift signal, mirroring
+    // VectorIndex.maintain's recall gate): probe the merged artifact's
+    // banded-candidate precision; a floor trip escalates the band
+    // family ONCE (deeper rows-per-band geometry, recall pinned —
+    // [[escalateBandFamily]]) and re-probes, surfacing per caller
+    // policy if still below. An armed gate on a probe-less artifact
+    // fails loudly — silently skipping a gate the caller armed would
+    // defeat its purpose (the recall-gate convention).
+    precisionProbe.foreach { p =>
+      val merged = currentDir(s, root)
+      require(hasProbe(s, merged),
+        s"precision probe armed but the index at $root carries no " +
+          "readable probe dataset (legacy or pre-r17 artifact) — run a " +
+          "full publish to derive one, or disarm the probe")
+      if (probePrecision(s, merged).below(p.floor)) {
+        val next = escalateBandFamily(s, root)
+        val after = probePrecision(s, currentDir(s, root))
+        if (after.below(p.floor)) {
+          val msg = s"precision floor ${p.floor} not restored by the " +
+            s"band-family escalation at $root: family $next measures " +
+            s"${after.precision.getOrElse(Double.NaN)} over " +
+            s"${after.candidates} probe candidates — the floor is " +
+            "unreachable for this corpus at this rung; escalate again " +
+            "next cycle, lower the floor, or raise the verify threshold"
+          if (p.failUnrecovered) throw new IllegalStateException(msg)
+          else log.warn(msg)
+        }
+      }
+    }
     compactIfFragmented(s, root)
     StorageOps.pruneVersions(s, root, keep)
     (counts, stats)
+  }
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Banded-candidate PRECISION of the published artifact, measured
+    * from its stored probe: sampled docs' portable band values
+    * (derived at the artifact's recorded family) self-join on
+    * (band, pbv), candidate pairs are exact-Jaccard verified against
+    * the doc store through the id-pruned scan, and precision is
+    * verified/candidates ([[ProbeStats]]). The same statistic
+    * q_dedup_index_stats publishes into the correctness gate — this
+    * entry is the engine-side read the maintain gate acts on. Cost:
+    * probe × probe over ~500 sampled docs plus a pruned verify join —
+    * independent of corpus size. */
+  def probePrecision(s: SparkSession, indexDir: String): ProbeStats = {
+    require(hasProbe(s, indexDir),
+      s"no readable precision probe at $indexDir")
+    val probe = graft.Caching.persist(loadProbe(s, indexDir))
+    try {
+      val cand = graft.Caching.persist(
+        probe.alias("a").join(probe.alias("b"),
+            col("a.band") === col("b.band") &&
+              col("a.pbv") === col("b.pbv") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct())
+      try {
+        val probeDocs = probe.select(countDistinct("doc_id"))
+          .collect()(0).getLong(0)
+        val nCand = cand.count()
+        val ids = cand.select(col("doc_a").as("doc_id"))
+          .unionByName(cand.select(col("doc_b").as("doc_id"))).distinct()
+        val verified = graft.operators.DedupOps
+          .verifyPairs(cand, prunedDocs(s, indexDir, ids)).count()
+        ProbeStats(probeDocs, nCand, verified)
+      } finally cand.unpersist()
+    } finally probe.unpersist()
+  }
+
+  /** The PRECISION-FLOOR ACTUATOR: republish the live version's data
+    * re-banded at the NEXT band family rung — same docs, same probe
+    * base hashes (copied verbatim), bands re-derived from the stored
+    * hash sets at the deeper (rows, bands) geometry
+    * ([[graft.functions.MinHashSig.famRows]]; recall at J=0.8 pinned
+    * by the ladder's construction). One signature pass over the doc
+    * store — the cost a full publish pays, bought only when a floor
+    * trips. Family-1 artifacts upgrade through a merge instead
+    * (their escalation IS the upgrade to family 2); an exhausted
+    * ladder fails loudly. Returns the new family. */
+  def escalateBandFamily(s: SparkSession, root: String): Int = {
+    val live = currentDir(s, root)
+    val fam = loadBandFamily(s, live)
+    require(fam >= BandFamily,
+      s"cannot escalate a family-$fam artifact: merge a batch first " +
+        "(the merge rebuilds its bands at the current publish family)")
+    val next = fam + 1
+    require(next <= graft.functions.MinHashSig.MaxFamily,
+      s"band-family ladder exhausted at $root: family $fam is the " +
+        s"deepest geometry under the ${4096}-permutation cap — a still-" +
+        "tripped precision floor now needs a different remedy (raise " +
+        "the verify threshold, shard the corpus, or lower the floor)")
+    val v = s"v${StorageOps.nextVersion(s, root)}"
+    val docs = loadDocs(s, live)
+    val pm = loadProbeMod(s, live)
+    writeAll(s, docs,
+      graft.streaming.NearDupStream.bandIndex(s, docs, next),
+      s"$root/$v", loadNDocs(s, live),
+      if (pm > 0 && StorageOps.isCommitted(s, s"$live/probe"))
+        Some(s.read.parquet(s"$live/probe")) else None,
+      pm, next)
+    StorageOps.flipPointer(s, root, v)
+    next
   }
 
   /** Small-file compaction hook in the [[maintain]] cycle — the
@@ -470,10 +595,20 @@ object DedupIndex {
       return false
     val v = s"v${StorageOps.nextVersion(s, root)}"
     val pm = loadProbeMod(s, live)
-    writeAll(s, loadDocs(s, live), loadBands(s, live), s"$root/$v",
-      loadNDocs(s, live),
-      // the probe copies VERBATIM — compaction is a layout move
-      if (pm > 0) Some(loadProbe(s, live)) else None, pm)
+    // RAW reads + re-recorded family: compaction is a verbatim layout
+    // move, so it must neither refuse a family this build cannot derive
+    // (the rows copy unchanged — r16 ADVICE: the loadBands family gate
+    // here raised a misleading "probing would miss" error for an
+    // artifact nobody was probing) nor silently stamp the output with
+    // the publish-default family
+    writeAll(s,
+      loadDocsRaw(s, live).select("doc_id", "hs", "n", "truncated"),
+      loadBandsRaw(s, live).select("band", "minhash", "doc_id"),
+      s"$root/$v", loadNDocs(s, live),
+      // the probe copies VERBATIM too (any stored schema generation)
+      if (pm > 0 && StorageOps.isCommitted(s, s"$live/probe"))
+        Some(s.read.parquet(s"$live/probe")) else None,
+      pm, loadBandFamily(s, live))
     StorageOps.flipPointer(s, root, v)
     true
   }
@@ -559,7 +694,7 @@ object DedupIndex {
     * scan ([[prunedBands]] reads [[loadBandsRaw]] and drops it after the
     * filter). */
   def loadBands(s: SparkSession, indexDir: String): DataFrame = {
-    requireCurrentBandFamily(s, indexDir)
+    requireUsableBandFamily(s, indexDir)
     loadBandsRaw(s, indexDir).select("band", "minhash", "doc_id")
   }
 
@@ -575,15 +710,31 @@ object DedupIndex {
     else df.collect()(0).getAs[Long]("probemod")
   }
 
-  /** The sampled PORTABLE probe bands (doc_id, band, pbv) — see
-    * [[graft.operators.DedupOps.portableProbeBands]]. Sampled-small:
-    * ~500 docs x 32 band rows at any corpus size. */
+  /** The sampled PORTABLE probe bands (doc_id, band, pbv), derived ON
+    * READ from the stored base hashes at the artifact's recorded band
+    * family — see [[graft.operators.DedupOps.probeBandsFromPres]].
+    * Sampled-small: ~500 docs × famBands rows at any corpus size. */
   def loadProbe(s: SparkSession, indexDir: String): DataFrame =
-    s.read.parquet(s"$indexDir/probe").select("doc_id", "band", "pbv")
+    graft.operators.DedupOps.probeBandsFromPres(s,
+      loadProbePres(s, indexDir), loadBandFamily(s, indexDir))
 
+  /** The stored probe base layer (doc_id, pre) — family-free; merges
+    * maintain it, escalations and compactions copy it verbatim. */
+  private[graft] def loadProbePres(s: SparkSession,
+      indexDir: String): DataFrame =
+    s.read.parquet(s"$indexDir/probe").select("doc_id", "pre")
+
+  /** True iff the artifact carries a READABLE precision probe: a
+    * recorded sample modulus, a committed probe dataset, and the r17
+    * family-free schema (a pre-r17 probe stored family-DERIVED
+    * (band, pbv) rows — unreadable after any family change, so it
+    * reads as probe-less and the next full publish re-derives). Health
+    * surfaces gate on this and emit NULL probe columns when false
+    * (r16 ADVICE: a probe-less artifact must degrade, not throw). */
   def hasProbe(s: SparkSession, indexDir: String): Boolean =
     loadProbeMod(s, indexDir) > 0 &&
-      StorageOps.isCommitted(s, s"$indexDir/probe")
+      StorageOps.isCommitted(s, s"$indexDir/probe") &&
+      s.read.parquet(s"$indexDir/probe").columns.contains("pre")
 
   private def loadBandsRaw(s: SparkSession, indexDir: String): DataFrame =
     graft.Chaos.gate(s, s.read.parquet(s"$indexDir/bands"))
@@ -599,7 +750,7 @@ object DedupIndex {
     * exact. `batchBands`: (band, bv) — minhash under its join alias. */
   private[graft] def prunedBands(s: SparkSession, indexDir: String,
       batchBands: DataFrame): DataFrame = {
-    requireCurrentBandFamily(s, indexDir)
+    requireUsableBandFamily(s, indexDir)
     val nParts = loadParts(s, indexDir)
     val raw = loadBandsRaw(s, indexDir)
     if (nParts <= 0 || !raw.columns.contains("dpart")) // legacy: full scan

@@ -46,14 +46,52 @@ object FingerprintIndex {
   private def ipartOf(band: Column, bv: Column, nParts: Int) =
     pmod(xxhash64(band, bv), lit(nParts.toLong))
 
-  /** The 4x16-bit band explosion of a 64-bit signature column — the
-    * SAME split [[graft.streaming.ImageDedupStream]] probes with
-    * (pigeonhole-exact for hamming <= 3). */
-  private[graft] def bandsExpr(c: String) =
-    s"""transform(sequence(0, 3),
-       |          j -> struct(j AS band,
-       |                      shiftrightunsigned($c, j * 16) & 65535 AS bv))"""
-      .stripMargin
+  /** The publish-default band family: contiguous 4×16-bit chunks. */
+  val BandFamily = 1
+
+  /** The PRECISION-ESCALATION ladder for the banded (dHash) shape:
+    * family f ≥ 2 permutes bit positions by π(k) = k·m_f mod 64 (m_f
+    * odd ⇒ π bijective ⇒ still a partition into four disjoint 16-bit
+    * bands, so the pigeonhole guarantee — hamming ≤ 3 collides in ≥ 1
+    * band — holds at EVERY family). What changes is which bits share a
+    * band: dHash bits are spatially contiguous gradients, so images
+    * with constant regions (borders, letterboxing, flat sky) agree on
+    * RUNS of adjacent bits and flood a contiguous chunk's bucket with
+    * pairs that are nowhere near hamming ≤ 3 overall — the precision
+    * collapse the in-gate probe measures. A scatter family spreads any
+    * 16 agreeing contiguous bits ~4 per band, leaving every band ~12
+    * independent bits, and the flood's buckets disperse. One multiplier
+    * per rung so repeated escalations keep moving the partition. */
+  private val ScatterMults = Map(2 -> 21, 3 -> 13, 4 -> 37, 5 -> 45)
+
+  /** Deepest supported band family ([[ScatterMults]] rungs + the
+    * contiguous family 1). */
+  val MaxFamily = 5
+
+  /** The 4-band explosion of a 64-bit signature column at band family
+    * `fam` — the SAME split [[graft.streaming.ImageDedupStream]] probes
+    * with (pigeonhole-exact for hamming <= 3 at every family). Family 1
+    * keeps the contiguous shift-mask fast path; scatter families pay a
+    * 64-step fold per signature — probe batches and publishes, never a
+    * per-row hot loop. */
+  private[graft] def bandsExpr(c: String, fam: Int = BandFamily): String =
+    if (fam == BandFamily)
+      s"""transform(sequence(0, 3),
+         |          j -> struct(j AS band,
+         |                      shiftrightunsigned($c, j * 16) & 65535 AS bv))"""
+        .stripMargin
+    else {
+      val m = ScatterMults.getOrElse(fam, throw new IllegalArgumentException(
+        s"band family must be in [1, $MaxFamily], got $fam"))
+      s"""transform(sequence(0, 3),
+         |  j -> struct(j AS band,
+         |    aggregate(filter(sequence(0, 63),
+         |                     k -> ((k * $m) % 64) DIV 16 = j),
+         |              CAST(0 AS BIGINT),
+         |              (acc, k) -> acc + shiftleft(
+         |                shiftrightunsigned($c, k) & 1,
+         |                ((k * $m) % 64) % 16)) AS bv))""".stripMargin
+    }
 
   private def ver(s: SparkSession, dir: String): String =
     StorageOps.currentVersion(s, dir).getOrElse(throw new IllegalStateException(
@@ -141,6 +179,7 @@ object FingerprintIndex {
     if (lastAppliedBatch(s, dir).isEmpty) return false
     val prev = s"$dir/${ver(s, dir)}"
     val (nGroups, parts) = loadCounts(s, dir)
+    val fam = loadBandFamily(s, dir)
     val v = s"v${StorageOps.nextVersion(s, dir)}"
     for ((ds, pc) <- Seq("groups" -> "fpart", "bands" -> "ipart"))
       if (StorageOps.isCommitted(s, s"$prev/$ds")) {
@@ -150,7 +189,8 @@ object FingerprintIndex {
         marker.getFileSystem(s.sparkContext.hadoopConfiguration)
           .create(marker, true).close()
       }
-    writeMeta(s, s"$dir/$v", nGroups, parts)
+    // last_batch intentionally unset; the band family copies verbatim
+    writeMeta(s, s"$dir/$v", nGroups, parts, fam = fam)
     StorageOps.flipPointer(s, dir, v)
     true
   }
@@ -172,10 +212,24 @@ object FingerprintIndex {
     parts <= 0 || parts != layoutPartsFor(nGroups)
 
   private def writeMeta(s: SparkSession, vdir: String, nGroups: Long,
-      parts: Int, lastBatch: Long = -1L): Unit = {
+      parts: Int, lastBatch: Long = -1L,
+      fam: Int = BandFamily): Unit = {
     import s.implicits._
-    Seq((nGroups, parts, lastBatch)).toDF("ngroups", "parts", "last_batch")
+    Seq((nGroups, parts, lastBatch, fam))
+      .toDF("ngroups", "parts", "last_batch", "bandfam")
       .write.mode("errorifexists").parquet(s"$vdir/meta")
+  }
+
+  /** The active version's recorded band family; 1 for any artifact
+    * written before the field existed (all of those are contiguous-
+    * banded) and for the exact-equality (groups) shape, which has no
+    * banding. Readers of the banded shape MUST derive their probe keys
+    * at this family ([[bandsExpr]]) — family-mismatched keys silently
+    * match nothing. */
+  def loadBandFamily(s: SparkSession, dir: String): Int = {
+    val df = s.read.parquet(s"$dir/${ver(s, dir)}/meta")
+    if (!df.schema.fieldNames.contains("bandfam")) BandFamily
+    else df.collect()(0).getAs[Int]("bandfam")
   }
 
   /** Publish an exact-equality group table (fp, n, rep — extra columns
@@ -202,23 +256,26 @@ object FingerprintIndex {
 
   /** Publish a banded signature table from (dhash, n, rep) rows — the
     * image shape: 4 band rows per distinct signature, partitioned by the
-    * band key. Returns the published (distinct-signature) count. */
+    * band key, derived at band family `fam` (default: contiguous; a
+    * precision escalation republishes at the next scatter rung).
+    * Returns the published (distinct-signature) count. */
   def publishBandedSigs(s: SparkSession, sigs: DataFrame,
-      dir: String, lastBatch: Long = -1L): Long = {
+      dir: String, lastBatch: Long = -1L,
+      fam: Int = BandFamily): Long = {
     val g = graft.Caching.persist(sigs.select("dhash", "n", "rep"))
     try {
       val nGroups = g.count()
       val parts = layoutPartsFor(nGroups)
       val v = s"v${StorageOps.nextVersion(s, dir)}"
       g.select(col("dhash"), col("n"), col("rep"),
-          explode(expr(bandsExpr("dhash"))).as("b"))
+          explode(expr(bandsExpr("dhash", fam))).as("b"))
         .select(col("b.band").as("band"), col("b.bv").as("bv"),
           col("dhash"), col("n"), col("rep"))
         .withColumn("ipart", ipartOf(col("band"), col("bv"), parts))
         .repartition(parts, col("ipart"))
         .write.partitionBy("ipart")
         .mode("errorifexists").parquet(s"$dir/$v/bands")
-      writeMeta(s, s"$dir/$v", nGroups, parts, lastBatch)
+      writeMeta(s, s"$dir/$v", nGroups, parts, lastBatch, fam)
       StorageOps.flipPointer(s, dir, v)
       nGroups
     } finally g.unpersist()
@@ -339,11 +396,16 @@ object FingerprintIndex {
         MergeStats(loadParts(s, dir), 0, 0, fullRewrite = false))
     val prev = s"$dir/${ver(s, dir)}"
     val parts = loadParts(s, dir)
+    // every band derivation in this merge runs at the ARTIFACT's
+    // recorded family — a batch banded at the publish default against
+    // an escalated artifact would land its rows in partitions no probe
+    // at the recorded family ever reads
+    val fam = loadBandFamily(s, dir)
     val b = graft.Caching.persist(arrivals
       .groupBy("dhash").agg(count(lit(1)).as("bn"), min("doc_id").as("brep")))
     try {
       val dirtyIp: Array[Long] = b
-        .select(col("dhash"), explode(expr(bandsExpr("dhash"))).as("k"))
+        .select(col("dhash"), explode(expr(bandsExpr("dhash", fam))).as("k"))
         .select(ipartOf(col("k.band"), col("k.bv"), parts).as("p"))
         .distinct().collect().map(_.getLong(0))
       if (dirtyIp.isEmpty)
@@ -366,7 +428,7 @@ object FingerprintIndex {
             (coalesce(col("n"), lit(0L)) + coalesce(col("bn"), lit(0L)))
               .as("n"),
             least(col("rep"), col("brep")).as("rep"))
-        publishBandedSigs(s, merged, dir, batchId.getOrElse(-1L))
+        publishBandedSigs(s, merged, dir, batchId.getOrElse(-1L), fam)
         val p2 = loadParts(s, dir)
         return (n2, MergeStats(p2, p2, 0, fullRewrite = true))
       }
@@ -385,7 +447,7 @@ object FingerprintIndex {
           least(col("rep"), col("brep")).as("rep"))
       val refreshed = affected
         .select(col("dhash"), col("n"), col("rep"),
-          explode(expr(bandsExpr("dhash"))).as("k"))
+          explode(expr(bandsExpr("dhash", fam))).as("k"))
         .select(col("k.band").as("band"), col("k.bv").as("bv"),
           col("dhash"), col("n"), col("rep"))
         .withColumn("ipart", ipartOf(col("band"), col("bv"), parts))
@@ -400,7 +462,7 @@ object FingerprintIndex {
         .mode("errorifexists").parquet(s"$dir/$v/bands")
       val copied = StorageOps.copyCleanParts(s, s"$prev/bands",
         s"$dir/$v/bands", "ipart", dirtyIp.toSet)
-      writeMeta(s, s"$dir/$v", n2, parts, batchId.getOrElse(-1L))
+      writeMeta(s, s"$dir/$v", n2, parts, batchId.getOrElse(-1L), fam)
       StorageOps.flipPointer(s, dir, v)
       (n2, MergeStats(parts, dirtyIp.length, copied, fullRewrite = false))
     } finally b.unpersist()
@@ -436,7 +498,7 @@ object FingerprintIndex {
     if (banded)
       publishBandedSigs(s,
         loadBands(s, dir).select("dhash", "n", "rep").distinct(),
-        dir, lastBatch)
+        dir, lastBatch, loadBandFamily(s, dir))
     else publishGroups(s, loadGroups(s, dir), dir, lastBatch)
     true
   }
@@ -472,20 +534,107 @@ object FingerprintIndex {
     * [[mergeGroups]]'s replay-guard contract). */
   def maintain(s: SparkSession, dir: String, arrivals: DataFrame,
       banded: Boolean = false, keep: Int = 2,
-      batchId: Option[Long] = None): (Long, MergeStats) = {
+      batchId: Option[Long] = None,
+      precisionProbe: Option[PrecisionProbe] = None): (Long, MergeStats) = {
+    require(precisionProbe.isEmpty || banded,
+      "precision probe armed on the exact-equality (groups) shape: " +
+        "exact probes verify by definition (precision is identically " +
+        "1), so there is nothing to gate — arm it on banded ingests")
     val out =
       if (banded) mergeBandedSigs(s, dir, arrivals, batchId)
       else mergeGroups(s, dir, arrivals, batchId)
     // a replay no-op or an empty batch wrote nothing (the merges
     // early-return before publishing in both cases, so dirtyParts == 0
     // really means no new version exists): skip the compaction probe's
-    // per-partition listing and the prune listing entirely
+    // per-partition listing, the prune listing, AND the precision gate
+    // (nothing changed, so no reading moved) entirely
     val (_, st) = out
     if (st.dirtyParts > 0 || st.fullRewrite) {
+      // PRECISION GATE (r16 verdict #2, the [[DedupIndex.maintain]] /
+      // VectorIndex recall-gate shape): measure the merged artifact's
+      // banded-candidate precision from its own stored bands; a floor
+      // trip republishes at the next SCATTER family ([[ScatterMults]] —
+      // hamming≤3 recall pinned by pigeonhole at every family) and
+      // re-probes once, surfacing per caller policy if still below.
+      precisionProbe.foreach { p =>
+        if (probePrecision(s, dir).below(p.floor)) {
+          val next = escalateBandFamily(s, dir)
+          val after = probePrecision(s, dir)
+          if (after.below(p.floor)) {
+            val msg = s"precision floor ${p.floor} not restored by the " +
+              s"band-family escalation at $dir: family $next measures " +
+              s"${after.precision.getOrElse(Double.NaN)} over " +
+              s"${after.candidates} probe candidates — escalate again " +
+              "next cycle, widen the fingerprint, or lower the floor"
+            if (p.failUnrecovered) throw new IllegalStateException(msg)
+            else log.warn(msg)
+          }
+        }
+      }
       compactIfFragmented(s, dir)
       pruneVersions(s, dir, keep)
     }
     out
+  }
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Banded-candidate PRECISION of the active version, measured from
+    * the stored band table itself (keys are stored AT the artifact's
+    * family, so the read is family-agnostic): a deterministic
+    * signature sample (phash over the rep doc id, ~500 sigs however
+    * large the index) joins the band table on its own keys; candidates
+    * are distinct foreign signatures sharing a band; verification is
+    * the production hamming ≤ 3 gate. The same statistic
+    * q_fingerprint_index_stats publishes into the correctness gate —
+    * this entry is the engine-side read the maintain gate acts on.
+    * The aggregates are computed EAGERLY so the candidate frame's
+    * persist releases before returning (r16 ADVICE). */
+  def probePrecision(s: SparkSession, dir: String): ProbeStats = {
+    val ng = loadNGroups(s, dir)
+    val probeMod = math.max(1L, ng / 500)
+    val bands = loadBands(s, dir)
+    val probe = bands.filter(graft.Tables.phash(col("rep")) % probeMod === 0)
+    val cand = graft.Caching.persist(
+      probe.alias("p").join(bands.alias("c"),
+          col("p.band") === col("c.band") && col("p.bv") === col("c.bv") &&
+            col("p.dhash") =!= col("c.dhash"))
+        .select(col("p.dhash").as("pd"), col("c.dhash").as("cd"))
+        .distinct())
+    try {
+      val probeSigs = probe.select(countDistinct("dhash"))
+        .collect()(0).getLong(0)
+      val r = cand.agg(
+        count(lit(1)).as("c"),
+        coalesce(sum(expr("CAST(bit_count(pd ^ cd) <= 3 AS BIGINT)")),
+          lit(0L)).as("v")).collect()(0)
+      ProbeStats(probeSigs, r.getLong(0), r.getLong(1))
+    } finally cand.unpersist()
+  }
+
+  /** The PRECISION-FLOOR ACTUATOR: republish the active version's
+    * signature table re-banded at the next scatter family — same
+    * (dhash, n, rep) rows (recovered by the distinct fold), same
+    * recorded last_batch, bands re-derived at π(k) = k·m mod 64. The
+    * hamming ≤ 3 guarantee is pigeonhole over ANY partition of the 64
+    * bits into four disjoint 16-bit bands, so escalation never pays
+    * recall. Exact-equality artifacts refuse (no banding); an
+    * exhausted ladder fails loudly. Returns the new family. */
+  def escalateBandFamily(s: SparkSession, dir: String): Int = {
+    require(isPublished(s, dir), s"no published fingerprint index at $dir")
+    require(StorageOps.isCommitted(s, s"$dir/${ver(s, dir)}/bands"),
+      s"cannot escalate the exact-equality (groups) shape at $dir: " +
+        "it has no banding")
+    val fam = loadBandFamily(s, dir)
+    val next = fam + 1
+    require(next <= MaxFamily,
+      s"band-family ladder exhausted at $dir: family $fam is the last " +
+        "scatter rung — a still-tripped precision floor now needs a " +
+        "wider fingerprint or a lower floor")
+    publishBandedSigs(s,
+      loadBands(s, dir).select("dhash", "n", "rep").distinct(),
+      dir, lastAppliedBatch(s, dir).getOrElse(-1L), next)
+    next
   }
 
   /** The active group table, reader-facing schema (fp, n, rep). */

@@ -303,6 +303,47 @@ object VectorIndex {
   private def loadCellsRaw(s: SparkSession, dir: String): DataFrame =
     graft.Chaos.gate(s, s.read.parquet(s"$dir/${ver(s, dir)}/cells"))
 
+  /** Cosine floor the LSH bucket-precision probe verifies candidates
+    * against — the corpus near-dup threshold (0.45) every embedding
+    * pair query and oracle uses; one constant so the engine probe and
+    * the q_index_stats oracle can never verify at different bars. */
+  val LshProbeCos = 0.45
+
+  /** Hyperplane-bucket candidate PRECISION of the active version —
+    * the r16 verdict #6 probe closing the quality-observability gap
+    * the recall audit leaves: [[recallAudit]] covers the IVF/PQ paths
+    * end-to-end, but the LSH leg's recall can stay high while its
+    * BUCKETS saturate (width frozen, corpus grown) and every probe
+    * drags in mostly-noise candidates — a cost collapse the recall
+    * number cannot see. Measured like the banded families': a
+    * deterministic vector sample (phash over vec_id, ~500 however
+    * large the corpus) self-joined on the STORED bucket keys;
+    * verification is exact cosine at [[LshProbeCos]]. Cost: probe ×
+    * probe plus the embeddings already carried by the bucket rows —
+    * independent of corpus size. Eager ([[ProbeStats]]); the
+    * q_index_stats health surface publishes it into the DuckDB gate
+    * (bucket assignment replays portably — the lshCtes convention). */
+  def lshProbePrecision(s: SparkSession, dir: String): ProbeStats = {
+    GraftFunctions.register(s)
+    val m = loadMeta(s, dir)
+    val mod = math.max(1L, m.n / 500)
+    val probe = loadBuckets(s, dir)
+      .filter(Tables.phash(col("vec_id")) % mod === 0)
+    val cand = graft.Caching.persist(
+      probe.alias("a").join(probe.alias("b"),
+          col("a.bucket") === col("b.bucket") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+          expr("cosine_sim(a.embedding, b.embedding)").as("sim")))
+    try {
+      val pv = probe.select(countDistinct("vec_id")).collect()(0).getLong(0)
+      val r = cand.agg(count(lit(1)).as("c"),
+        coalesce(sum(when(col("sim") >= LshProbeCos, 1L).otherwise(0L)),
+          lit(0L)).as("v")).collect()(0)
+      ProbeStats(pv, r.getLong(0), r.getLong(1))
+    } finally cand.unpersist()
+  }
+
   /** True iff the active version ALSO carries the optional PQ pair
     * (`pqbooks` + `codes`) — published with `pq = true`. An index
     * without it (including every pre-PQ artifact) reports false and
@@ -1485,21 +1526,29 @@ object VectorIndex {
     * no pinned RDDs). */
   /** True iff [[recallAudit]] at (`q`, `k`) can read the stored ground
     * truth: the artifact carries the pair, k is within the stored
-    * depth, and the caller's query ID SET equals the stored probe's
-    * (two anti-join emptiness probes over sampled-small frames — the
-    * check costs nothing next to even one approximate leg). Embeddings
-    * are matched BY CONTRACT, not compared: maintenance keeps gtq
-    * synced with the artifact corpus, and audit callers sample their
-    * queries from that same corpus. A corpus smaller than k+1 needs no
+    * depth, and the caller's (query_id, embedding) SET equals the
+    * stored probe's (two anti-join emptiness probes over sampled-small
+    * frames — the check costs nothing next to even one approximate
+    * leg). Embeddings join by exact array equality, which parquet
+    * round-trips preserve for float32 — a caller passing the stored
+    * ids with DIFFERENT embeddings (a re-embedded corpus, a hand-built
+    * frame) must NOT take the fast path, or every approximate leg
+    * would be audited against a stale exact baseline: a silent
+    * wrong-audit (r16 ADVICE). A corpus smaller than k+1 needs no
     * special case — the stored lists and the live scan both yield
     * n−1 rows per query. */
   private[graft] def storedGtUsable(s: SparkSession, dir: String,
       q: DataFrame, k: Int): Boolean =
     k <= GtDepth && hasGt(s, dir) && {
-      val gtq = loadGtq(s, dir).select("query_id")
-      val qid = q.select("query_id")
-      qid.join(gtq, Seq("query_id"), "left_anti").limit(1).count() == 0 &&
-        gtq.join(qid, Seq("query_id"), "left_anti").limit(1).count() == 0
+      val gtq = loadGtq(s, dir).select(col("query_id"), col("embedding"))
+      // accept the audit-normalized alias (qe) or the raw column name
+      val embCol = if (q.columns.contains("qe")) col("qe")
+        else col("embedding")
+      val qe = q.select(col("query_id"), embCol.as("embedding"))
+      qe.join(gtq, Seq("query_id", "embedding"), "left_anti")
+        .limit(1).count() == 0 &&
+        gtq.join(qe, Seq("query_id", "embedding"), "left_anti")
+          .limit(1).count() == 0
     }
 
   def recallAudit(s: SparkSession, dir: String, queries: DataFrame, k: Int,

@@ -41,8 +41,13 @@ object ImageDedupStream {
   // ONE band derivation for probe and artifact: a local copy here could
   // drift from the published banded index's split and silently miss
   // hamming<=3 matches, so the stream delegates to the index's expr.
-  private def bandsExpr(c: String) =
-    graft.sources.FingerprintIndex.bandsExpr(c)
+  // The published-index probe passes the artifact's RECORDED family
+  // (resolved per trigger, so a precision-floor escalation reaches the
+  // stream on its next microbatch); the caller-held lazy join keeps the
+  // publish default — its signature table was never family-escalated.
+  private def bandsExpr(c: String, fam: Int =
+      graft.sources.FingerprintIndex.BandFamily) =
+    graft.sources.FingerprintIndex.bandsExpr(c, fam)
 
   /** Matches of a watermarked image stream (`doc_id`, binary `payload`,
     * event-time `ts`) against the published signature index `sigs`
@@ -135,7 +140,8 @@ object ImageDedupStream {
     try {
       val (small, hint) = graft.sources.VectorIndex.batchGate(
         knownBatchRows, dh.count(), broadcastRowLimit)
-      val keys = dh.select(explode(expr(bandsExpr("dh"))).as("p"))
+      val fam = graft.sources.FingerprintIndex.loadBandFamily(s, indexDir)
+      val keys = dh.select(explode(expr(bandsExpr("dh", fam))).as("p"))
         .select(col("p.band").as("band"), col("p.bv").as("bv"))
       // a corpus-scale batch touches every partition anyway: skip the
       // pruning derivation along with the broadcast hint
@@ -146,7 +152,7 @@ object ImageDedupStream {
           col("n"), col("rep"))
       val probes = dh
         .select(col("ts"), col("in_id"), col("dh"),
-          explode(expr(bandsExpr("dh"))).as("p"))
+          explode(expr(bandsExpr("dh", fam))).as("p"))
         .select(col("ts"), col("in_id"), col("dh"),
           col("p.band").as("pband"), col("p.bv").as("pbv"))
       consume(idx.join(hint(probes),

@@ -58,13 +58,27 @@ object NearDupStream {
 
   /** The corpus band index: one (band, minhash, doc_id) row per band of
     * each corpus doc's native MinHash signature. `corpus` is
-    * DedupOps.docHashes output (doc_id, hs, n). */
-  def bandIndex(s: SparkSession, corpus: DataFrame): DataFrame = {
+    * DedupOps.docHashes output (doc_id, hs, n). `fam` picks the banding
+    * geometry ([[graft.functions.MinHashSig.famRows]]) — the default is
+    * the publish family; a precision-floor escalation rebuilds the index
+    * through this same entry at the next rung. */
+  def bandIndex(s: SparkSession, corpus: DataFrame,
+      fam: Int = graft.sources.DedupIndex.BandFamily): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     corpus
-      .select(col("doc_id"), posexplode(expr("minhash_sig(hs)")))
+      .select(col("doc_id"), posexplode(expr(sigExpr("hs", fam))))
       .select(col("col").as("minhash"), col("pos").as("band"), col("doc_id"))
   }
+
+  /** The family-`fam` signature call over a hash-array column — ONE
+    * site choosing between the default geometry (which consumers may
+    * have pre-cached) and an explicit (rows, bands) rung. */
+  private[graft] def sigExpr(c: String, fam: Int): String =
+    if (fam == graft.sources.DedupIndex.BandFamily) s"minhash_sig($c)"
+    else {
+      val MH = graft.functions.MinHashSig
+      s"minhash_sig($c, ${MH.famRows(fam)}, ${MH.famBands(fam)})"
+    }
 
   /** Stream-STREAM near-dup: verified (doc_a, doc_b, jaccard) pairs
     * between two documents that BOTH arrive within `window` of each
@@ -273,8 +287,12 @@ object NearDupStream {
     try {
       val (small, hint) = graft.sources.VectorIndex.batchGate(
         knownBatchRows, q.count(), broadcastRowLimit)
+      // sign at the artifact's recorded family — resolved per trigger
+      // alongside the version pointer, so a precision-floor escalation
+      // reaches the stream on its next microbatch like any republish
+      val fam = graft.sources.DedupIndex.loadBandFamily(s, dir)
       val inBands = q
-        .select(col("q_id"), posexplode(expr("minhash_sig(q_hs)")))
+        .select(col("q_id"), posexplode(expr(sigExpr("q_hs", fam))))
         .select(col("q_id"), col("pos").as("band"), col("col").as("minhash"))
       // a corpus-scale batch touches every partition anyway: skip the
       // pruning derivations along with the broadcast hints

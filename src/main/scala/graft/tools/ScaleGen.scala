@@ -138,6 +138,16 @@ object ScaleGen {
     val dim = srcEmb.select(size(col("embedding"))).limit(1)
       .collect()(0).getInt(0)
     val nEmb = srcEmb.count() * factor
+    // the planted-neighbor seed-collision argument above ("xor-tagged
+    // seeds from different streams can never meet") holds only while ids
+    // stay under 2^21 — the tag bits sit above that range. A caller-
+    // chosen factor large enough to cross it would silently reintroduce
+    // the exact noise-equals-base defect the tag fix documents, so fail
+    // loudly at generation time (the Stress extra-dir convention).
+    require(nEmb < (1L << 21),
+      s"ScaleGen embedding count $nEmb >= 2^21: the xor-tag seed-" +
+        "disjointness argument in vecOf no longer holds at this factor — " +
+        "generate from a larger source SF instead of a larger factor")
 
     val srcLi = spark.read.parquet(s"$src/lineitem.parquet")
     // empirical order-size histogram -> inverse-CDF array (order sizes

@@ -108,25 +108,31 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.selectPrior(Seq(r4, noise, r6), now).contains(r6))
   }
 
-  test("selectLflPrior prefers the driver record over an aged same-round " +
-      "BENCH_LOCAL refresh (the r14 provenance ambiguity)") {
-    // r14's driver record compared itself to its OWN final BENCH_LOCAL
-    // refresh (committed >30 min before the driver ran, so the aged
-    // filter passed it) instead of r13's record: the like-for-like
-    // companion must key off the prior ROUND whenever one exists
+  test("selectLflPrior prefers the committed full BENCH_LOCAL record " +
+      "(lfl spans the whole registry, r16 verdict #3), driver tail as " +
+      "fallback, aged filter intact") {
+    // r14-r16 keyed lfl off the driver's truncated ~2 kB stdout tail, so
+    // only the alphabetically-last ~65 queries were adjudicable; the
+    // committed BENCH_LOCAL.json carries the FULL per-query map and is
+    // now preferred. Cross-round validity: the aged filter still skips a
+    // same-round refresh (the r14 ambiguity), and the repo only ever
+    // commits BENCH_LOCAL as the round's final sf0.1 record.
     val dir = java.nio.file.Files.createTempDirectory("benchspec").toFile
     val now = System.currentTimeMillis()
     val old = 6L * 60 * 60 * 1000
-    val local = tmpFile(dir, "BENCH_LOCAL.json", 40L * 60 * 1000, now)
+    val local = tmpFile(dir, "BENCH_LOCAL.json", old, now)
     val r14 = tmpFile(dir, "BENCH_r14.json", old, now)
-    assert(Bench.selectLflPrior(Seq(local, r14), now).contains(r14))
-    // same-round filtering still applies to the driver records
-    assert(r14.setLastModified(now - 60 * 1000))
     assert(Bench.selectLflPrior(Seq(local, r14), now).contains(local))
-    // and BENCH_LOCAL remains the fallback when no driver record exists
-    assert(Bench.selectLflPrior(Seq(local), now).contains(local))
-    // while the RE-MEASURE prior keeps preferring the full-precision
-    // complete local record (the two priors answer different questions)
+    // a same-round BENCH_LOCAL refresh is skipped: the driver record
+    // answers instead
+    assert(local.setLastModified(now - 60 * 1000))
+    assert(Bench.selectLflPrior(Seq(local, r14), now).contains(r14))
+    // nothing aged -> no baseline (first round / all fresh)
+    assert(r14.setLastModified(now - 60 * 1000))
+    assert(Bench.selectLflPrior(Seq(local, r14), now).isEmpty)
+    // the RE-MEASURE prior has the same preference (full-precision
+    // complete record first)
+    assert(local.setLastModified(now - old))
     assert(r14.setLastModified(now - old))
     assert(Bench.selectPrior(Seq(local, r14), now).contains(local))
   }

@@ -78,7 +78,7 @@ class DedupIndexSpec extends AnyFunSuite {
     val ex = intercept[IllegalArgumentException] {
       DedupIndex.loadBands(spark, dir).count()
     }
-    assert(ex.getMessage.contains("permutation family"), ex.getMessage)
+    assert(ex.getMessage.contains("band family"), ex.getMessage)
     intercept[IllegalArgumentException] {
       DedupIndex.prunedBands(spark, dir,
         spark.range(1).selectExpr("id AS band", "id AS bv"))
@@ -93,11 +93,16 @@ class DedupIndexSpec extends AnyFunSuite {
     assert(bandRows(DedupIndex.loadBands(spark, dirB)) ==
       bandRows(DedupIndex.loadBands(spark, dirC)),
       "upgraded bands differ from the from-scratch publish")
-    // the probe was family-derived too: the upgrading merge drops it
-    // (probemod 0) rather than mixing families; the next full publish
-    // re-derives it
-    assert(DedupIndex.loadProbeMod(spark, dirB) == 0)
-    assert(DedupIndex.hasProbe(spark, dirC))
+    // the probe's stored layer is FAMILY-FREE base hashes (r17), so the
+    // upgrading merge MAINTAINS it — the merged probe equals the fresh
+    // publish's at the preserved sample modulus
+    assert(DedupIndex.hasProbe(spark, dirB))
+    assert(DedupIndex.loadProbeMod(spark, dirB) ==
+      DedupIndex.loadProbeMod(spark, dirC))
+    def probeRows(dir2: String) = DedupIndex.loadProbe(spark, dir2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(probeRows(dirB) == probeRows(dirC),
+      "upgraded probe differs from the from-scratch publish")
     spark.catalog.clearCache()
   }
 
@@ -299,7 +304,7 @@ class DedupIndexSpec extends AnyFunSuite {
     val exLegacy = intercept[IllegalArgumentException] {
       operators.DedupOps.crossDedupBestFromIndex(spark, dir, probe).count()
     }
-    assert(exLegacy.getMessage.contains("permutation family"),
+    assert(exLegacy.getMessage.contains("band family"),
       exLegacy.getMessage)
     // a merge takes the full-rewrite path and upgrades the layout
     val batch = full.filter(col("doc_id") % 2 === 1)

@@ -130,6 +130,14 @@ class GtStoreSpec extends AnyFunSuite {
       allEmb.filter(col("vec_id") < 4)
         .select(col("vec_id").as("query_id"), col("embedding").as("qe")), 5),
       "a subset query set must fall back")
+    // r16 ADVICE: same ids with DIFFERENT embeddings (a re-embedded
+    // corpus) must fall back — auditing approximate legs against a
+    // stale exact baseline would be a silent wrong-audit
+    assert(!VectorIndex.storedGtUsable(spark, dir,
+      probe.select(col("vec_id").as("query_id"),
+        org.apache.spark.sql.functions.transform(col("embedding"),
+          x => -x).as("qe")), 5),
+      "re-embedded queries (same ids) must fall back")
 
     // with the store intact, stored-path output == live-brute output
     // (same artifact, gt is exact at publish)
