@@ -1357,10 +1357,13 @@ object VectorOps {
     // by name, not just as a code-hash mismatch downstream
     val (pqM, pqK) =
       if (VI.hasPq(s, dir)) VI.pqBudget(m) else (0, 0)
+    // wboost: the width-escalation rung (r17) — 0 for the registered
+    // schedule-default publish; surfaced so an operator reading the
+    // health row sees a density-escalated artifact by name
     val meta = Seq((m.n, m.width, m.cells, m.parts,
-        VI.needsRebuild(m), VI.hasPq(s, dir), pqM, pqK))
+        VI.needsRebuild(m), VI.hasPq(s, dir), pqM, pqK, m.wboost))
       .toDF("n", "width", "cells_sched", "parts", "needs_rebuild",
-        "has_pq", "pq_m", "pq_k")
+        "has_pq", "pq_m", "pq_k", "wboost")
     val cellAgg = VI.loadCells(s, dir).groupBy("cell").count()
       .agg(count(lit(1)).as("live_cells"),
         max("count").as("max_cell_occ"),
@@ -1387,6 +1390,7 @@ object VectorOps {
       .crossJoin(broadcast(codeAgg))
       .select(col("n"), col("width"), col("cells_sched"), col("parts"),
         col("needs_rebuild"), col("has_pq"), col("pq_m"), col("pq_k"),
+        col("wboost"),
         col("live_cells"), col("max_cell_occ"), col("cell_rows"),
         col("max_bucket_width"), col("bucket_rows"), col("code_rows"),
         lit(lp.probeDocs).as("lsh_probe_vecs"),
@@ -2148,6 +2152,7 @@ object VectorOps {
        |       TRUE AS has_pq,
        |       CAST((SELECT m FROM nm) AS INT) AS pq_m,
        |       CAST((SELECT k FROM nk) AS INT) AS pq_k,
+       |       CAST(0 AS INT) AS wboost,
        |       live_cells, max_cell_occ, cell_rows,
        |       max_bucket_width, bucket_rows,
        |       CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS code_rows,

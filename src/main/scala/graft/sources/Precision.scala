@@ -43,3 +43,19 @@ final case class ProbeStats(probeDocs: Long, candidates: Long,
     * predicate ([[precision]] None never trips). */
   def below(floor: Double): Boolean = precision.exists(_ < floor)
 }
+
+/** Arms the vector index's bucket-OCCUPANCY gate on a `maintain` cycle
+  * — the hyperplane path's analog of the banded families' precision
+  * floor: the count schedule keeps expected occupancy at the target,
+  * but corpus DENSITY can saturate buckets at an unchanged count. A
+  * measured mean occupancy above `factor` × the scheduled target
+  * escalates the artifact one width rung ([[VectorIndex.escalateWidth]])
+  * and re-probes once; still-saturated surfaces per `failUnrecovered`
+  * (the [[PrecisionProbe]] contract). */
+final case class OccupancyProbe(factor: Double = 4.0,
+    failUnrecovered: Boolean = false)
+
+/** A bucket-occupancy reading: live (non-empty) buckets, mean
+  * occupancy over them, widest bucket. */
+final case class OccupancyStats(buckets: Long, meanOccupancy: Double,
+    maxWidth: Long)

@@ -92,9 +92,19 @@ object VectorIndex {
     * pre-partitioned-layout artifact (meta without a `parts` field):
     * probes fall back to the full scan and the next merge rewrites it
     * under the current layout. */
+  /** `wboost` (r17): the WIDTH-ESCALATION rung this artifact was
+    * published at — its recorded width = the count-scheduled width PLUS
+    * this boost (clamped at LshMaxWidth). 0 for every schedule-default
+    * publish and every pre-r17 artifact. The boost is the occupancy
+    * gate's actuator ([[OccupancyProbe]]/[[escalateWidth]]): a corpus
+    * whose DENSITY (not count) saturates the scheduled buckets
+    * republishes one width deeper, and `wboost` makes that a durable
+    * geometry decision — [[needsRebuild]] compares against
+    * schedule+boost, so maintain cycles preserve the rung instead of
+    * silently rebuilding back down to the saturated width. */
   final case class Meta(n: Long, width: Int, probes: Int, cap: Long,
       cells: Int, parts: Int, pqres: Boolean = false,
-      pqm: Int = 0, pqk: Int = 0)
+      pqm: Int = 0, pqk: Int = 0, wboost: Int = 0)
 
   /** The effective PQ budget (M subspaces, K sub-centroids) of a
     * published PQ pair: the SCHEDULED budget recorded at publish
@@ -272,8 +282,13 @@ object VectorIndex {
       if (df.schema.fieldNames.contains("pqm"))
         (r.getAs[Int]("pqm"), r.getAs[Int]("pqk"))
       else (0, 0)
+    // pre-r17 artifacts have no width-escalation rung recorded: boost 0
+    val wboost =
+      if (df.schema.fieldNames.contains("wboost")) r.getAs[Int]("wboost")
+      else 0
     Meta(r.getAs[Long]("n"), r.getAs[Int]("width"), r.getAs[Int]("probes"),
-      r.getAs[Long]("cap"), r.getAs[Int]("cells"), parts, pqres, pqm, pqk)
+      r.getAs[Long]("cap"), r.getAs[Int]("cells"), parts, pqres, pqm, pqk,
+      wboost)
   }
 
   /** The active bucket table, WITHOUT the layout's partition column —
@@ -479,14 +494,21 @@ object VectorIndex {
   def publishFrom(s: SparkSession, corpus: DataFrame, dir: String,
       scheduleN: Option[Long] = None, pq: Boolean = false,
       pqResidual: Boolean = false,
-      gtProbe: Option[DataFrame] = None): Meta = {
+      gtProbe: Option[DataFrame] = None,
+      widthBoost: Int = 0): Meta = {
     GraftFunctions.register(s)
     require(!pqResidual || pq, "pqResidual requires pq = true")
+    require(widthBoost >= 0, s"widthBoost must be >= 0, got $widthBoost")
     val c = graft.Caching.persist(
       corpus.select(col("vec_id"), col("embedding")))
     try {
       val n = scheduleN.getOrElse(c.count())
-      val width = VectorOps.lshWidthFor(n)
+      // the occupancy-escalation rung rides ON TOP of the count
+      // schedule (clamped at LshMaxWidth); the EFFECTIVE boost is
+      // recorded so needsRebuild compares schedule+boost and maintain
+      // cycles preserve the rung (see [[Meta.wboost]])
+      val width = math.min(VectorOps.LshMaxWidth,
+        VectorOps.lshWidthFor(n) + widthBoost)
       // the PQ budget is scheduled HERE and recorded in meta (frozen
       // across merges like every other geometry knob — books and codes
       // are a matched pair, so merges must encode at the publish budget,
@@ -496,7 +518,8 @@ object VectorIndex {
         else (0, 0)
       val meta = Meta(n, width, VectorOps.LshProbes,
         VectorOps.knnCapFor(n, width), VectorOps.ivfCellsFor(n),
-        layoutPartsFor(n), pqres = pq && pqResidual, pqm = pqm, pqk = pqk)
+        layoutPartsFor(n), pqres = pq && pqResidual, pqm = pqm, pqk = pqk,
+        wboost = width - VectorOps.lshWidthFor(n))
       val cent = VectorOps.trainCentroids(s,
         c.filter(Tables.phash(col("vec_id")) % 4 === 0), meta.cells)
       // the cell assignment (corpus × centroids argmin) is computed ONCE
@@ -594,9 +617,9 @@ object VectorIndex {
     // `pqm`/`pqk` record the scheduled PQ budget; artifacts written
     // before either column existed read as raw-encoded / (4, 16)
     Seq((meta.n, meta.width, meta.probes, meta.cap, meta.cells, meta.parts,
-        meta.pqres, meta.pqm, meta.pqk))
+        meta.pqres, meta.pqm, meta.pqk, meta.wboost))
       .toDF("n", "width", "probes", "cap", "cells", "parts", "pqres",
-        "pqm", "pqk")
+        "pqm", "pqk", "wboost")
       .write.mode("errorifexists").parquet(s"$dir/$v/meta")
     buckets.select("bucket", "vec_id", "embedding")
       .withColumn("bpart", bpartOf(col("bucket"), meta.parts))
@@ -775,9 +798,9 @@ object VectorIndex {
           val meta2 = m.copy(n = n2, pqres = pqRes)
           val v = s"v${StorageOps.nextVersion(s, dir)}"
           Seq((meta2.n, meta2.width, meta2.probes, meta2.cap, meta2.cells,
-              meta2.parts, meta2.pqres, meta2.pqm, meta2.pqk))
+              meta2.parts, meta2.pqres, meta2.pqm, meta2.pqk, meta2.wboost))
             .toDF("n", "width", "probes", "cap", "cells", "parts", "pqres",
-              "pqm", "pqk")
+              "pqm", "pqk", "wboost")
             .write.mode("errorifexists").parquet(s"$dir/$v/meta")
           newDirtyBuckets.select("bucket", "vec_id", "embedding")
             .withColumn("bpart", bpartOf(col("bucket"), m.parts))
@@ -971,9 +994,13 @@ object VectorIndex {
 
   /** True when the corpus has outgrown the frozen geometry — the signal
     * to schedule a full [[publishFrom]] rebuild (width or cell-count
-    * schedule would pick differently at the current count). */
+    * schedule would pick differently at the current count). Width
+    * compares against schedule PLUS the recorded escalation rung
+    * ([[Meta.wboost]]) — a width-escalated artifact is healthy AT its
+    * rung, not perpetually "drifted" back to the saturated width. */
   def needsRebuild(meta: Meta): Boolean =
-    VectorOps.lshWidthFor(meta.n) != meta.width ||
+    math.min(VectorOps.LshMaxWidth,
+      VectorOps.lshWidthFor(meta.n) + meta.wboost) != meta.width ||
       VectorOps.ivfCellsFor(meta.n) != meta.cells
 
   /** The QUALITY gate a [[maintain]] caller can arm beside the layout
@@ -1026,7 +1053,8 @@ object VectorIndex {
     * boundary because each step is itself a pointer-flip publish over
     * immutable version dirs. */
   def maintain(s: SparkSession, dir: String, batch: DataFrame,
-      keep: Int = 2, recallProbe: Option[RecallProbe] = None): (Meta, Boolean) = {
+      keep: Int = 2, recallProbe: Option[RecallProbe] = None,
+      occupancyProbe: Option[OccupancyProbe] = None): (Meta, Boolean) = {
     val merged = mergePublish(s, dir, batch)
     def auditedMin(p: RecallProbe): Double = {
       val audit = recallAudit(s, dir, p.queries, p.k, p.nprobe, p.refineK)
@@ -1056,9 +1084,12 @@ object VectorIndex {
           if (hasGt(s, dir)) Some(loadGtq(s, dir)
             .select(col("query_id").as("vec_id"), col("embedding")))
           else recallProbe.map(_.queries)
+        // widthBoost = the recorded rung: a schedule- or recall-driven
+        // rebuild must not silently demote a width-escalated artifact
+        // back to the occupancy-saturated width
         publishFrom(s, loadCells(s, dir).select("vec_id", "embedding"),
           dir, pq = hasPq(s, dir), pqResidual = merged.pqres,
-          gtProbe = gtProbe)
+          gtProbe = gtProbe, widthBoost = merged.wboost)
         // a floor the retrain cannot satisfy must be OBSERVABLE, not a
         // silent O(corpus) publish on every subsequent cycle: re-audit
         // the rebuilt artifact once and surface per caller policy
@@ -1078,9 +1109,75 @@ object VectorIndex {
         }
         true
       } else false
+    // OCCUPANCY GATE (r17 — the third index family's observe-then-act
+    // close, the DedupIndex/FingerprintIndex precision-floor shape):
+    // the count schedule keeps EXPECTED occupancy at LshTargetBucket,
+    // but a corpus whose DENSITY concentrates into few buckets (low
+    // effective rank, clustered embeddings) saturates them at an
+    // unchanged count — a cost collapse needsRebuild cannot see and
+    // recall cannot see either (searches return fine, they just scan
+    // ever-wider buckets). Trip: measured mean occupancy over live
+    // buckets above factor × target → escalate ONE width rung
+    // ([[escalateWidth]]) → re-probe → surface per policy. Runs after
+    // the schedule/recall block so a schedule rebuild (which re-derives
+    // width at the current count + rung) gets to act first.
+    occupancyProbe.foreach { p =>
+      val occ = bucketOccupancy(s, dir)
+      if (occ.meanOccupancy > p.factor * VectorOps.LshTargetBucket) {
+        escalateWidth(s, dir)
+        val after = bucketOccupancy(s, dir)
+        if (after.meanOccupancy > p.factor * VectorOps.LshTargetBucket) {
+          val msg = s"bucket occupancy ${after.meanOccupancy} still above " +
+            s"${p.factor} x ${VectorOps.LshTargetBucket} after the width " +
+            s"escalation at $dir (width ${loadMeta(s, dir).width}): the " +
+            "corpus concentrates into too few hyperplane regions for one " +
+            "rung to disperse — near-duplicate mass (dedup it first), a " +
+            "degenerate embedding space, or a floor set too tight"
+          if (p.failUnrecovered) throw new IllegalStateException(msg)
+          else log.warn(msg)
+        }
+      }
+    }
     compactIfFragmented(s, dir)
     pruneVersions(s, dir, keep)
     (loadMeta(s, dir), rebuilt)
+  }
+
+  /** Bucket-occupancy reading of the active version: live (non-empty)
+    * bucket count, mean occupancy over them, and the widest bucket —
+    * one partial-aggregated scan of the bucket table, the saturation
+    * statistic the [[OccupancyProbe]] gate trips on. */
+  def bucketOccupancy(s: SparkSession, dir: String): OccupancyStats = {
+    val r = loadBuckets(s, dir).groupBy("bucket")
+      .agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)), avg("c"), max("c")).collect()(0)
+    OccupancyStats(r.getLong(0), r.getDouble(1), r.getLong(2))
+  }
+
+  /** The OCCUPANCY gate's actuator: republish the active version one
+    * width rung deeper — same corpus (the uncapped cells floats), same
+    * PQ mode, the gt pair re-derived from the stored probe, width =
+    * schedule + (recorded rung + 1), recorded back as [[Meta.wboost]]
+    * so every later maintain preserves it. Each rung halves expected
+    * bucket occupancy for a non-degenerate corpus; recall impact is
+    * bounded by the multi-probe dial and stays observable through the
+    * recall gate on the same maintain cycle. Fails loudly at the
+    * LshMaxWidth ceiling (2^24 buckets — past that the kNN cap is the
+    * remaining defense). Returns the new Meta. */
+  def escalateWidth(s: SparkSession, dir: String): Meta = {
+    val m = loadMeta(s, dir)
+    require(m.width < VectorOps.LshMaxWidth,
+      s"width-escalation ladder exhausted at $dir: width ${m.width} is " +
+        s"the ${VectorOps.LshMaxWidth}-bit ceiling — occupancy past it " +
+        "means concentrated near-duplicate mass; dedup the corpus or " +
+        "accept the kNN bucket cap as the cost bound")
+    val gtProbe =
+      if (hasGt(s, dir)) Some(loadGtq(s, dir)
+        .select(col("query_id").as("vec_id"), col("embedding")))
+      else None
+    publishFrom(s, loadCells(s, dir).select("vec_id", "embedding"),
+      dir, pq = hasPq(s, dir), pqResidual = m.pqres, gtProbe = gtProbe,
+      widthBoost = m.wboost + 1)
   }
 
   /** True iff any `partCol=` partition directory of the dataset holds

@@ -287,6 +287,86 @@ class PrecisionGateSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  // ---- vector occupancy gate (width escalation) ----------------------
+
+  /** Deterministic unit vector confined to the first `rank` of 32 dims —
+    * the DENSITY fixture: a low-effective-rank corpus realizes few
+    * hyperplane sign regions, so buckets saturate at an unchanged count
+    * (the drift the count schedule cannot see). */
+  private def lowRankVec(id: Long, rank: Int): Array[Float] = {
+    val r = new java.util.SplittableRandom(mix(id))
+    def gauss(): Double = {
+      val u1 = math.max(r.nextDouble(), 1e-12)
+      math.sqrt(-2.0 * math.log(u1)) *
+        math.cos(2.0 * math.Pi * r.nextDouble())
+    }
+    val v = Array.fill(32)(0.0)
+    for (i <- 0 until rank) v(i) = gauss()
+    val n = math.sqrt(v.map(x => x * x).sum)
+    v.map(x => (x / n).toFloat)
+  }
+
+  private def lowRankCorpus(n: Int, rank: Int) = {
+    import spark.implicits._
+    (0L until n.toLong).map(id => (id, lowRankVec(id, rank)))
+      .toDF("vec_id", "embedding")
+  }
+
+  test("vector occupancy gate: density saturation trips at unchanged " +
+      "count, one width rung disperses, the rung survives later cycles") {
+    import graft.sources.{VectorIndex, OccupancyProbe}
+    val dir = s"${java.nio.file.Files
+      .createTempDirectory("graft-occ")}/idx"
+    val all = lowRankCorpus(500, rank = 4)
+    VectorIndex.publishFrom(spark, all.filter(col("vec_id") < 496), dir)
+    val m0 = VectorIndex.loadMeta(spark, dir)
+    assert(!VectorIndex.needsRebuild(m0), "count schedule must be clean")
+    val occ0 = VectorIndex.bucketOccupancy(spark, dir)
+    info(s"scheduled width ${m0.width}: $occ0")
+    assert(occ0.meanOccupancy >
+      4.0 * graft.operators.VectorOps.LshTargetBucket,
+      s"fixture must saturate the scheduled buckets, read $occ0")
+
+    val (m1, _) = VectorIndex.maintain(spark, dir,
+      all.filter(col("vec_id") >= 496),
+      occupancyProbe = Some(OccupancyProbe(4.0)))
+    assert(m1.width == m0.width + 1 && m1.wboost == 1,
+      s"tripped gate did not escalate one rung: $m1")
+    val occ1 = VectorIndex.bucketOccupancy(spark, dir)
+    info(s"escalated width ${m1.width}: $occ1")
+    assert(occ1.meanOccupancy <=
+      4.0 * graft.operators.VectorOps.LshTargetBucket,
+      s"escalation did not disperse the buckets: $occ1")
+
+    // the rung is durable: a later un-probed maintain neither rebuilds
+    // nor demotes, and the boosted geometry still answers searches
+    val (m2, rebuilt2) = VectorIndex.maintain(spark, dir,
+      lowRankCorpus(504, rank = 4).filter(col("vec_id") >= 500))
+    assert(!rebuilt2 && m2.width == m1.width && m2.wboost == 1,
+      s"later maintain demoted the rung: $m2 (rebuilt=$rebuilt2)")
+    assert(VectorIndex.searchLsh(spark, dir,
+      all.filter(col("vec_id") < 3), k = 3).count() > 0)
+    spark.catalog.clearCache()
+  }
+
+  test("vector occupancy gate: a rank-2 corpus cannot disperse — " +
+      "surfaces per failUnrecovered") {
+    import graft.sources.{VectorIndex, OccupancyProbe}
+    val dir = s"${java.nio.file.Files
+      .createTempDirectory("graft-occ2")}/idx"
+    val all = lowRankCorpus(500, rank = 2)
+    VectorIndex.publishFrom(spark, all.filter(col("vec_id") < 496), dir)
+    val ex = intercept[IllegalStateException] {
+      VectorIndex.maintain(spark, dir, all.filter(col("vec_id") >= 496),
+        occupancyProbe = Some(OccupancyProbe(3.0,
+          failUnrecovered = true)))
+    }
+    assert(ex.getMessage.contains("occupancy"), ex.getMessage)
+    // the escalation itself still published (one rung up, recorded)
+    assert(VectorIndex.loadMeta(spark, dir).wboost == 1)
+    spark.catalog.clearCache()
+  }
+
   test("scatter bandsExpr: family partitions are disjoint 16-bit covers " +
       "and family 1's generic form equals the fast path") {
     import spark.implicits._
