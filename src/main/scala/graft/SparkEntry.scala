@@ -33,7 +33,8 @@ object SparkEntry {
   val ObservabilityQueries: Set[String] =
     Set("q_ann_recall", "q_ann_recall_sampled", "q_ann_recall_idx",
       "q_ann_recall_res_idx",
-      "q_index_stats", "q_dedup_index_stats", "q_fingerprint_index_stats",
+      "q_index_stats", "q_dedup_index_stats",
+      "q_dedup_index_escalated_stats", "q_fingerprint_index_stats",
       "q_embed_diagnostics")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -835,13 +835,19 @@ object DedupOps {
     * the artifact's sampled PORTABLE probe bands make banded-candidate
     * precision oracle-checkable — see the inline note below and
     * [[graft.operators.DedupOps.portableProbeBands]]. */
-  private val qDedupIndexStats: Q = (s, d) => {
+  private val qDedupIndexStats: Q = (s, d) =>
+    indexStatsFrame(s, evenIndexDir(s, d), withFam = false)
+
+  /** The stats body shared by q_dedup_index_stats (publish-default
+    * artifact) and q_dedup_index_escalated_stats (family-3 artifact,
+    * `withFam` adds the recorded band family to the report). */
+  private def indexStatsFrame(s: SparkSession, dir: String,
+      withFam: Boolean): DataFrame = {
     import s.implicits._
-    val dir = evenIndexDir(s, d)
     val DI = graft.sources.DedupIndex
     val meta = Seq((DI.loadNDocs(s, dir), DI.loadParts(s, dir),
-        DI.needsRebuild(s, dir)))
-      .toDF("ndocs", "parts", "needs_rebuild")
+        DI.needsRebuild(s, dir), DI.loadBandFamily(s, dir)))
+      .toDF("ndocs", "parts", "needs_rebuild", "bandfam")
     val docAgg = DI.loadDocs(s, dir).agg(
       count(lit(1)).as("doc_rows"),
       sum("n").as("sum_shingles"),
@@ -890,13 +896,45 @@ object DedupOps {
         (lit(null).cast("long"), lit(null).cast("long"),
           lit(null).cast("long"), lit(null).cast("double"))
     }
+    val famCols = if (withFam) Seq(col("bandfam")) else Nil
     meta.crossJoin(broadcast(docAgg)).crossJoin(broadcast(bandAgg))
-      .select(col("ndocs"), col("parts"), col("needs_rebuild"),
+      .select(Seq(col("ndocs"), col("parts"), col("needs_rebuild")) ++
+        famCols ++ Seq(
         col("doc_rows"), col("sum_shingles"), col("max_shingles"),
         col("n_truncated"), col("band_rows"),
         pdC.as("probe_docs"), pcC.as("probe_candidates"),
-        pvC.as("probe_verified"), ppC.as("probe_precision"))
+        pvC.as("probe_verified"), ppC.as("probe_precision")): _*)
   }
+
+  /** The ESCALATED text index inside the correctness gate (r17): the
+    * even-half corpus published as a versioned root and walked one
+    * precision-escalation rung up ([[graft.sources.DedupIndex
+    * .escalateBandFamily]] — the actuator an armed precision floor
+    * fires), then health-read exactly like q_dedup_index_stats. The
+    * oracle replays the FAMILY-3 geometry end-to-end — famRows(3)=9
+    * rows/band over famBands(3)=68 bands, the 612 interpolated
+    * permutation constants, the probe derivation from portable base
+    * hashes at that geometry, and the exact-Jaccard verification — so
+    * the escalation machinery itself (band rebuild, probe survival,
+    * family recording, precision at the deeper rung) sits inside the
+    * DuckDB gate rather than only in specs. Published once per
+    * session; versions at the fixed root prune to 2 like every
+    * maintain cycle. */
+  private def escalatedIndexRoot(s: SparkSession, d: String): String =
+    graft.SharedPlans.once(s, s"dedup_index_esc|$d") {
+      val root =
+        s"target/dedup_index/${d.replaceAll("[^A-Za-z0-9._-]", "_")}_esc"
+      graft.sources.DedupIndex.publishVersionedFrom(s,
+        Tables.documents(s, d).filter(col("doc_id") % 2 === 0), root)
+      graft.sources.DedupIndex.escalateBandFamily(s, root)
+      graft.sources.StorageOps.pruneVersions(s, root, 2)
+      root
+    }
+
+  private val qDedupIndexEscStats: Q = (s, d) =>
+    indexStatsFrame(s,
+      graft.sources.DedupIndex.currentDir(s, escalatedIndexRoot(s, d)),
+      withFam = true)
 
   /** The dedup ACTION a curation pipeline actually executes: for every
     * doc in a near-dup cluster, decide keep (the cluster's best member)
@@ -1044,6 +1082,7 @@ object DedupOps {
     "q_cross_dedup_idx" -> qCrossDedupIdx,
     "q_cross_modal_cluster" -> qCrossModalCluster,
     "q_dedup_index_stats" -> qDedupIndexStats,
+    "q_dedup_index_escalated_stats" -> qDedupIndexEscStats,
     "q_span_dup_rate" -> qSpanDupRate,
     "q_span_trim" -> qSpanTrim,
   )
@@ -1072,9 +1111,18 @@ object DedupOps {
     * DocTokenCap prefix → distinct word-3-grams) over the even-half
     * corpus, aggregated to the same one-row health report; `parts` is
     * the layoutPartsFor twin, needs_rebuild identically false for an
-    * index published at its own corpus count, band_rows = 32 bands per
-    * indexed doc (the MinHashSig band count). */
-  private val dedupIndexStatsSql =
+    * index published at its own corpus count, band_rows = famBands(fam)
+    * bands per indexed doc. Parameterized by the BAND FAMILY (r17): the
+    * escalated-artifact twin replays family 3's (9 rows × 68 bands)
+    * geometry through the same SQL with its 612 interpolated
+    * permutation constants — one builder, so the two oracles cannot
+    * fork on the shingle pipeline or the verification. */
+  private def dedupIndexStatsSqlAt(fam: Int): String = {
+    val MH = graft.functions.MinHashSig
+    val (rows, bands) = (MH.famRows(fam), MH.famBands(fam))
+    val nperm = rows * bands
+    val famCol = if (fam == graft.sources.DedupIndex.BandFamily) ""
+      else s"\n       |       CAST($fam AS INT) AS bandfam,"
     s"""WITH t AS (
        |  SELECT doc_id, (list_filter(string_split_regex(lower(text), '\\W+'),
        |                              x -> x <> '')) AS toks
@@ -1105,15 +1153,15 @@ object DedupOps {
        |           % 1000000007 AS pre
        |  FROM vsh),
        |perm AS (SELECT * FROM (VALUES
-       |${(0 until 192).map(j => s"(${j}, ${graft.functions.MinHashSig.permA(j)}, ${graft.functions.MinHashSig.permC(j)})").mkString(",\n")})
+       |${(0 until nperm).map(j => s"(${j}, ${MH.permA(j)}, ${MH.permC(j)})").mkString(",\n")})
        |  AS pc(j, a, c)),
        |pmin AS (
        |  SELECT doc_id, j, min((a * pre + c) % 1000000007) AS mv
        |  FROM ssh, perm GROUP BY doc_id, j),
        |pband AS MATERIALIZED (
-       |  SELECT doc_id, j // 6 AS band,
+       |  SELECT doc_id, j // $rows AS band,
        |         string_agg(CAST(mv AS VARCHAR), ':' ORDER BY j) AS pbv
-       |  FROM pmin GROUP BY doc_id, j // 6),
+       |  FROM pmin GROUP BY doc_id, j // $rows),
        |cand AS MATERIALIZED (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM pband a JOIN pband b
@@ -1134,13 +1182,13 @@ object DedupOps {
        |SELECT CAST(count(*) AS BIGINT) AS ndocs,
        |       CAST(GREATEST(64, LEAST(65536, count(*) // 250000 + 1))
        |         AS INT) AS parts,
-       |       FALSE AS needs_rebuild,
+       |       FALSE AS needs_rebuild,$famCol
        |       CAST(count(*) AS BIGINT) AS doc_rows,
        |       CAST(sum(n) AS BIGINT) AS sum_shingles,
        |       CAST(max(n) AS BIGINT) AS max_shingles,
        |       CAST(sum(CASE WHEN truncated THEN 1 ELSE 0 END) AS BIGINT)
        |         AS n_truncated,
-       |       CAST(count(*) * 32 AS BIGINT) AS band_rows,
+       |       CAST(count(*) * $bands AS BIGINT) AS band_rows,
        |       CAST((SELECT count(DISTINCT doc_id) FROM pband) AS BIGINT)
        |         AS probe_docs,
        |       CAST((SELECT count(*) FROM cand) AS BIGINT)
@@ -1151,6 +1199,10 @@ object DedupOps {
        |                       / (SELECT count(*) FROM cand), 4)
        |       END AS probe_precision
        |FROM g""".stripMargin
+  }
+
+  private val dedupIndexStatsSql =
+    dedupIndexStatsSqlAt(graft.sources.DedupIndex.BandFamily)
 
   /** Exact ground-truth pair SQL — all three sketches must converge to it
     * (their candidate recall at J>=0.8 is ~1 by construction). The token
@@ -1399,6 +1451,7 @@ object DedupOps {
     "q_cross_dedup_idx" -> crossDedupSql,
     "q_cross_modal_cluster" -> crossModalClusterSql,
     "q_dedup_index_stats" -> dedupIndexStatsSql,
+    "q_dedup_index_escalated_stats" -> dedupIndexStatsSqlAt(3),
     "q_span_dup_rate" -> spanDupSql,
     "q_span_trim" -> spanTrimSql,
   )

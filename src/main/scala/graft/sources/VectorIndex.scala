@@ -1161,7 +1161,11 @@ object VectorIndex {
     * so every later maintain preserves it. Each rung halves expected
     * bucket occupancy for a non-degenerate corpus; recall impact is
     * bounded by the multi-probe dial and stays observable through the
-    * recall gate on the same maintain cycle. Fails loudly at the
+    * recall gate, which runs BEFORE this actuator in a maintain cycle —
+    * an escalation that sags recall is caught by the NEXT armed cycle's
+    * audit (the gates alternate rather than fight within one cycle:
+    * at most one recall-driven rebuild and one width rung per
+    * maintain). Fails loudly at the
     * LshMaxWidth ceiling (2^24 buckets — past that the kNN cap is the
     * remaining defense). Returns the new Meta. */
   def escalateWidth(s: SparkSession, dir: String): Meta = {
