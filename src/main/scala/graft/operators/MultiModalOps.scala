@@ -591,13 +591,40 @@ object MultiModalOps {
     * precision probe below sit fully inside the gate. Mirrors
     * the reference's worker health reporting
     * (ShuffleWorkerStatusManager.java:75-130). */
-  private val qFingerprintIndexStats: Q = (s, d) => {
+  private val qFingerprintIndexStats: Q = (s, d) =>
+    fpStatsFrame(s, fpIndexDir(s, d), withFam = false)
+
+  /** The ESCALATED fingerprint index inside the correctness gate (r17,
+    * the q_dedup_index_escalated_stats twin): the signature table
+    * published at the contiguous default and walked one SCATTER rung up
+    * ([[graft.sources.FingerprintIndex.escalateBandFamily]]), then
+    * health-read with the recorded family. The oracle replays family
+    * 2's bit-permutation banding (π(k) = k·21 mod 64) bit-by-bit in
+    * SQL, so the scatter rebuild, family recording, and probe precision
+    * at the escalated partition all sit inside the DuckDB gate. */
+  private[graft] def fpEscIndexDir(s: SparkSession, d: String): String =
+    graft.SharedPlans.once(s, s"fp_index_esc|$d") {
+      val p = s"target/fp_index/${d.replaceAll("[^A-Za-z0-9._-]", "_")}_esc"
+      graft.sources.FingerprintIndex.publishBandedSigs(s, imageSigs(s, d), p)
+      graft.sources.FingerprintIndex.escalateBandFamily(s, p)
+      graft.sources.FingerprintIndex.pruneVersions(s, p, keep = 2)
+      p
+    }
+
+  private val qFingerprintIndexEscStats: Q = (s, d) =>
+    fpStatsFrame(s, fpEscIndexDir(s, d), withFam = true)
+
+  /** The stats body shared by the publish-default and escalated
+    * fingerprint health queries (`withFam` adds the recorded band
+    * family). */
+  private def fpStatsFrame(s: SparkSession, dir: String,
+      withFam: Boolean): DataFrame = {
     import s.implicits._
-    val dir = fpIndexDir(s, d)
     val FI = graft.sources.FingerprintIndex
     val (ng, parts0) = FI.loadCounts(s, dir) // ONE meta read for all three
-    val meta = Seq((ng, parts0, FI.needsRebuildFor(ng, parts0)))
-      .toDF("ngroups", "parts", "needs_rebuild")
+    val meta = Seq((ng, parts0, FI.needsRebuildFor(ng, parts0),
+        FI.loadBandFamily(s, dir)))
+      .toDF("ngroups", "parts", "needs_rebuild", "bandfam")
     // the distinct fold recovers the signature table from its 4x band
     // explosion — a skinny exchange over (dhash, n, rep) triples
     val sigs = FI.loadBands(s, dir).select("dhash", "n", "rep").distinct()
@@ -627,8 +654,10 @@ object MultiModalOps {
     // executes (r16 ADVICE: the lazy formulation pinned an RDD per
     // health-query invocation for the session lifetime)
     val ps = FI.probePrecision(s, dir)
+    val famCols = if (withFam) Seq(col("bandfam")) else Nil
     meta.crossJoin(broadcast(sigAgg)).crossJoin(broadcast(bandAgg))
-      .select(col("ngroups"), col("parts"), col("needs_rebuild"),
+      .select(Seq(col("ngroups"), col("parts"), col("needs_rebuild")) ++
+        famCols ++ Seq(
         col("n_sigs"), col("sum_members"), col("max_members"),
         col("band_rows"),
         lit(ps.probeDocs).as("probe_sigs"),
@@ -636,7 +665,7 @@ object MultiModalOps {
         lit(ps.verified).as("probe_verified"),
         when(lit(ps.candidates) > 0,
           round(lit(ps.verified).cast("double") /
-            lit(ps.candidates), 4)).as("probe_precision"))
+            lit(ps.candidates), 4)).as("probe_precision")): _*)
   }
 
   val queries: Map[String, Q] = Map(
@@ -647,6 +676,7 @@ object MultiModalOps {
     "q_image_dhash" -> qImageDhash,
     "q_image_neardup" -> qImageNeardup,
     "q_fingerprint_index_stats" -> qFingerprintIndexStats,
+    "q_fingerprint_index_escalated_stats" -> qFingerprintIndexEscStats,
   )
 
   /** Shared dHash replay fragment — the generator formula (dims from
@@ -656,6 +686,81 @@ object MultiModalOps {
     * `dh` (doc_id, dhash); consumed verbatim by the q_image_dhash /
     * q_image_neardup / q_fingerprint_index_stats oracles so the replay
     * can never fork. A `def` so object-init order cannot null it. */
+  /** q_fingerprint_index_stats replay, parameterized by the BAND FAMILY
+    * (r17): the dHash pipeline folds to the distinct-signature table;
+    * `parts` is the layoutPartsFor twin; needs_rebuild is identically
+    * false for a table published at its own count; band_rows = 4 rows
+    * per distinct signature at EVERY family (a scatter family
+    * repartitions the 64 bits, never the band count). Family 1's band
+    * values are the contiguous 16-bit chunks; a scatter family's are
+    * rebuilt bit-by-bit with the SAME multiplier the engine's
+    * bandsExpr interpolates ([[graft.sources.FingerprintIndex
+    * .scatterMult]] — one constant, two engines). The escalated
+    * variant also reports the recorded family. */
+  private def fpStatsSqlAt(fam: Int): String = {
+    val allb =
+      if (fam == graft.sources.FingerprintIndex.BandFamily)
+        """allb AS MATERIALIZED (
+          |  SELECT s.dhash, s.rep, bj.j AS band,
+          |         (s.dhash >> (bj.j * 16)) & 65535 AS bv
+          |  FROM sig s, (SELECT unnest(range(0, 4)) AS j) bj),""".stripMargin
+      else {
+        val m = graft.sources.FingerprintIndex.scatterMult(fam)
+        s"""allb AS MATERIALIZED (
+           |  SELECT dhash, rep, band, CAST(sum(bitv << pos) AS BIGINT) AS bv
+           |  FROM (
+           |    SELECT s.dhash, s.rep,
+           |           ((bitk.k * $m) % 64) // 16 AS band,
+           |           ((bitk.k * $m) % 64) % 16 AS pos,
+           |           (s.dhash >> bitk.k) & 1 AS bitv
+           |    FROM sig s, (SELECT unnest(range(0, 64)) AS k) bitk)
+           |  GROUP BY dhash, rep, band),""".stripMargin
+      }
+    val famCol =
+      if (fam == graft.sources.FingerprintIndex.BandFamily) ""
+      else s"\n       |       CAST($fam AS INT) AS bandfam,"
+    s"WITH $dhashCtes," + s"""
+       |sig AS MATERIALIZED (
+       |        SELECT dhash, CAST(count(*) AS BIGINT) AS n,
+       |               min(doc_id) AS rep
+       |        FROM dh GROUP BY 1),
+       |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_sigs,
+       |               CAST(sum(n) AS BIGINT) AS sum_members,
+       |               CAST(max(n) AS BIGINT) AS max_members
+       |        FROM sig),
+       |fpm AS (SELECT GREATEST(1, (SELECT n_sigs FROM agg) // 500) AS pm),
+       |$allb
+       |pcand AS MATERIALIZED (
+       |  SELECT DISTINCT p.dhash AS pd, c.dhash AS cd
+       |  FROM (SELECT * FROM allb
+       |        WHERE ${graft.Tables.phashSql("rep")}
+       |                % (SELECT pm FROM fpm) = 0) p
+       |  JOIN allb c ON p.band = c.band AND p.bv = c.bv
+       |             AND p.dhash <> c.dhash)
+       |SELECT n_sigs AS ngroups,
+       |       CAST(GREATEST(64, LEAST(65536, n_sigs // 4000000 + 1))
+       |         AS INT) AS parts,
+       |       FALSE AS needs_rebuild,$famCol
+       |       n_sigs, sum_members, max_members,
+       |       CAST(4 * n_sigs AS BIGINT) AS band_rows,
+       |       CAST((SELECT count(DISTINCT dhash) FROM allb
+       |             WHERE ${graft.Tables.phashSql("rep")}
+       |                     % (SELECT pm FROM fpm) = 0) AS BIGINT)
+       |         AS probe_sigs,
+       |       CAST((SELECT count(*) FROM pcand) AS BIGINT)
+       |         AS probe_candidates,
+       |       CAST((SELECT coalesce(sum(CASE WHEN
+       |                bit_count(xor(pd, cd)) <= 3 THEN 1 ELSE 0 END), 0)
+       |             FROM pcand) AS BIGINT) AS probe_verified,
+       |       CASE WHEN (SELECT count(*) FROM pcand) > 0
+       |            THEN round(CAST((SELECT coalesce(sum(CASE WHEN
+       |                   bit_count(xor(pd, cd)) <= 3 THEN 1 ELSE 0 END), 0)
+       |                 FROM pcand) AS DOUBLE)
+       |                 / (SELECT count(*) FROM pcand), 4)
+       |       END AS probe_precision
+       |FROM agg""".stripMargin
+  }
+
   private def dhashCtes: String =
     """d AS (
       |  SELECT doc_id,
@@ -781,55 +886,10 @@ object MultiModalOps {
         |ORDER BY dhash_a, dhash_b""".stripMargin),
     // Replays the dHash pipeline, folds to the distinct-signature table,
     // and recomputes the artifact's recorded meta from the layout
-    // schedule: parts = GREATEST(64, LEAST(65536, n // 4M + 1)) is the
-    // SQL twin of FingerprintIndex.layoutPartsFor, needs_rebuild is that
-    // same comparison at publish time (identically false — the publish
-    // derived parts from this exact count), and band_rows = 4 rows per
-    // distinct signature by the 4x16-bit explosion.
-    "q_fingerprint_index_stats" ->
-      (s"WITH $dhashCtes," + s"""
-        |sig AS MATERIALIZED (
-        |        SELECT dhash, CAST(count(*) AS BIGINT) AS n,
-        |               min(doc_id) AS rep
-        |        FROM dh GROUP BY 1),
-        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_sigs,
-        |               CAST(sum(n) AS BIGINT) AS sum_members,
-        |               CAST(max(n) AS BIGINT) AS max_members
-        |        FROM sig),
-        |fpm AS (SELECT GREATEST(1, (SELECT n_sigs FROM agg) // 500) AS pm),
-        |allb AS MATERIALIZED (
-        |  SELECT s.dhash, s.rep, bj.j AS band,
-        |         (s.dhash >> (bj.j * 16)) & 65535 AS bv
-        |  FROM sig s, (SELECT unnest(range(0, 4)) AS j) bj),
-        |pcand AS MATERIALIZED (
-        |  SELECT DISTINCT p.dhash AS pd, c.dhash AS cd
-        |  FROM (SELECT * FROM allb
-        |        WHERE ${graft.Tables.phashSql("rep")}
-        |                % (SELECT pm FROM fpm) = 0) p
-        |  JOIN allb c ON p.band = c.band AND p.bv = c.bv
-        |             AND p.dhash <> c.dhash)
-        |SELECT n_sigs AS ngroups,
-        |       CAST(GREATEST(64, LEAST(65536, n_sigs // 4000000 + 1))
-        |         AS INT) AS parts,
-        |       FALSE AS needs_rebuild,
-        |       n_sigs, sum_members, max_members,
-        |       CAST(4 * n_sigs AS BIGINT) AS band_rows,
-        |       CAST((SELECT count(DISTINCT dhash) FROM allb
-        |             WHERE ${graft.Tables.phashSql("rep")}
-        |                     % (SELECT pm FROM fpm) = 0) AS BIGINT)
-        |         AS probe_sigs,
-        |       CAST((SELECT count(*) FROM pcand) AS BIGINT)
-        |         AS probe_candidates,
-        |       CAST((SELECT coalesce(sum(CASE WHEN
-        |                bit_count(xor(pd, cd)) <= 3 THEN 1 ELSE 0 END), 0)
-        |             FROM pcand) AS BIGINT) AS probe_verified,
-        |       CASE WHEN (SELECT count(*) FROM pcand) > 0
-        |            THEN round(CAST((SELECT coalesce(sum(CASE WHEN
-        |                   bit_count(xor(pd, cd)) <= 3 THEN 1 ELSE 0 END), 0)
-        |                 FROM pcand) AS DOUBLE)
-        |                 / (SELECT count(*) FROM pcand), 4)
-        |       END AS probe_precision
-        |FROM agg""".stripMargin),
+    // schedule (see [[fpStatsSqlAt]] — one parameterized builder for the
+    // publish-default and escalated variants).
+    "q_fingerprint_index_stats" -> fpStatsSqlAt(1),
+    "q_fingerprint_index_escalated_stats" -> fpStatsSqlAt(2),
     // Replays all three fingerprint formulas (the q_image_dhash /
     // q_audio_fingerprint / q_video_fingerprint oracle bodies), derives
     // the per-modality dup verdicts, joins per doc, and aggregates the

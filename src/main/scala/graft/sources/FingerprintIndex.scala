@@ -64,6 +64,14 @@ object FingerprintIndex {
     * per rung so repeated escalations keep moving the partition. */
   private val ScatterMults = Map(2 -> 21, 3 -> 13, 4 -> 37, 5 -> 45)
 
+  /** Family `fam`'s bit-permutation multiplier — exposed so the
+    * escalated health query's DuckDB oracle can interpolate the SAME
+    * constant its band replay needs ([[graft.operators.MultiModalOps]];
+    * the two derivations must never fork). */
+  private[graft] def scatterMult(fam: Int): Int =
+    ScatterMults.getOrElse(fam, throw new IllegalArgumentException(
+      s"no scatter family $fam (valid: 2..$MaxFamily)"))
+
   /** Deepest supported band family ([[ScatterMults]] rungs + the
     * contiguous family 1). */
   val MaxFamily = 5
