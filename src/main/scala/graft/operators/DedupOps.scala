@@ -95,36 +95,19 @@ object DedupOps {
             |         i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))
             |  ELSE array() END""".stripMargin)).as("shingle"))
 
-  /** PORTABLE MinHash probe bands for a deterministic doc sample —
-    * the text index's precision-drift instrument (r15 verdict #5):
-    * (doc_id, band, pbv) rows at the production banding parameters
-    * (r = 6 rows/band, 32 bands — [[graft.functions.MinHashSig]]'s
-    * defaults, and the SAME independent per-permutation constants,
-    * [[graft.functions.MinHashSig.permA]]/[[graft.functions.MinHashSig.permC]])
-    * but over a PORTABLE per-shingle base hash (md5-derived int60,
-    * `conv(substring(md5(shingle), 1, 15), 16, 10)`) instead of the
-    * production xxhash64 — band values with a DuckDB twin, so banded-
-    * candidate PRECISION sits inside the correctness gate, which the
-    * xxhash64 keys (documented as having no portable SQL twin) never
-    * could. The production and portable bandings share (r, b), the
-    * permutation family and the corpus, so their collision statistics
-    * are the same random variable — the portable probe IS a valid drift
-    * instrument for the production index, and the xxhash64 keys' own
-    * invariants stay spec-pinned engine-side as before. The band value
-    * is the ':'-joined string of the 6 minima (no int64 packing — the
-    * polynomial pack wraps, which has no SQL twin either).
-    *
-    * Cost shape: the sample is `phash(doc_id) % mod == 0` (mod from
-    * [[graft.sources.DedupIndex.probeModFor]] — targets ~500 docs
-    * however large the corpus), shingling + 192 affine minima are one
-    * map-side pass over the sampled docs and ONE (doc_id) exchange —
-    * O(corpus/mod), priced at publish, maintained incrementally at
-    * merge (batch-sampled docs only). */
-  private[graft] def portableProbeBands(s: SparkSession, docs: DataFrame,
-      mod: Long): DataFrame =
-    probeBandsFromPres(s, probePres(s, docs, mod),
-      graft.sources.DedupIndex.BandFamily)
-
+  /** The PORTABLE precision-probe pipeline (r15 verdict #5; two stages
+    * since r17): band values derived from the SAME independent
+    * per-permutation constants as the production
+    * [[graft.functions.MinHashSig]] but over a PORTABLE per-shingle
+    * base hash (md5-derived int60) instead of the production xxhash64 —
+    * band values with a DuckDB twin, so banded-candidate PRECISION sits
+    * inside the correctness gate, which the xxhash64 keys (documented
+    * as having no portable SQL twin) never could. The production and
+    * portable bandings share the geometry, the permutation family and
+    * the corpus, so their collision statistics are the same random
+    * variable — the portable probe IS a valid drift instrument for the
+    * production index, and the xxhash64 keys' own invariants stay
+    * spec-pinned engine-side as before (DedupIndexSpec). */
   /** The probe's FAMILY-INDEPENDENT base layer — what the published
     * artifact actually stores (r17): per sampled doc, the portable
     * per-shingle base hashes (doc_id, pre), pre = md5-int60 mod P.
@@ -834,7 +817,7 @@ object DedupOps {
     * PRECISION, the banded index's quality failure mode, IS here (r16):
     * the artifact's sampled PORTABLE probe bands make banded-candidate
     * precision oracle-checkable — see the inline note below and
-    * [[graft.operators.DedupOps.portableProbeBands]]. */
+    * [[graft.operators.DedupOps.probeBandsFromPres]]. */
   private val qDedupIndexStats: Q = (s, d) =>
     indexStatsFrame(s, evenIndexDir(s, d), withFam = false)
 

@@ -67,7 +67,7 @@ object DedupIndex {
     math.max(64L, math.min(1L << 16, nDocs / (250L * 1000) + 1)).toInt
 
   /** Probe-sample modulus for the PRECISION instrument
-    * ([[graft.operators.DedupOps.portableProbeBands]]): targets ~500
+    * ([[graft.operators.DedupOps.probeBandsFromPres]]): targets ~500
     * sampled docs whatever the corpus size (mod 1 below 500 docs — at
     * fixture scale the probe IS the corpus, which is what makes its
     * precision reading statistically meaningful there). FROZEN at

@@ -287,6 +287,31 @@ class PrecisionGateSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("streaming probe signs at the escalated family, resolved per " +
+      "trigger through the version pointer") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-prec-stream")
+    val root = s"$base/root"
+    DedupIndex.publishVersionedFrom(spark, docsDf(truePairs(4, 0L)), root)
+    DedupIndex.escalateBandFamily(spark, root)
+    assert(DedupIndex.loadBandFamily(spark,
+      DedupIndex.currentDir(spark, root)) == 3)
+    // a microbatch carrying a near-dup of corpus doc 0 (J ≈ 0.94): the
+    // foreachBatch probe must derive its band keys at FAMILY 3 — keys
+    // at the publish default would silently match nothing
+    val micro = Seq((9000L,
+        ((0 until 97).map(i => s"t0x$i") ++ Seq("za", "zb", "zc"))
+          .mkString(" "), 1L))
+      .toDF("docId", "text", "tsUs")
+    val pairs = graft.streaming.NearDupStream
+      .probeIndexBatch(spark, micro, root)(_.collect())
+    assert(pairs.nonEmpty &&
+      pairs.exists(r => r.getLong(0) == 0L && r.getLong(1) == 9000L),
+      s"escalated-family stream probe missed the planted pair: " +
+        s"${pairs.toSeq}")
+    spark.catalog.clearCache()
+  }
+
   // ---- vector occupancy gate (width escalation) ----------------------
 
   /** Deterministic unit vector confined to the first `rank` of 32 dims —
