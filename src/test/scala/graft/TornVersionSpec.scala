@@ -117,6 +117,37 @@ class TornVersionSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("a torn ESCALATION is invisible — the live band family is " +
+      "unchanged — and a retry walks the rung cleanly (r17)") {
+    // the precision-floor actuator publishes through the same
+    // pointer-flip machinery as every maintain, so a crash between its
+    // dataset writes and the meta/pointer commit must leave consumers
+    // on the OLD family (keys still match) and the retry must number
+    // past the torn dir
+    val full = Tables.documents(spark, d).select(col("doc_id"), col("text"))
+      .limit(120)
+    val root = s"${java.nio.file.Files
+      .createTempDirectory("graft-torn-esc")}/root"
+    DedupIndex.publishVersionedFrom(spark, full, root)
+    // crash window: the escalated bands landed, meta did not
+    spark.read.parquet(s"$root/v1/docs").write.parquet(s"$root/v2/docs")
+    spark.read.parquet(s"$root/v1/bands").write.parquet(s"$root/v2/bands")
+    assert(StorageOps.currentVersion(spark, root).contains("v1"))
+    assert(DedupIndex.loadBandFamily(spark,
+      DedupIndex.currentDir(spark, root)) == DedupIndex.BandFamily,
+      "a torn escalation changed the family consumers derive keys at")
+    // retry: numbers past the torn dir, publishes family 3 atomically
+    assert(DedupIndex.escalateBandFamily(spark, root) == 3)
+    val live = DedupIndex.currentDir(spark, root)
+    assert(live.split('/').last.stripPrefix("v").toInt >= 3,
+      s"escalation re-used the torn version number: $live")
+    assert(DedupIndex.loadBandFamily(spark, live) == 3)
+    assert(DedupIndex.loadBands(spark, live).count() ==
+      DedupIndex.loadNDocs(spark, live) *
+        graft.functions.MinHashSig.famBands(3))
+    spark.catalog.clearCache()
+  }
+
   test("vector index: torn version is invisible, skipped, pruned; " +
       "recovered index holds the full merged corpus") {
     val all = Tables.embeddings(spark, d).select("vec_id", "embedding")
