@@ -77,9 +77,18 @@ class IngestCycleSpec extends AnyFunSuite {
       assert(!trig.head.contains((5L, 450L)),
         "trigger 1 matched a doc the v1 corpus does not hold")
       // the full maintain cycle lands between triggers: merge +
-      // compaction hook + prune, pointer flip — no stream restart
+      // compaction hook + prune, pointer flip — no stream restart.
+      // The PRECISION GATE is ARMED (r17) at a floor the healthy
+      // corpus clears: the production ingest shape runs the probe
+      // every cycle, and an un-tripped floor must add no version, no
+      // escalation, and no pinned state to the running stream.
       graft.sources.DedupIndex.maintain(spark, root,
-        full.filter(col("doc_id") === 450))
+        full.filter(col("doc_id") === 450),
+        precisionProbe = Some(graft.sources.PrecisionProbe(0.3)))
+      assert(graft.sources.DedupIndex.loadBandFamily(spark,
+        graft.sources.DedupIndex.currentDir(spark, root)) ==
+        graft.sources.DedupIndex.BandFamily,
+        "an un-tripped precision floor escalated the band family")
       source.addData(probes.toIndexedSeq: _*)
       q.processAllAvailable()
       pins += pinnedRdds
