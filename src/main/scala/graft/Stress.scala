@@ -169,6 +169,10 @@ object Stress {
       Probe("minhash_candidates",
         "width-capped MinHash band candidates (q_text_minhash, q_dedup_cluster)",
         (s, d) => DedupOps.minhashCandidates(s, DedupOps.docHashes(s, d)).count()),
+      Probe("minhash_candidates_fam3",
+        "width-capped MinHash band candidates at the ESCALATED family-3 geometry (9 rows/band x 68 bands — the precision ladder's first rung, DedupIndex.escalateBandFamily): J_bg^9 suppresses the background harder than the default family's J_bg^6, so this exponent must read at or under the family-2 row's — the measured form of the ladder's precision claim",
+        (s, d) => DedupOps.minhashCandidatesAt(s,
+          DedupOps.docHashes(s, d), 3).count()),
       Probe("simhash_candidates",
         "width-capped + hamming-gated 16-bit-band SimHash candidates (q_text_simhash)",
         (s, d) => DedupOps.simhashCandidates(s, DedupOps.docHashes(s, d)).count()),

@@ -405,6 +405,15 @@ object DedupOps {
       cap: Long = LshBucketCap): DataFrame =
     cappedBandPairs(minhashBands(s, docs), cap)
 
+  /** [[minhashCandidates]] at an explicit band-family rung — the
+    * scaling instrument measures the ESCALATED geometry's candidate
+    * growth with it (deeper rows suppress the J_bg^rows background
+    * harder, so a rung's exponent must read at or under the default
+    * family's). */
+  private[graft] def minhashCandidatesAt(s: SparkSession, docs: DataFrame,
+      fam: Int, cap: Long = LshBucketCap): DataFrame =
+    cappedBandPairs(minhashBands(s, docs, fam), cap)
+
   /** MinHash + banded LSH (r=6 rows/band, b=32 bands), then exact
     * verification. The rows-per-band dial is what suppresses the
     * BACKGROUND: band-collision probability is J^r, and with fixed r the
