@@ -22,7 +22,8 @@ object SparkEntry {
       DedupOps.queries ++ VectorOps.queries ++ MultiModalOps.queries ++
       PipelineOps.queries ++ HealthOps.queries ++ CurationOps.queries ++
       SkewOps.queries ++ AudioOps.queries ++ EventOps.queries ++
-      LinkOps.queries ++ GraphAnalyticsOps.queries ++ VideoOps.queries
+      LinkOps.queries ++ GraphAnalyticsOps.queries ++ VideoOps.queries ++
+      RetrievalOps.queries
 
   /** Pure-OBSERVABILITY queries: oracle-checked health/recall floors (the
     * correctness gate pins their VALUES every round) whose timings no
@@ -44,5 +45,6 @@ object SparkEntry {
       DedupOps.oracles ++ VectorOps.oracles ++ MultiModalOps.oracles ++
       PipelineOps.oracles ++ HealthOps.oracles ++ CurationOps.oracles ++
       SkewOps.oracles ++ AudioOps.oracles ++ EventOps.oracles ++
-      LinkOps.oracles ++ GraphAnalyticsOps.oracles ++ VideoOps.oracles
+      LinkOps.oracles ++ GraphAnalyticsOps.oracles ++ VideoOps.oracles ++
+      RetrievalOps.oracles
 }

@@ -413,7 +413,71 @@ object CurationOps {
       .orderBy("source", "lang")
   }
 
+  /** DSIR hashed-feature space size. Production uses 10k+ buckets (the
+    * paper's 10^4); the fixture's ~30-word vocabulary yields ~10^3
+    * distinct uni+bigrams, so 64 buckets keeps every bucket populated
+    * and the oracle's bucket table readable while exercising the exact
+    * production shape (the bucket count only changes a literal). */
+  val DsirBuckets = 64
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): per-doc log importance
+    * weight log p_target(x)/q_raw(x) under hashed uni+bigram bag-of-ngram
+    * distributions — the signal a pipeline resamples raw data by to match
+    * a high-quality target corpus. Target here = the corpus' own
+    * quality-gated slice ([[TextRules.qualityOk]] — the in-repo stand-in
+    * for "formal text"); raw = the whole corpus. Per bucket b:
+    * p_b = (tc_b + 1)/(T + B) Laplace-smoothed, q_b likewise over raw
+    * counts, and a doc's weight sums occ_f * ln(p_b(f)/q_b(f)) over its
+    * feature occurrences.
+    *
+    * Scale shape: one (doc, slot) partial-agg exchange (slots are the
+    * hashed feature space — bounded domain, B = [[DsirBuckets]]), the
+    * bucket table is a B-row broadcast, totals ride a broadcast 1-row
+    * aggregate, and the per-doc weight reuses the (doc, slot) frame — no
+    * corpus-width shuffle of text, no second tokenization pass.
+    * Determinism: bucket log-ratios are pure scalars over exact integer
+    * counts; the per-doc sum is order-dependent at the last ulp and
+    * rounds to 4 decimals (the q_lm_score convention). Docs with zero
+    * tokens have no features and emit no row (stated; the quality gate
+    * would exclude them from any resample anyway). */
+  private val qDsirWeights: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), TextRules.tokens(col("text")).as("toks"))
+    val qual = docs.select(col("doc_id"),
+      TextRules.qualityOk(col("toks"), size(col("toks")).cast("long"))
+        .as("is_target"))
+    // uni+bigram features → portable md5-derived slot (the q_doc_winnow
+    // hash convention; oracle replays it bit-for-bit)
+    val feats = docs.select(col("doc_id"), explode(expr(
+        """concat(toks, CASE WHEN size(toks) >= 2
+          |  THEN transform(sequence(0, size(toks)-2),
+          |                 i -> concat(toks[i], ' ', toks[i+1]))
+          |  ELSE array() END)""".stripMargin)).as("g"))
+      .select(col("doc_id"),
+        (expr("CAST(conv(substr(md5(g), 1, 15), 16, 10) AS BIGINT) " +
+          "% 1000000007") % lit(DsirBuckets)).cast("int").as("slot"))
+    val ds = feats.groupBy("doc_id", "slot").agg(count(lit(1)).as("occ"))
+      .join(qual, "doc_id")
+    val buckets = ds.groupBy("slot").agg(
+      sum("occ").as("rc"),
+      sum(when(col("is_target"), col("occ")).otherwise(0L)).as("tc"))
+    val tot = buckets.agg(sum("rc").as("r"), sum("tc").as("t"))
+    val lr = buckets.crossJoin(broadcast(tot))
+      .select(col("slot"), log(
+        (col("tc").cast("double") + lit(1.0)) * (col("r") + lit(DsirBuckets))
+          / ((col("rc").cast("double") + lit(1.0))
+            * (col("t") + lit(DsirBuckets)))).as("lr"))
+    ds.join(broadcast(lr), "slot")
+      .groupBy("doc_id", "is_target")
+      .agg(sum("occ").as("n_feats"),
+        round(sum(col("occ") * col("lr")), 4).as("dsir_logw"))
+      .select("doc_id", "n_feats", "is_target", "dsir_logw")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_dsir_weights" -> qDsirWeights,
     "q_corpus_profile" -> qCorpusProfile,
     "q_decontaminate" -> qDecontaminate,
     "q_bloom_decontaminate" -> qBloomDecontaminate,
@@ -436,6 +500,52 @@ object CurationOps {
     (1 to n).map(j => s"toks[i+${j - 1}]").mkString(" || ' ' || ")
 
   val oracles: Map[String, String] = Map(
+    // hash mirror = the q_doc_winnow md5-hex-prefix convention; quality
+    // mirror = q_quality_filter's gate; range(1, len(t)) is empty for
+    // len <= 1, so the bigram leg needs no CASE on the DuckDB side
+    // (Spark's sequence() would count DOWN for size < 2, hence its CASE)
+    "q_dsir_weights" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\W+'),
+        |                             x -> x <> '') AS t
+        |  FROM documents),
+        |qual AS (
+        |  SELECT doc_id,
+        |         (n >= 10 AND n <= 1000
+        |          AND CAST(sum_len AS DOUBLE) / n >= 2.0
+        |          AND CAST(sum_len AS DOUBLE) / n <= 12.0
+        |          AND CAST(n_the AS DOUBLE) / n <= 0.2) AS is_target
+        |  FROM (SELECT doc_id, len(t) AS n,
+        |               list_sum(list_transform(t, x -> length(x))) AS sum_len,
+        |               len(list_filter(t, x -> x = 'the')) AS n_the
+        |        FROM toks)),
+        |grams AS (
+        |  SELECT doc_id,
+        |         unnest(list_concat(t,
+        |           list_transform(range(1, len(t)),
+        |                          i -> t[i] || ' ' || t[i + 1]))) AS g
+        |  FROM toks),
+        |ds AS (
+        |  SELECT doc_id,
+        |         CAST(CAST('0x' || substr(md5(g), 1, 15) AS BIGINT)
+        |              % 1000000007 % $DsirBuckets AS INT) AS slot,
+        |         count(*) AS occ
+        |  FROM grams GROUP BY 1, 2),
+        |b AS (
+        |  SELECT slot, sum(occ) AS rc,
+        |         sum(CASE WHEN is_target THEN occ ELSE 0 END) AS tc
+        |  FROM ds JOIN qual USING (doc_id) GROUP BY 1),
+        |tot AS (SELECT sum(rc) AS r, sum(tc) AS t FROM b),
+        |lr AS (
+        |  SELECT slot,
+        |         ln((CAST(tc AS DOUBLE) + 1.0) * (r + $DsirBuckets)
+        |            / ((CAST(rc AS DOUBLE) + 1.0) * (t + $DsirBuckets))) AS lr
+        |  FROM b, tot)
+        |SELECT ds.doc_id, CAST(sum(ds.occ) AS BIGINT) AS n_feats,
+        |       qual.is_target,
+        |       round(sum(ds.occ * lr.lr), 4) AS dsir_logw
+        |FROM ds JOIN lr USING (slot) JOIN qual USING (doc_id)
+        |GROUP BY 1, 3 ORDER BY doc_id""".stripMargin,
     // tokenizer mirror = q_text_tokens' proven split; fingerprint mirror
     // = Tables.fingerprint's documented DuckDB twin
     "q_corpus_profile" ->

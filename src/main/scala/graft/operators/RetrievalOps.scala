@@ -1,0 +1,286 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Retrieval operator family: BM25 lexical ranking over the documents
+  * corpus and reciprocal-rank-fusion (RRF) hybrid retrieval — BM25 fused
+  * with embedding-cosine ANN — the two retrieval primitives a
+  * training-data / RAG pipeline runs against a curated corpus. Extends
+  * the reference's similarity-matching surface (SimilarityUtils.java:21-41
+  * is prefix-similarity dispatch; BM25/RRF are the ranked generalization a
+  * data engine needs) with the corpus statistics machinery already proven
+  * by q_tfidf_topk / q_lm_score.
+  *
+  * Scale notes (100 TB design):
+  *  - BM25 scoring is a POSTING-LIST join, not a corpus scan per query:
+  *    the (doc, term, tf) aggregate IS the inverted index, the query-term
+  *    frame broadcasts, and only documents containing a query term ever
+  *    enter the score aggregation. On a real corpus (sparse vocabulary)
+  *    each term's posting list is a small fraction of the corpus; this
+  *    synthetic fixture's ~30-word vocabulary is the DENSE worst case, so
+  *    local timings here overstate production cost per query.
+  *  - df/dl/avgdl are one exchange each over the tf aggregate; avgdl is
+  *    a broadcast 1-row aggregate (the q_lm_score convention). dl sums
+  *    integer-valued doubles, so avgdl is an exact integer ratio —
+  *    identical across engines regardless of partial-agg order.
+  *  - The hybrid query set is a modulus schedule (`doc_id % HybridQueryMod
+  *    = HybridQueryRes`): the mod is the query-budget dial, exactly like
+  *    the recall audit's sampled probe — scoring cost is |postings of
+  *    query terms| x |queries|, and the schedule bounds |queries| at any
+  *    corpus size. The vector leg here is the oracle-able brute scorer
+  *    (q_ann_brute's broadcast Q x N topology); a deployment at corpus
+  *    scale swaps in the published IVF/PQ artifact
+  *    ([[graft.sources.VectorIndex.searchIvf]]) — RRF only consumes leg
+  *    RANKS, so the fusion is search-strategy agnostic by construction.
+  *
+  * Determinism contract (the q_tfidf_topk / q_lm_score convention): each
+  * posting's BM25 contribution is a pure scalar expression over exact
+  * integer inputs, the per-(query, doc) sum is rounded to 4 decimals, and
+  * every ranking orders by the ROUNDED score with a doc_id tiebreak; the
+  * RRF fusion consumes only integer leg ranks, so fused scores are sums
+  * of at most two engine-identical doubles (one addition — order-free).
+  */
+object RetrievalOps {
+  private type Q = (SparkSession, String) => DataFrame
+
+  /** BM25 shape parameters (Robertson et al., TREC-3 defaults). The
+    * scoring expressions below write these as NUMERIC LITERALS that are
+    * textual twins of the DuckDB oracle's (1.2, 0.75, 0.25 = 1-b,
+    * 2.2 = k1+1): a constant COMPUTED in one engine but written as a
+    * literal in the other can differ in its last bit (double(1.2)+1.0 !=
+    * double("2.2")), which the hash gate would read as a wrong score. */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+
+  /** Fixed lexical query set for q_bm25_topk — literal multi-word queries
+    * over the corpus vocabulary, mirrored verbatim in the oracle's VALUES
+    * list. */
+  val BmQueries: Seq[(Int, String)] = Seq(
+    1 -> "fast table scan",
+    2 -> "window merge batch",
+    3 -> "hash join spark",
+    4 -> "stream data filter")
+
+  val Bm25TopK = 10
+
+  /** Hybrid query schedule + depths: every doc with
+    * doc_id % HybridQueryMod == HybridQueryRes queries the corpus
+    * "more-like-this" style (its own distinct tokens are the BM25 query;
+    * its embedding is the cosine query), each leg keeps LegTopK, and the
+    * fused list keeps FusedTopK. RrfK = 60 is the standard RRF constant
+    * (Cormack et al. 2009). */
+  val HybridQueryMod = 50
+  val HybridQueryRes = 7
+  val LegTopK = 20
+  val FusedTopK = 10
+  val RrfK = 60
+
+  /** One matched posting's BM25 contribution. Expects columns tf, df,
+    * dl, n_docs, avgdl — all exact-integer-valued doubles except avgdl
+    * (an exact integer ratio), so the element value is engine-identical;
+    * only the per-(query, doc) SUM over matched terms is order-dependent
+    * at the last ulp, which the round-to-4 absorbs (q_lm_score
+    * precedent). Literal shape mirrors the oracle text exactly — see the
+    * [[Bm25K1]] scaladoc. */
+  private def bm25Contrib: Column =
+    log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) /
+        (col("df") + lit(0.5))) *
+      (col("tf") * lit(2.2)) /
+      (col("tf") + lit(1.2) *
+        (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+
+  /** Corpus-side BM25 statistics: doc lengths, the (doc, term, tf)
+    * posting aggregate (one partial-agg exchange), term df (reuses the
+    * tf frame), and the broadcast 1-row (n_docs, avgdl) scalar. */
+  private def corpusStats(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), TextRules.tokens(col("text")).as("toks"))
+    val dl = toks.select(col("doc_id"), size(col("toks")).cast("double").as("dl"))
+    val tf = toks.select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).cast("double").as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg("dl").as("avgdl"))
+    (dl, tf, df, stats)
+  }
+
+  /** BM25 scores for a (query_id, term) query frame: posting-list join
+    * (tf x broadcast query terms), df/dl lookups, one (query, doc) sum.
+    * `excludeSelf` drops the query document from its own result (the
+    * more-like-this convention in q_hybrid_rrf). */
+  private def bm25Scored(s: SparkSession, d: String, qterms: DataFrame,
+      excludeSelf: Boolean): DataFrame = {
+    val (dl, tf, df, stats) = corpusStats(s, d)
+    val posted = tf.join(broadcast(qterms), Seq("term"))
+    val cut = if (excludeSelf) posted.filter(col("doc_id") =!= col("query_id"))
+      else posted
+    cut.join(df, "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib", bm25Contrib)
+      .groupBy("query_id", "doc_id")
+      .agg(round(sum(col("contrib")), 4).as("score"))
+  }
+
+  /** BM25 top-10 documents per fixed query — classic ranked lexical
+    * retrieval over the corpus. */
+  private val qBm25Topk: Q = (s, d) => {
+    import s.implicits._
+    val qterms = BmQueries
+      .flatMap { case (id, text) => text.split(" ").map(id -> _) }
+      .toDF("query_id", "term")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id"))
+    bm25Scored(s, d, qterms, excludeSelf = false)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= Bm25TopK)
+      .select(col("query_id"), col("rk"), col("doc_id"), col("score"))
+      .orderBy("query_id", "rk")
+  }
+
+  /** Hybrid retrieval: for each scheduled query document, fuse its BM25
+    * more-like-this ranking (over `documents`) with its embedding-cosine
+    * ranking (over `embeddings`, ids shared with `documents`) by
+    * reciprocal rank fusion: rrf = sum over legs of 1/(60 + rank), top-10
+    * fused. Carries each leg's rank (NULL when the doc appeared in only
+    * one leg) so a consumer can see WHY a document fused high. */
+  private val qHybridRrf: Q = (s, d) => {
+    graft.functions.GraftFunctions.register(s)
+    val qterms = Tables.documents(s, d)
+      .filter(col("doc_id") % HybridQueryMod === HybridQueryRes)
+      .select(col("doc_id").as("query_id"),
+        explode(array_distinct(TextRules.tokens(col("text")))).as("term"))
+    val lexW = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id"))
+    val lex = bm25Scored(s, d, qterms, excludeSelf = true)
+      .withColumn("lex_rk", row_number().over(lexW))
+      .filter(col("lex_rk") <= LegTopK)
+      .select("query_id", "doc_id", "lex_rk")
+
+    // vector leg: q_ann_brute's broadcast Q x N topology (raw-sim rank,
+    // id tiebreak — the proven cross-engine cosine ordering); spread so
+    // the single-split fixture parallelizes the N-side scoring
+    val e = Tables.spread(s,
+      Tables.embeddings(s, d).select(col("vec_id"), col("embedding")))
+    val q = e.filter(col("vec_id") % HybridQueryMod === HybridQueryRes)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val vecW = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("doc_id"))
+    val vec = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        expr("cosine_sim(qe, embedding)").as("sim"))
+      .withColumn("vec_rk", row_number().over(vecW))
+      .filter(col("vec_rk") <= LegTopK)
+      .select("query_id", "doc_id", "vec_rk")
+
+    val fusedW = Window.partitionBy("query_id")
+      .orderBy(col("rrf").desc, col("doc_id"))
+    lex.join(vec, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(RrfK) + col("lex_rk")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(RrfK) + col("vec_rk")), lit(0.0)), 6))
+      .withColumn("rk", row_number().over(fusedW))
+      .filter(col("rk") <= FusedTopK)
+      .select(col("query_id"), col("rk"), col("doc_id"), col("rrf"),
+        col("lex_rk"), col("vec_rk"))
+      .orderBy("query_id", "rk")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_bm25_topk" -> qBm25Topk,
+    "q_hybrid_rrf" -> qHybridRrf)
+
+  /** Shared oracle CTE block: corpus BM25 statistics, textual twin of
+    * [[corpusStats]] (tokenizer mirror per TextRules.tokens scaladoc). */
+  private val bm25Ctes: String =
+    """toks AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(lower(text), '\W+'),
+      |                     x -> x <> '') AS t
+      |  FROM documents),
+      |dl AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl FROM toks),
+      |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl
+      |          FROM dl),
+      |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+      |       FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+      |       GROUP BY 1, 2),
+      |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf
+      |       GROUP BY 1)""".stripMargin
+
+  /** The contribution expression, textual twin of [[bm25Contrib]]. */
+  private val bm25ContribSql: String =
+    """ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)) *
+      |           (tf.tf * 2.2) /
+      |           (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_bm25_topk" ->
+      (s"WITH $bm25Ctes,\n" +
+        s"""q(query_id, term) AS (VALUES
+           |  (1,'fast'),(1,'table'),(1,'scan'),
+           |  (2,'window'),(2,'merge'),(2,'batch'),
+           |  (3,'hash'),(3,'join'),(3,'spark'),
+           |  (4,'stream'),(4,'data'),(4,'filter')),
+           |scored AS (
+           |  SELECT q.query_id, tf.doc_id,
+           |         round(sum(
+           |           $bm25ContribSql), 4) AS score
+           |  FROM q JOIN tf USING (term) JOIN df USING (term)
+           |       JOIN dl ON tf.doc_id = dl.doc_id, stats s
+           |  GROUP BY 1, 2)
+           |SELECT query_id,
+           |       CAST(row_number() OVER (PARTITION BY query_id
+           |            ORDER BY score DESC, doc_id) AS INT) AS rk,
+           |       doc_id, score
+           |FROM scored QUALIFY rk <= $Bm25TopK
+           |ORDER BY query_id, rk""".stripMargin),
+    "q_hybrid_rrf" ->
+      (s"WITH $bm25Ctes,\n" +
+        s"""qterms AS (
+           |  SELECT DISTINCT doc_id AS query_id, term
+           |  FROM (SELECT doc_id, unnest(t) AS term FROM toks
+           |        WHERE doc_id % $HybridQueryMod = $HybridQueryRes)),
+           |scored AS (
+           |  SELECT qterms.query_id, tf.doc_id,
+           |         round(sum(
+           |           $bm25ContribSql), 4) AS score
+           |  FROM qterms JOIN tf USING (term) JOIN df USING (term)
+           |       JOIN dl ON tf.doc_id = dl.doc_id, stats s
+           |  WHERE tf.doc_id <> qterms.query_id
+           |  GROUP BY 1, 2),
+           |lex AS (
+           |  SELECT query_id, doc_id,
+           |         CAST(row_number() OVER (PARTITION BY query_id
+           |              ORDER BY score DESC, doc_id) AS INT) AS lex_rk
+           |  FROM scored QUALIFY lex_rk <= $LegTopK),
+           |vec AS (
+           |  SELECT query_id, doc_id, CAST(rk AS INT) AS vec_rk FROM (
+           |    SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+           |           row_number() OVER (PARTITION BY q.vec_id
+           |             ORDER BY list_cosine_similarity(
+           |                        CAST(q.embedding AS DOUBLE[]),
+           |                        CAST(c.embedding AS DOUBLE[])) DESC,
+           |                      c.vec_id) AS rk
+           |    FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+           |    WHERE q.vec_id % $HybridQueryMod = $HybridQueryRes)
+           |  WHERE rk <= $LegTopK),
+           |fused AS (
+           |  SELECT COALESCE(l.query_id, v.query_id) AS query_id,
+           |         COALESCE(l.doc_id, v.doc_id) AS doc_id,
+           |         round(COALESCE(CAST(1 AS DOUBLE) / ($RrfK + l.lex_rk), 0) +
+           |               COALESCE(CAST(1 AS DOUBLE) / ($RrfK + v.vec_rk), 0),
+           |               6) AS rrf,
+           |         l.lex_rk, v.vec_rk
+           |  FROM lex l FULL OUTER JOIN vec v
+           |    ON l.query_id = v.query_id AND l.doc_id = v.doc_id)
+           |SELECT query_id,
+           |       CAST(row_number() OVER (PARTITION BY query_id
+           |            ORDER BY rrf DESC, doc_id) AS INT) AS rk,
+           |       doc_id, rrf, lex_rk, vec_rk
+           |FROM fused QUALIFY rk <= $FusedTopK
+           |ORDER BY query_id, rk""".stripMargin))
+}
