@@ -220,6 +220,13 @@ object Stress {
         (s, d) => graft.operators.LinkOps.fuzzyCandidates(
           linkageNameFixture(s, d)).count(),
         scaleOf = Some((s, d) => Tables.part(s, d).count())),
+      Probe("hybrid_lex_postings_pq",
+        "PER-QUERY BM25 posting-join candidates of the hybrid retrieval lexical leg (q_hybrid_rrf) at the production schedule — per-query cost must track the corpus ~linearly on this dense-vocabulary fixture (each term's posting list ∝ corpus share; a real corpus's sparse vocabulary reads sublinear), while TOTAL work is bounded by HybridQueryBudget x this row: the fixed-fraction schedule alone would read ~2, which is exactly why the budget cap exists (RetrievalOps.HybridQueryBudget scaladoc)",
+        (s, d) => {
+          import graft.operators.RetrievalOps
+          RetrievalOps.hybridLexPostingCount(s, d) /
+            math.max(RetrievalOps.hybridQueryCount(s, d), 1L)
+        }),
       Probe("triangle_wedge_candidates",
         "degree-oriented wedge space (Σ C(out_deg,2)) of the part co-occurrence graph — the enumeration BOUND of the triangle family, upper-bounding the shipped edge-iterator's Σ(d⁺a+d⁺b) intersect work (q_triangle_count); fit against LINEITEM rows (its driver table) — per-part degree plateaus once each part's order set saturates, so the space tracks vertices ~linearly, and the orientation bound caps the ceiling at O(edges^1.5) however hubby the catalog gets",
         graft.operators.GraphAnalyticsOps.wedgeCandidates,

@@ -78,6 +78,23 @@ object RetrievalOps {
   val FusedTopK = 10
   val RrfK = 60
 
+  /** Query-BUDGET bound on the hybrid schedule: the modulus picks WHICH
+    * docs query, the id cap bounds HOW MANY — at most [[HybridQueryBudget]]
+    * at any corpus size. Without it a fixed-fraction schedule grows the
+    * query count with the corpus and the lexical posting join reads ~n²
+    * (queries x postings) — the retrieval analog of the recall audit's
+    * sampled probe set. Inert at the test SFs (sf0.1's 5000 docs yield
+    * exactly the budgeted 100 queries), binding beyond; total work is
+    * then budget x posting-list cost, linear in the corpus. */
+  val HybridQueryBudget = 100
+
+  /** The scheduled-and-budgeted hybrid query predicate, shared by both
+    * legs (oracle mirror: `% $HybridQueryMod = $HybridQueryRes AND <
+    * $HybridQueryIdCap`). */
+  val HybridQueryIdCap: Long = HybridQueryMod.toLong * HybridQueryBudget
+  private def hybridQueryPred(id: Column): Column =
+    id % HybridQueryMod === HybridQueryRes && id < HybridQueryIdCap
+
   /** One matched posting's BM25 contribution. Expects columns tf, df,
     * dl, n_docs, avgdl — all exact-integer-valued doubles except avgdl
     * (an exact integer ratio), so the element value is engine-identical;
@@ -85,7 +102,7 @@ object RetrievalOps {
     * at the last ulp, which the round-to-4 absorbs (q_lm_score
     * precedent). Literal shape mirrors the oracle text exactly — see the
     * [[Bm25K1]] scaladoc. */
-  private def bm25Contrib: Column =
+  private[graft] def bm25Contrib: Column =
     log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) /
         (col("df") + lit(0.5))) *
       (col("tf") * lit(2.2)) /
@@ -126,6 +143,19 @@ object RetrievalOps {
       .agg(round(sum(col("contrib")), 4).as("score"))
   }
 
+  /** The shared top-k ranking tail over a (query_id, doc_id, score)
+    * frame — one definition for the inline query and the published-
+    * artifact probe ([[graft.sources.LexIndex.searchBm25]]). */
+  private[graft] def bm25TopkFrom(scored: DataFrame, topK: Int): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id"))
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .select(col("query_id"), col("rk"), col("doc_id"), col("score"))
+      .orderBy("query_id", "rk")
+  }
+
   /** BM25 top-10 documents per fixed query — classic ranked lexical
     * retrieval over the corpus. */
   private val qBm25Topk: Q = (s, d) => {
@@ -133,14 +163,28 @@ object RetrievalOps {
     val qterms = BmQueries
       .flatMap { case (id, text) => text.split(" ").map(id -> _) }
       .toDF("query_id", "term")
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("score").desc, col("doc_id"))
-    bm25Scored(s, d, qterms, excludeSelf = false)
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= Bm25TopK)
-      .select(col("query_id"), col("rk"), col("doc_id"), col("score"))
-      .orderBy("query_id", "rk")
+    bm25TopkFrom(bm25Scored(s, d, qterms, excludeSelf = false), Bm25TopK)
   }
+
+  /** The session's published lexical artifact over the FULL corpus — the
+    * evenIndexDir convention of the sibling *_idx queries, except the
+    * whole corpus publishes so the probe is row-identical to the inline
+    * twin (and the oracle is shared verbatim). */
+  private def lexIndexDir(s: SparkSession, d: String): String =
+    graft.SharedPlans.once(s, s"lex_index|$d") {
+      val p = s"target/lex_index/${d.replaceAll("[^A-Za-z0-9._-]", "_")}"
+      graft.sources.LexIndex.publish(s, d, p)
+      p
+    }
+
+  /** q_bm25_topk against the PUBLISHED posting-list artifact
+    * ([[graft.sources.LexIndex]]): partition-pruned posting reads, meta
+    * scalars instead of corpus aggregates — the production probe path.
+    * Oracle: shared verbatim with q_bm25_topk (the artifact is a fresh
+    * full-corpus publish each session, so the two must hash-match). */
+  private val qBm25TopkIdx: Q = (s, d) =>
+    graft.sources.LexIndex.searchBm25(s, lexIndexDir(s, d),
+      BmQueries, Bm25TopK)
 
   /** Hybrid retrieval: for each scheduled query document, fuse its BM25
     * more-like-this ranking (over `documents`) with its embedding-cosine
@@ -148,12 +192,31 @@ object RetrievalOps {
     * reciprocal rank fusion: rrf = sum over legs of 1/(60 + rank), top-10
     * fused. Carries each leg's rank (NULL when the doc appeared in only
     * one leg) so a consumer can see WHY a document fused high. */
-  private val qHybridRrf: Q = (s, d) => {
-    graft.functions.GraftFunctions.register(s)
-    val qterms = Tables.documents(s, d)
-      .filter(col("doc_id") % HybridQueryMod === HybridQueryRes)
+  /** The hybrid lexical leg's (query_id, term) frame — the budgeted
+    * query docs' distinct tokens. */
+  private def hybridQterms(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(hybridQueryPred(col("doc_id")))
       .select(col("doc_id").as("query_id"),
         explode(array_distinct(TextRules.tokens(col("text")))).as("term"))
+
+  /** The hybrid lexical leg's posting-join candidate count at the
+    * production schedule — the enumeration the scale instrument
+    * (graft.Stress scaling) fits an exponent against. */
+  private[graft] def hybridLexPostingCount(s: SparkSession, d: String): Long = {
+    val (_, tf, _, _) = corpusStats(s, d)
+    tf.join(broadcast(hybridQterms(s, d)), Seq("term"))
+      .filter(col("doc_id") =!= col("query_id")).count()
+  }
+
+  /** The budgeted hybrid query count (for per-query normalization in the
+    * scale instrument). */
+  private[graft] def hybridQueryCount(s: SparkSession, d: String): Long =
+    Tables.documents(s, d).filter(hybridQueryPred(col("doc_id"))).count()
+
+  private val qHybridRrf: Q = (s, d) => {
+    graft.functions.GraftFunctions.register(s)
+    val qterms = hybridQterms(s, d)
     val lexW = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("doc_id"))
     val lex = bm25Scored(s, d, qterms, excludeSelf = true)
@@ -166,7 +229,7 @@ object RetrievalOps {
     // the single-split fixture parallelizes the N-side scoring
     val e = Tables.spread(s,
       Tables.embeddings(s, d).select(col("vec_id"), col("embedding")))
-    val q = e.filter(col("vec_id") % HybridQueryMod === HybridQueryRes)
+    val q = e.filter(hybridQueryPred(col("vec_id")))
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     val vecW = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("doc_id"))
@@ -192,6 +255,7 @@ object RetrievalOps {
 
   val queries: Map[String, Q] = Map(
     "q_bm25_topk" -> qBm25Topk,
+    "q_bm25_topk_idx" -> qBm25TopkIdx,
     "q_hybrid_rrf" -> qHybridRrf)
 
   /** Shared oracle CTE block: corpus BM25 statistics, textual twin of
@@ -217,33 +281,39 @@ object RetrievalOps {
       |           (tf.tf * 2.2) /
       |           (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))""".stripMargin
 
+  /** The q_bm25_topk oracle — shared verbatim by the artifact probe
+    * (the session artifact is a fresh full-corpus publish). */
+  private val bm25TopkOracle: String =
+    (s"WITH $bm25Ctes,\n" +
+      s"""q(query_id, term) AS (VALUES
+         |  (1,'fast'),(1,'table'),(1,'scan'),
+         |  (2,'window'),(2,'merge'),(2,'batch'),
+         |  (3,'hash'),(3,'join'),(3,'spark'),
+         |  (4,'stream'),(4,'data'),(4,'filter')),
+         |scored AS (
+         |  SELECT q.query_id, tf.doc_id,
+         |         round(sum(
+         |           $bm25ContribSql), 4) AS score
+         |  FROM q JOIN tf USING (term) JOIN df USING (term)
+         |       JOIN dl ON tf.doc_id = dl.doc_id, stats s
+         |  GROUP BY 1, 2)
+         |SELECT query_id,
+         |       CAST(row_number() OVER (PARTITION BY query_id
+         |            ORDER BY score DESC, doc_id) AS INT) AS rk,
+         |       doc_id, score
+         |FROM scored QUALIFY rk <= $Bm25TopK
+         |ORDER BY query_id, rk""".stripMargin)
+
   val oracles: Map[String, String] = Map(
-    "q_bm25_topk" ->
-      (s"WITH $bm25Ctes,\n" +
-        s"""q(query_id, term) AS (VALUES
-           |  (1,'fast'),(1,'table'),(1,'scan'),
-           |  (2,'window'),(2,'merge'),(2,'batch'),
-           |  (3,'hash'),(3,'join'),(3,'spark'),
-           |  (4,'stream'),(4,'data'),(4,'filter')),
-           |scored AS (
-           |  SELECT q.query_id, tf.doc_id,
-           |         round(sum(
-           |           $bm25ContribSql), 4) AS score
-           |  FROM q JOIN tf USING (term) JOIN df USING (term)
-           |       JOIN dl ON tf.doc_id = dl.doc_id, stats s
-           |  GROUP BY 1, 2)
-           |SELECT query_id,
-           |       CAST(row_number() OVER (PARTITION BY query_id
-           |            ORDER BY score DESC, doc_id) AS INT) AS rk,
-           |       doc_id, score
-           |FROM scored QUALIFY rk <= $Bm25TopK
-           |ORDER BY query_id, rk""".stripMargin),
+    "q_bm25_topk" -> bm25TopkOracle,
+    "q_bm25_topk_idx" -> bm25TopkOracle,
     "q_hybrid_rrf" ->
       (s"WITH $bm25Ctes,\n" +
         s"""qterms AS (
            |  SELECT DISTINCT doc_id AS query_id, term
            |  FROM (SELECT doc_id, unnest(t) AS term FROM toks
-           |        WHERE doc_id % $HybridQueryMod = $HybridQueryRes)),
+           |        WHERE doc_id % $HybridQueryMod = $HybridQueryRes
+           |          AND doc_id < $HybridQueryIdCap)),
            |scored AS (
            |  SELECT qterms.query_id, tf.doc_id,
            |         round(sum(
@@ -266,7 +336,8 @@ object RetrievalOps {
            |                        CAST(c.embedding AS DOUBLE[])) DESC,
            |                      c.vec_id) AS rk
            |    FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
-           |    WHERE q.vec_id % $HybridQueryMod = $HybridQueryRes)
+           |    WHERE q.vec_id % $HybridQueryMod = $HybridQueryRes
+           |      AND q.vec_id < $HybridQueryIdCap)
            |  WHERE rk <= $LegTopK),
            |fused AS (
            |  SELECT COALESCE(l.query_id, v.query_id) AS query_id,

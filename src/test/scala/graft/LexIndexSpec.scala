@@ -1,0 +1,80 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.RetrievalOps
+import graft.sources.LexIndex
+
+/** The published lexical posting-list artifact ([[graft.sources.LexIndex]]):
+  *   - probe parity: searchBm25 against a fresh full-corpus publish is
+  *     row-identical to the inline q_bm25_topk (shared contribution
+  *     expression + ranking, meta-exact avgdl);
+  *   - partition pruning: the probe's posting scan carries a tpart
+  *     partition filter — query-term partitions only, never the full
+  *     artifact;
+  *   - layout invariants: stored df equals the postings' per-term row
+  *     count, stored sumdl/ndocs reproduce the corpus token totals.
+  */
+class LexIndexSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf0001
+
+  private def freshDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"lexidx_$tag").toString + "/idx"
+
+  test("artifact probe is row-identical to the inline q_bm25_topk") {
+    val dir = freshDir("parity")
+    LexIndex.publish(spark, sf, dir)
+    val inline = RetrievalOps.queries("q_bm25_topk")(spark, sf).collect().toSeq
+    val probe = LexIndex.searchBm25(spark, dir,
+      RetrievalOps.BmQueries, RetrievalOps.Bm25TopK).collect().toSeq
+    assert(probe.nonEmpty)
+    assert(probe == inline)
+  }
+
+  test("probe reads only the query terms' partitions") {
+    val dir = freshDir("prune")
+    LexIndex.publish(spark, sf, dir)
+    val probe = LexIndex.searchBm25(spark, dir,
+      RetrievalOps.BmQueries, RetrievalOps.Bm25TopK)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("tpart"),
+      "posting scan must carry a tpart partition filter:\n" + plan.take(2000))
+    // the 12 query terms touch at most 12 of the 64 layout partitions —
+    // the probe IO bound the partition filter above enforces
+    val parts = LexIndex.loadParts(spark, dir)
+    val touched = Tables.documents(spark, sf).sparkSession
+      .createDataset(RetrievalOps.BmQueries.flatMap(_._2.split(" ")))(
+        org.apache.spark.sql.Encoders.STRING)
+      .select(pmod(xxhash64(col("value")), lit(parts.toLong)).as("tp"))
+      .distinct().count()
+    assert(parts == 64 && touched <= 12,
+      s"parts=$parts touched=$touched")
+  }
+
+  test("stored df and meta totals equal corpus recomputation") {
+    val dir = freshDir("invariants")
+    LexIndex.publish(spark, sf, dir)
+    val post = LexIndex.loadPostingsRaw(spark, dir)
+    val fromPostings = post.groupBy("term")
+      .agg(count(lit(1)).as("df2"))
+    val stored = LexIndex.loadTermsRaw(spark, dir).select("term", "df")
+    val mismatch = stored.join(fromPostings, Seq("term"), "full_outer")
+      .filter(col("df").isNull || col("df2").isNull ||
+        col("df") =!= col("df2"))
+    assert(mismatch.count() == 0, "terms.df must equal postings per-term rows")
+
+    val toks = Tables.documents(spark, sf)
+      .select(operators.TextRules.tokens(col("text")).as("t"))
+      .agg(count(lit(1)).as("n"), sum(size(col("t"))).as("s")).collect()(0)
+    assert(LexIndex.loadNDocs(spark, dir) == toks.getLong(0))
+    val meta = spark.read.parquet(s"$dir/meta").collect()(0)
+    assert(meta.getAs[Long]("sumdl") == toks.getLong(1))
+    // dl is denormalized into every posting row: it must equal the docs
+    // dataset's length for every doc
+    assert(post.select("doc_id", "dl").distinct()
+      .join(LexIndex.loadDocs(spark, dir)
+        .withColumnRenamed("dl", "dl_doc"), Seq("doc_id"))
+      .filter(col("dl") =!= col("dl_doc")).count() == 0)
+  }
+}

@@ -72,8 +72,9 @@ class RetrievalSpec extends AnyFunSuite {
     val (docs, _, _, _) = corpus
     val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
       .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
-    val queryIds = docs.keys.filter(
-      _ % RetrievalOps.HybridQueryMod == RetrievalOps.HybridQueryRes).toSeq.sorted
+    val queryIds = docs.keys.filter(id =>
+      id % RetrievalOps.HybridQueryMod == RetrievalOps.HybridQueryRes &&
+        id < RetrievalOps.HybridQueryIdCap).toSeq.sorted
     assert(queryIds.nonEmpty, "schedule must select at least one query doc")
 
     def cosine(a: Array[Float], b: Array[Float]): Double = {
