@@ -36,7 +36,8 @@ object SparkEntry {
       "q_ann_recall_res_idx",
       "q_index_stats", "q_dedup_index_stats",
       "q_dedup_index_escalated_stats", "q_fingerprint_index_stats",
-      "q_fingerprint_index_escalated_stats", "q_embed_diagnostics")
+      "q_fingerprint_index_escalated_stats", "q_embed_diagnostics",
+      "q_lex_index_stats")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

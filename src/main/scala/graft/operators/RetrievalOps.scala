@@ -186,6 +186,33 @@ object RetrievalOps {
     graft.sources.LexIndex.searchBm25(s, lexIndexDir(s, d),
       BmQueries, Bm25TopK)
 
+  /** The lexical artifact's health surface inside the DuckDB gate (the
+    * q_dedup_index_stats convention): layout meta + per-dataset row
+    * counts + the cross-dataset CONSISTENCY invariant a torn or drifted
+    * publish would break — sum(postings.tf) must equal meta's sumdl
+    * (both are the corpus token total, stored independently), and
+    * max(df) bounds the widest posting list (the probe's worst-case
+    * read). The oracle recomputes every column from the raw corpus,
+    * including the layout-parts schedule as integer arithmetic. */
+  private val qLexIndexStats: Q = (s, d) => {
+    import s.implicits._
+    val L = graft.sources.LexIndex
+    val dir = lexIndexDir(s, d)
+    val meta = Seq((L.loadNDocs(s, dir), L.loadParts(s, dir),
+        L.loadSumDl(s, dir)))
+      .toDF("ndocs", "parts", "sumdl")
+    val docAgg = L.loadDocs(s, dir).agg(
+      count(lit(1)).as("doc_rows"), sum("dl").as("sum_dl"))
+    val postAgg = L.loadPostingsRaw(s, dir).agg(
+      count(lit(1)).as("posting_rows"), sum("tf").as("sum_tf"))
+    val termAgg = L.loadTermsRaw(s, dir).agg(
+      count(lit(1)).as("term_rows"), max("df").as("max_df"))
+    meta.crossJoin(broadcast(docAgg)).crossJoin(broadcast(postAgg))
+      .crossJoin(broadcast(termAgg))
+      .select("ndocs", "parts", "sumdl", "doc_rows", "sum_dl",
+        "posting_rows", "sum_tf", "term_rows", "max_df")
+  }
+
   /** Hybrid retrieval: for each scheduled query document, fuse its BM25
     * more-like-this ranking (over `documents`) with its embedding-cosine
     * ranking (over `embeddings`, ids shared with `documents`) by
@@ -256,6 +283,7 @@ object RetrievalOps {
   val queries: Map[String, Q] = Map(
     "q_bm25_topk" -> qBm25Topk,
     "q_bm25_topk_idx" -> qBm25TopkIdx,
+    "q_lex_index_stats" -> qLexIndexStats,
     "q_hybrid_rrf" -> qHybridRrf)
 
   /** Shared oracle CTE block: corpus BM25 statistics, textual twin of
@@ -307,6 +335,34 @@ object RetrievalOps {
   val oracles: Map[String, String] = Map(
     "q_bm25_topk" -> bm25TopkOracle,
     "q_bm25_topk_idx" -> bm25TopkOracle,
+    // every column recomputed from the raw corpus; the parts schedule is
+    // the same integer arithmetic as LexIndex.layoutPartsFor (// floors,
+    // both operands nonnegative — equal to Spark's Long division here)
+    "q_lex_index_stats" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'),
+        |                             x -> x <> '') AS t
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(t) AS term FROM toks) GROUP BY 1, 2),
+        |n AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS ndocs,
+        |         CAST(sum(len(t)) AS BIGINT) AS sumdl
+        |  FROM toks)
+        |SELECT n.ndocs,
+        |       CAST(greatest(64, least(65536, n.ndocs // 250000 + 1)) AS INT)
+        |         AS parts,
+        |       n.sumdl,
+        |       n.ndocs AS doc_rows,
+        |       n.sumdl AS sum_dl,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM tf) AS posting_rows,
+        |       (SELECT CAST(sum(tf) AS BIGINT) FROM tf) AS sum_tf,
+        |       (SELECT CAST(count(DISTINCT term) AS BIGINT) FROM tf)
+        |         AS term_rows,
+        |       (SELECT CAST(max(df) AS BIGINT) FROM (
+        |          SELECT term, count(*) AS df FROM tf GROUP BY 1)) AS max_df
+        |FROM n""".stripMargin,
     "q_hybrid_rrf" ->
       (s"WITH $bm25Ctes,\n" +
         s"""qterms AS (

@@ -115,6 +115,9 @@ object LexIndex {
   def loadNDocs(s: SparkSession, indexDir: String): Long =
     s.read.parquet(s"$indexDir/meta").collect()(0).getAs[Long]("ndocs")
 
+  def loadSumDl(s: SparkSession, indexDir: String): Long =
+    s.read.parquet(s"$indexDir/meta").collect()(0).getAs[Long]("sumdl")
+
   private[graft] def loadPostingsRaw(s: SparkSession, indexDir: String): DataFrame =
     s.read.parquet(s"$indexDir/postings")
 
