@@ -1,0 +1,48 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.sources.LexIndex
+
+/** Streaming BM25 retrieval — the online twin of q_bm25_topk_idx: each
+  * microbatch of queries (query_id, qtext) scores against the PUBLISHED
+  * posting-list artifact ([[graft.sources.LexIndex]]) and emits per-query
+  * top-k documents, so a serving/routing pipeline can rank against the
+  * corpus as of the last index publish.
+  *
+  * Shape (the sibling dedup streams' foreachBatch convention — their lazy
+  * stream-static joins are deprecated for exactly the full-scan-per-
+  * trigger hazard this entry avoids): the trigger's query rows COLLECT to
+  * the driver — a trigger's query set is human/router-generated and
+  * budget-bounded by the retrieval family's contract, never corpus-sized
+  * — and the driver-known term set is precisely what lets the probe
+  * prune the artifact to the query terms' partitions. Per-trigger
+  * artifact IO is O(posting lists touched); scoring/ranking are the
+  * batch probe's own code path, so online results can never drift from
+  * the gated batch semantics.
+  *
+  * Freshness contract (as all sibling twins): queries rank against the
+  * corpus as of the last publish; newly ingested documents appear at the
+  * next republish.
+  */
+object RetrievalStream {
+
+  /** Score one microbatch of (query_id, qtext) rows against the
+    * published artifact. Returns the batch probe's exact output shape
+    * (query_id, rk, doc_id, score). */
+  def probeIndexBatch(s: SparkSession, indexDir: String,
+      batch: DataFrame, topK: Int): DataFrame = {
+    // driver-bounded by the trigger's query budget (scaladoc above)
+    val queries = batch.select("query_id", "qtext").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq
+    LexIndex.searchBm25(s, indexDir, queries, topK)
+  }
+
+  /** foreachBatch entry: wire as
+    * `stream.writeStream.foreachBatch(RetrievalStream.foreachBatchProbe(
+    * s, dir, topK)(sink))`. Empty triggers skip the probe (and the
+    * sink). */
+  def foreachBatchProbe(s: SparkSession, indexDir: String, topK: Int)(
+      sink: DataFrame => Unit): (DataFrame, Long) => Unit =
+    (batch: DataFrame, _: Long) =>
+      if (!batch.isEmpty) sink(probeIndexBatch(s, indexDir, batch, topK))
+}
