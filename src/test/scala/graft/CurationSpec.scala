@@ -255,7 +255,7 @@ class CurationSpec extends AnyFunSuite {
     assert(CurationOps.queries.keySet ===
       Set("q_decontaminate", "q_bloom_decontaminate", "q_gopher_repeat",
         "q_metrics_funnel", "q_pii_flag", "q_pii_redact", "q_data_mix",
-        "q_source_budget", "q_corpus_profile"))
+        "q_source_budget", "q_corpus_profile", "q_dsir_weights"))
     assert(CurationOps.oracles.keySet === CurationOps.queries.keySet)
   }
 }
