@@ -52,6 +52,26 @@ class LexIndexSpec extends AnyFunSuite {
       s"parts=$parts touched=$touched")
   }
 
+  test("meta commits last: a torn publish is invisible and a republish recovers") {
+    val dir = freshDir("torn")
+    LexIndex.publish(spark, sf, dir)
+    assert(LexIndex.isPublished(spark, dir))
+    // simulate a crash between the dataset writes and the meta commit:
+    // datasets present, meta gone — the layout must read as unpublished
+    val metaPath = new org.apache.hadoop.fs.Path(s"$dir/meta")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(metaPath, true)
+    assert(!LexIndex.isPublished(spark, dir),
+      "datasets without meta must read as unpublished")
+    // the recovery is a plain republish (mode=overwrite on every dataset)
+    LexIndex.publish(spark, sf, dir)
+    assert(LexIndex.isPublished(spark, dir))
+    val probe = LexIndex.searchBm25(spark, dir,
+      RetrievalOps.BmQueries, RetrievalOps.Bm25TopK).collect().toSeq
+    val inline = RetrievalOps.queries("q_bm25_topk")(spark, sf).collect().toSeq
+    assert(probe == inline, "recovered artifact must probe identically")
+  }
+
   test("stored df and meta totals equal corpus recomputation") {
     val dir = freshDir("invariants")
     LexIndex.publish(spark, sf, dir)
