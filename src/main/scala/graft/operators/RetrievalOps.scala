@@ -46,14 +46,23 @@ import graft.Tables
 object RetrievalOps {
   private type Q = (SparkSession, String) => DataFrame
 
-  /** BM25 shape parameters (Robertson et al., TREC-3 defaults). The
-    * scoring expressions below write these as NUMERIC LITERALS that are
-    * textual twins of the DuckDB oracle's (1.2, 0.75, 0.25 = 1-b,
-    * 2.2 = k1+1): a constant COMPUTED in one engine but written as a
-    * literal in the other can differ in its last bit (double(1.2)+1.0 !=
-    * double("2.2")), which the hash gate would read as a wrong score. */
-  val Bm25K1 = 1.2
-  val Bm25B = 0.75
+  /** BM25 shape parameters are k1 = 1.2, b = 0.75 (Robertson et al.,
+    * TREC-3 defaults), written DIRECTLY as numeric literals in the
+    * scoring expressions (1.2, 0.75, 0.25 = 1-b, 2.2 = k1+1) so the
+    * Spark and DuckDB twins stay TEXTUALLY identical — deliberately not
+    * interpolated from named constants, because a constant COMPUTED in
+    * one engine but written as a literal in the other can differ in its
+    * last bit (double(1.2)+1.0 != double("2.2")), which the hash gate
+    * would read as a wrong score. Change the parameters by editing both
+    * literal sets together ([[bm25Contrib]] / [[bm25ContribSql]]). */
+
+  /** Driver-side mirror of [[TextRules.tokens]] for QUERY text
+    * (lowercase \W+ split, empties dropped) plus DISTINCT — a repeated
+    * query term must not double-count its BM25 contribution. Shared by
+    * the inline query builder and the artifact probe, so query-vs-index
+    * token domains can never diverge. */
+  private[graft] def queryTokens(text: String): Seq[String] =
+    text.toLowerCase.split("\\W+").filter(_.nonEmpty).distinct.toSeq
 
   /** Fixed lexical query set for q_bm25_topk — literal multi-word queries
     * over the corpus vocabulary, mirrored verbatim in the oracle's VALUES
@@ -161,7 +170,7 @@ object RetrievalOps {
   private val qBm25Topk: Q = (s, d) => {
     import s.implicits._
     val qterms = BmQueries
-      .flatMap { case (id, text) => text.split(" ").map(id -> _) }
+      .flatMap { case (id, text) => queryTokens(text).map(id -> _) }
       .toDF("query_id", "term")
     bm25TopkFrom(bm25Scored(s, d, qterms, excludeSelf = false), Bm25TopK)
   }
@@ -198,9 +207,8 @@ object RetrievalOps {
     import s.implicits._
     val L = graft.sources.LexIndex
     val dir = lexIndexDir(s, d)
-    val meta = Seq((L.loadNDocs(s, dir), L.loadParts(s, dir),
-        L.loadSumDl(s, dir)))
-      .toDF("ndocs", "parts", "sumdl")
+    val (nd, sd, pt) = L.loadMeta(s, dir)
+    val meta = Seq((nd, pt, sd)).toDF("ndocs", "parts", "sumdl")
     val docAgg = L.loadDocs(s, dir).agg(
       count(lit(1)).as("doc_rows"), sum("dl").as("sum_dl"))
     val postAgg = L.loadPostingsRaw(s, dir).agg(

@@ -38,12 +38,14 @@ import org.apache.spark.sql.functions._
   * (RetrievalOps.bm25Contrib / bm25TopkFrom — ONE definition), so the
   * probe is oracle-identical to the inline twin by construction.
   *
-  * Lifecycle scope, stated: publish + probe (+ stats). The sibling
-  * families' versioned-root machinery (pointer-flip publish,
-  * partition-level merge, torn-version recovery) applies to this layout
-  * unchanged — postings partition by a pure key function like the dedup
-  * bands — and is deliberately not duplicated here until the retrieval
-  * family needs incremental ingest.
+  * Lifecycle scope, stated: publish + crash-safe versioned republish
+  * ([[publishVersioned]] — fresh v-dir + atomic pointer flip, so a
+  * crashed refresh never tears a live reader) + partition-pruned probe
+  * + in-gate stats. The one deferred piece is the siblings'
+  * PARTITION-LEVEL merge (incremental ingest): it applies to this
+  * layout unchanged — postings partition by a pure term-hash function
+  * like the dedup bands, df maintenance is an additive term-keyed
+  * merge — and waits until the retrieval family needs it.
   */
 object LexIndex {
 
@@ -62,8 +64,18 @@ object LexIndex {
     p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
   }
 
-  /** Build and publish the index for the corpus at `corpusDir` (the
-    * republish cycle overwrites). Returns (postingRows, termRows). */
+  /** Build and publish the index for the corpus at `corpusDir`. Returns
+    * the meta totals (ndocs, sumdl).
+    *
+    * CRASH-SAFETY, stated: meta-commits-last makes the FIRST publish
+    * torn-safe (no meta → unpublished), but an IN-PLACE republish
+    * overwrites datasets while the previous meta still exists — a crash
+    * mid-republish leaves a stale meta over partial datasets. A refresh
+    * cycle must therefore publish through [[publishVersioned]] (fresh
+    * version dir + atomic pointer flip, the sibling families' versioned
+    * root) or to a fresh directory it swaps itself; plain [[publish]]
+    * into a live path is for first publishes and throwaway session
+    * artifacts only. */
   def publish(s: SparkSession, corpusDir: String,
       indexDir: String): (Long, Long) =
     publishFrom(s, graft.Tables.documents(s, corpusDir), indexDir)
@@ -104,19 +116,42 @@ object LexIndex {
       import s.implicits._
       Seq((nDocs, sumDl, parts)).toDF("ndocs", "sumdl", "parts")
         .write.mode("overwrite").parquet(s"$indexDir/meta")
-      (s.read.parquet(s"$indexDir/postings").count(),
-        s.read.parquet(s"$indexDir/terms").count())
+      (nDocs, sumDl)
     } finally dl.unpersist()
   }
 
-  def loadParts(s: SparkSession, indexDir: String): Int =
-    s.read.parquet(s"$indexDir/meta").collect()(0).getAs[Int]("parts")
+  /** Crash-safe refresh publish: a fresh immutable `v<n>` directory
+    * under `root` + the atomic `_current` pointer flip
+    * ([[StorageOps.flipPointer]]) — a crashed republish leaves a
+    * dangling version dir and the pointer (hence every reader) on the
+    * previous complete artifact. Returns the published version dir;
+    * resolve the live one with [[currentDir]], retire old versions with
+    * [[StorageOps.pruneVersions]]. */
+  def publishVersioned(s: SparkSession, corpus: DataFrame,
+      root: String): String = {
+    val v = StorageOps.nextVersion(s, root)
+    val dir = s"$root/v$v"
+    publishFrom(s, corpus, dir)
+    StorageOps.flipPointer(s, root, s"v$v")
+    dir
+  }
 
-  def loadNDocs(s: SparkSession, indexDir: String): Long =
-    s.read.parquet(s"$indexDir/meta").collect()(0).getAs[Long]("ndocs")
+  /** The live version dir under a [[publishVersioned]] root. */
+  def currentDir(s: SparkSession, root: String): String =
+    root + "/" + StorageOps.currentVersion(s, root).getOrElse(
+      throw new IllegalStateException(s"no published lex index at $root"))
 
-  def loadSumDl(s: SparkSession, indexDir: String): Long =
-    s.read.parquet(s"$indexDir/meta").collect()(0).getAs[Long]("sumdl")
+  /** All three meta scalars in ONE 1-row parquet read. */
+  def loadMeta(s: SparkSession, indexDir: String): (Long, Long, Int) = {
+    val m = s.read.parquet(s"$indexDir/meta").collect()(0)
+    (m.getAs[Long]("ndocs"), m.getAs[Long]("sumdl"), m.getAs[Int]("parts"))
+  }
+
+  def loadParts(s: SparkSession, indexDir: String): Int = loadMeta(s, indexDir)._3
+
+  def loadNDocs(s: SparkSession, indexDir: String): Long = loadMeta(s, indexDir)._1
+
+  def loadSumDl(s: SparkSession, indexDir: String): Long = loadMeta(s, indexDir)._2
 
   private[graft] def loadPostingsRaw(s: SparkSession, indexDir: String): DataFrame =
     s.read.parquet(s"$indexDir/postings")
@@ -128,24 +163,42 @@ object LexIndex {
     s.read.parquet(s"$indexDir/docs").select("doc_id", "dl")
 
   /** BM25 top-k against the published artifact for a driver-known query
-    * set (the probe contract — queries are literal or budget-bounded, so
-    * the partition-value derivation below collects a query-term-bounded
-    * set, never corpus data). Result is column-for-column identical to
-    * the inline q_bm25_topk scoring of the same corpus: one contribution
-    * expression, one ranking, one exact avgdl. */
+    * set. Query text normalizes through [[graft.operators.RetrievalOps
+    * .queryTokens]] — the driver-side mirror of the tokenizer the index
+    * was built with (lowercase \W+ split, empties dropped, DUPLICATES
+    * dropped: a repeated query term must not double-count its
+    * contribution) — so an uppercase or punctuated query matches the
+    * stored lowercase terms instead of silently scoring zero. Result is
+    * column-for-column identical to the inline q_bm25_topk scoring of
+    * the same corpus: one contribution expression, one ranking, one
+    * exact avgdl. */
   def searchBm25(s: SparkSession, indexDir: String,
       queries: Seq[(Int, String)], topK: Int): DataFrame = {
     import s.implicits._
-    val qt = queries.flatMap { case (id, text) => text.split(" ").map(id -> _) }
-    val qterms = qt.toDF("query_id", "term")
-    val parts = loadParts(s, indexDir)
-    // tiny job: the query terms' partition values (bounded by the
-    // driver-known query-term count)
-    val tparts = qterms.select(tpartOf(col("term"), parts).as("tpart"))
+    val qt = queries.flatMap { case (id, text) =>
+      graft.operators.RetrievalOps.queryTokens(text).map(id -> _)
+    }
+    searchBm25Terms(s, indexDir, qt.toDF("query_id", "term"),
+      qt.map(_._2).distinct, topK)
+  }
+
+  /** The probe core over an arbitrary (query_id, term) frame whose
+    * DISTINCT term strings are driver-known (`terms` — the probe
+    * contract: query sets are literal or budget-bounded, so this is a
+    * query-term-bounded list, never corpus data; it drives the
+    * partition pruning). The query_id column's TYPE flows through to
+    * the output untouched, so a stream keying queries by a long
+    * corpus id needs no driver-side id conversion
+    * ([[graft.streaming.RetrievalStream]]). Callers must pass terms
+    * already normalized to the index's token domain. */
+  def searchBm25Terms(s: SparkSession, indexDir: String, qterms: DataFrame,
+      terms: Seq[String], topK: Int): DataFrame = {
+    import s.implicits._
+    val (nDocs, sumDl, parts) = loadMeta(s, indexDir)
+    // one tiny local job: the terms' partition values (term-bounded)
+    val tparts = terms.toDF("term")
+      .select(tpartOf(col("term"), parts).as("tpart"))
       .distinct().collect().map(_.getLong(0))
-    val meta = s.read.parquet(s"$indexDir/meta").collect()(0)
-    val (nDocs, sumDl) =
-      (meta.getAs[Long]("ndocs"), meta.getAs[Long]("sumdl"))
     val post = StorageOps.prunedByVals(
         loadPostingsRaw(s, indexDir), "tpart", tparts, parts)
       .select(col("term"), col("doc_id"),

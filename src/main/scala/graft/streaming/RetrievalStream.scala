@@ -25,24 +25,34 @@ import graft.sources.LexIndex
   * next republish.
   */
 object RetrievalStream {
+  import org.apache.spark.sql.functions._
 
   /** Score one microbatch of (query_id, qtext) rows against the
-    * published artifact. Returns the batch probe's exact output shape
-    * (query_id, rk, doc_id, score). */
+    * published artifact. The query_id column's TYPE flows through
+    * untouched (a router keying queries by a long corpus doc_id needs no
+    * conversion); query text normalizes through the index's own token
+    * domain (lowercase \W+ split, distinct — [[graft.operators
+    * .RetrievalOps.queryTokens]]'s engine-side twin). Only the DISTINCT
+    * TERM STRINGS collect to the driver (the partition-pruning set,
+    * query-budget-bounded) — never full query rows. Returns None for a
+    * term-less trigger (empty batch, or all-punctuation queries). */
   def probeIndexBatch(s: SparkSession, indexDir: String,
-      batch: DataFrame, topK: Int): DataFrame = {
-    // driver-bounded by the trigger's query budget (scaladoc above)
-    val queries = batch.select("query_id", "qtext").collect()
-      .map(r => (r.getInt(0), r.getString(1))).toSeq
-    LexIndex.searchBm25(s, indexDir, queries, topK)
+      batch: DataFrame, topK: Int): Option[DataFrame] = {
+    val qterms = batch.select(col("query_id"),
+      explode(array_distinct(
+        graft.operators.TextRules.tokens(col("qtext")))).as("term"))
+    val terms = qterms.select("term").distinct()
+      .collect().map(_.getString(0)).toSeq
+    if (terms.isEmpty) None
+    else Some(LexIndex.searchBm25Terms(s, indexDir, qterms, terms, topK))
   }
 
   /** foreachBatch entry: wire as
     * `stream.writeStream.foreachBatch(RetrievalStream.foreachBatchProbe(
-    * s, dir, topK)(sink))`. Empty triggers skip the probe (and the
+    * s, dir, topK)(sink))`. Term-less triggers skip the probe (and the
     * sink). */
   def foreachBatchProbe(s: SparkSession, indexDir: String, topK: Int)(
       sink: DataFrame => Unit): (DataFrame, Long) => Unit =
     (batch: DataFrame, _: Long) =>
-      if (!batch.isEmpty) sink(probeIndexBatch(s, indexDir, batch, topK))
+      probeIndexBatch(s, indexDir, batch, topK).foreach(sink)
 }

@@ -72,6 +72,28 @@ class LexIndexSpec extends AnyFunSuite {
     assert(probe == inline, "recovered artifact must probe identically")
   }
 
+  test("versioned republish: a crashed flip leaves readers on the previous artifact") {
+    import org.apache.spark.sql.functions.col
+    val root = freshDir("ver")
+    val corpus = Tables.documents(spark, sf)
+    val v1 = LexIndex.publishVersioned(spark, corpus, root)
+    assert(LexIndex.currentDir(spark, root) == v1)
+    val before = LexIndex.searchBm25(spark, LexIndex.currentDir(spark, root),
+      RetrievalOps.BmQueries, RetrievalOps.Bm25TopK).collect().toSeq
+    // simulate a republish that crashed AFTER writing its version dir
+    // but BEFORE the pointer flip: readers must stay on v1 in full
+    LexIndex.publishFrom(spark, corpus.filter(col("doc_id") < 10), s"$root/v2")
+    assert(LexIndex.currentDir(spark, root) == v1,
+      "a dangling version dir must not move the pointer")
+    val still = LexIndex.searchBm25(spark, LexIndex.currentDir(spark, root),
+      RetrievalOps.BmQueries, RetrievalOps.Bm25TopK).collect().toSeq
+    assert(still == before)
+    // a completed publishVersioned (lands as v3) flips atomically
+    val v3 = LexIndex.publishVersioned(spark,
+      corpus.filter(col("doc_id") < 10), root)
+    assert(v3.endsWith("/v3") && LexIndex.currentDir(spark, root) == v3)
+  }
+
   test("stored df and meta totals equal corpus recomputation") {
     val dir = freshDir("invariants")
     LexIndex.publish(spark, sf, dir)
