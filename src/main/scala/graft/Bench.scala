@@ -228,6 +228,9 @@ object Bench {
         // once per session — pre-pay both so timed reps measure the
         // health read, not the rung walk
         "q_dedup_index_escalated_stats", "q_fingerprint_index_escalated_stats",
+        // q_pipe_scan's SharedPlans.once publish writes the native pipe
+        // tree once per session — pre-pay it like the other artifacts
+        "q_pipe_scan",
         "q_image_dhash", "q_audio_fingerprint", "q_video_fingerprint"))
       try run(w) catch { case e: Throwable =>
         System.err.println(s"[bench] warmup $w FAILED: ${e.getMessage}")

@@ -23,7 +23,7 @@ object SparkEntry {
       PipelineOps.queries ++ HealthOps.queries ++ CurationOps.queries ++
       SkewOps.queries ++ AudioOps.queries ++ EventOps.queries ++
       LinkOps.queries ++ GraphAnalyticsOps.queries ++ VideoOps.queries ++
-      RetrievalOps.queries
+      RetrievalOps.queries ++ PipeOps.queries
 
   /** Pure-OBSERVABILITY queries: oracle-checked health/recall floors (the
     * correctness gate pins their VALUES every round) whose timings no
@@ -47,5 +47,5 @@ object SparkEntry {
       PipelineOps.oracles ++ HealthOps.oracles ++ CurationOps.oracles ++
       SkewOps.oracles ++ AudioOps.oracles ++ EventOps.oracles ++
       LinkOps.oracles ++ GraphAnalyticsOps.oracles ++ VideoOps.oracles ++
-      RetrievalOps.oracles
+      RetrievalOps.oracles ++ PipeOps.oracles
 }
