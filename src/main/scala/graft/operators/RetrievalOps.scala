@@ -120,12 +120,23 @@ object RetrievalOps {
 
   /** Corpus-side BM25 statistics: doc lengths, the (doc, term, tf)
     * posting aggregate (one partial-agg exchange), term df (reuses the
-    * tf frame), and the broadcast 1-row (n_docs, avgdl) scalar. */
+    * tf frame), and the broadcast 1-row (n_docs, avgdl) scalar.
+    *
+    * `dl` is MEMOIZED per (session, dir) ([[graft.SharedPlans.shared]]):
+    * it is tiny ((doc_id, double) per document) but every un-shared
+    * consumer subtree re-runs the whole scan + tokenize pass — the
+    * inline scoring plan has three of those (dl join, the avgdl scalar,
+    * tf), and caching dl cuts them to two per build. tf itself is NOT
+    * cached: its two consumers (posting join, df) hang off one
+    * exchange, which Spark's ReuseExchange dedups — the tokenize under
+    * tf already runs once. */
   private def corpusStats(s: SparkSession, d: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), TextRules.tokens(col("text")).as("toks"))
-    val dl = toks.select(col("doc_id"), size(col("toks")).cast("double").as("dl"))
+    val dl = graft.SharedPlans.shared(s, s"bm25_dl|$d") {
+      toks.select(col("doc_id"), size(col("toks")).cast("double").as("dl"))
+    }
     val tf = toks.select(col("doc_id"), explode(col("toks")).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).cast("double").as("tf"))
     val df = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
@@ -137,14 +148,22 @@ object RetrievalOps {
   /** BM25 scores for a (query_id, term) query frame: posting-list join
     * (tf x broadcast query terms), df/dl lookups, one (query, doc) sum.
     * `excludeSelf` drops the query document from its own result (the
-    * more-like-this convention in q_hybrid_rrf). */
+    * more-like-this convention in q_hybrid_rrf).
+    *
+    * df is aggregated over the QUERY'S terms only (semijoin before the
+    * groupBy — df of a term never depends on other terms), not the full
+    * vocabulary: at a 100 TB corpus the vocabulary-wide term aggregate
+    * is millions of groups shuffled to score a handful of query terms. */
   private def bm25Scored(s: SparkSession, d: String, qterms: DataFrame,
       excludeSelf: Boolean): DataFrame = {
-    val (dl, tf, df, stats) = corpusStats(s, d)
+    val (dl, tf, _, stats) = corpusStats(s, d)
+    val dfq = tf
+      .join(broadcast(qterms.select("term").distinct()), Seq("term"))
+      .groupBy("term").agg(count(lit(1)).cast("double").as("df"))
     val posted = tf.join(broadcast(qterms), Seq("term"))
     val cut = if (excludeSelf) posted.filter(col("doc_id") =!= col("query_id"))
       else posted
-    cut.join(df, "term")
+    cut.join(dfq, "term")
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
       .withColumn("contrib", bm25Contrib)
