@@ -26,10 +26,16 @@ class ChaosSpec extends AnyFunSuite {
   // scans (VectorIndex/DedupIndex raw loaders), so the whole
   // publish→load→probe cycle is pinned retry-deterministic — including
   // the ADC path's codes-only scan
+  // ... and the NATIVE-FORMAT pipe probe (r17): its session publishes a
+  // real .dat_final tree through the DSv2 writer while the fixture scan
+  // underneath fails first attempts, then verifies CRC ledgers through
+  // the connector — publish→finalize→scan→verify retry-deterministic
+  // over the binary format, not just parquet
   private val ledgerQueries =
     Seq("q_dedup_exact", "q_latest_attempt", "q_checksum_verify",
       "q_ledger_order", "q_flow_control", "q_flow_busy",
-      "q_audio_fingerprint", "q_ann_ivfpq_idx", "q_cross_dedup_idx")
+      "q_audio_fingerprint", "q_ann_ivfpq_idx", "q_cross_dedup_idx",
+      "q_pipe_checksum_verify")
 
   // Each phase runs in a FRESH child session: the chaos gate is planned
   // from the session conf at plan-construction time, and SharedPlans
