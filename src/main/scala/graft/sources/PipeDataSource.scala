@@ -104,7 +104,22 @@ private final class PipeScanBuilder(root: String) extends ScanBuilder
     filters // all residual — pruning is exact but re-checking is free
   }
 
-  private def pidFilter(f: Filter): Option[Int => Boolean] = f match {
+  private def pidFilter(f: Filter): Option[Int => Boolean] =
+    PipeScanBuilder.pidFilter(f)
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = {
+    val conf = new SerializableHadoopConf(
+      SparkSession.active.sessionState.newHadoopConf())
+    new PipeScan(root, conf, required, pushed, pidPredicate)
+  }
+}
+
+private object PipeScanBuilder {
+  /** `partition_id` predicate → directory-name predicate, shared by
+    * planning-time pushdown and runtime (DPP) filtering. */
+  def pidFilter(f: Filter): Option[Int => Boolean] = f match {
     case EqualTo("partition_id", v: Int) => Some(_ == v)
     case In("partition_id", vs) =>
       val set = vs.collect { case i: Int => i }.toSet
@@ -116,22 +131,36 @@ private final class PipeScanBuilder(root: String) extends ScanBuilder
     case IsNotNull("partition_id") => Some(_ => true)
     case _ => None
   }
-
-  override def pushedFilters(): Array[Filter] = pushed
-
-  override def build(): Scan = {
-    val conf = new SerializableHadoopConf(
-      SparkSession.active.sessionState.newHadoopConf())
-    new PipeScan(root, conf, required, pushed, pidPredicate)
-  }
 }
 
 private final case class PipeInputPartition(file: String, pid: Int,
     bytes: Long) extends InputPartition
 
 private final class PipeScan(root: String, conf: SerializableHadoopConf,
-    required: StructType, pushed: Array[Filter], pidPredicate: Int => Boolean)
-    extends Scan with Batch with SupportsReportStatistics {
+    required: StructType, pushed: Array[Filter], staticPredicate: Int => Boolean)
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
+
+  /** Static (pushed) pruning composed with whatever runtime (DPP)
+    * predicates [[filter]] installs before partition planning. */
+  @volatile private var runtimePredicate: Int => Boolean = _ => true
+  private def pidPredicate: Int => Boolean =
+    pid => staticPredicate(pid) && runtimePredicate(pid)
+
+  /** Runtime partition pruning: a join on `partition_id` against a
+    * selective side hands the scan an IN-set at execution time (Spark's
+    * dynamic partition pruning for DSv2) — directories outside it are
+    * never listed or opened, the same physical guarantee the
+    * planning-time pushdown gives. */
+  override def filterAttributes(): Array[
+      org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(Expressions.column("partition_id"))
+
+  override def filter(filters: Array[Filter]): Unit = {
+    val preds = filters.flatMap(PipeScanBuilder.pidFilter)
+    if (preds.nonEmpty)
+      runtimePredicate = pid => preds.forall(_(pid))
+  }
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -144,7 +173,7 @@ private final class PipeScan(root: String, conf: SerializableHadoopConf,
     * reader does (ShufflePartitionReader.java:156-194); at many-partition
     * scale this is driver metadata work proportional to surviving
     * directories only. */
-  private lazy val files: Array[PipeInputPartition] = {
+  private def files: Array[PipeInputPartition] = {
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(conf.value)
     if (!fs.exists(rootPath)) Array.empty

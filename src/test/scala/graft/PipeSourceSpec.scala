@@ -155,6 +155,68 @@ class PipeSourceSpec extends AnyFunSuite {
     assert(verify.count() >= 50)
   }
 
+  test("runtime filtering (DPP) prunes directories at execution time") {
+    val dir = freshDir("dpp")
+    writeRows(dir, Seq((1, 0, 0L, 1, "one"), (2, 0, 0L, 1, "two"),
+      (7, 0, 0L, 1, "seven")))
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val bad = fs.create(new Path(s"$dir/7/shuffle_poison_7.dat_final"), true)
+    bad.write(Array.fill[Byte](40)(-1)); bad.close()
+
+    // the DSv2 runtime-filter contract, driven directly: an IN-set
+    // arriving at execution time must shrink the planned partitions
+    import org.apache.spark.sql.connector.catalog.SupportsRead
+    import org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+    import org.apache.spark.sql.sources.In
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val opts = new CaseInsensitiveStringMap(java.util.Map.of("path", dir))
+    val tbl = new graft.sources.PipeDataSource()
+      .getTable(PipeFiles.schema, Array.empty, opts.asCaseSensitiveMap())
+    val scan = tbl.asInstanceOf[SupportsRead].newScanBuilder(opts).build()
+    assert(scan.toBatch.planInputPartitions().length === 4) // 3 + poison
+    scan.asInstanceOf[SupportsRuntimeFiltering]
+      .filter(Array[org.apache.spark.sql.sources.Filter](
+        In("partition_id", Array(1, 2))))
+    assert(scan.toBatch.planInputPartitions().length === 2,
+      "runtime IN-set must prune the poisoned directory")
+
+    // end-to-end: a broadcast join against a selective dim plans dynamic
+    // pruning on the scan, so the poisoned dir 7 is never opened even
+    // though no static partition_id predicate exists
+    import spark.implicits._
+    // the dim must survive optimization as a real scan + Filter — a
+    // LocalRelation folds its filter away and the pruning rule then sees
+    // no selective predicate on the filtering side
+    val dimDir = freshDir("dim")
+    Seq((1, "a"), (2, "b"), (3, "c"), (7, "x"))
+      .toDF("pid", "tag").write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    withDppConf {
+      val joined = readPipe(dir).filter(col("checksum").isNull)
+        .join(dim.filter(col("tag") < "c"), col("partition_id") === col("pid"))
+      // the COUNT is the physical proof: without runtime pruning the scan
+      // opens poisoned dir 7 and throws — the join predicate alone cannot
+      // save it (rows filter after the read)
+      assert(joined.count() === 2) // pids 1, 2 — dir 7 pruned at runtime
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("dynamicpruning"),
+        s"expected a dynamic pruning subquery on the pipe scan:\n$plan")
+    }
+  }
+
+  private def withDppConf[T](body: => T): T = {
+    // at fixture scale the benefit heuristic (size-based) never fires; pin
+    // the DECISION inputs so the test exercises the mechanism: trust the
+    // fallback ratio instead of stats, and don't require broadcast reuse
+    val pins = Seq(
+      "spark.sql.optimizer.dynamicPartitionPruning.useStats" -> "false",
+      "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly" -> "false",
+      "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio" -> "10000.0")
+    val prev = pins.map { case (k, _) => k -> spark.conf.get(k) }
+    pins.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("micro-batch stream: each finalized file wave exactly once") {
     val dir = freshDir("stream")
     writeRows(dir, Seq((0, 0, 0L, 1, "first")))
