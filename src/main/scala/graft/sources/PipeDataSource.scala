@@ -172,15 +172,23 @@ private final class PipeScan(root: String, conf: SerializableHadoopConf,
     * two levels (dirs, then files) — the same enumeration the reference's
     * reader does (ShufflePartitionReader.java:156-194); at many-partition
     * scale this is driver metadata work proportional to surviving
-    * directories only. */
-  private def files: Array[PipeInputPartition] = {
+    * directories only. Listed ONCE per scan under the static (pushed)
+    * predicate — a later runtime (DPP) IN-set filters the memoized list
+    * in memory, it never re-lists. */
+  private lazy val staticFiles: Array[PipeInputPartition] =
+    listFiles(staticPredicate)
+
+  private def files: Array[PipeInputPartition] =
+    staticFiles.filter(p => runtimePredicate(p.pid))
+
+  private def listFiles(pred: Int => Boolean): Array[PipeInputPartition] = {
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(conf.value)
     if (!fs.exists(rootPath)) Array.empty
     else fs.listStatus(rootPath).iterator
       .filter(_.isDirectory)
       .flatMap { d =>
-        scala.util.Try(d.getPath.getName.toInt).toOption.filter(pidPredicate)
+        scala.util.Try(d.getPath.getName.toInt).toOption.filter(pred)
           .toSeq.flatMap { pid =>
             fs.listStatus(d.getPath).iterator
               .filter(st => st.isFile &&
@@ -210,25 +218,10 @@ private final class PipeScan(root: String, conf: SerializableHadoopConf,
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new PipeMicroBatchStream(this)
 
-  private[sources] def listNow(): Array[PipeInputPartition] = {
-    // re-list on every call (the batch-side `files` memoizes; a stream
+  private[sources] def listNow(): Array[PipeInputPartition] =
+    // re-list on every call (the batch-side listing memoizes; a stream
     // must observe newly finalized files)
-    val rootPath = new Path(root)
-    val fs = rootPath.getFileSystem(conf.value)
-    if (!fs.exists(rootPath)) Array.empty
-    else fs.listStatus(rootPath).iterator
-      .filter(_.isDirectory)
-      .flatMap { d =>
-        scala.util.Try(d.getPath.getName.toInt).toOption.filter(pidPredicate)
-          .toSeq.flatMap { pid =>
-            fs.listStatus(d.getPath).iterator
-              .filter(st => st.isFile &&
-                st.getPath.getName.endsWith(PipeFiles.FinalSuffix))
-              .map(st => PipeInputPartition(
-                st.getPath.toString, pid, st.getLen))
-          }
-      }.toArray
-  }
+    listFiles(pidPredicate)
 
   private[sources] def streamReaderFactory(): PartitionReaderFactory =
     new PipeReaderFactory(conf, required.fieldNames)
