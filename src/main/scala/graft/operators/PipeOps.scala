@@ -148,10 +148,39 @@ object PipeOps {
       .orderBy("partition_id", "map_id")
   }
 
+  /** Payload-content round-trip inside the gate: decode the cleaned
+    * stream's block bytes back to their typed fields and aggregate —
+    * the checksum query proves the bytes' CRC ledger, this one proves
+    * the BYTES themselves carry the data (write → finalize → scan →
+    * decode, byte-exact against the oracle's recomputation from the
+    * source table). The payload column is read here, so this is also
+    * the gate's exercise of the non-pruned read path. */
+  private val qPipeDecode: Q = (s, d) => {
+    val data = dataRows(pipe(s, d))
+      .select("partition_id", "map_id", "attempt_id", "seq_id", "payload")
+    val latest = data.groupBy("partition_id", "map_id")
+      .agg(max(col("attempt_id")).as("attempt_id"))
+    data.join(latest, Seq("partition_id", "map_id", "attempt_id"))
+      .dropDuplicates("partition_id", "map_id", "attempt_id", "seq_id")
+      .select(col("partition_id"),
+        split(decode(col("payload"), "UTF-8"), "\\|").as("f"))
+      .select(col("partition_id"),
+        element_at(col("f"), 1).cast("long").as("ok"),
+        element_at(col("f"), 2).cast("long").as("pk"),
+        element_at(col("f"), 3).cast("long").as("sk"),
+        element_at(col("f"), 4).cast("long").as("ln"))
+      .groupBy("partition_id")
+      .agg(count(lit(1)).as("n_rows"), sum(col("ok")).as("sum_ok"),
+        sum(col("pk")).as("sum_pk"), sum(col("sk")).as("sum_sk"),
+        sum(col("ln")).as("sum_ln"))
+      .orderBy("partition_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_pipe_scan" -> qPipeScan,
     "q_pipe_latest" -> qPipeLatest,
     "q_pipe_checksum_verify" -> qPipeChecksumVerify,
+    "q_pipe_decode" -> qPipeDecode,
   )
 
   /** Shared derivation CTE: the logical rows plus the physical write
@@ -190,5 +219,14 @@ object PipeOps {
       |       count(*) AS n_blocks,
       |       NOT (pid = 2 AND mid = 5) AS ok
       |FROM base GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the cleaned stream's decoded fields == the source rows, byte-exact
+    "q_pipe_decode" ->
+      """SELECT CAST(l_orderkey % 8 AS INT) AS partition_id,
+        |       count(*) AS n_rows,
+        |       CAST(sum(l_orderkey) AS BIGINT) AS sum_ok,
+        |       CAST(sum(l_partkey) AS BIGINT) AS sum_pk,
+        |       CAST(sum(l_suppkey) AS BIGINT) AS sum_sk,
+        |       CAST(sum(l_linenumber) AS BIGINT) AS sum_ln
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }
