@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
 import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder, Transform}
+import org.apache.spark.sql.connector.metric.{CustomMetric, CustomSumMetric, CustomTaskMetric}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
 import org.apache.spark.sql.connector.write._
@@ -76,12 +77,13 @@ private final class PipeTable(root: String) extends Table
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new PipeScanBuilder(root)
+    new PipeScanBuilder(root, options.getBoolean("requireCommitted", false))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new PipeWriteBuilder(root, info)
 }
 
-private final class PipeScanBuilder(root: String) extends ScanBuilder
+private final class PipeScanBuilder(root: String, requireCommitted: Boolean)
+    extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var required: StructType = PipeFiles.schema
@@ -112,7 +114,7 @@ private final class PipeScanBuilder(root: String) extends ScanBuilder
   override def build(): Scan = {
     val conf = new SerializableHadoopConf(
       SparkSession.active.sessionState.newHadoopConf())
-    new PipeScan(root, conf, required, pushed, pidPredicate)
+    new PipeScan(root, conf, required, pushed, pidPredicate, requireCommitted)
   }
 }
 
@@ -136,8 +138,30 @@ private object PipeScanBuilder {
 private final case class PipeInputPartition(file: String, pid: Int,
     bytes: Long) extends InputPartition
 
+/** SQL-metric surface of the byte-level pruning claim: how many payload
+  * bytes the scan READ vs SEEKED PAST — the connector's IO story as a
+  * measured number on every pipe scan (Spark UI / SQLMetrics), not a
+  * doc assertion. */
+private object PipeMetrics {
+  final class PayloadBytesRead extends CustomSumMetric {
+    override def name(): String = "payloadBytesRead"
+    override def description(): String = "payload bytes read"
+  }
+  final class PayloadBytesSkipped extends CustomSumMetric {
+    override def name(): String = "payloadBytesSkipped"
+    override def description(): String =
+      "payload bytes seeked past (column pruning)"
+  }
+  final case class Value(metricName: String, metricValue: Long)
+      extends CustomTaskMetric {
+    override def name(): String = metricName
+    override def value(): Long = metricValue
+  }
+}
+
 private final class PipeScan(root: String, conf: SerializableHadoopConf,
-    required: StructType, pushed: Array[Filter], staticPredicate: Int => Boolean)
+    required: StructType, pushed: Array[Filter], staticPredicate: Int => Boolean,
+    requireCommitted: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
 
@@ -184,6 +208,16 @@ private final class PipeScan(root: String, conf: SerializableHadoopConf,
   private def listFiles(pred: Int => Boolean): Array[PipeInputPartition] = {
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(conf.value)
+    // the reference's stage barrier (#27): readers poll for the driver's
+    // job-level marker before trusting the file SET is complete
+    // (ShuffleFileUtils.java:47-54, ShuffleDataExecutor.java:119-138) —
+    // per-file .dat_final visibility alone cannot distinguish "job done"
+    // from "job half-committed". Opt-in because a STREAMING read of a
+    // live tree is exactly the before-commit case.
+    if (requireCommitted &&
+        !fs.exists(new Path(rootPath, PipeFiles.SucceedMarker)))
+      throw new IllegalStateException(
+        s"pipe tree not committed: no ${PipeFiles.SucceedMarker} under $root")
     if (!fs.exists(rootPath)) Array.empty
     else fs.listStatus(rootPath).iterator
       .filter(_.isDirectory)
@@ -201,6 +235,10 @@ private final class PipeScan(root: String, conf: SerializableHadoopConf,
 
   override def planInputPartitions(): Array[InputPartition] =
     files.toArray[InputPartition]
+
+  override def supportedCustomMetrics(): Array[CustomMetric] =
+    Array(new PipeMetrics.PayloadBytesRead,
+      new PipeMetrics.PayloadBytesSkipped)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new PipeReaderFactory(conf, required.fieldNames)
@@ -274,6 +312,10 @@ private final class PipePartitionReader(part: PipeInputPartition,
     current = parser.next()
     current != null
   }
+
+  override def currentMetricsValues(): Array[CustomTaskMetric] =
+    Array(PipeMetrics.Value("payloadBytesRead", parser.payloadBytesRead),
+      PipeMetrics.Value("payloadBytesSkipped", parser.payloadBytesSkipped))
 
   override def get(): InternalRow = {
     val vals = new Array[Any](getters.length)

@@ -203,6 +203,12 @@ object PipeFiles {
   private[sources] final class PipeFileParser(
       in: FSDataInputStream, path: String, wantPayload: Boolean) {
 
+    /** Payload IO counters, exported as scan SQL metrics
+      * ([[PipeDataSource]]): read = bytes decoded, skipped = bytes
+      * seeked past under column pruning. */
+    var payloadBytesRead: Long = 0L
+    var payloadBytesSkipped: Long = 0L
+
     /** Next record, or null at clean EOF. */
     def next(): PipeRecord = {
       val first = in.read()
@@ -231,12 +237,14 @@ object PipeFiles {
         catch { case _: EOFException =>
           throw new IOException(s"torn pipe payload in $path")
         }
+        payloadBytesRead += len
         PipeRecord(mapId, attemptId, seqId, lengthSlot, -1L, payload)
       } else {
         val end = in.getPos + len
         in.seek(end)
         if (in.getPos != end)
           throw new IOException(s"torn pipe payload in $path")
+        payloadBytesSkipped += len
         PipeRecord(mapId, attemptId, seqId, lengthSlot, -1L, null)
       }
     }

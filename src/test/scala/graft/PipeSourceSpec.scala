@@ -155,6 +155,44 @@ class PipeSourceSpec extends AnyFunSuite {
     assert(verify.count() >= 50)
   }
 
+  test("payload IO is a measured SQL metric, not a doc claim") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val dir = freshDir("metrics")
+    writeRows(dir, Seq((0, 0, 0L, 1, "twelve-bytes"), (0, 0, 0L, 2, "four")))
+    def scanMetrics(df: org.apache.spark.sql.DataFrame): Map[String, Long] = {
+      df.collect()
+      val scan = df.queryExecution.executedPlan.collectLeaves()
+        .collectFirst { case b: BatchScanExec => b }.get
+      scan.metrics.map { case (k, m) => k -> m.value }
+    }
+    // pruned scan: every payload byte seeked past, none read
+    val slim = scanMetrics(readPipe(dir).select("partition_id", "length"))
+    assert(slim("payloadBytesSkipped") === 16L, slim.toString)
+    assert(slim("payloadBytesRead") === 0L)
+    // full scan: every payload byte read, none skipped
+    val full = scanMetrics(readPipe(dir))
+    assert(full("payloadBytesRead") === 16L, full.toString)
+    assert(full("payloadBytesSkipped") === 0L)
+  }
+
+  test("requireCommitted gates the batch read on the job marker") {
+    val dir = freshDir("committed")
+    writeRows(dir, Seq((0, 0, 0L, 1, "done")))
+    def committedRead =
+      spark.read.format(PipeOps.Source).option("requireCommitted", "true")
+        .load(dir)
+    assert(committedRead.count() === 2)
+    // a half-committed job: finalized files exist, marker doesn't
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new Path(dir, PipeFiles.SucceedMarker), false)
+    val ex = intercept[Exception](committedRead.count())
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.toString +: chain(t.getCause)
+    assert(chain(ex).exists(_.contains("not committed")), chain(ex).mkString("\n"))
+    // the default read stays available (the streaming / live-tree case)
+    assert(readPipe(dir).count() === 2)
+  }
+
   test("runtime filtering (DPP) prunes directories at execution time") {
     val dir = freshDir("dpp")
     writeRows(dir, Seq((1, 0, 0L, 1, "one"), (2, 0, 0L, 1, "two"),
@@ -223,22 +261,42 @@ class PipeSourceSpec extends AnyFunSuite {
     val stream = spark.readStream.format(PipeOps.Source).load(dir)
       .filter(col("checksum").isNull)
       .select("partition_id", "map_id", "seq_id", "length")
-    val query = stream.writeStream.format("memory").queryName("pipe_stream")
-      .option("checkpointLocation", freshDir("ckpt")).start()
+    val ckpt = freshDir("ckpt")
+    // foreachBatch sink: supports checkpoint RECOVERY (the memory sink
+    // does not), so the restart leg below exercises deserializeOffset
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    def startQ() = stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.select("partition_id").collect().foreach(r => got.add(r.getInt(0)))
+        ()
+      }.start()
+    val query = startQ()
     try {
       query.processAllAvailable()
-      assert(spark.table("pipe_stream").count() === 1)
+      assert(got.toArray.toSeq === Seq(0))
       // a second write wave finalizes new files → exactly the new rows
       writeRows(dir, Seq((1, 0, 0L, 1, "second"), (2, 3, 0L, 1, "third")),
         overwrite = false)
       query.processAllAvailable()
-      assert(spark.table("pipe_stream").select("partition_id").collect()
-        .map(_.getInt(0)).sorted.toSeq === Seq(0, 1, 2))
+      assert(got.toArray.map(_.asInstanceOf[Int]).sorted.toSeq === Seq(0, 1, 2))
       // idle poll: nothing re-emitted (the wait-for-finalize loop sees
       // no new finalized pipes)
       query.processAllAvailable()
-      assert(spark.table("pipe_stream").count() === 3)
+      assert(got.size === 3)
     } finally query.stop()
+
+    // RESTART from the checkpoint: the committed offset round-trips
+    // through its JSON form (deserializeOffset) and only files finalized
+    // after it are emitted
+    writeRows(dir, Seq((3, 0, 0L, 1, "fourth")), overwrite = false)
+    got.clear()
+    val q2 = startQ()
+    try {
+      q2.processAllAvailable()
+      assert(got.toArray.toSeq === Seq(3),
+        "a restarted stream must resume AFTER the committed file set")
+    } finally q2.stop()
   }
 
   test("q_pipe_scan prunes partitions and counts the raw physical stream") {
