@@ -125,7 +125,14 @@ object PipeOps {
     * run CRC32 (DuckDB has none), so it checks the OUTCOME against the
     * planted-fault ground truth plus the exactly-recomputed block counts
     * — the ok column is engine-computed from real CRC32s, oracle-pinned
-    * by where the fault was planted. */
+    * by where the fault was planted.
+    *
+    * Known edge (documented, matching the format's own assumption): a
+    * map whose SAME-attempt blocks repeat the same seq across two FILES
+    * (cross-file resend) double-counts in the summed stored ledgers —
+    * the reference never produces that layout (one worker file owns a
+    * (partition, map, attempt)'s stream), and neither does
+    * [[graft.sources.PipeFiles.write]] (clustered by partition). */
   private val qPipeChecksumVerify: Q = (s, d) => {
     val rows = pipe(s, d)
     val data = dataRows(rows)
@@ -138,8 +145,14 @@ object PipeOps {
       .groupBy("partition_id", "map_id")
       .agg(sum(crc32(col("payload"))).as("computed"),
         count(lit(1)).as("n_blocks"))
+    // ledger records pass the SAME attempt gate the reference's reader
+    // applies before trusting a checksum (PartitionPipeReader.java:
+    // 150-170 discards non-latest checksum records): in a multi-wave
+    // tree, a superseded attempt's file still carries its own ledger —
+    // summing it in would flag every retried map as corrupt
     val stored = rows
       .filter(col("seq_id") === graft.sources.PipeFiles.ChecksumSeqId)
+      .join(latest, Seq("partition_id", "map_id", "attempt_id"))
       .groupBy("partition_id", "map_id")
       .agg(sum(col("checksum")).as("stored"))
     computed.join(stored, Seq("partition_id", "map_id"))

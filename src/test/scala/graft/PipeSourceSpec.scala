@@ -155,6 +155,46 @@ class PipeSourceSpec extends AnyFunSuite {
     assert(verify.count() >= 50)
   }
 
+  test("checksum verify survives an attempt-superseding append wave") {
+    // a retried map re-sent in a LATER wave: the superseded attempt's
+    // file still carries its own ledger record, which the verify must
+    // discard exactly as the reference's reader does — summing it in
+    // would flag every cross-wave retry as corruption
+    val dir = freshDir("waves")
+    writeRows(dir, Seq((0, 1, 0L, 1, "alpha"), (0, 1, 0L, 2, "beta"),
+      (0, 2, 0L, 1, "gamma")))
+    writeRows(dir, Seq((0, 1, 1L, 1, "alpha"), (0, 1, 1L, 2, "beta")),
+      overwrite = false)
+    val rows = readPipe(dir)
+    // two ledger records for map 1 (one per wave) — only attempt 1 counts
+    assert(rows.filter(col("checksum").isNotNull &&
+      col("map_id") === 1).count() === 2)
+    val verify = rows.filter(col("checksum").isNull)
+    val data = verify.select("partition_id", "map_id", "attempt_id")
+    assert(data.filter(col("map_id") === 1 && col("attempt_id") === 1)
+      .count() === 2)
+    // drive the registered query shape over this tree via the same ops:
+    // recompute inline (the registered query is bound to the fixture dir)
+    import org.apache.spark.sql.functions.{max => fmax, sum => fsum}
+    val d2 = rows.filter(col("checksum").isNull)
+      .select("partition_id", "map_id", "attempt_id", "seq_id", "payload")
+    val latest = d2.groupBy("partition_id", "map_id")
+      .agg(fmax(col("attempt_id")).as("attempt_id"))
+    val computed = d2.join(latest, Seq("partition_id", "map_id", "attempt_id"))
+      .dropDuplicates("partition_id", "map_id", "attempt_id", "seq_id")
+      .groupBy("partition_id", "map_id")
+      .agg(fsum(crc32(col("payload"))).as("computed"))
+    val stored = rows.filter(col("checksum").isNotNull)
+      .join(latest, Seq("partition_id", "map_id", "attempt_id"))
+      .groupBy("partition_id", "map_id")
+      .agg(fsum(col("checksum")).as("stored"))
+    val verdicts = computed.join(stored, Seq("partition_id", "map_id"))
+      .select(col("map_id"), (col("computed") === col("stored")).as("ok"))
+      .collect().map(r => (r.getInt(0), r.getBoolean(1))).toMap
+    assert(verdicts === Map(1 -> true, 2 -> true),
+      s"cross-wave retry must verify clean, got $verdicts")
+  }
+
   test("payload IO is a measured SQL metric, not a doc claim") {
     import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
     val dir = freshDir("metrics")
