@@ -214,20 +214,29 @@ object DedupOps {
   def ngramDfCap(nDocs: Long): Long =
     math.max(NgramDfCapFloor, math.ceil(nDocs * NgramDfCapFrac).toLong)
 
-  /** Ground truth: blocked exact n-gram Jaccard, with the df-cap bounding
-    * the pair join. SPLIT-INTERSECTION shape: candidate pairs AND their
-    * kept-shingle intersection counts come straight off the capped
-    * self-join (groupBy-count — no distinct pass, no re-verification
-    * join); the capped (boilerplate) shingles' contribution is recovered
-    * from per-doc capped-hash arrays, which are tiny by construction —
-    * few DISTINCT boilerplate shingles per doc even when their df is
-    * huge. inter_total = inter_kept + |capped_a ∩ capped_b| is exact, so
-    * the result equals the uncapped Jaccard for every pair that shares at
-    * least one uncapped shingle (the cap's documented recall contract). */
-  private val qNgramJaccard: Q = (s, d) => {
+  /** Exact pair frame (doc_a, doc_b, inter, n_a, n_b): blocked exact
+    * shingle intersection with the df-cap bounding the pair join — the
+    * shared ground-truth base of q_ngram_jaccard (symmetric similarity)
+    * and q_containment (asymmetric overlap). SPLIT-INTERSECTION shape:
+    * candidate pairs AND their kept-shingle intersection counts come
+    * straight off the capped self-join (groupBy-count — no distinct
+    * pass, no re-verification join); the capped (boilerplate) shingles'
+    * contribution is recovered from per-doc capped-hash arrays, which
+    * are tiny by construction — few DISTINCT boilerplate shingles per
+    * doc even when their df is huge. inter_total = inter_kept +
+    * |capped_a ∩ capped_b| is exact, so the result equals the uncapped
+    * intersection for every pair that shares at least one uncapped
+    * shingle (the cap's documented recall contract). */
+  private def exactPairFrame(s: SparkSession, d: String): DataFrame =
+    exactPairsOf(s, Tables.documents(s, d))
+
+  /** [[exactPairFrame]] over an arbitrary documents-shaped frame
+    * (doc_id, text) — specs plant subset/overlap fixtures through the
+    * exact production pipeline. */
+  private[graft] def exactPairsOf(s: SparkSession, docs: DataFrame): DataFrame = {
     // persisted: feeds the df aggregation, both capped-join sides, the
     // capped arrays and the per-doc sizes — all within the one action
-    val sh = graft.Caching.persist(shingles(s, d)
+    val sh = graft.Caching.persist(shinglesOf(s, docs)
       .select(col("doc_id"), xxhash64(col("shingle")).as("h")))
     // Job 1: corpus doc count for the relative cap — a parquet
     // metadata-only count (footer row counts, no text scan). Job 2 (pays
@@ -239,7 +248,7 @@ object DedupOps {
     // shuffles vs the uncapped r2 plan (an anti-join/tagged-join variant
     // measured +2.5-3s of pure local job overhead from the extra
     // broadcast subtrees racing to materialize the cache).
-    val nDocs = Tables.documents(s, d).count()
+    val nDocs = docs.count()
     val cap = ngramDfCap(nDocs)
     // the filter must use the COMPUTED cap, not the constant floor: at
     // large nDocs the cap is 0.005·nDocs >> floor, and filtering at the
@@ -281,12 +290,58 @@ object DedupOps {
               .otherwise(size(array_intersect(col("ch_a"), col("ch_b"))).cast("long")))
       }
     withInter
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        col("za.n").as("n_a"), col("zb.n").as("n_b"))
+  }
+
+  /** Ground truth: exact n-gram Jaccard over [[exactPairFrame]]'s
+    * candidate pairs — the symmetric near-dup certificate. */
+  private val qNgramJaccard: Q = (s, d) =>
+    exactPairFrame(s, d)
       .select(col("doc_a"), col("doc_b"),
         (col("inter").cast("double") /
-          (col("za.n") + col("zb.n") - col("inter"))).as("jaccard"))
+          (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= 0.8)
       .orderBy("doc_a", "doc_b")
-  }
+
+  /** Containment threshold: the smaller document's shingle set must be
+    * >= 90% inside the larger one's (Broder's containment measure —
+    * "On the resemblance and containment of documents", 1997). */
+  val ContainmentThreshold = 0.9
+
+  /** Asymmetric CONTAINMENT dedup: C(A,B) = |A ∩ B| / min(|A|, |B|) over
+    * the same exact pair frame as q_ngram_jaccard. Symmetric Jaccard
+    * structurally MISSES subset duplicates — a short doc quoted whole
+    * inside a much longer one has J = |A|/|B| ≈ 0 but containment ≈ 1 —
+    * and those are real training-data duplicates (press-release reposts
+    * with added commentary, quoted articles, boilerplate-wrapped
+    * bodies). Emits every pair at containment >= [[ContainmentThreshold]]
+    * with BOTH measures, so a pipeline can route pure-subset pairs
+    * (high containment, low Jaccard) separately from near-identical
+    * ones. The division is a single IEEE op on exact integer counts —
+    * deterministic across engines, no rounding needed.
+    *
+    * Scale shape: identical to q_ngram_jaccard (one capped self-join on
+    * 8-byte shingle hashes, split-intersection recovery) — the pair
+    * frame is shared code, so the two certificates can never drift. The
+    * df-cap recall contract carries over: a contained pair is certified
+    * exactly iff it shares >= 1 uncapped shingle, and a subset doc made
+    * ENTIRELY of boilerplate shingles is (correctly) not a dedup
+    * candidate. */
+  private val qContainment: Q = (s, d) =>
+    containmentOf(s, Tables.documents(s, d))
+
+  /** The containment certificate over an arbitrary documents frame —
+    * shared by the registered query and the planted-subset spec. */
+  private[graft] def containmentOf(s: SparkSession, docs: DataFrame): DataFrame =
+    exactPairsOf(s, docs)
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") /
+          least(col("n_a"), col("n_b"))).as("containment"),
+        (col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
+      .filter(col("containment") >= ContainmentThreshold)
+      .orderBy("doc_a", "doc_b")
 
   /** Per-(band, value) bucket width cap for the LSH self-joins. A bucket
     * of width w contributes C(w,2) pairs: one mega-cluster of
@@ -1065,6 +1120,7 @@ object DedupOps {
 
   val queries: Map[String, Q] = Map(
     "q_ngram_jaccard" -> qNgramJaccard,
+    "q_containment" -> qContainment,
     "q_text_minhash" -> qTextMinhash,
     "q_text_simhash" -> qTextSimhash,
     "q_dedup_cluster" -> qDedupCluster,
@@ -1304,10 +1360,13 @@ object DedupOps {
       |FROM labels l JOIN documents d ON l.doc_id = d.doc_id
       |ORDER BY l.doc_id""".stripMargin
 
-  /** The df-capped ground truth — mirrors qNgramJaccard exactly: pairing
-    * is restricted to shingles with 2 <= df <= max(floor, frac·nDocs);
-    * Jaccard is computed over the FULL shingle sets of candidate pairs. */
-  private val cappedPairsSql =
+  /** The df-capped ground-truth pair CTEs — mirror [[exactPairFrame]]
+    * exactly: pairing is restricted to shingles with 2 <= df <=
+    * max(floor, frac·nDocs); intersections are computed over the FULL
+    * shingle sets of candidate pairs. Ends in `pairs(doc_a, doc_b,
+    * inter)` + `sizes(doc_id, n)` — shared by the q_ngram_jaccard and
+    * q_containment oracles so the two certificates cannot drift. */
+  private val exactPairCtes =
     s"""WITH toks AS (
       |  SELECT doc_id, (list_filter(string_split_regex(lower(text), '\\W+'),
       |                             x -> x <> ''))[:$DocTokenCap] AS t
@@ -1331,13 +1390,29 @@ object DedupOps {
       |  FROM cand c
       |  JOIN sh a ON a.doc_id = c.doc_a
       |  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
-      |  GROUP BY 1, 2)
+      |  GROUP BY 1, 2)""".stripMargin
+
+  private val cappedPairsSql =
+    s"""$exactPairCtes
       |SELECT doc_a, doc_b,
       |       CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
       |FROM pairs
       |JOIN sizes sa ON doc_a = sa.doc_id
       |JOIN sizes sb ON doc_b = sb.doc_id
       |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** q_containment oracle: same pair CTEs, containment + Jaccard emitted
+    * together, thresholded on containment. */
+  private val containmentSql =
+    s"""$exactPairCtes
+      |SELECT doc_a, doc_b,
+      |       CAST(inter AS DOUBLE) / least(sa.n, sb.n) AS containment,
+      |       CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+      |FROM pairs
+      |JOIN sizes sa ON doc_a = sa.doc_id
+      |JOIN sizes sb ON doc_b = sb.doc_id
+      |WHERE CAST(inter AS DOUBLE) / least(sa.n, sb.n) >= $ContainmentThreshold
       |ORDER BY doc_a, doc_b""".stripMargin
 
   /** Cross-dedup oracle: exact Jaccard between the odd (incoming) and
@@ -1432,6 +1507,7 @@ object DedupOps {
 
   val oracles: Map[String, String] = Map(
     "q_ngram_jaccard" -> cappedPairsSql,
+    "q_containment" -> containmentSql,
     "q_text_minhash" -> exactPairsSql,
     "q_text_simhash" -> exactPairsSql,
     "q_dedup_cluster" -> clusterSql,

@@ -1137,6 +1137,132 @@ object VectorOps {
       .orderBy("dim")
   }
 
+  /** Power-iteration rounds for the principal component (unrolled in the
+    * oracle — keep literal). */
+  private val PcaRounds = 8
+
+  /** Principal-component extraction over the embedding corpus — the
+    * spectral preprocessing step of training-data curation (whitening
+    * before OPQ/PCA-rotated quantization, projection axes for semantic
+    * clustering): top covariance eigenvector via [[PcaRounds]] fixed
+    * power-iteration rounds from the deterministic start v0 = 1/√dim,
+    * then the corpus projected onto it, reported as per-label projection
+    * statistics (class separation along PC1) plus the Rayleigh-quotient
+    * eigenvalue.
+    *
+    * Physical shape at 100 TB: the covariance needs ONE aggregate row —
+    * the mean (dim doubles) and the flattened second-moment matrix
+    * (dim² doubles) both ride [[graft.functions.VectorAvg]], so every
+    * map task reduces its rows to an O(dim²) partial (32 KB at dim 64)
+    * and a single exchange carries cells-free fixed-size state; C = S −
+    * m·mᵀ needs no second centering pass. The collected matrix is
+    * driver-small BY CONSTRUCTION (dim² doubles — same class as the
+    * Lloyd centroid collect), the power iteration is dim² driver
+    * arithmetic, and the projection pass broadcasts the component as a
+    * literal array — map-side expression work only, one final exchange
+    * for the per-label aggregate.
+    *
+    * Determinism: fixed start, fixed rounds — both engines run the same
+    * arithmetic (including the eigenvector's sign), differing only in
+    * double-sum association order (~1e-15), absorbed by round(.,4) like
+    * q_embed_centroids. */
+  private val qEmbedPca: Q = (s, d) =>
+    pcaOf(s, Tables.spread(s, Tables.embeddings(s, d)))
+
+  /** The PCA pipeline over an arbitrary (vec_id, label, embedding)
+    * frame — specs feed planted-spectrum fixtures through the exact
+    * production arithmetic. */
+  private[graft] def pcaOf(s: SparkSession, emb: DataFrame): DataFrame = {
+    GraftFunctions.register(s)
+    val e = emb
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("ed"))
+    val agg = e.agg(
+      expr("vector_avg(ed)").as("m"),
+      expr("vector_avg(flatten(transform(ed, x -> transform(ed, y -> x * y))))")
+        .as("s2")).collect()(0)
+    val m = agg.getSeq[Double](0).toArray
+    val s2 = agg.getSeq[Double](1).toArray
+    val dim = m.length
+    val cov = Array.tabulate(dim, dim)((i, j) => s2(i * dim + j) - m(i) * m(j))
+    var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+    for (_ <- 1 to PcaRounds) {
+      val w = Array.tabulate(dim)(i =>
+        (0 until dim).map(j => cov(i)(j) * v(j)).sum)
+      val nrm = math.sqrt(w.map(x => x * x).sum)
+      v = w.map(_ / nrm)
+    }
+    val eig = (0 until dim)
+      .map(i => (0 until dim).map(j => v(i) * cov(i)(j) * v(j)).sum).sum
+    e.withColumn("pcv", array(v.map(lit(_)): _*))
+      .withColumn("pcm", array(m.map(lit(_)): _*))
+      .withColumn("p", expr(
+        """aggregate(sequence(0, size(ed) - 1), CAST(0 AS DOUBLE),
+          |          (acc, i) -> acc + (ed[i] - pcm[i]) * pcv[i])""".stripMargin))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg(col("p")), 4).as("mean_p"),
+        round(avg(col("p") * col("p")) - avg(col("p")) * avg(col("p")), 4)
+          .as("var_p"))
+      .withColumn("eig_r", round(lit(eig), 4))
+      .orderBy("label")
+  }
+
+  /** Hard-example data pruning over k-means prototypes (Sorscher et al.
+    * 2022, "Beyond neural scaling laws": with abundant data, keeping the
+    * HARDEST examples per self-supervised prototype cluster beats random
+    * pruning): train the IVF cell centroids — the SAME hash-sample and
+    * sqrt cell schedule as q_ann_ivf, so the oracle reuses the unrolled
+    * Lloyd replay verbatim — assign the corpus, score every vector by
+    * cosine to its prototype, and keep the hardest half of each cluster
+    * (lowest prototype similarity = farthest from the prototype = most
+    * informative). The keep rule `2·rk <= n+1` (= rk <= ceil(n/2)) is
+    * pure integer arithmetic, engine-neutral by construction; the only
+    * FP in play is the cosine rank order (the documented hazard class
+    * that has held exact through every round).
+    *
+    * Scale shape: one broadcast assignment pass (tiny centroid table),
+    * then ONE exchange on cell for the rank window — O(cells) output
+    * rows (population, kept count, kept-id checksum, hardest example),
+    * never the kept list itself; the keep DECISION for any vector is
+    * recomputable from its rank, the same contract as the sampling
+    * family. Training cost is the shared Lloyd passes over a 25%
+    * hash-sample. */
+  private val qPrototypePrune: Q = (s, d) => {
+    val e = graft.Caching.persist(Tables.spread(s, Tables.embeddings(s, d)))
+    val cent = trainCentroids(s,
+      e.filter(Tables.phash(col("vec_id")) % 4 === 0),
+      ivfCellsFor(corpusSize(s, d)))
+    prototypePruneOf(s, e, cent)
+  }
+
+  /** The prune pipeline against a GIVEN prototype table — the registered
+    * query trains prototypes on the shared IVF schedule; specs pass
+    * hand-built centroids so the keep geometry is analytically checkable. */
+  private[graft] def prototypePruneOf(s: SparkSession, e: DataFrame,
+      cent: DataFrame): DataFrame = {
+    GraftFunctions.register(s)
+    // assignCells with the winning similarity kept (the prune score)
+    val scored = e.join(broadcast(cent))
+      .select(col("vec_id"), col("cell"),
+        expr("cosine_sim(embedding, centroid)").as("csim"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cell"))))
+      .filter(col("rk") === 1)
+      .select("vec_id", "cell", "csim")
+    val keep = col("hrk") * 2 <= col("n") + 1
+    scored
+      .withColumn("hrk", row_number().over(
+        Window.partitionBy("cell").orderBy(col("csim").asc, col("vec_id"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("cell")))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(keep, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(keep, col("vec_id")).otherwise(0L)).as("kept_idsum"),
+        min(when(col("hrk") === 1, col("vec_id"))).as("hardest_id"))
+      .orderBy("cell")
+  }
+
   /** Symmetric int8 quantization of the embedding column — the standard
     * compression step before a billion-vector ANN index (4× smaller than
     * float32, SIMD-friendly dot products). Per vector: scale = 127/max|x|,
@@ -1428,6 +1554,8 @@ object VectorOps {
     "q_ann_recall_res_idx" -> qAnnRecallResIdx,
     "q_embed_centroids" -> qEmbedCentroids,
     "q_embed_diagnostics" -> qEmbedDiagnostics,
+    "q_embed_pca" -> qEmbedPca,
+    "q_prototype_prune" -> qPrototypePrune,
   )
 
   // ---- DuckDB recomputation of the approximate paths ------------------
@@ -1937,7 +2065,89 @@ object VectorOps {
         |       round(avg(v), 4) AS mean_r,
         |       round(avg(v * v) - avg(v) * avg(v), 4) AS var_r
         |FROM u GROUP BY dim ORDER BY dim""".stripMargin,
+    "q_embed_pca" -> pcaSql,
+    "q_prototype_prune" -> prototypePruneSql,
   )
+
+  /** q_embed_pca replay: mean + second-moment matrix from a per-(row,
+    * dim) double unnest, C = S − m·mᵀ, then the SAME [[PcaRounds]]
+    * power-iteration rounds unrolled as wK/vK CTE pairs (matvec as a
+    * join-aggregate, normalization as a scalar subquery) from the
+    * identical v0 = 1/√dim start, Rayleigh eigenvalue, and the per-label
+    * projection stats — round(.,4) absorbs double-sum association order
+    * exactly like the centroids oracle. */
+  private def pcaSql: String = {
+    // MATERIALIZED throughout: every vK is referenced by the next round
+    // AND cov by all of them — inlined, the replay's expression tree
+    // grows exponentially in PcaRounds (same reason padc materializes)
+    val rounds = (1 to PcaRounds).map { k =>
+      val prev = if (k == 1) "v0" else s"v${k - 1}"
+      s"""w$k AS MATERIALIZED (
+         |  SELECT cov.i AS i, sum(cov.c * p.v) AS w
+         |  FROM cov JOIN $prev p ON cov.j = p.i GROUP BY 1),
+         |v$k AS MATERIALIZED (
+         |  SELECT i, w / (SELECT sqrt(sum(w * w)) FROM w$k) AS v
+         |  FROM w$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+       |  FROM embeddings),
+       |u AS MATERIALIZED (
+       |  SELECT vec_id, generate_subscripts(emb, 1) AS i, unnest(emb) AS v
+       |  FROM e),
+       |m AS MATERIALIZED (SELECT i, avg(v) AS mv FROM u GROUP BY 1),
+       |s2 AS MATERIALIZED (
+       |  SELECT a.i AS i, b.i AS j, avg(a.v * b.v) AS s
+       |  FROM u a JOIN u b USING (vec_id) GROUP BY 1, 2),
+       |cov AS MATERIALIZED (
+       |  SELECT s2.i, s2.j, s2.s - ma.mv * mb.mv AS c
+       |  FROM s2 JOIN m ma ON s2.i = ma.i JOIN m mb ON s2.j = mb.i),
+       |v0 AS (
+       |  SELECT i, 1.0 / sqrt((SELECT CAST(max(i) AS DOUBLE) FROM m)) AS v
+       |  FROM m),
+       |$rounds,
+       |eig AS (
+       |  SELECT sum(a.v * cov.c * b.v) AS ev
+       |  FROM cov JOIN v$PcaRounds a ON cov.i = a.i
+       |           JOIN v$PcaRounds b ON cov.j = b.i),
+       |proj AS (
+       |  SELECT u.vec_id, sum((u.v - m.mv) * p.v) AS p
+       |  FROM u JOIN m ON u.i = m.i JOIN v$PcaRounds p ON u.i = p.i
+       |  GROUP BY 1)
+       |SELECT e.label, CAST(count(*) AS BIGINT) AS n_vecs,
+       |       round(avg(p), 4) AS mean_p,
+       |       round(avg(p * p) - avg(p) * avg(p), 4) AS var_p,
+       |       (SELECT round(ev, 4) FROM eig) AS eig_r
+       |FROM proj JOIN e ON proj.vec_id = e.vec_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** q_prototype_prune replay: the shared IVF Lloyd chain verbatim
+    * ([[trainCtes]] at the sqrt schedule — identical seeds, sample and
+    * rounds), prototype similarity re-read from the assigned cell's
+    * centroid, hardest-half keep by the integer rank rule. */
+  private def prototypePruneSql: String =
+    ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb " +
+      s"FROM embeddings), ${trainCtes(ivfNcSql)}," + """
+      |scored AS (
+      |  SELECT a.vec_id, a.cell,
+      |         list_cosine_similarity(a.emb, CAST(c.c AS DOUBLE[])) AS csim
+      |  FROM afull a JOIN c3 c ON a.cell = c.cell),
+      |rked AS (
+      |  SELECT vec_id, cell,
+      |         row_number() OVER (PARTITION BY cell
+      |           ORDER BY csim ASC, vec_id) AS hrk,
+      |         count(*) OVER (PARTITION BY cell) AS n
+      |  FROM scored)
+      |SELECT CAST(cell AS INT) AS cell,
+      |       CAST(count(*) AS BIGINT) AS n_vecs,
+      |       CAST(sum(CASE WHEN hrk * 2 <= n + 1 THEN 1 ELSE 0 END)
+      |         AS BIGINT) AS n_kept,
+      |       CAST(sum(CASE WHEN hrk * 2 <= n + 1 THEN vec_id ELSE 0 END)
+      |         AS BIGINT) AS kept_idsum,
+      |       CAST(min(CASE WHEN hrk = 1 THEN vec_id END) AS BIGINT)
+      |         AS hardest_id
+      |FROM rked GROUP BY 1 ORDER BY 1""".stripMargin)
 
   /** The artifact-backed parity queries share their inline twins' oracles
     * VERBATIM: the publish→load→probe cycle must reproduce the inline
