@@ -131,6 +131,27 @@ object Stress {
       .groupBy("name").agg(count(lit(1)).as("n_ids"))
   }
 
+  /** SF-growing containment fixture: every corpus doc becomes a base doc
+    * with a 40-token id-seeded vocabulary (base-36 of xxhash64 — token
+    * streams disjoint across docs by construction), and every 10th base
+    * doc gains a planted SUBSET doc carrying its first 12 tokens — true
+    * containment pairs grow ∝ n/10 while cross-doc shingle collisions
+    * are ~0. The diversity-∝-corpus precondition the standard fixtures
+    * lack (their fixed vocabulary saturates, inflating the containment
+    * row the same way p_name deflates the fuzzy row). Ids stay disjoint
+    * via the 2·bid / 2·bid+1 split. */
+  private def containmentDocsFixture(s: SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val tok = "lower(conv(CAST(abs(xxhash64(bid, j)) AS STRING), 10, 36))"
+    val ids = Tables.documents(s, d).select(col("doc_id").as("bid"))
+    val base = ids.select((col("bid") * 2).as("doc_id"),
+      expr(s"concat_ws(' ', transform(sequence(0, 39), j -> $tok))").as("text"))
+    val subs = ids.filter(col("bid") % 10 === 0)
+      .select((col("bid") * 2 + 1).as("doc_id"),
+        expr(s"concat_ws(' ', transform(sequence(0, 11), j -> $tok))").as("text"))
+    base.unionByName(subs)
+  }
+
   private def scalingMain(args: Array[String]): Unit = {
     import graft.operators.DedupOps
     val outFile = if (args.length > 1) args(1) else "SCALING.md"
@@ -173,6 +194,14 @@ object Stress {
         "width-capped MinHash band candidates at the ESCALATED family-3 geometry (9 rows/band x 68 bands — the precision ladder's first rung, DedupIndex.escalateBandFamily): J_bg^9 suppresses the background harder than the default family's J_bg^6, so this exponent must read at or under the family-2 row's — the measured form of the ladder's precision claim",
         (s, d) => DedupOps.minhashCandidatesAt(s,
           DedupOps.docHashes(s, d), 3).count()),
+      Probe("containment_bottomk_candidates",
+        "bottom-8 probe-vs-index candidates of the containment scale path (q_containment_bottomk) on the STANDARD corpus fixtures — reads superlinear HERE because the synthetic decade's vocabulary is fixed, so every posting grows ∝ corpus and the relative df cap (0.5%·docs) grows right along with it: a fixture-saturation artifact, the inverse of the fuzzy row's p_name degeneracy, kept as the saturated-regime reading; the flat LshBucketCap posting truncation bounds candidates <= 8·docs·1000 by construction once postings exceed it (inert below 1000 — these decades), and the diverse row below is the honest growth law",
+        (s, d) => DedupOps.containmentBottomKCandidates(s,
+          Tables.documents(s, d)).count()),
+      Probe("containment_bottomk_diverse",
+        "bottom-8 candidates over the id-seeded vocabulary fixture with planted subset docs (~n/10, 12-of-40-token prefixes): true containment pairs track the corpus while cross-doc shingle collisions are ~0 — the diversity-precondition reading of the containment growth, same fixture design as the image noise and linkage rows",
+        (s, d) => DedupOps.containmentBottomKCandidates(s,
+          containmentDocsFixture(s, d)).count()),
       Probe("simhash_candidates",
         "width-capped + hamming-gated 16-bit-band SimHash candidates (q_text_simhash)",
         (s, d) => DedupOps.simhashCandidates(s, DedupOps.docHashes(s, d)).count()),

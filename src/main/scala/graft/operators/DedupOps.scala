@@ -343,6 +343,136 @@ object DedupOps {
       .filter(col("containment") >= ContainmentThreshold)
       .orderBy("doc_a", "doc_b")
 
+  /** Bottom-k sample size for the containment candidate generator
+    * (Broder's bottom sketch): the k smallest portable shingle hashes of
+    * each doc probe the inverted index. A true C >= 0.9 pair is missed
+    * only if ALL k sampled shingles of the SMALLER doc land in its
+    * uncontained <= 10% — the sample is hash-uniform, so P(miss) <=
+    * 0.1^k = 1e-8; a doc with fewer than k kept shingles probes them
+    * all (exact). */
+  val ContainmentSampleK = 8
+
+  private val qContainmentBottomK: Q = (s, d) =>
+    containmentBottomKOf(s, Tables.documents(s, d))
+
+  /** The CORPUS-SCALE containment path: q_containment's exact frame
+    * rides the full df-capped self-join (Σ df² pairing work — the
+    * oracle-generator class, like q_ngram_jaccard), while this query
+    * generates candidates from a [[ContainmentSampleK]]-shingle
+    * bottom-hash sample per doc, then exact-verifies ONLY candidates.
+    * MinHash bands cannot serve here: band collision probability is
+    * J^rows, and a subset pair's Jaccard is ~|A|/|B| ≈ 0 — the pairs
+    * this operator exists to find are exactly the ones Jaccard-tuned
+    * banding never surfaces.
+    *
+    * Scale shape: probe-side rows are k per doc, so the index join
+    * shuffles k·n 8-byte keys; the index side is truncated to each
+    * shingle's [[LshBucketCap]] smallest doc_ids (a FLAT bound — the
+    * relative df cap grows with the corpus and bounds nothing on a
+    * saturating vocabulary, which the scaling instrument measured at
+    * exponent ~2 before this truncation), so candidates are
+    * <= k·docs·cap by construction — measured in SCALING.md
+    * (`containment_bottomk_candidates` / `_diverse`).
+    * Verification collects per-doc hash arrays for CANDIDATE DOCS ONLY
+    * (semi-join; arrays bounded by DocTokenCap) and runs codegen'd
+    * array_intersect — O(candidates), never O(corpus²).
+    *
+    * Determinism/portability: the bottom-k ORDER must replay in DuckDB,
+    * so sampling rides the portable md5-int60 hash (the probePres
+    * family), ordered (pre, h) engine-side vs (pre, shingle) oracle-side
+    * — divergence needs an md5-int60 collision between two shingles of
+    * one doc, below the already-accepted xxhash64 intersection trade. */
+  /** The candidate pair frame of the bottom-k path alone — the scaling
+    * instrument (`containment_bottomk_candidates`) measures the
+    * registered query's own candidate generator through this.
+    *
+    * Two flood bounds compose here, and they are NOT redundant:
+    *   - the relative df cap (max(1000, 0.5%·docs), shared with the
+    *     exact frame) excludes boilerplate shingles from the index — but
+    *     it GROWS with the corpus, so on a vocabulary that saturates
+    *     (every posting ∝ corpus) it bounds nothing: the scaling
+    *     instrument measured the sample-only path at exponent ~2 on the
+    *     fixed-vocabulary synthetic decade;
+    *   - the FLAT `postingCap` truncation (the band family's
+    *     LshBucketCap pattern): each kept shingle exposes only its
+    *     postingCap smallest doc_ids to probes, making candidates
+    *     <= k·docs·cap BY CONSTRUCTION at any corpus. Inert below
+    *     df = cap (at test SFs the relative cap already excludes
+    *     df > 1000, so oracle outputs are unchanged — the kNN-cap
+    *     convention). A pair pushed out by truncation still surfaces
+    *     through the partner's own probe unless BOTH directions flood;
+    *     a flooded near-identical cluster keeps star connectivity
+    *     through its smallest-id representatives, the same recall trade
+    *     the band caps document (spec-engaged with an explicit small
+    *     cap). */
+  private def bottomKCandFrom(sh: DataFrame, nDocs: Long,
+      postingCap: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cap = ngramDfCap(nDocs)
+    // driver-bounded hot set, same argument as exactPairsOf
+    val cappedHs = sh.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") > cap).collect().map(_.getLong(0))
+    val isCapped: Column =
+      if (cappedHs.isEmpty) lit(false) else col("h").isInCollection(cappedHs)
+    val kept = sh.filter(!isCapped)
+    val posting = kept
+      .withColumn("prk", row_number().over(
+        Window.partitionBy("h").orderBy("doc_id")))
+      .filter(col("prk") <= postingCap)
+      .select("doc_id", "h")
+    val probe = kept
+      .withColumn("srk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("pre"), col("h"))))
+      .filter(col("srk") <= ContainmentSampleK)
+      .select(col("doc_id").as("doc_p"), col("h"))
+    probe.join(posting, "h")
+      .filter(col("doc_p") =!= col("doc_id"))
+      .select(least(col("doc_p"), col("doc_id")).as("doc_a"),
+        greatest(col("doc_p"), col("doc_id")).as("doc_b"))
+      .distinct()
+  }
+
+  /** The sampled shingle frame (doc_id, h, pre) the bottom-k path runs
+    * on: identity hash h (set arithmetic, 8-byte shuffles) + portable
+    * sampling hash pre (the bottom-k order the oracle replays). */
+  private def bottomKShingles(s: SparkSession, docs: DataFrame): DataFrame =
+    shinglesOf(s, docs)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h"),
+        expr("CAST(conv(substring(md5(shingle), 1, 15), 16, 10) AS BIGINT)")
+          .as("pre"))
+
+  private[graft] def containmentBottomKCandidates(s: SparkSession,
+      docs: DataFrame, postingCap: Long = LshBucketCap): DataFrame = {
+    val sh = graft.Caching.persist(bottomKShingles(s, docs))
+    bottomKCandFrom(sh, docs.count(), postingCap)
+  }
+
+  private[graft] def containmentBottomKOf(s: SparkSession,
+      docs: DataFrame, postingCap: Long = LshBucketCap): DataFrame = {
+    val sh = graft.Caching.persist(bottomKShingles(s, docs))
+    val cand = bottomKCandFrom(sh, docs.count(), postingCap)
+    // exact verify on candidates only: full per-doc hash arrays for the
+    // candidate docs (semi-join keeps this O(candidates))
+    val arrs = sh.groupBy("doc_id")
+      .agg(collect_list(col("h")).as("ch"), count(lit(1)).as("n"))
+      .join(cand.select(col("doc_a").as("doc_id"))
+          .union(cand.select(col("doc_b"))).distinct(),
+        Seq("doc_id"), "left_semi")
+    cand
+      .join(arrs.select(col("doc_id").as("doc_a"), col("ch").as("ch_a"),
+        col("n").as("n_a")), "doc_a")
+      .join(arrs.select(col("doc_id").as("doc_b"), col("ch").as("ch_b"),
+        col("n").as("n_b")), "doc_b")
+      .withColumn("inter",
+        size(array_intersect(col("ch_a"), col("ch_b"))).cast("double"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter") / least(col("n_a"), col("n_b"))).as("containment"),
+        (col("inter") / (col("n_a") + col("n_b") - col("inter")))
+          .as("jaccard"))
+      .filter(col("containment") >= ContainmentThreshold)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Per-(band, value) bucket width cap for the LSH self-joins. A bucket
     * of width w contributes C(w,2) pairs: one mega-cluster of
     * near-identical docs (SEO spam, templated pages) makes a single
@@ -1121,6 +1251,7 @@ object DedupOps {
   val queries: Map[String, Q] = Map(
     "q_ngram_jaccard" -> qNgramJaccard,
     "q_containment" -> qContainment,
+    "q_containment_bottomk" -> qContainmentBottomK,
     "q_text_minhash" -> qTextMinhash,
     "q_text_simhash" -> qTextSimhash,
     "q_dedup_cluster" -> qDedupCluster,
@@ -1415,6 +1546,57 @@ object DedupOps {
       |WHERE CAST(inter AS DOUBLE) / least(sa.n, sb.n) >= $ContainmentThreshold
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** q_containment_bottomk oracle: same shingling/df-cap, then the
+    * bottom-[[ContainmentSampleK]] probe per doc on the portable
+    * md5-int60 order, index join for candidates, exact verify on the
+    * candidate pairs' FULL shingle sets (by string — the engine's
+    * xxhash64 arrays are the documented hash trade). */
+  private val containmentBottomKSql =
+    s"""WITH toks AS (
+      |  SELECT doc_id, (list_filter(string_split_regex(lower(text), '\\W+'),
+      |                             x -> x <> ''))[:$DocTokenCap] AS t
+      |  FROM documents),
+      |sh AS MATERIALIZED (
+      |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      |  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) g),
+      |ndocs AS (SELECT count(*) AS nd FROM documents),
+      |keepsh AS MATERIALIZED (
+      |  SELECT shingle FROM sh, ndocs
+      |  GROUP BY shingle, nd
+      |  HAVING count(*) <=
+      |         greatest($NgramDfCapFloor, CAST(ceil(nd * $NgramDfCapFrac) AS BIGINT))),
+      |kept AS MATERIALIZED (
+      |  SELECT s.doc_id, s.shingle,
+      |         ('0x' || substr(md5(s.shingle), 1, 15))::BIGINT AS pre
+      |  FROM sh s JOIN keepsh k ON s.shingle = k.shingle),
+      |probe AS MATERIALIZED (
+      |  SELECT doc_id, shingle FROM (
+      |    SELECT doc_id, shingle,
+      |           row_number() OVER (PARTITION BY doc_id
+      |             ORDER BY pre, shingle) AS srk
+      |    FROM kept)
+      |  WHERE srk <= $ContainmentSampleK),
+      |cand AS MATERIALIZED (
+      |  SELECT DISTINCT least(p.doc_id, s.doc_id) AS doc_a,
+      |                  greatest(p.doc_id, s.doc_id) AS doc_b
+      |  FROM probe p JOIN kept s
+      |    ON p.shingle = s.shingle AND p.doc_id <> s.doc_id),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |iv AS (
+      |  SELECT c.doc_a, c.doc_b, count(*) AS inter
+      |  FROM cand c
+      |  JOIN sh a ON a.doc_id = c.doc_a
+      |  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b,
+      |       CAST(inter AS DOUBLE) / least(sa.n, sb.n) AS containment,
+      |       CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+      |FROM iv
+      |JOIN sizes sa ON doc_a = sa.doc_id
+      |JOIN sizes sb ON doc_b = sb.doc_id
+      |WHERE CAST(inter AS DOUBLE) / least(sa.n, sb.n) >= $ContainmentThreshold
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   /** Cross-dedup oracle: exact Jaccard between the odd (incoming) and
     * even (corpus) halves, best match per incoming doc. */
   private val crossDedupSql =
@@ -1508,6 +1690,7 @@ object DedupOps {
   val oracles: Map[String, String] = Map(
     "q_ngram_jaccard" -> cappedPairsSql,
     "q_containment" -> containmentSql,
+    "q_containment_bottomk" -> containmentBottomKSql,
     "q_text_minhash" -> exactPairsSql,
     "q_text_simhash" -> exactPairsSql,
     "q_dedup_cluster" -> clusterSql,
