@@ -457,6 +457,12 @@ object CurationOps {
       .select(col("doc_id"),
         (expr("CAST(conv(substr(md5(g), 1, 15), 16, 10) AS BIGINT) " +
           "% 1000000007") % lit(DsirBuckets)).cast("int").as("slot"))
+    // NOT persisted (r17 optimization round finding): `ds` feeds both the
+    // bucket aggregation and the final weight join, but both consumers
+    // hang off the same (doc_id, slot) partial-agg exchange and
+    // ReuseExchange already deduplicates it — the md5 feature pass runs
+    // once either way (A/B at sf0.1: persist read 2.45-2.9s vs 2.44s
+    // without, a wash minus the cache-write overhead).
     val ds = feats.groupBy("doc_id", "slot").agg(count(lit(1)).as("occ"))
       .join(qual, "doc_id")
     val buckets = ds.groupBy("slot").agg(

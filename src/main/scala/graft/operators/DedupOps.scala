@@ -415,11 +415,23 @@ object DedupOps {
     val isCapped: Column =
       if (cappedHs.isEmpty) lit(false) else col("h").isInCollection(cappedHs)
     val kept = sh.filter(!isCapped)
-    val posting = kept
-      .withColumn("prk", row_number().over(
-        Window.partitionBy("h").orderBy("doc_id")))
-      .filter(col("prk") <= postingCap)
-      .select("doc_id", "h")
+    // The flat posting truncation can only BIND when a kept shingle's df
+    // exceeds postingCap — and kept already excludes df > ngramDfCap(n).
+    // While the relative cap is at or under the flat cap (every corpus
+    // until ngramDfCap outgrows postingCap, n > cap/frac docs), the
+    // window is a row-preserving no-op costing a full exchange-by-h +
+    // sort of the kept shingle stream — so it is SKIPPED exactly when
+    // provably inert (r17 optimization round, guide §2.4; the kNN-cap
+    // "inert at test SFs" convention, now with the inertness used
+    // instead of merely documented). Above that corpus size the
+    // truncation engages unchanged.
+    val posting =
+      if (ngramDfCap(nDocs) <= postingCap) kept.select("doc_id", "h")
+      else kept
+        .withColumn("prk", row_number().over(
+          Window.partitionBy("h").orderBy("doc_id")))
+        .filter(col("prk") <= postingCap)
+        .select("doc_id", "h")
     val probe = kept
       .withColumn("srk", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("pre"), col("h"))))
@@ -450,7 +462,13 @@ object DedupOps {
   private[graft] def containmentBottomKOf(s: SparkSession,
       docs: DataFrame, postingCap: Long = LshBucketCap): DataFrame = {
     val sh = graft.Caching.persist(bottomKShingles(s, docs))
-    val cand = bottomKCandFrom(sh, docs.count(), postingCap)
+    // persisted (r17 optimization round, guide §5): the pair frame is
+    // consumed TWICE — as the candidate-id set of the verify semi-join
+    // and as the join spine — and each unpersisted reference re-ran the
+    // whole probe-join + distinct. Two longs per candidate pair, tiny at
+    // any corpus the k·docs·cap bound admits.
+    val cand = graft.Caching.persist(
+      bottomKCandFrom(sh, docs.count(), postingCap))
     // exact verify on candidates only: full per-doc hash arrays for the
     // candidate docs (semi-join keeps this O(candidates))
     val arrs = sh.groupBy("doc_id")

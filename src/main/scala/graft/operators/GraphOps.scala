@@ -156,7 +156,8 @@ object GraphOps {
       iters: Int = 8,
       damping: Double = 0.85,
       checkpointEvery: Int = 1,
-      danglingFromRanks: Boolean = PageRankDanglingFromRanks): DataFrame = {
+      danglingFromRanks: Boolean = PageRankDanglingFromRanks,
+      broadcastMaxNodes: Long = PageRankBroadcastMaxNodes): DataFrame = {
     require(checkpointEvery >= 1 && checkpointEvery <= 4,
       "checkpointEvery must be in [1, 4]: each un-cut round embeds the " +
         "contrib subtree twice (nodes join + total-mass aggregate), so " +
@@ -209,20 +210,41 @@ object GraphOps {
     val srcs = if (danglingFromRanks)
       graft.Caching.persist(outW.select(col("src").as("v")))
     else null
+    // JOIN STRATEGY (r17 optimization round, guide §3.1/§2.4): the rank
+    // frame is |V| rows but its lineage is a localCheckpoint scan
+    // (ExistingRDD), whose size Catalyst cannot estimate — so the
+    // per-round rank×edge join plans as a SHUFFLE join and every round
+    // pays an |E|-row exchange of the (cached) probability table. When
+    // |V| is small enough to broadcast — the vertex table of most
+    // derived graphs; both registered PageRank queries' vertex sets are
+    // vocabulary/catalog-sized — hinting the RANK side (and the |V|-row
+    // contribution/src frames below) broadcast removes every per-round
+    // exchange except the contribution partial-agg itself. Measured at
+    // sf0.1 (4-rep ProfileQ steady-state): q_pagerank 4.09→2.80s from
+    // this hint alone; q_part_rank 11.9→11.6s under the conservation
+    // dangling form (its rounds re-scan contrib for the totM subquery)
+    // and →8.0s once the dangling default flipped to the direct form
+    // (see [[PageRankDanglingFromRanks]]). Above the gate the shuffle
+    // plan stays (a billion-vertex rank frame must never hit the
+    // driver). The gate rides the SAME n the dangling scalar already
+    // counts, so no extra action; the dial is env-tunable for A/B like
+    // the dangling form (SPARK_GRAFT_PR_BCAST_MAX, entries).
+    val bcastRanks = n <= broadcastMaxNodes
+    def maybeB(df: DataFrame): DataFrame = if (bcastRanks) broadcast(df) else df
     var ranks = nodes.select(col("v"), lit(1.0 / n).as("r"))
       .localCheckpoint(true)
     var lastCkpt = ranks
     try {
       for (k <- 1 to iters) {
         val contrib =
-          p.join(ranks.withColumnRenamed("v", "src"), "src")
+          p.join(maybeB(ranks.withColumnRenamed("v", "src")), "src")
             .groupBy(col("dst").as("v")).agg(sum(col("r") * col("p")).as("m"))
         val next = if (danglingFromRanks) {
           // direct form: dm = Σ_{dangling v} r_v off the checkpointed
           // rank frame — contrib executes ONCE per round
-          val dangl = ranks.join(srcs, Seq("v"), "left_anti")
+          val dangl = ranks.join(maybeB(srcs), Seq("v"), "left_anti")
             .agg(coalesce(sum("r"), lit(0.0)).as("dm"))
-          nodes.join(contrib, Seq("v"), "left")
+          nodes.join(maybeB(contrib), Seq("v"), "left")
             .crossJoin(broadcast(dangl))
             .select(col("v"),
               ((lit(1.0) - lit(damping)) / lit(n) + lit(damping) *
@@ -232,7 +254,7 @@ object GraphOps {
           // and Σ r = 1 by the update's construction) — rank frame read
           // once, contrib read twice (join + this broadcast subquery)
           val totM = contrib.agg(coalesce(sum("m"), lit(0.0)).as("tm"))
-          nodes.join(contrib, Seq("v"), "left")
+          nodes.join(maybeB(contrib), Seq("v"), "left")
             .crossJoin(broadcast(totM))
             .select(col("v"),
               ((lit(1.0) - lit(damping)) / lit(n) + lit(damping) *
@@ -266,14 +288,34 @@ object GraphOps {
     *
     * MEASURED r17 (q_part_rank, sf0.1, 4 ProfileQ reps each, first rep
     * dropped as JIT warmup): conserve 10.0-10.6s vs ranks 10.3-12.8s —
-    * the hypothesized win (contrib's broadcast-subquery copy re-executes
-    * the |E|-row shuffle) does not materialize; the conservation form
-    * stays default. This was the last unmeasured design in the
-    * checkpoint-dial A/B file (see the dial scaladoc above): every
-    * alternative — every-2nd-round cuts (11.4/12.1s), persisted contrib
-    * (9.4s), collected scalar mass (9.0-10.1s), non-eager checkpoints
-    * (wash + unsafe), and now the direct dangling sum — has been
-    * measured against the committed default and refuted. */
+    * under the era's all-shuffle round plan the hypothesized win
+    * (contrib's broadcast-subquery copy re-executes the |E|-row
+    * shuffle) did not materialize, and conserve stayed default.
+    *
+    * RE-MEASURED in the r17 OPTIMIZATION round after the broadcast-rank
+    * round plan landed (see the join-strategy note in [[pageRank]]):
+    * with ranks/contrib/srcs broadcast the per-round cost IS the
+    * cached-p scan, so the conservation form's second contrib execution
+    * (the totM broadcast subquery) doubles it — conserve 11.6-12.0s vs
+    * ranks 8.0s steady-state on q_part_rank (4-rep ProfileQ), q_pagerank
+    * a wash (2.80 vs 2.85s, vocabulary-sized graph). The DIRECT form is
+    * now the committed default; the PageRank oracles follow this dial at
+    * plan-build time, so both engines always run the same formula. */
   private[graft] def PageRankDanglingFromRanks: Boolean =
-    sys.env.getOrElse("SPARK_GRAFT_PR_DANGLING", "conserve") == "ranks"
+    sys.env.getOrElse("SPARK_GRAFT_PR_DANGLING", "ranks") == "ranks"
+
+  /** Vertex-count gate for [[pageRank]]'s per-round broadcast of the
+    * rank/contribution frames (r17 optimization round). A rank row is
+    * (long, double); at Spark's ~50 bytes/row in a built hash relation
+    * the 4M default keeps the broadcast ~200 MB — inside the guide's
+    * "a few hundred MB is usually fine" band and far under the 8 GB /
+    * 512M-row hard cap — while covering every vocabulary- or
+    * catalog-sized vertex set a derived graph realistically has. Above
+    * the gate the rounds keep the shuffle-join plan (correct at any
+    * |V|). Env-dialed for A/B, not scale tuning: the LOCAL default and
+    * the production value are the same number because the gate is in
+    * ENTRIES, not partitions (nothing here is tuned to local[32]). */
+  private[graft] def PageRankBroadcastMaxNodes: Long =
+    sys.env.get("SPARK_GRAFT_PR_BCAST_MAX").map(_.toLong)
+      .getOrElse(4L * 1000 * 1000)
 }

@@ -157,17 +157,37 @@ object RetrievalOps {
   private def bm25Scored(s: SparkSession, d: String, qterms: DataFrame,
       excludeSelf: Boolean): DataFrame = {
     val (dl, tf, _, stats) = corpusStats(s, d)
-    val dfq = tf
-      .join(broadcast(qterms.select("term").distinct()), Seq("term"))
+    // Restricted posting table, PERSISTED (r17 optimization round, guide
+    // §2.3/§5): tf fed two subtrees (the df aggregate and the posting
+    // join) whose exchanges do not canonically match, so the whole
+    // tokenize → explode → tf pass ran TWICE per scoring plan.
+    // Restricting to the query vocabulary first also keeps the cached
+    // frame |postings of query terms| — the production-sparse shape —
+    // instead of the full corpus posting table.
+    val tfq = graft.Caching.persist(
+      tf.join(broadcast(qterms.select("term").distinct()), Seq("term")))
+    val dfq = tfq
       .groupBy("term").agg(count(lit(1)).cast("double").as("df"))
-    val posted = tf.join(broadcast(qterms), Seq("term"))
-    val cut = if (excludeSelf) posted.filter(col("doc_id") =!= col("query_id"))
-      else posted
-    cut.join(dfq, "term")
+    // Per-(doc, term) BM25 contribution computed ONCE on the posting
+    // rows: the contribution is query-INDEPENDENT (a function of tf, df,
+    // dl and the corpus scalars), so evaluating it after the query
+    // fan-out repeated the arithmetic per matching query — |queries| ×
+    // for shared terms (the hybrid schedule's 100 more-like-this queries
+    // made that ~100× on this fixture's dense vocabulary). The fan-out
+    // join now carries a finished scalar; only the per-(query, doc) sum
+    // remains downstream. Same expression, same inputs — each element
+    // value is bit-identical, and the per-pair SUM order was already
+    // engine-dependent at the last ulp (the round-to-4 contract).
+    val contribs = tfq
+      .join(dfq, "term")
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
       .withColumn("contrib", bm25Contrib)
-      .groupBy("query_id", "doc_id")
+      .select("term", "doc_id", "contrib")
+    val posted = contribs.join(broadcast(qterms), Seq("term"))
+    val cut = if (excludeSelf) posted.filter(col("doc_id") =!= col("query_id"))
+      else posted
+    cut.groupBy("query_id", "doc_id")
       .agg(round(sum(col("contrib")), 4).as("score"))
   }
 
@@ -270,7 +290,12 @@ object RetrievalOps {
 
   private val qHybridRrf: Q = (s, d) => {
     graft.functions.GraftFunctions.register(s)
-    val qterms = hybridQterms(s, d)
+    // persisted (r17 optimization round): the query-term frame feeds two
+    // broadcasts in the scoring plan (the distinct-vocabulary restrictor
+    // and the query fan-out) and each unpersisted broadcast BUILD re-ran
+    // the corpus tokenize behind it; the frame itself is budget-bounded
+    // (≤ HybridQueryBudget docs' distinct tokens).
+    val qterms = graft.Caching.persist(hybridQterms(s, d))
     val lexW = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("doc_id"))
     val lex = bm25Scored(s, d, qterms, excludeSelf = true)
