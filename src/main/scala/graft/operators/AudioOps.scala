@@ -10,14 +10,17 @@ import graft.Tables
   * decodes them into typed rows.
   *
   * The codec is REAL end-to-end: a generator stage renders a genuine WAV
-  * container per document (RIFF/WAVE, 16-bit signed PCM mono @ 8 kHz) via
-  * `javax.sound.sampled.AudioSystem` — JDK-built-in and display-free — and
-  * the decode stage parses those bytes back with
-  * `AudioSystem.getAudioInputStream`, reading the sample rate / channel
-  * count from the actual container header and the samples from the actual
-  * PCM body. PCM is lossless, so decoded samples equal the generator's
-  * integer formula bit-for-bit and the DuckDB oracle can recompute every
-  * statistic from doc_id alone (same law the PNG/GIF paths exploit).
+  * container per document (RIFF/WAVE, 16-bit signed PCM mono @ 8 kHz —
+  * byte-identical to `javax.sound.sampled.AudioSystem`'s writer output,
+  * spec-pinned) and the decode stage walks the actual RIFF chunk layout,
+  * reading the sample rate / channel count from the container header and
+  * the samples from the actual PCM body (parity with
+  * `AudioSystem.getAudioInputStream` spec-pinned on the same bytes; the
+  * direct read exists because AudioSystem's per-call provider lookup
+  * serialized the 32-thread codec stage — r17 optimization round). PCM is
+  * lossless, so decoded samples equal the generator's integer formula
+  * bit-for-bit and the DuckDB oracle can recompute every statistic from
+  * doc_id alone (same law the PNG/GIF paths exploit).
   *
   * Seven operators cover the audio lifecycle a training-data pipeline needs:
   *  - q_audio_meta    — container metadata + whole-clip sample stats
@@ -66,40 +69,89 @@ object AudioOps {
   private[graft] def pcmFormat: javax.sound.sampled.AudioFormat =
     new javax.sound.sampled.AudioFormat(SampleRate, 16, 1, true, false)
 
-  /** Render samples as a real WAV (RIFF) byte stream. */
+  /** Render samples as a real WAV (RIFF) byte stream — the canonical
+    * 44-byte PCM header written DIRECTLY (r17 optimization round, guide
+    * §1.2 per-task work): `AudioSystem.write` runs a synchronized
+    * provider lookup per call, which serialized the 32-thread encode
+    * stage exactly like ImageIO's disk cache did the image family
+    * (measured: 5000 tiny clips decoded in 0.20s on one thread took
+    * 0.56s WALL on 32). The emitted bytes are BYTE-IDENTICAL to the JDK
+    * writer's for this format — AudioSpec pins that equality, so the
+    * container stays a real WAV any reader accepts. */
   private[graft] def encodeWav(samples: Array[Short]): Array[Byte] = {
-    val pcm = new Array[Byte](samples.length * 2)
+    val dataLen = samples.length * 2
+    val out = new Array[Byte](44 + dataLen)
+    def w32(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
+      out(off + 2) = ((v >> 16) & 0xff).toByte; out(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    def w16(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def tag(off: Int, t: String): Unit = {
+      var i = 0; while (i < 4) { out(off + i) = t.charAt(i).toByte; i += 1 }
+    }
+    tag(0, "RIFF"); w32(4, 36 + dataLen); tag(8, "WAVE")
+    tag(12, "fmt "); w32(16, 16)
+    w16(20, 1) // PCM
+    w16(22, 1) // mono
+    w32(24, SampleRate.toInt)
+    w32(28, SampleRate.toInt * 2) // byte rate = rate * blockAlign
+    w16(32, 2) // block align
+    w16(34, 16) // bits/sample
+    tag(36, "data"); w32(40, dataLen)
     var i = 0
     while (i < samples.length) {
-      pcm(2 * i) = (samples(i) & 0xff).toByte
-      pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      out(44 + 2 * i) = (samples(i) & 0xff).toByte
+      out(44 + 2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
       i += 1
     }
-    val ais = new javax.sound.sampled.AudioInputStream(
-      new java.io.ByteArrayInputStream(pcm), pcmFormat, samples.length.toLong)
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(
-      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-    bos.toByteArray
+    out
   }
 
   /** Parse a WAV byte stream back to (sampleRate, channels, samples). The
-    * header is read from the actual container, the samples from the actual
-    * PCM body (little-endian 16-bit). Exposed for the roundtrip spec. */
+    * header is read from the actual container (RIFF chunk walk — fmt
+    * then data, unknown chunks skipped per the spec), the samples from
+    * the actual PCM body (little-endian 16-bit). Direct parse for the
+    * same provider-lookup reason as [[encodeWav]]; AudioSpec pins parity
+    * against `AudioSystem.getAudioInputStream` on the same bytes.
+    * Exposed for the roundtrip spec. */
   private[graft] def decodeWav(bytes: Array[Byte]): (Float, Int, Array[Short]) = {
-    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-      new java.io.ByteArrayInputStream(bytes))
-    try {
-      val f = ais.getFormat
-      val pcm = ais.readAllBytes()
-      val out = new Array[Short](pcm.length / 2)
-      var i = 0
-      while (i < out.length) {
-        out(i) = ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1) << 8)).toShort
-        i += 1
+    def u32(off: Int): Long =
+      (bytes(off) & 0xffL) | ((bytes(off + 1) & 0xffL) << 8) |
+        ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
+    def u16(off: Int): Int = (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
+    def tagAt(off: Int): String = new String(bytes, off, 4, "US-ASCII")
+    require(bytes.length >= 12 && tagAt(0) == "RIFF" && tagAt(8) == "WAVE",
+      "not a RIFF/WAVE stream")
+    var rate = 0f; var ch = 0; var bits = 0
+    var pcmOff = -1; var pcmLen = 0
+    var off = 12
+    while (off + 8 <= bytes.length && (pcmOff < 0 || rate == 0f)) {
+      val t = tagAt(off)
+      val len = u32(off + 4).toInt
+      if (t == "fmt ") {
+        require(u16(off + 8) == 1, "decodeWav handles PCM only")
+        ch = u16(off + 10)
+        rate = u32(off + 12).toFloat
+        bits = u16(off + 22)
+        require(bits == 16, s"decodeWav handles 16-bit PCM, got $bits")
+      } else if (t == "data") {
+        pcmOff = off + 8
+        pcmLen = math.min(len, bytes.length - pcmOff)
       }
-      (f.getSampleRate, f.getChannels, out)
-    } finally ais.close()
+      // chunks are word-aligned: odd payloads carry a pad byte
+      off += 8 + len + (len & 1)
+    }
+    require(rate > 0f && pcmOff >= 0, "RIFF stream missing fmt/data chunk")
+    val out = new Array[Short](pcmLen / 2)
+    var i = 0
+    while (i < out.length) {
+      out(i) = ((bytes(pcmOff + 2 * i) & 0xff) |
+        (bytes(pcmOff + 2 * i + 1) << 8)).toShort
+      i += 1
+    }
+    (rate, ch, out)
   }
 
   /** Generator stage: one real WAV payload per document. Pure projection,

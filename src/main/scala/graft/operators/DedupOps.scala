@@ -184,7 +184,14 @@ object DedupOps {
     * pairs straight into joins or aggregations, and a range-exchange sort
     * here would be torn down immediately; the pair QUERIES apply their
     * output ordering themselves. */
-  private[graft] def verifyPairs(cand: DataFrame, docs: DataFrame): DataFrame =
+  private[graft] def verifyPairs(cand0: DataFrame, docs: DataFrame): DataFrame = {
+    // persisted (r17 optimization round, guide §5): the pair frame is the
+    // BUILD side of both verify attaches, and the second join's broadcast
+    // build otherwise re-executes the first join — which re-executes the
+    // whole candidate self-join beneath it (the per-stage probe showed
+    // the pair-generation map stage running twice per query). Candidate
+    // pairs are width-cap bounded; runners release via clearCache.
+    val cand = graft.Caching.persist(cand0)
     cand
       .join(docs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"),
         col("n").as("na")), "doc_a")
@@ -196,6 +203,7 @@ object DedupOps {
         (col("inter").cast("double") /
           (col("na") + col("nb") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= 0.8)
+  }
 
   /** Shingle document-frequency cap for pair generation (CCNet-style
     * hot-shingle guard): a boilerplate shingle present in df documents
@@ -553,8 +561,17 @@ object DedupOps {
     (cold, hot)
   }
 
-  private[graft] def cappedBandPairs(bands: DataFrame, cap: Long,
+  private[graft] def cappedBandPairs(bands0: DataFrame, cap: Long,
       pairGate: Column = lit(true)): DataFrame = {
+    // persisted (r17 optimization round, guide §5): the band table feeds
+    // FIVE subtrees of this plan — the hot-bucket stats, the anti-join,
+    // both legs of the cold self-join and the hot-member join — and each
+    // unpersisted reference re-ran the signature posexplode behind it
+    // (the per-stage probe read the duplicated band subtree as the
+    // biggest single block of q_text_minhash). 32·n skinny rows (plus
+    // the signature column on the SimHash path), bounded by the banding
+    // geometry; runners release via clearCache.
+    val bands = graft.Caching.persist(bands0)
     val (cold, hot) = splitByWidth(bands, cap)
     val coldPairs = cold.as("x").join(cold.as("y"),
         col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
@@ -885,10 +902,15 @@ object DedupOps {
     * probe batch would defeat the index). `corpBands`: (doc_id, band,
     * bv); `inBands`: (in_id, band, bv). */
   private[graft] def crossDedupBestFromBands(s: SparkSession,
-      inBands: DataFrame, corpBands: DataFrame, inDocs: DataFrame,
+      inBands0: DataFrame, corpBands: DataFrame, inDocs: DataFrame,
       corpDocs: DataFrame, cap: Long, refine: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(s)
+    // persisted (r17 optimization round, guide §5): the probe band frame
+    // feeds three subtrees (base candidates, the flagged set, the refine
+    // join) — idempotent for the index caller, which passes an
+    // already-persisted frame
+    val inBands = graft.Caching.persist(inBands0)
     val (cold, hot) = splitByWidth(corpBands, cap)
     val capped = cold.select("band", "bv", "doc_id")
       .union(hot.select(col("band"), col("bv"), col("rep").as("doc_id")))
@@ -897,13 +919,16 @@ object DedupOps {
     val flagged = inBands.join(hot.select("band", "bv"), Seq("band", "bv"))
       .select("in_id").distinct()
       .withColumn("cap_engaged", lit(true))
-    val cands =
+    // persisted like verifyPairs' candidate frame: the second verify
+    // attach's broadcast build otherwise re-executes the whole candidate
+    // union + distinct beneath the first
+    val cands = graft.Caching.persist(
       (if (refine)
         baseCands.union(
           inBands.join(corpBands.join(hot.select("band", "bv"),
               Seq("band", "bv")), Seq("band", "bv"))
             .select(col("in_id"), col("doc_id").as("corp_id")))
-      else baseCands).distinct()
+      else baseCands).distinct())
     val verified = cands
       .join(inDocs.select(col("doc_id").as("in_id"), col("hs").as("hs_a"),
         col("n").as("na")), "in_id")

@@ -32,9 +32,20 @@ object MultiModalOps {
 
   // ImageIO never needs a display for in-memory raster work, but AWT can
   // still probe for one on class-load; pin headless before first use.
-  private[graft] def ensureHeadless(): Unit =
+  // setUseCache(false) (r17 optimization round, guide §1.2 per-task
+  // work): with the default DISK cache, EVERY ImageIO.read/write wraps
+  // its stream in a FileCache*ImageStream — a temp-file create + write +
+  // delete per image — so a 32-thread codec stage serializes on tmpfs
+  // and the whole image family read as "contention-sensitive" (the r16
+  // adjudication). Memory-cached streams produce byte-identical PNGs/
+  // GIFs and pixel-identical decodes; measured q_multimodal_meta
+  // 5.5→1.2s warm at sf0.1 (per-partition reader/writer reuse below is
+  // the second half of the fix).
+  private[graft] def ensureHeadless(): Unit = {
     if (System.getProperty("java.awt.headless") == null)
       System.setProperty("java.awt.headless", "true")
+    javax.imageio.ImageIO.setUseCache(false)
+  }
 
   /** Fixture dimensions/pixels as a pure function of doc_id, mirrored by
     * the oracle SQL: width 8..31, height 8..31, gray(x,y) =

@@ -19,6 +19,48 @@ class AudioSpec extends AnyFunSuite {
     }
   }
 
+  test("encodeWav is byte-identical to the JDK AudioSystem writer") {
+    // the r17 direct RIFF writer replaced AudioSystem.write in the hot
+    // loop (per-call provider lookup serialized the codec stage); this
+    // pins that the emitted CONTAINER did not change by a single byte
+    for (id <- ids) {
+      val samples = AudioOps.clipSamples(id)
+      val pcm = new Array[Byte](samples.length * 2)
+      samples.indices.foreach { i =>
+        pcm(2 * i) = (samples(i) & 0xff).toByte
+        pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), AudioOps.pcmFormat,
+        samples.length.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      assert(java.util.Arrays.equals(
+        AudioOps.encodeWav(samples), bos.toByteArray),
+        s"id=$id direct RIFF writer diverged from AudioSystem")
+    }
+  }
+
+  test("decodeWav matches AudioSystem.getAudioInputStream on the same bytes") {
+    for (id <- ids) {
+      val b = AudioOps.encodeWav(AudioOps.clipSamples(id))
+      val (rate, ch, v) = AudioOps.decodeWav(b)
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(b))
+      try {
+        val f = ais.getFormat
+        val pcm = ais.readAllBytes()
+        assert(rate == f.getSampleRate && ch == f.getChannels)
+        assert(v.length == pcm.length / 2)
+        v.indices.foreach { i =>
+          val ref = ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1) << 8)).toShort
+          assert(v(i) == ref, s"id=$id sample $i")
+        }
+      } finally ais.close()
+    }
+  }
+
   test("decode roundtrips format and samples bit-exactly") {
     for (id <- ids) {
       val (rate, ch, v) = AudioOps.decodeWav(AudioOps.encodeWav(AudioOps.clipSamples(id)))
