@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The forked run's stdout must reach THIS process's stdout verbatim: the
+// default LoggedOutput strategy prefixes every line with "[info] ", which
+// breaks any consumer that parses the benchmark's one-line JSON contract
+// from captured stdout (a strict JSON parse of "[info] {...}" fails).
+// StdoutOutput inherits sbt's own stdout/stderr instead — raw lines.
+// runMain resolves its runner (and these fork options) from the `run`
+// scope, so this covers `sbt "runMain graft.Bench"` too.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -28,3 +36,45 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// ---- parallel forked test groups -------------------------------------
+// The full suite run SEQUENTIALLY in one forked JVM measured 32m33s on
+// this host (r18; all 407 tests green) — long enough to outlive a CI
+// step budget, which is what the red tests gate in VERIFY_r17.json was
+// (a timeout, not a failure: the captured tail holds only registry
+// WARNs). Suites are split into four forked JVMs that run CONCURRENTLY:
+// in-JVM execution stays sequential (testForkedParallel is off — many
+// suites mutate their shared session's conf), and cross-JVM state is
+// disjoint by construction (own SparkSession, own warehouse tempdir)
+// except the session-published artifact roots, which get a per-group
+// base dir via -Dgraft.artifact.base (see StorageOps.artifactBase).
+val testGroupCount = 4
+// The heaviest suites (measured r18: ~20 min of the 32 sequential) are
+// pinned so the groups balance; everything else hashes round-robin.
+val pinnedTestGroup = Map(
+  "graft.GoldenSpec" -> 0, "graft.GtStoreSpec" -> 0, "graft.ChaosSpec" -> 0,
+  "graft.DeterminismSpec" -> 1, "graft.NearDupStreamSpec" -> 1,
+  "graft.IngestCycleSpec" -> 1,
+  "graft.VectorIndexSpec" -> 2, "graft.TornVersionSpec" -> 2,
+  "graft.DedupIndexSpec" -> 3, "graft.AnnSpec" -> 3,
+  "graft.PrecisionGateSpec" -> 3, "graft.FingerprintIndexSpec" -> 3)
+Test / testGrouping := {
+  val defs = (Test / definedTests).value
+  val base = ForkOptions()
+    .withJavaHome(javaHome.value)
+    .withWorkingDirectory(Option((Test / baseDirectory).value))
+  val opts = (Test / javaOptions).value.toVector
+  (0 until testGroupCount).map { g =>
+    Tests.Group(
+      name = s"group$g",
+      tests = defs.filter(t => pinnedTestGroup.getOrElse(t.name,
+        math.abs(t.name.hashCode) % testGroupCount) == g),
+      runPolicy = Tests.SubProcess(base.withRunJVMOptions(
+        opts :+ s"-Dgraft.artifact.base=target/testgrp$g")))
+  }
+}
+// per-test durations in the report (slow-suite regressions stay visible)
+Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest, "-oD")
+Global / concurrentRestrictions := Seq(
+  Tags.limit(Tags.ForkedTestGroup, testGroupCount),
+  Tags.limitAll(math.max(8, java.lang.Runtime.getRuntime.availableProcessors())))

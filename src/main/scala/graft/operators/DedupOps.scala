@@ -563,15 +563,23 @@ object DedupOps {
 
   private[graft] def cappedBandPairs(bands0: DataFrame, cap: Long,
       pairGate: Column = lit(true)): DataFrame = {
-    // persisted (r17 optimization round, guide §5): the band table feeds
-    // FIVE subtrees of this plan — the hot-bucket stats, the anti-join,
-    // both legs of the cold self-join and the hot-member join — and each
-    // unpersisted reference re-ran the signature posexplode behind it
-    // (the per-stage probe read the duplicated band subtree as the
-    // biggest single block of q_text_minhash). 32·n skinny rows (plus
-    // the signature column on the SimHash path), bounded by the banding
-    // geometry; runners release via clearCache.
-    val bands = graft.Caching.persist(bands0)
+    // NOT persisted (r18 optimization round, reversing r17's §5 persist):
+    // the band table does feed FIVE subtrees of this plan (hot-bucket
+    // stats, anti-join, both cold self-join legs, hot-member join), but
+    // every production caller hands it a posexplode over an ALREADY-
+    // PERSISTED signature frame (nearDupPairs / qTextSimhash cache
+    // (doc_id, hs, sig/msig) precisely so the signature pass runs once) —
+    // so the re-executed work per subtree is one InMemoryTableScan + a
+    // codegen'd explode, cheap at any corpus, while MATERIALIZING the
+    // 32·n-row band cache was measurably not: the r17 persist sat on the
+    // r17 driver's 2x q_pipeline_e2e regression at 32 cores, and the r18
+    // A/B (bench methodology, 6-query family, local[32] sf0.1) read the
+    // family at 24.4/20.8s with the persist vs 21.8/17.6s without —
+    // cache-write overhead exceeding five explode re-runs in every
+    // pairing. The CANDIDATE persist below (verifyPairs) stays: its
+    // subtree is the self-join itself, which at 100 TB is the query's
+    // dominant shuffle and must not run twice.
+    val bands = bands0
     val (cold, hot) = splitByWidth(bands, cap)
     val coldPairs = cold.as("x").join(cold.as("y"),
         col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
@@ -906,11 +914,16 @@ object DedupOps {
       corpDocs: DataFrame, cap: Long, refine: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(s)
-    // persisted (r17 optimization round, guide §5): the probe band frame
-    // feeds three subtrees (base candidates, the flagged set, the refine
-    // join) — idempotent for the index caller, which passes an
-    // already-persisted frame
-    val inBands = graft.Caching.persist(inBands0)
+    // NOT persisted (r18, the cappedBandPairs rationale): the probe band
+    // frame feeds three subtrees (base candidates, the flagged set, the
+    // refine join), but every caller derives it as a posexplode over an
+    // already-persisted hash/signature frame (or passes a published
+    // index's stored bands) — re-running the explode per subtree is
+    // cheaper than materializing a band cache, at this SF measurably and
+    // at scale structurally (the signature pass behind it runs once
+    // either way). The CANDIDATE persist below stays — its subtree is
+    // the band join + distinct, the query's dominant shuffle.
+    val inBands = inBands0
     val (cold, hot) = splitByWidth(corpBands, cap)
     val capped = cold.select("band", "bv", "doc_id")
       .union(hot.select(col("band"), col("bv"), col("rep").as("doc_id")))
@@ -1027,7 +1040,7 @@ object DedupOps {
     * surface (publish once, consume many: the production economics). */
   private def evenIndexDir(s: SparkSession, d: String): String =
     graft.SharedPlans.once(s, s"dedup_index_even|$d") {
-      val p = s"target/dedup_index/${d.replaceAll("[^A-Za-z0-9._-]", "_")}_even"
+      val p = s"${graft.sources.StorageOps.artifactBase}/dedup_index/${d.replaceAll("[^A-Za-z0-9._-]", "_")}_even"
       graft.sources.DedupIndex.publishFrom(s,
         Tables.documents(s, d).filter(col("doc_id") % 2 === 0), p)
       p
@@ -1143,7 +1156,7 @@ object DedupOps {
   private def escalatedIndexRoot(s: SparkSession, d: String): String =
     graft.SharedPlans.once(s, s"dedup_index_esc|$d") {
       val root =
-        s"target/dedup_index/${d.replaceAll("[^A-Za-z0-9._-]", "_")}_esc"
+        s"${graft.sources.StorageOps.artifactBase}/dedup_index/${d.replaceAll("[^A-Za-z0-9._-]", "_")}_esc"
       graft.sources.DedupIndex.publishVersionedFrom(s,
         Tables.documents(s, d).filter(col("doc_id") % 2 === 0), root)
       graft.sources.DedupIndex.escalateBandFamily(s, root)

@@ -165,10 +165,23 @@ object GraphOps {
     val Seq(srcC, dstC, wC) = edges.columns.toSeq.take(3)
     val e = graft.Caching.persist(edges.select(
       col(srcC).as("src"), col(dstC).as("dst"), col(wC).cast("double").as("w")))
-    val nodes = graft.Caching.persist(
-      e.select(col("src").as("v")).unionByName(e.select(col("dst").as("v"))).distinct())
-    val n = nodes.count().toDouble
-    val outW = graft.Caching.persist(e.groupBy("src").agg(sum("w").as("wout")))
+    // ONE vertex-keyed aggregation yields the vertex set (keys), the
+    // out-weight sums (non-null wout) AND the non-dangling src set — r17
+    // built each with its own |E|-row exchange + cache (nodes distinct,
+    // outW groupBy, srcs projection persist); folding them shares one
+    // exchange (guide §2.4) and one cache. Numerically inert: wout sums
+    // the same weight multiset (dst rows contribute null, which sum
+    // ignores), and both PageRank fixtures' weights are integer counts,
+    // so the double sum is exact under any partial-agg order.
+    val vert = graft.Caching.persist(
+      e.select(col("src").as("v"), col("w"))
+        .unionByName(e.select(col("dst").as("v"),
+          lit(null).cast("double").as("w")))
+        .groupBy("v").agg(sum("w").as("wout")))
+    val n = vert.count().toDouble
+    val nodes = vert.select(col("v"))
+    val outW = vert.filter(col("wout").isNotNull)
+      .select(col("v").as("src"), col("wout"))
     val p = graft.Caching.persist(
       e.join(outW, "src").select(col("src"), col("dst"), (col("w") / col("wout")).as("p")))
     // LINEAGE SHAPE. A naive round references the previous rank frame
@@ -206,9 +219,10 @@ object GraphOps {
     // the default stays 1 — materialize every round — and the dial
     // exists for billion-edge graphs where a checkpoint write of the
     // rank frame costs more than recomputing one fused round.
-    // the non-dangling src set, only needed by the direct dangling form
+    // the non-dangling src set, only needed by the direct dangling form —
+    // a projection of the cached vert frame, no persist of its own
     val srcs = if (danglingFromRanks)
-      graft.Caching.persist(outW.select(col("src").as("v")))
+      vert.filter(col("wout").isNotNull).select(col("v"))
     else null
     // JOIN STRATEGY (r17 optimization round, guide §3.1/§2.4): the rank
     // frame is |V| rows but its lineage is a localCheckpoint scan
@@ -274,8 +288,7 @@ object GraphOps {
       }
       ranks
     } finally {
-      if (srcs != null) srcs.unpersist()
-      p.unpersist(); outW.unpersist(); nodes.unpersist(); e.unpersist()
+      p.unpersist(); vert.unpersist(); e.unpersist()
     }
   }
 

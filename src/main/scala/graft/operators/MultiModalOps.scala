@@ -575,7 +575,7 @@ object MultiModalOps {
     * like every maintain cycle. */
   private[graft] def fpIndexDir(s: SparkSession, d: String): String =
     graft.SharedPlans.once(s, s"fp_index|$d") {
-      val p = s"target/fp_index/${d.replaceAll("[^A-Za-z0-9._-]", "_")}"
+      val p = s"${graft.sources.StorageOps.artifactBase}/fp_index/${d.replaceAll("[^A-Za-z0-9._-]", "_")}"
       graft.sources.FingerprintIndex.publishBandedSigs(s, imageSigs(s, d), p)
       graft.sources.FingerprintIndex.pruneVersions(s, p, keep = 2)
       p
@@ -615,7 +615,7 @@ object MultiModalOps {
     * at the escalated partition all sit inside the DuckDB gate. */
   private[graft] def fpEscIndexDir(s: SparkSession, d: String): String =
     graft.SharedPlans.once(s, s"fp_index_esc|$d") {
-      val p = s"target/fp_index/${d.replaceAll("[^A-Za-z0-9._-]", "_")}_esc"
+      val p = s"${graft.sources.StorageOps.artifactBase}/fp_index/${d.replaceAll("[^A-Za-z0-9._-]", "_")}_esc"
       graft.sources.FingerprintIndex.publishBandedSigs(s, imageSigs(s, d), p)
       graft.sources.FingerprintIndex.escalateBandFamily(s, p)
       graft.sources.FingerprintIndex.pruneVersions(s, p, keep = 2)

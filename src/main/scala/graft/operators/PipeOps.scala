@@ -74,7 +74,7 @@ object PipeOps {
     * exists to catch). */
   private[graft] def pipeDir(s: SparkSession, d: String): String =
     graft.SharedPlans.once(s, s"pipe_files|$d") {
-      val p = s"target/pipe/${d.replaceAll("[^A-Za-z0-9._-]", "_")}"
+      val p = s"${graft.sources.StorageOps.artifactBase}/pipe/${d.replaceAll("[^A-Za-z0-9._-]", "_")}"
       graft.sources.PipeFiles.write(pipeRows(s, d), p)
       val n = graft.sources.PipeFiles.corruptLedger(
         s.sessionState.newHadoopConf(), p, 2, 5, 1L)

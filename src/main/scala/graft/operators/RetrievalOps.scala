@@ -220,7 +220,7 @@ object RetrievalOps {
     * twin (and the oracle is shared verbatim). */
   private def lexIndexDir(s: SparkSession, d: String): String =
     graft.SharedPlans.once(s, s"lex_index|$d") {
-      val p = s"target/lex_index/${d.replaceAll("[^A-Za-z0-9._-]", "_")}"
+      val p = s"${graft.sources.StorageOps.artifactBase}/lex_index/${d.replaceAll("[^A-Za-z0-9._-]", "_")}"
       graft.sources.LexIndex.publish(s, d, p)
       p
     }

@@ -1340,7 +1340,7 @@ object VectorOps {
     * under target/ (the build dir), versioned and pruned to 1 so bench
     * reps do not accumulate stale versions. */
   private def vecIndexDir(d: String, tag: String): String =
-    s"target/vec_index/${d.replaceAll("[^A-Za-z0-9._-]", "_")}_$tag"
+    s"${graft.sources.StorageOps.artifactBase}/vec_index/${d.replaceAll("[^A-Za-z0-9._-]", "_")}_$tag"
 
   /** ARTIFACT-BACKED cross-dedup: publish the even half as a real
     * versioned [[graft.sources.VectorIndex]], then probe the odd half

@@ -47,6 +47,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object StorageOps {
 
+  /** Base directory of the SESSION-PUBLISHED artifact roots (the
+    * `target/<kind>_index/<fixture>` dirs the artifact-backed queries
+    * publish once per session and probe many times). A system property
+    * rather than a constant so concurrent TEST JVMs can isolate their
+    * publishes (two JVMs overwrite-publishing the same path race each
+    * other's readers); every production entry point leaves it unset and
+    * gets the unchanged `target` default. */
+  def artifactBase: String =
+    sys.props.getOrElse("graft.artifact.base", "target")
+
   /** Session conf for committing through a store-native committer on
     * `scheme://` paths. Two load-bearing keys:
     *

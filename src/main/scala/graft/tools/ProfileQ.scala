@@ -32,8 +32,15 @@ object ProfileQ {
         SparkEntry.queries(name)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
         val dt = (System.nanoTime() - t0) / 1e9
-        // cache teardown stays OUTSIDE the timed region
+        // cache teardown stays OUTSIDE the timed region. BOTH caches
+        // (r18): clearCache alone leaves the SharedPlans frame memo
+        // holding checkpoint-rooted frames (CC labels, cooccur edges)
+        // whose RDD blocks clearCache cannot drop — reps 2+ of any
+        // shared-frame query then measure a warm probe (q_split_leakage
+        // read 0.3s vs its 3.8s true cost), which is NOT what the bench
+        // records (it clears the memo between reps — iid).
         spark.catalog.clearCache()
+        graft.SharedPlans.clearFrames(spark)
         dt
       }
       println(f"[profile] $name: ${times.map(t => f"$t%.3f").mkString(" ")}")
