@@ -48,16 +48,29 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 // disjoint by construction (own SparkSession, own warehouse tempdir)
 // except the session-published artifact roots, which get a per-group
 // base dir via -Dgraft.artifact.base (see StorageOps.artifactBase).
-val testGroupCount = 4
-// The heaviest suites (measured r18: ~20 min of the 32 sequential) are
-// pinned so the groups balance; everything else hashes round-robin.
+val testGroupCount = 6
+// The heaviest suites are pinned so the groups balance (per-suite totals
+// measured r18 from the -oD report under 4-way concurrency, seconds:
+// DedupIndex 523, Dedup 396, Curation 163, TornVersion 146,
+// StorageAndAgg 120, VectorIndex 106, Admission 99, WorkerHealth 99,
+// AdmissionStream 90, HotKeys 87, Caching 87, Chaos 77, Skew 75,
+// LexIndex 74, GraphAnalytics 74, IngestCycle 69, GraphOps 66);
+// everything else hashes round-robin.
 val pinnedTestGroup = Map(
-  "graft.GoldenSpec" -> 0, "graft.GtStoreSpec" -> 0, "graft.ChaosSpec" -> 0,
-  "graft.DeterminismSpec" -> 1, "graft.NearDupStreamSpec" -> 1,
-  "graft.IngestCycleSpec" -> 1,
-  "graft.VectorIndexSpec" -> 2, "graft.TornVersionSpec" -> 2,
-  "graft.DedupIndexSpec" -> 3, "graft.AnnSpec" -> 3,
-  "graft.PrecisionGateSpec" -> 3, "graft.FingerprintIndexSpec" -> 3)
+  "graft.DedupIndexSpec" -> 0,
+  "graft.DedupSpec" -> 1, "graft.CachingSpec" -> 1,
+  "graft.CurationSpec" -> 2, "graft.TornVersionSpec" -> 2,
+  "graft.StorageAndAggSpec" -> 2, "graft.PlanShapeSpec" -> 2,
+  "graft.VectorIndexSpec" -> 3, "graft.AdmissionSpec" -> 3,
+  "graft.WorkerHealthSpec" -> 3, "graft.AdmissionStreamSpec" -> 3,
+  "graft.ChaosSpec" -> 3,
+  "graft.HotKeysSpec" -> 4, "graft.SkewSpec" -> 4,
+  "graft.LexIndexSpec" -> 4, "graft.GraphAnalyticsSpec" -> 4,
+  "graft.IngestCycleSpec" -> 4, "graft.GraphOpsSpec" -> 4,
+  "graft.EventOpsSpec" -> 5, "graft.PrecisionGateSpec" -> 5,
+  "graft.PqSpec" -> 5, "graft.PropertySpec" -> 5, "graft.BpeSpec" -> 5,
+  "graft.TransitionStreamSpec" -> 5, "graft.RetrievalStreamSpec" -> 5,
+  "graft.MultiModalSpec" -> 5)
 Test / testGrouping := {
   val defs = (Test / definedTests).value
   val base = ForkOptions()

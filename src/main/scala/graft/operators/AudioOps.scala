@@ -130,7 +130,16 @@ object AudioOps {
     while (off + 8 <= bytes.length && (pcmOff < 0 || rate == 0f)) {
       val t = tagAt(off)
       val len = u32(off + 4).toInt
+      // a corrupt declared length must fail loudly, not loop or read out
+      // of bounds: len < 0 makes the `off +=` below non-advancing (RIFF
+      // u32 lengths > Int.MaxValue wrap negative in toInt), and a length
+      // past the buffer would walk fmt reads off the end (r17 ADVICE —
+      // this parser is the designated reader for arbitrary WAV bytes)
+      require(len >= 0 && off + 8 + len <= bytes.length,
+        s"RIFF chunk '$t' at $off declares $len payload bytes, " +
+          s"stream holds ${bytes.length}")
       if (t == "fmt ") {
+        require(len >= 16, s"fmt chunk truncated: $len < 16 bytes")
         require(u16(off + 8) == 1, "decodeWav handles PCM only")
         ch = u16(off + 10)
         rate = u32(off + 12).toFloat

@@ -1078,8 +1078,12 @@ object DedupOps {
       withFam: Boolean): DataFrame = {
     import s.implicits._
     val DI = graft.sources.DedupIndex
-    val meta = Seq((DI.loadNDocs(s, dir), DI.loadParts(s, dir),
-        DI.needsRebuild(s, dir), DI.loadBandFamily(s, dir)))
+    // one meta read for all four fields + the rebuild flag (r18): the
+    // per-field loaders cost a read+collect job EACH — six tiny Spark
+    // jobs of pure fixed overhead per health read at local[32]
+    val (nd, parts, probeMod, bandFam) = DI.loadMeta(s, dir)
+    val needsRebuild = parts <= 0 || parts != DI.layoutPartsFor(nd)
+    val meta = Seq((nd, parts, needsRebuild, bandFam))
       .toDF("ndocs", "parts", "needs_rebuild", "bandfam")
     val docAgg = DI.loadDocs(s, dir).agg(
       count(lit(1)).as("doc_rows"),
@@ -1117,7 +1121,8 @@ object DedupOps {
     // oracle would sample differently, and only the engine-side reading
     // is authoritative.
     val ps: Option[graft.sources.ProbeStats] =
-      if (DI.hasProbe(s, dir)) Some(DI.probePrecision(s, dir)) else None
+      if (DI.hasProbeAt(s, dir, probeMod)) Some(DI.probePrecision(s, dir))
+      else None
     val (pdC, pcC, pvC, ppC) = ps match {
       case Some(p) =>
         (lit(p.probeDocs), lit(p.candidates), lit(p.verified),

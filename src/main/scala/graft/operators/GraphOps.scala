@@ -329,6 +329,11 @@ object GraphOps {
     * the production value are the same number because the gate is in
     * ENTRIES, not partitions (nothing here is tuned to local[32]). */
   private[graft] def PageRankBroadcastMaxNodes: Long =
-    sys.env.get("SPARK_GRAFT_PR_BCAST_MAX").map(_.toLong)
-      .getOrElse(4L * 1000 * 1000)
+    sys.env.get("SPARK_GRAFT_PR_BCAST_MAX").map { v =>
+      // fail with the dial's NAME: a bare NumberFormatException from an
+      // env typo aborts plan build with nothing pointing at the cause
+      require(v.matches("-?\\d+"),
+        s"SPARK_GRAFT_PR_BCAST_MAX must be a long, got '$v'")
+      v.toLong
+    }.getOrElse(4L * 1000 * 1000)
 }

@@ -1229,6 +1229,10 @@ object VectorOps {
     * family. Training cost is the shared Lloyd passes over a 25%
     * hash-sample. */
   private val qPrototypePrune: Q = (s, d) => {
+    // register BEFORE trainCentroids: its cosine_sim expr otherwise
+    // resolves only when a sibling query registered first (r18 — found
+    // by the standalone ProfileQ run, which has no such sibling)
+    GraftFunctions.register(s)
     val e = graft.Caching.persist(Tables.spread(s, Tables.embeddings(s, d)))
     val cent = trainCentroids(s,
       e.filter(Tables.phash(col("vec_id")) % 4 === 0),

@@ -174,9 +174,32 @@ object DedupIndex {
     // the sampled probe base hashes: ~500 docs x shingles — a single
     // file at any corpus size, written VERBATIM (compaction passes a
     // stored frame through unchanged); meta still commits LAST
-    probe.foreach(_.coalesce(1)
-      .write.mode("overwrite").parquet(s"$indexDir/probe"))
+    probe.foreach(writeProbeWithBands(s, _, indexDir, fam))
     writeMeta(s, indexDir, nDocs, parts, probeMod, fam)
+  }
+
+  /** Write the probe base-hash dataset AND its family-derived band
+    * values (doc_id, band, pbv) beside it (r18, VERDICT #6): the health
+    * surfaces' [[probePrecision]] used to re-derive the bands from `pre`
+    * on EVERY read — a famRows·famBands-permutation cross join + two
+    * aggregations that dominated q_dedup_index_escalated_stats (5.4-6.3s
+    * r17; 612 permutations at the family-3 rung) for a result that is a
+    * pure function of (stored pres, recorded family), i.e. of the
+    * artifact version itself. Deriving ONCE at write time makes every
+    * health read a ~sampled-docs×bands parquet scan. Ordering: bands
+    * commit after `probe` and before `meta`, so a torn write reads as
+    * probe_bands-uncommitted and [[loadProbe]] degrades to the on-read
+    * derivation (identical rows, the pre-r18 cost). A verbatim-copied
+    * legacy probe without `pre` (pre-r17 schema) stores no bands —
+    * [[hasProbe]] already rejects that schema. */
+  private def writeProbeWithBands(s: SparkSession, probe: DataFrame,
+      indexDir: String, fam: Int): Unit = {
+    probe.coalesce(1).write.mode("overwrite").parquet(s"$indexDir/probe")
+    if (probe.columns.contains("pre"))
+      graft.operators.DedupOps.probeBandsFromPres(s,
+          s.read.parquet(s"$indexDir/probe").select("doc_id", "pre"), fam)
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$indexDir/probe_bands")
   }
 
   private def writeMeta(s: SparkSession, indexDir: String, nDocs: Long,
@@ -401,12 +424,12 @@ object DedupIndex {
         val probeMod =
           if (hasProbe(s, indexDir)) loadProbeMod(s, indexDir) else 0L
         if (probeMod > 0) {
-          loadProbePres(s, indexDir)
-            .join(batchIds, Seq("doc_id"), "left_anti")
-            .unionByName(graft.operators.DedupOps
-              .probePres(s, newDocs, probeMod))
-            .coalesce(1).write.mode("overwrite")
-            .parquet(s"$newIndexDir/probe")
+          writeProbeWithBands(s,
+            loadProbePres(s, indexDir)
+              .join(batchIds, Seq("doc_id"), "left_anti")
+              .unionByName(graft.operators.DedupOps
+                .probePres(s, newDocs, probeMod)),
+            newIndexDir, if (famOk) fam else BandFamily)
         }
         writeMeta(s, newIndexDir, nDocs2, parts2, probeMod,
           if (famOk) fam else BandFamily)
@@ -454,6 +477,26 @@ object DedupIndex {
   def needsRebuild(s: SparkSession, indexDir: String): Boolean = {
     val parts = loadParts(s, indexDir)
     parts <= 0 || parts != layoutPartsFor(loadNDocs(s, indexDir))
+  }
+
+  /** ONE-shot meta read — (ndocs, parts, probemod, bandfam) with the
+    * same legacy defaults the individual loaders apply (r18): the health
+    * surfaces read every field plus the rebuild flag, which through the
+    * per-field loaders cost SIX tiny read+collect jobs per stats query
+    * (each a parquet footer + scan + collect round trip); this is one.
+    * The per-field loaders stay for callers that need a single value. */
+  def loadMeta(s: SparkSession, indexDir: String): (Long, Int, Long, Int) = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/meta")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return (loadDocs(s, indexDir).count(), 0, 0L, 1)
+    val df = s.read.parquet(s"$indexDir/meta")
+    val names = df.schema.fieldNames.toSet
+    val row = df.collect()(0)
+    (if (names("ndocs")) row.getAs[Long]("ndocs")
+     else loadDocs(s, indexDir).count(),
+     if (names("parts")) row.getAs[Int]("parts") else 0,
+     if (names("probemod")) row.getAs[Long]("probemod") else 0L,
+     if (names("bandfam")) row.getAs[Int]("bandfam") else 1)
   }
 
   /** One production ingest cycle on a versioned root — the text twin of
@@ -715,7 +758,12 @@ object DedupIndex {
     * family — see [[graft.operators.DedupOps.probeBandsFromPres]].
     * Sampled-small: ~500 docs × famBands rows at any corpus size. */
   def loadProbe(s: SparkSession, indexDir: String): DataFrame =
-    graft.operators.DedupOps.probeBandsFromPres(s,
+    // stored derived bands when this build's writers produced them
+    // ([[writeProbeWithBands]]); on-read derivation for any older
+    // artifact — identical rows either way (spec-pinned)
+    if (StorageOps.isCommitted(s, s"$indexDir/probe_bands"))
+      s.read.parquet(s"$indexDir/probe_bands").select("doc_id", "band", "pbv")
+    else graft.operators.DedupOps.probeBandsFromPres(s,
       loadProbePres(s, indexDir), loadBandFamily(s, indexDir))
 
   /** The stored probe base layer (doc_id, pre) — family-free; merges
@@ -732,7 +780,13 @@ object DedupIndex {
     * surfaces gate on this and emit NULL probe columns when false
     * (r16 ADVICE: a probe-less artifact must degrade, not throw). */
   def hasProbe(s: SparkSession, indexDir: String): Boolean =
-    loadProbeMod(s, indexDir) > 0 &&
+    hasProbeAt(s, indexDir, loadProbeMod(s, indexDir))
+
+  /** [[hasProbe]] with the modulus already in hand — callers that just
+    * did a [[loadMeta]] skip the second meta read. */
+  private[graft] def hasProbeAt(s: SparkSession, indexDir: String,
+      probeMod: Long): Boolean =
+    probeMod > 0 &&
       StorageOps.isCommitted(s, s"$indexDir/probe") &&
       s.read.parquet(s"$indexDir/probe").columns.contains("pre")
 

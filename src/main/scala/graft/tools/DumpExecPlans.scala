@@ -47,9 +47,17 @@ object DumpExecPlans {
       println(s"==== $q ====")
       graft.SparkEntry.queries(q)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
-      // listener events are posted asynchronously; give the bus a moment
-      // to drain before printing (plan capture tool, not a benchmark)
-      Thread.sleep(1500)
+      // listener events are posted asynchronously; a FIXED sleep silently
+      // dropped late-posted plans on a loaded host (r17 ADVICE). The bus
+      // drain API is private[spark], so poll until the captured-plan
+      // count is stable for three consecutive ticks (bounded at 30s).
+      var last = -1; var stable = 0
+      val t0 = System.currentTimeMillis()
+      while (stable < 3 && System.currentTimeMillis() - t0 < 30000) {
+        Thread.sleep(200)
+        val n = plans.synchronized(plans.size)
+        if (n == last) stable += 1 else { stable = 0; last = n }
+      }
       plans.synchronized {
         plans.zipWithIndex.foreach { case ((fn, p, secs), i) =>
           println(f"---- action ${i + 1} [$fn] $secs%.3fs ----")

@@ -137,6 +137,33 @@ class DedupIndexSpec extends AnyFunSuite {
       s"probe precision ${nVer.toDouble / nCand} below the fixture floor")
   }
 
+  test("stored probe bands equal the on-read derivation at the recorded " +
+      "family, through publish and escalation (r18)") {
+    val base = java.nio.file.Files.createTempDirectory("graft-idx-pb")
+    val root = s"$base/r"
+    DedupIndex.publishVersionedFrom(spark,
+      Tables.documents(spark, TestSpark.sf0001)
+        .select(col("doc_id"), col("text")), root)
+    def stored(dir: String) = spark.read.parquet(s"$dir/probe_bands")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("band"),
+        r.getAs[String]("pbv"))).toSet
+    def derived(dir: String) = graft.operators.DedupOps.probeBandsFromPres(
+        spark, spark.read.parquet(s"$dir/probe").select("doc_id", "pre"),
+        DedupIndex.loadBandFamily(spark, dir))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val v1 = DedupIndex.currentDir(spark, root)
+    assert(stored(v1) == derived(v1),
+      "publish-time stored probe bands != the on-read derivation")
+    DedupIndex.escalateBandFamily(spark, root)
+    val v2 = DedupIndex.currentDir(spark, root)
+    assert(DedupIndex.loadBandFamily(spark, v2) == DedupIndex.BandFamily + 1)
+    assert(stored(v2) == derived(v2),
+      "escalated stored probe bands != the deeper-family derivation")
+    assert(stored(v2) != stored(v1),
+      "escalation must re-derive the probe bands at the deeper family")
+    spark.catalog.clearCache()
+  }
+
   test("artifact-backed cross-dedup equals the inline q_cross_dedup plan") {
     val d = TestSpark.sf0001
     val inline = SparkEntry.queries("q_cross_dedup")(spark, d)
