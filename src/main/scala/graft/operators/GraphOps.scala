@@ -327,7 +327,16 @@ object GraphOps {
     * the gate the rounds keep the shuffle-join plan (correct at any
     * |V|). Env-dialed for A/B, not scale tuning: the LOCAL default and
     * the production value are the same number because the gate is in
-    * ENTRIES, not partitions (nothing here is tuned to local[32]). */
+    * ENTRIES, not partitions (nothing here is tuned to local[32]).
+    *
+    * DRIVER-MEMORY FLOOR at the gate (r17 ADVICE): each round
+    * broadcasts up to three |V|-row frames (ranks, contribs, srcs), and
+    * dataset-broadcast cleanup is GC-driven (ContextCleaner), so a few
+    * rounds' relations can coexist before a GC cycle releases them. At
+    * the 4M-entry default that is ~200 MB per relation — budget ~2-3 GB
+    * of driver heap headroom for a gate-sized multi-round run (the
+    * bench's 8 GB default clears it; a 1-2 GB driver should lower the
+    * gate or run the shuffle plan). */
   private[graft] def PageRankBroadcastMaxNodes: Long =
     sys.env.get("SPARK_GRAFT_PR_BCAST_MAX").map { v =>
       // fail with the dial's NAME: a bare NumberFormatException from an
